@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the engine.
+  *
+  * Centralizes the configs every graft session needs (SURVEY.md §7.1):
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver corpus's
+  *    `events.ts` is parquet INT64 TIMESTAMP(NANOS); Spark 4.x refuses it
+  *    otherwise. With the flag, `ts` loads as an epoch-nanoseconds Long.
+  *  - UTC session timezone (oracle parity with DuckDB).
+  *  - shuffle partitions sized to local cores, not the 200 default —
+  *    on a real cluster this would be tuned to ~2-3× total cores via AQE.
+  *  - AQE on: runtime shuffle coalescing + skew-join splitting is the
+  *    100 TB-scale answer to skewed group/join keys.
+  */
+object GraftSession {
+  val Cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", Cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for mains/tests; master honored only if not set. */
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).master(s"local[$Cpus]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test corpus (TESTDATA.md / FIXTURES.md §B).
+  *
+  * All tables are single parquet files per scale factor. At 100 TB these
+  * would be directory-partitioned (date-bucketed for the fact tables);
+  * the loaders stay the same — `spark.read.parquet` prunes partitions and
+  * pushes filters/projections down regardless (Catalyst
+  * `PruneFileSourcePartitions` / `V2ScanRelationPushDown`).
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** `events` with `ts` as raw epoch-nanos Long (needs
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by [[GraftSession]]).
+    */
+  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+
+  /** Epoch-microseconds projection of the nanos `ts` column.
+    *
+    * Cross-engine time convention (SURVEY §7.1): DuckDB reads the same
+    * column at microsecond precision (`epoch_us(ts)`), so every oracle
+    * comparison happens on epoch-micros integer math. `div` is exact long
+    * division — never `/` (double) on epoch values: 1.7e18 is above 2^53.
+    */
+  val tsUs: Column = expr("ts div 1000")
+
+  /** `events` + `event_time` TimestampType column for window()/streaming
+    * paths (micros precision; Spark TimestampType is micros anyway). */
+  def eventsWithTime(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("event_time", timestamp_micros(tsUs))
+
+  val MicrosPerSecond: Long = 1000000L
+  val MicrosPerMinute: Long = 60L * MicrosPerSecond
+  val MicrosPerDay: Long    = 86400L * MicrosPerSecond
+}
