@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.ops.Windows
+import graft.queries.{BenchQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,29 +27,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("tumbling_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tumbling_agg" -> { (s, d) =>
-      Windows.tumblingAggUs(
-        Tables.events(s, d),
-        Tables.tsUs,
-        Tables.MicrosPerMinute,
-        Seq(col("user_id"), col("event_type")),
-        col("value"))
-    }
-  )
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.5
+    * extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ParityQueries.queries ++ BenchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "tumbling_agg" ->
-      """SELECT epoch_us(ts) - epoch_us(ts) % 60000000 AS window_start_us,
-        |       user_id, event_type,
-        |       round(avg(value), 4) AS avg_value,
-        |       min(value) AS min_value,
-        |       max(value) AS max_value,
-        |       count(*) AS count_readings
-        |FROM events
-        |GROUP BY 1, 2, 3""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    ParityQueries.oracleSql ++ BenchQueries.oracleSql
 }

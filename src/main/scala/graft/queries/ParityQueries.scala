@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Ingest, Retention, Windows}
+
+/** Reference-parity operators (SURVEY §2) as driver-contract queries over
+  * the testdata mapping (events ↦ sensor stream; FIXTURES.md §B).
+  * Each entry has DuckDB oracle SQL with identical output column names.
+  */
+object ParityQueries {
+  import Tables.{tsUs, MicrosPerMinute, MicrosPerDay}
+
+  private val SlideUs = 30L * Tables.MicrosPerSecond
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 — flagship; registered in SparkEntry (kept here for grouping).
+    "tumbling_agg" -> { (s, d) =>
+      Windows.tumblingAggUs(Tables.events(s, d), tsUs, MicrosPerMinute,
+        Seq(col("user_id"), col("event_type")), col("value"))
+    },
+
+    // F2 — sliding (HOP) 1-min / 30-s: each row in exactly 2 windows.
+    "sliding_agg" -> { (s, d) =>
+      Windows.slidingAggUs(Tables.events(s, d), tsUs, MicrosPerMinute,
+        SlideUs, Seq(col("user_id"), col("event_type")), col("value"))
+    },
+
+    // C2 — raw pass-through projection with sink renames
+    // (sensor_aggregation.py:76-80).
+    "passthrough_project" -> { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("user_id").as("machine_id"),
+        col("event_type").as("sensor_type"),
+        col("value"),
+        tsUs.as("ts_us"))
+    },
+
+    // C3/C4/K1 — lake partition-key derivation (year/month/day) + per-
+    // partition stats (timescale_to_deltalake.py:36).
+    "datepart_derive" -> { (s, d) =>
+      Ingest.withDateParts(Tables.orders(s, d), col("o_orderdate"))
+        .groupBy(col("year"), col("month"), col("day"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    },
+
+    // C1/C6 — ISO-8601 'T' string round-trip: format then re-parse via
+    // the reference's REPLACE expression (sensor_aggregation.py:22).
+    "iso_roundtrip" -> { (s, d) =>
+      val df = Tables.orders(s, d)
+        .withColumn("iso_ts", date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .select(col("o_orderkey"), col("iso_ts"))
+      Ingest.withEventTime(df, col("iso_ts"))
+        .withColumnRenamed("event_time", "parsed_ts")
+    },
+
+    // C7/D1-adjacent — JSON field extraction from events.props.
+    "json_extract" -> { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_value"))
+    },
+
+    // E1 — dimension enrichment: fact ⋈ broadcast dims (customer →
+    // nation → region plays readings → machine dim).
+    "dim_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+    },
+
+    // K3 — retention horizon: keep last 7 days relative to max(ts),
+    // bucketed per day (90-day policy semantics at test-data scale).
+    "retention_filter" -> { (s, d) =>
+      val e = Tables.events(s, d).select(tsUs.as("tus"))
+      Retention.retain(e, col("tus"), 7L * MicrosPerDay)
+        .groupBy((col("tus") - col("tus") % MicrosPerDay).as("day_start_us"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+
+    // H — top-k latest readings (init-db.sql DESC-index access pattern
+    // → TakeOrderedAndProject, no full sort).
+    "topk_latest" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), tsUs.as("ts_us"), col("user_id"), col("event_type"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(100)
+    },
+
+    // G — latest reading per key via row_number() (the "latest per
+    // machine" pattern the reference serves with DESC indexes).
+    "latest_per_key" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+          col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    },
+
+    // I — set operations: UNION (distinct) / INTERSECT / EXCEPT.
+    "set_ops" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val even = e.filter(col("user_id") % 2 === 0).select(col("event_type"))
+      val odd  = e.filter(col("user_id") % 2 === 1).select(col("event_type"))
+      val big  = e.filter(col("value") > 50).select(col("event_type"))
+      val none = e.filter(col("value") > lit(1e9)).select(col("event_type"))
+      even.union(big).distinct().withColumn("op", lit("union"))
+        .unionByName(even.intersect(odd).withColumn("op", lit("intersect")))
+        .unionByName(even.except(none).withColumn("op", lit("except")))
+    },
+
+    // F-adjacent — distinct aggregation (absent from the reference;
+    // Catalyst built-in, SURVEY §2 F note).
+    "distinct_agg" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tumbling_agg" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 60000000 AS window_start_us,
+        |       user_id, event_type,
+        |       round(avg(value), 4) AS avg_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value,
+        |       count(*) AS count_readings
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "sliding_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, user_id, event_type, value FROM events),
+        |x AS (SELECT tus - tus % 30000000 - k * 30000000 AS window_start_us,
+        |             user_id, event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+        |SELECT window_start_us, user_id, event_type,
+        |       round(avg(value), 4) AS avg_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value,
+        |       count(*) AS count_readings
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
+
+    "passthrough_project" ->
+      """SELECT event_id, user_id AS machine_id, event_type AS sensor_type,
+        |       value, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+
+    "datepart_derive" ->
+      """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |       day(o_orderdate) AS day,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+
+    "iso_roundtrip" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+        |       strptime(replace(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), 'T', ' '),
+        |                '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM orders""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k_value
+        |FROM events""".stripMargin,
+
+    "dim_join" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "retention_filter" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus FROM events),
+        |c AS (SELECT max(tus) - 604800000000 AS cutoff FROM e)
+        |SELECT tus - tus % 86400000000 AS day_start_us, count(*) AS n_events
+        |FROM e, c WHERE tus >= cutoff GROUP BY 1""".stripMargin,
+
+    "topk_latest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |FROM events ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin,
+
+    "latest_per_key" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "set_ops" ->
+      """SELECT event_type, 'union' AS op FROM (
+        |  SELECT event_type FROM events WHERE user_id % 2 = 0
+        |  UNION SELECT event_type FROM events WHERE value > 50) u
+        |UNION ALL
+        |SELECT event_type, 'intersect' AS op FROM (
+        |  SELECT event_type FROM events WHERE user_id % 2 = 0
+        |  INTERSECT SELECT event_type FROM events WHERE user_id % 2 = 1) i
+        |UNION ALL
+        |SELECT event_type, 'except' AS op FROM (
+        |  SELECT event_type FROM events WHERE value > 0
+        |  EXCEPT SELECT event_type FROM events WHERE value > 1e9) x""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}
