@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+  * (SURVEY §7.5). Each designed for the 100 TB shape:
+  *
+  *  - exact: one hash-shuffle on the normalized key; map-side combine
+  *    collapses duplicates before the exchange.
+  *  - MinHash: signatures + band hashes are computed per-row with
+  *    higher-order functions (transform/aggregate over the shingle
+  *    array) — zero shuffle until the band-bucket self-join, which
+  *    shuffles only (doc_id, band) pairs, never text. Candidate
+  *    verification compares 32-long signatures, not documents.
+  *  - SimHash: one explode + 64-column sum aggregate per doc; Hamming
+  *    pairs via bit_count(xor) on 8-byte keys.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per normalized text. */
+  def exact(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.groupBy(lower(trim(text)).as("norm_text"))
+      .agg(min(id).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val NumHashes = 32
+  val RowsPerBand = 4
+  val NumBands: Int = NumHashes / RowsPerBand
+
+  /** MinHash signature: per hash function i, min over shingles of
+    * xxhash64(i, shingle). Pure per-row columnar compute. */
+  def minhashSignature(shingleArr: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+
+  /** LSH band hashes: hash each contiguous run of RowsPerBand signature
+    * entries; docs sharing any band hash become candidate pairs. */
+  def bandHashes(sig: Column): Column =
+    transform(sequence(lit(0), lit(NumBands - 1)),
+      b => xxhash64(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))))
+
+  /** Estimated Jaccard from two signatures: fraction of equal entries. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
+
+  /** Candidate near-dup pairs via MinHash LSH.
+    *
+    * @param docs (id, text) frame
+    * @return (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct
+    */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column, threshold: Double): DataFrame = {
+    val base = docs.select(
+      id.as("doc"),
+      minhashSignature(TextOps.shingles(TextOps.tokens(text), 3)).as("sig"))
+    val banded = base
+      .select(col("doc"), col("sig"), posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+    val a = banded.select(col("doc").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bh"))
+    val b = banded.select(col("doc").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document from whitespace tokens: per bit j,
+    * sign of sum over tokens of ±1 by bit j of xxhash64(token).
+    * One explode + grouped sum; bit columns reassembled with
+    * shiftleft/bitwise-or. */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tokenized = docs.select(id.as("doc"),
+      explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val summed = tokenized.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col("doc"), sh.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact word-level n-gram Jaccard between paired docs (set
+    * semantics: distinct shingles). */
+  def ngramJaccard(shinglesA: Column, shinglesB: Column): Column = {
+    val inter = size(array_intersect(shinglesA, shinglesB))
+    val union = size(array_distinct(concat(shinglesA, shinglesB)))
+    round(inter.cast("double") / union, 4)
+  }
+}

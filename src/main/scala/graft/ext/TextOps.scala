@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting
+  * (SURVEY §7.5; beyond the reference surface, which has no text ops).
+  *
+  * Everything here is a pure codegen'd Column expression over built-ins
+  * (split/transform/aggregate/regexp) — no UDFs, no shuffles. At 100 TB
+  * these run map-side in whole-stage codegen; the only shuffles are the
+  * groupBys the *callers* add.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty-safe (split keeps trailing empties;
+    * filter drops them so both engines agree). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single non-space
+    * symbols (GPT-2-style pre-tokenizer, ASCII simplification). */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
+  /** Word n-gram shingles ("a b c" for n=3) from a token array.
+    * Empty when the doc has fewer than n tokens (sequence() would
+    * otherwise run backwards). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrences of a literal marker substring (non-overlapping,
+    * left-to-right — same algorithm both engines). Long-typed. */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, marker, ""))) / marker.length)
+      .cast("long")
+
+  /** Per-language marker words for the n-gram-heuristic language ID.
+    * Space-padded so they only match whole words. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " is "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " que ", " los "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(occurrences(text, _)).reduce(_ + _)
+
+  /** CJK codepoint count — routes to 'zh' when positive. */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^一-鿿]", "")).cast("long")
+
+  /** Heuristic language ID: zh if any CJK, else argmax marker score with
+    * fixed tie-break order en > de > es > fr (deterministic). */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en"); val de = langScore(text, "de")
+    val es = langScore(text, "es"); val fr = langScore(text, "fr")
+    when(cjkCount(text) > 0, lit("zh"))
+      .when(en >= greatest(de, es, fr), lit("en"))
+      .when(de >= greatest(es, fr), lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Punctuation character count (sentence/clause marks). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("long")
+
+  /** Whole-content fingerprint: md5 of normalized text (hex string —
+    * identical in any engine). */
+  def contentFingerprint(text: Column): Column =
+    md5(lower(trim(text)).cast("binary"))
+
+  /** Locality-sensitive document fingerprint: lexicographic min of the
+    * md5s of all word 3-gram shingles (winnowing-style; robust to
+    * small edits away from the minimum shingle). */
+  def minShingleFingerprint(text: Column): Column =
+    array_min(transform(shingles(tokens(text), 3), s => md5(s.cast("binary"))))
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a sign-LSH
+  * (random-hyperplane) bucketed variant as the scale path
+  * (SURVEY §7.5).
+  *
+  * All vector math is higher-order Column expressions (zip_with /
+  * aggregate) computed in double, left-fold order — deterministic and
+  * engine-portable. No UDFs, no collect.
+  *
+  * Scale design: brute-force top-k is a map-side score + TakeOrdered
+  * (no shuffle of vectors, only the k winners per partition). The LSH
+  * variant buckets vectors once (cheap, per-row) and probes only the
+  * query's bucket — the 100 TB pattern where the corpus side is
+  * pre-bucketed storage (an IVF-style coarse index materialized as a
+  * bucketed table).
+  */
+object VectorOps {
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column =
+    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector (broadcast 1-row
+    * cross join → per-partition score → TakeOrderedAndProject). */
+  def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, k: Int): DataFrame =
+    corpus
+      .crossJoin(broadcast(query.select(queryVec.as("__qv"))))
+      .select(id.as("vec_id"), round(cosine(vec, col("__qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** Bucket-count knob: 2^NumPlanes buckets. 4 → 16 buckets, sized so
+    * a bucket holds a useful candidate set at test-corpus scale; at
+    * 100 TB you'd raise this (and/or multi-probe neighboring buckets)
+    * to keep bucket cardinality ~1e4-1e5 vectors. */
+  val NumPlanes = 4
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * xxhash64 folded into [-1, 1]. No RNG — reproducible across runs
+    * and engines. */
+  private def planeWeight(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, h_p>. */
+  def lshBucket(vec: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val d = fold(zip_with(vec, sequence(lit(0), lit(63)),
+        (x, j) => x.cast("double") * planeWeight(p, j)))
+      when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k: score only vectors in the query's LSH bucket.
+    * Recall < 1 by construction; the baseline for comparison is
+    * [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, k: Int): DataFrame = {
+    val bucketed = corpus.select(id.as("vec_id"), vec.as("v"),
+      lshBucket(vec).as("bucket"))
+    val q = query.select(queryVec.as("__qv"), lshBucket(queryVec).as("qbucket"))
+    bucketed
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), round(cosine(col("v"), col("__qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

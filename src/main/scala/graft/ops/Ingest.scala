@@ -37,13 +37,20 @@ object Ingest {
         col("machine_id"), col("sensor_type"), col("value"))).as("value"))
 
   /** C7/D1 decode: JSON string column → typed columns; malformed rows
-    * dropped (`from_json` → NULL struct → filter), missing fields NULL —
-    * exactly the reference's `ignore-parse-errors` / `fail-on-missing-
-    * field=false` semantics. */
-  def decode(df: DataFrame, json: Column): DataFrame =
-    df.withColumn("msg", from_json(json, MessageSchema))
-      .filter(col("msg").isNotNull)
-      .select(col("msg.*"))
+    * dropped, missing fields NULL — exactly the reference's
+    * `ignore-parse-errors` / `fail-on-missing-field=false` semantics.
+    *
+    * Spark's PERMISSIVE `from_json` yields an all-NULL struct (not a
+    * NULL struct) on parse failure, so "malformed" is detected via the
+    * corrupt-record column, not `isNotNull`. */
+  def decode(df: DataFrame, json: Column): DataFrame = {
+    val withCorrupt = MessageSchema.add("_corrupt", StringType)
+    df.withColumn("msg",
+        from_json(json, withCorrupt,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+      .filter(col("msg").isNotNull && col("msg._corrupt").isNull)
+      .select(col("msg.*")).drop("_corrupt")
+  }
 
   /** C1 event-time projection: ISO-8601 'T'-separated string → timestamp.
     * Keeps the reference's REPLACE form for semantic fidelity (Spark

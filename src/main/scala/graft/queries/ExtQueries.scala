@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, TextOps, VectorOps}
+
+/** Training-data-pipeline extension queries (SURVEY §7.5): text
+  * analysis, dedup, similarity search, multimodal metadata — over the
+  * `documents` / `embeddings` corpus tables.
+  *
+  * Oracle-less entries (minhash/simhash/ann — xxhash64 has no DuckDB
+  * equivalent) get deterministic ScalaTest known-answer specs instead;
+  * the driver records a rows-only check for them per the contract.
+  */
+object ExtQueries {
+
+  /** documents ∪ a perturbed copy (last 3 tokens dropped, doc_id+10000)
+    * — gives the near-dup detectors true positives to find while still
+    * deriving every byte from the read-only corpus. */
+  private def withNearDups(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(perturbed)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis -------------------------------------------------
+    "token_count" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+        col("n_chars"),
+        round(col("n_chars").cast("double") /
+          size(TextOps.tokens(col("text"))), 4).as("chars_per_token"))
+    },
+
+    "text_quality" -> { (s, d) =>
+      val toks = size(TextOps.tokens(col("text"))).cast("long")
+      val len = length(col("text")).cast("long")
+      val punct = TextOps.punctCount(col("text"))
+      val stop = TextOps.langScore(col("text"), "en")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        len.as("text_len"),
+        toks.as("n_words"),
+        punct.as("n_punct"),
+        stop.as("n_stopwords"),
+        round(punct.cast("double") / len, 4).as("punct_ratio"),
+        round(stop.cast("double") / toks, 4).as("stopword_ratio"),
+        round(least(toks.cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - punct.cast("double") / len), 4).as("quality"))
+    },
+
+    "lang_id" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    },
+
+    "doc_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.contentFingerprint(col("text")).as("content_md5"),
+        TextOps.minShingleFingerprint(col("text")).as("min_shingle_md5"))
+    },
+
+    // ---- dedup ---------------------------------------------------------
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+    },
+
+    "ngram_jaccard" -> { (s, d) =>
+      val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+      val a = Tables.documents(s, d).select(col("doc_id").as("doc_a"), sh.as("sh_a"))
+      val b = Tables.documents(s, d).select(col("doc_id").as("doc_b"), sh.as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          Dedup.ngramJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    },
+
+    "dedup_minhash" -> { (s, d) =>
+      Dedup.minhashPairs(withNearDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.5)
+    },
+
+    "dedup_simhash" -> { (s, d) =>
+      val sh = Dedup.simhash(withNearDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"))
+      val a = sh.select(col("doc").as("doc_a"), col("simhash").as("sh_a"))
+      val b = sh.select(col("doc").as("doc_b"), col("simhash").as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 10000)
+        .select(col("doc_a"), col("doc_b"),
+          Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+        .filter(col("hamming") <= 16)
+    },
+
+    // ---- similarity search --------------------------------------------
+    "cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      VectorOps.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
+    },
+
+    "embed_neardup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      a.join(b, col("vec_b") === col("vec_a") + 1)
+        .select(col("vec_a"), col("vec_b"),
+          round(VectorOps.cosine(col("va"), col("vb")), 4).as("cos_sim"))
+    },
+
+    "ann_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      VectorOps.lshTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
+    },
+
+    // ---- multimodal ----------------------------------------------------
+    "multimodal_meta" -> { (s, d) =>
+      Multimodal.withPayload(Tables.documents(s, d)).select(
+        col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        (col("media_meta.n_bytes") % 64 + 1).as("fake_width"),
+        (col("media_meta.n_bytes") % 48 + 1).as("fake_height"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  n_chars,
+        |  round(CAST(n_chars AS DOUBLE) /
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 4) AS chars_per_token
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST((length(text) - length(regexp_replace(text, ' the ', '', 'g'))) // 5
+        |     + (length(text) - length(regexp_replace(text, ' and ', '', 'g'))) // 5
+        |     + (length(text) - length(regexp_replace(text, ' is ', '', 'g'))) // 4 AS BIGINT) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, text_len, n_words, n_punct, n_stopwords,
+        |  round(CAST(n_punct AS DOUBLE) / text_len, 4) AS punct_ratio,
+        |  round(CAST(n_stopwords AS DOUBLE) / n_words, 4) AS stopword_ratio,
+        |  round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) *
+        |        (1.0 - CAST(n_punct AS DOUBLE) / text_len), 4) AS quality
+        |FROM t""".stripMargin,
+
+    "lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+        |  CAST((length(text) - length(regexp_replace(text, ' the ', '', 'g'))) // 5
+        |     + (length(text) - length(regexp_replace(text, ' and ', '', 'g'))) // 5
+        |     + (length(text) - length(regexp_replace(text, ' is ', '', 'g'))) // 4 AS BIGINT) AS s_en,
+        |  CAST((length(text) - length(regexp_replace(text, ' der ', '', 'g'))) // 5
+        |     + (length(text) - length(regexp_replace(text, ' und ', '', 'g'))) // 5
+        |     + (length(text) - length(regexp_replace(text, ' die ', '', 'g'))) // 5 AS BIGINT) AS s_de,
+        |  CAST((length(text) - length(regexp_replace(text, ' el ', '', 'g'))) // 4
+        |     + (length(text) - length(regexp_replace(text, ' que ', '', 'g'))) // 5
+        |     + (length(text) - length(regexp_replace(text, ' los ', '', 'g'))) // 5 AS BIGINT) AS s_es,
+        |  CAST((length(text) - length(regexp_replace(text, ' le ', '', 'g'))) // 4
+        |     + (length(text) - length(regexp_replace(text, ' et ', '', 'g'))) // 4
+        |     + (length(text) - length(regexp_replace(text, ' les ', '', 'g'))) // 5 AS BIGINT) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+        |    md5(lower(trim(text))) AS content_md5
+        |  FROM documents),
+        |u AS (SELECT doc_id, content_md5, unnest(toks) AS w,
+        |             generate_subscripts(toks, 1) AS pos FROM t),
+        |sh AS (SELECT doc_id, content_md5, pos, w,
+        |              lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+        |       FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |SELECT doc_id, any_value(content_md5) AS content_md5,
+        |       min(md5(concat_ws(' ', w, w1, w2))) AS min_shingle_md5
+        |FROM sh WHERE w2 IS NOT NULL GROUP BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT lower(trim(text)) AS norm_text, min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+        |sh AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
+        |              lead(w,2) OVER win AS w2
+        |       FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh WHERE w2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ni
+        |          FROM pairs p JOIN ds x ON x.doc_id = p.doc_a
+        |                       JOIN ds y ON y.doc_id = p.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |       round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+        |             (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin,
+
+    "cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos_sim
+        |FROM embeddings, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(strlen(text) AS BIGINT) % 64 + 1 AS fake_width,
+        |       CAST(strlen(text) AS BIGINT) % 48 + 1 AS fake_height
+        |FROM documents""".stripMargin
+    // dedup_minhash / dedup_simhash / ann_lsh: xxhash64-based — no DuckDB
+    // equivalent; covered by deterministic ScalaTest specs (rows-only here).
+  )
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different words entirely here now today friends")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one canonical row per normalized text") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+    assert(out.count() == 3)
+    val dup = out.filter(col("n_copies") === 2).head()
+    assert(dup.getLong(dup.fieldIndex("keep_doc_id")) == 1L)
+  }
+
+  test("minhash: identical docs → est_jaccard 1.0; unrelated not paired") {
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val sig = docs.select(
+      Dedup.minhashSignature(TextOps.shingles(TextOps.tokens(col("text")), 3)))
+    assert(sig.collect().toSeq == sig.collect().toSeq)
+  }
+
+  test("simhash: identical → hamming 0; near-dup closer than unrelated") {
+    val sh = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: identical → 1.0, disjoint → 0.0") {
+    val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+    val a = docs.select(col("doc_id").as("ida"), sh.as("sa"))
+    val b = docs.select(col("doc_id").as("idb"), sh.as("sb"))
+    val j = a.join(b, lit(true))
+      .select(col("ida"), col("idb"), Dedup.ngramJaccard(col("sa"), col("sb")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine known answers: parallel=1, orthogonal=0, antiparallel=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 3f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0)
+    ).toDF("a", "b", "expect")
+    val bad = df.filter(abs(VectorOps.cosine(col("a"), col("b")) - col("expect")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("brute-force top-k: query vector ranks itself first with cos 1.0") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val top = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") === 0), col("embedding"), 5).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH bucket is deterministic and ANN results are a subset of the bucket") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val b1 = emb.select(VectorOps.lshBucket(col("embedding"))).collect().toSeq
+    val b2 = emb.select(VectorOps.lshBucket(col("embedding"))).collect().toSeq
+    assert(b1 == b2)
+    val ann = VectorOps.lshTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") === 0), col("embedding"), 10).collect()
+    assert(ann.head.getLong(0) == 0L) // query finds itself
+    assert(ann.length > 1)            // and real neighbors from its bucket
+  }
+
+  test("ANN recall vs brute force is measurable and nonzero") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 17)
+    val exact = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      q, col("embedding"), 20).select("vec_id").as[Long].collect().toSet
+    val approx = VectorOps.lshTopK(emb, col("vec_id"), col("embedding"),
+      q, col("embedding"), 20).select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+}
