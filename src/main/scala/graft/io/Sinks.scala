@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable sinks (SURVEY §2 B1-B4, K1, K4).
+  *
+  * Delta jars aren't on the offline classpath, so the lake sink is
+  * Parquet behind a `LakeFormat` seam — `mode`/`partitionBy` semantics
+  * are format-independent, and a Delta swap is a config change
+  * (SURVEY §7.1/§7.4).
+  */
+trait Sink {
+  def write(df: DataFrame): Unit
+  def probe(spark: SparkSession): Boolean
+}
+
+/** Partitioned lake sink (B4): year/month/day layout + overwrite-per-run
+  * (K1/K4 — timescale_to_deltalake.py:33-37). `dynamic` overwrite only
+  * replaces partitions present in the incoming frame — at 100 TB a
+  * nightly run rewrites yesterday, not the table. */
+final case class LakeSink(
+    path: String,
+    format: String = "parquet",
+    partitionCols: Seq[String] = Seq("year", "month", "day"),
+    dynamicOverwrite: Boolean = true) extends Sink {
+
+  def write(df: DataFrame): Unit = {
+    val writer = df.write.format(format).mode("overwrite")
+    val w2 =
+      if (dynamicOverwrite)
+        writer.option("partitionOverwriteMode", "dynamic")
+      else writer
+    (if (partitionCols.nonEmpty) w2.partitionBy(partitionCols: _*) else w2)
+      .save(path)
+  }
+
+  def append(df: DataFrame): Unit = {
+    val w = df.write.format(format).mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(path)
+  }
+
+  def read(spark: SparkSession): DataFrame = spark.read.format(format).load(path)
+
+  def probe(spark: SparkSession): Boolean =
+    new java.io.File(path).getParentFile match {
+      case null => false
+      case p    => p.exists() || p.mkdirs()
+    }
+}
+
+/** Kafka-shaped producer sink (B1), offline: JSON-lines files keyed by
+  * machine_id — `(key, value)` columns exactly as the broker sink
+  * expects, so the broker adapter is a format swap. */
+final case class JsonDirSink(path: String) extends Sink {
+  def write(df: DataFrame): Unit =
+    df.select(col("value")).write.mode("append").text(path)
+
+  def probe(spark: SparkSession): Boolean = LakeSink(path).probe(spark)
+}

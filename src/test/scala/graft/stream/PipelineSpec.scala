@@ -1,0 +1,109 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.SensorReading
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reading(t: String, m: String = "CNC-001", s: String = "temperature",
+      v: Double = 85.0) = SensorReading(t, m, s, v)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  /** Run the windowed-agg branch over staged MemoryStream batches;
+    * returns finalized (append-mode) windows. */
+  private def runAgg(batches: Seq[Seq[SensorReading]], slide: Option[String] = None): Array[(String, String, Long)] = {
+    val ms = MemoryStream[SensorReading](spark)
+    val prepared = Pipeline.prepare(ms.toDF())
+    val agg = Pipeline.windowedAggregates(prepared, "1 minute", slide)
+    val name = s"aggout${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+      .select(date_format(col("window_start"), "HH:mm").as("ws"),
+        col("machine_id"), col("count_readings"))
+      .as[(String, String, Long)].collect()
+  }
+
+  test("windows finalize when the watermark passes window end (J3)") {
+    val out = runAgg(Seq(
+      Seq(reading("2025-01-01T10:00:10"), reading("2025-01-01T10:00:30")),
+      // next batch advances watermark past 10:01 → 10:00 window emits
+      Seq(reading("2025-01-01T10:02:00")),
+      Seq(reading("2025-01-01T10:04:00"))))
+    assert(out.toSet.contains(("10:00", "CNC-001", 2L)))
+    // 10:04 window is still open (watermark never passed it): not emitted
+    assert(!out.map(_._1).contains("10:04"))
+  }
+
+  test("late rows beyond the watermark are dropped (J2/D2)") {
+    val out = runAgg(Seq(
+      Seq(reading("2025-01-01T10:00:10")),
+      Seq(reading("2025-01-01T10:02:00")), // watermark → 10:01:55, closes 10:00
+      Seq(reading("2025-01-01T10:00:40")), // late: window already finalized
+      Seq(reading("2025-01-01T10:04:00"))))
+    val w1000 = out.filter(_._1 == "10:00")
+    assert(w1000.map(_._3).sum == 1L) // late row not counted
+  }
+
+  test("batch ≡ stream: same windows from the same input (F1 ≡ F3)") {
+    val rows = Seq(
+      reading("2025-01-01T10:00:05", v = 10),
+      reading("2025-01-01T10:00:55", v = 20),
+      reading("2025-01-01T10:01:05", v = 30),
+      reading("2025-01-01T10:02:30", v = 40),
+      reading("2025-01-01T10:05:00", v = 0)) // sentinel to close earlier windows
+    val streamed = runAgg(Seq(rows.take(4), rows.drop(4))).toSet
+    // same operator, batch mode (withWatermark is a no-op on batch frames)
+    val batch = Pipeline
+      .windowedAggregates(Pipeline.prepare(rows.toDF()))
+      .select(date_format(col("window_start"), "HH:mm"),
+        col("machine_id"), col("count_readings"))
+      .as[(String, String, Long)].collect().toSet
+    // every streamed (finalized) window appears identically in batch
+    assert(streamed.subsetOf(batch))
+    assert(streamed.nonEmpty)
+  }
+
+  test("sliding streaming windows double-count like batch (F2)") {
+    val out = runAgg(Seq(
+      Seq(reading("2025-01-01T10:00:40")),
+      Seq(reading("2025-01-01T10:03:00"))), slide = Some("30 seconds"))
+    // row at 10:00:40 belongs to windows starting 10:00:00 and 10:00:30
+    assert(out.count(_._3 == 1L) == 2)
+  }
+
+  test("dual-sink pipeline writes raw + agg from one decoded input (J4/J6)") {
+    val dir = tmp()
+    val input = Seq(
+      """{"timestamp":"2025-01-01T10:00:10","machine_id":"CNC-001","sensor_type":"temperature","value":85.5}""",
+      """{"timestamp":"2025-01-01T10:00:20","machine_id":"LATHE-002","sensor_type":"vibration","value":1.4}""",
+      """not-json""",
+      """{"timestamp":"2025-01-01T10:02:30","machine_id":"CNC-001","sensor_type":"temperature","value":86.1}"""
+    )
+    Files.write(java.nio.file.Paths.get(s"$dir/batch1.json"),
+      input.mkString("\n").getBytes)
+
+    val decoded = graft.io.JsonDirSource(dir).readStream(spark)
+    var rawRows = 0L
+    var aggRows = 0L
+    val (rq, aq) = Pipeline.run(spark, decoded,
+      writeRaw = b => rawRows += b.count(),
+      writeAgg = b => aggRows += b.count(),
+      checkpointDir = s"$dir/ckpt")
+    rq.awaitTermination(60000); aq.awaitTermination(60000)
+    assert(rawRows == 3)  // malformed dropped (D1)
+    assert(aggRows == 2)  // 10:00 windows finalized by the 10:02:30 row
+  }
+}
