@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregates (e.g. SimHash's 64 bit-sum columns) must stay in
+      // whole-stage codegen; the default cutoff is 100 fields
+      .config("spark.sql.codegen.maxFields", "220")
       .config("spark.ui.enabled", "false")
 
   /** Local session for mains/tests; master honored only if not set. */

@@ -27,11 +27,49 @@ object Dedup {
   val RowsPerBand = 4
   val NumBands: Int = NumHashes / RowsPerBand
 
-  /** MinHash signature: per hash function i, min over shingles of
-    * xxhash64(i, shingle). Pure per-row columnar compute. */
+  /** MinHash signature as a per-row expression: per hash function i,
+    * min over shingles of xxhash64(i, shingle).
+    *
+    * NOTE: higher-order functions are interpreted (CodegenFallback) and
+    * the outer lambda re-evaluates `shingleArr` for every i — fine for
+    * small arrays / ad-hoc use; the bulk pipeline uses
+    * [[minhashSignatures]] (explode + codegen'd hash aggregate) instead. */
   def minhashSignature(shingleArr: Column): Column =
     transform(sequence(lit(0), lit(NumHashes - 1)),
       i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+
+  /** Bulk MinHash signatures: shingle rows via posexplode + lead window
+    * (everything in whole-stage codegen — the per-row higher-order
+    * shingle builder is interpreted and ~3× slower in bulk), then the 32
+    * seeded hashes per shingle, then per-doc minima in one partial+final
+    * HashAggregate. Shuffle volume: tokens once (for the lead window),
+    * then one 32-long row per doc (map-side combined). */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // Universal-hash family over ONE string hash per shingle: h_i =
+    // xxhash64(i, xxhash64(s)). Hashing the 8-byte base 32× is far
+    // cheaper than hashing the string 32×; same collision behavior.
+    val sh = shingleRows(docs, id, text, 3)
+      .select(col("doc"), xxhash64(col("s")).as("hs"))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("hs"))).as(s"h$i"))
+    sh.groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** One row per word n-gram shingle: (doc, s). posexplode + lead keeps
+    * shingle assembly in codegen; the window shuffle partitions by doc. */
+  def shingleRows(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc"),
+      posexplode(TextOps.tokens(text)).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(win).as(s"w$k"))
+    toks.select(col("doc") +: col("w") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc"),
+        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("s"))
+  }
 
   /** LSH band hashes: hash each contiguous run of RowsPerBand signature
     * entries; docs sharing any band hash become candidate pairs. */
@@ -50,9 +88,12 @@ object Dedup {
     * @return (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct
     */
   def minhashPairs(docs: DataFrame, id: Column, text: Column, threshold: Double): DataFrame = {
-    val base = docs.select(
-      id.as("doc"),
-      minhashSignature(TextOps.shingles(TextOps.tokens(text), 3)).as("sig"))
+    // Signatures are materialized before the self-join so neither join
+    // side (nor the verify stage) re-derives them from text. The frame
+    // is tiny (id + 32 longs); at 100 TB it would be a persisted
+    // signature table refreshed incrementally.
+    val base = minhashSignatures(docs, id, text).persist()
+    base.count() // eager: both join subtrees must read the cache, not race to fill it
     val banded = base
       .select(col("doc"), col("sig"), posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
     val a = banded.select(col("doc").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bh"))
