@@ -131,6 +131,50 @@ object ParityQueries {
         .agg(
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
+    },
+
+    // F-adjacent — hierarchical subtotals via ROLLUP (SURVEY §2 F note:
+    // one-liner in Catalyst, no custom agg needed).
+    "rollup_agg" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    },
+
+    // F-adjacent — exact quantiles (linear interpolation, same
+    // definition both engines).
+    "quantiles" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+    },
+
+    // G — analytic frames: running sum + lag over per-user event order.
+    "window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), tsUs.as("ts_us"), col("value"))
+        .withColumn("running_sum",
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+    },
+
+    // E-adjacent — semi/anti joins (EXISTS / NOT EXISTS shapes).
+    "semi_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      withOrders.agg(count(lit(1)).as("n")).withColumn("grp", lit("with_orders"))
+        .unionByName(
+          withoutOrders.agg(count(lit(1)).as("n")).withColumn("grp", lit("without_orders")))
     }
   )
 
@@ -221,6 +265,37 @@ object ParityQueries {
     "distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 4) AS p25,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "window_running" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |         ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+        |       lag(value, 1) OVER (PARTITION BY user_id
+        |         ORDER BY epoch_us(ts), event_id) AS prev_value
+        |FROM events""".stripMargin,
+
+    "semi_anti_join" ->
+      """SELECT count(*) AS n, 'with_orders' AS grp FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT count(*) AS n, 'without_orders' AS grp FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
   )
 }

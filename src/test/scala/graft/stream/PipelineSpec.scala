@@ -84,6 +84,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.count(_._3 == 1L) == 2)
   }
 
+  test("session windows group by gaps (J8 extension)") {
+    val ms = MemoryStream[SensorReading](spark)
+    val prepared = Pipeline.prepare(ms.toDF())
+    val agg = prepared
+      .groupBy(session_window(col("event_time"), "30 seconds"), col("machine_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("session_window.start"), "HH:mm:ss").as("ss"), col("n"))
+    val name = s"sess${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // burst of 3 within 30 s gaps, then a gap, then a closer event
+      ms.addData(Seq(reading("2025-01-01T10:00:00"), reading("2025-01-01T10:00:20"),
+        reading("2025-01-01T10:00:45")))
+      q.processAllAvailable()
+      ms.addData(Seq(reading("2025-01-01T10:05:00")))
+      q.processAllAvailable()
+      ms.addData(Seq(reading("2025-01-01T10:10:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[(String, Long)].collect().toMap
+    assert(out("10:00:00") == 3L) // one session: gaps < 30 s merge
+    assert(out("10:05:00") == 1L)
+  }
+
   test("dual-sink pipeline writes raw + agg from one decoded input (J4/J6)") {
     val dir = tmp()
     val input = Seq(
