@@ -54,10 +54,12 @@ object VectorOps {
   private def planeWeight(p: Int, j: Column): Column =
     (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") / 1000000.0) - 1.0
 
-  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, h_p>. */
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, h_p>.
+    * Dimension-agnostic: the hyperplane index sequence follows the
+    * vector's own length. */
   def lshBucket(vec: Column): Column =
     (0 until NumPlanes).map { p =>
-      val d = fold(zip_with(vec, sequence(lit(0), lit(63)),
+      val d = fold(zip_with(vec, sequence(lit(0), size(vec) - 1),
         (x, j) => x.cast("double") * planeWeight(p, j)))
       when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
