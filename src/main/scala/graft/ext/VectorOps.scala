@@ -32,13 +32,18 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd cosine (identical math, fused loop — see
+    * [[graft.ext.expr.CosineSim]]); the bulk-scoring default. */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.ext.expr.CosineSim.cosineSim(a, b)
+
   /** Exact top-k by cosine against one query vector (broadcast 1-row
     * cross join → per-partition score → TakeOrderedAndProject). */
   def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
       query: DataFrame, queryVec: Column, k: Int): DataFrame =
     corpus
       .crossJoin(broadcast(query.select(queryVec.as("__qv"))))
-      .select(id.as("vec_id"), round(cosine(vec, col("__qv")), 4).as("cos_sim"))
+      .select(id.as("vec_id"), round(cosineFast(vec, col("__qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
 
@@ -74,7 +79,7 @@ object VectorOps {
     val q = query.select(queryVec.as("__qv"), lshBucket(queryVec).as("qbucket"))
     bucketed
       .join(broadcast(q), col("bucket") === col("qbucket"))
-      .select(col("vec_id"), round(cosine(col("v"), col("__qv")), 4).as("cos_sim"))
+      .select(col("vec_id"), round(cosineFast(col("v"), col("__qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -1,0 +1,66 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state via `flatMapGroupsWithState` (SURVEY §2 J
+  * extension surface; the reference has no stateful op beyond windows,
+  * but an IIoT pipeline's canonical custom-state need is anomaly-run
+  * detection: "alert when a sensor is out of range for N consecutive
+  * readings").
+  *
+  * State per (machine_id, sensor_type): the open run of out-of-range
+  * readings. A run closes (and emits an alert) when an in-range reading
+  * arrives after ≥ minRun anomalous ones. State is O(keys) — bounded by
+  * the dimension cardinality, not the stream length.
+  */
+object Stateful {
+
+  case class Keyed(
+      machine_id: String, sensor_type: String, tus: Long, value: Double)
+
+  case class RunState(count: Int, startUs: Long, lastUs: Long)
+
+  case class AnomalyAlert(
+      machine_id: String, sensor_type: String,
+      run_length: Int, start_us: Long, end_us: Long)
+
+  /** @param lo/hi inclusive in-range bounds per reading value
+    * @param minRun emit when a closed run has at least this many readings */
+  def anomalyRuns(
+      spark: SparkSession,
+      readings: Dataset[Keyed],
+      lo: Double, hi: Double, minRun: Int): Dataset[AnomalyAlert] = {
+    import spark.implicits._
+    readings
+      .groupByKey(r => (r.machine_id, r.sensor_type))
+      .flatMapGroupsWithState[RunState, AnomalyAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[Keyed], state: GroupState[RunState]) =>
+          val (m, st) = key
+          // micro-batch rows arrive unordered within the group
+          val sorted = rows.toSeq.sortBy(_.tus)
+          var cur = state.getOption
+          val alerts = Seq.newBuilder[AnomalyAlert]
+          sorted.foreach { r =>
+            val anomalous = r.value < lo || r.value > hi
+            cur match {
+              case Some(run) if anomalous =>
+                cur = Some(RunState(run.count + 1, run.startUs, r.tus))
+              case Some(run) =>
+                if (run.count >= minRun)
+                  alerts += AnomalyAlert(m, st, run.count, run.startUs, run.lastUs)
+                cur = None
+              case None if anomalous =>
+                cur = Some(RunState(1, r.tus, r.tus))
+              case None => ()
+            }
+          }
+          cur match {
+            case Some(run) => state.update(run)
+            case None      => state.remove()
+          }
+          alerts.result().iterator
+      }
+  }
+}

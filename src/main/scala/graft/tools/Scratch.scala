@@ -7,13 +7,18 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("scratch")
     import s.implicits._
-    val v8 = Seq((1L, Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
-      (2L, Array(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8f))).toDF("vec_id", "embedding")
-    val b = v8.select(col("vec_id"), graft.ext.VectorOps.lshBucket(col("embedding")).as("bucket")).collect()
-    println("DIM8_BUCKETS=" + b.map(r => r.getLong(0) + ":" + r.getLong(1)).mkString(","))
-    val ann = graft.ext.VectorOps.lshTopK(v8, col("vec_id"), col("embedding"),
-      v8.filter(col("vec_id") === 1), col("embedding"), 5).collect()
-    println("DIM8_ANN=" + ann.map(r => r.getLong(0) + "@" + r.getDouble(1)).mkString(","))
+    val bad = Seq((1L, Array(1.0, 2.0))).toDF("id", "v") // array<double>, not float
+    try {
+      bad.select(graft.ext.VectorOps.cosineFast(col("v"), col("v"))).collect()
+      println("PROBE unexpected-success")
+    } catch {
+      case e: Exception => println("PROBE error-class=" + e.getClass.getSimpleName +
+        " msg=" + e.getMessage.linesIterator.next())
+    }
+    // null vector: nullSafeEval path → NULL out, not crash
+    val withNull = Seq((1L, Array(1f, 2f)), (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val got = withNull.select(graft.ext.VectorOps.cosineFast(col("v"), col("v")).as("c")).collect()
+    println("PROBE nulls=" + got.map(r => if (r.isNullAt(0)) "NULL" else r.getDouble(0).toString).mkString(","))
     s.stop()
   }
 }

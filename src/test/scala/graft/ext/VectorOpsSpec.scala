@@ -16,6 +16,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("codegen cosine matches the higher-order formulation exactly") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q).select(
+      VectorOps.cosine(col("embedding"), col("qv")).as("hof"),
+      VectorOps.cosineFast(col("embedding"), col("qv")).as("gen"))
+    assert(both.filter(abs(col("hof") - col("gen")) > 1e-12).count() == 0)
+  }
+
   test("brute-force top-k: query vector ranks itself first with cos 1.0") {
     val emb = graft.Tables.embeddings(spark, sf)
     val top = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),

@@ -1,0 +1,53 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.stream.Stateful.{AnomalyAlert, Keyed}
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r(t: Long, v: Double, m: String = "CNC-001") =
+    Keyed(m, "temperature", t, v)
+
+  test("anomaly runs close across micro-batches with per-key state") {
+    val ms = MemoryStream[Keyed](spark)
+    val alerts = Stateful.anomalyRuns(spark, ms.toDS(), lo = 80, hi = 90, minRun = 3)
+    val name = s"alerts${System.nanoTime()}"
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // run of 2 anomalies then recovery: below threshold, no alert
+      ms.addData(Seq(r(1, 95), r(2, 96), r(3, 85)))
+      q.processAllAvailable()
+      // run of 4 spanning two batches, then recovery in batch 3
+      ms.addData(Seq(r(10, 99), r(11, 99)))
+      q.processAllAvailable()
+      ms.addData(Seq(r(12, 99), r(13, 99), r(14, 85)))
+      q.processAllAvailable()
+      // independent machine: its own state
+      ms.addData(Seq(r(20, 70, "WELD-004"), r(21, 71, "WELD-004"),
+        r(22, 72, "WELD-004"), r(23, 85, "WELD-004")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table(name).as[AnomalyAlert].collect().toSet
+    assert(out == Set(
+      AnomalyAlert("CNC-001", "temperature", 4, 10, 13),
+      AnomalyAlert("WELD-004", "temperature", 3, 20, 22)))
+  }
+
+  test("open runs stay pending (no premature alert)") {
+    val ms = MemoryStream[Keyed](spark)
+    val alerts = Stateful.anomalyRuns(spark, ms.toDS(), 80, 90, 2)
+    val name = s"open${System.nanoTime()}"
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData(Seq(r(1, 95), r(2, 96), r(3, 97)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(name).count() == 0) // run never closed
+  }
+}
