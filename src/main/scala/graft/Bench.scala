@@ -4,8 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    // warm the JVM/codegen/parquet-footer paths so per-query numbers
-    // measure the queries, not session cold start
+    // Generic warm-up only (session init, shuffle infra). Per-query
+    // warm-up at a small SF was tried and REGRESSED the timed loop
+    // (doubling the number of compiled plans pressures the JIT code
+    // cache; totals went 70 s -> 130-250 s erratic). Keep one plan
+    // compile per query, pay it inside the measurement.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
