@@ -166,6 +166,21 @@ object ParityQueries {
         .withColumn("prev_value", lag(col("value"), 1).over(w))
     },
 
+    // SQL surface — the F1 aggregation expressed as spark.sql text over
+    // registered views (the reference's own interface is SQL; proves the
+    // engine is reachable through both APIs — same Catalyst plan).
+    "sql_tumbling_agg" -> { (s, d) =>
+      graft.Sql.sql(s, d,
+        """SELECT (ts div 1000) - (ts div 1000) % 60000000 AS window_start_us,
+          |       user_id, event_type,
+          |       round(avg(value), 4) AS avg_value,
+          |       min(value) AS min_value,
+          |       max(value) AS max_value,
+          |       count(*) AS count_readings
+          |FROM events
+          |GROUP BY 1, 2, 3""".stripMargin)
+    },
+
     // E-adjacent — semi/anti joins (EXISTS / NOT EXISTS shapes).
     "semi_anti_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -290,6 +305,15 @@ object ParityQueries {
         |       lag(value, 1) OVER (PARTITION BY user_id
         |         ORDER BY epoch_us(ts), event_id) AS prev_value
         |FROM events""".stripMargin,
+
+    "sql_tumbling_agg" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 60000000 AS window_start_us,
+        |       user_id, event_type,
+        |       round(avg(value), 4) AS avg_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value,
+        |       count(*) AS count_readings
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "semi_anti_join" ->
       """SELECT count(*) AS n, 'with_orders' AS grp FROM customer

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the physical plans the engine promises
+  * (pushdown reaching parquet scans, broadcast joins for dims, no
+  * cartesian products) — the `.explain` audits, as assertions.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("pricing_summary pushes the shipdate filter into the parquet scan") {
+    val p = plan("pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("pricing_summary prunes to exactly the needed columns") {
+    val p = plan("pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"))
+  }
+
+  test("dim_join uses broadcast hash joins, not shuffles, for dimensions") {
+    val p = plan("dim_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("topk_latest plans a TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_latest")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("json_extract scans only event_id and props") {
+    val p = plan("json_extract")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props") && !readSchema.contains("user_id"))
+  }
+
+  test("SQL-surface query compiles to the same result as the DataFrame form") {
+    val sqlRows = SparkEntry.queries("sql_tumbling_agg")(spark, sf)
+      .collect().map(_.toString).sorted
+    val dfRows = SparkEntry.queries("tumbling_agg")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(sqlRows.sameElements(dfRows))
+  }
+}

@@ -84,6 +84,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.count(_._3 == 1L) == 2)
   }
 
+  test("checkpoint recovery: restart processes only new files, no dupes (J6)") {
+    val dir = tmp()
+    def msg(t: String, m: String) =
+      s"""{"timestamp":"$t","machine_id":"$m","sensor_type":"temperature","value":85.0}"""
+    Files.write(java.nio.file.Paths.get(s"$dir/b1.json"),
+      msg("2025-01-01T10:00:10", "CNC-001").getBytes)
+
+    var rawTotal = 0L
+    def runOnce(): Unit = {
+      val decoded = graft.io.JsonDirSource(dir).readStream(spark)
+      val q = Pipeline.rawRows(Pipeline.prepare(decoded)).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          rawTotal += b.count()
+        }.start()
+      q.awaitTermination(60000); ()
+    }
+    runOnce()
+    assert(rawTotal == 1)
+    // restart with one new file: only it is processed
+    Files.write(java.nio.file.Paths.get(s"$dir/b2.json"),
+      msg("2025-01-01T10:00:20", "LATHE-002").getBytes)
+    runOnce()
+    assert(rawTotal == 2) // not 3 — b1 was not reprocessed
+  }
+
   test("session windows group by gaps (J8 extension)") {
     val ms = MemoryStream[SensorReading](spark)
     val prepared = Pipeline.prepare(ms.toDF())
