@@ -128,6 +128,50 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Collapse near-dup candidate pairs into dedup groups: connected
+    * components by iterative min-label propagation (the Pregel pattern
+    * as DataFrame joins). Each iteration is one shuffle join; lineage is
+    * truncated per step with an eager localCheckpoint so plans don't
+    * grow with the iteration count. Converges in O(component diameter)
+    * iterations — near-dup components are shallow (pairs chain through
+    * shared docs), so `maxIter` ~10 is generous.
+    *
+    * @param pairs (a, b) undirected candidate edges
+    * @return (node, group) — group = min doc id reachable
+    */
+  def dedupGroups(pairs: DataFrame, a: Column, b: Column, maxIter: Int = 10): DataFrame = {
+    // materialize the (possibly expensive) pair source once — the
+    // undirected union below references it twice
+    val p = pairs.select(a.as("pa"), b.as("pb")).localCheckpoint()
+    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(p.select(col("pb").as("src"), col("pa").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("group", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("group")).as("ngroup"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("group"), coalesce(col("ngroup"), col("group"))).as("group"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.select(col("node"), col("group").as("old")), "node")
+        .filter(col("group") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact word-level n-gram Jaccard between paired docs (set
     * semantics: distinct shingles). */
   def ngramJaccard(shinglesA: Column, shinglesB: Column): Column = {

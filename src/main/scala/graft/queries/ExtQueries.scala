@@ -88,6 +88,19 @@ object ExtQueries {
         col("doc_id"), col("text"), threshold = 0.5)
     },
 
+    // Dedup groups: MinHash candidate pairs collapsed to connected
+    // components — each document with its canonical group id and the
+    // group's size (what a pipeline keeps: one representative per group).
+    "dedup_groups" -> { (s, d) =>
+      val pairs = Dedup.minhashPairs(withNearDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.5)
+      val groups = Dedup.dedupGroups(pairs, col("doc_a"), col("doc_b"))
+      groups.groupBy(col("group"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("node")).as("keep_doc_id"))
+        .filter(col("group_size") >= 2)
+    },
+
     "dedup_simhash" -> { (s, d) =>
       val sh = Dedup.simhash(withNearDups(Tables.documents(s, d)),
         col("doc_id"), col("text"))

@@ -41,6 +41,23 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("dedup groups: transitive pairs collapse to one component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val groups = Dedup.dedupGroups(pairs, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+  }
+
+  test("dedup groups: chain component needs propagation over >1 hop") {
+    // 9-8, 8-7, ..., 2-1: single chain; all must collapse to group 1
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val groups = Dedup.dedupGroups(chain, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.values.toSet == Set(1L))
+    assert(groups.size == 10)
+  }
+
   test("ngram jaccard: identical → 1.0, disjoint → 0.0") {
     val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
     val a = docs.select(col("doc_id").as("ida"), sh.as("sa"))
