@@ -55,6 +55,23 @@ object BenchQueries {
         .limit(10)
     },
 
+    // TPC-H Q14 shape: fact ⋈ part dimension with conditional revenue —
+    // part broadcasts (or shuffles by key at scale); the CASE stays in
+    // the partial aggregate, so one pass over lineitem.
+    "promo_revenue" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val promo = when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp_ntz"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(promo, 4).as("promo_rev"),
+          dsum(rev, 4).as("total_rev"))
+        .withColumn("promo_pct",
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 4))
+    },
+
     // TPC-H Q5 shape: 6-way join with region filter; nation/region/
     // supplier broadcast, customer⋈orders⋈lineitem shuffle on keys.
     "revenue_by_nation" -> { (s, d) =>
@@ -97,6 +114,19 @@ object BenchQueries {
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1, 3, 4
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "promo_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_rev,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+        |  round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) /
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT n_name,

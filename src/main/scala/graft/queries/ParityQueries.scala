@@ -99,17 +99,22 @@ object ParityQueries {
         .limit(100)
     },
 
-    // G — latest reading per key via row_number() (the "latest per
-    // machine" pattern the reference serves with DESC indexes).
+    // G/H — latest reading per key (the "latest per machine" pattern the
+    // reference serves with DESC indexes). Implemented with max_by over
+    // a (ts, id) ordering struct: a partial+final HashAggregate — O(n),
+    // k rows per key cross the shuffle — instead of the window+filter
+    // form's full per-partition sort. Same rows as the row_number()=1
+    // formulation (oracle keeps that form).
     "latest_per_key" -> { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us").desc, col("event_id").desc)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
           col("event_type"), col("value"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("ts_us"), col("event_type"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("r"))
+        .select(col("user_id"), col("r.event_id"), col("r.ts_us"),
+          col("r.event_type"), col("r.value"))
     },
 
     // I — set operations: UNION (distinct) / INTERSECT / EXCEPT.

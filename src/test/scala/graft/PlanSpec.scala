@@ -40,6 +40,12 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("props") && !readSchema.contains("user_id"))
   }
 
+  test("latest_per_key aggregates with max_by — no window sort") {
+    val p = plan("latest_per_key")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"), "should not plan a window operator")
+  }
+
   test("SQL-surface query compiles to the same result as the DataFrame form") {
     val sqlRows = SparkEntry.queries("sql_tumbling_agg")(spark, sf)
       .collect().map(_.toString).sorted
