@@ -28,6 +28,8 @@ object GraftSession {
       // wide aggregates (e.g. SimHash's 64 bit-sum columns) must stay in
       // whole-stage codegen; the default cutoff is 100 fields
       .config("spark.sql.codegen.maxFields", "220")
+      // engine optimizer rules (top-1-per-key window → max_by rewrite)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   /** Local session for mains/tests; master honored only if not set. */

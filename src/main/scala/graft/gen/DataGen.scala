@@ -69,9 +69,12 @@ object DataGen {
     * to the 16 (machine, sensor) dims — 16 msgs / `intervalSeconds`,
     * the reference's steady state (A5). */
   def live(spark: SparkSession, intervalSeconds: Int = 5, seed: Long = 42L): DataFrame = {
+    // rate accepts only integer rowsPerSecond — emit 1/s and keep every
+    // intervalSeconds-th tick (the rate value is a monotonic counter)
     val ticks = spark.readStream.format("rate")
-      .option("rowsPerSecond", 1.0 / intervalSeconds)
+      .option("rowsPerSecond", 1)
       .load()
+      .filter(col("value") % intervalSeconds === 0)
       .select(unix_micros(col("timestamp")).as("tus"))
     val dims = machineDim(spark).crossJoin(sensorDim(spark))
     withGaussianValue(ticks.crossJoin(dims), seed)

@@ -35,6 +35,23 @@ class DataGenSpec extends SparkSpec {
     assert(offGrid.count() == 0)
   }
 
+  test("live rate-source mode emits dim-fanned readings (A5)") {
+    val name = s"live${System.nanoTime()}"
+    val q = DataGen.live(spark, intervalSeconds = 1)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      // rate source: ~1 tick/s, each fanned to 16 (machine, sensor) rows
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(name).count() < 16 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+    } finally q.stop()
+    val got = spark.table(name)
+    assert(got.count() >= 16)
+    assert(got.select("machine_id").distinct().count() == 4)
+    assert(got.select("sensor_type").distinct().count() == 4)
+  }
+
   test("timestamp strings are ISO-8601 'T'-separated (C6)") {
     val t = DataGen.backfill(spark, end).select("timestamp").as[String].head()
     assert(t.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}"""))
