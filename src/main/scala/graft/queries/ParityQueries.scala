@@ -138,6 +138,17 @@ object ParityQueries {
           count(lit(1)).as("n_events"))
     },
 
+    // F-adjacent — sketch aggregation (HyperLogLog++): approximate
+    // distinct counts, the 100 TB answer when exact distinct's shuffle
+    // is unaffordable. No cross-engine oracle (HLL implementations
+    // differ); the spec bounds relative error against the exact count.
+    "approx_distinct" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("props"), 0.01).as("approx_props"))
+    },
+
     // F-adjacent — hierarchical subtotals via ROLLUP (SURVEY §2 F note:
     // one-liner in Catalyst, no custom agg needed).
     "rollup_agg" -> { (s, d) =>

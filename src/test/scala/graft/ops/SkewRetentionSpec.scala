@@ -29,6 +29,28 @@ class SkewRetentionSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct is within its error bound of exact") {
+    val e = graft.Tables.events(spark, sf)
+    val exact = e.agg(countDistinct(col("user_id"))).as[Long].head()
+    val approx = e.agg(approx_count_distinct(col("user_id"))).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("parquet source streams new files incrementally (A2 stream path)") {
+    val dir = Files.createTempDirectory("graft-psrc").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/t")
+    val src = graft.io.ParquetSource(s"$dir/t")
+    val name = s"psrc${System.nanoTime()}"
+    val q = src.readStream(spark).writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table(name).count() == 1)
+    assert(src.probe(spark))
+    assert(!graft.io.ParquetSource("/nonexistent/nope").probe(spark))
+  }
+
   test("partition-drop retention removes only expired day directories (K3)") {
     val dir = Files.createTempDirectory("graft-ret").toString
     val rows = Seq(
