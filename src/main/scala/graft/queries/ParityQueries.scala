@@ -197,6 +197,20 @@ object ParityQueries {
           |GROUP BY 1, 2, 3""".stripMargin)
     },
 
+    // E-adjacent — as-of (point-in-time) join, composed from built-ins
+    // (ops.AsOf): each purchase gets the latest click at-or-before it
+    // per user. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        tsUs.as("ts_us"), col("value"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts"), col("value").as("c_value"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts_us", "c_ts", "c_value")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+          col("asof_ts"), round(col("asof_value"), 4).as("asof_value"))
+    },
+
     // E-adjacent — semi/anti joins (EXISTS / NOT EXISTS shapes).
     "semi_anti_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -330,6 +344,16 @@ object ParityQueries {
         |       max(value) AS max_value,
         |       count(*) AS count_readings
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_ts, value AS c_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts_us, p.value,
+        |       c.c_ts AS asof_ts, round(c.c_value, 4) AS asof_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.c_ts""".stripMargin,
 
     "semi_anti_join" ->
       """SELECT count(*) AS n, 'with_orders' AS grp FROM customer
