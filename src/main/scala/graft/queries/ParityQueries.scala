@@ -211,6 +211,20 @@ object ParityQueries {
           col("asof_ts"), round(col("asof_value"), 4).as("asof_value"))
     },
 
+    // E-adjacent — bounded time-range join via bucketed equi-join
+    // (ops.RangeJoin): click→purchase pairs within 6 h per user.
+    "range_join" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        tsUs.as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("l_id"), col("ts_us").as("l_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("r_id"), col("ts_us").as("r_ts"))
+      graft.ops.RangeJoin.within(purchases, clicks, "user_id", "l_ts", "r_ts",
+        gapUs = 6L * 3600L * 1000000L)
+        .select(col("user_id"), col("l_id"), col("r_id"), col("gap_us"))
+    },
+
     // E-adjacent — semi/anti joins (EXISTS / NOT EXISTS shapes).
     "semi_anti_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -354,6 +368,16 @@ object ParityQueries {
         |       c.c_ts AS asof_ts, round(c.c_value, 4) AS asof_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.c_ts""".stripMargin,
+
+    "range_join" ->
+      """WITH p AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS l_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS r_id, epoch_us(ts) AS r_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.l_id, c.r_id, p.l_ts - c.r_ts AS gap_us
+        |FROM p, c
+        |WHERE p.user_id = c.user_id
+        |  AND c.r_ts <= p.l_ts AND c.r_ts > p.l_ts - 21600000000""".stripMargin,
 
     "semi_anti_join" ->
       """SELECT count(*) AS n, 'with_orders' AS grp FROM customer
