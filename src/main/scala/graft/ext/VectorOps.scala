@@ -53,19 +53,34 @@ object VectorOps {
     * to keep bucket cardinality ~1e4-1e5 vectors. */
   val NumPlanes = 4
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * xxhash64 folded into [-1, 1]. No RNG — reproducible across runs
-    * and engines. */
-  private def planeWeight(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+  /** Max embedding dimension the precomputed hyperplanes cover. */
+  val MaxDim = 512
+
+  /** Deterministic pseudo-random hyperplane weights for (plane, dim):
+    * an md5-derived 60-bit hash of "p:j" folded into [-1, 1]. No RNG —
+    * reproducible across runs AND engines (DuckDB computes the same
+    * value via `CAST('0x'||substr(md5(p||':'||j),1,15) AS BIGINT)`),
+    * which is what makes `ann_lsh` exactly oracle-able. Precomputed on
+    * the driver (the weights depend only on constants, not data) and
+    * shipped as array literals — evaluating md5 per row × plane × dim
+    * in the interpreted higher-order path cost ~4.5 s on 2 k vectors. */
+  private lazy val planeWeights: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, MaxDim) { (p, j) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$j".getBytes("UTF-8"))
+      val hex = digest.map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (h % 2000001L).toDouble / 1000000.0 - 1.0
+    }
 
   /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, h_p>.
-    * Dimension-agnostic: the hyperplane index sequence follows the
-    * vector's own length. */
+    * Dimension-agnostic up to [[MaxDim]]: the weight array is sliced to
+    * the vector's own length. */
   def lshBucket(vec: Column): Column =
     (0 until NumPlanes).map { p =>
-      val d = fold(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, j) => x.cast("double") * planeWeight(p, j)))
+      val w = typedlit(planeWeights(p).toSeq)
+      val d = fold(zip_with(vec, slice(w, lit(1), size(vec)),
+        (x, wj) => x.cast("double") * wj))
       when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 

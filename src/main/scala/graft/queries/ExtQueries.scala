@@ -10,19 +10,29 @@ import graft.ext.{Dedup, Multimodal, TextOps, VectorOps}
   * analysis, dedup, similarity search, multimodal metadata — over the
   * `documents` / `embeddings` corpus tables.
   *
-  * Oracle-less entries (minhash/simhash/ann — xxhash64 has no DuckDB
-  * equivalent) get deterministic ScalaTest known-answer specs instead;
-  * the driver records a rows-only check for them per the contract.
+  * Every entry here is DuckDB-oracled: the dedup/ANN hash family is
+  * md5-derived (see Dedup.md5Hash60) precisely so MinHash, SimHash,
+  * connected components and sign-LSH replicate bit-for-bit in the
+  * oracle engine. ScalaTest specs additionally gate the semantic
+  * properties (recall, determinism, convergence).
   */
 object ExtQueries {
 
-  /** documents ∪ a perturbed copy (last 3 tokens dropped, doc_id+10000)
-    * — gives the near-dup detectors true positives to find while still
-    * deriving every byte from the read-only corpus. */
-  private def withNearDups(docs: DataFrame): DataFrame = {
+  /** Offset for the perturbed-copy doc ids. 1e9 is provably disjoint
+    * from any corpus this engine targets (doc_id is a dense int64; even
+    * sf100's corpus is ~5e7 docs) — round 1's 10,000 offset silently
+    * collided once the corpus exceeded 10 k docs (sf1). A spec guards
+    * the disjointness (ExtQueriesSpec). */
+  val NearDupOffset: Long = 1000000000L
+
+  /** documents ∪ a perturbed copy (last 3 tokens dropped,
+    * doc_id + [[NearDupOffset]]) — gives the near-dup detectors true
+    * positives to find while still deriving every byte from the
+    * read-only corpus. */
+  def withNearDups(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val perturbed = docs.select(
-      (col("doc_id") + 10000).as("doc_id"),
+      (col("doc_id") + NearDupOffset).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
     docs.select(col("doc_id"), col("text")).unionByName(perturbed)
   }
@@ -89,13 +99,14 @@ object ExtQueries {
     },
 
     // Dedup groups: MinHash candidate pairs collapsed to connected
-    // components — each document with its canonical group id and the
-    // group's size (what a pipeline keeps: one representative per group).
+    // components (GraphX Pregel) — each document with its canonical
+    // group id and the group's size (what a pipeline keeps: one
+    // representative per group).
     "dedup_groups" -> { (s, d) =>
       val pairs = Dedup.minhashPairs(withNearDups(Tables.documents(s, d)),
         col("doc_id"), col("text"), threshold = 0.5)
       val groups = Dedup.dedupGroups(pairs, col("doc_a"), col("doc_b"))
-      groups.groupBy(col("group"))
+      groups.groupBy(col("group").as("group_id"))
         .agg(count(lit(1)).as("group_size"),
           min(col("node")).as("keep_doc_id"))
         .filter(col("group_size") >= 2)
@@ -106,9 +117,9 @@ object ExtQueries {
         col("doc_id"), col("text"))
       val a = sh.select(col("doc").as("doc_a"), col("simhash").as("sh_a"))
       val b = sh.select(col("doc").as("doc_b"), col("simhash").as("sh_b"))
-      a.join(b, col("doc_b") === col("doc_a") + 10000)
+      a.join(b, col("doc_b") === col("doc_a") + NearDupOffset)
         .select(col("doc_a"), col("doc_b"),
-          Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+          Dedup.hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
         .filter(col("hamming") <= 16)
     },
 
@@ -146,7 +157,129 @@ object ExtQueries {
     }
   )
 
+  // ---- generated oracle SQL (md5-derived hash family) -----------------
+  // The dedup/ANN hashes are all conv(substr(md5(x),1,15),16,10)-style
+  // 60-bit values, which DuckDB computes as
+  // CAST('0x'||substr(md5(x),1,15) AS BIGINT) — so the full MinHash /
+  // SimHash / sign-LSH pipelines replicate exactly. The SQL is long but
+  // machine-generated from the same constants the Spark side uses.
+
+  private val ToksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  /** [[withNearDups]] in SQL: documents ∪ perturbed copy. */
+  private val CorpusCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $NearDupOffset AS doc_id,
+       |         array_to_string(list_slice(toks, 1, greatest(len(toks) - 3, 1)), ' ') AS text
+       |  FROM (SELECT doc_id, $ToksSql AS toks FROM documents))""".stripMargin
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, est_jaccard)` — the
+    * DuckDB replica of Dedup.minhashPairs over the near-dup corpus. */
+  private def minhashCtes: String = {
+    val sigmCols = (0 until Dedup.NumHashes / 4)
+      .map(i => s"md5('$i:' || s) AS m$i").mkString(", ")
+    val sigCols = (0 until Dedup.NumHashes).map { k =>
+      val off = 1 + (k % 4) * 8
+      s"CAST('0x' || min(substr(m${k / 4}, $off, 8)) AS BIGINT) AS h$k"
+    }.mkString(", ")
+    val bandedSelects = (0 until Dedup.NumBands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"  SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val nEq = (0 until Dedup.NumHashes)
+      .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$CorpusCte,
+       |ct AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
+       |cu AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM ct),
+       |csh AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
+       |               lead(w,2) OVER win AS w2
+       |        FROM cu WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |shv AS (SELECT doc_id, s FROM csh WHERE w2 IS NOT NULL),
+       |sigm AS (SELECT doc_id, $sigmCols FROM shv),
+       |sig AS (SELECT doc_id, $sigCols FROM sigm GROUP BY doc_id),
+       |banded AS (
+       |$bandedSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |scored AS (SELECT c.doc_a, c.doc_b, ($nEq) / 32.0 AS est_jaccard
+       |           FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       |                       JOIN sig sb ON sb.doc_id = c.doc_b),
+       |pairs AS (SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"WITH $minhashCtes\nSELECT doc_a, doc_b, est_jaccard FROM pairs"
+
+  /** Connected components over the minhash pairs via recursive
+    * transitive closure (components are tiny — closure is affordable in
+    * the oracle; the engine side uses GraphX Pregel instead). */
+  private def groupsOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT s, d FROM und
+       |  UNION
+       |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
+       |lbl AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node)
+       |SELECT group_id, count(*) AS group_size, min(node) AS keep_doc_id
+       |FROM lbl GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+  private def simhashOracle: String = {
+    val nibCols = (0 until 16)
+      .map(p => s"CAST('0x' || substr(h, ${p + 1}, 1) AS BIGINT) AS n$p").mkString(", ")
+    val bitSums = (0 until 64)
+      .map(j => s"sum(CASE WHEN ((n${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val assemble = (0 until 64).map {
+      case 63 => "(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+      case j  => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $CorpusCte,
+       |tok AS (SELECT doc_id, unnest($ToksSql) AS w FROM corpus),
+       |hx AS (SELECT doc_id, md5(w) AS h FROM tok),
+       |nib AS (SELECT doc_id, $nibCols FROM hx),
+       |bs AS (SELECT doc_id, $bitSums FROM nib GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bs)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + $NearDupOffset
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""".stripMargin
+  }
+
+  /** Sign-LSH bucketing + in-bucket cosine top-k, replicated: the
+    * hyperplane weights are the same md5-folded values VectorOps uses. */
+  private def annLshOracle: String =
+    s"""WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |                  generate_subscripts(embedding, 1) AS i
+       |           FROM embeddings),
+       |pl AS (SELECT unnest([0, 1, 2, 3]) AS p),
+       |d AS (SELECT u.vec_id, pl.p,
+       |        sum(u.x * ((CAST('0x' || substr(md5(concat(pl.p, ':', u.i - 1)), 1, 15) AS BIGINT)
+       |                    % 2000001) / 1000000.0 - 1.0)) AS dot
+       |      FROM u CROSS JOIN pl GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |         sum(CASE WHEN dot > 0
+       |             THEN (CASE p WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)
+       |             ELSE 0 END) AS bucket
+       |       FROM d GROUP BY 1),
+       |q AS (SELECT bk.bucket AS qbucket, CAST(e.embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id WHERE e.vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+       |FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id JOIN q ON bk.bucket = q.qbucket
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> minhashOracle,
+    "dedup_groups" -> groupsOracle,
+    "dedup_simhash" -> simhashOracle,
+    "ann_lsh" -> annLshOracle,
     "token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
@@ -258,7 +391,7 @@ object ExtQueries {
         |       CAST(strlen(text) AS BIGINT) % 64 + 1 AS fake_width,
         |       CAST(strlen(text) AS BIGINT) % 48 + 1 AS fake_height
         |FROM documents""".stripMargin
-    // dedup_minhash / dedup_simhash / ann_lsh: xxhash64-based — no DuckDB
-    // equivalent; covered by deterministic ScalaTest specs (rows-only here).
+    // approx_distinct (ParityQueries) stays spec-bounded: HLL sketches
+    // legitimately differ across engines.
   )
 }

@@ -1,28 +1,40 @@
 package graft.tools
 
-import java.time.Instant
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.ext.{Dedup, TextOps}
 
 /** Ad-hoc probe main (dev-only): edit body, `runMain graft.tools.Scratch`. */
 object Scratch {
+  def shingleRowsWin(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc"), posexplode(TextOps.tokens(text)).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(win).as(s"w$k"))
+    toks.select(col("doc") +: col("w") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc"), concat_ws(" ", col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("s"))
+  }
+  def sigs(sh: DataFrame): DataFrame = {
+    val digests = sh.select(col("doc") +: (0 until 8).map(i =>
+      md5(concat(lit(s"$i:"), col("s")).cast("binary")).as(s"m$i")): _*)
+    val mins = (0 until 32).map(k => min(substring(col(s"m${k / 4}"), 1 + (k % 4) * 8, 8)).as(s"h$k"))
+    digests.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("scratch")
-    import s.implicits._
-    val readings = graft.gen.DataGen.backfill(s, Instant.parse("2025-01-08T00:00:00Z"))
-      .select(col("timestamp"), col("machine_id"), col("sensor_type"), col("value"))
-      .as[graft.model.SensorReading]
-    val typed = readings.groupByKey(r => (r.machine_id, r.sensor_type))
-      .agg(graft.ops.TypedAggs.sensorStats).collect()
-      .map { case ((m, st), x) => (m, st) -> (x.avg, x.min, x.max, x.count) }.toMap
-    val untyped = readings.toDF().groupBy("machine_id", "sensor_type")
-      .agg(avg("value"), min("value"), max("value"), count(lit(1))).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
-    val mismatches = typed.keySet.count(k =>
-      math.abs(typed(k)._1 - untyped(k)._1) > 1e-9 || typed(k)._4 != untyped(k)._4 ||
-      typed(k)._2 != untyped(k)._2 || typed(k)._3 != untyped(k)._3)
-    println(s"PROBE groups=${typed.size} mismatches_vs_untyped=$mismatches")
-    println(s"PROBE sample temp avg=${typed(("CNC-001","temperature"))._1}")
+    val d = "/root/testdata/sf0.1"
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+    }
+    s.range(1000000L).selectExpr("sum(id)").collect()
+    val docs = graft.queries.ExtQueries.withNearDups(graft.Tables.documents(s, d))
+    for (i <- 1 to 3) {
+      t(s"sig_elementat_$i")(sigs(Dedup.shingleRows(docs, col("doc_id"), col("text"), 3)).count())
+      t(s"sig_window_$i")(sigs(shingleRowsWin(docs, col("doc_id"), col("text"), 3)).count())
+    }
     s.stop()
   }
 }
