@@ -33,9 +33,12 @@ object RangeJoin {
       leftTs: String,
       rightTs: String,
       gapUs: Long): DataFrame = {
-    val l = left.withColumn("__bucket", col(leftTs) - col(leftTs) % gapUs)
+    // pmod, not % — truncating % rounds toward zero for negative epochs
+    // (pre-1970 timestamps), mis-aligning left buckets against the
+    // right side's {b, b+gap} explode and silently dropping valid pairs
+    val l = left.withColumn("__bucket", col(leftTs) - pmod(col(leftTs), lit(gapUs)))
     val r = right
-      .withColumn("__b0", col(rightTs) - col(rightTs) % gapUs)
+      .withColumn("__b0", col(rightTs) - pmod(col(rightTs), lit(gapUs)))
       .withColumn("__bucket", explode(array(col("__b0"), col("__b0") + gapUs)))
       .drop("__b0")
     l.join(r, Seq(key, "__bucket"))

@@ -58,7 +58,12 @@ object RewriteTop1PerKey extends Rule[LogicalPlan] {
           projList.forall(_.references.subsetOf(child.outputSet)) &&
           part.forall(_.isInstanceOf[Attribute]) &&
           (order.forall(_.direction == Descending) ||
-            order.forall(_.direction == Ascending)) =>
+            order.forall(_.direction == Ascending)) &&
+          // max_by/min_by struct comparison uses the direction's DEFAULT
+          // null ordering; an explicit NULLS FIRST/LAST override (e.g.
+          // DESC NULLS FIRST) would pick a different row when ordering
+          // columns are nullable — bail out unless defaults are in use.
+          order.forall(o => o.nullOrdering == o.direction.defaultNullOrdering) =>
       val partAttrs = part.map(_.asInstanceOf[Attribute])
       val others = child.output.filterNot(a => partAttrs.exists(_.semanticEquals(a)))
       val ordStruct = CreateStruct(order.map(_.child))

@@ -49,6 +49,19 @@ class RewriteTop1PerKeySpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.toString.contains("row_number"))
   }
 
+  test("explicit non-default null ordering blocks the rewrite (and keeps window semantics)") {
+    // DESC NULLS FIRST: the null-t row must win under row_number; max_by
+    // struct comparison sorts nulls per the default (last for DESC), so
+    // rewriting would silently pick the wrong row.
+    val withNulls = Seq(("m1", Some(10L), 1L), ("m1", None, 2L))
+      .toDF("k", "t", "id")
+    val w = Window.partitionBy($"k").orderBy($"t".desc_nulls_first)
+    val df = withNulls.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(df.queryExecution.optimizedPlan.toString.contains("row_number"))
+    assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("keeping the rn column blocks the rewrite (projection gate)") {
     val df = base.withColumn("rn", row_number().over(wDesc)).filter($"rn" === 1)
     assert(df.queryExecution.optimizedPlan.toString.contains("row_number") ||
