@@ -16,16 +16,33 @@ import graft.model.SensorReading
   */
 object TypedAggs {
 
-  case class Stats(sum: Double, min: Double, max: Double, count: Long) {
-    def avg: Double = if (count == 0) Double.NaN else sum / count
+  /** `sum` is exact decimal, not double: readings are fixed-point (2 dp
+    * sensor values), so a decimal accumulator makes the fold order
+    * irrelevant — partial/merge order across partitions can never shift
+    * the average's last ulp (the engine's decimal-routed-sums oracle
+    * convention, applied to the typed path). */
+  case class Stats(sum: BigDecimal, min: Double, max: Double, count: Long) {
+    def avg: Double = if (count == 0) Double.NaN else sum.toDouble / count
+
+    /** Average rounded HALF_UP at 4 dp in EXACT decimal arithmetic —
+      * rounding the double quotient instead is engine-dependent when
+      * the true quotient lands exactly on a half (e.g. 563.81/8 =
+      * 70.47625: the nearest double is *below* the half, so
+      * binary-rounding engines emit 70.4762 while decimal-string
+      * rounding emits 70.4763). */
+    def avg4: Double =
+      if (count == 0) Double.NaN
+      else sum.bigDecimal
+        .divide(java.math.BigDecimal.valueOf(count), 4, java.math.RoundingMode.HALF_UP)
+        .doubleValue
   }
 
   object SensorStats extends Aggregator[SensorReading, Stats, Stats] {
     override def zero: Stats =
-      Stats(0.0, Double.PositiveInfinity, Double.NegativeInfinity, 0L)
+      Stats(BigDecimal(0), Double.PositiveInfinity, Double.NegativeInfinity, 0L)
 
     override def reduce(b: Stats, r: SensorReading): Stats =
-      Stats(b.sum + r.value, math.min(b.min, r.value),
+      Stats(b.sum + BigDecimal.valueOf(r.value), math.min(b.min, r.value),
         math.max(b.max, r.value), b.count + 1)
 
     override def merge(a: Stats, b: Stats): Stats =

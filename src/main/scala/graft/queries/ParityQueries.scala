@@ -234,6 +234,38 @@ object ParityQueries {
       withOrders.agg(count(lit(1)).as("n")).withColumn("grp", lit("with_orders"))
         .unionByName(
           withoutOrders.agg(count(lit(1)).as("n")).withColumn("grp", lit("without_orders")))
+    },
+
+    // J-adjacent — batch analog of Stateful.anomalyRuns (gaps-and-
+    // islands): runs of ≥3 consecutive out-of-[0.5,50] readings per
+    // (user_id, event_type), ordered by (ts, event_id). Gives the
+    // custom-state edge a hard correctness row, not just a spec.
+    "anomaly_runs" -> { (s, d) =>
+      graft.ops.Runs.anomalyRuns(
+        Tables.events(s, d),
+        keys = Seq(col("user_id"), col("event_type")),
+        ts = tsUs, tie = col("event_id"), value = col("value"),
+        lo = 0.5, hi = 50.0, minRun = 3)
+    },
+
+    // M — the typed Aggregator surface (Dataset[SensorReading] →
+    // SensorStats) as a first-class query: one-pass algebraic
+    // avg/min/max/count per (machine, sensor) through the typed API.
+    "sensor_stats" -> { (s, d) =>
+      import s.implicits._
+      val readings = Tables.events(s, d).select(
+        date_format(timestamp_micros(tsUs), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
+        col("user_id").cast("string").as("machine_id"),
+        col("event_type").as("sensor_type"),
+        col("value"))
+        .as[graft.model.SensorReading]
+      readings.groupByKey(r => (r.machine_id, r.sensor_type))
+        .agg(graft.ops.TypedAggs.sensorStats)
+        .map { case ((m, st), stats) =>
+          (m, st, stats.avg4, stats.min, stats.max, stats.count)
+        }
+        .toDF("machine_id", "sensor_type", "avg_value",
+          "min_value", "max_value", "count_readings")
     }
   )
 
@@ -384,6 +416,38 @@ object ParityQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |UNION ALL
         |SELECT count(*) AS n, 'without_orders' AS grp FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "anomaly_runs" ->
+      """WITH f AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+        |                  (value < 0.5 OR value > 50.0) AS flag
+        |           FROM events),
+        |g AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id, event_type ORDER BY tus, event_id)
+        |      - row_number() OVER (PARTITION BY user_id, event_type, flag ORDER BY tus, event_id) AS island
+        |      FROM f)
+        |SELECT user_id, event_type, count(*) AS run_length,
+        |       min(tus) AS start_us, max(tus) AS end_us
+        |FROM g WHERE flag
+        |GROUP BY user_id, event_type, island
+        |HAVING count(*) >= 3""".stripMargin,
+
+    // avg_value replicates Stats.avg4's EXACT decimal HALF_UP rounding
+    // with integer math: values are 2 dp, so sum*10^4 is the integer
+    // a = cents*100 and HALF_UP(a/n) = (2a + n) // (2n).
+    "sensor_stats" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS machine_id,
+        |         event_type AS sensor_type,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+        |         min(value) AS min_value,
+        |         max(value) AS max_value,
+        |         count(*) AS count_readings
+        |  FROM events GROUP BY 1, 2)
+        |SELECT machine_id, sensor_type,
+        |       CAST((2 * cents * 100 + count_readings) // (2 * count_readings) AS DOUBLE)
+        |         / 10000.0 AS avg_value,
+        |       min_value, max_value, count_readings
+        |FROM s""".stripMargin
   )
 }

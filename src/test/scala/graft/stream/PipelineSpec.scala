@@ -136,6 +136,44 @@ class PipelineSpec extends SparkSpec {
     assert(out("10:05:00") == 1L)
   }
 
+  test("single-scan dual-sink: ONE query feeds both sinks; merged partials ≡ batch agg (J4)") {
+    val dir = tmp()
+    val ms = MemoryStream[SensorReading](spark)
+    val before = spark.streams.active.length
+    var rawTotal = 0L
+    var during = 0
+    var merged: Option[DataFrame] = None
+    val q = Pipeline.runSingleScan(spark, ms.toDF(),
+      writeRaw = b => rawTotal += b.count(),
+      writeAggPartials = p => {
+        val pc = p.localCheckpoint(true) // detach from the streaming batch
+        merged = Some(merged.fold(pc)(m =>
+          Pipeline.mergePartials(m, pc).localCheckpoint(true)))
+        during = math.max(during, spark.streams.active.length - before)
+      },
+      checkpointDir = s"$dir/ckpt",
+      availableNow = false)
+    try {
+      // the 10:00 window SPANS micro-batches — final avg only correct
+      // if the sink-side merge combines the two partials
+      ms.addData(Seq(reading("2025-01-01T10:00:10", v = 10.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(reading("2025-01-01T10:00:40", v = 20.0),
+        reading("2025-01-01T10:02:30", "LATHE-002", "vibration", 1.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(during == 1)  // a single streaming query drove BOTH sinks
+    assert(rawTotal == 3)
+    val finals = Pipeline.finalizeAggregates(merged.get)
+      .select(date_format(col("window_start"), "HH:mm").as("ws"),
+        col("machine_id"), col("avg_value"), col("count_readings"))
+      .as[(String, String, Double, Long)].collect().toSet
+    // identical to the batch windowed agg over the full input
+    assert(finals == Set(
+      ("10:00", "CNC-001", 15.0, 2L),
+      ("10:02", "LATHE-002", 1.5, 1L)))
+  }
+
   test("dual-sink pipeline writes raw + agg from one decoded input (J4/J6)") {
     val dir = tmp()
     val input = Seq(
