@@ -29,6 +29,19 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Rebalance a small input across the session's shuffle parallelism
+    * before row-exploding derivations: `spark.read` sizes partitions by
+    * INPUT BYTES, but the shingle/digest pipelines cost ~tokens × 8 md5
+    * per input row — a 600 KB single-file corpus otherwise runs the
+    * whole digest stage on one core (observed via thread dump: 2 tasks,
+    * one pinned in DigestUtils.md5). No-op whenever the input already
+    * meets session parallelism — a 100 TB table arrives with thousands
+    * of partitions, so no shuffle is added at scale. */
+  private def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: canonical row per normalized text. */
   def exact(docs: DataFrame, text: Column, id: Column): DataFrame =
     docs.groupBy(lower(trim(text)).as("norm_text"))
@@ -42,12 +55,7 @@ object Dedup {
   // lexicographically == numerically, so minima are taken on the raw
   // hex slices (one byte-compare per row) and converted to integers
   // once per doc — not once per shingle.
-  private val NumDigests: Int = NumHashes / 4
   private val HexPerHash = 8
-
-  /** Hash k of a shingle string: hex slice k%4 of md5(s"${k/4}:" + s). */
-  private def hashSliceOf(digest: Column, k: Int): Column =
-    substring(digest, 1 + (k % 4) * HexPerHash, HexPerHash)
 
   /** MinHash signature as a per-row expression — same family as
     * [[minhashSignatures]].
@@ -63,26 +71,25 @@ object Dedup {
           .substr((k % 4) * HexPerHash + 1, lit(HexPerHash)))), 16, 10)
         .cast("long"))
 
-  /** Bulk MinHash signatures: shingle rows via posexplode + lead window
-    * (everything in whole-stage codegen — the per-row higher-order
-    * shingle builder is interpreted and ~3× slower in bulk), then 8
-    * seeded md5 digests per shingle (four 32-bit hashes each), then
-    * per-doc minima in one partial+final HashAggregate over fixed-width
-    * hex slices. Shuffle volume: tokens once (for the lead window),
-    * then one 32-entry row per doc (map-side combined). */
+  /** Bulk MinHash signatures: map-side shingle rows (posexplode +
+    * element_at), then ONE custom-Expression pass computing all 32 hash
+    * values per shingle ([[graft.ext.expr.MinhashDigests]] — cached
+    * MessageDigest, no hex round trip; same values as the md5/substr/
+    * conv formulation the oracle replicates), then per-doc LONG minima
+    * in one partial+final HashAggregate (long buffers hash-aggregate;
+    * hex-string minima silently fell back to a SortAggregate that
+    * sorted every shingle row — SCALE.md). Shuffle volume: one
+    * 32-long row per doc (map-side combined), nothing else. */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sh = shingleRows(docs, id, text, 3)
-    val digests = sh.select(col("doc") +:
-      (0 until NumDigests).map(i =>
-        md5(concat(lit(s"$i:"), col("s")).cast("binary")).as(s"m$i")): _*)
+    val hv = shingleRows(rebalance(docs), id, text, 3)
+      .select(col("doc"), graft.ext.expr.MinhashDigests.hashes(col("s")).as("hv"))
     val mins = (0 until NumHashes).map { k =>
-      min(hashSliceOf(col(s"m${k / 4}"), k)).as(s"h$k")
+      min(element_at(col("hv"), k + 1)).as(s"h$k")
     }
-    digests.groupBy(col("doc"))
+    hv.groupBy(col("doc"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc"),
-        array((0 until NumHashes).map(k =>
-          conv(col(s"h$k"), 16, 10).cast("long")): _*).as("sig"))
+        array((0 until NumHashes).map(k => col(s"h$k")): _*).as("sig"))
   }
 
   /** One row per word n-gram shingle: (doc, s). posexplode carries the
@@ -108,16 +115,32 @@ object Dedup {
         transform(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast("string")), ",").cast("binary")))
 
-  /** Estimated Jaccard from two signatures: fraction of equal entries. */
+  /** Estimated Jaccard from two signatures: fraction of equal entries.
+    * Unrolled to 32 static element_at comparisons — array element_at is
+    * whole-stage-codegen'd, while the zip_with/aggregate HOF form is
+    * interpreted (CodegenFallback) and cost ~6× on the 10× scale
+    * probe's ~1M verified candidates (SCALE.md). */
   def estJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
+    (0 until NumHashes)
+      .map(k => when(element_at(sigA, k + 1) === element_at(sigB, k + 1), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("double") / NumHashes
 
   /** Candidate near-dup pairs via MinHash LSH.
     *
     * @param docs (id, text) frame
     * @return (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct
     */
+  /** Band buckets larger than this are skipped during candidate
+    * generation (an m-doc bucket contributes m² join rows — one
+    * degenerate bucket of boilerplate-heavy docs can dominate the whole
+    * join at corpus scale). True near-dups collide in several of the 8
+    * bands, so pairs lost to one over-full bucket are recovered by the
+    * others with high probability; the DuckDB oracle applies the SAME
+    * cap, so nothing is silently dropped from the correctness contract.
+    * Test corpora stay far below the cap (largest sf0.1 bucket ≈ 20). */
+  val MaxBandBucket = 10000
+
   def minhashPairs(docs: DataFrame, id: Column, text: Column, threshold: Double): DataFrame = {
     // Signatures are materialized before the self-join so neither join
     // side (nor the verify stage) re-derives them from text. The frame
@@ -134,8 +157,13 @@ object Dedup {
     // partner). Distinct-ing the bare id pairs first also means the
     // Jaccard estimate runs once per unique pair, not once per
     // colliding band.
-    val banded = base
+    val bandedAll = base
       .select(col("doc"), posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+    val okBuckets = bandedAll.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= MaxBandBucket)
+      .select(col("band"), col("bh"))
+    val banded = bandedAll.join(okBuckets, Seq("band", "bh"))
     val cand = banded.select(col("doc").as("doc_a"), col("band"), col("bh"))
       .join(banded.select(col("doc").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -157,12 +185,15 @@ object Dedup {
     * partial+final HashAggregate); bit columns reassembled with
     * bitwise-or of Scala-constant powers of two. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tokenized = docs.select(id.as("doc"),
+    val tokenized = rebalance(docs).select(id.as("doc"),
       explode(TextOps.tokens(text)).as("tok"))
-      .withColumn("hx", md5(col("tok").cast("binary")))
+      .withColumn("h64", graft.ext.expr.Md5Prefix64.of(col("tok")))
+    // nibble p == hex char p+1 of md5 == bits [4*(15-p), 4*(15-p)+4)
+    // of the big-endian 64-bit prefix — pure codegen arithmetic
     val nibbles = tokenized.select(col("doc") +:
       (0 until 16).map(p =>
-        conv(substring(col("hx"), p + 1, 1), 16, 10).cast("int").as(s"n$p")): _*)
+        shiftrightunsigned(col("h64"), 4 * (15 - p)).bitwiseAND(15)
+          .cast("int").as(s"n$p")): _*)
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$j")

@@ -98,4 +98,51 @@ object VectorOps {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ---- IVF (inverted-file) ANN: KMeans coarse quantizer ---------------
+
+  /** Assign every corpus vector to its nearest of `nCentroids` KMeans
+    * centroids — the IVF coarse index. At 100 TB this frame is written
+    * ONCE as a table bucketed/partitioned by `bucket` (so a probe reads
+    * only nProbe/nCentroids of the corpus), and the trained centroids
+    * are the coordinator-side routing table; here both live in-session.
+    * Fixed seed → deterministic across runs. */
+  def ivfIndex(corpus: DataFrame, id: Column, vec: Column,
+      nCentroids: Int, seed: Long = 42L)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("feat", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("feat").setPredictionCol("bucket")
+      .fit(feat)
+    (model, model.transform(feat).drop("feat"))
+  }
+
+  /** IVF approximate top-k: route the query to its `nProbe` nearest
+    * centroids (a driver-side loop over ≤ nCentroids tiny vectors — the
+    * routing table is coordinator state by design, NOT a distributed
+    * collect), then exact-cosine only the probed buckets' vectors.
+    * Higher recall than single-bucket sign-LSH at the same scan
+    * fraction because centroids adapt to the data distribution. */
+  def ivfTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val (model, bucketed) = ivfIndex(corpus, id, vec, nCentroids)
+    val q = query.select(queryVec.cast("array<double>").as("qv")).head()
+      .getSeq[Double](0).toArray
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(q).map { case (a, b) => val t = a - b; t * t }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val qLit = typedlit(q.map(_.toFloat).toSeq) // CosineSim is float-typed
+    bucketed
+      .filter(col("bucket").isin(probes.map(Integer.valueOf): _*))
+      .select(col("vec_id"), round(cosineFast(col("v"), qLit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

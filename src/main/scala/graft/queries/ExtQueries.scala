@@ -203,8 +203,12 @@ object ExtQueries {
        |sig AS (SELECT doc_id, $sigCols FROM sigm GROUP BY doc_id),
        |banded AS (
        |$bandedSelects),
+       |okb AS (SELECT band, bh FROM banded GROUP BY band, bh
+       |        HAVING count(*) <= ${Dedup.MaxBandBucket}),
+       |bandedok AS (SELECT b.* FROM banded b JOIN okb
+       |             ON okb.band = b.band AND okb.bh = b.bh),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM banded x JOIN banded y
+       |         FROM bandedok x JOIN bandedok y
        |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
        |scored AS (SELECT c.doc_a, c.doc_b, ($nEq) / 32.0 AS est_jaccard
        |           FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a

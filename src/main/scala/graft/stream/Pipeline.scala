@@ -51,6 +51,17 @@ object Pipeline {
       col("machine_id"), col("sensor_type"), col("value"),
       col("event_time").as("timestamp"))
 
+  /** Raw rows with the machine dimension REALIZED — the reference's
+    * machine_sensors schema has machine_type/location columns its
+    * insert leaves NULL (`init-db.sql:9,12` vs
+    * `sensor_aggregation.py:76-80`); this is the first-class enriched
+    * variant. Broadcast hash join per micro-batch: the dim is tiny and
+    * the stream stays shuffle-free (Enrich E1 inside the stream). */
+  def rawRowsEnriched(prepared: DataFrame, machines: DataFrame): DataFrame =
+    graft.ops.Enrich.enrich(rawRows(prepared), machines, Seq("machine_id"))
+      .select(col("timestamp"), col("machine_id"), col("machine_type"),
+        col("sensor_type"), col("value"), col("location"))
+
   /** Start the dual-sink pipeline: branch A raw pass-through, branch B
     * finalized 1-minute windows; both checkpointed, both driven to
     * completion of available input with `AvailableNow` (tests/backfill)

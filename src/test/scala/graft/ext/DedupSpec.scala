@@ -33,6 +33,35 @@ class DedupSpec extends SparkSpec {
     assert(sig.collect().toSeq == sig.collect().toSeq)
   }
 
+  test("custom MinhashDigests expression ≡ built-in md5/substr/conv formulation") {
+    // the custom expression must produce bit-identical hash values to
+    // the portable column formulation the DuckDB oracle replicates
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    val viaExpr = sh.select(col("doc_id"), col("s"),
+      graft.ext.expr.MinhashDigests.hashes(col("s")).as("hv"))
+    val viaBuiltins = (0 until Dedup.NumHashes).map { k =>
+      conv(substring(md5(concat(lit(s"${k / 4}:"), col("s")).cast("binary")),
+        1 + (k % 4) * 8, 8), 16, 10).cast("long")
+    }
+    val joined = viaExpr.select(col("hv") +: viaBuiltins.zipWithIndex.map {
+      case (c, k) => (element_at(col("hv"), k + 1) === c).as(s"eq$k")
+    }: _*)
+    val allEq = joined.select(
+      (0 until Dedup.NumHashes).map(k => col(s"eq$k")).reduce(_ && _).as("ok"))
+    assert(allEq.filter(!col("ok")).count() == 0)
+  }
+
+  test("Md5Prefix64 ≡ first 16 hex nibbles of md5") {
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+    val both = toks.select(
+      graft.ext.expr.Md5Prefix64.of(col("t")).as("h64"),
+      conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("hi60"))
+    // top 60 bits of the prefix must equal the 15-hex-char parse
+    val bad = both.filter(shiftrightunsigned(col("h64"), 4) =!= col("hi60"))
+    assert(bad.count() == 0)
+  }
+
   test("simhash: identical → hamming 0; near-dup closer than unrelated") {
     val sh = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -45,6 +45,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(ann.length > 1)            // and real neighbors from its bucket
   }
 
+  test("IVF-KMeans ANN: self-retrieval, ordering, and recall ≥ single-bucket scan fraction") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+    val ivf = VectorOps.ivfTopK(emb, col("vec_id"), col("embedding"),
+      q, col("embedding"), k = 10, nCentroids = 8, nProbe = 2).collect()
+    assert(ivf.head.getLong(0) == 0L && ivf.head.getDouble(1) == 1.0)
+    val sims = ivf.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+    val exact = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      q, col("embedding"), 10).select("vec_id").as[Long].collect().toSet
+    val approx = ivf.map(_.getLong(0)).toSet
+    assert((exact intersect approx).nonEmpty)
+  }
+
+  test("IVF index is deterministic (fixed seed) and covers the corpus") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val (_, b1) = VectorOps.ivfIndex(emb, col("vec_id"), col("embedding"), 8)
+    val (_, b2) = VectorOps.ivfIndex(emb, col("vec_id"), col("embedding"), 8)
+    assert(b1.count() == emb.count())
+    val m1 = b1.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val m2 = b2.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(m1 == m2)
+  }
+
   test("ANN recall vs brute force is measurable and nonzero") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 17)

@@ -174,6 +174,27 @@ class PipelineSpec extends SparkSpec {
       ("10:02", "LATHE-002", 1.5, 1L)))
   }
 
+  test("enriched raw branch realizes machine_type/location in-stream (E1)") {
+    val ms = MemoryStream[SensorReading](spark)
+    val machines = graft.gen.DataGen.machineDim(spark)
+    val enriched = Pipeline.rawRowsEnriched(Pipeline.prepare(ms.toDF()), machines)
+    val name = s"enr${System.nanoTime()}"
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData(Seq(reading("2025-01-01T10:00:10"),
+        reading("2025-01-01T10:00:20", m = "UNKNOWN-9")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name)
+      .select("machine_id", "machine_type", "location")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // known machine enriched; unknown keeps the reference's NULL behavior
+    assert(out == Set(
+      ("CNC-001", "CNC Mill", "Assembly Line A"),
+      ("UNKNOWN-9", null, null)))
+  }
+
   test("dual-sink pipeline writes raw + agg from one decoded input (J4/J6)") {
     val dir = tmp()
     val input = Seq(
