@@ -7,19 +7,19 @@ import org.apache.spark.sql.functions._
 /** Batch anomaly-run detection — the gaps-and-islands formulation of
   * [[graft.stream.Stateful.anomalyRuns]] ("alert when a sensor is out
   * of range for ≥ minRun consecutive readings"). The streaming op keeps
-  * O(keys) state; the batch op is two ranking windows over one sort:
+  * O(keys) state; the batch op marks flag-change boundaries with lag()
+  * and turns a running sum of boundaries into the island id:
   *
-  *   island = row_number() OVER (key ORDER BY t)
-  *          - row_number() OVER (key, flag ORDER BY t)
+  *   boundary = flag ≠ lag(flag)         (first row counts as one)
+  *   island   = SUM(boundary) OVER (key ORDER BY t ROWS UNBOUNDED PRECEDING)
   *
-  * Consecutive same-flag rows share an island id; grouping flagged rows
-  * by island yields each run in one shuffle + one aggregate.
-  *
-  * Scale notes: both window functions share ONE partition sort (same
-  * partition-by prefix and ordering), so the cost is a single shuffle
-  * of the readings by key, then map-side codegen'd ranking; the run
-  * aggregate combines partially. Determinism: ordering includes a
-  * unique tiebreak column so island assignment is total.
+  * Both window functions use the SAME partitioning and ordering, so
+  * Catalyst plans them in one Window operator over ONE shuffle + sort
+  * (PlanSpec asserts a single Exchange). The textbook alternative —
+  * rn OVER (key) − rn OVER (key, flag) — partitions two different ways
+  * and pays a second full shuffle. The run aggregate after the filter
+  * combines partially. Determinism: ordering includes a unique
+  * tiebreak column so island assignment is total.
   */
 object Runs {
 
@@ -40,10 +40,13 @@ object Runs {
       hi: Double,
       minRun: Int): DataFrame = {
     val flag = (value < lo || value > hi).as("flag")
-    val all = Window.partitionBy(keys: _*).orderBy(col("tus"), col("tie"))
-    val byFlag = Window.partitionBy(keys :+ col("flag"): _*).orderBy(col("tus"), col("tie"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("tus"), col("tie"))
+    val boundary =
+      when(lag(col("flag"), 1).over(w).isNull ||
+        lag(col("flag"), 1).over(w) =!= col("flag"), 1L).otherwise(0L)
     df.select(keys :+ ts.as("tus") :+ tie.as("tie") :+ flag: _*)
-      .withColumn("island", row_number().over(all) - row_number().over(byFlag))
+      .withColumn("island", sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("flag"))
       .groupBy(keys :+ col("island"): _*)
       .agg(count(lit(1)).as("run_length"),

@@ -53,4 +53,26 @@ class PlanSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(sqlRows.sameElements(dfRows))
   }
+
+  test("anomaly_runs: both window functions share ONE sort and shuffle") {
+    // lag() and the running sum use the same partitioning/ordering, so
+    // the plan pays one Sort and one window Exchange (plus the final
+    // aggregate's). The rn(key) − rn(key,flag) textbook form partitions
+    // two different ways: 2 sorts, 3 exchanges — the regression guard.
+    val p = plan("anomaly_runs")
+    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+    assert(n("Sort [") == 1, s"expected one Sort, got ${n("Sort [")}:\n$p")
+    assert(n("Exchange hashpartitioning") <= 2,
+      s"expected ≤2 shuffles, got ${n("Exchange hashpartitioning")}:\n$p")
+  }
+
+  test("minhash signature aggregate stays a HashAggregate (long buffers, no sort)") {
+    import org.apache.spark.sql.functions.col
+    val docs = queries.ExtQueries.withNearDups(Tables.documents(spark, sf))
+    val p = graft.ext.Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"),
+      "string-buffer minima silently degrade to SortAggregate — regression")
+  }
 }
