@@ -30,6 +30,9 @@ object GraftSession {
       .config("spark.sql.codegen.maxFields", "220")
       // engine optimizer rules (top-1-per-key window → max_by rewrite)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // session-catalog tables (bucketed writes) land in tmp, not cwd
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session for mains/tests; master honored only if not set. */

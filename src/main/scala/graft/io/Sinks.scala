@@ -23,10 +23,15 @@ final case class LakeSink(
     path: String,
     format: String = "parquet",
     partitionCols: Seq[String] = Seq("year", "month", "day"),
-    dynamicOverwrite: Boolean = true) extends Sink {
+    dynamicOverwrite: Boolean = true,
+    compression: String = "zstd") extends Sink {
+  // zstd over the snappy default: ~30-40% smaller parquet at similar
+  // scan speed — at 100 TB the lake's dominant cost is bytes at rest
+  // and bytes over the scan path, not write CPU.
 
   def write(df: DataFrame): Unit = {
     val writer = df.write.format(format).mode("overwrite")
+      .option("compression", compression)
     val w2 =
       if (dynamicOverwrite)
         writer.option("partitionOverwriteMode", "dynamic")
@@ -37,6 +42,7 @@ final case class LakeSink(
 
   def append(df: DataFrame): Unit = {
     val w = df.write.format(format).mode("append")
+      .option("compression", compression)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .save(path)
   }
@@ -48,6 +54,27 @@ final case class LakeSink(
       case null => false
       case p    => p.exists() || p.mkdirs()
     }
+}
+
+/** Bucketed-table writes: the storage half of co-located joins.
+  *
+  * A fact table bucketed (and sorted) by its join key is pre-shuffled
+  * AND pre-sorted on disk — every future join on that key against a
+  * same-bucket-count table skips BOTH the exchange and the sort
+  * (BucketedJoinSpec asserts the zero-Exchange plan). At 100 TB this
+  * converts the recurring per-query shuffle of the biggest table into
+  * a one-time write-side cost, the same trade TimescaleDB makes with
+  * its chunk layout. Bucketing metadata lives in the session catalog
+  * (saveAsTable — Spark's bucketing is table-metadata-driven). */
+object Bucketed {
+  def write(df: DataFrame, table: String, buckets: Int, key: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("compression", "zstd")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
 
 /** Kafka-shaped producer sink (B1), offline: JSON-lines files keyed by

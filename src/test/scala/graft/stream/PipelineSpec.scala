@@ -112,6 +112,29 @@ class PipelineSpec extends SparkSpec {
     assert(rawTotal == 2) // not 3 — b1 was not reprocessed
   }
 
+  test("RocksDB state store: windowed agg state off-heap, same results (J6 scale path)") {
+    // At 100 TB-scale streaming, window/dedup state outgrows the JVM
+    // heap; RocksDB keeps it on local disk with incremental checkpoint
+    // uploads. Run the F1 aggregation under the RocksDB provider and
+    // assert identical finalized windows.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out = runAgg(Seq(
+        Seq(reading("2025-01-01T10:00:10"), reading("2025-01-01T10:00:30")),
+        Seq(reading("2025-01-01T10:02:00")),
+        Seq(reading("2025-01-01T10:04:00"))))
+      assert(out.toSet.contains(("10:00", "CNC-001", 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session windows group by gaps (J8 extension)") {
     val ms = MemoryStream[SensorReading](spark)
     val prepared = Pipeline.prepare(ms.toDF())
