@@ -37,7 +37,7 @@ object Dedup {
     * one pinned in DigestUtils.md5). No-op whenever the input already
     * meets session parallelism — a 100 TB table arrives with thousands
     * of partitions, so no shuffle is added at scale. */
-  private def rebalance(df: DataFrame): DataFrame = {
+  def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

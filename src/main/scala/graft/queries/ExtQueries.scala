@@ -79,6 +79,19 @@ object ExtQueries {
         TextOps.minShingleFingerprint(col("text")).as("min_shingle_md5"))
     },
 
+    // Corpus vocabulary: top-100 tokens by frequency (the first thing a
+    // training-data pipeline inspects — tokenizer coverage, boilerplate
+    // detection). explode → partial+final count agg → TakeOrdered; ties
+    // at the cutoff break on the token itself, so the LIMIT is
+    // deterministic cross-engine.
+    "vocab_topk" -> { (s, d) =>
+      Dedup.rebalance(Tables.documents(s, d))
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    },
+
     // ---- dedup ---------------------------------------------------------
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -351,6 +364,13 @@ object ExtQueries {
       """SELECT lower(trim(text)) AS norm_text, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,

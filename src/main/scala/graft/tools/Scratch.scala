@@ -1,11 +1,12 @@
 package graft.tools
 
-/** Ad-hoc probe main (dev-only): edit body, `runMain graft.tools.Scratch`.
-  * Current body: driver-contract smoke — entry() rows at sf0.001. */
+/** Ad-hoc probe main (dev-only): edit body, `runMain graft.tools.Scratch`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("scratch")
-    println(s"PROBE entry_rows=${graft.SparkEntry.entry(s).count()}")
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries("vocab_topk")(s, "/root/testdata/sf0.1").count()
+    println(f"PROBE vocab_topk ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     s.stop()
   }
 }
