@@ -96,6 +96,37 @@ object Pipeline {
     (raw, agg)
   }
 
+  // ---- streaming dedup + correlation (J-family extensions) -------------
+
+  /** Exactly-once-per-reading semantics on an at-least-once transport:
+    * drop duplicate messages by business key within the watermark
+    * (`dropDuplicatesWithinWatermark` keeps state only until the
+    * watermark passes each key's event time — bounded, unlike the
+    * unbounded classic dropDuplicates). The IIoT shape: a producer
+    * retry re-sends (machine, sensor, timestamp) — dedup restores the
+    * reference's effective exactly-once table content. */
+  def dedupedStream(prepared: DataFrame,
+      keys: Seq[String] = Seq("machine_id", "sensor_type", "event_time")): DataFrame =
+    prepared.dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: pair each left event with right
+    * events for the same key within `[leftTs - lookback, leftTs]` —
+    * e.g. readings correlated with the alerts that preceded them.
+    * Both sides carry watermarks, so join state is purged once the
+    * watermark passes the interval bound (state O(window), not
+    * O(stream)); Spark requires exactly this combination — equality
+    * key + two-sided event-time bound — to plan a state-bounded
+    * streaming join. */
+  def correlate(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, lookback: String): DataFrame = {
+    val r = right.withColumnRenamed(key, s"__rk")
+    left.join(r,
+      expr(s"$key = __rk AND " +
+        s"$rightTime BETWEEN $leftTime - INTERVAL $lookback AND $leftTime"))
+      .drop("__rk")
+  }
+
   // ---- single-scan dual-sink (J4, statement-set fidelity) --------------
 
   /** Per-batch PARTIAL window aggregates: algebraic (sum/count/min/max)

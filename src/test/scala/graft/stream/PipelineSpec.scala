@@ -112,6 +112,62 @@ class PipelineSpec extends SparkSpec {
     assert(rawTotal == 2) // not 3 — b1 was not reprocessed
   }
 
+  test("streaming dedup within watermark drops producer retries (exactly-once repair)") {
+    val ms = MemoryStream[SensorReading](spark)
+    val deduped = Pipeline.dedupedStream(Pipeline.prepare(ms.toDF()))
+      .select(col("machine_id"), date_format(col("event_time"), "HH:mm:ss").as("t"))
+    val name = s"dd${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // duplicate within one batch AND re-sent in the next batch
+      ms.addData(Seq(reading("2025-01-01T10:00:10"), reading("2025-01-01T10:00:10"),
+        reading("2025-01-01T10:00:20")))
+      q.processAllAvailable()
+      ms.addData(Seq(reading("2025-01-01T10:00:10"), // retry, still inside watermark
+        reading("2025-01-01T10:00:25")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).as[(String, String)].collect().toSeq
+    assert(rows.size == 3) // 10:00:10 appears ONCE despite 3 sends
+    assert(rows.count(_._2 == "10:00:10") == 1)
+  }
+
+  test("stream-stream interval join correlates readings with preceding alerts (bounded state)") {
+    val readings = MemoryStream[SensorReading](spark)
+    val alerts = MemoryStream[SensorReading](spark)
+    val l = Pipeline.prepare(readings.toDF())
+      .select(col("machine_id"), col("value"), col("event_time"))
+    val r = Pipeline.prepare(alerts.toDF(), watermark = "5 seconds")
+      .select(col("machine_id"), col("value").as("alert_value"),
+        col("event_time").as("alert_time"))
+    val joined = Pipeline.correlate(l, r, "machine_id",
+      "event_time", "alert_time", "30 SECONDS")
+      .select(col("machine_id"),
+        date_format(col("event_time"), "HH:mm:ss").as("rt"),
+        date_format(col("alert_time"), "HH:mm:ss").as("at"))
+    val name = s"ssj${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      alerts.addData(Seq(reading("2025-01-01T10:00:00", v = 99),
+        reading("2025-01-01T10:03:00", "LATHE-002", v = 98)))
+      readings.addData(Seq(
+        reading("2025-01-01T10:00:20"),              // 20 s after alert → pair
+        reading("2025-01-01T10:01:30"),              // 90 s after → outside 30 s
+        reading("2025-01-01T10:00:10", "LATHE-002"))) // other machine's alert is later
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      alerts.addData(Seq(reading("2025-01-01T10:10:00", v = 0)))
+      readings.addData(Seq(reading("2025-01-01T10:10:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[(String, String, String)].collect().toSet
+    assert(out.contains(("CNC-001", "10:00:20", "10:00:00")))
+    assert(!out.exists(_._2 == "10:01:30"))
+    assert(!out.exists(r => r._1 == "LATHE-002" && r._2 == "10:00:10"))
+  }
+
   test("RocksDB state store: windowed agg state off-heap, same results (J6 scale path)") {
     // At 100 TB-scale streaming, window/dedup state outgrows the JVM
     // heap; RocksDB keeps it on local disk with incremental checkpoint
