@@ -42,4 +42,33 @@ object Skew {
         max(col("__max")).as("max_value"),
         sum(col("__cnt")).as("count_readings"))
   }
+
+  /** Salted equi-join for a skewed FACT side: fact rows get a random
+    * salt in [0, saltBuckets); the (small, hot-key-bearing) build side
+    * is replicated once per salt value, so a hot key's probe rows
+    * spread across `saltBuckets` reducers instead of landing on one.
+    * Identical result multiset to `facts.join(build, key)` — each fact
+    * row matches exactly the one replica carrying its salt.
+    *
+    * This is the MANUAL form for engines/plans where AQE's runtime
+    * skew-join splitting can't kick in (e.g. a shuffle consumed by a
+    * non-join operator, or a deliberately disabled AQE); with AQE on,
+    * prefer the built-in splitting — it pays the replication only for
+    * the partitions that are actually skewed.
+    *
+    * @param facts big, skewed side
+    * @param build small side (replicated saltBuckets ×)
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      build: DataFrame,
+      key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val saltedFacts = facts.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+        .cast("int"))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFacts.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
+  }
 }

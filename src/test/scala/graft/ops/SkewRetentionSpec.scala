@@ -29,6 +29,19 @@ class SkewRetentionSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the direct join on a skewed key distribution") {
+    // a deliberately skewed fact side: 90% of rows share one key
+    val facts = spark.range(10000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k", "id AS payload")
+    val build = spark.range(50).selectExpr("id AS k", "concat('dim', id) AS name")
+    val direct = facts.join(build, Seq("k"))
+      .selectExpr("k", "payload", "name")
+    val salted = Skew.saltedJoin(facts, build, "k")
+      .selectExpr("k", "payload", "name")
+    assert(salted.count() == direct.count())
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
   test("approx_count_distinct is within its error bound of exact") {
     val e = graft.Tables.events(spark, sf)
     val exact = e.agg(countDistinct(col("user_id"))).as[Long].head()
