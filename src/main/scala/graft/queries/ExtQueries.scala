@@ -160,6 +160,14 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
+    // int8 embedding quantization (the 4x-smaller storage form for
+    // 100 TB embedding tables) — scale + quantized vector per row.
+    "embed_quantize" -> { (s, d) =>
+      val (scale, q) = VectorOps.quantize8(col("embedding"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"), round(scale, 6).as("q_scale"), q.as("qvec"))
+    },
+
     // ---- multimodal ----------------------------------------------------
     "multimodal_meta" -> { (s, d) =>
       Multimodal.withPayload(Tables.documents(s, d)).select(
@@ -293,6 +301,18 @@ object ExtQueries {
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END, 6) AS q_scale,
+        |  CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding,
+        |              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INTEGER))
+        |  END AS qvec
+        |FROM m""".stripMargin,
+
     "dedup_minhash" -> minhashOracle,
     "dedup_groups" -> groupsOracle,
     "dedup_simhash" -> simhashOracle,

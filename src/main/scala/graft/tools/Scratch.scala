@@ -4,11 +4,9 @@ package graft.tools
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("scratch")
-    for (q <- Seq("priority_count", "late_lines")) {
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(s, "/root/testdata/sf0.1").count()
-      println(f"PROBE $q ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
-    }
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries("embed_quantize")(s, "/root/testdata/sf0.1").count()
+    println(f"PROBE embed_quantize ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     s.stop()
   }
 }

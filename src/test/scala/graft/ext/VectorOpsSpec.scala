@@ -69,6 +69,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(m1 == m2)
   }
 
+  test("int8 quantization: bounded range, faithful dequantized cosine") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val (scale, q) = VectorOps.quantize8(col("embedding"))
+    val quantized = emb.select(col("vec_id"), col("embedding"),
+      scale.as("s"), q.as("q"))
+    // every element within [-127, 127]
+    assert(quantized.filter(
+      array_max(transform(col("q"), x => abs(x))) > 127).count() == 0)
+    // dequantized vector stays ~parallel to the original
+    val deq = transform(col("q"), x => x.cast("double") * col("s"))
+    val sim = quantized
+      .filter(size(col("embedding")) > 0 && col("s") > 0)
+      .select(VectorOps.cosine(col("embedding"), deq).as("c"))
+    assert(sim.filter(col("c") < 0.99).count() == 0)
+  }
+
   test("ANN recall vs brute force is measurable and nonzero") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 17)
