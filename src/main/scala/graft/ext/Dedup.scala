@@ -36,10 +36,17 @@ object Dedup {
     * whole digest stage on one core (observed via thread dump: 2 tasks,
     * one pinned in DigestUtils.md5). No-op whenever the input already
     * meets session parallelism — a 100 TB table arrives with thousands
-    * of partitions, so no shuffle is added at scale. */
+    * of partitions, so no shuffle is added at scale.
+    *
+    * The probe reads `queryExecution.toRdd` — NOT `df.rdd`, which wraps
+    * the plan in an extra deserializing Dataset and builds a second,
+    * never-reused RDD lineage per call. `toRdd` is a lazy val on the
+    * SAME QueryExecution, so in the no-op case the partition array
+    * computed here is exactly the one reused when the query runs. */
   def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** Exact dedup: canonical row per normalized text. */
@@ -259,9 +266,19 @@ object Dedup {
     */
   def dedupGroupsDF(pairs: DataFrame, a: Column, b: Column, maxIter: Int = 20): DataFrame = {
     val p = pairs.select(a.as("pa"), b.as("pb")).localCheckpoint(true)
-    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+    val edges0 = p.select(col("pa").as("src"), col("pb").as("dst"))
       .union(p.select(col("pb").as("src"), col("pa").as("dst")))
       .localCheckpoint(true)
+    // Edge-volume-adaptive width (mirrors dedupGroups' GraphX coalesce):
+    // iterating a few-thousand-edge graph at full session parallelism is
+    // all scheduling overhead — every superstep pays per-task cost on
+    // near-empty partitions. Shuffle-free coalesce; the sizing count is
+    // a driver action on the just-checkpointed tiny frame (same pattern
+    // as dedupGroups). No-op for genuinely large edge sets.
+    val nEdges = edges0.count()
+    val curParts = edges0.queryExecution.toRdd.getNumPartitions
+    val parts = math.max(1L, math.min(curParts.toLong, nEdges / 50000L + 1L)).toInt
+    val edges = if (parts < curParts) edges0.coalesce(parts) else edges0
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("group", col("node"))
     var cached: Option[DataFrame] = None

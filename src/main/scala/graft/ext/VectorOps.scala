@@ -117,6 +117,66 @@ object VectorOps {
     (scale, q)
   }
 
+  // ---- IVF-Flat ANN: deterministic sampled-centroid quantizer --------
+
+  /** Default bucket/probe counts for [[ivfFlatTopK]] — shared with the
+    * DuckDB oracle so both engines run the identical configuration. */
+  val IvfFlatCentroids = 16
+  val IvfFlatProbes = 4
+
+  /** IVF approximate top-k with a *sampled* coarse quantizer: the
+    * centroids are the `nCentroids` corpus vectors with the smallest
+    * md5-derived hash of their id — a reproducible uniform sample
+    * (the standard IVF-Flat init before any Lloyd refinement). Unlike
+    * the KMeans-trained [[ivfTopK]], every step here — sampling,
+    * nearest-centroid assignment, query routing, bucket-pruned cosine
+    * rerank — is exactly replicable in another engine, which is what
+    * makes `ivf_topk` a hard DuckDB-oracled query rather than a
+    * recall-bounded one.
+    *
+    * Scale shape: the routing table is ≤ nCentroids tiny vectors
+    * collected to the coordinator (same footprint as a KMeans model —
+    * NOT a data collect); bucket assignment is a pure map-side
+    * expression (at 100 TB it is written once as the table's
+    * partition/bucket column); the probe reads only nProbe buckets and
+    * ends in a TakeOrderedAndProject — the whole query plans with zero
+    * shuffles. Distances are left-to-right double sums, bit-identical
+    * across Spark / driver Scala / DuckDB's list_sum. */
+  def ivfFlatTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, k: Int,
+      nCentroids: Int = IvfFlatCentroids, nProbe: Int = IvfFlatProbes)
+      : DataFrame = {
+    val base = corpus.select(id.as("vec_id"), vec.as("v"))
+    val cents: Array[(Long, Array[Double])] = base
+      .select(col("vec_id"), col("v").cast("array<double>").as("cv"))
+      .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // Nearest centroid per row — min over lexicographic (distance, cid),
+    // fused into one codegen loop (see [[graft.ext.expr.NearestCentroid]];
+    // the HOF formulation runs interpreted per centroid per row).
+    val bucket = graft.ext.expr.NearestCentroid.nearestCentroid(
+      col("v"), cents.map(_._2.toSeq).toSeq, cents.map(_._1).toSeq)
+    // Query routing on the driver, in the same left-to-right double
+    // arithmetic the in-plan expression and the oracle use.
+    val qv: Array[Double] = query.select(queryVec.cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+    val probes = cents.map { case (cid, cv) => (cid, sqDist(qv, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    val qLit = typedlit(qv.map(_.toFloat).toSeq) // CosineSim is float-typed
+    base.filter(bucket.isin(probes.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"), round(cosineFast(col("v"), qLit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- IVF (inverted-file) ANN: KMeans coarse quantizer ---------------
 
   /** Assign every corpus vector to its nearest of `nCentroids` KMeans

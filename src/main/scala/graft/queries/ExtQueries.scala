@@ -125,6 +125,20 @@ object ExtQueries {
         .filter(col("group_size") >= 2)
     },
 
+    // Same grouping, GraphX-free path: iterative min-label propagation
+    // in pure DataFrames (for sessions without GraphX on the classpath).
+    // Shares `groupsOracle` with dedup_groups — both CC implementations
+    // are held to the identical DuckDB WITH RECURSIVE answer.
+    "dedup_groups_df" -> { (s, d) =>
+      val pairs = Dedup.minhashPairs(withNearDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.5)
+      val groups = Dedup.dedupGroupsDF(pairs, col("doc_a"), col("doc_b"))
+      groups.groupBy(col("group").as("group_id"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("node")).as("keep_doc_id"))
+        .filter(col("group_size") >= 2)
+    },
+
     "dedup_simhash" -> { (s, d) =>
       val sh = Dedup.simhash(withNearDups(Tables.documents(s, d)),
         col("doc_id"), col("text"))
@@ -160,12 +174,28 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
+    // IVF-Flat ANN with a deterministic sampled coarse quantizer —
+    // the hard-oracled IVF path (KMeans-trained ivfTopK keeps its
+    // recall-bounded spec gate; trained centroids aren't
+    // cross-engine-reproducible, sampled ones are).
+    "ivf_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      VectorOps.ivfFlatTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
+    },
+
     // int8 embedding quantization (the 4x-smaller storage form for
     // 100 TB embedding tables) — scale + quantized vector per row.
+    // The quantized vector is csv-encoded to a scalar string: the
+    // driver's oracle harness hash-sorts result cells with pandas,
+    // which cannot hash an array column (round-2 gate failure), and
+    // a delimiter-joined string carries the exact same information.
     "embed_quantize" -> { (s, d) =>
       val (scale, q) = VectorOps.quantize8(col("embedding"))
       Tables.embeddings(s, d).select(
-        col("vec_id"), round(scale, 6).as("q_scale"), q.as("qvec"))
+        col("vec_id"), round(scale, 6).as("q_scale"),
+        array_join(q, ",").as("qvec_csv"))
     },
 
     // ---- multimodal ----------------------------------------------------
@@ -300,21 +330,55 @@ object ExtQueries {
        |FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id JOIN q ON bk.bucket = q.qbucket
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** [[VectorOps.ivfFlatTopK]] replicated: same sampled centroids (md5
+    * id-hash order), same argmin assignment (distance then cid), same
+    * nProbe routing, same rounded-cosine rerank. */
+  private def ivfFlatOracle: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings
+       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+       |  LIMIT ${VectorOps.IvfFlatCentroids}),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid,
+       |         list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+       |                  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+       |  FROM embeddings e CROSS JOIN c),
+       |assign AS (
+       |  SELECT vec_id, cid AS bucket FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |qp AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+       |    FROM dist WHERE vec_id = 0) WHERE rn <= ${VectorOps.IvfFlatProbes}),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+       |FROM embeddings e
+       |JOIN assign a ON a.vec_id = e.vec_id
+       |JOIN qp ON a.bucket = qp.cid, q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ivf_topk" -> ivfFlatOracle,
     "embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
         |  FROM embeddings)
         |SELECT vec_id,
         |  round(CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END, 6) AS q_scale,
-        |  CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
-        |       ELSE list_transform(embedding,
-        |              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INTEGER))
-        |  END AS qvec
+        |  array_to_string(
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INTEGER))
+        |    END, ',') AS qvec_csv
         |FROM m""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
     "dedup_groups" -> groupsOracle,
+    "dedup_groups_df" -> groupsOracle,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
     "token_count" ->

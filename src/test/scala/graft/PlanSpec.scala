@@ -66,6 +66,19 @@ class PlanSpec extends SparkSpec {
       s"expected ≤2 shuffles, got ${n("Exchange hashpartitioning")}:\n$p")
   }
 
+  test("rebalance adds no Exchange when input already meets parallelism") {
+    val target = spark.sessionState.conf.numShufflePartitions
+    val wide = spark.range(0, 1000, 1, target).toDF("id")
+    val out = graft.ext.Dedup.rebalance(wide)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rebalance must be a no-op at >= session parallelism")
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    val fixed = graft.ext.Dedup.rebalance(narrow)
+    assert(fixed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rebalance must widen a single-partition input")
+    assert(fixed.rdd.getNumPartitions == target)
+  }
+
   test("minhash signature aggregate stays a HashAggregate (long buffers, no sort)") {
     import org.apache.spark.sql.functions.col
     val docs = queries.ExtQueries.withNearDups(Tables.documents(spark, sf))

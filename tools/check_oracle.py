@@ -19,6 +19,20 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def nonscalar_cols(cols, rows):
+    """Columns holding list/array/dict cells. The driver's checker
+    sorts rows with pandas lexsort, which throws `unhashable type:
+    numpy.ndarray` on such columns (round-2 embed_quantize failure) —
+    so the local gate must reject them too, never pass them."""
+    if not rows:
+        return []
+    return [
+        cols[i]
+        for i in range(len(cols))
+        if any(isinstance(r[i], (list, tuple, dict, bytearray)) for r in rows[:50])
+    ]
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -55,6 +69,15 @@ def main(sf_dir, out_dir):
             w_rows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        bad_cols = nonscalar_cols(g_cols, g_rows) + nonscalar_cols(w_cols, w_rows)
+        if bad_cols:
+            print(
+                f"FAIL {name}: non-scalar column(s) {sorted(set(bad_cols))} — "
+                "the driver's pandas sort cannot hash these; csv-encode "
+                "(array_join / array_to_string) or explode to scalar rows"
+            )
             n_fail += 1
             continue
         gc, gr = norm_rows(g_cols, g_rows)
