@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.DataGen
+import graft.io.{JsonDirSource, LakeSink}
+import graft.ops.Ingest
+import graft.stream.Pipeline
+
+/** Streaming throughput bench: [[Pipeline.run]] (two queries — the
+  * source is scanned once PER SINK) vs [[Pipeline.runSingleScan]] (one
+  * query, each micro-batch persisted and fanned out to both sinks —
+  * the reference's statement-set shape) on a generated JSON backfill
+  * at two input sizes.
+  *
+  * Both modes do the same sink work (unpartitioned parquet appends:
+  * full raw rows + windowed aggregate rows), so the measured difference
+  * is the source/scan topology. rows/s = input messages / wall seconds
+  * for the mode's queries to drain all available input (AvailableNow).
+  *
+  * Emits one JSON line:
+  *   {"metric":"stream_rows_per_sec","modes":{"two_query@100k":N,...},...}
+  * Results are recorded in BASELINE.md §streaming.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-stream-bench")
+    val work = Files.createTempDirectory("graft-streambench").toString
+    val end = Instant.parse("2025-01-08T00:00:00Z")
+    // rows = days·86400/step × 16 dims: 96 s → ~100k, 10 s → ~968k.
+    val sizes = Seq("100k" -> 96L, "1m" -> 10L)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val loadStart = readLoad()
+
+    for ((label, step) <- sizes) {
+      val topic = s"$work/topic_$label"
+      val messages = Ingest.encode(
+        DataGen.backfill(spark, end, stepSeconds = step)
+          .withColumn("event_time", timestamp_micros(col("tus"))))
+      messages.select("value").write.text(topic)
+      val n = spark.read.text(topic).count()
+
+      // Mode A: two independent queries (source scanned twice).
+      val rawA = LakeSink(s"$work/a_$label/raw", partitionCols = Nil)
+      val aggA = LakeSink(s"$work/a_$label/agg", partitionCols = Nil)
+      val tA = time {
+        val (rq, aq) = Pipeline.run(spark, JsonDirSource(topic).readStream(spark),
+          writeRaw = b => rawA.append(b),
+          writeAgg = b => aggA.append(b),
+          checkpointDir = s"$work/a_$label/ckpt")
+        rq.awaitTermination(); aq.awaitTermination()
+      }
+      results(s"two_query@$label") = n / tA
+      System.err.println(f"[stream-bench] two_query@$label  $n rows  $tA%.1fs  ${n / tA}%.0f rows/s")
+
+      // Mode B: single scan, dual sink via persisted micro-batch.
+      val rawB = LakeSink(s"$work/b_$label/raw", partitionCols = Nil)
+      val aggB = LakeSink(s"$work/b_$label/agg", partitionCols = Nil)
+      val tB = time {
+        val q = Pipeline.runSingleScan(spark, JsonDirSource(topic).readStream(spark),
+          writeRaw = b => rawB.append(b),
+          writeAggPartials = p => aggB.append(p),
+          checkpointDir = s"$work/b_$label/ckpt")
+        q.awaitTermination()
+      }
+      results(s"single_scan@$label") = n / tB
+      System.err.println(f"[stream-bench] single_scan@$label  $n rows  $tB%.1fs  ${n / tB}%.0f rows/s")
+
+      require(rawA.read(spark).count() == n && rawB.read(spark).count() == n,
+        s"raw sink row mismatch at $label")
+    }
+
+    val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"${readLoad()}","work":"$work"}""")
+    spark.stop()
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def readLoad(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(",")
+      finally src.close()
+    } catch { case _: Throwable => "unavailable" }
+}

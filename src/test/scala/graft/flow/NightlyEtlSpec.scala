@@ -58,6 +58,56 @@ class NightlyEtlSpec extends SparkSpec {
     }
   }
 
+  test("daily schedule fires the flow at 02:00 UTC under a fake clock (L3)") {
+    import java.time.Instant
+    // fake clock: starts the evening before; sleep() advances it
+    var now = Instant.parse("2025-06-01T23:30:00Z")
+    val fired = scala.collection.mutable.ArrayBuffer[Instant]()
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+
+    val dir = tmp()
+    Seq(("2025-06-01T10:00:00", 1.0)).toDF("iso", "value")
+      .withColumn("timestamp", to_timestamp_ntz(regexp_replace(col("iso"), "T", " ")))
+      .drop("iso").write.parquet(s"$dir/src")
+    val sink = LakeSink(s"$dir/lake")
+
+    val runs = Schedule.runDaily("02:00", maxRuns = 2,
+      clock = () => now,
+      sleep = ms => { slept += ms; now = now.plusMillis(ms) }) { fire =>
+      fired += fire
+      // the scheduled job IS the nightly flow, retries and all
+      NightlyEtl.runTable(spark, ParquetSource(s"$dir/src"), sink, "timestamp")
+    }
+    assert(runs == 2)
+    assert(fired.toSeq == Seq(
+      Instant.parse("2025-06-02T02:00:00Z"), Instant.parse("2025-06-03T02:00:00Z")))
+    assert(slept.head == 2L * 3600 * 1000 + 30L * 60 * 1000) // 23:30 → 02:00
+    assert(slept(1) == 24L * 3600 * 1000) // then exactly one day
+    assert(sink.read(spark).count() == 1)
+  }
+
+  test("schedule survives a failing night and fires the next one") {
+    import java.time.Instant
+    var now = Instant.parse("2025-06-01T01:00:00Z")
+    var attempts = 0
+    val runs = Schedule.runDaily("02:00", maxRuns = 2,
+      clock = () => now,
+      sleep = ms => now = now.plusMillis(ms)) { _ =>
+      attempts += 1
+      if (attempts == 1) sys.error("db down all night")
+    }
+    assert(runs == 2 && attempts == 2)
+  }
+
+  test("nextFire handles the same-day/next-day boundary") {
+    import java.time.Instant
+    val t = Schedule.parseUtc("02:00")
+    assert(Schedule.nextFire(Instant.parse("2025-06-01T01:59:59Z"), t) ==
+      Instant.parse("2025-06-01T02:00:00Z"))
+    assert(Schedule.nextFire(Instant.parse("2025-06-01T02:00:00Z"), t) ==
+      Instant.parse("2025-06-02T02:00:00Z"))
+  }
+
   test("verification fails loudly when sink diverges from extract") {
     val dir = tmp()
     Seq(("2025-01-01T00:00:00", 1.0)).toDF("iso", "value")
