@@ -87,6 +87,9 @@ object RewriteTop1PerKey extends Rule[LogicalPlan] {
   * "graft.plans.GraftExtensions")` or
   * `builder.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteTop1PerKey)
+    // whole-operator extension (tier c): grouped top-k physical operator
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

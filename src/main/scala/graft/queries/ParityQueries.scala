@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{Ingest, Retention, Windows}
+import graft.plans.TopKPerKey
 
 /** Reference-parity operators (SURVEY §2) as driver-contract queries over
   * the testdata mapping (events ↦ sensor stream; FIXTURES.md §B).
@@ -115,6 +116,22 @@ object ParityQueries {
           struct(col("ts_us"), col("event_id"))).as("r"))
         .select(col("user_id"), col("r.event_id"), col("r.ts_us"),
           col("r.event_type"), col("r.value"))
+    },
+
+    // G/H generalization — grouped top-k (k > 1 per key) through the
+    // engine's custom physical operator (plans.TopKPerKey, §4.3 tier c):
+    // bounded per-key heaps map-side, so the exchange ships ≤ k rows
+    // per key per partition instead of every row, and no sort is
+    // planned. The ordering is total (price, orderkey, linenumber) so
+    // the row_number() oracle is deterministic.
+    "grouped_topk" -> { (s, d) =>
+      TopKPerKey.perKey(
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice")),
+        keys = Seq(col("l_suppkey")),
+        order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 3)
     },
 
     // I — set operations: UNION (distinct) / INTERSECT / EXCEPT.
@@ -352,6 +369,13 @@ object ParityQueries {
         |SELECT event_type, 'except' AS op FROM (
         |  SELECT event_type FROM events WHERE value > 0
         |  EXCEPT SELECT event_type FROM events WHERE value > 1e9) x""".stripMargin,
+
+    "grouped_topk" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t WHERE rn <= 3""".stripMargin,
 
     "distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
