@@ -115,6 +115,89 @@ object BenchQueries {
         .agg(
           sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
           sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
+    // TPC-H Q7 shape: shipping volume between two nations by ship year.
+    // The nation filter (2 of 25) is applied to the nation dim FIRST and
+    // broadcast into supplier/customer, so the selective predicate prunes
+    // the fact-side join inputs before the orderkey shuffle — at 100 TB
+    // this is the difference between shuffling 8% of lineitem⋈orders
+    // output and shuffling all of it. The asymmetric-pair predicate
+    // reduces to supp_nation != cust_nation once both sides are
+    // restricted to the same two-nation set.
+    "nation_volume" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val picked = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(picked.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(picked.select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(rev, 4).as("revenue"))
+    },
+
+    // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    // multi-supplier order. The classic formulation is EXISTS + NOT
+    // EXISTS correlated subqueries (three scans of lineitem); here the
+    // per-order facts (distinct suppliers, distinct late suppliers,
+    // per-supplier late-line counts) come from ONE lineitem⋈orders
+    // shuffle on orderkey with two stacked aggregations sharing that
+    // partitioning, and the qualifying join is co-partitioned — no
+    // second pass over the fact table at any scale.
+    "waiting_suppliers" -> { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate")).as("late"))
+      // One row per (order, supplier): how many of that supplier's lines
+      // on the order shipped late.
+      val perOrderSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+      // One row per order: supplier fan-out and late-supplier fan-out.
+      val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+      perOrderSupp.filter(col("late_lines") > 0)
+        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+          Seq("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("late_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q18 shape: large-volume orders — aggregate-then-join with a
+    // HAVING gate. The quantity rollup + filter runs BEFORE any join, so
+    // only the ~0.1% of orders above threshold reach the orders/customer
+    // joins; the threshold compare happens on the exact decimal (both
+    // engines), with the double conversion only in the projected output.
+    "big_orders" -> { (s, d) =>
+      val qty = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qd"))
+        .filter(col("qd") > 200)
+        .select(col("l_orderkey"), col("qd").cast("double").as("sum_qty"))
+      qty.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
     }
   )
 
@@ -182,6 +265,41 @@ object BenchQueries {
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > o_orderdate
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200) q
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin
   )
 }
