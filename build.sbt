@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout/stderr in forked runs instead of routing
+// through sbt's logger: Bench's one-line JSON contract requires the
+// line to reach stdout WITHOUT an "[info] " prefix (the prefix made
+// the line unparseable as JSON for any downstream tool).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -217,29 +217,84 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Edge count at or below which connected components run as exact
+    * union-find on the driver instead of an iterative distributed
+    * algorithm. 4M edges = 64 MB of (long, long) — comfortably
+    * coordinator-sized, same budget class as the IVF routing table.
+    *
+    * CC over LSH candidate pairs is a two-regime problem. The edge set
+    * is the OUTPUT of dedup — a tiny fraction of the corpus (sf0.1:
+    * 50k docs → ~6k pairs; even 1% pairwise duplication of a 100 TB /
+    * 10^11-doc corpus routes to the distributed branch). Below the
+    * threshold, an iterative distributed CC is all fixed cost: GraphX
+    * Pregel and the DF loop each schedule 15-25 driver-blocking jobs
+    * whose task time is microseconds — pure scheduler/barrier latency,
+    * and the ONLY queries whose recorded bench time ever inflated
+    * 10-30× under load while single-job queries stayed clean
+    * (BENCH_r03: 115 s for a 4 s query). Driver union-find is ONE
+    * collect job + O(E α(E)) local work — exact, deterministic, immune.
+    * Above the threshold, GraphX Pregel (state O(V), co-partitioned
+    * per-superstep joins) is the 100 TB branch. DedupSpec holds all
+    * three implementations to identical labels on the same graphs. */
+  val CoordinatorCCMaxEdges: Long = 4000000L
+
+  /** Exact union-find (path compression; roots merged min-first) over a
+    * collected edge list. Attaching the larger root under the smaller
+    * makes every root the minimum of its component, so labels are
+    * directly (node, min reachable id) — the same contract as the
+    * distributed implementations and the DuckDB WITH RECURSIVE oracle. */
+  private[ext] def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    edges.foreach { case (x, y) =>
+      if (!parent.contains(x)) parent(x) = x
+      if (!parent.contains(y)) parent(y) = y
+      val rx = find(x); val ry = find(y)
+      if (rx < ry) parent(ry) = rx
+      else if (ry < rx) parent(rx) = ry
+    }
+    parent.keys.map(n => (n, find(n))).toArray
+  }
+
+  private def coordinatorGroups(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame =
+    spark.createDataFrame(unionFindLabels(edges).toIndexedSeq)
+      .toDF("node", "group")
+
   /** Collapse near-dup candidate pairs into dedup groups (connected
-    * components): GraphX `connectedComponents` — Pregel min-label
-    * propagation with per-superstep caching and cleanup handled by the
-    * library. This is the 100 TB path: each superstep is one co-
+    * components). Two regimes (see [[CoordinatorCCMaxEdges]]): at or
+    * below the threshold the edge list collects to the driver for exact
+    * union-find (one job, no iteration); above it, GraphX
+    * `connectedComponents` — Pregel min-label propagation with
+    * per-superstep caching and cleanup handled by the library. The
+    * Pregel branch is the 100 TB path: each superstep is one co-
     * partitioned join, state is O(vertices), and intermediate blocks are
     * unpersisted as supersteps retire (round 1's hand-rolled DataFrame
     * loop ran two driver-blocking jobs per iteration and pinned every
     * iteration's localCheckpoint — 50 s at sf0.1 on <1 MB of edges).
     *
     * @param pairs (a, b) undirected candidate edges
+    * @param coordinatorMaxEdges union-find cutover (0 forces Pregel)
     * @return (node, group) — group = min doc id reachable
     */
-  def dedupGroups(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+  def dedupGroups(pairs: DataFrame, a: Column, b: Column,
+      coordinatorMaxEdges: Long = CoordinatorCCMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.select(a.cast("long"), b.cast("long")).as[(Long, Long)]
       .localCheckpoint(true)
+    val nEdges = p.count()
+    if (nEdges <= coordinatorMaxEdges) return coordinatorGroups(spark, p.collect())
     // Partition the graph by edge volume, not by the session default:
-    // Pregel pays per-superstep scheduling for every partition, so a
-    // 600-edge candidate graph on 32 partitions is all overhead. ~50k
+    // Pregel pays per-superstep scheduling for every partition. ~50k
     // edges per partition; a 100 TB corpus' edge set gets the full
     // parallelism.
-    val nEdges = p.count()
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
     val edgeRdd = p.rdd.map { case (x, y) => Edge(x, y, ()) }.coalesce(parts)
@@ -255,17 +310,28 @@ object Dedup {
   }
 
   /** Pure-DataFrame connected components (iterative min-label
-    * propagation), for engines/sessions without GraphX. One
-    * driver-blocking job per iteration: the convergence count runs over
-    * the just-persisted update (cache fill and count share the job),
-    * and the previous iteration's cache is unpersisted immediately —
-    * storage stays O(2 label frames) regardless of iteration count.
+    * propagation), for engines/sessions without GraphX. Shares the
+    * union-find coordinator cutover with [[dedupGroups]] (see
+    * [[CoordinatorCCMaxEdges]]); the loop below is the above-threshold
+    * branch. One driver-blocking job per iteration: the convergence
+    * count runs over the just-persisted update (cache fill and count
+    * share the job), and the previous iteration's cache is unpersisted
+    * immediately — storage stays O(2 label frames) regardless of
+    * iteration count.
     *
+    * @param coordinatorMaxEdges union-find cutover (0 forces the loop)
     * @return (node, group); logs a warning if maxIter hit before
     *         convergence (labels would be split groups, never silent)
     */
-  def dedupGroupsDF(pairs: DataFrame, a: Column, b: Column, maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(a.as("pa"), b.as("pb")).localCheckpoint(true)
+  def dedupGroupsDF(pairs: DataFrame, a: Column, b: Column, maxIter: Int = 20,
+      coordinatorMaxEdges: Long = CoordinatorCCMaxEdges): DataFrame = {
+    val p = pairs.select(a.cast("long").as("pa"), b.cast("long").as("pb"))
+      .localCheckpoint(true)
+    if (p.count() <= coordinatorMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return coordinatorGroups(spark, p.as[(Long, Long)].collect())
+    }
     val edges0 = p.select(col("pa").as("src"), col("pb").as("dst"))
       .union(p.select(col("pb").as("src"), col("pa").as("dst")))
       .localCheckpoint(true)
@@ -279,9 +345,10 @@ object Dedup {
     val curParts = edges0.queryExecution.toRdd.getNumPartitions
     val parts = math.max(1L, math.min(curParts.toLong, nEdges / 50000L + 1L)).toInt
     val edges = if (parts < curParts) edges0.coalesce(parts) else edges0
+    val spark2 = pairs.sparkSession
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("group", col("node"))
-    var cached: Option[DataFrame] = None
+    var cached: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -297,15 +364,24 @@ object Dedup {
       // trade flips — the GraphX path (dedupGroups) is the scale
       // answer; this loop optimizes for the shallow near-dup graphs it
       // actually serves.
-      val updated = labels.select(col("node"), col("group").as("old"))
+      val updatedPlan = labels.select(col("node"), col("group").as("old"))
         .join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"), col("old"),
           least(col("old"), coalesce(col("ngroup"), col("old"))).as("group"))
-        .persist()
-      // ONE action: fills `updated`'s cache and counts changed labels
+      // Truncate the iteration's plan at an RDD boundary. `labels`
+      // appears TWICE in updatedPlan (neighbor-min join + left join), so
+      // carrying the previous iteration's logical plan forward doubles
+      // the analyzed tree per round — analysis/cache-canonicalization
+      // cost grows 2^i and a ~12-round (diameter-12) graph stalls the
+      // DRIVER, not the executors. Re-rooting on the persisted RDD keeps
+      // every round's plan O(1); persist-then-count still fills the
+      // cache and counts changed labels in the same single action.
+      val rdd = updatedPlan.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val updated = spark2.createDataFrame(rdd, updatedPlan.schema)
       val changed = updated.filter(col("group") =!= col("old")).count()
       cached.foreach(_.unpersist(blocking = false))
-      cached = Some(updated)
+      cached = Some(rdd)
       labels = updated.select(col("node"), col("group"))
       converged = changed == 0
       i += 1

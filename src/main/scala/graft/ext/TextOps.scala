@@ -82,4 +82,20 @@ object TextOps {
     * small edits away from the minimum shingle). */
   def minShingleFingerprint(text: Column): Column =
     array_min(transform(shingles(tokens(text), 3), s => md5(s.cast("binary"))))
+
+  /** Email-shaped span. Pattern subset chosen to evaluate identically
+    * under Java regex (Spark codegen'd regexp_replace) and RE2 (the
+    * DuckDB oracle): character classes, +, bounded repetition — no
+    * backreferences or lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Phone-shaped span (NNN-N… digit runs on word boundaries). */
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3,8}\\b"
+
+  /** PII scrub: replace email- and phone-shaped spans with typed
+    * placeholder tags. Pure map-side codegen'd string work — the scrub
+    * rides the scan's projection at any scale, no shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
 }

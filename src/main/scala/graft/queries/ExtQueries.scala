@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, TextOps, VectorOps}
+import graft.ext.{Dedup, Multimodal, Sampling, TextOps, VectorOps}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -90,6 +90,32 @@ object ExtQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(100)
+    },
+
+    // Deterministic train/eval sharding: every row keyed to a shard of
+    // [0,100) by the md5 hash of its own id (Sampling.shard) and the
+    // 10% split kept — reproducible in any engine, idempotent under
+    // task retries, membership independent of corpus growth. Map-side
+    // only; the filter sits on the scan.
+    "sample_shard" -> { (s, d) =>
+      Sampling.sampleShards(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), nShards = 100, keep = 10)
+    },
+
+    // PII scrub. The corpus itself is PII-free word salad, so the query
+    // APPENDS an email + phone derived from doc_id before scrubbing —
+    // the oracle replicates both the synthesis and the scrub, so the
+    // gate verifies genuine rewrites, not a no-op pass-through.
+    "pii_scrub" -> { (s, d) =>
+      val synth = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or call 555-"),
+        col("doc_id").cast("string"), lit("0123"))
+      val scrubbed = TextOps.scrubPii(synth)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        scrubbed.as("scrubbed"),
+        (length(synth) - length(scrubbed)).cast("long").as("chars_removed"))
     },
 
     // ---- dedup ---------------------------------------------------------
@@ -375,6 +401,26 @@ object ExtQueries {
         |                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INTEGER))
         |    END, ',') AS qvec_csv
         |FROM m""".stripMargin,
+
+    "sample_shard" ->
+      """SELECT doc_id, n_chars,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS shard
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH s AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or call 555-' || CAST(doc_id AS VARCHAR) || '0123' AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(synth,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3,8}\b', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(length(synth) - length(regexp_replace(regexp_replace(synth,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3,8}\b', '<PHONE>', 'g')) AS BIGINT) AS chars_removed
+        |FROM s""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
     "dedup_groups" -> groupsOracle,

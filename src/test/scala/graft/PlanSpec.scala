@@ -88,4 +88,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"),
       "string-buffer minima silently degrade to SortAggregate — regression")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB shape: fact ⋈ selectively-filtered dim as a shuffle
+    // join should semi-join-prune fact rows BEFORE the exchange
+    // (Spark's InjectRuntimeFilter — default-on, but gated by size
+    // thresholds sized for clusters). Relax the thresholds to prove the
+    // plan shape materializes for our join form at test scale; at real
+    // scale the defaults fire on their own.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "-1") // force a shuffle join; bloom needs one
+      val orders = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, sf)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_orderpriority"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a bloom-filter semi-join probe on the fact scan side:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

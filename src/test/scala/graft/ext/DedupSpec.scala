@@ -87,6 +87,30 @@ class DedupSpec extends SparkSpec {
     assert(groups.size == 10)
   }
 
+  test("dedup groups: union-find, Pregel, and DF-loop agree on labels") {
+    // Chain (deep propagation), clique, a crossing merge (10,20) joining
+    // chain and clique into one component, plus small separate groups —
+    // the same graphs must label identically through all three paths:
+    // driver union-find (default below threshold), GraphX Pregel and the
+    // DF loop (both forced via coordinatorMaxEdges = 0).
+    val edges = ((1L until 10L).map(i => (i, i + 1)) ++
+      (for (x <- 20L to 24L; y <- (x + 1) to 24L) yield (x, y)) ++
+      Seq((10L, 20L), (50L, 51L), (52L, 51L), (52L, 53L), (100L, 101L)))
+      .toDF("a", "b")
+    def labels(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val uf = labels(Dedup.dedupGroups(edges, col("a"), col("b")))
+    val pregel = labels(
+      Dedup.dedupGroups(edges, col("a"), col("b"), coordinatorMaxEdges = 0))
+    val dfLoop = labels(
+      Dedup.dedupGroupsDF(edges, col("a"), col("b"), coordinatorMaxEdges = 0))
+    assert(uf == pregel)
+    assert(uf == dfLoop)
+    // group = min reachable: merged chain+clique all label 1
+    assert(uf.filter(_._1 <= 24L).forall(_._2 == 1L))
+    assert(uf.filter(e => e._1 >= 50L && e._1 <= 53L).forall(_._2 == 50L))
+  }
+
   test("ngram jaccard: identical → 1.0, disjoint → 0.0") {
     val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
     val a = docs.select(col("doc_id").as("ida"), sh.as("sa"))

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (0L until 1000L).map(i => (i, s"row $i")).toDF("id", "payload")
+
+  test("hash shards are deterministic, complete, and stable under corpus growth") {
+    val s1 = rows.select(col("id"), Sampling.shard(col("id"), 100).as("shard"))
+    val s2 = rows.select(col("id"), Sampling.shard(col("id"), 100).as("shard"))
+    assert(s1.collect().toSet == s2.collect().toSet)
+    // every shard in range
+    assert(s1.filter(col("shard") < 0 || col("shard") >= 100).count() == 0)
+    // membership depends only on the row's own key: the same ids shard
+    // identically in a larger corpus
+    val bigger = (0L until 2000L).map(i => (i, s"row $i")).toDF("id", "payload")
+    val sBig = bigger.select(col("id"), Sampling.shard(col("id"), 100).as("shard"))
+      .filter(col("id") < 1000L)
+    assert(sBig.collect().toSet == s1.collect().toSet)
+  }
+
+  test("sampleShards keeps ≈keep/nShards and complements exactly") {
+    val kept = Sampling.sampleShards(rows, col("id"), 100, 10)
+    val n = kept.count()
+    assert(n > 50 && n < 200, s"10% of 1000 ids should land near 100, got $n")
+    // kept ∪ complement == all, disjoint
+    val all = rows.withColumn("shard", Sampling.shard(col("id"), 100))
+    val rest = all.filter(col("shard") >= 10)
+    assert(n + rest.count() == 1000L)
+    assert(kept.join(rest, Seq("id"), "inner").count() == 0)
+  }
+
+  test("scrubPii replaces email- and phone-shaped spans with typed tags") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail-host.org today"),
+      (2L, "call 555-01234 before noon"),
+      (3L, "no contact info here at all"),
+      (4L, "x@y.io and 800-1234 both")).toDF("id", "text")
+    val out = docs.select(col("id"), TextOps.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "reach me at <EMAIL> today")
+    assert(out(2L) == "call <PHONE> before noon")
+    assert(out(3L) == "no contact info here at all")
+    assert(out(4L) == "<EMAIL> and <PHONE> both")
+  }
+}
