@@ -165,6 +165,23 @@ object ExtQueries {
         .filter(col("group_size") >= 2)
     },
 
+    // End-to-end near-dup removal — the dedup family's capstone: LSH
+    // candidate pairs → connected components → drop every non-canonical
+    // group member, emit the deduplicated corpus. The loser set is the
+    // CC output (tiny relative to the corpus at any scale), so the
+    // final anti-join broadcasts it against the document scan — the
+    // corpus itself is never shuffled.
+    "dedup_corpus" -> { (s, d) =>
+      val docs = withNearDups(Tables.documents(s, d))
+      val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5)
+      val groups = Dedup.dedupGroups(pairs, col("doc_a"), col("doc_b"))
+      val losers = groups.filter(col("node") =!= col("group"))
+        .select(col("node").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    },
+
     "dedup_simhash" -> { (s, d) =>
       val sh = Dedup.simhash(withNearDups(Tables.documents(s, d)),
         col("doc_id"), col("text"))
@@ -425,6 +442,19 @@ object ExtQueries {
     "dedup_minhash" -> minhashOracle,
     "dedup_groups" -> groupsOracle,
     "dedup_groups_df" -> groupsOracle,
+    "dedup_corpus" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, d FROM und
+         |  UNION
+         |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
+         |lbl AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node),
+         |losers AS (SELECT node FROM lbl WHERE node <> group_id)
+         |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS text_len
+         |FROM corpus c
+         |WHERE c.doc_id NOT IN (SELECT node FROM losers)""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
     "token_count" ->
