@@ -219,8 +219,15 @@ object Dedup {
 
   /** Edge count at or below which connected components run as exact
     * union-find on the driver instead of an iterative distributed
-    * algorithm. 4M edges = 64 MB of (long, long) — comfortably
-    * coordinator-sized, same budget class as the IVF routing table.
+    * algorithm. 4M edges is 64 MB of raw (long, long) payload, but the
+    * driver-heap bill at the threshold edge is several hundred MB once
+    * JVM overhead is counted: the collected Array[Tuple2] (boxed longs,
+    * ~48 B/edge), the union-find LongMap over up to 8M nodes (open
+    * addressing at ≤½ load ⇒ 16M-slot key+value arrays, ~256 MB), and
+    * the LocalRelation built from the label array. Well inside this
+    * session's driver heap, and the same budget class as the IVF
+    * routing table — but size driver memory accordingly before raising
+    * the threshold.
     *
     * CC over LSH candidate pairs is a two-regime problem. The edge set
     * is the OUTPUT of dedup — a tiny fraction of the corpus (sf0.1:
@@ -259,7 +266,12 @@ object Dedup {
       if (rx < ry) parent(ry) = rx
       else if (ry < rx) parent(rx) = ry
     }
-    parent.keys.map(n => (n, find(n))).toArray
+    // Snapshot the key set before the final resolution pass: find()
+    // path-compresses (writes into the map) while we iterate. Today's
+    // LongMap tolerates value-only updates mid-iteration, but that is
+    // an implementation detail, not a contract.
+    val nodes = parent.keysIterator.toArray
+    nodes.map(n => (n, find(n)))
   }
 
   private def coordinatorGroups(spark: org.apache.spark.sql.SparkSession,
@@ -348,7 +360,7 @@ object Dedup {
     val spark2 = pairs.sparkSession
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("group", col("node"))
-    var cached: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    var cached: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -373,12 +385,14 @@ object Dedup {
       // carrying the previous iteration's logical plan forward doubles
       // the analyzed tree per round — analysis/cache-canonicalization
       // cost grows 2^i and a ~12-round (diameter-12) graph stalls the
-      // DRIVER, not the executors. Re-rooting on the persisted RDD keeps
-      // every round's plan O(1); persist-then-count still fills the
-      // cache and counts changed labels in the same single action.
-      val rdd = updatedPlan.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val updated = spark2.createDataFrame(rdd, updatedPlan.schema)
+      // DRIVER, not the executors. Re-rooting on a persisted
+      // InternalRow RDD (PlanBridge.rerootPersisted) keeps every
+      // round's plan O(1) and caches compact UnsafeRows — no
+      // InternalRow→Row→InternalRow round-trip, no deserialized-object
+      // storage. Persist-then-count still fills the cache and counts
+      // changed labels in the same single action.
+      val (updated, rdd) =
+        org.apache.spark.sql.graftbridge.PlanBridge.rerootPersisted(updatedPlan)
       val changed = updated.filter(col("group") =!= col("old")).count()
       cached.foreach(_.unpersist(blocking = false))
       cached = Some(rdd)

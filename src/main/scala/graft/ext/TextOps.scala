@@ -83,14 +83,24 @@ object TextOps {
   def minShingleFingerprint(text: Column): Column =
     array_min(transform(shingles(tokens(text), 3), s => md5(s.cast("binary"))))
 
-  /** Email-shaped span. Pattern subset chosen to evaluate identically
-    * under Java regex (Spark codegen'd regexp_replace) and RE2 (the
-    * DuckDB oracle): character classes, +, bounded repetition — no
-    * backreferences or lookaround. */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** Email-shaped span, case-insensitive (John.Doe@Example.COM scrubs
+    * the same as john.doe@example.com). Pattern subset chosen to
+    * evaluate identically under Java regex (Spark codegen'd
+    * regexp_replace) and RE2 (the DuckDB oracle): inline (?i),
+    * character classes, +, bounded repetition — no backreferences or
+    * lookaround. */
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 
-  /** Phone-shaped span (NNN-N… digit runs on word boundaries). */
-  val PhoneRe = "\\b[0-9]{3}-[0-9]{3,8}\\b"
+  /** Phone-shaped span. First alternative: North-American forms with
+    * an optional +1/1 prefix, parenthesized or separator-delimited
+    * area code, and -/./space separators — covers (555) 123-4567,
+    * 555.123.4567, +1-555-123-4567. Second alternative: bare
+    * NNN-N{3,8} digit runs (extension-style). Both alternatives are
+    * leftmost-first in Java regex AND RE2, so engine and oracle pick
+    * the same span when both could match. */
+  val PhoneRe =
+    "(?:\\+?1[-. ]?)?(?:\\([0-9]{3}\\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b" +
+      "|\\b[0-9]{3}-[0-9]{3,8}\\b"
 
   /** PII scrub: replace email- and phone-shaped spans with typed
     * placeholder tags. Pure map-side codegen'd string work — the scrub

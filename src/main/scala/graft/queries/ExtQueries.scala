@@ -108,9 +108,16 @@ object ExtQueries {
     // the oracle replicates both the synthesis and the scrub, so the
     // gate verifies genuine rewrites, not a no-op pass-through.
     "pii_scrub" -> { (s, d) =>
-      val synth = concat(col("text"), lit(" contact user"),
-        col("doc_id").cast("string"), lit("@example.com or call 555-"),
-        col("doc_id").cast("string"), lit("0123"))
+      // Mixed-case email + two phone shapes ((555) NNN-NNNN and bare
+      // 555-NNNN). Phone digits come from doc_id % 1000/10000 so the
+      // spans stay inside PhoneRe's bounded repetitions at EVERY scale
+      // factor — a raw doc_id (offset 1e9) would overflow the pattern
+      // and silently stop exercising the phone branch.
+      val last3 = lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0")
+      val last4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+      val synth = concat(col("text"), lit(" Contact User"),
+        col("doc_id").cast("string"), lit("@Example.COM or call +1 (555) "),
+        last3, lit("-"), last4, lit(" or 555-"), last4)
       val scrubbed = TextOps.scrubPii(synth)
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -427,17 +434,21 @@ object ExtQueries {
 
     "pii_scrub" ->
       """WITH s AS (SELECT doc_id,
-        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-        |  '@example.com or call 555-' || CAST(doc_id AS VARCHAR) || '0123' AS synth
-        |  FROM documents)
-        |SELECT doc_id,
+        |  text || ' Contact User' || CAST(doc_id AS VARCHAR) ||
+        |  '@Example.COM or call +1 (555) ' ||
+        |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+        |  FROM documents),
+        |r AS (SELECT doc_id, synth,
         |  regexp_replace(regexp_replace(synth,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b[0-9]{3}-[0-9]{3,8}\b', '<PHONE>', 'g') AS scrubbed,
-        |  CAST(length(synth) - length(regexp_replace(regexp_replace(synth,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b[0-9]{3}-[0-9]{3,8}\b', '<PHONE>', 'g')) AS BIGINT) AS chars_removed
-        |FROM s""".stripMargin,
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '(?:\+?1[-. ]?)?(?:\([0-9]{3}\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b|\b[0-9]{3}-[0-9]{3,8}\b',
+        |    '<PHONE>', 'g') AS scrubbed
+        |  FROM s)
+        |SELECT doc_id, scrubbed,
+        |  CAST(length(synth) - length(scrubbed) AS BIGINT) AS chars_removed
+        |FROM r""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
     "dedup_groups" -> groupsOracle,

@@ -47,4 +47,24 @@ class SamplingSpec extends SparkSpec {
     assert(out(3L) == "no contact info here at all")
     assert(out(4L) == "<EMAIL> and <PHONE> both")
   }
+
+  test("scrubPii catches mixed-case emails and common phone formats") {
+    val docs = Seq(
+      (1L, "mail John.Doe@Example.COM please"),
+      (2L, "office (555) 123-4567 ext 9"),
+      (3L, "mobile 555.123.4567 after 5"),
+      (4L, "intl +1-555-123-4567 works"),
+      (5L, "also 1 555 123 4567 plain"),
+      (6L, "order #555-123 is unrelated text 123-4567")).toDF("id", "text")
+    val out = docs.select(col("id"), TextOps.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> please")
+    assert(out(2L) == "office <PHONE> ext 9")
+    assert(out(3L) == "mobile <PHONE> after 5")
+    assert(out(4L) == "intl <PHONE> works")
+    assert(out(5L) == "also <PHONE> plain")
+    // bare NNN-NNN still scrubs via the digit-run alternative; a
+    // trailing NNN-NNNN with no area code scrubs too
+    assert(out(6L) == "order #<PHONE> is unrelated text <PHONE>")
+  }
 }
