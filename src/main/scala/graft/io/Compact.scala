@@ -1,0 +1,78 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for lake tables (the OPTIMIZE half of lake
+  * maintenance; [[graft.ext.ZOrder.clusterWrite]] is the CLUSTER half,
+  * [[graft.ops.Retention.dropExpiredPartitions]] the retention half).
+  *
+  * Streaming sinks and incremental batch appends (stream/Pipeline's
+  * foreachBatch → LakeSink.append) accumulate one file per trigger per
+  * partition — at 100 TB that is millions of KB-sized files, and scan
+  * cost becomes file-open latency instead of IO. Compaction bin-packs
+  * each partition-leaf directory back to `targetBytes`-sized files.
+  *
+  * Design points:
+  *  - Per-leaf, not per-table: each leaf rewrite reads/writes only that
+  *    partition, so a 100 TB table compacts incrementally and a failure
+  *    mid-run leaves every untouched partition intact.
+  *  - The rewrite is read → write to a hidden `.compact-tmp` subdir →
+  *    delete originals → move in. Readers listing the leaf mid-swap see
+  *    either the old files or the new ones plus leftover olds (parquet
+  *    re-listing is eventually consistent with at-least-once sinks —
+  *    same contract as LakeSink.append); the swap never leaves ZERO
+  *    data files.
+  *  - Idempotent: a second run finds every leaf already at or below its
+  *    bin-packed file count and rewrites nothing.
+  */
+object Compact {
+
+  /** @return (leaf dirs rewritten, files before, files after) */
+  case class Stats(dirsCompacted: Int, filesBefore: Int, filesAfter: Int)
+
+  private def isDataFile(p: Path): Boolean = {
+    val n = p.getName
+    !n.startsWith(".") && !n.startsWith("_")
+  }
+
+  /** Leaf directories (no sub-directories except hidden) under root. */
+  private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
+    val entries = fs.listStatus(root).filterNot(_.getPath.getName.startsWith("."))
+    val subDirs = entries.filter(_.isDirectory).map(_.getPath)
+    if (subDirs.isEmpty) Seq(root)
+    else subDirs.toSeq.flatMap(leafDirs(fs, _))
+  }
+
+  /** Bin-pack every partition leaf under `root` whose data-file count
+    * exceeds ceil(leafBytes / targetBytes). */
+  def binPack(spark: SparkSession, root: String, targetBytes: Long): Stats = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var dirs = 0; var before = 0; var after = 0
+    leafDirs(fs, rootPath).foreach { leaf =>
+      val files = fs.listStatus(leaf)
+        .filter(s => s.isFile && isDataFile(s.getPath))
+      val bytes = files.map(_.getLen).sum
+      val desired = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      before += files.length
+      if (files.length > desired) {
+        // Plan the read BEFORE writing the tmp dir: the file index lists
+        // the leaf at read() time, so the rewrite never reads itself.
+        val df = spark.read.parquet(leaf.toString)
+        val tmp = new Path(leaf, ".compact-tmp")
+        df.coalesce(desired).write.mode("overwrite").parquet(tmp.toString)
+        val newFiles = fs.listStatus(tmp)
+          .filter(s => s.isFile && isDataFile(s.getPath)).map(_.getPath)
+        files.foreach(f => fs.delete(f.getPath, false))
+        newFiles.zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f, new Path(leaf, s"part-compact-$i-${f.getName.stripPrefix("part-")}"))
+        }
+        fs.delete(tmp, true)
+        dirs += 1
+        after += newFiles.length
+      } else after += files.length
+    }
+    Stats(dirs, before, after)
+  }
+}

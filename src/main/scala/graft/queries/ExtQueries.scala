@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, TextOps, VectorOps}
+import graft.ext.{Dedup, Multimodal, Sampling, TextOps, VectorOps, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -255,6 +255,63 @@ object ExtQueries {
         col("media_meta.n_bytes").as("n_bytes"),
         (col("media_meta.n_bytes") % 64 + 1).as("fake_width"),
         (col("media_meta.n_bytes") % 48 + 1).as("fake_height"))
+    },
+
+    // TF-IDF top-3 terms per document (round 5) — keyword extraction /
+    // boilerplate detection for training corpora. The score is
+    // integer-scaled (floor(tf·ln(N/df)·1e6 + 0.5)) so BOTH engines
+    // rank on the same BIGINT — a last-ulp ln() difference cannot flip
+    // an ordering the way raw-double ranks could. Shape: explode →
+    // (doc,term) count → term-df agg → join back → TopKPerKey bounded
+    // heaps (map-side prune; ships ≤3 rows/doc/partition, no Window,
+    // no sort). N rides in via a broadcast 1-row frame.
+    "tfidf_topk" -> { (s, d) =>
+      val docs = Dedup.rebalance(Tables.documents(s, d))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6
+            + 0.5).cast("long").as("score_x1e6"))
+      graft.plans.TopKPerKey.perKey(scored,
+        keys = Seq(col("doc_id")),
+        order = Seq(col("score_x1e6").desc, col("term")), k = 3)
+    },
+
+    // Per-label embedding centroid (round 5) — the reduce step of
+    // k-means-style corpus bucketing / class prototypes. Components are
+    // integer-quantized BEFORE aggregation (floor(x·1000 + 0.5)), so the
+    // sum is exact integer math in any engine and in any partial-
+    // aggregation order — float sums are order-dependent and would break
+    // the hash gate AND differ run-to-run on a real cluster. Shape:
+    // posexplode → one hash agg on (label, dim); 640 output rows.
+    "embed_centroid" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          floor(col("col").cast("double") * 1000.0 + 0.5).cast("long").as("q"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+        .withColumn("centroid_q",
+          round(col("sum_q").cast("double") / (col("n") * 1000.0), 6))
+    },
+
+    // Z-order (Morton) clustering key (round 5) — multi-dimensional
+    // data-skipping layout (see ext.ZOrder). The key itself is oracled
+    // here (the SQL is machine-generated from the same bit loop); the
+    // write path + file-statistics pruning effect is spec-gated
+    // (ZOrderSpec) since filesystems aren't SQL-expressible.
+    "zorder_cluster" -> { (s, d) =>
+      val x = pmod(col("l_partkey"), lit(65536L))
+      val y = pmod(col("l_suppkey"), lit(65536L))
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        x.as("zx"), y.as("zy"),
+        ZOrder.interleave16(x, y).as("zkey"))
     }
   )
 
@@ -585,7 +642,39 @@ object ExtQueries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(strlen(text) AS BIGINT) % 64 + 1 AS fake_width,
         |       CAST(strlen(text) AS BIGINT) % 48 + 1 AS fake_height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |                     unnest(list_transform($ToksSql, t -> lower(t))) AS term
+         |              FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, tf.term, tf, df,
+         |         CAST(floor(tf * ln(n_docs / df) * 1e6 + 0.5) AS BIGINT) AS score_x1e6
+         |       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score_x1e6 DESC, term) AS rn
+         |      FROM sc)
+         |SELECT doc_id, term, tf, df, score_x1e6 FROM r WHERE rn <= 3""".stripMargin,
+
+    "embed_centroid" ->
+      """WITH e AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  generate_subscripts(embedding, 1) AS dim
+        |           FROM embeddings),
+        |q AS (SELECT label, dim, CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS q FROM e)
+        |SELECT label, dim, sum(q) AS sum_q, count(*) AS n,
+        |       round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000.0), 6) AS centroid_q
+        |FROM q GROUP BY label, dim""".stripMargin,
+
+    "zorder_cluster" -> {
+      val z = ZOrder.interleave16Sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy,
+         |  $z AS zkey
+         |FROM lineitem""".stripMargin
+    }
     // approx_distinct (ParityQueries) stays spec-bounded: HLL sketches
     // legitimately differ across engines.
   )

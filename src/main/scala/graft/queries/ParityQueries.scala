@@ -265,6 +265,34 @@ object ParityQueries {
         lo = 0.5, hi = 50.0, minRun = 3)
     },
 
+    // Batch sessionization (round 5) — activity sessions per user with
+    // a 12 h inactivity gap (events average ~1 per user per 11 h, so
+    // 12 h yields multi-event sessions). Single-sort gaps-and-islands;
+    // the streaming complement is session_window (J8).
+    "sessionize" -> { (s, d) =>
+      graft.ops.Sessionize.sessionize(
+        Tables.events(s, d),
+        keys = Seq(col("user_id")),
+        ts = tsUs, tie = col("event_id"),
+        gapUs = 12L * 3600L * Tables.MicrosPerSecond)
+    },
+
+    // SCD2 interval construction (round 5) — the CDC/lake-history half
+    // of the reference's snapshot extract: each customer's order stream
+    // becomes versioned validity ranges; `WHERE is_current` is the
+    // latest snapshot (latest_per_key is its max_by fast path).
+    "scd2_intervals" -> { (s, d) =>
+      graft.ops.Scd2.intervals(
+        Tables.orders(s, d),
+        key = Seq(col("o_custkey")),
+        // NTZ parquet timestamp → LTZ is identity wall-clock in this
+        // engine's forced-UTC sessions, matching DuckDB's epoch_us.
+        ts = unix_micros(col("o_orderdate").cast("timestamp")),
+        tie = col("o_orderkey"),
+        attrs = Seq(col("o_totalprice"), col("o_orderstatus")))
+        .withColumnRenamed("tie", "o_orderkey")
+    },
+
     // M — the typed Aggregator surface (Dataset[SensorReading] →
     // SensorStats) as a first-class query: one-pass algebraic
     // avg/min/max/count per (machine, sensor) through the typed API.
@@ -455,6 +483,33 @@ object ParityQueries {
         |FROM g WHERE flag
         |GROUP BY user_id, event_type, island
         |HAVING count(*) >= 3""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |b AS (SELECT user_id, tus, event_id,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |               OR tus - lag(tus) OVER w > 43200000000 THEN 1 ELSE 0 END AS boundary
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus,
+        |        SUM(boundary) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM b)
+        |SELECT user_id,
+        |       min(tus) AS session_start_us,
+        |       max(tus) AS session_end_us,
+        |       count(*) AS n_events,
+        |       max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, session""".stripMargin,
+
+    "scd2_intervals" ->
+      """SELECT o_custkey,
+        |       epoch_us(o_orderdate) AS valid_from_us,
+        |       o_orderkey, o_totalprice, o_orderstatus,
+        |       lead(epoch_us(o_orderdate)) OVER w AS valid_to_us,
+        |       (lead(epoch_us(o_orderdate)) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY epoch_us(o_orderdate), o_orderkey)""".stripMargin,
 
     // avg_value replicates Stats.avg4's EXACT decimal HALF_UP rounding
     // with integer math: values are 2 dp, so sum*10^4 is the integer

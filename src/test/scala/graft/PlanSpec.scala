@@ -119,4 +119,32 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("partitioned lake scans prune partitions dynamically from a dim filter") {
+    // K1/K2's payoff at 100 TB: a date-partitioned lake table joined to
+    // a selectively-filtered dimension must scan ONLY the partitions the
+    // dim's keys reach (Catalyst's dynamic partition pruning — the scan
+    // gets a runtime IN-subquery partition filter instead of reading all
+    // days). Assert the `dynamicpruning` expression lands in the scan.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    Tables.events(spark, sf)
+      .withColumn("day", date_format(timestamp_micros(Tables.tsUs), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$dir/lake")
+    // The dim must come off storage (a literal frame constant-folds into
+    // a STATIC partition filter — good, but not the runtime path under
+    // test) and its filter column must be unknowable at plan time.
+    spark.read.parquet(s"$dir/lake").select(col("day")).distinct()
+      .withColumn("w", length(col("day")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("w") % 97L === 10L)
+    val joined = spark.read.parquet(s"$dir/lake")
+      .join(dim, "day")
+      .groupBy(col("day")).agg(sum(col("value") * col("w")).as("v"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition-pruning filter on the lake scan:\n$p")
+    assert(joined.count() ==
+      spark.read.parquet(s"$dir/lake").select("day").distinct().count())
+  }
 }
