@@ -103,6 +103,21 @@ object ExtQueries {
         col("doc_id"), nShards = 100, keep = 10)
     },
 
+    // Stratified deterministic sample (round 5) — k docs per stratum
+    // (language), selected by md5-hash rank inside each stratum: the
+    // balanced-subset primitive for training mixes. Same portability
+    // contract as sample_shard (membership depends only on the row's
+    // own key), plus per-stratum exactness. TopKPerKey bounded heaps:
+    // ≤ k rows per stratum per partition reach the exchange — no
+    // Window, no per-stratum sort of the full corpus.
+    "stratified_sample" -> { (s, d) =>
+      val h = Dedup.md5Hash60(col("doc_id").cast("string"))
+      graft.plans.TopKPerKey.perKey(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), h.as("h")),
+        keys = Seq(col("lang")),
+        order = Seq(col("h"), col("doc_id")), k = 20)
+    },
+
     // PII scrub. The corpus itself is PII-free word salad, so the query
     // APPENDS an email + phone derived from doc_id before scrubbing —
     // the oracle replicates both the synthesis and the scrub, so the
@@ -187,6 +202,34 @@ object ExtQueries {
         .select(col("node").as("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    },
+
+    // Keep-BEST dedup (round 5) — production near-dup removal keeps the
+    // highest-quality member of each duplicate group, not the smallest
+    // id: pairs → CC → join the (tiny) label set to per-doc quality →
+    // one max_by per group. The corpus-sized quality frame is map-side
+    // work on the scan; only the CC output (bounded by the duplicate
+    // count) rides the broadcast join, so the corpus never shuffles.
+    // Tie-break: equal 4-dp quality keeps the smaller doc_id, total in
+    // both engines.
+    "dedup_keep_best" -> { (s, d) =>
+      val docs = withNearDups(Tables.documents(s, d))
+      val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5)
+      val groups = Dedup.dedupGroups(pairs, col("doc_a"), col("doc_b"))
+      val toks = size(TextOps.tokens(col("text"))).cast("long")
+      val len = length(col("text")).cast("long")
+      val punct = TextOps.punctCount(col("text"))
+      val quality = round(least(toks.cast("double") / 100.0, lit(1.0)) *
+        (lit(1.0) - punct.cast("double") / len), 4)
+      val q = docs.select(col("doc_id"), quality.as("quality"))
+      q.join(broadcast(groups), q("doc_id") === groups("node"))
+        .groupBy(col("group").as("group_id"))
+        .agg(count(lit(1)).as("group_size"),
+          max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+            .as("keep_doc_id"),
+          max(col("quality")).as("best_quality"))
+        .filter(col("group_size") >= 2)
     },
 
     "dedup_simhash" -> { (s, d) =>
@@ -392,6 +435,33 @@ object ExtQueries {
        |SELECT group_id, count(*) AS group_size, min(node) AS keep_doc_id
        |FROM lbl GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  /** dedup_keep_best: groupsOracle's closure + per-doc quality (the
+    * text_quality formula over the near-dup CORPUS, perturbed copies
+    * included) + deterministic argmax via row_number. */
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT s, d FROM und
+       |  UNION
+       |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
+       |lbl AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node),
+       |q AS (SELECT doc_id,
+       |        round(least(CAST(len($ToksSql) AS DOUBLE) / 100.0, 1.0) *
+       |              (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |                     / length(text)), 4) AS quality
+       |      FROM corpus),
+       |w AS (SELECT lbl.group_id, lbl.node, q.quality,
+       |        row_number() OVER (PARTITION BY lbl.group_id
+       |                           ORDER BY q.quality DESC, lbl.node) AS rn
+       |      FROM lbl JOIN q ON q.doc_id = lbl.node),
+       |g AS (SELECT group_id, count(*) AS group_size, max(quality) AS best_quality
+       |      FROM w GROUP BY 1)
+       |SELECT g.group_id, g.group_size, w.node AS keep_doc_id, g.best_quality
+       |FROM g JOIN w ON w.group_id = g.group_id AND w.rn = 1
+       |WHERE g.group_size >= 2""".stripMargin
+
   private def simhashOracle: String = {
     val nibCols = (0 until 16)
       .map(p => s"CAST('0x' || substr(h, ${p + 1}, 1) AS BIGINT) AS n$p").mkString(", ")
@@ -509,6 +579,16 @@ object ExtQueries {
 
     "dedup_minhash" -> minhashOracle,
     "dedup_groups" -> groupsOracle,
+    "dedup_keep_best" -> keepBestOracle,
+    "stratified_sample" ->
+      """SELECT doc_id, lang, h FROM (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |                    doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20""".stripMargin,
     "dedup_groups_df" -> groupsOracle,
     "dedup_corpus" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -33,4 +33,41 @@ class ExtQueriesSpec extends SparkSpec {
     // perturbed copy drops the last 3 tokens
     assert(both(7L + ExtQueries.NearDupOffset) == "one two three four five")
   }
+
+  test("stratified_sample keeps exactly k per stratum, stable across runs") {
+    val out = ExtQueries.queries("stratified_sample")(spark, sf)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.nonEmpty && perLang.values.forall(_ == 20L),
+      s"every stratum contributes exactly k=20: $perLang")
+    // Deterministic: a second evaluation selects the identical members.
+    val again = ExtQueries.queries("stratified_sample")(spark, sf)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("dedup_keep_best keeps the max-quality member of every group") {
+    val out = ExtQueries.queries("dedup_keep_best")(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // The kept doc's quality IS the group's best quality, and groups
+      // have ≥ 2 members (perturbed copies guarantee pairs exist).
+      assert(out.filter(col("group_size") < 2).isEmpty)
+      // Winner choice differs from keep-min-id for at least some groups
+      // when the perturbed (lower-quality, truncated) copy has the
+      // smaller group id is impossible by construction (originals have
+      // smaller ids) — so instead assert the invariant directly: no
+      // group member outscores the winner. Recompute member qualities.
+      val docs = ExtQueries.withNearDups(
+        graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      val toks = size(graft.ext.TextOps.tokens(col("text"))).cast("long")
+      val len = length(col("text")).cast("long")
+      val punct = graft.ext.TextOps.punctCount(col("text"))
+      val q = docs.select(col("doc_id"),
+        round(least(toks.cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - punct.cast("double") / len), 4).as("quality"))
+      val winners = out.join(q, out("keep_doc_id") === q("doc_id"))
+      assert(winners.filter(col("quality") =!= col("best_quality")).isEmpty,
+        "kept doc must carry the group's best quality")
+    } finally out.unpersist()
+  }
 }
