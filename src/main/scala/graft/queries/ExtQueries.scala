@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, TextOps, VectorOps, ZOrder}
+import graft.ext.{Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, TextOps, VectorOps, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -341,6 +341,31 @@ object ExtQueries {
         .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
         .withColumn("centroid_q",
           round(col("sum_q").cast("double") / (col("n") * 1000.0), 6))
+    },
+
+    // Sequence packing (round 5) — every doc's shard / token offset /
+    // fixed-length-sequence index in the deterministic concatenation
+    // order a training loader consumes (ext.Packing: per-shard running
+    // sums — one exchange + one sort per shard, never a global sort).
+    "pack_sequences" -> { (s, d) =>
+      Packing.packOffsets(Tables.documents(s, d), col("doc_id"),
+        size(TextOps.tokens(col("text"))), nShards = 8, seqLen = 256)
+    },
+
+    // Within-doc repetition quality signals (round 5) — Gopher-style
+    // token-diversity / top-token-mass / duplicate-bigram filters
+    // (ext.Repetition: array stats ride the scan; one explode-agg tree
+    // for the top-token count — text scanned once).
+    "doc_repetition" -> { (s, d) =>
+      Repetition.stats(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+
+    // Benchmark-contamination check (round 5) — per-train-doc distinct
+    // 3-gram overlap with the deterministic eval shards
+    // (ext.Contamination: broadcast eval hash set, train side never
+    // shuffles text).
+    "contam_check" -> { (s, d) =>
+      Contamination.check(Tables.documents(s, d), col("doc_id"), col("text"))
     },
 
     // Z-order (Morton) clustering key (round 5) — multi-dimensional
@@ -747,6 +772,64 @@ object ExtQueries {
         |SELECT label, dim, sum(q) AS sum_q, count(*) AS n,
         |       round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000.0), 6) AS centroid_q
         |FROM q GROUP BY label, dim""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM documents),
+         |w AS (SELECT doc_id, n_tokens, h % 8 AS shard,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_toks
+         |  FROM t)
+         |SELECT doc_id, n_tokens, shard, offset_toks,
+         |       offset_toks // 256 AS pack_seq
+         |FROM w""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+        |bi AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS b,
+        |              lead(w, 1) OVER win AS w1
+        |       FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(count(DISTINCT b) AS BIGINT) AS n_db
+        |       FROM bi WHERE w1 IS NOT NULL GROUP BY 1),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS n_distinct,
+        |              CAST(max(c) AS BIGINT) AS top_cnt
+        |       FROM tc GROUP BY 1)
+        |SELECT ts.doc_id, ts.n_tokens, ts.n_distinct,
+        |  round(CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens, 4) AS distinct_ratio,
+        |  ts.top_cnt,
+        |  round(CAST(ts.top_cnt AS DOUBLE) / ts.n_tokens, 4) AS top_token_frac,
+        |  coalesce(bs.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN coalesce(bs.n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(bs.n_bigrams - bs.n_db AS DOUBLE) / bs.n_bigrams, 4)
+        |  END AS dup_bigram_frac
+        |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin,
+
+    "contam_check" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+         |shg AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
+         |               lead(w,2) OVER win AS w2
+         |        FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |hv AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 AS shard,
+         |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+         |       FROM shg WHERE w2 IS NOT NULL),
+         |ev AS (SELECT DISTINCT h FROM hv WHERE shard < 2),
+         |tr AS (SELECT DISTINCT doc_id, h FROM hv WHERE shard >= 2),
+         |agg AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |          CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+         |        FROM tr LEFT JOIN ev ON ev.h = tr.h GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_contam,
+         |       round(CAST(n_contam AS DOUBLE) / n_shingles, 4) AS contam_frac
+         |FROM agg""".stripMargin,
 
     "zorder_cluster" -> {
       val z = ZOrder.interleave16Sql("(l_partkey % 65536)", "(l_suppkey % 65536)")

@@ -293,6 +293,24 @@ object ParityQueries {
         .withColumnRenamed("tie", "o_orderkey")
     },
 
+    // Pivot (wide-table reshape, round 5) — groupBy().pivot() with
+    // EXPLICIT pivot values: without them Spark schedules a separate
+    // distinct job just to discover the columns; with them the whole
+    // reshape is ONE partial+final HashAggregate of pivot-aggregates —
+    // map-side combined, single pass at any scale. Absent combinations
+    // surface as null from the pivot and are coalesced to 0 so the
+    // contract matches the sum(CASE) formulation exactly.
+    "pivot_events" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val counts = types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t"))
+      val total = types.map(t => coalesce(col(t), lit(0L))).reduce(_ + _)
+      p.select(col("user_id") +: counts :+ total.as("n_total"): _*)
+    },
+
     // M — the typed Aggregator surface (Dataset[SensorReading] →
     // SensorStats) as a first-class query: one-pass algebraic
     // avg/min/max/count per (machine, sensor) through the typed API.
@@ -514,6 +532,20 @@ object ParityQueries {
     // avg_value replicates Stats.avg4's EXACT decimal HALF_UP rounding
     // with integer math: values are 2 dp, so sum*10^4 is the integer
     // a = cents*100 and HALF_UP(a/n) = (2a + n) // (2n).
+    "pivot_events" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)
+        |     + sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)
+        |     + sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     + sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)
+        |     + sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "sensor_stats" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS machine_id,

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-5 training-pipeline operators: sequence packing, repetition
+  * quality signals, benchmark-contamination detection. */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Packing --------------------------------------------------------
+
+  private lazy val packDocs = (0L until 200L)
+    .map(i => (i, ("tok " * ((i % 37).toInt + 1)).trim)).toDF("doc_id", "text")
+
+  test("packOffsets: per-shard offsets are contiguous and non-overlapping") {
+    val out = Packing.packOffsets(packDocs, col("doc_id"),
+      size(TextOps.tokens(col("text"))), nShards = 4, seqLen = 64)
+    val rows = out.collect().map(r => (r.getLong(2), r.getLong(0),
+      r.getLong(1), r.getLong(3), r.getLong(4))) // shard, doc, n, off, pack
+    assert(rows.length == 200, "every doc packed exactly once")
+    rows.groupBy(_._1).foreach { case (_, inShard) =>
+      // sorted by offset, each doc starts exactly where the previous ended
+      val sorted = inShard.sortBy(_._4)
+      assert(sorted.head._4 == 0L, "first doc of a shard starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, n, off, _), (_, _, _, off2, _)) =>
+          assert(off2 == off + n, "offsets contiguous within shard")
+        case _ =>
+      }
+      // pack_seq is the fixed-length sequence index of the start offset
+      sorted.foreach { case (_, _, _, off, pack) =>
+        assert(pack == off / 64, "pack_seq = offset div seqLen")
+      }
+    }
+  }
+
+  test("packOffsets is deterministic and growth-stable per shard stream") {
+    val a = Packing.packOffsets(packDocs, col("doc_id"),
+      size(TextOps.tokens(col("text"))), nShards = 4, seqLen = 64).collect().toSet
+    val b = Packing.packOffsets(packDocs, col("doc_id"),
+      size(TextOps.tokens(col("text"))), nShards = 4, seqLen = 64).collect().toSet
+    assert(a == b)
+  }
+
+  // ---- Repetition -----------------------------------------------------
+
+  test("repetition stats: known answers, case folding, single-token doc") {
+    val docs = Seq(
+      (1L, "a a a b"),         // 4 toks, 2 distinct, top 3; bigrams: aa aa ab
+      (2L, "A a"),             // case-folds to a a
+      (3L, "solo"),            // no bigrams
+      (4L, "w x y z")          // fully distinct
+    ).toDF("doc_id", "text")
+    val out = Repetition.stats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 4L && d1.getLong(2) == 2L)
+    assert(d1.getDouble(3) == 0.5)
+    assert(d1.getLong(4) == 3L && d1.getDouble(5) == 0.75)
+    assert(d1.getLong(6) == 3L && d1.getDouble(7) == 0.3333)
+
+    val d2 = out(2L)
+    assert(d2.getLong(4) == 2L, "tokens are case-folded before counting")
+
+    val d3 = out(3L)
+    assert(d3.getLong(6) == 0L && d3.getDouble(7) == 0.0,
+      "single-token doc has zero bigrams and zero dup fraction")
+
+    val d4 = out(4L)
+    assert(d4.getDouble(3) == 1.0 && d4.getDouble(7) == 0.0)
+  }
+
+  // ---- Contamination --------------------------------------------------
+
+  test("contamination matches an independently computed shingle overlap") {
+    // word-bag docs: a shared pool with deliberate trigram collisions
+    // plus per-doc-unique vocab docs that can never be contaminated
+    val docs = (0L until 60L).map { i =>
+      val words =
+        if (i % 2 == 0) (0 until 8).map(k => s"w${(i + k) % 23}")
+        else (0 until 8).map(k => s"u${i}x$k")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val out = Contamination.check(docs, col("doc_id"), col("text"),
+      nShards = 5, evalKeep = 1, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // independent expectation: plain Scala shingling + set intersection
+    val shard = docs.select(col("doc_id"),
+      Sampling.shard(col("doc_id"), 5).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def shingles(text: String): Set[String] =
+      text.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalSh = texts.collect { case (id, t) if shard(id) < 1 => shingles(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = texts.collect { case (id, t) if shard(id) >= 1 =>
+      val sh = shingles(t)
+      id -> ((sh.size.toLong, sh.count(evalSh.contains).toLong))
+    }.toMap
+
+    assert(out.keySet == expected.keySet, "output covers exactly the train docs")
+    expected.foreach { case (id, (nSh, nC)) =>
+      assert(out(id)._1 == nSh, s"doc $id distinct shingles")
+      assert(out(id)._2 == nC, s"doc $id contaminated shingles")
+    }
+    // sanity: the fixture actually exercises both outcomes
+    assert(expected.values.exists(_._2 > 0), "some contamination present")
+    assert(expected.values.exists(_._2 == 0), "some clean docs present")
+  }
+}
