@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Ingest, Retention, Windows}
+import graft.ops.{Ingest, Merge, Retention, Windows}
 import graft.plans.TopKPerKey
 
 /** Reference-parity operators (SURVEY §2) as driver-contract queries over
@@ -293,6 +293,42 @@ object ParityQueries {
         .withColumnRenamed("tie", "o_orderkey")
     },
 
+    // CDC merge (round 5) — apply a keyed insert/update/delete changeset
+    // to a snapshot (ops.Merge: the incremental MERGE INTO analog of the
+    // reference's nightly full overwrite). The changeset is synthesized
+    // deterministically from the snapshot's own keys (key mod 10 routes
+    // each row to D / U / pass-through, +1e9-offset inserts) so the gate
+    // exercises all three ops on pure read-only inputs. Broadcast
+    // changes; the snapshot never shuffles.
+    "cdc_merge" -> { (s, d) =>
+      val base = Tables.customer(s, d)
+      val m = pmod(col("c_custkey"), lit(10L))
+      val snap = base.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val dels = base.filter(m === 0)
+        .select(col("c_custkey"), lit("D").as("op"), col("c_name"), col("c_acctbal"))
+      val upds = base.filter(m.isin(1L, 2L, 3L))
+        .select(col("c_custkey"), lit("U").as("op"), col("c_name"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+      val ins = base.filter(m === 4)
+        .select((col("c_custkey") + lit(1000000000L)).as("c_custkey"),
+          lit("I").as("op"), concat(lit("NEW-"), col("c_name")).as("c_name"),
+          col("c_acctbal"))
+      Merge(snap, dels.unionByName(upds).unionByName(ins),
+        "c_custkey", Seq("c_name", "c_acctbal"))
+    },
+
+    // Value histogram (round 5) — fixed-width binning for data
+    // profiling / outlier triage: floor(value/width) is exact IEEE math
+    // in any engine, one partial+final HashAggregate, no shuffle of raw
+    // rows beyond the bin-keyed exchange.
+    "value_histogram" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 5.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("min_v"),
+          round(max(col("value")), 4).as("max_v"))
+    },
+
     // Pivot (wide-table reshape, round 5) — groupBy().pivot() with
     // EXPLICIT pivot values: without them Spark schedules a separate
     // distinct job just to discover the columns; with them the whole
@@ -532,6 +568,35 @@ object ParityQueries {
     // avg_value replicates Stats.avg4's EXACT decimal HALF_UP rounding
     // with integer math: values are 2 dp, so sum*10^4 is the integer
     // a = cents*100 and HALF_UP(a/n) = (2a + n) // (2n).
+    "cdc_merge" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, 'D' AS op, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'U', c_name, c_acctbal + 100.0
+        |  FROM customer WHERE c_custkey % 10 IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000000, 'I', 'NEW-' || c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 4),
+        |m AS (
+        |  SELECT s.c_custkey,
+        |         CASE WHEN ch.op = 'U' THEN ch.c_name ELSE s.c_name END AS c_name,
+        |         CASE WHEN ch.op = 'U' THEN ch.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+        |         CASE WHEN ch.op = 'U' THEN 'updated' ELSE 'kept' END AS row_status
+        |  FROM customer s LEFT JOIN ch ON ch.c_custkey = s.c_custkey
+        |  WHERE ch.op IS NULL OR ch.op <> 'D')
+        |SELECT c_custkey, c_name, c_acctbal, row_status FROM m
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'inserted' AS row_status
+        |FROM ch WHERE op = 'I'""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |       count(*) AS n,
+        |       round(min(value), 4) AS min_v,
+        |       round(max(value), 4) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+
     "pivot_events" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private lazy val snapshot = Seq(
+    (1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0),
+    (4L, "dave", 40.0)).toDF("id", "name", "bal")
+
+  private lazy val changes = Seq(
+    (2L, "U", "bob2", 25.0),   // update payload
+    (3L, "D", "", 0.0),        // delete
+    (9L, "I", "iris", 90.0)    // insert
+  ).toDF("id", "op", "name", "bal")
+
+  test("merge applies inserts, updates, and deletes; untouched rows kept") {
+    val out = Merge(snapshot, changes, "id", Seq("name", "bal"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      (1L, "alice", 10.0, "kept"),
+      (2L, "bob2", 25.0, "updated"),
+      (4L, "dave", 40.0, "kept"),
+      (9L, "iris", 90.0, "inserted")))
+  }
+
+  test("merge is idempotent for an empty changeset") {
+    val empty = changes.filter(lit(false))
+    val out = Merge(snapshot, empty, "id", Seq("name", "bal"))
+    assert(out.filter(col("row_status") =!= "kept").count() == 0)
+    assert(out.count() == 4)
+  }
+
+  test("the snapshot side joins by broadcast — no snapshot shuffle") {
+    val out = Merge(snapshot, changes, "id", Seq("name", "bal"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, "changeset must broadcast against the snapshot scan")
+  }
+}
