@@ -51,4 +51,44 @@ object Merge {
       .select(col(key) +: payload.map(col) :+ lit("inserted").as("row_status"): _*)
     merged.unionByName(inserts)
   }
+
+  /** Streaming CDC apply — maintain a parquet snapshot from a stream of
+    * change rows (the streaming half of lake `MERGE INTO`): each
+    * micro-batch is compacted to its LATEST change per key (max_by over
+    * the sequence column — a batch may carry several ops for one key;
+    * CDC replays apply in log order), then merged via [[apply]] and the
+    * snapshot overwritten.
+    *
+    * The read→eager-localCheckpoint→overwrite cycle materializes the
+    * merged state in the block manager before any file is replaced, so
+    * the overwrite never reads its own partially-written output. At
+    * 100 TB the snapshot would be date/bucket-partitioned and only the
+    * partitions the batch touches dynamically overwritten (io.Sinks
+    * pattern); the single-directory form here is the semantics
+    * contract, exercised by MergeSpec.
+    *
+    * Exactly-once: foreachBatch is at-least-once per batch id; the
+    * merge is idempotent for a replayed batch (same latest-change set
+    * produces the same snapshot), matching the engine's other
+    * foreachBatch sinks (J6).
+    */
+  def streamApply(changes: DataFrame, key: String, payload: Seq[String],
+      seq: String, snapshotDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val latest = batch.groupBy(col(key))
+            .agg(max_by(struct(col("op") +: payload.map(col): _*), col(seq)).as("r"))
+            .select(col(key) +: col("r.op").as("op") +:
+              payload.map(c => col(s"r.$c").as(c)): _*)
+          val snap = s.read.parquet(snapshotDir)
+          val merged = apply(snap, latest, key, payload)
+            .drop("row_status").localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(snapshotDir)
+        }
+      }
+      .start()
 }

@@ -293,6 +293,59 @@ object ParityQueries {
         .withColumnRenamed("tie", "o_orderkey")
     },
 
+    // CUBE aggregation (round 5) — all 4 grouping combinations of
+    // (region, nation) in one logical aggregate next to rollup_agg's
+    // hierarchy. Spark plans Expand (4 output rows per input) + one
+    // hash aggregate: the multiplier rides the already-tiny
+    // post-broadcast-join rows, never the fact scan. Decimal-exact sum,
+    // same as rollup.
+    "cube_agg" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    },
+
+    // Ranking-function suite (round 5) — rank/dense_rank/percent_rank/
+    // cume_dist over a TIES-bearing ordering (value bucketed to force
+    // ties: tied rows share each rank-family value, so the output is
+    // deterministic without a total order), plus ntile(4) over its own
+    // TOTAL ordering (ntile splits ties arbitrarily, so it gets the
+    // event_id tiebreak). Both window specs share the user_id
+    // partitioning: ONE exchange, two sorts. Per-user partitions are
+    // user-cardinality wide — the scalable window axis (a global rank
+    // at 100 TB would instead use range-partitioned sort + offset
+    // merge).
+    "rank_suite" -> { (s, d) =>
+      val bucket = floor(col("value") / 10.0).cast("long")
+      val wTies = Window.partitionBy(col("user_id")).orderBy(col("bucket").desc)
+      val wTotal = Window.partitionBy(col("user_id"))
+        .orderBy(col("bucket").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), bucket.as("bucket"))
+        .withColumn("rnk", rank().over(wTies))
+        .withColumn("drnk", dense_rank().over(wTies))
+        .withColumn("prank", round(percent_rank().over(wTies), 6))
+        .withColumn("cdist", round(cume_dist().over(wTies), 6))
+        .withColumn("quartile", ntile(4).over(wTotal))
+    },
+
+    // Time-range moving aggregate (round 5) — trailing 30 s average per
+    // key via a RANGE frame (physical-time window, unlike
+    // window_running's ROWS frame): one exchange + one sort per key.
+    // The count anchor is exact integer math; the average is rounded so
+    // summation-order drift can't flip the hash gate.
+    "range_avg" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-30L * Tables.MicrosPerSecond, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), tsUs.as("ts_us"), col("value"))
+        .withColumn("n_trailing", count(lit(1)).over(w))
+        .withColumn("avg_trailing", round(avg(col("value")).over(w), 4))
+    },
+
     // CDC merge (round 5) — apply a keyed insert/update/delete changeset
     // to a snapshot (ops.Merge: the incremental MERGE INTO analog of the
     // reference's nightly full overwrite). The changeset is synthesized
@@ -568,6 +621,36 @@ object ParityQueries {
     // avg_value replicates Stats.avg4's EXACT decimal HALF_UP rounding
     // with integer math: values are 2 dp, so sum*10^4 is the integer
     // a = cents*100 and HALF_UP(a/n) = (2a + n) // (2n).
+    "cube_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)""".stripMargin,
+
+    "rank_suite" ->
+      """SELECT user_id, event_id,
+        |       CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |       rank()       OVER wt AS rnk,
+        |       dense_rank() OVER wt AS drnk,
+        |       round(percent_rank() OVER wt, 6) AS prank,
+        |       round(cume_dist()    OVER wt, 6) AS cdist,
+        |       ntile(4) OVER (PARTITION BY user_id
+        |                      ORDER BY CAST(floor(value / 10.0) AS BIGINT) DESC,
+        |                               event_id) AS quartile
+        |FROM events
+        |WINDOW wt AS (PARTITION BY user_id
+        |              ORDER BY CAST(floor(value / 10.0) AS BIGINT) DESC)""".stripMargin,
+
+    "range_avg" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+        |       round(avg(value) OVER w, 4) AS avg_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "cdc_merge" ->
       """WITH ch AS (
         |  SELECT c_custkey, 'D' AS op, c_name, c_acctbal

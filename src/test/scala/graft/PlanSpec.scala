@@ -147,4 +147,46 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() ==
       spark.read.parquet(s"$dir/lake").select("day").distinct().count())
   }
+
+  test("rank_suite: both window specs share ONE exchange (two sorts)") {
+    // wTies and wTotal partition identically (user_id) and differ only
+    // in ordering — Catalyst must reuse the hash exchange and pay a
+    // second Sort, never a second shuffle.
+    val p = plan("rank_suite")
+    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+    assert(n("Exchange hashpartitioning") == 1,
+      s"expected one shuffle, got ${n("Exchange hashpartitioning")}:\n$p")
+    assert(n("Sort [") == 2, s"expected two sorts, got ${n("Sort [")}:\n$p")
+  }
+
+  test("range_avg plans a RANGE frame over one exchange + one sort") {
+    val p = plan("range_avg")
+    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+    assert(p.contains("RangeFrame"), s"expected a RANGE window frame:\n$p")
+    assert(n("Exchange hashpartitioning") == 1 && n("Sort [") == 1,
+      s"expected 1 exchange + 1 sort:\n$p")
+  }
+
+  test("pack_sequences: one shard exchange, one per-shard sort, no global sort") {
+    val p = plan("pack_sequences")
+    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+    assert(n("Exchange hashpartitioning") == 1,
+      s"expected one hash exchange on shard:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort would serialize the corpus:\n$p")
+    assert(n("Sort [") == 1, s"expected one per-shard sort:\n$p")
+  }
+
+  test("cube_agg expands grouping sets over broadcast-joined dims") {
+    val p = plan("cube_agg")
+    assert(p.contains("Expand"), s"CUBE should plan an Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"dims must broadcast:\n$p")
+  }
+
+  test("contam_check broadcasts the eval shingle set against the train side") {
+    val p = plan("contam_check")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval set must broadcast — the train side never shuffles text:\n$p")
+  }
 }
