@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BenchQueries, ExtQueries, ParityQueries}
+import graft.queries.{AnalyticsQueries, BenchQueries, ExtQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,10 +30,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.5
     * extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ BenchQueries.queries ++ ExtQueries.queries
+    ParityQueries.queries ++ BenchQueries.queries ++ ExtQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ BenchQueries.oracleSql ++ ExtQueries.oracleSql
+    ParityQueries.oracleSql ++ BenchQueries.oracleSql ++ ExtQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 }

@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{InvertedIndex, QualityFilter, TextOps}
+import graft.ops.{GapFill, Trend}
+
+/** Round-5 analytics + corpus-governance queries: time-series
+  * densification, trend fitting, behavioral funnels/cohorts, a TPC-H Q8
+  * market-share join tree, and the retrieval/filter side of the
+  * training-data pipeline (inverted index, C4-style quality filter).
+  *
+  * Cross-engine conventions are SparkEntry's: epoch-micros integer time
+  * math, decimal-exact money sums, integer-encoded series for exact
+  * sufficient statistics, 4-8 dp rounding on any float that survived a
+  * division.
+  */
+object AnalyticsQueries {
+
+  /** 2024-01-01 00:00 UTC (a Monday) in epoch micros — the fixed origin
+    * for minute/week bucketing of `events.ts` (data spans 2024-01-01 →
+    * 2024-01-30, so offsets are always non-negative and `div` ≡ floor
+    * in both engines). */
+  val OriginUs = 1704067200000000L
+
+  private val WeekUs = 7L * Tables.MicrosPerDay
+
+  /** decimal-exact money sum (BenchQueries convention). */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Time-series gap fill (ops.GapFill): dense hourly grid per user
+    // with forward-filled averages — the TimescaleDB
+    // time_bucket_gapfill/locf capability (init-db.sql hypertable
+    // consumers) rebuilt Spark-side. Raw events cross ONE exchange;
+    // the grid/window stages run on keys × hours rows.
+    "gap_fill" -> { (s, d) =>
+      GapFill.hourlyFill(Tables.events(s, d), Seq(col("user_id")),
+        Tables.tsUs, col("value"), bucketUs = 3600L * Tables.MicrosPerSecond)
+    },
+
+    // Per-user value trend (ops.Trend): least-squares slope over
+    // (minutes-since-origin, centi-value) — both LONG-encoded so the
+    // five sufficient statistics are exact integer sums; the single
+    // closing division is the only float op. One partial+final
+    // HashAggregate over the scan.
+    "trend_slope" -> { (s, d) =>
+      Trend.slope(Tables.events(s, d), Seq(col("user_id")),
+        x = expr(s"(ts div 1000 - $OriginUs) div 60000000"),
+        y = floor(col("value") * 100 + lit(0.5)).cast("long"))
+    },
+
+    // First-touch funnel: of all users, how many ever signed up; of
+    // those, how many first-clicked after first-signup; of those, how
+    // many first-purchased after first-click. Conditional mins make it
+    // ONE pass + one tiny rollup — no per-stage self-joins (the naive
+    // funnel is K joins over the event log; at 100 TB that's K
+    // shuffles of the full stream).
+    "funnel_stages" -> { (s, d) =>
+      val per = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsUs.as("tus"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("tus"))).as("s"),
+          min(when(col("event_type") === "click", col("tus"))).as("c"),
+          min(when(col("event_type") === "purchase", col("tus"))).as("p"))
+      per.agg(
+        count(lit(1)).as("n_users"),
+        count(col("s")).as("n_signup"),
+        sum(when(col("s") < col("c"), 1L).otherwise(0L)).as("n_click_after"),
+        sum(when(col("s") < col("c") && col("c") < col("p"), 1L).otherwise(0L))
+          .as("n_purchase_after"))
+    },
+
+    // Weekly cohort retention: users bucketed by first-active week,
+    // counted per subsequent active week. distinct(user, week) is one
+    // exchange; the cohort-min window rides the SAME user partitioning
+    // on the collapsed frame (users × weeks, not events); the final
+    // rollup is tiny.
+    "cohort_retention" -> { (s, d) =>
+      val week = expr(s"(ts div 1000 - $OriginUs) div $WeekUs")
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), week.as("week"))
+        .distinct()
+      uw.withColumn("cohort_week",
+          min(col("week")).over(Window.partitionBy(col("user_id"))))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // TPC-H Q8 shape — national market share: NATION_7 suppliers' slice
+    // of ASIA customers' revenue per order year. The deepest join tree
+    // in the registry (6 tables): nation/region/supplier broadcast,
+    // customer⋈orders⋈lineitem shuffle on their keys; the CASE rides
+    // the partial aggregate so lineitem is scanned once.
+    "market_share" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val custAsia = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val supNation = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_7", col("rev")).otherwise(lit(0.0)), 4)
+            .as("nation_rev"),
+          dsum(col("rev"), 4).as("total_rev"))
+        .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 6))
+    },
+
+    // Inverted index (ext.InvertedIndex): term → exact document
+    // frequency + bounded posting sample. TopKPerKey heaps cap the
+    // hottest term at k rows per partition — the stopword posting list
+    // that swallows an aggregation buffer at corpus scale never forms.
+    "inverted_index" -> { (s, d) =>
+      InvertedIndex.build(Tables.documents(s, d), col("doc_id"), col("text"),
+        k = 100, minDf = 2L)
+    },
+
+    // C4-style quality filter (ext.QualityFilter): keep/drop verdict +
+    // auditable reasons CSV. The corpus is clean word salad, so the
+    // query unions three doc_id-offset perturbations that each trip a
+    // rule (2-token truncation → too_short; punctuation-run append →
+    // high_punct; whitespace-stripped gluing → word_len+too_short) —
+    // the oracle replicates the synthesis, so the gate verifies real
+    // verdicts, not an all-keep pass-through.
+    "quality_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val toks = TextOps.tokens(col("text"))
+      val short = docs.select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, 1, 2)).as("text"))
+      val punct = docs.select((col("doc_id") + 3000000000L).as("doc_id"),
+        concat(col("text"), lit(" "),
+          expr("repeat('.', CAST(length(text) / 2 AS INT))")).as("text"))
+      val glued = docs.select((col("doc_id") + 4000000000L).as("doc_id"),
+        expr("replace(text, ' ', '')").as("text"))
+      docs.unionByName(short).unionByName(punct).unionByName(glued)
+        .select(col("doc_id"),
+          QualityFilter.keep(col("text")).as("keep"),
+          QualityFilter.reasons(col("text")).as("reasons"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+        |a AS (SELECT user_id, tus - tus % 3600000000 AS bucket_us,
+        |             count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi
+        |      FROM a GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |      FROM b)
+        |SELECT g.user_id, g.bucket_us,
+        |       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+        |       a.avg_value,
+        |       f.avg_value AS filled_value
+        |FROM g
+        |LEFT JOIN a ON a.user_id = g.user_id AND a.bucket_us = g.bucket_us
+        |ASOF LEFT JOIN a f
+        |  ON f.user_id = g.user_id AND g.bucket_us >= f.bucket_us""".stripMargin,
+
+    // HUGEINT (DuckDB) and DECIMAL(38,0) (Spark) are both exact for the
+    // closed-form products; the nearest-double cast of the same integer
+    // and the final IEEE division agree bit-for-bit.
+    "trend_slope" ->
+      """WITH e AS (SELECT user_id,
+        |             (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |           FROM events),
+        |s AS (SELECT user_id, count(*) AS n,
+        |             sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT user_id, n, sx, sy, sxy, sxx,
+        |        CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |          - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+        |        CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |          - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+        |      FROM s)
+        |SELECT user_id, n, sx, sy, sxy, sxx,
+        |       CASE WHEN den <> 0
+        |            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 8)
+        |       END AS slope
+        |FROM t""".stripMargin,
+
+    "funnel_stages" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |       count(s) AS n_signup,
+        |       CAST(sum(CASE WHEN s < c THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+        |       CAST(sum(CASE WHEN s < c AND c < p THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+        |FROM per""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              (epoch_us(ts) - 1704067200000000) // 604800000000 AS week
+        |            FROM events),
+        |c AS (SELECT user_id, week,
+        |             min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |      FROM uw)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       count(*) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "market_share" ->
+      """WITH l AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS rev,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+        |SELECT o_year,
+        |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0.0 END
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+        |  round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0.0 END
+        |       AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+        |FROM l GROUP BY 1""".stripMargin,
+
+    "inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                  x -> x <> '')) AS term
+        |    FROM documents) u),
+        |c AS (SELECT term, count(*) AS n_docs FROM td
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |p AS (SELECT term,
+        |             array_to_string((list(doc_id ORDER BY doc_id))[1:100], ',') AS postings_csv
+        |      FROM td GROUP BY 1)
+        |SELECT c.term, c.n_docs, p.postings_csv
+        |FROM c JOIN p USING (term)""".stripMargin,
+
+    "quality_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000,
+        |         array_to_string(
+        |           (list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))[1:2], ' ')
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000,
+        |         text || ' ' || repeat('.', length(text) // 2)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, replace(text, ' ', '') FROM documents),
+        |m AS (SELECT doc_id, text,
+        |        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+        |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+        |      FROM aug),
+        |r AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(length(array_to_string(toks, '')) AS BIGINT) AS char_sum,
+        |        n_punct,
+        |        CAST(length(text) AS BIGINT) AS text_len
+        |      FROM m),
+        |f AS (SELECT doc_id,
+        |        (n_words < 5) AS too_short,
+        |        (n_words > 50000) AS too_long,
+        |        (n_words > 0 AND (CAST(char_sum AS DOUBLE) / n_words < 2.0
+        |                          OR CAST(char_sum AS DOUBLE) / n_words > 15.0)) AS word_len,
+        |        (text_len > 0 AND CAST(n_punct AS DOUBLE) / text_len > 0.2) AS high_punct
+        |      FROM r)
+        |SELECT doc_id,
+        |       NOT (too_short OR too_long OR word_len OR high_punct) AS keep,
+        |       concat_ws(',',
+        |         CASE WHEN too_short THEN 'too_short' END,
+        |         CASE WHEN too_long THEN 'too_long' END,
+        |         CASE WHEN word_len THEN 'word_len' END,
+        |         CASE WHEN high_punct THEN 'high_punct' END) AS reasons
+        |FROM f""".stripMargin
+  )
+}

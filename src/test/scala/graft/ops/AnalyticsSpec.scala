@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.{InvertedIndex, QualityFilter}
+
+/** Round-5 analytics operators: gap fill, trend slope, funnel/cohort
+  * logic, inverted index, quality filter — known-answer cases on tiny
+  * literal frames (the DuckDB oracle gates the corpus-scale behavior).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // 1 hour in micros
+
+  test("gap_fill densifies the grid and forward-fills gaps") {
+    // key 1: observations at hours 0, 3 (gap at 1, 2); key 2: single hour.
+    val df = Seq(
+      (1L, 0L * H + 5L, 10.0), (1L, 0L * H + 6L, 20.0),
+      (1L, 3L * H + 1L, 40.0),
+      (2L, 7L * H + 2L, 7.5)
+    ).toDF("k", "tus", "v")
+    val out = GapFill.hourlyFill(df, Seq(col("k")), col("tus"), col("v"), H)
+      .orderBy(col("k"), col("bucket_us"))
+      .select(col("k"), col("bucket_us"), col("n_events"), col("avg_value"), col("filled_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+
+    assert(out === Seq(
+      (1L, 0L, 2L, Some(15.0), 15.0),
+      (1L, H, 0L, None, 15.0),      // gap: carried forward
+      (1L, 2 * H, 0L, None, 15.0),  // gap: still carried
+      (1L, 3 * H, 1L, Some(40.0), 40.0),
+      (2L, 7 * H, 1L, Some(7.5), 7.5)))
+  }
+
+  test("gap_fill plans one scan, no join; raw rows cross one exchange") {
+    // the lead/sequence design: the input is scanned once and crosses
+    // only the bucket-aggregate exchange (as map-side partials); the
+    // second exchange repartitions the collapsed keys×buckets frame for
+    // the lead() window. Gap rows are generated, never joined — a
+    // grid-and-join formulation shows a second scan of the input and a
+    // join here (it did, before this design replaced it).
+    val df = Seq((1L, 5L, 1.0)).toDF("k", "tus", "v")
+    val plan = GapFill.hourlyFill(df, Seq(col("k")), col("tus"), col("v"), H)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+    assert(!plan.contains("Join"), plan)
+    assert("LocalTableScan".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("trend slope recovers an exact linear relationship") {
+    // y = 3x + 7 exactly → slope 3.0 regardless of x spacing.
+    val pts = Seq((1L, 0L), (1L, 2L), (1L, 5L), (1L, 11L))
+      .map { case (k, x) => (k, x, 3 * x + 7) }
+    val out = Trend.slope(pts.toDF("k", "x", "y"),
+      Seq(col("k")), col("x"), col("y")).collect().head
+    assert(out.getAs[Double]("slope") === 3.0)
+    assert(out.getAs[Long]("n") === 4L)
+  }
+
+  test("trend slope is null for degenerate groups") {
+    // constant x (den = 0) and single-point groups have no defined slope.
+    val df = Seq((1L, 4L, 10L), (1L, 4L, 20L), (2L, 9L, 1L)).toDF("k", "x", "y")
+    val rows = Trend.slope(df, Seq(col("k")), col("x"), col("y"))
+      .orderBy(col("k")).collect()
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("slope"))))
+  }
+
+  test("trend slope detects a negative drift") {
+    val pts = Seq.tabulate(10)(i => (1L, i.toLong, 1000L - 5 * i))
+    val out = Trend.slope(pts.toDF("k", "x", "y"),
+      Seq(col("k")), col("x"), col("y")).collect().head
+    assert(out.getAs[Double]("slope") === -5.0)
+  }
+
+  test("first-touch funnel counts respect event ordering") {
+    // u1: signup→click→purchase (full funnel); u2: click BEFORE signup
+    // (not converted); u3: signup only; u4: no signup at all.
+    val e = Seq(
+      (1L, 100L, "signup"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "click"), (2L, 200L, "signup"), (2L, 300L, "purchase"),
+      (3L, 100L, "signup"),
+      (4L, 100L, "view")
+    ).toDF("user_id", "tus", "event_type")
+    val per = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("tus"))).as("s"),
+      min(when(col("event_type") === "click", col("tus"))).as("c"),
+      min(when(col("event_type") === "purchase", col("tus"))).as("p"))
+    val out = per.agg(
+      count(lit(1)).as("n_users"),
+      count(col("s")).as("n_signup"),
+      sum(when(col("s") < col("c"), 1L).otherwise(0L)).as("n_click_after"),
+      sum(when(col("s") < col("c") && col("c") < col("p"), 1L).otherwise(0L))
+        .as("n_purchase_after")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      === ((4L, 3L, 1L, 1L)))
+  }
+
+  test("inverted index: exact df, capped deterministic postings") {
+    val docs = (1L to 30L).map(i => (i, if (i % 3 == 0) "alpha beta" else "alpha"))
+      .toDF("doc_id", "text")
+    val out = InvertedIndex.build(docs, col("doc_id"), col("text"), k = 5, minDf = 2L)
+      .orderBy(col("term")).collect()
+    val byTerm = out.map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // alpha appears in all 30 docs — df exact, postings capped to the 5
+    // smallest ids.
+    assert(byTerm("alpha") === ((30L, "1,2,3,4,5")))
+    // beta in every 3rd doc — under the cap, full sorted list.
+    assert(byTerm("beta") === ((10L, "3,6,9,12,15")))
+  }
+
+  test("inverted index drops sub-minDf terms") {
+    val docs = Seq((1L, "rare common"), (2L, "common")).toDF("doc_id", "text")
+    val terms = InvertedIndex.build(docs, col("doc_id"), col("text"), k = 5, minDf = 2L)
+      .select(col("term")).as[String].collect().toSet
+    assert(terms === Set("common"))
+  }
+
+  test("quality filter rules fire on the right pathologies") {
+    val cases = Seq(
+      (1L, "a perfectly ordinary sentence with enough words here"), // clean
+      (2L, "too few"),                                        // too_short
+      (3L, "lots of dots here we go ....................."),  // high_punct
+      (4L, "ok ok supercalifragilisticexpialidociousreduplicated ok notenoughwordstofail" +
+        " pneumonoultramicroscopicsilicovolcanoconiosis longtokensdominatethemeanlength"),
+      (5L, "a b c d e f g h i j"))                            // 1-char words → word_len
+    val out = cases.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        QualityFilter.keep(col("text")).as("keep"),
+        QualityFilter.reasons(col("text")).as("reasons"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) === ((true, "")))
+    assert(out(2L) === ((false, "too_short")))
+    assert(out(3L)._1 === false)
+    assert(out(3L)._2.contains("high_punct"))
+    assert(out(4L) === ((false, "word_len")))
+    assert(out(5L) === ((false, "word_len")))
+  }
+
+  test("quality filter reasons list multiple failures in rule order") {
+    // one glued mega-token: under 5 words AND mean length over 15.
+    val out = Seq((1L, "aglueddocumentwithallwhitespaceremoved"))
+      .toDF("doc_id", "text")
+      .select(QualityFilter.keep(col("text")).as("keep"),
+        QualityFilter.reasons(col("text")).as("reasons"))
+      .collect().head
+    assert(out.getBoolean(0) === false)
+    assert(out.getString(1) === "too_short,word_len")
+  }
+}
