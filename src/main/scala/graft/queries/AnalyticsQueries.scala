@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{InvertedIndex, QualityFilter, TextOps}
+import graft.ext.{HeavyHitters, InvertedIndex, QualityFilter, TextOps}
 import graft.ops.{GapFill, Trend}
 
 /** Round-5 analytics + corpus-governance queries: time-series
@@ -154,6 +154,60 @@ object AnalyticsQueries {
         .select(col("doc_id"),
           QualityFilter.keep(col("text")).as("keep"),
           QualityFilter.reasons(col("text")).as("reasons"))
+    },
+
+    // Per-type z-score outliers with EXACT integer math: flag rows with
+    // z² > 9 via (n·y − S)² > 9·(n·Q − S²) over centi-scaled values —
+    // no float mean/variance, so both engines flag the identical row
+    // set (a float-z formulation can disagree on boundary rows). Two
+    // passes by design: the 5-row stats aggregate broadcasts back onto
+    // the scan — a window-based single-pass would shuffle every raw row
+    // by event_type (5 partitions at any scale: the degenerate layout).
+    "zscore_outliers" -> { (s, d) =>
+      val dec = "decimal(38,0)"
+      val y = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), y.as("y"))
+      val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("y").cast(dec)).as("s"),
+        sum((col("y") * col("y")).cast(dec)).as("q"))
+      val dev = col("n").cast(dec) * col("y").cast(dec) - col("s")
+      e.join(broadcast(stats), "event_type")
+        .filter(dev * dev > lit(9) * (col("n").cast(dec) * col("q") - col("s") * col("s")))
+        .select(col("event_id"), col("event_type"), col("value"))
+    },
+
+    // Text normalization — the canonical pre-dedup/pre-tokenize stage:
+    // lowercase, strip non-alphanumerics to spaces, collapse whitespace
+    // runs, trim; emits the normalized text + its md5 (the join key a
+    // normalized-exact dedup would group on). Pure map-side codegen'd
+    // string work.
+    "text_normalize" -> { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        length(norm).cast("long").as("n_chars_norm"),
+        md5(norm.cast("binary")).as("norm_md5"))
+    },
+
+    // Misra–Gries heavy hitters (ext.HeavyHitters): sketch-based token
+    // frequency, ≤ k−1 counters per partition and on the driver
+    // regardless of corpus size. Estimates are partition-layout-
+    // dependent (like HLL), so no DuckDB oracle — HeavyHittersSpec
+    // gates the MG guarantees against exact counts, and vocab_topk is
+    // the exact-formulation baseline.
+    "heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .as[String]
+        .select(HeavyHitters.misraGries(21)) // typed select: global sketch fold
+        .toDF("hh")
+        .select(explode(col("hh")).as("h"))
+        .select(col("h._1").as("token"), col("h._2").as("est_count"))
     }
   )
 
@@ -298,6 +352,32 @@ object AnalyticsQueries {
         |         CASE WHEN too_long THEN 'too_long' END,
         |         CASE WHEN word_len THEN 'word_len' END,
         |         CASE WHEN high_punct THEN 'high_punct' END) AS reasons
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // HUGEINT products are exact int128 — DuckDB's analog of the Spark
+    // side's DECIMAL(38,0); identical integer comparisons flag the
+    // identical row set.
+    "zscore_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |           FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |              sum(CAST(y AS HUGEINT)) AS s,
+        |              sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q
+        |       FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, value
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE (CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)
+        |      > 9 * (CAST(n AS HUGEINT) * q - s * s)""".stripMargin,
+
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+        |       md5(norm_text) AS norm_md5
+        |FROM t""".stripMargin
   )
 }
