@@ -208,6 +208,68 @@ object AnalyticsQueries {
         .toDF("hh")
         .select(explode(col("hh")).as("h"))
         .select(col("h._1").as("token"), col("h._2").as("est_count"))
+    },
+
+    // Re-aggregatable distinct-count sketches: per-(type, day) HLL
+    // sketches (the granularity a daily rollup job materializes), then
+    // hll_union_agg + estimate per type — distinct users over ANY day
+    // range without re-touching raw data. THE pattern that replaces
+    // count(DISTINCT) at 100 TB: raw rows fold into fixed-size binary
+    // sketches map-side; only sketches move from then on. Estimates are
+    // implementation-specific (Datasketches) → rows-only, spec-bounded
+    // against exact (HllUnionSpec in AnalyticsSpec).
+    "hll_daily_union" -> { (s, d) =>
+      val day = (Tables.tsUs - pmod(Tables.tsUs, lit(Tables.MicrosPerDay)))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), day.as("day_us"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      daily.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+    },
+
+    // FULL OUTER join — the one join type the registry didn't yet
+    // exercise. Order custkeys ≡ 0 (mod 7) are offset out of the
+    // customer domain so the right-only branch is non-empty on
+    // read-only inputs; the left-only branch is the orderless-customer
+    // set (semi_anti_join's complement). At scale: both sides shuffle
+    // on the key — full-outer has no broadcast form (every unmatched
+    // row of BOTH sides must surface), which is exactly why cdc_merge
+    // uses broadcast left + union-insert instead.
+    "full_outer_join" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        when(pmod(col("o_custkey"), lit(7)) === 0, col("o_custkey") + 1000000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_totalprice"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("both").as("side"),
+          col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("sum_price"))
+    },
+
+    // Approximate percentiles (KLL-style sketch) next to the exact
+    // `quantiles` oracle: the single-pass mergeable form that replaces
+    // exact percentile's full per-group sort+materialization at scale.
+    // Sketch estimates are accuracy-parameter- and merge-order-
+    // dependent → rows-only; AnalyticsSpec bounds them against exact
+    // percentile at rank-error 1/accuracy.
+    "approx_quantiles" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.9)),
+            lit(10000)).as("pcts"))
+        .select(col("event_type"),
+          col("pcts")(0).as("p25"), col("pcts")(1).as("p50"), col("pcts")(2).as("p90"))
     }
   )
 
@@ -378,6 +440,22 @@ object AnalyticsQueries {
         |SELECT doc_id, norm_text,
         |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
         |       md5(norm_text) AS norm_md5
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "full_outer_join" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000000
+        |              ELSE o_custkey END AS o_custkey,
+        |         count(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS key,
+        |       CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS side,
+        |       c_name,
+        |       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |       sum_price
+        |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
   )
 }

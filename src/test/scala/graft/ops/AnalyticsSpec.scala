@@ -140,6 +140,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(5L) === ((false, "word_len")))
   }
 
+  test("hll daily sketches union to near-exact distinct counts") {
+    // sketch per (key, day) then union per key must track the exact
+    // distinct count across days (HLL++ error ~1.6% at default lgK;
+    // assert 5%) — users deliberately overlap across days so the union
+    // must dedup, not add.
+    val rows = for {
+      day <- 0 until 5; u <- 0 until (100 + 10 * day)
+    } yield (day.toLong, u.toLong)
+    val df = rows.toDF("day", "user_id")
+    val daily = df.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val exact = rows.map(_._2).distinct.size // = 140
+    assert(math.abs(est - exact) <= exact * 0.05, s"est $est vs exact $exact")
+  }
+
+  test("approx percentiles track exact percentiles at high accuracy") {
+    val sfDir = sf
+    val approx = graft.SparkEntry.queries("approx_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = graft.SparkEntry.queries("quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for ((et, (a25, a50, a90)) <- approx) {
+      val (e25, e50, e90) = exact(et)
+      // rank error 1/accuracy=1e-4 over ~2k rows/group → the sketch
+      // returns an actual element within a hair of the exact rank;
+      // values are in [0, 500], so a 5-unit tolerance is generous but
+      // catches any real regression (e.g. wrong column, wrong pct).
+      assert(math.abs(a25 - e25) <= 5.0, s"$et p25 $a25 vs $e25")
+      assert(math.abs(a50 - e50) <= 5.0, s"$et p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= 10.0, s"$et p90 $a90 vs $e90")
+    }
+  }
+
   test("quality filter reasons list multiple failures in rule order") {
     // one glued mega-token: under 5 words AND mean length over 15.
     val out = Seq((1L, "aglueddocumentwithallwhitespaceremoved"))
