@@ -3,28 +3,25 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Contamination, Packing, Repetition, TextOps}
+import graft.Tables
+import graft.ops.{GapFill, Trend}
 
 /** Dev scratchpad (see .claude/skills/verify) — contents are transient.
-  * Current: 10× corpus probe for the round-5 text operators (SCALE.md
-  * methodology: replica k rotates tokens by k, id offset 100000·k). */
+  * Current: 10× events probe for the round-5 analytics operators
+  * (SCALE.md methodology: replica k offsets user_id by 1500·k, ts
+  * unchanged — 10× keys and 10× rows over the same 30-day span). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
     val sf = "/root/testdata/sf0.1"
-    val out = "/tmp/sf1x_docs"
+    val out = "/tmp/sf1x_events"
     if (!new java.io.File(out).exists()) {
-      val docs = s.read.parquet(s"$sf/documents.parquet")
-      val reps = (0 until 10).map { k =>
-        val toks = TextOps.tokens(col("text"))
-        val rotated =
-          if (k == 0) col("text")
-          else concat_ws(" ", flatten(array(
-            slice(toks, k + 1, 1000000), slice(toks, 1, k))))
-        docs.select((col("doc_id") + lit(100000L * k)).as("doc_id"),
-          rotated.as("text"))
-      }
-      reps.reduce(_ unionByName _).repartition(32)
+      val e = s.read.parquet(s"$sf/events.parquet")
+      (0 until 10).map { k =>
+        e.select(col("event_id") + lit(1000000L * k) as "event_id",
+          col("ts"), col("user_id") + lit(1500L * k) as "user_id",
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(out)
     }
     def clear(): Unit = {
@@ -40,21 +37,45 @@ object Scratch {
     def exchanges(df: DataFrame): Int =
       df.queryExecution.executedPlan.toString.linesIterator
         .count(_.contains("Exchange"))
-    val d1 = s.read.parquet(s"$sf/documents.parquet")
-    val d10 = s.read.parquet(out)
-    def pack(d: DataFrame) = Packing.packOffsets(
-      d, col("doc_id"), size(TextOps.tokens(col("text"))), 8, 256)
-    def rep(d: DataFrame) = Repetition.stats(d, col("doc_id"), col("text"))
-    def con(d: DataFrame) = Contamination.check(d, col("doc_id"), col("text"))
-    System.err.println(s"[probe] exchanges: pack=${exchanges(pack(d10))} " +
-      s"repetition=${exchanges(rep(d10))} contam=${exchanges(con(d10))}")
+
+    val e1 = s.read.parquet(s"$sf/events.parquet")
+    val e10 = s.read.parquet(out)
+    val H = 3600L * Tables.MicrosPerSecond
+    def gap(d: DataFrame) =
+      GapFill.hourlyFill(d, Seq(col("user_id")), Tables.tsUs, col("value"), H)
+    def trend(d: DataFrame) = Trend.slope(d, Seq(col("user_id")),
+      expr("(ts div 1000 - 1704067200000000) div 60000000"),
+      floor(col("value") * 100 + lit(0.5)).cast("long"))
+    def zscore(d: DataFrame) = {
+      val dec = "decimal(38,0)"
+      val y = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val ee = d.select(col("event_id"), col("event_type"), col("value"), y.as("y"))
+      val st = ee.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(col("y").cast(dec)).as("sm"), sum((col("y") * col("y")).cast(dec)).as("q"))
+      val dev = col("n").cast(dec) * col("y").cast(dec) - col("sm")
+      ee.join(broadcast(st), "event_type")
+        .filter(dev * dev > lit(9) * (col("n").cast(dec) * col("q") - col("sm") * col("sm")))
+    }
+    def cohort(d: DataFrame) = {
+      val wk = expr("(ts div 1000 - 1704067200000000) div 604800000000")
+      val uw = d.select(col("user_id"), wk.as("week")).distinct()
+      uw.withColumn("cw", min(col("week")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
+        .agg(count(lit(1)).as("n"))
+    }
+    System.err.println(s"[probe] exchanges: gap=${exchanges(gap(e10))} " +
+      s"trend=${exchanges(trend(e10))} zscore=${exchanges(zscore(e10))} " +
+      s"cohort=${exchanges(cohort(e10))}")
     for (r <- 1 to 2) {
-      time(s"pack 1x r$r")(pack(d1).count())
-      time(s"pack 10x r$r")(pack(d10).count())
-      time(s"repetition 1x r$r")(rep(d1).count())
-      time(s"repetition 10x r$r")(rep(d10).count())
-      time(s"contam 1x r$r")(con(d1).count())
-      time(s"contam 10x r$r")(con(d10).count())
+      time(s"gap_fill 1x r$r")(gap(e1).count())
+      time(s"gap_fill 10x r$r")(gap(e10).count())
+      time(s"trend 1x r$r")(trend(e1).count())
+      time(s"trend 10x r$r")(trend(e10).count())
+      time(s"zscore 1x r$r")(zscore(e1).count())
+      time(s"zscore 10x r$r")(zscore(e10).count())
+      time(s"cohort 1x r$r")(cohort(e1).count())
+      time(s"cohort 10x r$r")(cohort(e10).count())
     }
     s.stop()
   }
