@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance for algebraic rollups —
+  * the batch complement of stream/Pipeline's merge-on-sink partials,
+  * and the scale answer to the reference's nightly FULL re-extract
+  * (timescale_to_deltalake.py re-reads both tables every run): a daily
+  * rollup over an append-only fact stream should fold ONLY the new
+  * partition into the standing aggregate, never re-touch history.
+  *
+  * The view schema is the algebraic core the engine uses everywhere
+  * (F4 + exact decimal sum): keys*, n (count), sum_v (DECIMAL —
+  * merge-order-independent), min_v, max_v. Averages are derived at
+  * read time (sum/n), never stored — a stored average is not
+  * mergeable.
+  *
+  * refresh = union(standing, partial-of-new) → one hash aggregate over
+  * (|view| + |new partials|) rows. 100 TB shape: the standing view is
+  * keys-cardinality-sized (days × types, not events); the only
+  * full-data pass is over the NEW partition. Idempotence note: this is
+  * add-merge — re-folding the same partition twice double-counts, so
+  * callers pair it with partition-overwrite bookkeeping (io.Sinks
+  * dynamic overwrite / cdc sequence numbers), same at-least-once
+  * contract as the reference's JDBC sinks (SURVEY §2 J6).
+  */
+object Incremental {
+
+  /** Fold a batch of raw rows into view-shaped partials. */
+  def partials(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(value).cast("decimal(18,2)")).as("sum_v"),
+        min(col(value)).as("min_v"),
+        max(col(value)).as("max_v"))
+
+  /** Merge a standing view with new partials (both view-shaped). */
+  def merge(view: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    view.unionByName(incoming)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{HeavyHitters, InvertedIndex, QualityFilter, TextOps}
-import graft.ops.{GapFill, Trend}
+import graft.ops.{GapFill, Incremental, Trend}
 
 /** Round-5 analytics + corpus-governance queries: time-series
   * densification, trend fitting, behavioral funnels/cohorts, a TPC-H Q8
@@ -257,6 +257,91 @@ object AnalyticsQueries {
           col("sum_price"))
     },
 
+    // Incremental MV refresh (ops.Incremental): the standing daily
+    // rollup is built from history, then ONLY the newest week's events
+    // fold in — output must equal the full recompute (which is exactly
+    // what the oracle computes). The split cutoff derives from the
+    // data's own max ts, so the gate exercises a genuine
+    // history+increment merge at every scale factor. avg_value is
+    // derived from the merged exact sum at read time — stored averages
+    // don't merge.
+    "mv_refresh" -> { (s, d) =>
+      val keys = Seq("day_us", "event_type")
+      val e = Tables.events(s, d)
+        .select((Tables.tsUs - pmod(Tables.tsUs, lit(Tables.MicrosPerDay))).as("day_us"),
+          col("event_type"), col("value"))
+      // lazy cutoff: 1-row aggregate broadcast-crossed into both
+      // branches (no eager driver action; Retention.retain's pattern).
+      val cut = e.agg((max(col("day_us")) - lit(7L * Tables.MicrosPerDay)).as("cutoff"))
+      def split(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        e.crossJoin(broadcast(cut)).filter(p(col("cutoff"))).drop("cutoff")
+      val history = Incremental.partials(split(col("day_us") < _), keys, "value")
+      val fresh = Incremental.partials(split(col("day_us") >= _), keys, "value")
+      // avg at 4 dp via EXACT integer HALF_UP ((2a + n) div 2n over
+      // a = cents·100) — round(double/count) straddles engines on
+      // half-points like 307.03/8 (the sensor_stats convention).
+      // `div` (not `/` + floor): long division stays exact where the
+      // double quotient degrades past 2^53.
+      Incremental.merge(history, fresh, keys)
+        .withColumn("cents", (col("sum_v") * 100).cast("long"))
+        .selectExpr("day_us", "event_type", "n",
+          "CAST(sum_v AS DOUBLE) AS sum_value",
+          "min_v AS min_value", "max_v AS max_value",
+          "CAST((2 * cents * 100 + n) div (2 * n) AS DOUBLE) / 10000.0 AS avg_value")
+    },
+
+    // Share-of-total: each order priority's slice of total revenue via
+    // a window over the AGGREGATE output (5 rows) — the
+    // ratio_to_report shape. The global window is an empty-partition
+    // spec, which is exactly why it must sit on the post-aggregate
+    // frame: over raw data it would serialize the corpus through one
+    // partition (the plan's single-partition Exchange is fine for 5
+    // rows, fatal for 10^12).
+    "share_of_total" -> { (s, d) =>
+      val agg = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      agg.withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+        .select(col("o_orderpriority"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / col("total").cast("double"), 6).as("rev_share"))
+    },
+
+    // Explicit GROUPING SETS — the general form behind rollup_agg/
+    // cube_agg: two disjoint groupings (by region; by nation) in ONE
+    // Expand + hash aggregate pass over the post-broadcast-join rows.
+    // The set id derives from key nullness CASE (keys are non-null in
+    // this schema) so both engines compute it identically.
+    "grouping_sets" -> { (s, d) =>
+      val joined = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      joined
+        .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .withColumn("set_id",
+          when(col("r_name").isNotNull, lit(0)).otherwise(lit(1)))
+    },
+
+    // One-pass table profiling — the "ANALYZE TABLE" governance op:
+    // per-column null counts, ranges, and two exact distinct counts in
+    // a single aggregate over the scan (multi-column distinct plans an
+    // Expand: rows × #distinct-aggs, all map-side partials — one pass
+    // over the fact table, no joins).
+    "profile_table" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+        sum(col("l_shipdate").isNull.cast("long")).as("null_shipdate"),
+        countDistinct(col("l_returnflag")).as("distinct_flags"),
+        countDistinct(col("l_linestatus")).as("distinct_status"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+
     // Approximate percentiles (KLL-style sketch) next to the exact
     // `quantiles` oracle: the single-pass mergeable form that replaces
     // exact percentile's full per-group sort+materialization at scale.
@@ -441,6 +526,50 @@ object AnalyticsQueries {
         |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
         |       md5(norm_text) AS norm_md5
         |FROM t""".stripMargin,
+
+    // The oracle IS the full recompute — merge(history, increment)
+    // must be indistinguishable from one pass over everything.
+    "mv_refresh" ->
+      """WITH e AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+        |                  event_type, value FROM events),
+        |a AS (SELECT day_us, event_type, count(*) AS n,
+        |             SUM(CAST(value AS DECIMAL(18,2))) AS sum_v,
+        |             min(value) AS min_value, max(value) AS max_value
+        |      FROM e GROUP BY 1, 2)
+        |SELECT day_us, event_type, n,
+        |  CAST(sum_v AS DOUBLE) AS sum_value, min_value, max_value,
+        |  CAST((2 * CAST(sum_v * 100 AS BIGINT) * 100 + n) // (2 * n) AS DOUBLE)
+        |    / 10000.0 AS avg_value
+        |FROM a""".stripMargin,
+
+    "share_of_total" ->
+      """WITH a AS (SELECT o_orderpriority,
+        |                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |           FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
+        |       round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+        |         AS rev_share
+        |FROM a""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  CASE WHEN r_name IS NOT NULL THEN 0 ELSE 1 END AS set_id
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))""".stripMargin,
+
+    "profile_table" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+        |  count(DISTINCT l_returnflag) AS distinct_flags,
+        |  count(DISTINCT l_linestatus) AS distinct_status,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin,
 
     "full_outer_join" ->
       """WITH o AS (

@@ -140,6 +140,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(5L) === ((false, "word_len")))
   }
 
+  test("incremental MV refresh equals full recompute on any split") {
+    val rows = Seq(
+      (1L, "a", 10.0), (1L, "a", 20.0), (1L, "b", 5.0),
+      (2L, "a", 7.0), (2L, "a", 1.0), (2L, "b", 100.0), (2L, "b", 2.5))
+    val df = rows.toDF("day", "typ", "value")
+    val keys = Seq("day", "typ")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("day"), col("typ"), col("n"),
+        col("sum_v").cast("double"), col("min_v"), col("max_v"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+    val full = Incremental.partials(df, keys, "value")
+    for (splitAt <- Seq(0, 3, 7)) { // empty-history, mid, empty-increment
+      val (a, b) = rows.splitAt(splitAt)
+      val merged = Incremental.merge(
+        Incremental.partials(a.toDF("day", "typ", "value"), keys, "value"),
+        Incremental.partials(b.toDF("day", "typ", "value"), keys, "value"),
+        keys)
+      assert(canon(merged) === canon(full), s"split at $splitAt diverged")
+    }
+  }
+
   test("hll daily sketches union to near-exact distinct counts") {
     // sketch per (key, day) then union per key must track the exact
     // distinct count across days (HLL++ error ~1.6% at default lgK;
