@@ -342,6 +342,54 @@ object AnalyticsQueries {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     },
 
+    // Skew diagnostics — the operational first step before choosing a
+    // salting/AQE strategy: per-key cardinality rollup, then the 20
+    // heaviest keys with their share of all rows. The per-key count is
+    // one partial+final aggregate; the global top-k is
+    // TakeOrderedAndProject over the collapsed key frame (heap of 20
+    // per partition — never a full sort); the 1-row total broadcasts.
+    "skew_report" -> { (s, d) =>
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
+      val total = counts.agg(sum(col("n_rows")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("l_orderkey"), col("n_rows"),
+          round(col("n_rows").cast("double") / col("total"), 9).as("row_share"))
+        .orderBy(col("n_rows").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    // Data-quality audit — referential integrity (orphan facts),
+    // duplicate primary keys, null keys: one row per check with its
+    // violation count. Orphans/dups are synthesized from read-only
+    // inputs (≡0 mod 13 lineitem orderkeys offset out of the orders
+    // domain; ≡0 mod 11 orders re-unioned) so every check exercises a
+    // non-zero path. Scale shapes: orphan check is a shuffle anti-join
+    // on the fact key (count-only — no row payload survives the join);
+    // dup check is a count>1 aggregate over the key frame.
+    "dq_audit" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).select(
+        when(pmod(col("l_orderkey"), lit(13)) === 0, col("l_orderkey") + 1000000000L)
+          .otherwise(col("l_orderkey")).as("lok"))
+      val orphans = li
+        .join(o.select(col("o_orderkey")), col("lok") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .withColumn("check_name", lit("orphan_lineitem"))
+      val dupPk = o.select(col("o_orderkey"))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+          .select(col("o_orderkey")))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_violations"))
+        .withColumn("check_name", lit("duplicate_order_pk"))
+      val nullKey = o.filter(col("o_custkey").isNull)
+        .agg(count(lit(1)).as("n_violations"))
+        .withColumn("check_name", lit("null_custkey"))
+      orphans.unionByName(dupPk).unionByName(nullKey)
+        .select(col("check_name"), col("n_violations"))
+    },
+
     // Approximate percentiles (KLL-style sketch) next to the exact
     // `quantiles` oracle: the single-pass mergeable form that replaces
     // exact percentile's full per-group sort+materialization at scale.
@@ -570,6 +618,31 @@ object AnalyticsQueries {
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin,
+
+    "skew_report" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n_rows
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total FROM c)
+        |SELECT l_orderkey, n_rows,
+        |       round(CAST(n_rows AS DOUBLE) / total, 9) AS row_share
+        |FROM c, t
+        |ORDER BY n_rows DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "dq_audit" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 13 = 0
+        |                        THEN l_orderkey + 1000000000
+        |                        ELSE l_orderkey END AS lok FROM lineitem)
+        |SELECT 'orphan_lineitem' AS check_name, count(*) AS n_violations
+        |FROM li WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = lok)
+        |UNION ALL
+        |SELECT 'duplicate_order_pk', count(*) FROM (
+        |  SELECT o_orderkey FROM (
+        |    SELECT o_orderkey FROM orders
+        |    UNION ALL
+        |    SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0) u
+        |  GROUP BY 1 HAVING count(*) > 1) d
+        |UNION ALL
+        |SELECT 'null_custkey', count(*) FROM orders WHERE o_custkey IS NULL""".stripMargin,
 
     "full_outer_join" ->
       """WITH o AS (

@@ -127,6 +127,27 @@ object Pipeline {
       .drop("__rk")
   }
 
+  /** LEFT OUTER variant of [[correlate]]: left events with NO matching
+    * right event still emit (null-padded) — "readings that had no
+    * preceding alert" as a stream. The null row for an unmatched left
+    * event can only be emitted once the left-side watermark passes the
+    * event's interval (before that a match could still arrive), so
+    * outer results trail the inner ones by the watermark delay — same
+    * rows as a batch left join on the closed stream, later arrival.
+    * State bounds are identical to the inner form: equality key +
+    * two-sided time bound is what lets Spark purge state at the
+    * watermark instead of holding both streams forever. */
+  def correlateOuter(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, lookback: String): DataFrame = {
+    val r = right.withColumnRenamed(key, s"__rk")
+    left.join(r,
+      expr(s"$key = __rk AND " +
+        s"$rightTime BETWEEN $leftTime - INTERVAL $lookback AND $leftTime"),
+      "left_outer")
+      .drop("__rk")
+  }
+
   // ---- single-scan dual-sink (J4, statement-set fidelity) --------------
 
   /** Per-batch PARTIAL window aggregates: algebraic (sum/count/min/max)

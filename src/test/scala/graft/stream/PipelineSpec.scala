@@ -168,6 +168,42 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == "LATHE-002" && r._2 == "10:00:10"))
   }
 
+  test("left-outer interval join emits null-padded rows once the watermark closes the interval") {
+    val readings = MemoryStream[SensorReading](spark)
+    val alerts = MemoryStream[SensorReading](spark)
+    val l = Pipeline.prepare(readings.toDF())
+      .select(col("machine_id"), col("value"), col("event_time"))
+    val r = Pipeline.prepare(alerts.toDF(), watermark = "5 seconds")
+      .select(col("machine_id"), col("value").as("alert_value"),
+        col("event_time").as("alert_time"))
+    val joined = Pipeline.correlateOuter(l, r, "machine_id",
+      "event_time", "alert_time", "30 SECONDS")
+      .select(col("machine_id"),
+        date_format(col("event_time"), "HH:mm:ss").as("rt"),
+        date_format(col("alert_time"), "HH:mm:ss").as("at"))
+    val name = s"ssoj${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      alerts.addData(Seq(reading("2025-01-01T10:00:00", v = 99)))
+      readings.addData(Seq(
+        reading("2025-01-01T10:00:20"),               // alerted → matched pair
+        reading("2025-01-01T10:01:30"),               // 90 s after → UNmatched
+        reading("2025-01-01T10:00:10", "LATHE-002"))) // no alert at all → UNmatched
+      q.processAllAvailable()
+      // null-padded rows only finalize once watermarks pass the open
+      // intervals — advance both streams well beyond them.
+      alerts.addData(Seq(reading("2025-01-01T10:10:00", v = 0)))
+      readings.addData(Seq(reading("2025-01-01T10:10:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[(String, String, String)].collect().toSet
+    assert(out.contains(("CNC-001", "10:00:20", "10:00:00")))     // inner row intact
+    assert(out.contains(("CNC-001", "10:01:30", null)))           // outside interval → null pad
+    assert(out.contains(("LATHE-002", "10:00:10", null)))         // keyless → null pad
+    assert(!out.exists(r => r._2 == "10:00:20" && r._3 == null))  // matched row not duplicated
+  }
+
   test("RocksDB state store: windowed agg state off-heap, same results (J6 scale path)") {
     // At 100 TB-scale streaming, window/dedup state outgrows the JVM
     // heap; RocksDB keeps it on local disk with incremental checkpoint
