@@ -189,4 +189,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"eval set must broadcast — the train side never shuffles text:\n$p")
   }
+
+  test("footer-only aggregates: min/max/count push down to the parquet scan") {
+    // With v2 parquet + aggregate pushdown, MIN/MAX/COUNT over a table
+    // are answered from row-group footer statistics — zero data pages
+    // read. At 100 TB this turns profiling sweeps (profile_table's
+    // cheap half) into metadata operations. The engine leaves the
+    // session default (v1) alone and opts in per use.
+    val conf = spark.conf
+    val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+    val prevPd = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    try {
+      conf.set("spark.sql.sources.useV1SourceList", "")
+      conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min("l_quantity"), max("l_quantity"), count(lit(1)))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(l_quantity), MAX(l_quantity), COUNT(*)]"),
+        s"aggregates must reach the scan:\n$p")
+      val r = df.head
+      assert(r.getLong(2) === 6000L) // sf0.001 lineitem row count
+    } finally {
+      prevV1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
+        conf.set("spark.sql.sources.useV1SourceList", _))
+      prevPd.fold(conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        conf.set("spark.sql.parquet.aggregatePushdown", _))
+    }
+  }
 }
