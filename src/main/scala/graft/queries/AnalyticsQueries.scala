@@ -390,6 +390,48 @@ object AnalyticsQueries {
         .select(col("check_name"), col("n_violations"))
     },
 
+    // Weighted mixture sampling (ext.Sampling.mixtureSample): each
+    // source keeps its own deterministic fraction — the training-mix
+    // primitive (sample src A at 20%, B at 40%, ...). Per-stratum
+    // permille rates derive from the source name itself so the gate
+    // runs on read-only inputs; the keep test is an exact integer
+    // threshold on the row's own md5 hash (membership never migrates,
+    // task retries idempotent, both engines agree on every boundary).
+    // Broadcast weights + scan-riding filter: no shuffle at any scale.
+    "mixture_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val weights = docs.select(col("source")).distinct()
+        .select(col("source").as("stratum"),
+          ((substring(col("source"), 4, 10).cast("int") % 4 + 1) * 200).as("permille"))
+      graft.ext.Sampling.mixtureSample(docs, col("doc_id"), col("source"), weights)
+    },
+
+    // Boilerplate-span detection: shingles appearing in ≥100 documents
+    // are corpus boilerplate (headers, licenses, navigation chrome);
+    // each doc reports how much of it is boilerplate — the span-level
+    // complement of whole-doc dedup (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL 2022 motivates
+    // span-level repetition removal). distinct (doc, shingle) is one
+    // exchange; the frequent-shingle set (tiny by definition at any
+    // scale — df ≥ threshold caps its size at |corpus|/threshold)
+    // joins back against the per-doc shingles.
+    "boilerplate_spans" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+        .distinct()
+      val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 100).select(col("s"))
+      val per = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val hits = sh.join(freq, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+      per.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("nb"), lit(0L)).as("n_boiler"),
+          round(coalesce(col("nb"), lit(0L)).cast("double") / col("n_shingles"), 4)
+            .as("boiler_frac"))
+    },
+
     // Approximate percentiles (KLL-style sketch) next to the exact
     // `quantiles` oracle: the single-pass mergeable form that replaces
     // exact percentile's full per-group sort+materialization at scale.
@@ -618,6 +660,35 @@ object AnalyticsQueries {
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin,
+
+    // 2^60 = 1152921504606846976; div/mod 1000 → 1152921504606846 / 976.
+    "mixture_sample" ->
+      """WITH w AS (SELECT source AS stratum,
+        |                  (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 200 AS permille
+        |           FROM (SELECT DISTINCT source FROM documents) s),
+        |d AS (SELECT doc_id, source,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |      FROM documents)
+        |SELECT doc_id, source, permille
+        |FROM d JOIN w ON d.source = w.stratum
+        |WHERE h < permille * 1152921504606846 + (permille * 976) // 1000""".stripMargin,
+
+    "boilerplate_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+        |sh0 AS (SELECT doc_id, w, lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+        |        FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w, w1, w2) AS s
+        |       FROM sh0 WHERE w2 IS NOT NULL),
+        |f AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 100),
+        |per AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |hit AS (SELECT doc_id, count(*) AS nb FROM sh JOIN f USING (s) GROUP BY 1)
+        |SELECT per.doc_id, n_shingles,
+        |       CAST(coalesce(nb, 0) AS BIGINT) AS n_boiler,
+        |       round(CAST(coalesce(nb, 0) AS DOUBLE) / n_shingles, 4) AS boiler_frac
+        |FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id""".stripMargin,
 
     "skew_report" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS n_rows

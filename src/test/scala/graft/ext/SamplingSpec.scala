@@ -67,4 +67,28 @@ class SamplingSpec extends SparkSpec {
     // trailing NNN-NNNN with no area code scrubs too
     assert(out(6L) == "order #<PHONE> is unrelated text <PHONE>")
   }
+
+  test("mixtureSample keeps each stratum near its own rate, deterministically") {
+    import spark.implicits._
+    val rows = (0L until 3000L).map(i => (i, s"s${i % 3}"))
+    val df = rows.toDF("id", "src")
+    val weights = Seq(("s0", 100), ("s1", 800)).toDF("stratum", "permille")
+    val out = Sampling.mixtureSample(df, col("id"), col("src"), weights)
+    val counts = out.groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // s2 has no weight row → dropped entirely
+    assert(!counts.contains("s2"))
+    // 1000 rows per stratum: 10% and 80% within generous hash tolerance
+    assert(math.abs(counts("s0") - 100L) <= 40, s"s0: ${counts("s0")}")
+    assert(math.abs(counts("s1") - 800L) <= 40, s"s1: ${counts("s1")}")
+    // byte-identical on re-run (no RNG anywhere)
+    val again = Sampling.mixtureSample(df, col("id"), col("src"), weights)
+      .select(col("id")).as[Long].collect().sorted
+    assert(again.toSeq === out.select(col("id")).as[Long].collect().sorted.toSeq)
+    // membership is per-row: every kept id keeps its stratum's test
+    // under corpus growth (subset invariance)
+    val half = Sampling.mixtureSample(df.filter(col("id") < 1500), col("id"), col("src"), weights)
+      .select(col("id")).as[Long].collect().toSet
+    assert(half === out.select(col("id")).as[Long].collect().toSet.filter(_ < 1500))
+  }
 }
