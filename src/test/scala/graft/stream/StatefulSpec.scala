@@ -84,4 +84,40 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table(name).count() == 0) // run never closed
   }
+
+  test("dead-sensor timers fire on data ABSENCE once the watermark passes") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val S = 1000000L // 1 s in micros
+      val ms = MemoryStream[Keyed](spark)
+      val alerts = Stateful.deadSensors(spark, ms.toDS(), timeoutUs = 120 * S)
+      val name = s"dead${System.nanoTime()}"
+      val q = alerts.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // both sensors alive at t=10s (NOT t=0: the initial watermark
+        // is epoch 0 and rows AT the watermark are dropped as late)
+        ms.addData(Seq(r(10 * S, 85), r(10 * S, 85, "LATHE-002")))
+        q.processAllAvailable()
+        // only CNC keeps reporting; watermark advances to 300 s AFTER
+        // this batch, so LATHE's 120 s timer fires in the NEXT batch
+        ms.addData(Seq(r(300 * S, 85)))
+        q.processAllAvailable()
+        ms.addData(Seq(r(310 * S, 85)))
+        q.processAllAvailable()
+        // no repeat alert for an already-reported silence
+        ms.addData(Seq(r(600 * S, 85)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table(name).as[Stateful.DeadSensorAlert].collect().toSeq
+      assert(out === Seq(
+        Stateful.DeadSensorAlert("LATHE-002", "temperature", 10 * S, 120 * S)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
