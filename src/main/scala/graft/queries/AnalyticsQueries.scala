@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{HeavyHitters, InvertedIndex, QualityFilter, TextOps}
-import graft.ops.{GapFill, Incremental, Trend}
+import graft.ops.{GapFill, Hierarchy, Incremental, Trend}
 
 /** Round-5 analytics + corpus-governance queries: time-series
   * densification, trend fitting, behavioral funnels/cohorts, a TPC-H Q8
@@ -340,6 +340,22 @@ object AnalyticsQueries {
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+
+    // Hierarchy flattening (ops.Hierarchy): every order key climbs a
+    // synthesized forest (parent = key div 10 where that key exists) to
+    // its root with its depth — the recursive-CTE workload Spark lacks,
+    // answered in O(log depth) pointer-doubling self-joins instead of
+    // one join per level. The DuckDB oracle IS a recursive CTE, so the
+    // gate proves the doubling loop ≡ true recursion.
+    "hierarchy_flatten" -> { (s, d) =>
+      val keys = Tables.orders(s, d).select(col("o_orderkey").as("node"))
+      val cand = keys.select(col("node"),
+        when(col("node") >= 10, expr("node div 10")).as("cand"))
+      val edges = cand.join(
+        keys.select(col("node").as("p")), col("cand") === col("p"), "left")
+        .select(col("node"), col("p").as("parent"))
+      Hierarchy.rootAndDepth(edges)
     },
 
     // Skew diagnostics — the operational first step before choosing a
@@ -694,6 +710,19 @@ object AnalyticsQueries {
         |       CAST(coalesce(nb, 0) AS BIGINT) AS n_boiler,
         |       round(CAST(coalesce(nb, 0) AS DOUBLE) / n_shingles, 4) AS boiler_frac
         |FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id""".stripMargin,
+
+    "hierarchy_flatten" ->
+      """WITH RECURSIVE k AS (SELECT o_orderkey AS node FROM orders),
+        |e AS (SELECT node,
+        |        CASE WHEN node >= 10 AND node // 10 IN (SELECT node FROM k)
+        |             THEN node // 10 END AS parent
+        |      FROM k),
+        |anc(node, root, depth) AS (
+        |  SELECT node, node, CAST(0 AS BIGINT) FROM e WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT e.node, a.root, a.depth + 1
+        |  FROM e JOIN anc a ON e.parent = a.node)
+        |SELECT node, root, depth FROM anc""".stripMargin,
 
     "skew_report" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS n_rows

@@ -140,6 +140,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(5L) === ((false, "word_len")))
   }
 
+  test("pointer doubling flattens chains, forests, and depth up to 2^rounds") {
+    // chain 1→2→4→8→16 (node→parent), a second root 3 with child 9,
+    // and an isolated root 5.
+    val edges = Seq(
+      (16L, Some(8L)), (8L, Some(4L)), (4L, Some(2L)), (2L, Some(1L)),
+      (1L, None), (9L, Some(3L)), (3L, None), (5L, None))
+      .toDF("node", "parent")
+    val out = Hierarchy.rootAndDepth(edges, rounds = 3) // covers depth ≤ 8
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      16L -> ((1L, 4L)), 8L -> ((1L, 3L)), 4L -> ((1L, 2L)), 2L -> ((1L, 1L)),
+      1L -> ((1L, 0L)), 9L -> ((3L, 1L)), 3L -> ((3L, 0L)), 5L -> ((5L, 0L))))
+  }
+
+  test("pointer doubling covers a 40-deep chain in 6 rounds") {
+    val chain = (1L to 40L).map(i =>
+      (i, if (i == 1) None else Some(i - 1))).toDF("node", "parent")
+    val out = Hierarchy.rootAndDepth(chain, rounds = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(40L) === ((1L, 39L)))
+    assert(out.values.forall(_._1 == 1L))
+  }
+
   test("incremental MV refresh equals full recompute on any split") {
     val rows = Seq(
       (1L, "a", 10.0), (1L, "a", 20.0), (1L, "b", 5.0),
