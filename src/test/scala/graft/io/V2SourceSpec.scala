@@ -1,0 +1,65 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DataSourceV2 sensor-topic connector: parallel file partitions,
+  * column pruning, reader-side filter pushdown, malformed-line drop. */
+class V2SourceSpec extends SparkSpec {
+
+  private val Fmt = "graft.io.v2.SensorJsonSource"
+
+  private def writeTopic(): String = {
+    val dir = Files.createTempDirectory("v2src").toString
+    Files.writeString(Paths.get(dir, "part-0.jsonl"),
+      """{"timestamp":"2025-01-01T10:00:00","machine_id":"CNC-001","sensor_type":"temperature","value":85.5}
+        |{"timestamp":"2025-01-01T10:00:05","machine_id":"LATHE-002","sensor_type":"vibration","value":1.5}
+        |not json at all {{{
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "part-1.jsonl"),
+      """{"timestamp":"2025-01-01T10:00:10","machine_id":"CNC-001","sensor_type":"pressure","value":150.0}
+        |{"machine_id":"WELD-004"}
+        |""".stripMargin)
+    dir
+  }
+
+  test("reads the envelope, drops malformed lines, one partition per file") {
+    val dir = writeTopic()
+    val df = spark.read.format(Fmt).load(dir)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("timestamp", "machine_id", "sensor_type", "value"))
+    val rows = df.collect()
+    assert(rows.length === 4) // 3 complete + 1 partial object; junk line dropped
+    assert(df.rdd.getNumPartitions === 2)
+    val weld = rows.find(_.getString(1) == "WELD-004").get
+    assert(weld.isNullAt(0) && weld.isNullAt(3)) // missing fields → NULL (D1)
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = writeTopic()
+    val df = spark.read.format(Fmt).load(dir).select(col("machine_id"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.output.map(_.name) === Seq("machine_id"))
+    assert(df.collect().map(_.getString(0)).sorted ===
+      Array("CNC-001", "CNC-001", "LATHE-002", "WELD-004"))
+  }
+
+  test("equality filter pushes into the reader; no post-scan Filter remains") {
+    val dir = writeTopic()
+    val df = spark.read.format(Fmt).load(dir)
+      .filter(col("machine_id") === "CNC-001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), s"filter should be fully pushed:\n$plan")
+    assert(df.count() === 2)
+    // a predicate the source rejects stays as a Spark-side Filter
+    val mixed = spark.read.format(Fmt).load(dir).filter(col("value") > 100)
+    assert(mixed.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(mixed.count() === 1)
+  }
+}
