@@ -32,6 +32,22 @@ object AnalyticsQueries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** rich_customers runs the SAME SQL text in Spark and DuckDB — one
+    * definition, two engines. Averages are decimal-sum/count (a plain
+    * avg(double) is partition-order dependent in its last ulp, which
+    * both the filter boundary and the rounded output would inherit). */
+  private val RichCustomersSql =
+    """SELECT c_custkey, c_acctbal,
+      |  round((SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |         FROM customer c2
+      |         WHERE c2.c_nationkey = customer.c_nationkey), 4) AS nation_avg,
+      |  round((SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |         FROM customer), 4) AS global_avg
+      |FROM customer
+      |WHERE c_acctbal > 1.5 * (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                         FROM customer c2
+      |                         WHERE c2.c_nationkey = customer.c_nationkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Time-series gap fill (ops.GapFill): dense hourly grid per user
     // with forward-filled averages — the TimescaleDB
@@ -341,6 +357,15 @@ object AnalyticsQueries {
         max(col("l_extendedprice")).as("max_price"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     },
+
+    // Correlated + uncorrelated scalar subqueries — the query class the
+    // registry hadn't exercised (Catalyst plans the correlated scalar
+    // as a left outer aggregate-join under the hood; the uncorrelated
+    // one becomes a reusable subquery broadcast). Customers holding
+    // more than 1.5x their own nation's average balance, with both
+    // averages surfaced. Expressed through the SQL interface (the
+    // reference's own surface) — same text runs in DuckDB.
+    "rich_customers" -> { (s, d) => graft.Sql.sql(s, d, RichCustomersSql) },
 
     // Hierarchy flattening (ops.Hierarchy): every order key climbs a
     // synthesized forest (parent = key div 10 where that key exists) to
@@ -710,6 +735,8 @@ object AnalyticsQueries {
         |       CAST(coalesce(nb, 0) AS BIGINT) AS n_boiler,
         |       round(CAST(coalesce(nb, 0) AS DOUBLE) / n_shingles, 4) AS boiler_frac
         |FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id""".stripMargin,
+
+    "rich_customers" -> RichCustomersSql,
 
     "hierarchy_flatten" ->
       """WITH RECURSIVE k AS (SELECT o_orderkey AS node FROM orders),
