@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,7 +69,7 @@ class SensorJsonTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"sensor_json($path)"
   override def schema(): StructType = SensorJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SensorJsonScanBuilder(path)
 }
@@ -101,18 +102,69 @@ class SensorJsonScan(path: String, required: StructType, pushed: Array[Filter])
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.listStatus(root)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !s.getPath.getName.startsWith("_"))
-      .map(s => SensorFilePartition(s.getPath.toString): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    SensorJsonScan.listFiles(path)
+      .map(f => SensorFilePartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SensorJsonReaderFactory(required.fieldNames,
       pushed.collect { case EqualTo(a, v: String) => (a, v) })
+
+  /** Streaming side: the topic as a MicroBatchStream with
+    * FILE-GRANULAR REPLAYABLE OFFSETS — the Kafka offset model mapped
+    * onto the segment files: an offset is "first N files in
+    * lexicographic order" (producers append monotonically-named
+    * segments, the same contract Kafka log segments follow). A batch
+    * [start, end) plans one partition per new file; recovery replans
+    * the identical batch from the checkpointed offsets — exactly-once
+    * into idempotent sinks. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SensorJsonMicroBatch(path, required.fieldNames,
+      pushed.collect { case EqualTo(a, v: String) => (a, v) })
+}
+
+object SensorJsonScan {
+  /** Lexicographically-sorted data files (stable offset base). */
+  def listFiles(path: String): Array[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+}
+
+/** Offset = count of committed files (lexicographic prefix). */
+case class FileCountOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+class SensorJsonMicroBatch(
+    path: String, fields: Array[String], equalTo: Array[(String, String)])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = FileCountOffset(0)
+
+  override def latestOffset(): Offset =
+    FileCountOffset(SensorJsonScan.listFiles(path).length)
+
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    SensorJsonScan.listFiles(path).slice(s, e)
+      .map(f => SensorFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SensorJsonReaderFactory(fields, equalTo)
+
+  override def commit(end: Offset): Unit = () // files are immutable segments
+  override def stop(): Unit = ()
 }
 
 case class SensorFilePartition(file: String) extends InputPartition
