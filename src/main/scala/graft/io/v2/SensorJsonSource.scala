@@ -7,12 +7,14 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory,
+  LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,13 +67,87 @@ object SensorJsonSource {
     StructField("value", DoubleType)))
 }
 
-class SensorJsonTable(path: String) extends Table with SupportsRead {
+class SensorJsonTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"sensor_json($path)"
   override def schema(): StructType = SensorJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SensorJsonScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SensorJsonWriteBuilder(path, info.schema())
+}
+
+/** Write side — the B1 producer sink as a REAL V2 writer with the
+  * two-phase commit protocol: each task streams its rows into a file
+  * under a hidden staging dir and reports it in its commit message;
+  * the DRIVER commit renames all staged files into the topic in one
+  * pass, abort deletes the staging dir — a failed/speculated task can
+  * never leave a partial segment visible (the at-least-once JSON-dir
+  * seam couldn't make that guarantee). */
+class SensorJsonWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new SensorJsonBatchWrite(path, schema)
+  }
+}
+
+class SensorJsonBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  private val stagingDir = s"$path/.staging-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SensorJsonWriterFactory(stagingDir, schema.fieldNames)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    messages.collect { case StagedFile(f) =>
+      val src = new Path(f)
+      fs.rename(src, new Path(root, src.getName))
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new Path(stagingDir), true)
+  }
+}
+
+case class StagedFile(file: String) extends WriterCommitMessage
+
+class SensorJsonWriterFactory(stagingDir: String, fields: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SensorJsonWriter(stagingDir, fields, partitionId, taskId)
+}
+
+class SensorJsonWriter(
+    stagingDir: String, fields: Array[String], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  // taskId in the name keeps speculative attempts from colliding.
+  private val file = new Path(
+    stagingDir, f"part-$partitionId%05d-$taskId.jsonl")
+  private val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val out = fs.create(file, true)
+  private val mapper = new ObjectMapper()
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f)
+      else f match {
+        case "value" => node.put(f, row.getDouble(i))
+        case _ => node.put(f, row.getUTF8String(i).toString)
+      }
+    }
+    out.write((mapper.writeValueAsString(node) + "\n").getBytes("UTF-8"))
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); StagedFile(file.toString) }
+  override def abort(): Unit = { out.close(); fs.delete(file, false); () }
+  override def close(): Unit = ()
 }
 
 class SensorJsonScanBuilder(path: String)

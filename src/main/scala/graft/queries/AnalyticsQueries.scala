@@ -36,6 +36,13 @@ object AnalyticsQueries {
     * definition, two engines. Averages are decimal-sum/count (a plain
     * avg(double) is partition-order dependent in its last ulp, which
     * both the filter boundary and the rounded output would inherit). */
+  private val LateralTopkSql =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+
   private val RichCustomersSql =
     """SELECT c_custkey, c_acctbal,
       |  round((SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
@@ -357,6 +364,14 @@ object AnalyticsQueries {
         max(col("l_extendedprice")).as("max_price"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    // top-2 customers by balance through the LATERAL planner path
+    // (Catalyst decorrelates the limited subquery into a ranked join —
+    // a different plan family than grouped_topk's custom operator or
+    // the window formulation, and the third way this engine can answer
+    // grouped top-k). One SQL text, both engines.
+    "lateral_topk" -> { (s, d) => graft.Sql.sql(s, d, LateralTopkSql) },
 
     // Correlated + uncorrelated scalar subqueries — the query class the
     // registry hadn't exercised (Catalyst plans the correlated scalar
@@ -737,6 +752,7 @@ object AnalyticsQueries {
         |FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id""".stripMargin,
 
     "rich_customers" -> RichCustomersSql,
+    "lateral_topk" -> LateralTopkSql,
 
     "hierarchy_flatten" ->
       """WITH RECURSIVE k AS (SELECT o_orderkey AS node FROM orders),

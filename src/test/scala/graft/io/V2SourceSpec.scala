@@ -103,4 +103,27 @@ class V2SourceSpec extends SparkSpec {
         .filter(col("value") === 151.0).count() === 1)
     } finally q2.stop()
   }
+
+  test("V2 write: two-phase commit lands whole segments, round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("v2write").toString + "/topic"
+    Files.createDirectories(Paths.get(dir))
+    val rows = Seq(
+      ("2025-01-01T10:00:00", "CNC-001", "temperature", 85.5),
+      ("2025-01-01T10:00:05", "LATHE-002", "vibration", 1.5),
+      (null, "WELD-004", "pressure", 150.0))
+      .toDF("timestamp", "machine_id", "sensor_type", "value")
+    rows.repartition(2).write.format(Fmt).mode("append").save(dir)
+
+    // no staging residue after driver commit
+    val leftover = java.nio.file.Files.list(Paths.get(dir)).toArray.map(_.toString)
+    assert(!leftover.exists(_.contains(".staging-")), leftover.mkString(","))
+    assert(leftover.count(_.endsWith(".jsonl")) === 2) // one segment per task
+
+    // round-trip through the read side of the same connector
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.count() === 3)
+    val weld = back.filter(col("machine_id") === "WELD-004").head()
+    assert(weld.isNullAt(0) && weld.getDouble(3) === 150.0)
+  }
 }
