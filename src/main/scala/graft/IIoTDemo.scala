@@ -84,6 +84,14 @@ object IIoTDemo {
     println(s"[demo] single-scan mode: raw=$raw2N (enriched in-stream), " +
       s"merged windows=${finals.count()}, divergent vs two-query=$divergent")
 
+    // A1 as a first-class source: the same topic read through the
+    // DataSourceV2 connector (column pruning + reader-side pushdown) —
+    // must agree row-for-row with what the streaming pipeline ingested.
+    val v2 = spark.read.format("graft.io.v2.SensorJsonSource").load(s"$work/topic")
+    val v2N = v2.count()
+    val v2Cnc = v2.filter(col("machine_id") === "CNC-001").count()
+    println(s"[demo] V2 connector read: $v2N rows ($v2Cnc CNC-001, filter pushed)")
+
     // E1 — enrichment join the reference leaves unrealized.
     val enriched = Enrich.enrich(
       rawSink.read(spark), DataGen.machineDim(spark), Seq("machine_id"))
@@ -109,6 +117,8 @@ object IIoTDemo {
 
     require(rawN == 2688 && kept90 == rawN && kept1 < rawN && aggN > 0,
       "demo invariants violated")
+    require(v2N == rawN && v2Cnc == rawN / 4,
+      "V2 connector read diverged from the streaming ingest")
     require(raw2N == rawN && divergent == 0,
       "single-scan mode diverged from the two-query pipeline")
     println(s"[demo] OK workDir=$work")
