@@ -126,9 +126,14 @@ class SensorJsonWriterFactory(stagingDir: String, fields: Array[String])
 class SensorJsonWriter(
     stagingDir: String, fields: Array[String], partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  // taskId in the name keeps speculative attempts from colliding.
+  // taskId separates speculative attempts WITHIN a write; the random
+  // fragment separates APPENDS ACROSS application runs — taskId
+  // counters reset per session, so "part-00000-200" from yesterday's
+  // append and today's would otherwise collide at commit-rename time
+  // and silently overwrite a committed segment.
   private val file = new Path(
-    stagingDir, f"part-$partitionId%05d-$taskId.jsonl")
+    stagingDir,
+    f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.jsonl")
   private val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
   private val out = fs.create(file, true)
   private val mapper = new ObjectMapper()

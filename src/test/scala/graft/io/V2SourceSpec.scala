@@ -126,4 +126,20 @@ class V2SourceSpec extends SparkSpec {
     val weld = back.filter(col("machine_id") === "WELD-004").head()
     assert(weld.isNullAt(0) && weld.getDouble(3) === 150.0)
   }
+
+  test("V2 write: a second append from a fresh write never clobbers segments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("v2append").toString + "/topic"
+    Files.createDirectories(Paths.get(dir))
+    def append(tag: String): Unit =
+      Seq(("2025-01-01T10:00:00", tag, "temperature", 1.0))
+        .toDF("timestamp", "machine_id", "sensor_type", "value")
+        .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    append("FIRST"); append("SECOND")
+    val back = spark.read.format(Fmt).load(dir)
+    // both appends survive — segment names can't collide across writes
+    assert(back.count() === 2)
+    assert(back.select("machine_id").collect().map(_.getString(0)).sorted
+      === Array("FIRST", "SECOND"))
+  }
 }
