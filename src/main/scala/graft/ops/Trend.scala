@@ -33,14 +33,19 @@ object Trend {
     */
   def slope(df: DataFrame, keys: Seq[Column], x: Column, y: Column): DataFrame = {
     val dec = "decimal(38,0)"
+    // sums accumulate in DECIMAL(38,0), not long: n·Σx² for a billion-
+    // row group of day-granularity minutes overflows int64 silently,
+    // while the oracle engine auto-promotes its sums to int128 — the
+    // one place the two engines could diverge at scale. The per-row
+    // PRODUCTS stay long (bounded by the caller's encoding contract).
     df.select(keys :+ x.as("x") :+ y.as("y"): _*)
       .groupBy(keys.map(c => col(c.toString)): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
       .withColumn("num",
         col("n").cast(dec) * col("sxy").cast(dec) - col("sx").cast(dec) * col("sy").cast(dec))
       .withColumn("den",

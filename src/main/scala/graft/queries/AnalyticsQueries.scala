@@ -365,6 +365,25 @@ object AnalyticsQueries {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     },
 
+    // Equi-depth histogram — per-type deciles (equal ROW counts per
+    // bin, unlike value_histogram's fixed widths): ntile(10) over a
+    // TOTAL ordering (event_id tiebreak — ntile splits ties
+    // arbitrarily otherwise), then bin ranges. One exchange + sort per
+    // type. At 100 TB the per-key sort gives way to approx_percentile
+    // cutpoints (the approx_quantiles path) + a bucket join — this is
+    // the exact form those cutpoints approximate.
+    "equidepth_hist" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+    },
+
     // Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
     // top-2 customers by balance through the LATERAL planner path
     // (Catalyst decorrelates the limited subquery into a ranked join —
@@ -753,6 +772,16 @@ object AnalyticsQueries {
 
     "rich_customers" -> RichCustomersSql,
     "lateral_topk" -> LateralTopkSql,
+
+    "equidepth_hist" ->
+      """WITH t AS (SELECT event_type, value,
+        |             ntile(10) OVER (PARTITION BY event_type
+        |                             ORDER BY value, event_id) AS decile
+        |           FROM events)
+        |SELECT event_type, decile, count(*) AS n,
+        |       round(min(value), 4) AS lo,
+        |       round(max(value), 4) AS hi
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "hierarchy_flatten" ->
       """WITH RECURSIVE k AS (SELECT o_orderkey AS node FROM orders),
