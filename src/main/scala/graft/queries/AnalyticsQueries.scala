@@ -365,6 +365,33 @@ object AnalyticsQueries {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     },
 
+    // EWMA (exponential smoothing, alpha = 0.1) — the sequential-
+    // recurrence class: acc' = 0.9·acc + 0.1·x has a true loop-carried
+    // dependency no window frame or algebraic aggregate expresses, so
+    // it runs as a typed per-key sorted fold (mapGroups). Determinism:
+    // the fold order is total (ts, event_id) and both engines execute
+    // the IDENTICAL chain of IEEE ops — Spark in JVM doubles, DuckDB
+    // via list_reduce over the same-ordered list — so even the raw
+    // doubles agree (rounded to 8 dp for the gate regardless).
+    // 100 TB shape: state is one double per key and each key's fold is
+    // sequential BY DEFINITION — the parallelism axis is keys, which
+    // is exactly how groupByKey partitions it.
+    "ewma" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), Tables.tsUs.as("tus"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val sorted = it.toVector.sortBy(r => (r._2, r._3))
+          var acc = sorted.head._4
+          sorted.tail.foreach(r => acc = 0.9 * acc + 0.1 * r._4)
+          (k, sorted.size.toLong, acc)
+        }
+        .toDF("user_id", "n", "ewma")
+        .withColumn("ewma", round(col("ewma"), 8))
+    },
+
     // Equi-depth histogram — per-type deciles (equal ROW counts per
     // bin, unlike value_histogram's fixed widths): ntile(10) over a
     // TOTAL ordering (event_id tiebreak — ntile splits ties
@@ -772,6 +799,14 @@ object AnalyticsQueries {
 
     "rich_customers" -> RichCustomersSql,
     "lateral_topk" -> LateralTopkSql,
+
+    "ewma" ->
+      """WITH l AS (SELECT user_id,
+        |             list(value ORDER BY epoch_us(ts), event_id) AS vs
+        |           FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+        |       round(list_reduce(vs, (acc, x) -> 0.9 * acc + 0.1 * x), 8) AS ewma
+        |FROM l""".stripMargin,
 
     "equidepth_hist" ->
       """WITH t AS (SELECT event_type, value,

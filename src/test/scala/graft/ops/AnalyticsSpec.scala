@@ -163,6 +163,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.forall(_._1 == 1L))
   }
 
+  test("ewma fold matches hand computation and ignores input partitioning") {
+    import org.apache.spark.sql.SparkSession
+    def run(s: SparkSession, parts: Int): Map[Long, Double] = {
+      import s.implicits._
+      val df = Seq((1L, 10L, 1L, 10.0), (1L, 20L, 2L, 20.0), (1L, 30L, 3L, 30.0),
+        (2L, 10L, 4L, 5.0))
+        .toDF("user_id", "tus", "event_id", "value").repartition(parts)
+      df.as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val sorted = it.toVector.sortBy(r => (r._2, r._3))
+          var acc = sorted.head._4
+          sorted.tail.foreach(r => acc = 0.9 * acc + 0.1 * r._4)
+          (k, acc)
+        }.collect().toMap
+    }
+    val one = run(spark, 1)
+    // 10 → .9*10+.1*20 = 11 → .9*11+.1*30 = 12.9
+    assert(math.abs(one(1L) - 12.9) < 1e-12)
+    assert(one(2L) === 5.0) // single reading: the fold is its identity
+    assert(run(spark, 8) === one) // sort inside the group, not the shuffle
+  }
+
   test("incremental MV refresh equals full recompute on any split") {
     val rows = Seq(
       (1L, "a", 10.0), (1L, "a", 20.0), (1L, "b", 5.0),
