@@ -64,6 +64,39 @@ object Scratch {
         .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
         .agg(count(lit(1)).as("n"))
     }
+    def ewma(d: DataFrame) = {
+      import s.implicits._
+      d.select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val sorted = it.toVector.sortBy(r => (r._2, r._3))
+          var acc = sorted.head._4
+          sorted.tail.foreach(r => acc = 0.9 * acc + 0.1 * r._4)
+          (k, acc)
+        }.toDF("user_id", "ewma")
+    }
+    def hier(d: DataFrame) = {
+      val keys = d.select(col("o_orderkey").as("node"))
+      val cand = keys.select(col("node"),
+        org.apache.spark.sql.functions.when(col("node") >= 10,
+          expr("node div 10")).as("cand"))
+      val edges = cand.join(keys.select(col("node").as("p")),
+        col("cand") === col("p"), "left")
+        .select(col("node"), col("p").as("parent"))
+      graft.ops.Hierarchy.rootAndDepth(edges)
+    }
+    val o1 = s.read.parquet(s"$sf/orders.parquet")
+    // parquet, not localCheckpoint: clear() between timings unpersists
+    // every RDD, which would evict checkpoint blocks mid-probe.
+    val oOut = "/tmp/sf1x_orders"
+    if (!new java.io.File(oOut).exists()) {
+      (0 until 10).map(k => o1.select(
+        (col("o_orderkey") + lit(10000000L * k)).as("o_orderkey")))
+        .reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(oOut)
+    }
+    val o10 = s.read.parquet(oOut)
     System.err.println(s"[probe] exchanges: gap=${exchanges(gap(e10))} " +
       s"trend=${exchanges(trend(e10))} zscore=${exchanges(zscore(e10))} " +
       s"cohort=${exchanges(cohort(e10))}")
@@ -76,6 +109,10 @@ object Scratch {
       time(s"zscore 10x r$r")(zscore(e10).count())
       time(s"cohort 1x r$r")(cohort(e1).count())
       time(s"cohort 10x r$r")(cohort(e10).count())
+      time(s"ewma 1x r$r")(ewma(e1).count())
+      time(s"ewma 10x r$r")(ewma(e10).count())
+      time(s"hier 1x r$r")(hier(o1).count())
+      time(s"hier 10x r$r")(hier(o10).count())
     }
     s.stop()
   }
