@@ -94,20 +94,40 @@ object Bench {
     }
     val loadEnd = loadavg()
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+    def r3(v: Double): String = f"$v%.3f"
+    // The printed line must stay small enough for the driver's tail
+    // capture (round 5's two full-precision 94-entry maps overflowed it
+    // and the driver recorded parsed:null). Per-query seconds are
+    // rounded to 3 decimals and the median map + per-pass samples move
+    // to BENCH_DETAIL.json next to the working directory.
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._4 != "ok")
       .map { case (k, _, _, s) => "\"" + k + "\":\"" + s.replace("\"", "'").take(120) + "\"" }
       .mkString("{", ",", "}")
     val total = results.filter(_._4 == "ok").map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-        s""""stat":"min_of_round_robin_passes","queries_median":$meds,""" +
-        s""""runs_per_query":$runs,"wall_sec":$wallSec,""" +
-        s""""pass_totals":[${passTotals.mkString(",")}],""" +
+    val detail = {
+      val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + r3(m) }
+        .mkString("{", ",", "}")
+      val raw = samples.toSeq.map { case (k, timed) =>
+        "\"" + k + "\":[" + timed.map { case (sec, st) =>
+          s"""{"sec":${r3(sec)},"status":"${st.replace("\"", "'").take(120)}"}"""
+        }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"queries_min":$qs,"queries_median":$meds,"samples":$raw,""" +
+        s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
         s""""loadavg_passes":[${passLoads.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""runs_per_query":$runs,"wall_sec":${r3(wallSec)},""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,""" +
+        s""""stat":"min_of_round_robin_passes","runs_per_query":$runs,""" +
+        s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -50,9 +50,20 @@ object Trend {
         col("n").cast(dec) * col("sxy").cast(dec) - col("sx").cast(dec) * col("sy").cast(dec))
       .withColumn("den",
         col("n").cast(dec) * col("sxx").cast(dec) - col("sx").cast(dec) * col("sx").cast(dec))
+      // slope at 8 dp via EXACT integer HALF_UP: round(double/double)
+      // straddles engines on half-point boundary rows (round-5 sf0.01
+      // hash fail). den > 0 whenever non-degenerate (Cauchy-Schwarz),
+      // so only num needs the half-away-from-zero sign split; both
+      // operands of the integral division are non-negative, where
+      // Spark's truncating `div` and DuckDB's floor `//` coincide. The
+      // closing cast-to-double and /1e8 are the same IEEE ops on the
+      // same exact integer in any engine.
       .withColumn("slope",
         when(col("den") =!= 0,
-          round(col("num").cast("double") / col("den").cast("double"), 8)))
+          when(col("num") >= 0,
+            expr("(2 * num * 100000000 + den) div (2 * den)"))
+            .otherwise(-expr("(2 * (-num) * 100000000 + den) div (2 * den)"))
+            .cast("double") / lit(1e8)))
       .drop("num", "den")
   }
 }

@@ -382,11 +382,19 @@ object AnalyticsQueries {
         .select(col("user_id"), Tables.tsUs.as("tus"), col("event_id"), col("value"))
         .as[(Long, Long, Long, Double)]
         .groupByKey(_._1)
-        .mapGroups { (k, it) =>
-          val sorted = it.toVector.sortBy(r => (r._2, r._3))
-          var acc = sorted.head._4
-          sorted.tail.foreach(r => acc = 0.9 * acc + 0.1 * r._4)
-          (k, sorted.size.toLong, acc)
+        // flatMapSortedGroups = secondary sort: the shuffle's external
+        // sorter (spillable) delivers each key's rows already ordered
+        // by (tus, event_id), so the fold is a streaming O(1)-state
+        // pass — no per-key Vector materialization (a hot key with
+        // billions of events would OOM the round-5 toVector.sortBy).
+        .flatMapSortedGroups(col("tus"), col("event_id")) { (k, it) =>
+          var n = 0L
+          var acc = 0.0
+          it.foreach { r =>
+            acc = if (n == 0L) r._4 else 0.9 * acc + 0.1 * r._4
+            n += 1
+          }
+          Iterator.single((k, n, acc))
         }
         .toDF("user_id", "n", "ewma")
         .withColumn("ewma", round(col("ewma"), 8))
@@ -594,7 +602,10 @@ object AnalyticsQueries {
         |      FROM s)
         |SELECT user_id, n, sx, sy, sxy, sxx,
         |       CASE WHEN den <> 0
-        |            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 8)
+        |            THEN CAST(CASE WHEN num >= 0
+        |                      THEN (2 * num * 100000000 + den) // (2 * den)
+        |                      ELSE -((2 * -num * 100000000 + den) // (2 * den))
+        |                 END AS DOUBLE) / 100000000.0
         |       END AS slope
         |FROM t""".stripMargin,
 

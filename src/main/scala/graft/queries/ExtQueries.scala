@@ -339,8 +339,15 @@ object ExtQueries {
           floor(col("col").cast("double") * 1000.0 + 0.5).cast("long").as("q"))
         .groupBy(col("label"), col("dim"))
         .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
-        .withColumn("centroid_q",
-          round(col("sum_q").cast("double") / (col("n") * 1000.0), 6))
+        // centroid at 6 dp via EXACT integer HALF_UP — round(double)
+        // straddles engines on half-points (the mv_refresh convention).
+        // sum_q can be negative, so half-away-from-zero on |num| where
+        // Spark's truncating `div` and DuckDB's floor `//` coincide.
+        .withColumn("num", col("sum_q") * lit(1000L))
+        .selectExpr("label", "dim", "sum_q", "n",
+          """CAST(CASE WHEN num >= 0 THEN (2 * num + n) div (2 * n)
+            |     ELSE -((2 * -num + n) div (2 * n)) END AS DOUBLE)
+            |  / 1000000.0 AS centroid_q""".stripMargin)
     },
 
     // Sequence packing (round 5) — every doc's shard / token offset /
@@ -768,10 +775,15 @@ object ExtQueries {
       """WITH e AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                  generate_subscripts(embedding, 1) AS dim
         |           FROM embeddings),
-        |q AS (SELECT label, dim, CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS q FROM e)
-        |SELECT label, dim, sum(q) AS sum_q, count(*) AS n,
-        |       round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000.0), 6) AS centroid_q
-        |FROM q GROUP BY label, dim""".stripMargin,
+        |q AS (SELECT label, dim, CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS q FROM e),
+        |a AS (SELECT label, dim, sum(q) AS sum_q, count(*) AS n,
+        |             sum(q) * 1000 AS num
+        |      FROM q GROUP BY label, dim)
+        |SELECT label, dim, sum_q, n,
+        |       CAST(CASE WHEN num >= 0 THEN (2 * num + n) // (2 * n)
+        |            ELSE -((2 * -num + n) // (2 * n)) END AS DOUBLE)
+        |         / 1000000.0 AS centroid_q
+        |FROM a""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,

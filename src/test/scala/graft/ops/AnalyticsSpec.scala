@@ -165,6 +165,9 @@ class AnalyticsSpec extends SparkSpec {
 
   test("ewma fold matches hand computation and ignores input partitioning") {
     import org.apache.spark.sql.SparkSession
+    // Same shape as the registry query: flatMapSortedGroups = the
+    // engine's spillable secondary sort delivers the ordered iterator;
+    // the fold itself is streaming O(1) state — no toVector.
     def run(s: SparkSession, parts: Int): Map[Long, Double] = {
       import s.implicits._
       val df = Seq((1L, 10L, 1L, 10.0), (1L, 20L, 2L, 20.0), (1L, 30L, 3L, 30.0),
@@ -172,18 +175,29 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("user_id", "tus", "event_id", "value").repartition(parts)
       df.as[(Long, Long, Long, Double)]
         .groupByKey(_._1)
-        .mapGroups { (k, it) =>
-          val sorted = it.toVector.sortBy(r => (r._2, r._3))
-          var acc = sorted.head._4
-          sorted.tail.foreach(r => acc = 0.9 * acc + 0.1 * r._4)
-          (k, acc)
+        .flatMapSortedGroups(col("tus"), col("event_id")) { (k, it) =>
+          var n = 0L; var acc = 0.0
+          it.foreach { r => acc = if (n == 0L) r._4 else 0.9 * acc + 0.1 * r._4; n += 1 }
+          Iterator.single((k, acc))
         }.collect().toMap
     }
     val one = run(spark, 1)
     // 10 → .9*10+.1*20 = 11 → .9*11+.1*30 = 12.9
     assert(math.abs(one(1L) - 12.9) < 1e-12)
     assert(one(2L) === 5.0) // single reading: the fold is its identity
-    assert(run(spark, 8) === one) // sort inside the group, not the shuffle
+    assert(run(spark, 8) === one) // sort inside the engine, not the shuffle
+  }
+
+  test("ewma plan sorts within partitions — no per-key materialization") {
+    // The registry query must get its order from the engine's external
+    // (spillable) sort, visible as a SortExec below the group-map node
+    // — the scale-safe contract: a hot key with billions of events
+    // streams through the fold instead of materializing a Vector.
+    val plan = graft.queries.AnalyticsQueries
+      .queries("ewma")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Sort ["), s"expected a SortExec in:\n$plan")
+    assert(plan.toLowerCase.contains("tus"), s"sort keys missing tus:\n$plan")
   }
 
   test("incremental MV refresh equals full recompute on any split") {
