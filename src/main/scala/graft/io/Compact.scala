@@ -18,11 +18,12 @@ import org.apache.spark.sql.SparkSession
   *    partition, so a 100 TB table compacts incrementally and a failure
   *    mid-run leaves every untouched partition intact.
   *  - The rewrite is read → write to a hidden `.compact-tmp` subdir →
-  *    delete originals → move in. Readers listing the leaf mid-swap see
+  *    move in → delete originals. Readers listing the leaf mid-swap see
   *    either the old files or the new ones plus leftover olds (parquet
   *    re-listing is eventually consistent with at-least-once sinks —
   *    same contract as LakeSink.append); the swap never leaves ZERO
-  *    data files.
+  *    data files, and a crash between the two steps leaves duplicates
+  *    (cleaned by the next compaction run), never loss.
   *  - Idempotent: a second run finds every leaf already at or below its
   *    bin-packed file count and rewrites nothing.
   */
@@ -64,10 +65,13 @@ object Compact {
         df.coalesce(desired).write.mode("overwrite").parquet(tmp.toString)
         val newFiles = fs.listStatus(tmp)
           .filter(s => s.isFile && isDataFile(s.getPath)).map(_.getPath)
-        files.foreach(f => fs.delete(f.getPath, false))
+        // Rename in first, delete originals second: a reader (or a
+        // crash) between the steps sees new+old — duplicates under the
+        // at-least-once contract — never an empty leaf.
         newFiles.zipWithIndex.foreach { case (f, i) =>
           fs.rename(f, new Path(leaf, s"part-compact-$i-${f.getName.stripPrefix("part-")}"))
         }
+        files.foreach(f => fs.delete(f.getPath, false))
         fs.delete(tmp, true)
         dirs += 1
         after += newFiles.length

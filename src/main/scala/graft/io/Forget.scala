@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Right-to-be-forgotten (targeted key deletion) on a partitioned lake
@@ -13,40 +13,62 @@ import org.apache.spark.sql.functions._
   * possible.
   *
   * Two passes:
-  *   1. locate: one column-pruned scan (key + partition columns only;
-  *      the IN filter pushes down to the parquet row groups) finds the
-  *      partitions that actually contain the keys, and the global
-  *      removed-row count.
-  *   2. rewrite: ONLY those partition leaves are read, anti-filtered,
-  *      and swapped in place (Compact's read → hidden tmp → delete →
-  *      rename contract: readers mid-swap see old or new+old, never
-  *      zero files). Every untouched partition keeps its exact files —
+  *   1. locate: one column-pruned scan (key + partition columns only)
+  *      broadcast-SEMI-joined against the key set finds the partitions
+  *      that actually contain the keys, and the global removed-row
+  *      count.
+  *   2. rewrite: ONLY those partition leaves are read, broadcast-ANTI-
+  *      joined against the key set, and swapped in place (new files
+  *      rename in FIRST, then the originals are deleted: readers
+  *      listing mid-swap see old or new+old — at-least-once, never
+  *      zero files; a crash between the two steps leaves duplicates,
+  *      never loss). Every untouched partition keeps its exact files —
   *      at 100 TB a forget request for one user rewrites the handful
   *      of day-partitions they appear in, not the table.
   *
-  * Keys arrive as a literal Seq (forget-request batches are small); a
-  * corpus-sized erasure list would instead broadcast-anti-join a keys
-  * frame through the same leaf loop — same shape, different predicate.
+  * The key set rides a broadcast join, not an `isin` literal: a GDPR
+  * batch can be millions of keys, and an IN-list is O(|keys|) per row
+  * in the plan — a broadcast hash join is O(1) per row and the same
+  * plan at 10 keys or 10 million. The anti join also gets the null
+  * semantics right for free: a NULL key never equals any erase key, so
+  * null-key rows are RETAINED by the rewrite (an `isin` anti-filter
+  * evaluates to NULL on them and silently destroys them).
   * Idempotent: a second run locates zero affected partitions.
   */
 object Forget {
 
   case class Stats(partitionsRewritten: Int, rowsRemoved: Long)
 
-  /** @param root    lake root written with partitionBy(partCols)
-    * @param keyCol  column holding the key to erase
-    * @param keys    key values to erase
-    * @param partCols the table's partition columns, outermost first */
+  private val KeyAlias = "__forget_key"
+
+  /** Seq-of-keys convenience wrapper over [[forgetKeyFrame]]. */
   def forgetKeys(
       spark: SparkSession,
       root: String,
       keyCol: String,
       keys: Seq[Long],
       partCols: Seq[String]): Stats = {
+    import spark.implicits._
+    forgetKeyFrame(spark, root, keyCol, keys.toDF(KeyAlias), partCols)
+  }
+
+  /** @param root    lake root written with partitionBy(partCols)
+    * @param keyCol  column holding the key to erase
+    * @param keysDf  single-column frame of key values to erase (any
+    *                column name; deduplicated here)
+    * @param partCols the table's partition columns, outermost first */
+  def forgetKeyFrame(
+      spark: SparkSession,
+      root: String,
+      keyCol: String,
+      keysDf: DataFrame,
+      partCols: Seq[String]): Stats = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyFrame =
+      broadcast(keysDf.select(col(keysDf.columns.head).as(KeyAlias)).distinct())
     val lake = spark.read.parquet(root)
-    val hit = lake.filter(col(keyCol).isin(keys: _*))
+    val hit = lake.join(keyFrame, col(keyCol) === col(KeyAlias), "left_semi")
 
     // pass 1: affected partitions + removed-row count, one pruned scan.
     val affected = hit.groupBy(partCols.map(col): _*)
@@ -63,7 +85,7 @@ object Forget {
       // plan the read BEFORE creating the tmp dir (Compact's contract:
       // the file index lists the leaf at read() time).
       val part = spark.read.parquet(leaf.toString)
-        .filter(!col(keyCol).isin(keys: _*))
+        .join(keyFrame, col(keyCol) === col(KeyAlias), "left_anti")
       val files = fs.listStatus(leaf).filter(s =>
         s.isFile && !s.getPath.getName.startsWith(".") &&
           !s.getPath.getName.startsWith("_"))
@@ -72,10 +94,15 @@ object Forget {
       val newFiles = fs.listStatus(tmp).filter(s =>
         s.isFile && !s.getPath.getName.startsWith(".") &&
           !s.getPath.getName.startsWith("_")).map(_.getPath)
-      files.foreach(f => fs.delete(f.getPath, false))
+      // Rename in first, delete originals second: a reader (or crash)
+      // between the steps sees new+old — duplicate rows under the
+      // at-least-once contract — never an empty leaf. Recovery from a
+      // crash mid-swap: rerun (the semi-join locate finds the leaf
+      // again iff old files with live keys remain).
       newFiles.zipWithIndex.foreach { case (f, i) =>
         fs.rename(f, new Path(leaf, s"part-forget-$i-${f.getName.stripPrefix("part-")}"))
       }
+      files.foreach(f => fs.delete(f.getPath, false))
       fs.delete(tmp, true)
     }
     Stats(affected.length, removed)

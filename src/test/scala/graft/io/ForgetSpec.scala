@@ -59,4 +59,43 @@ class ForgetSpec extends SparkSpec {
     val again = Forget.forgetKeys(spark, dir, "user_id", Seq(4L, 5L), Seq("day"))
     assert(again === Forget.Stats(0, 0L))
   }
+
+  test("null-key rows survive the rewrite (anti-join null semantics)") {
+    val dir = Files.createTempDirectory("forgetnull").toString + "/t"
+    Seq[(Option[Long], Int, Long)](
+      (Some(1L), 0, 10L), (Some(2L), 0, 20L), (None, 0, 30L), (None, 0, 31L),
+      (Some(3L), 1, 40L))
+      .toDF("user_id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+
+    val stats = Forget.forgetKeys(spark, dir, "user_id", Seq(1L), Seq("day"))
+    assert(stats === Forget.Stats(partitionsRewritten = 1, rowsRemoved = 1))
+    val back = spark.read.parquet(dir)
+    // erased key gone, the two NULL-key rows in the rewritten partition
+    // RETAINED — an isin anti-filter would have silently dropped them.
+    assert(back.filter(col("user_id") === 1L).count() === 0)
+    assert(back.filter(col("user_id").isNull).count() === 2)
+    assert(back.count() === 4)
+  }
+
+  test("100k-key batch erases via broadcast join, not an isin literal") {
+    val (dir, total) = buildLake()
+    // 100k keys, of which only 3 and 6 exist in the lake (both day=0).
+    val keys = spark.range(100000L).select((col("id") + 1000000L).as("k"))
+      .union(Seq(3L, 6L).toDF("k"))
+    // plan check on the rewrite shape: broadcast hash anti-join, and
+    // no IN-list of key literals anywhere in the plan.
+    val lake = spark.read.parquet(dir)
+    val anti = lake.join(
+      broadcast(keys.select(col("k").as("__forget_key")).distinct()),
+      col("user_id") === col("__forget_key"), "left_anti")
+    val plan = anti.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+    assert(!plan.contains(" IN ("), s"key IN-list leaked into plan:\n$plan")
+
+    val stats = Forget.forgetKeyFrame(spark, dir, "user_id", keys, Seq("day"))
+    assert(stats === Forget.Stats(partitionsRewritten = 1, rowsRemoved = 8))
+    assert(spark.read.parquet(dir).count() === total - 8)
+  }
 }
