@@ -102,9 +102,26 @@ class SensorJsonBatchWrite(path: String, schema: StructType) extends BatchWrite 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    messages.collect { case StagedFile(f) =>
-      val src = new Path(f)
-      fs.rename(src, new Path(root, src.getName))
+    // Committed names must sort strictly AFTER every file already in
+    // the topic — the streaming offset contract (a lexicographic
+    // boundary) breaks if an append can insert a name inside the
+    // already-consumed prefix (the task-local part-<pid>-<tid>-<uuid>
+    // staging names give no such guarantee: taskIds reset per session
+    // and the uuid fragment is random). The driver-side commit is the
+    // one single-threaded point that sees the whole topic, so it
+    // assigns a fresh commit sequence = max existing seg sequence + 1;
+    // if a foreign (non-seg) name sorts above even that, the max name
+    // itself becomes a prefix — appended text always sorts after.
+    val existing = SensorJsonScan.listFiles(path).map(new Path(_).getName)
+    val seq = existing.flatMap(SensorJsonScan.segSeq).maxOption.getOrElse(-1L) + 1
+    val base = f"seg-$seq%020d"
+    val guard = existing.maxOption match {
+      case Some(m) if m >= base => m + "."
+      case _ => ""
+    }
+    messages.collect { case StagedFile(f) => f }.sorted.zipWithIndex.foreach {
+      case (f, i) =>
+        fs.rename(new Path(f), new Path(root, f"$guard$base-$i%05d.jsonl"))
     }
     fs.delete(new Path(stagingDir), true)
   }
@@ -193,12 +210,12 @@ class SensorJsonScan(path: String, required: StructType, pushed: Array[Filter])
 
   /** Streaming side: the topic as a MicroBatchStream with
     * FILE-GRANULAR REPLAYABLE OFFSETS — the Kafka offset model mapped
-    * onto the segment files: an offset is "first N files in
-    * lexicographic order" (producers append monotonically-named
-    * segments, the same contract Kafka log segments follow). A batch
-    * [start, end) plans one partition per new file; recovery replans
-    * the identical batch from the checkpointed offsets — exactly-once
-    * into idempotent sinks. */
+    * onto the segment files: an offset is the NAME of the last
+    * consumed segment (producers append monotonically-named segments,
+    * the same contract Kafka log segments follow; the connector's own
+    * batch commit enforces it). A batch (start, end] plans one
+    * partition per new file; recovery replans the identical batch from
+    * the checkpointed offsets — exactly-once into idempotent sinks. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SensorJsonMicroBatch(path, required.fieldNames,
       pushed.collect { case EqualTo(a, v: String) => (a, v) })
@@ -216,28 +233,43 @@ object SensorJsonScan {
       .map(_.getPath.toString)
       .sorted
   }
+
+  private val SegName = """seg-(\d{20})-\d+\.jsonl""".r
+
+  /** Commit sequence of a connector-committed segment name, if any. */
+  def segSeq(name: String): Option[Long] = name match {
+    case SegName(d) => Some(d.toLong)
+    case _ => None
+  }
 }
 
-/** Offset = count of committed files (lexicographic prefix). */
-case class FileCountOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+/** Offset = NAME of the last consumed segment ("" = beginning). A name
+  * boundary (not a file count) makes the offset insensitive to how
+  * many files exist: a replan reads exactly the files in
+  * (start, end] by name, so a late-listed file can never shift the
+  * meaning of an already-checkpointed offset. The producer side holds
+  * up the other half of the contract — commits always sort after every
+  * existing name (SensorJsonBatchWrite.commit). */
+case class FileNameOffset(last: String) extends Offset {
+  override def json(): String = last
 }
 
 class SensorJsonMicroBatch(
     path: String, fields: Array[String], equalTo: Array[(String, String)])
     extends MicroBatchStream {
-  override def initialOffset(): Offset = FileCountOffset(0)
+  override def initialOffset(): Offset = FileNameOffset("")
 
   override def latestOffset(): Offset =
-    FileCountOffset(SensorJsonScan.listFiles(path).length)
+    FileNameOffset(SensorJsonScan.listFiles(path).lastOption
+      .map(new Path(_).getName).getOrElse(""))
 
-  override def deserializeOffset(json: String): Offset =
-    FileCountOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = FileNameOffset(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n
-    val e = end.asInstanceOf[FileCountOffset].n
-    SensorJsonScan.listFiles(path).slice(s, e)
+    val s = start.asInstanceOf[FileNameOffset].last
+    val e = end.asInstanceOf[FileNameOffset].last
+    SensorJsonScan.listFiles(path)
+      .filter { f => val n = new Path(f).getName; n > s && n <= e }
       .map(f => SensorFilePartition(f): InputPartition)
   }
 
@@ -285,8 +317,23 @@ class SensorJsonReader(
         if (node.hasNonNull(f)) node.get(f).asText() else null
       // pushed equality filters evaluate BEFORE materialization
       if (equalTo.exists { case (f, v) => str(f) != v }) return None
+      // A present-but-non-numeric value is a malformed message, not a
+      // 0.0 reading (Jackson's asDouble() would fabricate one) — drop
+      // the line, matching the reference's float() parse-failure D1
+      // semantics. Validated regardless of projection so a pruned scan
+      // counts the same rows as a full one.
+      val value: Any =
+        if (!node.hasNonNull("value")) null
+        else {
+          val v = node.get("value")
+          if (v.isNumber) v.asDouble()
+          else if (v.isTextual) {
+            try v.asText().toDouble
+            catch { case _: NumberFormatException => return None }
+          } else return None
+        }
       val values: Array[Any] = fields.map {
-        case "value" => if (node.hasNonNull("value")) node.get("value").asDouble() else null
+        case "value" => value
         case f => Option(str(f)).map(UTF8String.fromString).orNull
       }
       Some(InternalRow.fromSeq(values.toIndexedSeq))

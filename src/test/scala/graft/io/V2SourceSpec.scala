@@ -142,4 +142,59 @@ class V2SourceSpec extends SparkSpec {
     assert(back.select("machine_id").collect().map(_.getString(0)).sorted
       === Array("FIRST", "SECOND"))
   }
+
+  test("V2 write commits monotone segment names — appends sort after every existing file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("v2mono").toString + "/topic"
+    Files.createDirectories(Paths.get(dir))
+    // pre-existing producer files with arbitrary names (one sorting
+    // ABOVE the connector's seg- prefix — the adversarial case)
+    Files.writeString(Paths.get(dir, "part-0.jsonl"),
+      """{"timestamp":"2025-01-01T10:00:00","machine_id":"A","sensor_type":"t","value":1.0}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "zzz-manual.jsonl"),
+      """{"timestamp":"2025-01-01T10:00:01","machine_id":"B","sensor_type":"t","value":2.0}
+        |""".stripMargin)
+    def names(): Seq[String] =
+      java.nio.file.Files.list(Paths.get(dir)).toArray.map(_.toString)
+        .map(p => Paths.get(p).getFileName.toString)
+        .filter(_.endsWith(".jsonl")).sorted.toSeq
+    val before = names()
+    def append(tag: String): Unit =
+      Seq(("2025-01-01T10:01:00", tag, "temperature", 3.0))
+        .toDF("timestamp", "machine_id", "sensor_type", "value")
+        .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    append("C"); append("D")
+    val after = names()
+    val newNames = after.filterNot(before.contains)
+    assert(newNames.size === 2)
+    // the streaming-offset contract: every committed name sorts after
+    // every file that existed at its commit time — a consumed
+    // lexicographic boundary can never have a file inserted behind it.
+    assert(newNames.forall(n => before.forall(_ < n)),
+      s"new $newNames do not all sort after $before")
+    // and the two appends are mutually ordered by commit sequence
+    assert(newNames.sorted === newNames)
+  }
+
+  test("present-but-non-numeric value is a malformed line, not a 0.0 reading") {
+    val dir = Files.createTempDirectory("v2badval").toString
+    Files.writeString(Paths.get(dir, "part-0.jsonl"),
+      """{"timestamp":"2025-01-01T10:00:00","machine_id":"OK-1","sensor_type":"t","value":5.5}
+        |{"timestamp":"2025-01-01T10:00:01","machine_id":"BAD-1","sensor_type":"t","value":"abc"}
+        |{"timestamp":"2025-01-01T10:00:02","machine_id":"STR-1","sensor_type":"t","value":"7.25"}
+        |{"timestamp":"2025-01-01T10:00:03","machine_id":"OBJ-1","sensor_type":"t","value":{"x":1}}
+        |{"timestamp":"2025-01-01T10:00:04","machine_id":"NUL-1","sensor_type":"t","value":null}
+        |""".stripMargin)
+    val rows = spark.read.format(Fmt).load(dir).collect()
+    val byId = rows.map(r => r.getString(1) -> r).toMap
+    // numeric and numeric-string parse (reference float() semantics);
+    // non-numeric value drops the LINE; explicit null stays null.
+    assert(byId.keySet === Set("OK-1", "STR-1", "NUL-1"))
+    assert(byId("OK-1").getDouble(3) === 5.5)
+    assert(byId("STR-1").getDouble(3) === 7.25)
+    assert(byId("NUL-1").isNullAt(3))
+    // projection does not change which lines survive
+    assert(spark.read.format(Fmt).load(dir).select(col("machine_id")).count() === 3)
+  }
 }
