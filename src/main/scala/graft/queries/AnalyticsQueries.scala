@@ -404,9 +404,12 @@ object AnalyticsQueries {
     // bin, unlike value_histogram's fixed widths): ntile(10) over a
     // TOTAL ordering (event_id tiebreak — ntile splits ties
     // arbitrarily otherwise), then bin ranges. One exchange + sort per
-    // type. At 100 TB the per-key sort gives way to approx_percentile
-    // cutpoints (the approx_quantiles path) + a bucket join — this is
-    // the exact form those cutpoints approximate.
+    // type — with only a handful of event types, a few partitions
+    // carry the whole table through that sort, so this exact row-level
+    // form is the SMALL-DATA member of a pair: equidepth_hist_scale
+    // below is the 100 TB member (sort over the compressed histogram,
+    // never the raw rows; approx_quantiles is the sketched third
+    // option when even quantized cardinality is unbounded).
     "equidepth_hist" -> { (s, d) =>
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value"), col("event_id"))
@@ -417,6 +420,37 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 4).as("lo"),
           round(max(col("value")), 4).as("hi"))
+    },
+
+    // Equi-depth histogram, SCALE form — the classic two-level shape:
+    // (1) quantize values to centi-units and hash-aggregate the
+    // per-type histogram (map-side partials; the only pass over raw
+    // rows), (2) run the cumulative window + decile assignment over
+    // the COMPRESSED histogram — thousands of (type, quantum) rows,
+    // not the table — then re-aggregate to bins. Deciles are assigned
+    // by each quantum's starting row index (a quantum never splits
+    // across bins: the quantization step is the histogram's stated
+    // resolution), all in exact integer math, so the result is
+    // engine-independent and hash-oracled — unlike an
+    // approx_percentile variant. The per-type sort cost is
+    // O(distinct quanta), flat in table size.
+    "equidepth_hist_scale" -> { (s, d) =>
+      val byQ = Window.partitionBy(col("event_type")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byType = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("q"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(byQ))
+        .withColumn("total", sum(col("cnt")).over(byType))
+        .withColumn("decile",
+          least(lit(10L), lit(1L) + expr("((cum - cnt) * 10) div total")))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(sum(col("cnt")).as("n"),
+          (min(col("q")).cast("double") / 100.0).as("lo"),
+          (max(col("q")).cast("double") / 100.0).as("hi"))
     },
 
     // Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
@@ -828,6 +862,25 @@ object AnalyticsQueries {
         |       round(min(value), 4) AS lo,
         |       round(max(value), 4) AS hi
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // All-integer until the closing /100.0 — engine-independent.
+    "equidepth_hist_scale" ->
+      """WITH q AS (SELECT event_type,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+        |           FROM events),
+        |h AS (SELECT event_type, q, count(*) AS cnt FROM q GROUP BY 1, 2),
+        |c AS (SELECT event_type, q, cnt,
+        |        sum(cnt) OVER (PARTITION BY event_type ORDER BY q
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY event_type) AS total
+        |      FROM h),
+        |b AS (SELECT event_type, cnt, q,
+        |        least(10, 1 + ((cum - cnt) * 10) // total) AS decile
+        |      FROM c)
+        |SELECT event_type, decile, sum(cnt) AS n,
+        |       CAST(min(q) AS DOUBLE) / 100.0 AS lo,
+        |       CAST(max(q) AS DOUBLE) / 100.0 AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "hierarchy_flatten" ->
       """WITH RECURSIVE k AS (SELECT o_orderkey AS node FROM orders),

@@ -200,6 +200,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("tus"), s"sort keys missing tus:\n$plan")
   }
 
+  test("equidepth_hist_scale sorts only the compressed histogram, and bins evenly") {
+    val df = graft.queries.AnalyticsQueries.queries("equidepth_hist_scale")(spark, sf)
+    // scale contract: NO sort over raw rows — the one Sort sits above
+    // the quantizing HashAggregate, so it orders (type, quantum)
+    // histogram rows whose cardinality is flat in table size. In the
+    // printed tree, a node's inputs are the LATER lines (AQE wraps the
+    // plan, so string assertions instead of collect()).
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    val sortIdx = lines.indexWhere(_.contains("Sort ["))
+    assert(sortIdx >= 0, s"expected the histogram sort in:\n${lines.mkString("\n")}")
+    assert(lines(sortIdx).contains("q#"),
+      s"sort key should be the quantum, got:\n${lines(sortIdx)}")
+    assert(lines.drop(sortIdx).exists(l =>
+      l.contains("HashAggregate") && l.contains("count")),
+      "the quantizing aggregate must sit BELOW the sort")
+    // and no raw-row total ordering anywhere (the exact form's
+    // (value, event_id) ntile sort would reference event_id)
+    assert(!lines.exists(_.contains("event_id")),
+      "raw-row total-order sort leaked into the scale plan")
+    // and the bins are genuinely equi-depth-ish: per type, every
+    // decile holds > 0 rows and the largest/smallest bin ratio stays
+    // small on the gaussian test data (quantization can only move a
+    // single quantum's worth of rows across a boundary).
+    val rows = df.collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, bins) =>
+      assert(bins.length === 10)
+      val ns = bins.map(_.getAs[Long]("n"))
+      assert(ns.min > 0)
+      assert(ns.max.toDouble / ns.min <= 2.0,
+        s"very skewed bins: ${ns.mkString(",")}")
+    }
+  }
+
   test("incremental MV refresh equals full recompute on any split") {
     val rows = Seq(
       (1L, "a", 10.0), (1L, "a", 20.0), (1L, "b", 5.0),
