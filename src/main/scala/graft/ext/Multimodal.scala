@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * metadata, batched decode / feature-extract / frame-sample operators
   * (SURVEY §7.5).
   *
-  * The image/audio codec libraries are not in this environment, so the
-  * decode kernel is a clearly-marked deterministic STUB — but the
-  * Spark-side plumbing is real: binary column + metadata struct schema,
-  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`:
-  * one iterator per partition, decode amortized across the batch, no
-  * per-row JNI/codec setup), and partition sizing notes. At 100 TB the
-  * payload column dominates I/O: keep it in its own parquet column
+  * Decode is layered by what this environment can really run:
+  * [[parseImageHeader]] (container-byte header parse) and
+  * [[decodePixelFeatures]] (`javax.imageio` — in the JDK, no codec jar)
+  * are REAL; only formats imageio lacks (video, audio, webp, ...) stay
+  * behind the clearly-marked deterministic STUB in [[decodeFeatures]].
+  * The Spark-side plumbing is identical for all three: binary column +
+  * metadata struct schema, `mapPartitions` batch shape (the Scala
+  * analog of `mapInPandas`: one iterator per partition, codec setup
+  * amortized across the batch), and partition sizing notes. At 100 TB
+  * the payload column dominates I/O: keep it in its own parquet column
   * (column pruning skips it unless selected) and size
   * `spark.sql.files.maxPartitionBytes` so a partition of payloads fits
   * the executor decode buffer.
@@ -120,6 +123,76 @@ object Multimodal {
           case None => ImageHeader(id, None, None, None)
         }
       })
+  }
+
+  /** A really-decoded image's pixel-level features. */
+  case class PixelFeatures(
+      doc_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      argb_crc: Long)
+
+  /** REAL pixel decode — `javax.imageio` ships with the JDK (PNG, GIF,
+    * BMP, JPEG readers), so no codec jar is needed: payload bytes →
+    * BufferedImage → row-major ARGB ints. Returns None for anything
+    * imageio cannot decode (those formats remain the documented stub
+    * path in [[decodeFeatures]]); a corrupt blob must never kill a
+    * lake-scale sweep. */
+  def decodePixelsKernel(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // getRGB normalizes every source color model to packed ARGB —
+        // the decode contract downstream features depend on.
+        Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Pixel features for every payload through the same batched seam as
+    * [[decodeFeatures]] — but with the REAL decoder. Pixel arrays never
+    * leave the task: only fixed-width features (dims, channel means,
+    * ARGB checksum) cross the shuffle, so the operator's output is
+    * O(rows) however large the images are. */
+  def decodePixelFeatures(spark: SparkSession, withPayloads: DataFrame): Dataset[PixelFeatures] = {
+    import spark.implicits._
+    withPayloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition (not per-row) codec setup: no imageio disk
+        // cache — a 100 TB sweep must not write a temp file per image.
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          decodePixelsKernel(bytes) match {
+            case Some((w, h, px)) =>
+              var r = 0L; var g = 0L; var b = 0L
+              var crc = 1469598103934665603L // FNV-1a over ARGB ints
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                r += (p >>> 16) & 0xff; g += (p >>> 8) & 0xff; b += p & 0xff
+                var k = 0
+                while (k < 4) {
+                  crc = (crc ^ ((p >>> (8 * k)) & 0xffL)) * 1099511628211L
+                  k += 1
+                }
+                i += 1
+              }
+              val n = px.length.toLong.max(1L)
+              PixelFeatures(id, decoded = true, w, h, px.length.toLong,
+                r.toDouble / n, g.toDouble / n, b.toDouble / n, crc)
+            case None =>
+              PixelFeatures(id, decoded = false, 0, 0, 0L, 0.0, 0.0, 0.0, 0L)
+          }
+        }
+      }
   }
 
   /** Frame sampling: every `stride`-th byte-window of the payload stands

@@ -78,4 +78,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === Multimodal.ImageHeader(2L, None, None, None))
     assert(out(3L) === Multimodal.ImageHeader(3L, Some("png"), Some(7), Some(9)))
   }
+
+  // A REAL 2×2 PNG via the JDK encoder, with four exactly-known
+  // opaque ARGB pixels (PNG is lossless, so decode must round-trip
+  // them byte-exactly).
+  private val KnownPixels = Array(0xff112233, 0xff445566, 0xff778899, 0xffaabbcc)
+  private def realPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 2, 2, KnownPixels, 0, 2)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodePixelsKernel decodes a real PNG's pixels byte-exactly") {
+    val bytes = realPng()
+    // sanity: the header parser agrees this is a real 2×2 PNG
+    assert(Multimodal.parseImageHeader(bytes) === Some(("png", 2, 2)))
+    val Some((w, h, px)) = Multimodal.decodePixelsKernel(bytes)
+    assert((w, h) === ((2, 2)))
+    assert(px === KnownPixels) // lossless round-trip, every ARGB byte
+    assert(Multimodal.decodePixelsKernel("not an image".getBytes) === None)
+  }
+
+  test("decodePixelFeatures: real decode features end-to-end, total over junk") {
+    import spark.implicits._
+    val payloads = Seq((1L, realPng()), (2L, "just text".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodePixelFeatures(spark, payloads)
+      .collect().map(f => f.doc_id -> f).toMap
+    val real = out(1L)
+    assert(real.decoded && real.width === 2 && real.height === 2 && real.n_pixels === 4L)
+    // channel means over the four known pixels: r (0x11+0x44+0x77+0xaa)/4 ...
+    assert(real.mean_r === (0x11 + 0x44 + 0x77 + 0xaa) / 4.0)
+    assert(real.mean_g === (0x22 + 0x55 + 0x88 + 0xbb) / 4.0)
+    assert(real.mean_b === (0x33 + 0x66 + 0x99 + 0xcc) / 4.0)
+    // checksum matches an independent FNV-1a fold over the same ints
+    var crc = 1469598103934665603L
+    KnownPixels.foreach { p =>
+      (0 until 4).foreach { k => crc = (crc ^ ((p >>> (8 * k)) & 0xffL)) * 1099511628211L }
+    }
+    assert(real.argb_crc === crc)
+    assert(!out(2L).decoded && out(2L).n_pixels === 0L)
+  }
 }
