@@ -29,7 +29,13 @@ object Hierarchy {
     * @param rounds pointer-doubling rounds; covers depth ≤ 2^rounds
     *               (6 rounds = depth 64 — deeper than any real
     *               catalog/org tree; raise for pathological chains)
-    * @return (node, root, depth) — depth = edges climbed to the root */
+    * @return (node, root, depth) — depth = edges climbed to the root.
+    *         A DANGLING parent id (no row in `edges` — a contract
+    *         violation upstream) surfaces as that node's root rather
+    *         than silently dropping the node: the hop join is LEFT, so
+    *         an unmatched pointer simply stops advancing. Callers that
+    *         need to detect the violation can filter for roots absent
+    *         from `edges.node`. */
   def rootAndDepth(edges: DataFrame, rounds: Int = 6): DataFrame = {
     // pointer table: roots point at themselves at distance 0.
     var p = edges.select(
@@ -39,9 +45,10 @@ object Hierarchy {
     for (_ <- 1 to rounds) {
       val hop = p.select(col("node").as("h_node"),
         col("ptr").as("h_ptr"), col("dist").as("h_dist"))
-      p = p.join(hop, p("ptr") === hop("h_node"))
-        .select(col("node"), col("h_ptr").as("ptr"),
-          (col("dist") + col("h_dist")).as("dist"))
+      p = p.join(hop, p("ptr") === hop("h_node"), "left")
+        .select(col("node"),
+          coalesce(col("h_ptr"), col("ptr")).as("ptr"),
+          (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist"))
         .localCheckpoint(true)
     }
     p.select(col("node"), col("ptr").as("root"), col("dist").as("depth"))

@@ -163,6 +163,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.forall(_._1 == 1L))
   }
 
+  test("dangling parent ids surface as roots instead of dropping nodes") {
+    // node 3's parent 99 has no row — upstream contract violation; the
+    // left hop join must keep node 3 (root=99, depth 1), never lose it.
+    val edges = Seq((1L, None), (2L, Some(1L)), (3L, Some(99L)))
+      .map { case (n, p) => (n, p) }.toDF("node", "parent")
+    val out = Hierarchy.rootAndDepth(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, 0L)))
+    assert(out(2L) === ((1L, 1L)))
+    assert(out(3L) === ((99L, 1L)))
+  }
+
   test("ewma fold matches hand computation and ignores input partitioning") {
     import org.apache.spark.sql.SparkSession
     // Same shape as the registry query: flatMapSortedGroups = the
