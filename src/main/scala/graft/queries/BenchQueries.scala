@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -198,6 +199,53 @@ object BenchQueries {
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+    },
+
+    // TPC-H Q13 shape: customer-order distribution — LEFT OUTER join
+    // with a right-side predicate, then TWO stacked aggregations (count
+    // per customer, histogram of counts). The outer join is what makes
+    // the shape distinct: zero-order customers must survive with
+    // c_count = 0 (count(o_orderkey) counts only matches), and the
+    // second aggregate collapses |customers| rows to a ~50-row
+    // distribution — shuffle volume drops at each step, never grows.
+    "cust_order_dist" -> { (s, d) =>
+      val filtered = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(filtered, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q17 shape: small-quantity-order revenue — a correlated
+    // aggregate (each line compared to 0.2× its part's average
+    // quantity). The textbook decorrelation is an aggregate + self-join
+    // — TWO passes over the fact; here the per-part stats come from a
+    // window over the SAME partkey shuffle the probe rows need anyway:
+    // one lineitem scan, one exchange, zero joins beyond the broadcast
+    // brand filter (the oracle deliberately keeps the join formulation
+    // — an independent derivation of the same answer). The threshold
+    // compare q < 0.2·avg runs as exact integers (5·q·n < Σq —
+    // quantities are integral), so no engine can flip a boundary row;
+    // the single closing division is the only float op.
+    "small_qty_revenue" -> { (s, d) =>
+      val brand = broadcast(
+        Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey")))
+      val byPart = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          col("l_extendedprice"))
+        .join(brand, col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+        .withColumn("n", count(lit(1)).over(byPart))
+        .withColumn("sq", sum(col("q")).over(byPart))
+        .filter(lit(5L) * col("q") * col("n") < col("sq"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / 7.0).as("avg_yearly"))
     }
   )
 
@@ -300,6 +348,28 @@ object BenchQueries {
         |      FROM lineitem GROUP BY 1
         |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200) q
         |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey""".stripMargin
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "cust_order_dist" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |            FROM customer LEFT JOIN orders
+        |              ON c_custkey = o_custkey
+        |             AND o_orderpriority <> '1-URGENT'
+        |            GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+
+    // threshold as exact integers (5·q·n < Σq ⟺ q < 0.2·avg) — no
+    // float boundary; the /7.0 is the only float op, identical IEEE.
+    "small_qty_revenue" ->
+      """WITH lp AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |                   l_extendedprice
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey
+        |            WHERE p_brand = 'Brand#1'),
+        |st AS (SELECT l_partkey, count(*) AS n, sum(q) AS sq
+        |       FROM lp GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / 7.0 AS avg_yearly
+        |FROM lp JOIN st USING (l_partkey)
+        |WHERE 5 * q * n < sq""".stripMargin
   )
 }

@@ -190,6 +190,29 @@ class PlanSpec extends SparkSpec {
       s"eval set must broadcast — the train side never shuffles text:\n$p")
   }
 
+  test("cust_order_dist: outer join then two shrinking aggregates, no broadcast of the fact") {
+    val p = plan("cust_order_dist")
+    // left outer on custkey — both sides are unbounded at scale, so a
+    // shuffle join (not a broadcast of orders) is the correct plan
+    assert(p.contains("LeftOuter"), p)
+    // the priority filter pushes to the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority"), p)
+  }
+
+  test("small_qty_revenue: one fact scan, brand broadcast, stats from a window not a self-join") {
+    val p = plan("small_qty_revenue")
+    // the part dimension reaches lineitem as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the brand predicate pushes into the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#1)"), p)
+    // the correlated aggregate decorrelates onto the SAME partkey
+    // shuffle as the probe rows: exactly one lineitem scan, no
+    // sort-merge self-join
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("footer-only aggregates: min/max/count push down to the parquet scan") {
     // With v2 parquet + aggregate pushdown, MIN/MAX/COUNT over a table
     // are answered from row-group footer statistics — zero data pages
