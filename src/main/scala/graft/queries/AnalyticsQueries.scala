@@ -492,6 +492,27 @@ object AnalyticsQueries {
     // one partial+final aggregate; the global top-k is
     // TakeOrderedAndProject over the collapsed key frame (heap of 20
     // per partition — never a full sort); the 1-row total broadcasts.
+    // Order-insensitive table reconciliation checksum — "is this copy
+    // of a 100 TB table identical?" answered with ONE map-side pass and
+    // a 1-row aggregate: per-row md5Hash60 over a canonical projection
+    // (integers + strings render identically in any engine; the double
+    // is cents-quantized first), summed modulo 2⁶¹−1. Addition is
+    // commutative/associative, so the checksum is independent of row
+    // order, partition layout, and engine — and MERGEABLE: per-shard
+    // checksums from different clusters combine by modular addition.
+    // No sort, no shuffle beyond the 1-row rollup; compare against
+    // sort-then-hash (a full-table sort to one writer) at scale.
+    "table_checksum" -> { (s, d) =>
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val rowStr = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"), cents)
+      Tables.orders(s, d)
+        .select(graft.ext.Dedup.md5Hash60(rowStr).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          pmod(sum(col("h").cast("decimal(38,0)")), lit(2305843009213693951L))
+            .cast("long").as("checksum"))
+    },
+
     "skew_report" -> { (s, d) =>
       val counts = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
@@ -894,6 +915,15 @@ object AnalyticsQueries {
         |  SELECT e.node, a.root, a.depth + 1
         |  FROM e JOIN anc a ON e.parent = a.node)
         |SELECT node, root, depth FROM anc""".stripMargin,
+
+    "table_checksum" ->
+      """WITH h AS (SELECT CAST('0x' || substr(md5(concat_ws('|',
+        |    o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))), 1, 15)
+        |  AS BIGINT) AS h FROM orders)
+        |SELECT count(*) AS n_rows,
+        |       CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum
+        |FROM h""".stripMargin,
 
     "skew_report" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS n_rows

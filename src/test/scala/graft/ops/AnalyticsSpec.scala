@@ -163,6 +163,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.forall(_._1 == 1L))
   }
 
+  test("table_checksum is partition/order-insensitive and change-sensitive") {
+    def sum61(rows: Seq[(Long, String)], parts: Int): (Long, Long) = {
+      val df = rows.toDF("k", "v").repartition(parts)
+      val h = graft.ext.Dedup.md5Hash60(concat_ws("|", col("k"), col("v")))
+      val r = df.select(h.as("h"))
+        .agg(count(lit(1)).as("n"),
+          pmod(sum(col("h").cast("decimal(38,0)")), lit(2305843009213693951L))
+            .cast("long").as("c"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val rows = (1L to 500L).map(i => (i, s"payload$i"))
+    val base = sum61(rows, 1)
+    assert(sum61(rows.reverse, 8) === base) // order + layout insensitive
+    assert(sum61(rows.updated(3, (4L, "tampered")), 8) !== base)
+  }
+
   test("dangling parent ids surface as roots instead of dropping nodes") {
     // node 3's parent 99 has no row — upstream contract violation; the
     // left hop join must keep node 3 (root=99, depth 1), never lose it.
