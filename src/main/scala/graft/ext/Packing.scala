@@ -55,4 +55,40 @@ object Packing {
       .withColumn("pack_seq", (col("offset_toks") / seqLen).cast("long"))
       .drop("h")
   }
+
+  /** Sliding-window token chunking — the long-document preparation
+    * stage for context-bounded training/embedding: each document emits
+    * overlapping `chunkLen`-token windows every `stride` tokens
+    * (overlap = chunkLen − stride preserves cross-boundary context,
+    * the standard RAG/embedding chunking discipline).
+    *
+    * Chunk count is exact integer math (1 + ⌈(n − chunkLen)/stride⌉
+    * for n > chunkLen, else 1), the windows come from a per-row
+    * `sequence` + `posexplode` + `slice` chain — pure map-side
+    * row explosion riding the scan: no shuffle, no join, output
+    * bounded by total tokens / stride. At 100 TB this is the shape
+    * that matters: chunking must not cost more than reading.
+    *
+    * @return doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text
+    */
+  def chunkTokens(docs: DataFrame, id: Column, toks: Column,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkLen >= stride, "need 0 < stride <= chunkLen")
+    docs.select(id.as("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= chunkLen, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n - $chunkLen + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"),
+        col("col").as("chunk_idx"),
+        (col("col") * stride).as("start_tok"),
+        slice(col("toks"), (col("col") * stride + 1).cast("int"), lit(chunkLen))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

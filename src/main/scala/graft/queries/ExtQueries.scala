@@ -359,6 +359,17 @@ object ExtQueries {
         size(TextOps.tokens(col("text"))), nShards = 8, seqLen = 256)
     },
 
+    // Sliding-window chunking (round 6) — overlapping 64-token windows
+    // every 48 tokens (16-token overlap): the context-bounded
+    // preparation stage for embedding/RAG corpora. Map-side row
+    // explosion riding the scan (ext.Packing.chunkTokens) — no
+    // shuffle; the oracle reproduces the windows with generate_series
+    // + list_slice.
+    "chunk_docs" -> { (s, d) =>
+      Packing.chunkTokens(Tables.documents(s, d), col("doc_id"),
+        TextOps.tokens(col("text")), chunkLen = 64, stride = 48)
+    },
+
     // Within-doc repetition quality signals (round 5) — Gopher-style
     // token-diversity / top-token-mass / duplicate-bigram filters
     // (ext.Repetition: array stats ride the scan; one explode-agg tree
@@ -797,6 +808,25 @@ object ExtQueries {
          |SELECT doc_id, n_tokens, shard, offset_toks,
          |       offset_toks // 256 AS pack_seq
          |FROM w""".stripMargin,
+
+    "chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |        CASE WHEN len(toks) <= 64 THEN 1
+         |             ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+         |      FROM t),
+         |c AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+         |      FROM s)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+         |       CAST(len(list_slice(toks, chunk_idx * 48 + 1,
+         |                           chunk_idx * 48 + 64)) AS BIGINT)
+         |         AS n_chunk_tokens,
+         |       array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+         |                                  chunk_idx * 48 + 64), ' ')
+         |         AS chunk_text
+         |FROM c""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id,

@@ -46,6 +46,31 @@ class TrainingOpsSpec extends SparkSpec {
 
   // ---- Repetition -----------------------------------------------------
 
+  test("chunkTokens: exact windows, overlap, short-doc and boundary cases") {
+    // 10 tokens t0..t9, chunkLen 4, stride 3 → chunks start at 0,3,6
+    // (1 + ceil((10-4)/3) = 3): [t0..t3] [t3..t6] [t6..t9] — the last
+    // exactly consumes the tail; plus a short doc (< chunkLen) and one
+    // hitting a partial final window.
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"),                                   // short: 1 chunk
+      (3L, (0 until 12).map(i => s"u$i").mkString(" "))) // starts 0,3,6,9; last has 3
+      .toDF("doc_id", "text")
+    val out = Packing.chunkTokens(docs, col("doc_id"),
+      TextOps.tokens(col("text")), chunkLen = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keys.count(_._1 == 1L) === 3)
+    assert(out((1L, 0L)) === ((0L, 4L, "t0 t1 t2 t3")))
+    assert(out((1L, 1L)) === ((3L, 4L, "t3 t4 t5 t6"))) // 1-token overlap
+    assert(out((1L, 2L)) === ((6L, 4L, "t6 t7 t8 t9")))
+    assert(out.keys.count(_._1 == 2L) === 1)
+    assert(out((2L, 0L)) === ((0L, 2L, "a b")))
+    assert(out.keys.count(_._1 == 3L) === 4)
+    assert(out((3L, 3L)) === ((9L, 3L, "u9 u10 u11"))) // partial tail
+  }
+
   test("repetition stats: known answers, case folding, single-token doc") {
     val docs = Seq(
       (1L, "a a a b"),         // 4 toks, 2 distinct, top 3; bigrams: aa aa ab
