@@ -246,6 +246,33 @@ object BenchQueries {
         .filter(lit(5L) * col("q") * col("n") < col("sq"))
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           / 7.0).as("avg_yearly"))
+    },
+
+    // TPC-H Q19 shape: discounted revenue under a DISJUNCTION of
+    // conjunctive predicates spanning BOTH join sides (brand+size from
+    // part, quantity from lineitem) — the planner stress is OR-split
+    // pushdown: Catalyst derives the part-side residual
+    // (brand₁∧size₁)∨(brand₂∧size₂)∨(brand₃∧size₃) and pushes it into
+    // the dimension scan, so only qualifying parts reach the broadcast;
+    // the mixed-side conjunctions evaluate post-join. One lineitem
+    // pass, decimal-exact revenue.
+    "brand_revenue" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(dsum(rev, 4).as("revenue"))
     }
   )
 
@@ -370,6 +397,17 @@ object BenchQueries {
         |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |         / 7.0 AS avg_yearly
         |FROM lp JOIN st USING (l_partkey)
-        |WHERE 5 * q * n < sq""".stripMargin
+        |WHERE 5 * q * n < sq""".stripMargin,
+
+    "brand_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
   )
 }

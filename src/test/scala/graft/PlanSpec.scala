@@ -213,6 +213,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("brand_revenue: OR-split residual prunes the part scan before the broadcast") {
+    val p = plan("brand_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // Catalyst must derive the part-only disjunction
+    // (brand₁∧size)∨(brand₂∧size)∨(brand₃∧size) and evaluate it ON THE
+    // PART SCAN — only qualifying parts reach the broadcast build side.
+    val partScanFilter = p.linesIterator
+      .filter(_.contains("p_brand")).mkString("\n")
+    assert(partScanFilter.contains("Brand#12") &&
+      partScanFilter.contains("Brand#34"), p)
+    // and the lineitem-side quantity disjunction survives post-join
+    assert(p.contains("l_quantity"), p)
+  }
+
   test("footer-only aggregates: min/max/count push down to the parquet scan") {
     // With v2 parquet + aggregate pushdown, MIN/MAX/COUNT over a table
     // are answered from row-group footer statistics — zero data pages
