@@ -32,6 +32,21 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Milli-unit integer quantization of a numeric vector — the
+    * exact-arithmetic gateway: every similarity decision downstream of
+    * this is integer math no engine pair can disagree on. */
+  def quantize1000(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
+
+  /** Exact integer dot product over quantized vectors. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared euclidean distance over quantized vectors. */
+  def idist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Codegen'd cosine (identical math, fused loop — see
     * [[graft.ext.expr.CosineSim]]); the bulk-scoring default. */
   def cosineFast(a: Column, b: Column): Column =

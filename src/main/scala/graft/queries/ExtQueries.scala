@@ -260,6 +260,61 @@ object ExtQueries {
           round(VectorOps.cosine(col("va"), col("vb")), 4).as("cos_sim"))
     },
 
+    // SemDeDup-style semantic dedup (round 6; Abbas et al. 2023
+    // motivate cluster-then-prune): embeddings → coarse clusters →
+    // within-cluster near-dup pairs → drop all but the lowest id. Made
+    // hash-oracle-able by keeping every decision in EXACT INTEGERS:
+    // components quantize to milli-units, cluster assignment is argmin
+    // integer squared-euclidean to 8 deterministically-chosen anchors
+    // (lowest md5 hash — k-means centroids aren't cross-engine-
+    // reproducible, hash-sampled anchors are), and the cos ≥ 0.9 test
+    // runs as 100·dot² ≥ 81·‖a‖²·‖b‖² with dot > 0 — no float compares
+    // anywhere. The corpus is near-orthogonal by construction, so the
+    // query unions perturbed copies (+0.001 per component — the corpus
+    // is unit-norm, so cos(v, v') ≈ 0.99997 — ids +100000)
+    // of every 10th vector — the gate verifies true drops. 100 TB
+    // shape: anchors broadcast (assignment rides the scan); the
+    // within-cluster self-join is the quadratic risk — production caps
+    // cluster sizes / re-clusters oversized buckets exactly like the
+    // LSH MaxBandBucket cap.
+    "semdedup" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val synth = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("e"), x => x + lit(0.001)).as("e"))
+      val corpus = base.unionByName(synth)
+        .select(col("vec_id"), VectorOps.quantize1000(col("e")).as("q"))
+      val anchors = corpus
+        .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(8)
+        .select(col("vec_id").as("anchor_id"), col("q").as("aq"))
+      val assigned = corpus.crossJoin(broadcast(anchors))
+        .select(col("vec_id"), col("q"), col("anchor_id"),
+          VectorOps.idist2(col("q"), col("aq")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(
+          min_by(col("anchor_id"), struct(col("d2"), col("anchor_id")))
+            .as("cluster"),
+          first(col("q")).as("q"))
+      val a = assigned.select(col("cluster"), col("vec_id").as("ka"),
+        col("q").as("qa"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("dropped_id"),
+        col("q").as("qb"))
+      a.join(b, Seq("cluster")).filter(col("ka") < col("dropped_id"))
+        .select(col("cluster"), col("ka"), col("dropped_id"),
+          VectorOps.idot(col("qa"), col("qb")).as("dot"),
+          VectorOps.idot(col("qa"), col("qa")).as("na"),
+          VectorOps.idot(col("qb"), col("qb")).as("nb"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 81)
+        .groupBy(col("dropped_id"))
+        .agg(min(col("ka")).as("kept_id"),
+          count(lit(1)).as("n_similar"),
+          min(col("cluster")).as("cluster"))
+    },
+
     "ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       VectorOps.lshTopK(
@@ -754,6 +809,48 @@ object ExtQueries {
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos_sim
         |FROM embeddings, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Every similarity decision in exact integers (see the query's
+    // comment); the only floats are the +0.1 perturbation and the
+    // ·1000 quantization input — identical IEEE ops in both engines.
+    "semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |              FROM embeddings),
+        |synth AS (SELECT vec_id + 100000 AS vec_id,
+        |                 list_transform(e, x -> x + 0.001) AS e
+        |          FROM base WHERE vec_id % 10 = 0),
+        |corpus AS (SELECT vec_id,
+        |             list_transform(e,
+        |               x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+        |           FROM (SELECT * FROM base UNION ALL SELECT * FROM synth)),
+        |anc AS (SELECT vec_id AS anchor_id, q AS aq
+        |        FROM corpus
+        |        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        |                      AS BIGINT), vec_id
+        |        LIMIT 8),
+        |asg AS (SELECT vec_id, q, anchor_id,
+        |          list_sum(list_transform(generate_series(1, len(q)),
+        |            i -> (q[i] - aq[i]) * (q[i] - aq[i]))) AS d2
+        |        FROM corpus CROSS JOIN anc),
+        |cl AS (SELECT vec_id, q, anchor_id AS cluster
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                        ORDER BY d2, anchor_id) AS rn
+        |             FROM asg)
+        |       WHERE rn = 1),
+        |pairs AS (SELECT a.cluster, a.vec_id AS ka, b.vec_id AS dropped_id,
+        |            list_sum(list_transform(generate_series(1, len(a.q)),
+        |              i -> a.q[i] * b.q[i])) AS dot,
+        |            list_sum(list_transform(generate_series(1, len(a.q)),
+        |              i -> a.q[i] * a.q[i])) AS na,
+        |            list_sum(list_transform(generate_series(1, len(a.q)),
+        |              i -> b.q[i] * b.q[i])) AS nb
+        |          FROM cl a JOIN cl b
+        |            ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        |SELECT dropped_id, min(ka) AS kept_id,
+        |       count(*) AS n_similar, min(cluster) AS cluster
+        |FROM pairs
+        |WHERE dot > 0 AND 100 * dot * dot >= 81 * na * nb
+        |GROUP BY 1""".stripMargin,
 
     "embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
