@@ -273,6 +273,34 @@ object BenchQueries {
           col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(dsum(rev, 4).as("revenue"))
+    },
+
+    // TPC-H Q22 shape: promising under-served customers — a GLOBAL
+    // scalar aggregate threshold (above-average balance) + NOT EXISTS
+    // (no urgent order; this corpus has no order-less customers, so
+    // the classic never-ordered clause would gate on an empty result)
+    // + rollup, the three-clause combination Catalyst
+    // decorrelates into broadcast-threshold + shuffle anti-join. The
+    // 1-row average broadcasts back onto the customer scan (never a
+    // raw-data window); the threshold compares in exact decimal
+    // cross-multiplication (bal·cnt > Σbal — avg division never
+    // happens, so no engine can disagree on a boundary customer);
+    // orders sheds to a distinct custkey set before the anti join.
+    "sales_opportunity" -> { (s, d) =>
+      val pos = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0.0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val thresh = pos.agg(sum(col("bal")).as("sm"), count(lit(1)).as("cnt"))
+      pos.crossJoin(broadcast(thresh))
+        .filter(col("bal") * col("cnt") > col("sm"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal")).cast("double").as("total_bal"))
     }
   )
 
@@ -408,6 +436,20 @@ object BenchQueries {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "sales_opportunity" ->
+      """WITH pos AS (SELECT c_custkey, c_nationkey,
+        |                    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |             FROM customer WHERE c_acctbal > 0.0),
+        |t AS (SELECT sum(bal) AS sm, count(*) AS cnt FROM pos)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(bal) AS DOUBLE) AS total_bal
+        |FROM pos, t
+        |WHERE bal * cnt > sm
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin
   )
 }
