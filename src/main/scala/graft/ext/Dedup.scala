@@ -185,6 +185,39 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection — the daily-increment production
+    * shape: a small NEW batch probed against the (persisted) corpus
+    * signature table, instead of re-running the corpus×corpus
+    * self-join every day. The corpus NEVER shuffles: its banded hashes
+    * derive map-side and meet the BROADCAST batch band table; verified
+    * candidates join their corpus signatures back through a second
+    * broadcast. Candidate volume is bounded by |batch| × bucket
+    * occupancy, so the C×C quadratic risk minhashPairs caps with
+    * MaxBandBucket cannot arise — one side is always the increment.
+    * At 100 TB the corpus signature table is persisted output of a
+    * prior run (here the caller materializes it) scanned twice,
+    * shuffled never.
+    *
+    * @return (batch_doc, corpus_doc, est_jaccard) — batch docs with a
+    *         corpus near-dup at or above `threshold` */
+  def incrementalPairs(corpusSigs: DataFrame, batchSigs: DataFrame,
+      threshold: Double): DataFrame = {
+    val cBand = corpusSigs.select(col("doc").as("corpus_doc"),
+      posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+    val bBand = batchSigs.select(col("doc").as("batch_doc"),
+      posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+    val cand = cBand.join(broadcast(bBand), Seq("band", "bh"))
+      .select(col("batch_doc"), col("corpus_doc")).distinct()
+    val candSig = cand.join(
+      batchSigs.select(col("doc").as("batch_doc"), col("sig").as("bsig")),
+      Seq("batch_doc"))
+    corpusSigs.select(col("doc").as("corpus_doc"), col("sig").as("csig"))
+      .join(broadcast(candSig), Seq("corpus_doc"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        estJaccard(col("bsig"), col("csig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash per document from whitespace tokens: per bit j,
     * sign of sum over tokens of ±1 by bit j of the token's md5.
     * Bit j lives in hex nibble j/4 of the digest (16 nibble columns

@@ -159,6 +159,31 @@ object ExtQueries {
         col("doc_id"), col("text"), threshold = 0.5)
     },
 
+    // Incremental dedup (round 6) — the daily-increment shape: a new
+    // batch (near-dup copies of every 5th doc that SHOULD match +
+    // token-reversed copies of every 7th that should NOT — reversal
+    // destroys every 3-gram shingle) probed against the corpus
+    // signature table via Dedup.incrementalPairs: corpus never
+    // shuffles, the batch band table broadcasts. The localCheckpoints
+    // stand in for the persisted signature tables a production run
+    // reads instead of recomputing.
+    "dedup_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = TextOps.tokens(col("text"))
+      val nearD = docs.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + NearDupOffset).as("doc_id"),
+        concat_ws(" ",
+          slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
+      val novel = docs.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 2 * NearDupOffset).as("doc_id"),
+        concat_ws(" ", reverse(toks)).as("text"))
+      val cs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val bs = Dedup.minhashSignatures(nearD.unionByName(novel),
+        col("doc_id"), col("text")).localCheckpoint(true)
+      Dedup.incrementalPairs(cs, bs, threshold = 0.5)
+    },
+
     // Dedup groups: MinHash candidate pairs collapsed to connected
     // components (GraphX Pregel) — each document with its canonical
     // group id and the group's size (what a pipeline keeps: one
@@ -518,6 +543,56 @@ object ExtQueries {
   private def minhashOracle: String =
     s"WITH $minhashCtes\nSELECT doc_a, doc_b, est_jaccard FROM pairs"
 
+  /** dedup_incremental's oracle: the sig chain over corpus ∪ batch,
+    * candidates restricted to cross-side band matches (batch ids sit
+    * at +1e9/+2e9, disjoint from the corpus id space by construction).
+    * No bucket cap — parity with incrementalPairs, where one side is
+    * always the small increment. */
+  private def incrementalOracle: String = {
+    val sigmCols = (0 until Dedup.NumHashes / 4)
+      .map(i => s"md5('$i:' || s) AS m$i").mkString(", ")
+    val sigCols = (0 until Dedup.NumHashes).map { k =>
+      val off = 1 + (k % 4) * 8
+      s"CAST('0x' || min(substr(m${k / 4}, $off, 8)) AS BIGINT) AS h$k"
+    }.mkString(", ")
+    val bandedSelects = (0 until Dedup.NumBands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"  SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val nEq = (0 until Dedup.NumHashes)
+      .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |batch AS (
+       |  SELECT doc_id + $NearDupOffset AS doc_id,
+       |         array_to_string(list_slice(toks, 1, greatest(len(toks) - 3, 1)), ' ') AS text
+       |  FROM tk WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * NearDupOffset} AS doc_id,
+       |         array_to_string(list_reverse(toks), ' ') AS text
+       |  FROM tk WHERE doc_id % 7 = 0),
+       |alls AS (SELECT doc_id, text FROM documents
+       |         UNION ALL SELECT doc_id, text FROM batch),
+       |ct AS (SELECT doc_id, $ToksSql AS toks FROM alls),
+       |cu AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM ct),
+       |csh AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
+       |               lead(w,2) OVER win AS w2
+       |        FROM cu WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |shv AS (SELECT doc_id, s FROM csh WHERE w2 IS NOT NULL),
+       |sigm AS (SELECT doc_id, $sigmCols FROM shv),
+       |sig AS (SELECT doc_id, $sigCols FROM sigm GROUP BY doc_id),
+       |banded AS (
+       |$bandedSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.bh = y.bh
+       |          AND x.doc_id >= $NearDupOffset AND y.doc_id < $NearDupOffset)
+       |SELECT c.batch_doc, c.corpus_doc, ($nEq) / 32.0 AS est_jaccard
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.batch_doc
+       |            JOIN sig sb ON sb.doc_id = c.corpus_doc
+       |WHERE ($nEq) / 32.0 >= 0.5""".stripMargin
+  }
+
   /** Connected components over the minhash pairs via recursive
     * transitive closure (components are tiny — closure is affordable in
     * the oracle; the engine side uses GraphX Pregel instead). */
@@ -676,6 +751,7 @@ object ExtQueries {
         |FROM r""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
+    "dedup_incremental" -> incrementalOracle,
     "dedup_groups" -> groupsOracle,
     "dedup_keep_best" -> keepBestOracle,
     "stratified_sample" ->

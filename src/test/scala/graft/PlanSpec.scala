@@ -227,6 +227,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("l_quantity"), p)
   }
 
+  test("dedup_incremental: corpus side meets the batch only through broadcasts") {
+    val p = plan("dedup_incremental")
+    // the production contract: the corpus signature table is probed by
+    // the broadcast batch (band match + verify), never shuffle-joined
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only Exchange is the tiny candidate distinct — never keyed by
+    // the corpus doc id alone
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("batch_doc")),
+      s"corpus-keyed exchange leaked:\n${exchanges.mkString("\n")}")
+  }
+
   test("footer-only aggregates: min/max/count push down to the parquet scan") {
     // With v2 parquet + aggregate pushdown, MIN/MAX/COUNT over a table
     // are answered from row-group footer statistics — zero data pages
