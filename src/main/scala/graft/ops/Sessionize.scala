@@ -59,4 +59,41 @@ object Sessionize {
       .withColumn("duration_us", col("session_end_us") - col("session_start_us"))
       .drop("session")
   }
+
+  /** Per-session ordered event-type PATH (clickstream path mining's
+    * input): the same single-sort gaps-and-islands session assignment,
+    * then each session's events concatenated in (ts, tie) order. The
+    * ordered concatenation runs as array_sort(collect_list(struct)) —
+    * struct sort order is field order, and `tie` is unique, so the
+    * path string is total and deterministic in any engine/partition
+    * layout (collect_list alone is arrival-ordered — never that).
+    * Path length is bounded by session event count; a bot key bounds
+    * at its own sessions like the base operator.
+    *
+    * @return keys*, session_start_us, n_events, path ("a>b>c") */
+  def sessionPaths(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      tie: Column,
+      typ: Column,
+      gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("tus"), col("tie"))
+    val boundary =
+      when(lag(col("tus"), 1).over(w).isNull ||
+        col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L).otherwise(0L)
+    df.select(keys :+ ts.as("tus") :+ tie.as("tie") :+ typ.as("typ"): _*)
+      .withColumn("session", sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys :+ col("session"): _*)
+      .agg(
+        min(col("tus")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("tus"), col("tie"), col("typ")))),
+            s => s.getField("typ")),
+          ">").as("path"))
+      .drop("session")
+  }
 }

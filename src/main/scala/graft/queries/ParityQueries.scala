@@ -277,6 +277,22 @@ object ParityQueries {
         gapUs = 12L * 3600L * Tables.MicrosPerSecond)
     },
 
+    // Session PATH mining (round 6) — the top behavioral sequences
+    // ("view>click>purchase") across all sessions: sessionPaths'
+    // deterministic ordered concatenation, then a path histogram +
+    // top-20 (TakeOrderedAndProject; ties break on the path string).
+    "session_paths" -> { (s, d) =>
+      graft.ops.Sessionize.sessionPaths(
+        Tables.events(s, d),
+        keys = Seq(col("user_id")),
+        ts = tsUs, tie = col("event_id"), typ = col("event_type"),
+        gapUs = 12L * 3600L * Tables.MicrosPerSecond)
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+
     // SCD2 interval construction (round 5) — the CDC/lake-history half
     // of the reference's snapshot extract: each customer's order stream
     // becomes versioned validity ranges; `WHERE is_current` is the
@@ -607,6 +623,22 @@ object ParityQueries {
         |       count(*) AS n_events,
         |       max(tus) - min(tus) AS duration_us
         |FROM s GROUP BY user_id, session""".stripMargin,
+
+    "session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |               OR tus - lag(tus) OVER w > 43200000000 THEN 1 ELSE 0 END AS boundary
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM b),
+        |p AS (SELECT user_id, session,
+        |        string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "scd2_intervals" ->
       """SELECT o_custkey,
