@@ -293,6 +293,24 @@ object ParityQueries {
         .limit(20)
     },
 
+    // Market-basket co-occurrence (round 6) — which event types the
+    // same users engage in: distinct (user, type) collapse (the only
+    // full-input pass), then a per-user self-join bounded by the item
+    // domain (5 types ⇒ ≤10 pairs/user; large-domain baskets cap
+    // per-user items first — the standard support-mining mitigation).
+    // Both join sides share the distinct's user_id partitioning, so
+    // Catalyst reuses the exchange: one shuffle total. Counts only —
+    // no ratio column, nothing float.
+    "event_pairs" -> { (s, d) =>
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users_both"))
+    },
+
     // SCD2 interval construction (round 5) — the CDC/lake-history half
     // of the reference's snapshot extract: each customer's order stream
     // becomes versioned validity ranges; `WHERE is_current` is the
@@ -639,6 +657,14 @@ object ParityQueries {
         |SELECT path, count(*) AS n_sessions
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "event_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*) AS n_users_both
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     "scd2_intervals" ->
       """SELECT o_custkey,
