@@ -322,15 +322,16 @@ object ExtQueries {
           min_by(col("anchor_id"), struct(col("d2"), col("anchor_id")))
             .as("cluster"),
           first(col("q")).as("q"))
+        // self-norms once per vector, not three dots per candidate pair
+        .withColumn("nrm", VectorOps.idot(col("q"), col("q")))
       val a = assigned.select(col("cluster"), col("vec_id").as("ka"),
-        col("q").as("qa"))
+        col("q").as("qa"), col("nrm").as("na"))
       val b = assigned.select(col("cluster"), col("vec_id").as("dropped_id"),
-        col("q").as("qb"))
+        col("q").as("qb"), col("nrm").as("nb"))
       a.join(b, Seq("cluster")).filter(col("ka") < col("dropped_id"))
         .select(col("cluster"), col("ka"), col("dropped_id"),
           VectorOps.idot(col("qa"), col("qb")).as("dot"),
-          VectorOps.idot(col("qa"), col("qa")).as("na"),
-          VectorOps.idot(col("qb"), col("qb")).as("nb"))
+          col("na"), col("nb"))
         .filter(col("dot") > 0 &&
           col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
             col("na").cast("decimal(38,0)") * col("nb") * 81)
