@@ -301,6 +301,65 @@ object BenchQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"),
           sum(col("bal")).cast("double").as("total_bal"))
+    },
+
+    // TPC-H Q6 shape: forecasting-revenue-change — the pure pushdown
+    // showcase: three range predicates and a 2-column projection, all
+    // of which must reach the parquet scan (PushedFilters shows the
+    // shipdate/discount/quantity ranges; ReadSchema is 2 columns wide
+    // beyond the filter columns). One map-side partial + 1-row final.
+    "forecast_revenue" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+    },
+
+    // TPC-H Q10 shape: returned-item reporting — top 20 customers by
+    // revenue lost to returns in one quarter. orders prunes to the
+    // quarter BEFORE the lineitem join (filter pushed below the join),
+    // lineitem prunes to returnflag='R' at the scan; nation broadcasts;
+    // TakeOrderedAndProject caps what leaves the final aggregate.
+    "returned_customers" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp_ntz")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(rev, 4).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q15 shape: top supplier(s) — the revenue "view" (3-month
+    // per-supplier aggregate) is computed ONCE, its 1-row global max
+    // broadcasts back onto it (no window over the raw data, no second
+    // lineitem scan), and only the argmax row(s) join supplier. The
+    // max-equality compare is on decimal-sum-derived doubles, identical
+    // bits in any engine. At 100 TB the view is |suppliers| rows —
+    // the only lineitem pass is the first aggregate.
+    "top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
     }
   )
 
@@ -450,6 +509,43 @@ object BenchQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "returned_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -479,6 +479,75 @@ object ExtQueries {
         col("l_orderkey"), col("l_linenumber"),
         x.as("zx"), y.as("zy"),
         ZOrder.interleave16(x, y).as("zkey"))
+    },
+
+    // BM25 top-3 terms per document (round 6) — tfidf_topk's keyword
+    // extraction upgraded with document-length normalization (Robertson
+    // k1=1.2, b=0.75; Lucene-style idf = ln(1+(N-df+0.5)/(df+0.5))).
+    // Same cross-engine discipline as tfidf_topk: every input to the
+    // double formula is an exact integer (tf, df, dl, N, total token
+    // count), the op tree is written identically on both engines
+    // (IEEE ops are exactly-rounded, so only ln's last ulp differs),
+    // and the rank key is the 1e6-scaled BIGINT floor. dl/avgdl is
+    // computed as dl*N/total — one division, no intermediate avgdl
+    // rounding. Shape: one explode → (doc,term) tf agg reused for BOTH
+    // df and dl (no second scan) → broadcast 1-row totals →
+    // TopKPerKey bounded heaps.
+    "bm25_topk" -> { (s, d) =>
+      val docs = Dedup.rebalance(Tables.documents(s, d))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val nd = col("n_docs").cast("double")
+      val idf = log(lit(1.0) +
+        (nd - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+      val den = col("tf").cast("double") + lit(0.3) +
+        lit(0.9) * col("dl").cast("double") * nd / col("tot").cast("double")
+      val scored = tf.join(dfreq, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+          floor(idf * (col("tf").cast("double") * lit(2.2)) / den * 1e6 + 0.5)
+            .cast("long").as("score_x1e6"))
+      graft.plans.TopKPerKey.perKey(scored,
+        keys = Seq(col("doc_id")),
+        order = Seq(col("score_x1e6").desc, col("term")), k = 3)
+    },
+
+    // Unigram log-probability quality score (round 6) — the KenLM-free
+    // fluency proxy: score each document by its mean corpus-unigram
+    // log-probability (rare-token-dense docs score low; the classic
+    // pretraining-quality filter alongside text_quality's surface
+    // ratios). Cross-engine exactness: ln(ctf/T) is scaled to a BIGINT
+    // once per DISTINCT TERM (floor(·1e6+0.5)); each doc's total is
+    // then the exact integer Σ tf·lp, and the mean is signed HALF_UP
+    // integer division (embed_centroid convention) — no double ever
+    // crosses an aggregate, so partial-agg order can't drift. Shape:
+    // one explode → (doc,term) tf reused for corpus counts → broadcast
+    // 1-row T → two hash aggs; nothing wide.
+    "unigram_logprob" -> { (s, d) =>
+      val docs = Dedup.rebalance(Tables.documents(s, d))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      val tot = ctf.agg(sum(col("ctf")).as("t_tokens"))
+      val lp = ctf.crossJoin(broadcast(tot))
+        .select(col("term"),
+          floor(log(col("ctf").cast("double") / col("t_tokens").cast("double")) * 1e6
+            + 0.5).cast("long").as("lp_x1e6"))
+      tf.join(lp, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("lp_x1e6")).as("sum_lp_x1e6"))
+        // mean at 1e6 scale, signed HALF_UP exact integer division
+        .withColumn("num", col("sum_lp_x1e6"))
+        .selectExpr("doc_id", "n_tokens", "sum_lp_x1e6",
+          """CASE WHEN num >= 0 THEN (2 * num + n_tokens) div (2 * n_tokens)
+            |     ELSE -((2 * -num + n_tokens) div (2 * n_tokens)) END
+            |  AS avg_lp_x1e6""".stripMargin)
     }
   )
 
@@ -1053,7 +1122,56 @@ object ExtQueries {
          |  l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy,
          |  $z AS zkey
          |FROM lineitem""".stripMargin
-    }
+    },
+
+    // bm25_topk: the double formula is written with the SAME op tree as
+    // the Spark side (left-assoc products/divisions), so every IEEE op
+    // rounds identically; ln is the only libm call (tfidf convention).
+    "bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |                     unnest(list_transform($ToksSql, t -> lower(t))) AS term
+         |              FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |               CAST(sum(dl) AS DOUBLE) AS tot FROM dl),
+         |sc AS (SELECT doc_id, tf.term, tf, df, dl,
+         |         CAST(floor(
+         |           ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |           * (CAST(tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf AS DOUBLE) + 0.3 + 0.9 * CAST(dl AS DOUBLE) * n_docs / tot)
+         |           * 1e6 + 0.5) AS BIGINT) AS score_x1e6
+         |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score_x1e6 DESC, term) AS rn
+         |      FROM sc)
+         |SELECT doc_id, term, tf, df, dl, score_x1e6 FROM r WHERE rn <= 3""".stripMargin,
+
+    // unigram_logprob: ln scaled to BIGINT once per distinct term; doc
+    // totals and the mean are exact integer math (HALF_UP via the
+    // embed_centroid div convention — Spark `div` ≡ DuckDB `//` on the
+    // sign-guarded non-negative numerators).
+    "unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |                     unnest(list_transform($ToksSql, t -> lower(t))) AS term
+         |              FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS t_tokens FROM ctf),
+         |lp AS (SELECT term,
+         |         CAST(floor(ln(CAST(ctf AS DOUBLE) / t_tokens) * 1e6 + 0.5) AS BIGINT)
+         |           AS lp_x1e6
+         |       FROM ctf CROSS JOIN tot),
+         |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |             CAST(sum(tf * lp_x1e6) AS BIGINT) AS sum_lp_x1e6
+         |      FROM tf JOIN lp USING (term) GROUP BY 1)
+         |SELECT doc_id, n_tokens, sum_lp_x1e6,
+         |  CAST(CASE WHEN sum_lp_x1e6 >= 0
+         |       THEN (2 * sum_lp_x1e6 + n_tokens) // (2 * n_tokens)
+         |       ELSE -((2 * -sum_lp_x1e6 + n_tokens) // (2 * n_tokens)) END
+         |    AS BIGINT) AS avg_lp_x1e6
+         |FROM a""".stripMargin
     // approx_distinct (ParityQueries) stays spec-bounded: HLL sketches
     // legitimately differ across engines.
   )
