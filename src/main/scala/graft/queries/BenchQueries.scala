@@ -348,12 +348,17 @@ object BenchQueries {
     // bits in any engine. At 100 TB the view is |suppliers| rows —
     // the only lineitem pass is the first aggregate.
     "top_supplier" -> { (s, d) =>
+      // The view is consumed twice (argmax + its own max); eager
+      // localCheckpoint materializes the |suppliers|-row aggregate so
+      // lineitem is scanned ONCE (the Dedup.scala convention — blocks
+      // are RDD-owned and freed by GC, unlike persist()).
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
         .groupBy(col("l_suppkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("total_revenue"))
+        .localCheckpoint(true)
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("mx"))

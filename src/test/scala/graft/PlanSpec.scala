@@ -267,4 +267,38 @@ class PlanSpec extends SparkSpec {
         conf.set("spark.sql.parquet.aggregatePushdown", _))
     }
   }
+
+  test("forecast_revenue: all three range predicates reach the parquet scan") {
+    val p = plan("forecast_revenue")
+    val scan = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("GreaterThanOrEqual(l_shipda"), s"shipdate lower bound:\n$p")
+    assert(scan.contains("IsNotNull(l_discount)") && scan.contains("IsNotNull(l_quantity)"),
+      s"discount/quantity predicates must push:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"scan must prune to the 2 projected + 2 filter columns:\n$readSchema")
+  }
+
+  test("returned_customers: returnflag and quarter prune at the scans; top-20 via TakeOrdered") {
+    val p = plan("returned_customers")
+    assert(p.contains("TakeOrderedAndProject"), s"limit must not plan a global sort:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate") || p.contains("LessThan(o_orderdate,1997-10"),
+      s"order-date quarter must prune below the join:\n$p")
+  }
+
+  test("top_supplier: one lineitem pass; the global max broadcasts back") {
+    // The revenue view is eagerly localCheckpoint'ed, so BOTH consumers
+    // (argmax filter + its own max) read the materialized ExistingRDD —
+    // the executed plan must contain NO lineitem scan (it already
+    // happened, once) and the 1-row max must come back as a broadcast.
+    val p = plan("top_supplier")
+    val lineitemScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(lineitemScans == 0,
+      s"the revenue view must be pre-materialized, got $lineitemScans lineitem scans:\n$p")
+    assert(p.sliding("Scan ExistingRDD".length).count(_ == "Scan ExistingRDD") == 2,
+      s"both consumers must read the checkpointed view:\n$p")
+    assert(p.contains("BroadcastExchange"), s"1-row max must broadcast, not shuffle:\n$p")
+  }
 }
