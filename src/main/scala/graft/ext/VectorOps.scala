@@ -38,14 +38,17 @@ object VectorOps {
   def quantize1000(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
 
-  /** Exact integer dot product over quantized vectors. */
+  /** Exact integer dot product over quantized vectors — codegen'd
+    * fused loop ([[graft.ext.expr.LongDot]]; the HOF form
+    * `aggregate(zip_with(...))` is interpreted and allocates per row,
+    * which dominates pair-quadratic consumers like semdedup). */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.ext.expr.LongDot.longDot(a, b)
 
-  /** Exact integer squared euclidean distance over quantized vectors. */
+  /** Exact integer squared euclidean distance over quantized vectors
+    * (codegen'd, see [[idot]]). */
   def idist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.ext.expr.LongDot.longDist2(a, b)
 
   /** Codegen'd cosine (identical math, fused loop — see
     * [[graft.ext.expr.CosineSim]]); the bulk-scoring default. */

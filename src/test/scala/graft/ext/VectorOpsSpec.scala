@@ -25,6 +25,36 @@ class VectorOpsSpec extends SparkSpec {
     assert(both.filter(abs(col("hof") - col("gen")) > 1e-12).count() == 0)
   }
 
+  test("codegen long dot/dist2 match the higher-order formulation exactly") {
+    // idot/idist2 are now LongDot codegen kernels; this pins them to
+    // the interpreted aggregate(zip_with(...)) reference they replaced
+    // (including negative components and length-mismatch truncation).
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def hofDist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val qa = VectorOps.quantize1000(col("embedding").cast("array<double>"))
+    val qb = VectorOps.quantize1000(
+      transform(col("embedding").cast("array<double>"), x => -x * 2 + lit(0.25)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(qa.as("a"), qb.as("b"))
+    val bad = emb.select(
+      VectorOps.idot(col("a"), col("b")).as("gen_dot"),
+      hofDot(col("a"), col("b")).as("hof_dot"),
+      VectorOps.idist2(col("a"), col("b")).as("gen_d2"),
+      hofDist2(col("a"), col("b")).as("hof_d2"))
+      .filter(col("gen_dot") =!= col("hof_dot") || col("gen_d2") =!= col("hof_d2"))
+    assert(bad.count() == 0)
+    // Length mismatch: the kernel truncates to the shorter side (the
+    // HOF would null-pad via zip_with and return NULL — for the
+    // equal-length quantized vectors every caller passes, the two
+    // never diverge; this pins the kernel's own documented behavior).
+    val short = Seq((Array(2L, 3L), Array(10L, 20L, 30L))).toDF("a", "b")
+      .select(VectorOps.idot(col("a"), col("b")).as("d"))
+    assert(short.head.getLong(0) == 80L)
+  }
+
   test("brute-force top-k: query vector ranks itself first with cos 1.0") {
     val emb = graft.Tables.embeddings(spark, sf)
     val top = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
