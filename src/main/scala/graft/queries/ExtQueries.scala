@@ -359,6 +359,45 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
+    // Product quantization codes (round 6) — the IVF-PQ compression
+    // step: 64 dims → 8 subspaces × 8 dims, each encoded as the argmin
+    // of 16 codewords → 8 nibbles (4 bits) per vector, a 128x
+    // compression of the float payload. Codebooks are deterministic
+    // hash-sampled sub-vectors (the 16 md5-lowest vec_ids — the
+    // semdedup-anchor convention: trained k-means codebooks aren't
+    // cross-engine-reproducible, hash-sampled ones are), and every
+    // assignment is EXACT INTEGER squared distance over milli-unit
+    // quantized components (LongDist2 codegen kernel), tie-broken by
+    // codeword id — so the full encoding hash-oracles. Output long
+    // format: (vec_id, subspace, code, d2) with d2 the per-subspace
+    // quantization error. 100 TB shape: the codebook is 16 rows
+    // BROADCAST; encoding rides the scan (one crossJoin + explode,
+    // map-side); output is 8 small ints per vector — nothing wide ever
+    // shuffles (the one exchange is the final per-(vec,subspace)
+    // argmin agg, 8 rows/vector).
+    "pq_codes" -> { (s, d) =>
+      val NSub = 8; val SubDim = 8; val NCode = 16
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.quantize1000(
+          col("embedding").cast("array<double>")).as("q"))
+      val cb = corpus
+        .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(NCode)
+        .select((row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id")))
+          - 1).as("code_id"), col("q").as("cq"))
+      corpus.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("code_id"), col("q"), col("cq"),
+          explode(sequence(lit(0), lit(NSub - 1))).as("subspace"))
+        .select(col("vec_id"), col("subspace"), col("code_id"),
+          graft.ext.expr.LongDot.longDist2(
+            slice(col("q"), col("subspace") * SubDim + 1, lit(SubDim)),
+            slice(col("cq"), col("subspace") * SubDim + 1, lit(SubDim))).as("d2"))
+        .groupBy(col("vec_id"), col("subspace"))
+        .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
+          min(col("d2")).as("d2"))
+    },
+
     // int8 embedding quantization (the 4x-smaller storage form for
     // 100 TB embedding tables) — scale + quantized vector per row.
     // The quantized vector is csv-encoded to a scalar string: the
@@ -1171,7 +1210,32 @@ object ExtQueries {
          |       THEN (2 * sum_lp_x1e6 + n_tokens) // (2 * n_tokens)
          |       ELSE -((2 * -sum_lp_x1e6 + n_tokens) // (2 * n_tokens)) END
          |    AS BIGINT) AS avg_lp_x1e6
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    // pq_codes: the per-subspace squared distance is the explicit
+    // 8-term integer sum (machine-generated below) — identical to the
+    // Spark side's LongDist2 over the same milli-unit quantization.
+    "pq_codes" -> {
+      val d2 = (1 to 8).map(j =>
+        s"(q[s*8+$j] - cq[s*8+$j]) * (q[s*8+$j] - cq[s*8+$j])").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cbsel AS (SELECT vec_id, q,
+         |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM q ORDER BY h, vec_id LIMIT 16),
+         |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code_id,
+         |              q AS cq
+         |       FROM cbsel),
+         |pairs AS (SELECT vec_id, s, code_id, $d2 AS d2
+         |          FROM q CROSS JOIN cb CROSS JOIN generate_series(0, 7) t(s)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |                                   ORDER BY d2, code_id) AS rn
+         |      FROM pairs)
+         |SELECT vec_id, s AS subspace, code_id AS code, d2
+         |FROM r WHERE rn <= 1""".stripMargin
+    }
     // approx_distinct (ParityQueries) stays spec-bounded: HLL sketches
     // legitimately differ across engines.
   )

@@ -55,6 +55,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(short.head.getLong(0) == 80L)
   }
 
+  test("pq codes: full coverage, codes in range, codebook self-encodes at zero error") {
+    val pq = graft.SparkEntry.queries("pq_codes")(spark, sf)
+    val nVec = graft.Tables.embeddings(spark, sf).count()
+    assert(pq.count() == nVec * 8, "one row per (vector, subspace)")
+    assert(pq.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    assert(pq.filter(col("d2") < 0).count() == 0)
+    // the 16 hash-sampled codebook vectors contain their own
+    // sub-vectors, so they encode with d2 = 0 in every subspace
+    val zeroTotal = pq.groupBy(col("vec_id"))
+      .agg(sum(col("d2")).as("tot")).filter(col("tot") === 0).count()
+    assert(zeroTotal >= 16, s"codebook members must self-encode, got $zeroTotal")
+  }
+
   test("brute-force top-k: query vector ranks itself first with cos 1.0") {
     val emb = graft.Tables.embeddings(spark, sf)
     val top = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
