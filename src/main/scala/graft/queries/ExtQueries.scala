@@ -359,6 +359,36 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
+    // Fuzzy entity resolution (round 6) — blocked Levenshtein match,
+    // the record-linkage / entity-dedup primitive (names, titles,
+    // addresses) that exact and shingle dedup both miss. The classic
+    // scale shape: a BLOCKING KEY (here the last 4 name chars, which
+    // the synthesized typo preserves) bounds the candidate set, the
+    // O(len²) edit-distance verify runs only within blocks — never
+    // all-pairs — and both engines compute the same integer distance.
+    // Block sizes are data-bounded (key cardinality grows with the
+    // table); degenerate blocks would get the MaxBandBucket cap
+    // exactly like LSH bands. Synth: one mid-name char substitution
+    // (position 11 → 'X', ids +1000000) — lev 1 from its original,
+    // block key intact; cross-original near-ids (same digit tail)
+    // surface too, which is the point of fuzzy matching.
+    "fuzzy_match" -> { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val synth = base.select((col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 10), lit("X"),
+          expr("substring(name, 12)")).as("name"))
+      val pool = base.unionByName(synth)
+        .withColumn("blk", expr("substring(name, length(name) - 3, 4)"))
+      val a = pool.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+      val b = pool.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 2)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("lev"))
+    },
+
     // Product quantization codes (round 6) — the IVF-PQ compression
     // step: 64 dims → 8 subspaces × 8 dims, each encoded as the argmin
     // of 16 codewords → 8 nibbles (4 bits) per vector, a 128x
@@ -1211,6 +1241,21 @@ object ExtQueries {
          |       ELSE -((2 * -sum_lp_x1e6 + n_tokens) // (2 * n_tokens)) END
          |    AS BIGINT) AS avg_lp_x1e6
          |FROM a""".stripMargin,
+
+    "fuzzy_match" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |synth AS (SELECT id + 1000000 AS id,
+        |                 substring(name, 1, 10) || 'X' || substring(name, 12) AS name
+        |          FROM base),
+        |pool AS (SELECT id, name,
+        |                substring(name, length(name) - 3, 4) AS blk
+        |         FROM (SELECT * FROM base UNION ALL SELECT * FROM synth)),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |                 a.name AS name_a, b.name AS name_b,
+        |                 levenshtein(a.name, b.name) AS lev
+        |          FROM pool a JOIN pool b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, name_a, name_b, lev
+        |FROM pairs WHERE lev <= 2""".stripMargin,
 
     // pq_codes: the per-subspace squared distance is the explicit
     // 8-term integer sum (machine-generated below) — identical to the
