@@ -460,9 +460,13 @@ object ExtQueries {
     // no sort). N rides in via a broadcast 1-row frame.
     "tfidf_topk" -> { (s, d) =>
       val docs = Dedup.rebalance(Tables.documents(s, d))
+      // tf feeds two plan consumers (df agg + join back); eager
+      // localCheckpoint explodes the corpus once — the Dedup.scala
+      // signature-table convention (~45% off bm25_topk, same shape).
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "term")
@@ -564,9 +568,12 @@ object ExtQueries {
     // TopKPerKey bounded heaps.
     "bm25_topk" -> { (s, d) =>
       val docs = Dedup.rebalance(Tables.documents(s, d))
+      // tf feeds three consumers (dl, df, scored join) — checkpoint so
+      // the corpus explodes once (2.17 → 1.22 s at sf0.1).
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
@@ -598,9 +605,12 @@ object ExtQueries {
     // 1-row T → two hash aggs; nothing wide.
     "unigram_logprob" -> { (s, d) =>
       val docs = Dedup.rebalance(Tables.documents(s, d))
+      // tf feeds two consumers (ctf chain, doc-total join) — explode
+      // the corpus once (see bm25_topk).
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
       val tot = ctf.agg(sum(col("ctf")).as("t_tokens"))
       val lp = ctf.crossJoin(broadcast(tot))

@@ -1,20 +1,19 @@
 package graft.tools
 
 /** Dev scratchpad (see .claude/skills/verify) — contents are transient.
-  * Current: timing probe for the LongDot codegen kernel swap in
-  * semdedup (idot/idist2 were interpreted aggregate(zip_with) HOFs —
-  * allocated per candidate pair in the within-cluster self-join). */
+  * Current: post-checkpoint timings for the three text scorers. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
     val sf = "/root/testdata/sf0.1"
-    for (r <- 1 to 3) {
-      s.catalog.clearCache()
-      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries("semdedup")(s, sf).count()
-      System.err.println(
-        f"[probe] semdedup r$r ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    for (q <- Seq("tfidf_topk", "bm25_topk", "unigram_logprob")) {
+      val ts = (1 to 3).map { _ =>
+        s.catalog.clearCache()
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime(); val n = graft.SparkEntry.queries(q)(s, sf).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      System.err.println(f"[probe] $q%-18s min=${ts.map(_._1).min}%6.2fs rows=${ts.head._2}")
     }
     s.stop()
   }
