@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR,
-  * prints one JSON line {"metric":"total",...,"queries":{...}}.
+  * prints one SMALL JSON line {"metric":"total","value":N,...} (suite
+  * totals only — per-query numbers go to BENCH_DETAIL.json; the
+  * driver's tail capture is 2,000 chars and a per-query map blows it).
   *
   * Reproducibility (round-1 lesson): queries share one JVM/session, so
   * any cached blocks a query leaks inflate every later query (the
@@ -95,16 +97,15 @@ object Bench {
     val loadEnd = loadavg()
     val wallSec = (System.nanoTime() - wall0) / 1e9
     def r3(v: Double): String = f"$v%.3f"
-    // The printed line must stay small enough for the driver's tail
-    // capture (round 5's two full-precision 94-entry maps overflowed it
-    // and the driver recorded parsed:null). Per-query seconds are
-    // rounded to 3 decimals and the median map + per-pass samples move
-    // to BENCH_DETAIL.json next to the working directory.
+    // The printed line must stay WELL under the driver's 2,000-char tail
+    // capture: rounds 4-6 all recorded parsed:null because the line
+    // still carried a per-query map (112 entries ≈ 2.5 KB even at 3
+    // decimals). The stdout line now carries ONLY suite-level fields
+    // (< 500 bytes at any registry size); the per-query minima, medians
+    // and raw samples live exclusively in BENCH_DETAIL.json.
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._4 != "ok")
-      .map { case (k, _, _, s) => "\"" + k + "\":\"" + s.replace("\"", "'").take(120) + "\"" }
-      .mkString("{", ",", "}")
+    val failedNames = results.filter(_._4 != "ok").map(_._1)
     val total = results.filter(_._4 == "ok").map(_._2).sum
     val detail = {
       val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + r3(m) }
@@ -124,11 +125,16 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,""" +
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_failed":${failedNames.size},""" +
+        s""""failed":[${failedNames.take(5).map("\"" + _ + "\"").mkString(",")}],""" +
         s""""stat":"min_of_round_robin_passes","runs_per_query":$runs,""" +
         s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
-        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
+    if (line.length > 1000)
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars — driver tail capture is 2000")
+    println(line)
     spark.stop()
   }
 }

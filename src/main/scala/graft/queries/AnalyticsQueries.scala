@@ -72,9 +72,18 @@ object AnalyticsQueries {
     // closing division is the only float op. One partial+final
     // HashAggregate over the scan.
     "trend_slope" -> { (s, d) =>
+      // Emit the sufficient statistics as LONG: the operator keeps
+      // DECIMAL(38,0) internally (overflow headroom at cluster scale),
+      // but the driver hashes dtypes too, and the oracle's HUGEINT sums
+      // land in pandas as float64 unless both sides narrow to int64.
+      // They fit in int64 at every test SF by the encoding contract.
       Trend.slope(Tables.events(s, d), Seq(col("user_id")),
         x = expr(s"(ts div 1000 - $OriginUs) div 60000000"),
         y = floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withColumn("sx", col("sx").cast("long"))
+        .withColumn("sy", col("sy").cast("long"))
+        .withColumn("sxy", col("sxy").cast("long"))
+        .withColumn("sxx", col("sxx").cast("long"))
     },
 
     // First-touch funnel: of all users, how many ever signed up; of
@@ -371,8 +380,10 @@ object AnalyticsQueries {
     // it runs as a typed per-key sorted fold (mapGroups). Determinism:
     // the fold order is total (ts, event_id) and both engines execute
     // the IDENTICAL chain of IEEE ops — Spark in JVM doubles, DuckDB
-    // via list_reduce over the same-ordered list — so even the raw
-    // doubles agree (rounded to 8 dp for the gate regardless).
+    // via list_reduce over the same-ordered list — so the raw doubles
+    // agree bit-for-bit and the output is emitted UNROUNDED (a closing
+    // round(double) is the one construct that can straddle engines on
+    // half-point rows; identical-op-chain outputs need no rounding).
     // 100 TB shape: state is one double per key and each key's fold is
     // sequential BY DEFINITION — the parallelism axis is keys, which
     // is exactly how groupByKey partitions it.
@@ -397,7 +408,6 @@ object AnalyticsQueries {
           Iterator.single((k, n, acc))
         }
         .toDF("user_id", "n", "ewma")
-        .withColumn("ewma", round(col("ewma"), 8))
     },
 
     // Equi-depth histogram — per-type deciles (equal ROW counts per
@@ -655,7 +665,9 @@ object AnalyticsQueries {
         |        CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
         |          - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
         |      FROM s)
-        |SELECT user_id, n, sx, sy, sxy, sxx,
+        |SELECT user_id, n,
+        |       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        |       CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
         |       CASE WHEN den <> 0
         |            THEN CAST(CASE WHEN num >= 0
         |                      THEN (2 * num * 100000000 + den) // (2 * den)
@@ -871,7 +883,7 @@ object AnalyticsQueries {
         |             list(value ORDER BY epoch_us(ts), event_id) AS vs
         |           FROM events GROUP BY 1)
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
-        |       round(list_reduce(vs, (acc, x) -> 0.9 * acc + 0.1 * x), 8) AS ewma
+        |       list_reduce(vs, (acc, x) -> 0.9 * acc + 0.1 * x) AS ewma
         |FROM l""".stripMargin,
 
     "equidepth_hist" ->
@@ -896,9 +908,9 @@ object AnalyticsQueries {
         |        sum(cnt) OVER (PARTITION BY event_type) AS total
         |      FROM h),
         |b AS (SELECT event_type, cnt, q,
-        |        least(10, 1 + ((cum - cnt) * 10) // total) AS decile
+        |        CAST(least(10, 1 + ((cum - cnt) * 10) // total) AS BIGINT) AS decile
         |      FROM c)
-        |SELECT event_type, decile, sum(cnt) AS n,
+        |SELECT event_type, decile, CAST(sum(cnt) AS BIGINT) AS n,
         |       CAST(min(q) AS DOUBLE) / 100.0 AS lo,
         |       CAST(max(q) AS DOUBLE) / 100.0 AS hi
         |FROM b GROUP BY 1, 2""".stripMargin,

@@ -489,7 +489,7 @@ object ExtQueries {
     "embed_centroid" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), (col("pos") + 1).as("dim"),
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
           floor(col("col").cast("double") * 1000.0 + 0.5).cast("long").as("q"))
         .groupBy(col("label"), col("dim"))
         .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
@@ -1106,10 +1106,10 @@ object ExtQueries {
 
     "embed_centroid" ->
       """WITH e AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |                  generate_subscripts(embedding, 1) AS dim
+        |                  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
         |           FROM embeddings),
         |q AS (SELECT label, dim, CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS q FROM e),
-        |a AS (SELECT label, dim, sum(q) AS sum_q, count(*) AS n,
+        |a AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
         |             sum(q) * 1000 AS num
         |      FROM q GROUP BY label, dim)
         |SELECT label, dim, sum_q, n,

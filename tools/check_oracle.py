@@ -6,9 +6,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Loads each <name>.parquet written by graft.Verify, runs the matching SQL
 from oracle_sql.json in DuckDB over the sfDir parquet tables, then
-compares: row count, column names (sorted), and values (rows sorted by
-all columns, floats rounded to 9 dp) — approximating the driver's
-row/schema/hash gate.
+compares: row count, column names (sorted), pandas dtypes (the driver
+hashes through pandas, so a DuckDB HUGEINT → float64 vs Spark int64
+divergence fails its gate even when every value is bit-identical —
+round-6 root cause), and values (rows sorted by all columns, floats
+rounded to 9 dp) — approximating the driver's row/schema/hash gate.
 """
 import json
 import math
@@ -41,6 +43,23 @@ def norm_cell(v):
     return str(v)
 
 
+def dtype_map(df):
+    """Column → normalized pandas dtype, replicating what the driver's
+    hash actually distinguishes: the RENDERED value class. Calibrated
+    against CORRECTNESS_r06: int32-vs-int64 columns (datepart_derive,
+    rank_suite, pq_codes, ...) hashed EQUAL at the driver (123 == 123),
+    while int64-vs-float64 (embed_centroid's HUGEINT→float64 sum_q)
+    hashed DIFFERENT (123 != 123.0). So: collapse integer widths and
+    datetime resolutions; keep the int/float/bool/object/datetime kind
+    distinction."""
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind  # i/u/f/b/O/M/m
+        out[c] = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                  "M": "datetime", "m": "timedelta"}.get(k, str(df[c].dtype))
+    return out
+
+
 def norm_rows(cols, rows):
     # sort columns by name (driver convention), then sort rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -67,6 +86,11 @@ def main(sf_dir, out_dir):
             want = con.execute(sql)
             w_cols = [d[0] for d in want.description]
             w_rows = want.fetchall()
+            # dtype gate: the driver hashes through pandas, so fetch
+            # both sides as DataFrames too (cheap at sf0.01).
+            g_dt = dtype_map(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+            w_dt = dtype_map(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -84,6 +108,13 @@ def main(sf_dir, out_dir):
         wc, wr = norm_rows(w_cols, w_rows)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+        elif any(g_dt.get(c) != w_dt.get(c) for c in gc):
+            bad = {c: (g_dt.get(c), w_dt.get(c)) for c in gc
+                   if g_dt.get(c) != w_dt.get(c)}
+            print(f"FAIL {name}: dtype mismatch (spark, duckdb): {bad} — "
+                  "the driver's pandas hash is dtype-sensitive; CAST the "
+                  "oracle (HUGEINT sums → BIGINT) or the Spark column")
             n_fail += 1
         elif len(gr) != len(wr):
             print(f"FAIL {name}: rows {len(gr)} != {len(wr)}")
