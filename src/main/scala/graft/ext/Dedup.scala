@@ -451,4 +451,81 @@ object Dedup {
     val union = size(array_distinct(concat(shinglesA, shinglesB)))
     round(inter.cast("double") / union, 4)
   }
+
+  /** Clusters larger than this are re-anchor-split before the
+    * within-cluster pair join in [[semanticDrops]] — the semantic-dedup
+    * analog of [[MaxBandBucket]]. An n-row cluster contributes n²/2
+    * candidate pairs, so one over-full cluster (a dense region of
+    * embedding space) can dominate the whole join at corpus scale; the
+    * split bounds every join bucket at ~cap rows → ≤ cap²/2 pairs.
+    * Pairs that land in different sub-clusters of a split cluster are
+    * not compared (SemDeDup is approximate by construction — the
+    * cluster assignment itself already misses cross-cluster near-dups);
+    * the DuckDB oracle applies the SAME deterministic split, so nothing
+    * is silently dropped from the correctness contract. Test corpora
+    * stay below the cap (largest sf0.1 cluster = 301), so the split is
+    * the identity at test SF and engages from ~3× up. */
+  val MaxSemCluster = 1000
+
+  /** SemDeDup-style semantic dedup core (Abbas et al. 2023 motivate
+    * cluster-then-prune): integer-quantized embeddings → coarse
+    * clusters (argmin integer squared-euclidean to `nAnchors`
+    * deterministically-chosen anchors — lowest md5 of vec_id; k-means
+    * centroids aren't cross-engine-reproducible, hash-sampled anchors
+    * are) → within-cluster near-dup pairs (cos ≥ 0.9 as
+    * 100·dot² ≥ 81·‖a‖²·‖b‖² with dot > 0 — no float compares) → drop
+    * all but the lowest id.
+    *
+    * 100 TB shape: anchors broadcast (assignment rides the scan);
+    * cluster sizes are a tiny agg (≤ nAnchors rows) broadcast back, so
+    * the corpus never shuffles before the pair join; oversized clusters
+    * re-anchor-split into ceil(n/cap) deterministic sub-clusters
+    * (vec_id mod nsplit), so the (cluster, sub) self-join is bounded at
+    * ~cap rows per bucket — no quadratic blowup regardless of how
+    * embedding mass concentrates.
+    *
+    * @param corpus (vec_id: long, q: array<long>) — quantized vectors
+    */
+  def semanticDrops(corpus: DataFrame, nAnchors: Int = 8,
+                    cap: Int = MaxSemCluster): DataFrame = {
+    val anchors = corpus
+      .withColumn("h", md5Hash60(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("q").as("aq"))
+    val assigned = corpus.crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("q"), col("anchor_id"),
+        VectorOps.idist2(col("q"), col("aq")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("anchor_id"), struct(col("d2"), col("anchor_id")))
+          .as("cluster"),
+        first(col("q")).as("q"))
+      // self-norms once per vector, not three dots per candidate pair
+      .withColumn("nrm", VectorOps.idot(col("q"), col("q")))
+    // Re-anchor split: per-cluster counts (≤ nAnchors rows) broadcast
+    // back; ceil-divide via exact integers so both engines agree.
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cn"))
+    val split = assigned.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("sub",
+        pmod(col("vec_id"),
+          floor((col("cn") + lit(cap - 1).cast("long")) / lit(cap))
+            .cast("long")))
+      .select(col("cluster"), col("sub"), col("vec_id"), col("q"),
+        col("nrm"))
+    val a = split.select(col("cluster"), col("sub"), col("vec_id").as("ka"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = split.select(col("cluster"), col("sub"),
+      col("vec_id").as("dropped_id"), col("q").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster", "sub")).filter(col("ka") < col("dropped_id"))
+      .select(col("cluster"), col("ka"), col("dropped_id"),
+        VectorOps.idot(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+          col("na").cast("decimal(38,0)") * col("nb") * 81)
+      .groupBy(col("dropped_id"))
+      .agg(min(col("ka")).as("kept_id"),
+        count(lit(1)).as("n_similar"),
+        min(col("cluster")).as("cluster"))
+  }
 }

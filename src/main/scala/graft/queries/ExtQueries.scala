@@ -298,10 +298,10 @@ object ExtQueries {
     // query unions perturbed copies (+0.001 per component — the corpus
     // is unit-norm, so cos(v, v') ≈ 0.99997 — ids +100000)
     // of every 10th vector — the gate verifies true drops. 100 TB
-    // shape: anchors broadcast (assignment rides the scan); the
-    // within-cluster self-join is the quadratic risk — production caps
-    // cluster sizes / re-clusters oversized buckets exactly like the
-    // LSH MaxBandBucket cap.
+    // shape: see Dedup.semanticDrops — anchors broadcast, cluster
+    // sizes broadcast, oversized clusters re-anchor-split at
+    // MaxSemCluster rows before the pair join (the semantic analog of
+    // the LSH MaxBandBucket cap), mirrored in the oracle SQL.
     "semdedup" -> { (s, d) =>
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -310,35 +310,7 @@ object ExtQueries {
           transform(col("e"), x => x + lit(0.001)).as("e"))
       val corpus = base.unionByName(synth)
         .select(col("vec_id"), VectorOps.quantize1000(col("e")).as("q"))
-      val anchors = corpus
-        .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(8)
-        .select(col("vec_id").as("anchor_id"), col("q").as("aq"))
-      val assigned = corpus.crossJoin(broadcast(anchors))
-        .select(col("vec_id"), col("q"), col("anchor_id"),
-          VectorOps.idist2(col("q"), col("aq")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(
-          min_by(col("anchor_id"), struct(col("d2"), col("anchor_id")))
-            .as("cluster"),
-          first(col("q")).as("q"))
-        // self-norms once per vector, not three dots per candidate pair
-        .withColumn("nrm", VectorOps.idot(col("q"), col("q")))
-      val a = assigned.select(col("cluster"), col("vec_id").as("ka"),
-        col("q").as("qa"), col("nrm").as("na"))
-      val b = assigned.select(col("cluster"), col("vec_id").as("dropped_id"),
-        col("q").as("qb"), col("nrm").as("nb"))
-      a.join(b, Seq("cluster")).filter(col("ka") < col("dropped_id"))
-        .select(col("cluster"), col("ka"), col("dropped_id"),
-          VectorOps.idot(col("qa"), col("qb")).as("dot"),
-          col("na"), col("nb"))
-        .filter(col("dot") > 0 &&
-          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
-            col("na").cast("decimal(38,0)") * col("nb") * 81)
-        .groupBy(col("dropped_id"))
-        .agg(min(col("ka")).as("kept_id"),
-          count(lit(1)).as("n_similar"),
-          min(col("cluster")).as("cluster"))
+      Dedup.semanticDrops(corpus)
     },
 
     "ann_lsh" -> { (s, d) =>
@@ -1038,6 +1010,11 @@ object ExtQueries {
     // Every similarity decision in exact integers (see the query's
     // comment); the only floats are the +0.1 perturbation and the
     // ·1000 quantization input — identical IEEE ops in both engines.
+    // The cl2 CTE mirrors Dedup.MaxSemCluster's re-anchor split:
+    // clusters over 1000 rows sub-split by vec_id mod ceil(n/1000),
+    // exactly as the Spark side does (identity at test SF — largest
+    // sf0.1 cluster is 301 — but part of the contract, like the
+    // MaxBandBucket cap in dedup_minhash).
     "semdedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |              FROM embeddings),
@@ -1062,6 +1039,10 @@ object ExtQueries {
         |                        ORDER BY d2, anchor_id) AS rn
         |             FROM asg)
         |       WHERE rn = 1),
+        |cs AS (SELECT cluster, count(*) AS cn FROM cl GROUP BY 1),
+        |cl2 AS (SELECT cl.*,
+        |          cl.vec_id % CAST(floor((cs.cn + 999) / 1000) AS BIGINT) AS sub
+        |        FROM cl JOIN cs USING (cluster)),
         |pairs AS (SELECT a.cluster, a.vec_id AS ka, b.vec_id AS dropped_id,
         |            list_sum(list_transform(generate_series(1, len(a.q)),
         |              i -> a.q[i] * b.q[i])) AS dot,
@@ -1069,8 +1050,9 @@ object ExtQueries {
         |              i -> a.q[i] * a.q[i])) AS na,
         |            list_sum(list_transform(generate_series(1, len(a.q)),
         |              i -> b.q[i] * b.q[i])) AS nb
-        |          FROM cl a JOIN cl b
-        |            ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        |          FROM cl2 a JOIN cl2 b
+        |            ON a.cluster = b.cluster AND a.sub = b.sub
+        |               AND a.vec_id < b.vec_id)
         |SELECT dropped_id, min(ka) AS kept_id,
         |       count(*) AS n_similar, min(cluster) AS cluster
         |FROM pairs

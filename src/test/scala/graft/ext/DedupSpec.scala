@@ -111,6 +111,29 @@ class DedupSpec extends SparkSpec {
     assert(uf.filter(e => e._1 >= 50L && e._1 <= 53L).forall(_._2 == 50L))
   }
 
+  test("semanticDrops: cluster cap re-anchor-splits oversized clusters") {
+    // 6 vectors, nAnchors=1 → one 6-row cluster. Pairs: (0,3) and
+    // (1,2) are exact dups; the rest are orthogonal or anti-parallel.
+    val corpus = Seq(
+      (0L, Array(1000L, 0L, 0L)),
+      (1L, Array(0L, 1000L, 0L)),
+      (2L, Array(0L, 1000L, 0L)),
+      (3L, Array(1000L, 0L, 0L)),
+      (4L, Array(0L, 0L, 1000L)),
+      (5L, Array(0L, 0L, -1000L))
+    ).toDF("vec_id", "q")
+    def drops(cap: Int): Map[Long, Long] =
+      Dedup.semanticDrops(corpus, nAnchors = 1, cap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Uncapped (cap ≥ cluster size): both dup pairs found.
+    assert(drops(1000) == Map(3L -> 0L, 2L -> 1L))
+    // cap=2 → nsplit = ceil(6/2) = 3, sub = vec_id % 3: (0,3) share
+    // sub 0 and survive; (1,2) land in subs 1 vs 2 and are no longer
+    // compared — the documented approximation the cap trades for
+    // bounded join buckets.
+    assert(drops(2) == Map(3L -> 0L))
+  }
+
   test("ngram jaccard: identical → 1.0, disjoint → 0.0") {
     val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
     val a = docs.select(col("doc_id").as("ida"), sh.as("sa"))
