@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,14 +76,24 @@ object AnalyticsQueries {
       // DECIMAL(38,0) internally (overflow headroom at cluster scale),
       // but the driver hashes dtypes too, and the oracle's HUGEINT sums
       // land in pandas as float64 unless both sides narrow to int64.
-      // They fit in int64 at every test SF by the encoding contract.
+      // They fit in int64 at every test SF by the encoding contract —
+      // and the cast is GUARDED: with ANSI off Spark's decimal→long
+      // overflow yields NULL silently while DuckDB's HUGEINT→BIGINT
+      // throws, so past the contract scale the engines would diverge
+      // silently. raise_error makes Spark fail loudly like the oracle.
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft trend_slope: sufficient statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
       Trend.slope(Tables.events(s, d), Seq(col("user_id")),
         x = expr(s"(ts div 1000 - $OriginUs) div 60000000"),
         y = floor(col("value") * 100 + lit(0.5)).cast("long"))
-        .withColumn("sx", col("sx").cast("long"))
-        .withColumn("sy", col("sy").cast("long"))
-        .withColumn("sxy", col("sxy").cast("long"))
-        .withColumn("sxx", col("sxx").cast("long"))
+        .withColumn("sx", longExact(col("sx")))
+        .withColumn("sy", longExact(col("sy")))
+        .withColumn("sxy", longExact(col("sxy")))
+        .withColumn("sxx", longExact(col("sxx")))
     },
 
     // First-touch funnel: of all users, how many ever signed up; of
