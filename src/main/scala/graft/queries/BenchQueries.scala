@@ -365,6 +365,98 @@ object BenchQueries {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q2 shape: correlated min over a multi-table dim join —
+    // cheapest supplier per part within a region. No partsupp table in
+    // this schema, so the supply-cost proxy is min(l_extendedprice)
+    // per (part, supplier) observed in lineitem (an exact double min —
+    // no division, cross-engine safe). The correlated "cost = min cost
+    // for this part" runs as a window min over p_partkey on the
+    // already-tiny offer frame (filtered parts × region suppliers) —
+    // no second lineitem scan, no self-join. Dims broadcast; the only
+    // big-data exchange is the (partkey, suppkey) aggregate.
+    "min_cost_supplier" -> { (s, d) =>
+      val cost = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val eurNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val eurSupp = Tables.supplier(s, d)
+        .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val offers = cost
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      val byPart = Window.partitionBy(col("p_partkey"))
+      offers
+        .withColumn("min_cost", min(col("cost")).over(byPart))
+        .filter(col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q11 shape: group-by gated by a GLOBAL scalar HAVING
+    // threshold — parts whose value from one nation's suppliers
+    // exceeds 2× the average part value (scale-free, unlike Q11's
+    // fixed fraction — a fixed 1/N empties out as |parts| grows). The
+    // per-part aggregate is computed ONCE (localCheckpoint — consumed
+    // by both the total and the filter); its 1-row global (sum, count)
+    // broadcasts back. The threshold compare stays in exact decimals
+    // (vd·n > 2·tot) — the only double is the final output cast. At
+    // 100 TB: one lineitem exchange on l_partkey; everything after
+    // runs on |parts| rows.
+    "value_concentration" -> { (s, d) =>
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("vd"))
+        .localCheckpoint(true)
+      val total = perPart.agg(sum(col("vd")).as("tot"), count(lit(1)).as("n"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("vd") * col("n") > col("tot") * 2)
+        .select(col("l_partkey"), col("vd").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q20 shape: nested semi-join chain — suppliers in one
+    // nation who shipped a significant volume (HAVING sum qty > 40 per
+    // part in 1997) of 'small%'-named parts. Each level stays a
+    // semi-join: lineitem semi part-filter (broadcast), the aggregate
+    // gate, then supplier LEFT SEMI the qualifying-supplier set —
+    // supplier rows never duplicate, lineitem crosses one exchange on
+    // (partkey, suppkey).
+    "excess_suppliers" -> { (s, d) =>
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      val qualifying = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .filter(col("qty") > 40)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
     }
   )
 
@@ -551,6 +643,50 @@ object BenchQueries {
         |FROM supplier, revenue
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "min_cost_supplier" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+        |                     min(l_extendedprice) AS cost
+        |              FROM lineitem GROUP BY 1, 2),
+        |off AS (SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |        FROM cost, part, supplier, nation, region
+        |        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |          AND p_size <= 5 AND p_type = 'LARGE'
+        |          AND s_nationkey = n_nationkey
+        |          AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM off o
+        |WHERE cost = (SELECT min(cost) FROM off o2
+        |              WHERE o2.p_partkey = o.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "value_concentration" ->
+      """WITH per AS (SELECT l_partkey,
+        |               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS vd
+        |             FROM lineitem, supplier, nation
+        |             WHERE l_suppkey = s_suppkey
+        |               AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |             GROUP BY 1)
+        |SELECT l_partkey, CAST(vd AS DOUBLE) AS part_value
+        |FROM per
+        |WHERE vd * (SELECT count(*) FROM per) >
+        |      2 * (SELECT sum(vd) FROM per)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "excess_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40)
         |ORDER BY s_suppkey""".stripMargin
   )
 }

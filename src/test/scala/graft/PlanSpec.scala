@@ -301,4 +301,35 @@ class PlanSpec extends SparkSpec {
       s"both consumers must read the checkpointed view:\n$p")
     assert(p.contains("BroadcastExchange"), s"1-row max must broadcast, not shuffle:\n$p")
   }
+
+  test("min_cost_supplier: dims broadcast; correlated min is a window, not a second fact scan") {
+    val p = plan("min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"parts/suppliers must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for dims:\n$p")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"exactly one lineitem scan:\n$p")
+    assert(p.contains("Window"), s"per-part min must be a window over the offer frame:\n$p")
+  }
+
+  test("value_concentration: one pre-materialized per-part view; global threshold broadcasts back") {
+    // The supplier broadcast happens inside the localCheckpoint
+    // materialization (same convention as top_supplier), so the final
+    // plan must show only checkpointed-view consumers — zero lineitem
+    // re-scans — and the 1-row (sum, count) arriving by broadcast.
+    val p = plan("value_concentration")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row (sum, count) must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 0,
+      s"per-part view is pre-materialized; no re-scan:\n$p")
+    assert(p.sliding("Scan ExistingRDD".length).count(_ == "Scan ExistingRDD") == 2,
+      s"both consumers must read the checkpointed view:\n$p")
+  }
+
+  test("excess_suppliers: semi-join chain — no row duplication joins, shipdate pushed down") {
+    val p = plan("excess_suppliers")
+    assert(p.contains("LeftSemi"), s"both qualification levels must be semi-joins:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range must reach the lineitem scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"part filter and supplier gate broadcast:\n$p")
+  }
 }
