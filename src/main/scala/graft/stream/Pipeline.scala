@@ -148,6 +148,29 @@ object Pipeline {
       .drop("__rk")
   }
 
+  /** FULL OUTER variant of [[correlate]]: unmatched events on EITHER
+    * side emit null-padded — readings with no preceding alert AND
+    * alerts that no reading followed, in one stream. Emission timing
+    * is per-side: an unmatched left row finalizes when the left
+    * watermark passes its interval, an unmatched right row when the
+    * right watermark passes `rightTime + lookback` (the last instant a
+    * left partner could still arrive). State bounds are unchanged from
+    * the inner form — the equality key + two-sided event-time bound is
+    * what lets Spark purge both sides' state at the watermark; full
+    * outer adds no state, only the "emit leftover as null-padded on
+    * eviction" action for both stores. */
+  def correlateFull(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, lookback: String): DataFrame = {
+    val r = right.withColumnRenamed(key, s"__rk")
+    left.join(r,
+      expr(s"$key = __rk AND " +
+        s"$rightTime BETWEEN $leftTime - INTERVAL $lookback AND $leftTime"),
+      "full_outer")
+      .withColumn(key, coalesce(col(key), col("__rk")))
+      .drop("__rk")
+  }
+
   // ---- single-scan dual-sink (J4, statement-set fidelity) --------------
 
   /** Per-batch PARTIAL window aggregates: algebraic (sum/count/min/max)

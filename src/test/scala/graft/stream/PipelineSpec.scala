@@ -204,6 +204,44 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(r => r._2 == "10:00:20" && r._3 == null))  // matched row not duplicated
   }
 
+  test("full-outer interval join null-pads BOTH unmatched sides, no duplicates") {
+    val readings = MemoryStream[SensorReading](spark)
+    val alerts = MemoryStream[SensorReading](spark)
+    val l = Pipeline.prepare(readings.toDF())
+      .select(col("machine_id"), col("value"), col("event_time"))
+    val r = Pipeline.prepare(alerts.toDF(), watermark = "5 seconds")
+      .select(col("machine_id"), col("value").as("alert_value"),
+        col("event_time").as("alert_time"))
+    val joined = Pipeline.correlateFull(l, r, "machine_id",
+      "event_time", "alert_time", "30 SECONDS")
+      .select(col("machine_id"),
+        date_format(col("event_time"), "HH:mm:ss").as("rt"),
+        date_format(col("alert_time"), "HH:mm:ss").as("at"))
+    val name = s"ssfj${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      alerts.addData(Seq(
+        reading("2025-01-01T10:00:00", v = 99),          // matched by 10:00:20
+        reading("2025-01-01T10:03:00", "LATHE-002", v = 98))) // no follower → UNmatched right
+      readings.addData(Seq(
+        reading("2025-01-01T10:00:20"),                  // alerted → matched pair
+        reading("2025-01-01T10:01:30")))                 // 90 s after → UNmatched left
+      q.processAllAvailable()
+      // both sides' leftovers finalize only once both watermarks pass
+      // the open intervals — advance both streams well beyond them.
+      alerts.addData(Seq(reading("2025-01-01T10:10:00", v = 0)))
+      readings.addData(Seq(reading("2025-01-01T10:10:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[(String, String, String)].collect().toSet
+    assert(out.contains(("CNC-001", "10:00:20", "10:00:00")))     // inner row intact
+    assert(out.contains(("CNC-001", "10:01:30", null)))           // unmatched left → null pad
+    assert(out.contains(("LATHE-002", null, "10:03:00")))         // unmatched right → null pad
+    assert(!out.exists(r => r._2 == "10:00:20" && r._3 == null))  // matched left not re-padded
+    assert(!out.exists(r => r._2 == null && r._3 == "10:00:00"))  // matched right not re-padded
+  }
+
   test("RocksDB state store: windowed agg state off-heap, same results (J6 scale path)") {
     // At 100 TB-scale streaming, window/dedup state outgrows the JVM
     // heap; RocksDB keeps it on local disk with incremental checkpoint
