@@ -37,6 +37,34 @@ object ExtQueries {
     docs.select(col("doc_id"), col("text")).unionByName(perturbed)
   }
 
+  /** Three messy spellings of a logical page per document (the corpus
+    * has no URL column, so the URL-curation queries synthesize
+    * adversarial input): `page = doc_id div 3` picks the page, the
+    * host derives from the page (7 sites × {.com, .co.uk}), and
+    * `doc_id % 3` picks the spelling — canonical, SHOUTED www+:80, or
+    * query+fragment (with a `sub.` host on .co.uk pages, exercising
+    * registered-domain grouping). Spellings 0/1 of a page normalize
+    * identically; 2 does too on .com pages but keeps its `sub.` host
+    * distinct on .co.uk ones. The SQL template is dialect-shared with
+    * the oracle — only the integer-division token differs. */
+  private[queries] def messyUrlSql(div: String): String = {
+    val page = s"(doc_id $div 3)"
+    val h = s"CAST($page % 7 AS STRING)"
+    val pg = s"CAST($page AS STRING)"
+    val tld = s"(CASE WHEN $page % 2 = 0 THEN '.com' ELSE '.co.uk' END)"
+    val tldUp = s"(CASE WHEN $page % 2 = 0 THEN '.COM' ELSE '.CO.UK' END)"
+    val sub = s"(CASE WHEN $page % 2 = 0 THEN '' ELSE 'sub.' END)"
+    s"""CASE CAST(doc_id % 3 AS INT)
+       |  WHEN 0 THEN concat('https://site', $h, $tld, '/p/', $pg)
+       |  WHEN 1 THEN concat('HTTP://WWW.Site', $h, $tldUp, ':80/p/', $pg, '/')
+       |  ELSE concat('https://', $sub, 'site', $h, $tld, '/p/', $pg,
+       |              '?utm_source=feed#sec')
+       |END""".stripMargin
+  }
+
+  def messyUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(messyUrlSql("div")).as("url"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------
     "token_count" -> { (s, d) =>
@@ -502,6 +530,35 @@ object ExtQueries {
     // for the top-token count — text scanned once).
     "doc_repetition" -> { (s, d) =>
       Repetition.stats(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+
+    // URL-level dedup (round 8, ext.UrlOps) — the CommonCrawl curation
+    // step BEFORE content dedup: canonicalize (scheme/case/port/www/
+    // query/fragment/trailing-slash) and collapse exact URL dups. The
+    // corpus has no URL column, so the query synthesizes three messy
+    // spellings of each logical page from doc_id — the operator's
+    // input is adversarial on purpose. Map-side string ops; one
+    // hash-shuffle on the canonical URL.
+    "url_dedup" -> { (s, d) =>
+      messyUrls(Tables.documents(s, d))
+        .select(col("doc_id"), graft.ext.UrlOps.normalize(col("url")).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"))
+    },
+
+    // Per-domain document cap (round 8, ext.UrlOps) — keep at most 10
+    // docs per REGISTERED domain (sub.site3.co.uk and www.site3.co.uk
+    // both charge site3.co.uk), lowest doc_id first. Runs on
+    // TopKPerKey's bounded heaps: O(domains × k) state however many
+    // pages a boilerplate farm contributes.
+    "domain_cap" -> { (s, d) =>
+      val withDomain = messyUrls(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.ext.UrlOps.registeredDomain(
+            graft.ext.UrlOps.hostOf(
+              graft.ext.UrlOps.normalize(col("url")))).as("domain"))
+      graft.ext.UrlOps.perDomainCap(withDomain, Seq(col("doc_id")), k = 10)
     },
 
     // Benchmark-contamination check (round 5) — per-train-doc distinct
@@ -1157,6 +1214,54 @@ object ExtQueries {
         |       ELSE round(CAST(bs.n_bigrams - bs.n_db AS DOUBLE) / bs.n_bigrams, 4)
         |  END AS dup_bigram_frac
         |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin,
+
+    // URL curation family: the normalize chain is the SAME anchored
+    // single-match regex sequence as UrlOps.normalize — DuckDB's
+    // non-global regexp_replace ≡ Spark's global one because every
+    // pattern is anchored. The synthesis CTE shares its SQL template
+    // with the Spark side (messyUrlSql; '//' is DuckDB's integer div).
+    "url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, ${messyUrlSql("//")} AS url
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |        regexp_replace(regexp_replace(regexp_replace(url,
+         |          '#.*$$', ''), '\\?.*$$', ''), '(?i)^https?://', '') AS t
+         |      FROM u),
+         |n AS (SELECT doc_id,
+         |        regexp_replace(regexp_replace(
+         |          lower(regexp_extract(t, '^([^/]*)', 1)),
+         |          ':(80|443)$$', ''), '^www\\.', '') ||
+         |        regexp_replace(regexp_replace(t, '^[^/]*', ''),
+         |          '/$$', '') AS canon_url
+         |      FROM s)
+         |SELECT canon_url, min(doc_id) AS keep_doc_id,
+         |       count(*) AS n_copies
+         |FROM n GROUP BY 1""".stripMargin,
+
+    "domain_cap" ->
+      s"""WITH u AS (SELECT doc_id, ${messyUrlSql("//")} AS url
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |        regexp_replace(regexp_replace(regexp_replace(url,
+         |          '#.*$$', ''), '\\?.*$$', ''), '(?i)^https?://', '') AS t
+         |      FROM u),
+         |h AS (SELECT doc_id,
+         |        string_split(regexp_replace(regexp_replace(
+         |          lower(regexp_extract(t, '^([^/]*)', 1)),
+         |          ':(80|443)$$', ''), '^www\\.', ''), '.') AS parts
+         |      FROM s),
+         |dom AS (SELECT doc_id,
+         |          CASE WHEN len(parts) >= 3
+         |                AND (parts[-2] || '.' || parts[-1]) IN
+         |                    ('co.uk','org.uk','ac.uk','gov.uk','co.jp',
+         |                     'com.au','com.br','co.in','com.cn','co.nz')
+         |               THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+         |               ELSE parts[-2] || '.' || parts[-1] END AS domain
+         |        FROM h),
+         |r AS (SELECT doc_id, domain,
+         |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+         |      FROM dom)
+         |SELECT doc_id, domain FROM r WHERE rn <= 10""".stripMargin,
 
     "contam_check" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
