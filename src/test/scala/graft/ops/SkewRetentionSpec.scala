@@ -42,6 +42,44 @@ class SkewRetentionSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true) — no manual salting") {
+    // The built-in complement to Skew.saltedJoin: with adaptive
+    // skew-join handling on, a sort-merge join whose hot key dwarfs
+    // the advisory partition size is split AT RUNTIME — the final
+    // adaptive plan marks the join `skew=true`. Thresholds are lowered
+    // so a test-sized hot key (90% of 40k rows on one key, padded
+    // payloads) crosses them; production keeps the defaults.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // md5-derived payload: shuffle map sizes are COMPRESSED bytes, so
+      // a constant pad would deflate below the skew threshold
+      val facts = spark.range(40000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k",
+        "repeat(md5(CAST(id AS STRING)), 4) AS payload")
+      val build = spark.range(50).selectExpr("id AS k", "concat('dim', id) AS name")
+      val joined = facts.join(build, Seq("k"))
+      // execute THIS Dataset (count() would build a different,
+      // payload-pruned QueryExecution) so its adaptive plan finalizes
+      // with the padded payload crossing the shuffle
+      assert(joined.collect().length == 40000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition's join skew=true:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct is within its error bound of exact") {
     val e = graft.Tables.events(spark, sf)
     val exact = e.agg(countDistinct(col("user_id"))).as[Long].head()

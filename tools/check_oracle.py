@@ -17,6 +17,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -31,7 +32,8 @@ def nonscalar_cols(cols, rows):
     return [
         cols[i]
         for i in range(len(cols))
-        if any(isinstance(r[i], (list, tuple, dict, bytearray)) for r in rows[:50])
+        if any(isinstance(r[i], (list, tuple, dict, bytearray, np.ndarray))
+               for r in rows[:50])
     ]
 
 
@@ -39,7 +41,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 9):.9f}"
+        # Exact bit-pattern compare: the driver's pandas hash is
+        # value-EXACT, so a decimal rounding here would make the local
+        # gate more lenient than the one it approximates (round-7
+        # advice: ewma's unrounded doubles could drift sub-1e-9 locally
+        # yet fail the driver). hex() is the shortest exact rendering.
+        return float(v).hex()
     return str(v)
 
 
@@ -78,19 +85,20 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
+            # ONE fetch per side: the driver hashes through pandas, so
+            # go straight to .df() and derive cols/rows/dtypes from the
+            # same frame (round-7 advice: the old code ran each oracle
+            # SQL twice just to re-fetch dtypes).
+            g_df = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            )
-            g_cols = [d[0] for d in got.description]
-            g_rows = got.fetchall()
-            want = con.execute(sql)
-            w_cols = [d[0] for d in want.description]
-            w_rows = want.fetchall()
-            # dtype gate: the driver hashes through pandas, so fetch
-            # both sides as DataFrames too (cheap at sf0.01).
-            g_dt = dtype_map(con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
-            w_dt = dtype_map(con.execute(sql).df())
+            ).df()
+            w_df = con.execute(sql).df()
+            g_cols = list(g_df.columns)
+            g_rows = list(g_df.itertuples(index=False, name=None))
+            w_cols = list(w_df.columns)
+            w_rows = list(w_df.itertuples(index=False, name=None))
+            g_dt = dtype_map(g_df)
+            w_dt = dtype_map(w_df)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
