@@ -135,6 +135,43 @@ object VectorOps {
     (scale, q)
   }
 
+  /** Product-quantization encode (the IVF-PQ compression step): split
+    * each quantized vector into `nSub` subspaces of `subDim` dims and
+    * encode each as the argmin of `nCode` codewords → nSub small ints
+    * per vector (128× payload compression at the defaults on 64-dim
+    * float64). Codebooks are deterministic md5-sampled corpus vectors
+    * (the semdedup-anchor convention — trained k-means codebooks
+    * aren't cross-engine-reproducible, hash-sampled ones are); every
+    * assignment is EXACT INTEGER squared distance (LongDist2 codegen
+    * kernel) tie-broken by codeword id, so the encoding hash-oracles.
+    * Output long format: (vec_id, subspace, code, d2).
+    *
+    * 100 TB shape: the codebook is nCode rows BROADCAST; encoding
+    * rides the scan (one crossJoin + explode, map-side); output is
+    * nSub small ints per vector — nothing wide ever shuffles.
+    *
+    * @param corpus (vec_id: long, q: array<long>) quantized vectors
+    */
+  def pqEncode(corpus: DataFrame, nSub: Int = 8, subDim: Int = 8,
+      nCode: Int = 16): DataFrame = {
+    val cb = corpus
+      .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(nCode)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id")))
+        - 1).as("code_id"), col("q").as("cq"))
+    corpus.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("code_id"), col("q"), col("cq"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("subspace"))
+      .select(col("vec_id"), col("subspace"), col("code_id"),
+        graft.ext.expr.LongDot.longDist2(
+          slice(col("q"), col("subspace") * subDim + 1, lit(subDim)),
+          slice(col("cq"), col("subspace") * subDim + 1, lit(subDim))).as("d2"))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
+        min(col("d2")).as("d2"))
+  }
+
   // ---- IVF-Flat ANN: deterministic sampled-centroid quantizer --------
 
   /** Default bucket/probe counts for [[ivfFlatTopK]] — shared with the

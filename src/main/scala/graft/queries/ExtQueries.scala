@@ -406,26 +406,9 @@ object ExtQueries {
     // shuffles (the one exchange is the final per-(vec,subspace)
     // argmin agg, 8 rows/vector).
     "pq_codes" -> { (s, d) =>
-      val NSub = 8; val SubDim = 8; val NCode = 16
-      val corpus = Tables.embeddings(s, d)
+      VectorOps.pqEncode(Tables.embeddings(s, d)
         .select(col("vec_id"), VectorOps.quantize1000(
-          col("embedding").cast("array<double>")).as("q"))
-      val cb = corpus
-        .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(NCode)
-        .select((row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id")))
-          - 1).as("code_id"), col("q").as("cq"))
-      corpus.crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("code_id"), col("q"), col("cq"),
-          explode(sequence(lit(0), lit(NSub - 1))).as("subspace"))
-        .select(col("vec_id"), col("subspace"), col("code_id"),
-          graft.ext.expr.LongDot.longDist2(
-            slice(col("q"), col("subspace") * SubDim + 1, lit(SubDim)),
-            slice(col("cq"), col("subspace") * SubDim + 1, lit(SubDim))).as("d2"))
-        .groupBy(col("vec_id"), col("subspace"))
-        .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
-          min(col("d2")).as("d2"))
+          col("embedding").cast("array<double>")).as("q")))
     },
 
     // int8 embedding quantization (the 4x-smaller storage form for
