@@ -431,6 +431,55 @@ object BenchQueries {
         .orderBy(col("part_value").desc, col("l_partkey"))
     },
 
+    // TPC-H Q9 shape: product-line profit by supplier nation and order
+    // year. No partsupp in this schema, so the supply-cost proxy is
+    // 10% of p_retailprice per unit (a fixed margin model — the join
+    // tree and aggregation shape are what Q9 exercises). Filtered part
+    // and supplier⋈nation broadcast onto lineitem; the only big
+    // exchange is lineitem⋈orders on orderkey for the order year.
+    "product_profit" -> { (s, d) =>
+      val redParts = Tables.part(s, d)
+        .filter(col("p_name").like("red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(amount, 4).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q16 shape: supplier variety per part attribute — DISTINCT
+    // supplier count per (brand, type, size) for a filtered part
+    // range, excluding a supplier blacklist (negative balance — the
+    // complaints proxy) via broadcast anti-join. The distinct-agg
+    // expands (brand,type,size,suppkey) then collapses — two exchanges
+    // on shrinking frames; parts broadcast onto the fact.
+    "supplier_variety" -> { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size") <= 8)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
     // TPC-H Q20 shape: nested semi-join chain — suppliers in one
     // nation who shipped a significant volume (HAVING sum qty > 40 per
     // part in 1997) of 'small%'-named parts. Each level stays a
@@ -674,6 +723,29 @@ object BenchQueries {
         |WHERE vd * (SELECT count(*) FROM per) >
         |      2 * (SELECT sum(vd) FROM per)
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                - 0.1 * p_retailprice * l_quantity
+        |            AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+        |  AND p_name LIKE 'red%'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2 DESC""".stripMargin,
+
+    "supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 8
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "excess_suppliers" ->
       """SELECT s_suppkey, s_name, s_acctbal

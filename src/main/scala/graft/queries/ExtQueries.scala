@@ -639,6 +639,45 @@ object ExtQueries {
           """CASE WHEN num >= 0 THEN (2 * num + n_tokens) div (2 * n_tokens)
             |     ELSE -((2 * -num + n_tokens) div (2 * n_tokens)) END
             |  AS avg_lp_x1e6""".stripMargin)
+    },
+
+    // DSIR-style importance weights (round 8; Xie et al. 2023 motivate
+    // importance resampling from an n-gram proxy): per-doc log
+    // importance weight between the TARGET distribution (lang='en'
+    // docs — the quality-class stand-in) and the CORPUS distribution,
+    // both add-1-smoothed unigram LMs over the corpus vocabulary.
+    // Every formula input is an exact integer (tf, per-class term
+    // counts, totals, |V|); the one double op per (term, class) is ln
+    // of a ratio of exact-integer-valued doubles, floored at 1e6 scale
+    // BEFORE any aggregation (the unigram_logprob discipline) — doc
+    // weights are exact BIGINT sums. Shape: ONE corpus explode feeds
+    // both class counts; 1-row totals broadcast; the per-term delta
+    // joins back onto the same tf frame.
+    "dsir_weights" -> { (s, d) =>
+      val docs = Dedup.rebalance(Tables.documents(s, d))
+      val tf = docs
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val cc = tf.groupBy(col("term")).agg(sum(col("tf")).as("cc"))
+      val tc = tf.filter(col("lang") === "en")
+        .groupBy(col("term")).agg(sum(col("tf")).as("tc"))
+      val totals = cc.agg(sum(col("cc")).as("c_tot"), count(lit(1)).as("v"))
+        .crossJoin(tc.agg(sum(col("tc")).as("t_tot")))
+      val dlp = cc.join(tc, Seq("term"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("term"),
+          (floor(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+              (col("t_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long") -
+           floor(log((col("cc") + 1).cast("double") /
+              (col("c_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long"))
+            .as("dlp_x1e6"))
+      tf.join(dlp, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("dlp_x1e6")).as("weight_x1e6"))
     }
   )
 
@@ -1321,6 +1360,32 @@ object ExtQueries {
          |       ELSE -((2 * -sum_lp_x1e6 + n_tokens) // (2 * n_tokens)) END
          |    AS BIGINT) AS avg_lp_x1e6
          |FROM a""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |                unnest(list_transform($ToksSql, t -> lower(t))) AS term
+         |              FROM documents),
+         |tf AS (SELECT doc_id, lang, term, count(*) AS tf
+         |       FROM toks GROUP BY 1, 2, 3),
+         |cc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cc FROM tf GROUP BY 1),
+         |tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tc
+         |       FROM tf WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS c_tot,
+         |               CAST(count(*) AS BIGINT) AS v
+         |        FROM cc),
+         |ttot AS (SELECT CAST(sum(tc) AS BIGINT) AS t_tot FROM tc),
+         |dlp AS (SELECT cc.term,
+         |          CAST(floor(ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE) /
+         |                        CAST(t_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |          - CAST(floor(ln(CAST(cc.cc + 1 AS DOUBLE) /
+         |                          CAST(c_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |            AS dlp_x1e6
+         |        FROM cc LEFT JOIN tc ON tc.term = cc.term
+         |        CROSS JOIN tot CROSS JOIN ttot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       CAST(sum(tf * dlp_x1e6) AS BIGINT) AS weight_x1e6
+         |FROM tf JOIN dlp USING (term)
+         |GROUP BY 1""".stripMargin,
 
     "fuzzy_match" ->
       """WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),

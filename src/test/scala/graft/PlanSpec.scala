@@ -332,4 +332,22 @@ class PlanSpec extends SparkSpec {
       s"shipdate range must reach the lineitem scan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"part filter and supplier gate broadcast:\n$p")
   }
+
+  test("product_profit: all dims broadcast; single orderkey shuffle is the only big exchange") {
+    val p = plan("product_profit")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      s"part and supplier⋈nation frames must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"exactly one lineitem scan:\n$p")
+  }
+
+  test("supplier_variety: blacklist is a broadcast anti-join; parts broadcast onto the fact") {
+    val p = plan("supplier_variety")
+    assert(p.contains("LeftAnti"), s"the exclusion must be an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"parts and blacklist must broadcast:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("lineitem.parquet"))
+      .flatMap(_ => p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("l_partkey")))
+    assert(readSchema.exists(l => !l.contains("l_extendedprice")),
+      s"the fact scan must prune to join keys only:\n$p")
+  }
 }

@@ -45,6 +45,22 @@ class ExtQueriesSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("dsir_weights: target-class docs score higher on average than the rest") {
+    // DSIR's defining property: documents drawn from the target
+    // distribution (lang='en' here) receive higher importance weights
+    // than off-target documents. Compare per-token means so doc length
+    // doesn't confound the check.
+    val w = ExtQueries.queries("dsir_weights")(spark, sf)
+      .withColumn("per_tok",
+        col("weight_x1e6").cast("double") / col("n_tokens"))
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "lang")
+    val byClass = w.join(docs, "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("per_tok").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byClass(true) > byClass(false),
+      s"en docs must out-score non-en on mean per-token weight: $byClass")
+  }
+
   test("dedup_keep_best keeps the max-quality member of every group") {
     val out = ExtQueries.queries("dedup_keep_best")(spark, sf).cache()
     try {
