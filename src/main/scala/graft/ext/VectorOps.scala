@@ -154,12 +154,7 @@ object VectorOps {
     */
   def pqEncode(corpus: DataFrame, nSub: Int = 8, subDim: Int = 8,
       nCode: Int = 16): DataFrame = {
-    val cb = corpus
-      .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(nCode)
-      .select((row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id")))
-        - 1).as("code_id"), col("q").as("cq"))
+    val cb = pqCodebook(corpus, nCode)
     corpus.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("code_id"), col("q"), col("cq"),
         explode(sequence(lit(0), lit(nSub - 1))).as("subspace"))
@@ -170,6 +165,72 @@ object VectorOps {
       .groupBy(col("vec_id"), col("subspace"))
       .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
         min(col("d2")).as("d2"))
+  }
+
+  /** The deterministic md5-sampled PQ codebook shared by [[pqEncode]]
+    * and [[pqSearchTopK]]: the `nCode` corpus vectors with the smallest
+    * md5-derived id hash → (code_id, cq). Tiny (nCode rows); always
+    * broadcast by callers. */
+  def pqCodebook(corpus: DataFrame, nCode: Int = 16): DataFrame =
+    corpus
+      .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(nCode)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id")))
+        - 1).as("code_id"), col("q").as("cq"))
+
+  /** IVF-PQ asymmetric-distance (ADC) top-k search — the query path
+    * over the [[pqEncode]] compressed index (Jégou et al. 2011: the
+    * query stays UNquantized; per-subspace distances to every codeword
+    * are precomputed once into a lookup table, and each stored
+    * vector's approximate distance is nSub table lookups + adds, never
+    * touching the original vectors).
+    *
+    * Every distance is an EXACT INTEGER over quantize1000 vectors
+    * (LongDist2 codegen kernel), ADC candidate order is total via the
+    * (adc_d2, vec_id) tiebreak, and the final ranking reranks the
+    * `rerank` ADC survivors with the exact full-dimension distance —
+    * so the whole search hash-oracles cross-engine.
+    *
+    * 100 TB shape: the codes table is the stored index (8 small ints
+    * per vector, 128× smaller than the corpus — written once,
+    * bucketed by vec_id); the LUT is nSub×nCode=128 ints BROADCAST;
+    * per-vector ADC is one partial+final agg over the codes table (or
+    * map-side only when codes are stored pivoted); candidate selection
+    * is a TakeOrderedAndProject of `rerank` rows; the exact rerank
+    * joins those `rerank` ids back against the corpus by broadcast —
+    * with vec_id bucketing that probe reads `rerank` rows, not the
+    * corpus.
+    *
+    * @param corpus (vec_id: long, q: array<long>) quantized vectors
+    * @param query  1-row frame with the quantized query as `q`
+    */
+  def pqSearchTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      rerank: Int = 40, nSub: Int = 8, subDim: Int = 8,
+      nCode: Int = 16): DataFrame = {
+    val cb = pqCodebook(corpus, nCode)
+    val codes = pqEncode(corpus, nSub, subDim, nCode)
+      .select(col("vec_id"), col("subspace"), col("code"))
+    val qrow = query.select(col("q").as("qq"))
+    val lut = cb.crossJoin(qrow)
+      .select(col("code_id"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("subspace"),
+        col("cq"), col("qq"))
+      .select(col("subspace"), col("code_id"),
+        graft.ext.expr.LongDot.longDist2(
+          slice(col("qq"), col("subspace") * subDim + 1, lit(subDim)),
+          slice(col("cq"), col("subspace") * subDim + 1, lit(subDim)))
+          .as("qd2"))
+    val cand = codes
+      .join(broadcast(lut),
+        codes("subspace") === lut("subspace") && codes("code") === lut("code_id"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id")).limit(rerank)
+    broadcast(cand).join(corpus, "vec_id")
+      .crossJoin(qrow)
+      .select(col("vec_id"), col("adc_d2"),
+        graft.ext.expr.LongDot.longDist2(col("q"), col("qq")).as("exact_d2"))
+      .orderBy(col("exact_d2"), col("vec_id")).limit(k)
   }
 
   // ---- IVF-Flat ANN: deterministic sampled-centroid quantizer --------

@@ -411,6 +411,19 @@ object ExtQueries {
           col("embedding").cast("array<double>")).as("q")))
     },
 
+    // IVF-PQ ADC search (round 8) — the query path over the pq_codes
+    // compressed index: broadcast 128-entry LUT, per-vector approx
+    // distance as 8 lookups + adds over the codes table, exact
+    // integer rerank of the 40 ADC survivors. Completes the PQ story:
+    // pq_codes builds the index, pq_topk searches it.
+    "pq_topk" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.quantize1000(
+          col("embedding").cast("array<double>")).as("q"))
+      VectorOps.pqSearchTopK(corpus, corpus.filter(col("vec_id") === 0),
+        k = 10)
+    },
+
     // int8 embedding quantization (the 4x-smaller storage form for
     // 100 TB embedding tables) — scale + quantized vector per row.
     // The quantized vector is csv-encoded to a scalar string: the
@@ -1425,6 +1438,40 @@ object ExtQueries {
          |      FROM pairs)
          |SELECT vec_id, s AS subspace, code_id AS code, d2
          |FROM r WHERE rn <= 1""".stripMargin
+    },
+
+    "pq_topk" -> {
+      val d2 = (1 to 8).map(j =>
+        s"(qv.q[s*8+$j] - cq[s*8+$j]) * (qv.q[s*8+$j] - cq[s*8+$j])").mkString(" + ")
+      val cd2 = (1 to 8).map(j =>
+        s"(q.q[s*8+$j] - cq[s*8+$j]) * (q.q[s*8+$j] - cq[s*8+$j])").mkString(" + ")
+      val ed2 = (1 to 64).map(j =>
+        s"(q.q[$j] - qv.q[$j]) * (q.q[$j] - qv.q[$j])").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cbsel AS (SELECT vec_id, q,
+         |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM q ORDER BY h, vec_id LIMIT 16),
+         |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code_id,
+         |              q AS cq
+         |       FROM cbsel),
+         |pairs AS (SELECT vec_id, s, code_id, $cd2 AS d2
+         |          FROM q CROSS JOIN cb CROSS JOIN generate_series(0, 7) t(s)),
+         |codes AS (SELECT vec_id, s, code_id FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |                                         ORDER BY d2, code_id) AS rn
+         |            FROM pairs) WHERE rn <= 1),
+         |qv AS (SELECT q FROM q WHERE vec_id = 0),
+         |lut AS (SELECT s, code_id, CAST($d2 AS BIGINT) AS qd2
+         |        FROM cb CROSS JOIN qv CROSS JOIN generate_series(0, 7) t(s)),
+         |cand AS (SELECT c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adc_d2
+         |         FROM codes c JOIN lut l ON c.s = l.s AND c.code_id = l.code_id
+         |         GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 40)
+         |SELECT cand.vec_id, adc_d2, CAST($ed2 AS BIGINT) AS exact_d2
+         |FROM cand JOIN q ON q.vec_id = cand.vec_id CROSS JOIN qv
+         |ORDER BY exact_d2, cand.vec_id LIMIT 10""".stripMargin
     }
     // approx_distinct (ParityQueries) stays spec-bounded: HLL sketches
     // legitimately differ across engines.

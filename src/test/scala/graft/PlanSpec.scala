@@ -333,6 +333,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"part filter and supplier gate broadcast:\n$p")
   }
 
+  test("pq_topk: LUT and rerank candidates broadcast; candidate cut is a TakeOrdered") {
+    val p = plan("pq_topk")
+    assert(p.contains("BroadcastHashJoin"), s"LUT/candidate joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here justifies a shuffle join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the rerank-candidate cut must be a bounded top-k, not a global sort:\n$p")
+  }
+
   test("product_profit: all dims broadcast; single orderkey shuffle is the only big exchange") {
     val p = plan("product_profit")
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,

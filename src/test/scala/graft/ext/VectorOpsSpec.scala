@@ -68,6 +68,36 @@ class VectorOpsSpec extends SparkSpec {
     assert(zeroTotal >= 16, s"codebook members must self-encode, got $zeroTotal")
   }
 
+  test("pq ADC search: self-retrieval at exact_d2 0, rerank order total, ADC consistent with codes+LUT") {
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.quantize1000(
+        col("embedding").cast("array<double>")).as("q"))
+    val out = VectorOps.pqSearchTopK(
+      corpus, corpus.filter(col("vec_id") === 0), k = 10).collect()
+    assert(out.length == 10)
+    // The query is a corpus member: exact distance 0, ranked first.
+    assert(out.head.getLong(0) == 0L && out.head.getLong(2) == 0L)
+    val exacts = out.map(_.getLong(2)).toSeq
+    assert(exacts == exacts.sorted, "rerank must order by exact distance")
+    // ADC distances agree with an independent per-vector recomputation:
+    // Σ_sub d2(query sub-vector, assigned codeword sub-vector).
+    val cb = VectorOps.pqCodebook(corpus).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    val qv = corpus.filter(col("vec_id") === 0)
+      .head().getSeq[Long](1).toArray
+    val codes = VectorOps.pqEncode(corpus).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    def sub(a: Array[Long], s: Int) = a.slice(s * 8, s * 8 + 8)
+    for (r <- out) {
+      val expected = (0 until 8).map { s =>
+        val cw = sub(cb(codes((r.getLong(0), s))), s)
+        sub(qv, s).zip(cw).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      assert(r.getLong(1) == expected,
+        s"ADC mismatch for vec ${r.getLong(0)}: ${r.getLong(1)} != $expected")
+    }
+  }
+
   test("brute-force top-k: query vector ranks itself first with cos 1.0") {
     val emb = graft.Tables.embeddings(spark, sf)
     val top = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
