@@ -187,6 +187,31 @@ object ExtQueries {
         col("doc_id"), col("text"), threshold = 0.5)
     },
 
+    // Cross-document repeated-substring scoring (round 8; Lee et al.
+    // 2022 motivate EXACT substring dedup as the complement to
+    // fingerprint near-dup: verbatim boilerplate passages recur across
+    // otherwise-distinct documents). Hash every 8-token window, count
+    // occurrences corpus-wide, score each doc by its duplicated-window
+    // fraction (HALF_UP at 1e6 scale, exact integers throughout). The
+    // near-dup corpus guarantees true cross-doc repeats exist.
+    // Shape at 100 TB: windows are (doc_id, 60-bit hash) rows — ~one
+    // per token, nothing wider ever shuffles; the per-hash count agg
+    // and the count join share the hash partitioning (exchange reuse);
+    // the doc rollup is the only other exchange. All linear.
+    "substring_dedup" -> { (s, d) =>
+      val docs = Dedup.rebalance(withNearDups(Tables.documents(s, d)))
+      val wins = docs.select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(lower(col("text"))), 8)).as("win"))
+        .select(col("doc_id"), Dedup.md5Hash60(col("win")).as("h"))
+      val hc = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      wins.join(hc, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_windows"))
+        .selectExpr("doc_id", "n_windows", "dup_windows",
+          "(2 * 1000000 * dup_windows + n_windows) div (2 * n_windows) AS dup_frac_x1e6")
+    },
+
     // Incremental dedup (round 6) — the daily-increment shape: a new
     // batch (near-dup copies of every 5th doc that SHOULD match +
     // token-reversed copies of every 7th that should NOT — reversal
@@ -1373,6 +1398,29 @@ object ExtQueries {
          |       ELSE -((2 * -sum_lp_x1e6 + n_tokens) // (2 * n_tokens)) END
          |    AS BIGINT) AS avg_lp_x1e6
          |FROM a""".stripMargin,
+
+    "substring_dedup" ->
+      s"""WITH $CorpusCte,
+         |ct AS (SELECT doc_id,
+         |         list_transform($ToksSql, t -> lower(t)) AS toks
+         |       FROM corpus),
+         |pos AS (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 7)) AS s
+         |        FROM ct),
+         |wins AS (SELECT doc_id,
+         |           CAST('0x' || substr(md5(
+         |             array_to_string(list_slice(toks, s, s + 7), ' ')), 1, 15)
+         |             AS BIGINT) AS h
+         |         FROM pos),
+         |hc AS (SELECT h, count(*) AS n FROM wins GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS dup_windows,
+         |       CAST((2 * 1000000 * CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+         |               AS BIGINT) + count(*)) // (2 * count(*)) AS BIGINT)
+         |         AS dup_frac_x1e6
+         |FROM wins JOIN hc USING (h)
+         |GROUP BY 1""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, lang,

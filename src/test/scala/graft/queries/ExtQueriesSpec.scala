@@ -45,6 +45,24 @@ class ExtQueriesSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("substring_dedup: every near-dup copy is fully duplicated; originals carry dups too") {
+    val out = ExtQueries.queries("substring_dedup")(spark, sf).cache()
+    try {
+      // A perturbed copy is its original minus the last 3 tokens, so
+      // every one of its 8-token windows also occurs in the original —
+      // dup fraction must be exactly 1.0 for all copies.
+      val copies = out.filter(col("doc_id") >= ExtQueries.NearDupOffset)
+      assert(copies.count() > 0)
+      assert(copies.filter(col("dup_frac_x1e6") =!= 1000000L).isEmpty,
+        "every near-dup copy's windows all recur in its original")
+      // And symmetrically the originals' matching prefixes are flagged.
+      assert(out.filter(col("doc_id") < ExtQueries.NearDupOffset &&
+        col("dup_windows") > 0).count() > 0)
+      // Sanity: fraction bounded, windows consistent.
+      assert(out.filter(col("dup_windows") > col("n_windows")).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("dsir_weights: target-class docs score higher on average than the rest") {
     // DSIR's defining property: documents drawn from the target
     // distribution (lang='en' here) receive higher importance weights
