@@ -153,8 +153,15 @@ object VectorOps {
     * @param corpus (vec_id: long, q: array<long>) quantized vectors
     */
   def pqEncode(corpus: DataFrame, nSub: Int = 8, subDim: Int = 8,
-      nCode: Int = 16): DataFrame = {
-    val cb = pqCodebook(corpus, nCode)
+      nCode: Int = 16): DataFrame =
+    pqEncodeWith(corpus, pqCodebook(corpus, nCode), nSub, subDim)
+
+  /** [[pqEncode]] against an already-derived codebook — lets
+    * [[pqSearchTopK]] derive the codebook ONCE and share it between
+    * the LUT and the encode (each `pqCodebook` call is a full corpus
+    * pass for the md5 sample). */
+  private def pqEncodeWith(corpus: DataFrame, cb: DataFrame, nSub: Int,
+      subDim: Int): DataFrame =
     corpus.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("code_id"), col("q"), col("cq"),
         explode(sequence(lit(0), lit(nSub - 1))).as("subspace"))
@@ -165,7 +172,6 @@ object VectorOps {
       .groupBy(col("vec_id"), col("subspace"))
       .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"),
         min(col("d2")).as("d2"))
-  }
 
   /** The deterministic md5-sampled PQ codebook shared by [[pqEncode]]
     * and [[pqSearchTopK]]: the `nCode` corpus vectors with the smallest
@@ -209,7 +215,7 @@ object VectorOps {
       rerank: Int = 40, nSub: Int = 8, subDim: Int = 8,
       nCode: Int = 16): DataFrame = {
     val cb = pqCodebook(corpus, nCode)
-    val codes = pqEncode(corpus, nSub, subDim, nCode)
+    val codes = pqEncodeWith(corpus, cb, nSub, subDim)
       .select(col("vec_id"), col("subspace"), col("code"))
     val qrow = query.select(col("q").as("qq"))
     val lut = cb.crossJoin(qrow)

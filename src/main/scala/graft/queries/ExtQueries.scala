@@ -442,9 +442,14 @@ object ExtQueries {
     // integer rerank of the 40 ADC survivors. Completes the PQ story:
     // pq_codes builds the index, pq_topk searches it.
     "pq_topk" -> { (s, d) =>
+      // The quantized corpus feeds three consumers (codebook sample,
+      // encode, exact rerank) — materialize it once (top_supplier
+      // convention; at 100 TB the codes/codebook are the PRE-BUILT
+      // stored index and only the rerank touches vectors).
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id"), VectorOps.quantize1000(
           col("embedding").cast("array<double>")).as("q"))
+        .localCheckpoint(true)
       VectorOps.pqSearchTopK(corpus, corpus.filter(col("vec_id") === 0),
         k = 10)
     },
