@@ -200,9 +200,16 @@ object ExtQueries {
     // the doc rollup is the only other exchange. All linear.
     "substring_dedup" -> { (s, d) =>
       val docs = Dedup.rebalance(withNearDups(Tables.documents(s, d)))
+      // wins feeds two consumers (per-hash counts, the count join) —
+      // materialize the exploded window frame once (the tf convention
+      // in unigram_logprob/dsir_weights). Window hashing is the
+      // ShingleMd5 codegen kernel: one JVM call per doc, identical
+      // bits to md5Hash60 over the joined window (spec-pinned); the
+      // interpreted HOF form was the whole stage cost (SCALE.md r8).
       val wins = docs.select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(lower(col("text"))), 8)).as("win"))
-        .select(col("doc_id"), Dedup.md5Hash60(col("win")).as("h"))
+          explode(graft.ext.expr.ShingleMd5.shingleMd5(
+            TextOps.tokens(lower(col("text"))), 8)).as("h"))
+        .localCheckpoint(true)
       val hc = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
       wins.join(hc, "h")
         .groupBy(col("doc_id"))

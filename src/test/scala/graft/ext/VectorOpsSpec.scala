@@ -68,6 +68,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(zeroTotal >= 16, s"codebook members must self-encode, got $zeroTotal")
   }
 
+  test("shingle_md5 kernel matches the HOF md5Hash60-over-shingles formulation exactly") {
+    import graft.ext.{Dedup, TextOps}
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+    val both = docs.select(col("doc_id"),
+        graft.ext.expr.ShingleMd5.shingleMd5(col("toks"), 8).as("fast"),
+        transform(TextOps.shingles(col("toks"), 8),
+          w => Dedup.md5Hash60(w)).as("ref"))
+    assert(both.filter(not(col("fast") <=> col("ref"))).isEmpty,
+      "kernel and HOF window hashes must be bit-identical")
+    // short arrays yield empty, exactly like shingles' empty branch
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(graft.ext.expr.ShingleMd5.shingleMd5(col("toks"), 8).as("h"))
+    assert(short.head().getSeq[Long](0).isEmpty)
+  }
+
   test("pq ADC search: self-retrieval at exact_d2 0, rerank order total, ADC consistent with codes+LUT") {
     val corpus = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), VectorOps.quantize1000(

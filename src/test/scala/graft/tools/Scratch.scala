@@ -7,8 +7,8 @@ import graft.Tables
 import graft.ext.{Dedup, TextOps}
 
 /** Dev scratchpad (see .claude/skills/verify) — contents are transient.
-  * Current: round-8 10× scale probe for SCALE.md — dsir_weights
-  * throughput and distinct-term growth at 10× document volume. */
+  * Current: round-8 10× scale probe for SCALE.md — substring_dedup
+  * window-hash throughput under heavy cross-doc duplication. */
 object Scratch {
 
   private def timeMin2(body: => Long): (Double, Long) = {
@@ -19,54 +19,43 @@ object Scratch {
     (runs.map(_._1).min, runs.head._2)
   }
 
-  /** The dsir_weights shape (ExtQueries) parameterized by the corpus,
-    * so the probe can feed a replicated frame. */
-  private def dsir(docs: DataFrame): DataFrame = {
-    val tf = Dedup.rebalance(docs)
-      .select(col("doc_id"), col("lang"),
-        explode(TextOps.tokens(lower(col("text")))).as("term"))
-      .groupBy(col("doc_id"), col("lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+  /** The substring_dedup shape (ExtQueries) parameterized by corpus. */
+  private def subdup(docs: DataFrame): DataFrame = {
+    val wins = Dedup.rebalance(docs).select(col("doc_id"),
+        explode(graft.ext.expr.ShingleMd5.shingleMd5(
+          TextOps.tokens(lower(col("text"))), 8)).as("h"))
       .localCheckpoint(true)
-    val cc = tf.groupBy(col("term")).agg(sum(col("tf")).as("cc"))
-    val tc = tf.filter(col("lang") === "en")
-      .groupBy(col("term")).agg(sum(col("tf")).as("tc"))
-    val totals = cc.agg(sum(col("cc")).as("c_tot"), count(lit(1)).as("v"))
-      .crossJoin(tc.agg(sum(col("tc")).as("t_tot")))
-    val dlp = cc.join(tc, Seq("term"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("term"),
-        (floor(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
-            (col("t_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long") -
-         floor(log((col("cc") + 1).cast("double") /
-            (col("c_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long"))
-          .as("dlp_x1e6"))
-    tf.join(dlp, "term")
+    val hc = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    wins.join(hc, "h")
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * col("dlp_x1e6")).as("weight_x1e6"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_windows"))
   }
 
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
     val sf = "/root/testdata/sf0.1"
 
-    // 10× corpus: id-offset replicas with a distinguishing suffix token
-    // appended per replica so the distinct-term space grows too (a pure
-    // replica would leave |V| constant — unrealistically easy).
+    // 10× corpus: id-offset replicas WITHOUT text perturbation — the
+    // adversarial case for this operator: every window recurs ~10×,
+    // so per-hash counts are maximal and the count join moves every
+    // row. (A replica suffix would only change the final window.)
     val base = Tables.documents(s, sf)
     def corpusX(reps: Int): DataFrame = (0 until reps).map { k =>
       base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
-        col("lang"),
-        concat(col("text"), lit(s" rep${k}tok"),
-          (col("doc_id") % 97).cast("string")).as("text"))
+        col("text"))
     }.reduce(_ unionByName _).localCheckpoint(true)
 
     for ((label, reps) <- Seq("1x" -> 1, "10x" -> 10)) {
       val c = corpusX(reps)
-      val nv = dsir(c).agg(count(lit(1))).head().getLong(0)
-      val (t, n) = timeMin2(dsir(c).count())
-      System.err.println(f"[probe] dsir $label: $t%6.2fs docs=$n (check=$nv)")
+      val wins = Dedup.rebalance(c).select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(lower(col("text"))), 8)).as("win"))
+        .select(col("doc_id"), Dedup.md5Hash60(col("win")).as("h"))
+      val (tw, nw) = timeMin2(wins.count())
+      val (ta, na) = timeMin2(wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("n")).count())
+      val (t, n) = timeMin2(subdup(c).count())
+      System.err.println(f"[probe] substring_dedup $label: explode+md5=$tw%6.2fs ($nw wins) +agg=$ta%6.2fs ($na hashes) full=$t%6.2fs docs=$n")
     }
     s.stop()
   }
