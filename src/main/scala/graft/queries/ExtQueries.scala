@@ -594,6 +594,42 @@ object ExtQueries {
       graft.ext.UrlOps.perDomainCap(withDomain, Seq(col("doc_id")), k = 10)
     },
 
+    // PageRank over a deterministic link graph (round 8; Brin & Page
+    // 1998 — link authority is the CommonCrawl-style curation signal
+    // alongside per-domain caps). The corpus has no link column, so
+    // each doc links to 3 md5-derived targets (every byte derives from
+    // the read-only corpus — the messyUrls convention). Exact-integer
+    // fixed point: ranks at 1e6 scale, every division a truncating
+    // BIGINT div on non-negative operands (Spark `div` ≡ DuckDB `//`),
+    // damping 85/100, 5 unrolled iterations → bit-identical engines.
+    // Shape at 100 TB: the edge table builds once map-side and is the
+    // persisted graph; each iteration is ONE join+agg exchange pair
+    // over (id, long) rows — rank state is never wide; iterations are
+    // driver-synchronized like hierarchy_flatten's pointer doubling.
+    "link_rank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(k =>
+            Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
+              % col("n")): _*)).as("dst"))
+        .localCheckpoint(true)
+      var ranks = docs.crossJoin(broadcast(n))
+        .selectExpr("doc_id", "1000000 div n AS r")
+      for (_ <- 1 to 5) {
+        val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+          .groupBy(col("dst")).agg(sum(expr("r div 3")).as("cs"))
+        ranks = docs.crossJoin(broadcast(n))
+          .join(contrib, col("doc_id") === col("dst"), "left")
+          .selectExpr("doc_id", "n",
+            "150000 div n + (85 * coalesce(cs, 0)) div 100 AS r")
+          .select(col("doc_id"), col("r"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("doc_id"), col("r").as("rank_x1e6"))
+    },
+
     // Benchmark-contamination check (round 5) — per-train-doc distinct
     // 3-gram overlap with the deterministic eval shards
     // (ext.Contamination: broadcast eval hash set, train side never
@@ -1410,6 +1446,29 @@ object ExtQueries {
          |       ELSE -((2 * -sum_lp_x1e6 + n_tokens) // (2 * n_tokens)) END
          |    AS BIGINT) AS avg_lp_x1e6
          |FROM a""".stripMargin,
+
+    "link_rank" -> {
+      val hash = "CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || " +
+        "CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT dst, sum(r // 3) AS cs
+           |        FROM edges JOIN r${i - 1} ON r${i - 1}.doc_id = edges.src
+           |        GROUP BY 1),
+           |r$i AS (SELECT ids.doc_id,
+           |          150000 // nn.n + (85 * coalesce(cs, 0)) // 100 AS r
+           |        FROM ids CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = ids.doc_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ids AS (SELECT doc_id FROM documents),
+         |edges AS (SELECT doc_id AS src, $hash % nn.n AS dst
+         |          FROM (SELECT doc_id AS src, doc_id FROM ids)
+         |          CROSS JOIN nn
+         |          CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+         |r0 AS (SELECT doc_id, 1000000 // nn.n AS r FROM ids CROSS JOIN nn),
+         |$iters
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_x1e6 FROM r5""".stripMargin
+    },
 
     "substring_dedup" ->
       s"""WITH $CorpusCte,

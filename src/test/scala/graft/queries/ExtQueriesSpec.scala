@@ -45,6 +45,23 @@ class ExtQueriesSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("link_rank: rank floor, approximate conservation, and spread") {
+    val out = ExtQueries.queries("link_rank")(spark, sf).cache()
+    try {
+      val n = graft.Tables.documents(spark, sf).count()
+      assert(out.count() == n)
+      val base = 150000L / n // zero-in-degree docs keep exactly the base
+      assert(out.filter(col("rank_x1e6") < base).isEmpty,
+        "no doc can rank below the damping base")
+      // Truncating division only LOSES mass: total stays within
+      // (damped-sum, 1e6].
+      val total = out.agg(sum("rank_x1e6")).head().getLong(0)
+      assert(total <= 1000000L && total > 900000L, s"total rank $total")
+      // The graph is non-degenerate: some docs accumulate real rank.
+      assert(out.filter(col("rank_x1e6") > 3 * base).count() > 0)
+    } finally out.unpersist()
+  }
+
   test("substring_dedup: every near-dup copy is fully duplicated; originals carry dups too") {
     val out = ExtQueries.queries("substring_dedup")(spark, sf).cache()
     try {
