@@ -615,6 +615,11 @@ object ExtQueries {
             Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
               % col("n")): _*)).as("dst"))
         .localCheckpoint(true)
+      // Five rounds as ONE nested plan — at this unroll depth Catalyst
+      // handles the tree easily and a single job beats 5 sequential
+      // checkpoint-materialized jobs 3× (SCALE.md probe). Past ~10s of
+      // iterations the per-round localCheckpoint form becomes the
+      // right trade (plan growth), as hierarchy_flatten does.
       var ranks = docs.crossJoin(broadcast(n))
         .selectExpr("doc_id", "1000000 div n AS r")
       for (_ <- 1 to 5) {
@@ -625,7 +630,6 @@ object ExtQueries {
           .selectExpr("doc_id", "n",
             "150000 div n + (85 * coalesce(cs, 0)) div 100 AS r")
           .select(col("doc_id"), col("r"))
-          .localCheckpoint(true)
       }
       ranks.select(col("doc_id"), col("r").as("rank_x1e6"))
     },

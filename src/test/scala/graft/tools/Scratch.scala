@@ -4,11 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, TextOps}
+import graft.ext.Dedup
 
-/** Dev scratchpad (see .claude/skills/verify) — contents are transient.
-  * Current: round-8 10× scale probe for SCALE.md — substring_dedup
-  * window-hash throughput under heavy cross-doc duplication. */
+/** Dev scratchpad (see .claude/skills/verify) — transient. Current:
+  * link_rank iteration-materialization strategy comparison. */
 object Scratch {
 
   private def timeMin2(body: => Long): (Double, Long) = {
@@ -19,43 +18,38 @@ object Scratch {
     (runs.map(_._1).min, runs.head._2)
   }
 
-  /** The substring_dedup shape (ExtQueries) parameterized by corpus. */
-  private def subdup(docs: DataFrame): DataFrame = {
-    val wins = Dedup.rebalance(docs).select(col("doc_id"),
-        explode(graft.ext.expr.ShingleMd5.shingleMd5(
-          TextOps.tokens(lower(col("text"))), 8)).as("h"))
+  def rank(s: org.apache.spark.sql.SparkSession, d: String,
+      checkpointEach: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(k =>
+          Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
+            % col("n")): _*)).as("dst"))
       .localCheckpoint(true)
-    val hc = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
-    wins.join(hc, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_windows"))
+    var ranks = docs.crossJoin(broadcast(n))
+      .selectExpr("doc_id", "1000000 div n AS r")
+    for (_ <- 1 to 5) {
+      val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+        .groupBy(col("dst")).agg(sum(expr("r div 3")).as("cs"))
+      val next = docs.crossJoin(broadcast(n))
+        .join(contrib, col("doc_id") === col("dst"), "left")
+        .selectExpr("doc_id", "n",
+          "150000 div n + (85 * coalesce(cs, 0)) div 100 AS r")
+        .select(col("doc_id"), col("r"))
+      ranks = if (checkpointEach) next.localCheckpoint(true) else next
+    }
+    ranks.select(col("doc_id"), col("r").as("rank_x1e6"))
   }
 
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
     val sf = "/root/testdata/sf0.1"
-
-    // 10× corpus: id-offset replicas WITHOUT text perturbation — the
-    // adversarial case for this operator: every window recurs ~10×,
-    // so per-hash counts are maximal and the count join moves every
-    // row. (A replica suffix would only change the final window.)
-    val base = Tables.documents(s, sf)
-    def corpusX(reps: Int): DataFrame = (0 until reps).map { k =>
-      base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
-        col("text"))
-    }.reduce(_ unionByName _).localCheckpoint(true)
-
-    for ((label, reps) <- Seq("1x" -> 1, "10x" -> 10)) {
-      val c = corpusX(reps)
-      val wins = Dedup.rebalance(c).select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(lower(col("text"))), 8)).as("win"))
-        .select(col("doc_id"), Dedup.md5Hash60(col("win")).as("h"))
-      val (tw, nw) = timeMin2(wins.count())
-      val (ta, na) = timeMin2(wins.groupBy(col("h"))
-        .agg(count(lit(1)).as("n")).count())
-      val (t, n) = timeMin2(subdup(c).count())
-      System.err.println(f"[probe] substring_dedup $label: explode+md5=$tw%6.2fs ($nw wins) +agg=$ta%6.2fs ($na hashes) full=$t%6.2fs docs=$n")
+    for ((label, ck) <- Seq("checkpoint-each" -> true, "nested-plan" -> false)) {
+      val (t, n) = timeMin2(rank(s, sf, ck).count())
+      val chk = rank(s, sf, ck).agg(sum("rank_x1e6")).head().getLong(0)
+      System.err.println(f"[probe] link_rank $label: $t%6.2fs rows=$n sum=$chk")
     }
     s.stop()
   }
