@@ -109,6 +109,32 @@ object Pipeline {
       keys: Seq[String] = Seq("machine_id", "sensor_type", "event_time")): DataFrame =
     prepared.dropDuplicatesWithinWatermark(keys)
 
+  /** Per-window streaming heavy hitters: the Misra–Gries sketch
+    * (ext.HeavyHitters, batch-proven bounds) as a windowed streaming
+    * aggregate under the watermark. The sketch buffer is MERGEABLE, so
+    * it rides Spark's partial aggregation inside each micro-batch and
+    * the state-store merge across batches — per-window state is O(k)
+    * counters however many readings the window sees, and windows
+    * finalize exactly once in append mode. The 100 TB shape for
+    * "top talkers per minute" without per-key exact state.
+    *
+    * @param k counter budget (tracks ≤ k−1 items, error ≤ window_n/k)
+    */
+  def windowedHeavyHitters(prepared: DataFrame, size: String = "1 minute",
+      k: Int = 9): DataFrame = {
+    val mg = udaf(new graft.ext.HeavyHitters.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    prepared
+      .select(col("event_time"),
+        concat_ws(":", col("machine_id"), col("sensor_type")).as("item"))
+      .groupBy(window(col("event_time"), size).as("w"))
+      .agg(mg(col("item")).as("hh"))
+      .select(col("w.start").as("window_start"),
+        posexplode(col("hh")).as(Seq("rank", "h")))
+      .select(col("window_start"), (col("rank") + 1).as("rank"),
+        col("h._1").as("item"), col("h._2").as("est_count"))
+  }
+
   /** Stream-stream interval join: pair each left event with right
     * events for the same key within `[leftTs - lookback, leftTs]` —
     * e.g. readings correlated with the alerts that preceded them.

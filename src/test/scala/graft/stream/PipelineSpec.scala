@@ -133,6 +133,41 @@ class PipelineSpec extends SparkSpec {
     assert(rows.count(_._2 == "10:00:10") == 1)
   }
 
+  test("windowed streaming heavy hitters: MG sketch per finalized window (bounded state)") {
+    def run(k: Int): Array[(String, String, Long)] = {
+      val ms = MemoryStream[SensorReading](spark)
+      val hh = Pipeline.windowedHeavyHitters(
+        Pipeline.prepare(ms.toDF()), "1 minute", k)
+      val name = s"hhout${System.nanoTime()}"
+      val q = hh.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // 10:00 window: CNC-001:temperature dominates (6 of 9 readings)
+        ms.addData((1 to 6).map(i => reading(f"2025-01-01T10:00:$i%02d")) ++
+          Seq(reading("2025-01-01T10:00:21", "CNC-002", "vibration"),
+            reading("2025-01-01T10:00:22", "CNC-003", "pressure"),
+            reading("2025-01-01T10:00:23", "CNC-004", "humidity")))
+        q.processAllAvailable()
+        ms.addData(Seq(reading("2025-01-01T10:03:00"))) // close 10:00
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select(date_format(col("window_start"), "HH:mm").as("ws"),
+          col("item"), col("est_count"))
+        .as[(String, String, Long)].collect()
+    }
+    // Budget above distinct-item count: the sketch is EXACT.
+    val exact = run(k = 17).filter(_._1 == "10:00").toSet
+    assert(exact.contains(("10:00", "CNC-001:temperature", 6L)), s"$exact")
+    assert(exact.size == 4)
+    // Tight budget (k=3: ≤2 counters survive): the dominant item must
+    // survive with the MG bound est ≥ true − n/k = 6 − 3 = 3.
+    val tight = run(k = 3).filter(_._1 == "10:00")
+    val top = tight.find(_._2 == "CNC-001:temperature")
+    assert(top.nonEmpty && top.get._3 >= 3L,
+      s"dominant item must survive a tight budget with the MG bound: ${tight.toSeq}")
+  }
+
   test("stream-stream interval join correlates readings with preceding alerts (bounded state)") {
     val readings = MemoryStream[SensorReading](spark)
     val alerts = MemoryStream[SensorReading](spark)
