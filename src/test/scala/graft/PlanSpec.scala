@@ -333,6 +333,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"part filter and supplier gate broadcast:\n$p")
   }
 
+  test("substring_dedup: both aggregates partial+final; count join is a hash join") {
+    val p = plan("substring_dedup")
+    assert(p.contains("partial_count"), s"per-hash count must map-side combine:\n$p")
+    assert(p.contains("partial_sum"), s"doc rollup must map-side combine:\n$p")
+    assert(p.contains("HashJoin"), s"the count join must hash, not sort:\n$p")
+  }
+
+  test("dsir_weights: per-term delta frames broadcast onto the tf frame") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"dlp must broadcast onto tf:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort join at this scale:\n$p")
+  }
+
+  test("link_rank: one nested plan with a map-side-combined agg per iteration") {
+    // The rank-state joins legitimately exchange on (id, long) rows —
+    // no join-strategy assert; what must hold is that each of the 5
+    // unrolled contribution aggregates combines map-side, so shuffle
+    // volume per round is bounded by distinct dst, not edges.
+    val p = plan("link_rank")
+    assert(p.sliding("partial_sum".length).count(_ == "partial_sum") >= 5,
+      s"every iteration's contribution agg must map-side combine:\n$p")
+  }
+
   test("pq_topk: LUT and rerank candidates broadcast; candidate cut is a TakeOrdered") {
     val p = plan("pq_topk")
     assert(p.contains("BroadcastHashJoin"), s"LUT/candidate joins must broadcast:\n$p")
