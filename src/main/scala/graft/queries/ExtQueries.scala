@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, TextOps, VectorOps, ZOrder}
+import graft.ext.{Bloom, Contamination, CountMin, Dedup, Multimodal, Packing, Repetition, Sampling, TextOps, VectorOps, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -640,6 +640,39 @@ object ExtQueries {
     // shuffles text).
     "contam_check" -> { (s, d) =>
       Contamination.check(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+
+    // Bloom-filter pre-probe (round 8) — contam_check's documented
+    // beyond-broadcast fallback made real: the eval shingle set folds
+    // into a 2^20-bit mergeable bitset (ext.Bloom, md5-derived double
+    // hashing so the oracle replays the exact bit positions
+    // relationally) and the train side probes it map-side alongside
+    // the exact join; n_bloom_hits ≥ n_contam quantifies the FP
+    // overcount the pre-probe admits.
+    "bloom_contam" -> { (s, d) =>
+      Bloom.contamPreProbe(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+
+    // Count-Min frequency estimates (round 8) — the first EXACTLY
+    // oracled sketch: CMS cells are pure sums (partition-invariant,
+    // unlike MG/HLL), so the 4×2048 sketch built over every 3-gram
+    // occurrence replays relationally in DuckDB. Output: the 50 most
+    // frequent shingles with exact count, sketch estimate, and the
+    // overcount (≥ 0 always — CMS never undercounts). At 100 TB only
+    // the sketch survives; the exact side here is the demonstration
+    // harness the oracle checks the estimate arithmetic against.
+    "cms_freq" -> { (s, d) =>
+      val occ = Dedup.rebalance(Tables.documents(s, d))
+        .select(explode(graft.ext.expr.ShingleMd5.shingleMd5(
+          TextOps.tokens(lower(col("text"))), 3)).as("h"))
+        .localCheckpoint(true)
+      val sketch = occ.agg(CountMin.agg()(col("h")).as("cms"))
+      val exact = occ.groupBy(col("h")).agg(count(lit(1)).as("exact_count"))
+      exact.orderBy(col("exact_count").desc, col("h")).limit(50)
+        .crossJoin(broadcast(sketch))
+        .select(col("h").as("shingle_hash"), col("exact_count"),
+          CountMin.estimate(col("cms"), col("h")).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("exact_count"))
     },
 
     // Z-order (Morton) clustering key (round 5) — multi-dimensional
@@ -1393,6 +1426,69 @@ object ExtQueries {
          |SELECT doc_id, n_shingles, n_contam,
          |       round(CAST(n_contam AS DOUBLE) / n_shingles, 4) AS contam_frac
          |FROM agg""".stripMargin,
+
+    // bloom_contam: the bitset probe replayed relationally — a train
+    // shingle bloom-hits iff ALL k of its Kirsch–Mitzenmacher
+    // positions ((h%m + i·(2·((h>>20)%2^19)+1)) % m, m = 2^20, k = 3)
+    // appear in the distinct position set of the eval shingles; the
+    // position arithmetic is the same integer ops both engines run.
+    "bloom_contam" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+         |shg AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
+         |               lead(w,2) OVER win AS w2
+         |        FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |hv AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 AS shard,
+         |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+         |       FROM shg WHERE w2 IS NOT NULL),
+         |ev AS (SELECT DISTINCT h FROM hv WHERE shard < 2),
+         |bpos AS (SELECT DISTINCT
+         |           ((h % 1048576) + i * (2 * ((h >> 20) % 524288) + 1)) % 1048576 AS p
+         |         FROM ev CROSS JOIN (VALUES (0), (1), (2)) AS ii(i)),
+         |tr AS (SELECT DISTINCT doc_id, h FROM hv WHERE shard >= 2),
+         |trpos AS (SELECT doc_id, h,
+         |            ((h % 1048576) + i * (2 * ((h >> 20) % 524288) + 1)) % 1048576 AS p
+         |          FROM tr CROSS JOIN (VALUES (0), (1), (2)) AS ii(i)),
+         |bh AS (SELECT doc_id, h FROM trpos JOIN bpos USING (p)
+         |       GROUP BY doc_id, h HAVING count(*) = 3),
+         |agg AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |          CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+         |        FROM tr LEFT JOIN ev ON ev.h = tr.h GROUP BY 1),
+         |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+         |         FROM bh GROUP BY 1)
+         |SELECT agg.doc_id, n_shingles, n_contam,
+         |       coalesce(n_bloom_hits, CAST(0 AS BIGINT)) AS n_bloom_hits
+         |FROM agg LEFT JOIN bagg ON bagg.doc_id = agg.doc_id""".stripMargin,
+
+    // cms_freq: the 4×2048 Count-Min sketch replayed relationally —
+    // cell (i, p) is the occurrence count mapping there under the same
+    // Kirsch–Mitzenmacher positions, estimate = min over the 4 cells.
+    "cms_freq" ->
+      s"""WITH ct AS (SELECT doc_id, list_transform($ToksSql, t -> lower(t)) AS toks
+         |           FROM documents),
+         |pos AS (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 2)) AS s
+         |        FROM ct),
+         |occ AS (SELECT CAST('0x' || substr(md5(
+         |          array_to_string(list_slice(toks, s, s + 2), ' ')), 1, 15)
+         |          AS BIGINT) AS h
+         |        FROM pos),
+         |hp AS (SELECT h, i,
+         |         ((h % 2048) + i * (2 * ((h >> 20) % 524288) + 1)) % 2048 AS p
+         |       FROM (SELECT DISTINCT h FROM occ)
+         |       CROSS JOIN (VALUES (0), (1), (2), (3)) AS ii(i)),
+         |cells AS (SELECT i, p, CAST(count(*) AS BIGINT) AS c
+         |          FROM occ JOIN hp USING (h) GROUP BY i, p),
+         |est AS (SELECT hp.h, min(c) AS cms_est
+         |        FROM hp JOIN cells USING (i, p) GROUP BY hp.h),
+         |exact AS (SELECT h, CAST(count(*) AS BIGINT) AS exact_count
+         |          FROM occ GROUP BY h),
+         |top AS (SELECT h, exact_count FROM exact
+         |        ORDER BY exact_count DESC, h LIMIT 50)
+         |SELECT top.h AS shingle_hash, exact_count, cms_est,
+         |       cms_est - exact_count AS overcount
+         |FROM top JOIN est ON est.h = top.h""".stripMargin,
 
     "zorder_cluster" -> {
       val z = ZOrder.interleave16Sql("(l_partkey % 65536)", "(l_suppkey % 65536)")

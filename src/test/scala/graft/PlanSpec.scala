@@ -381,4 +381,23 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.exists(l => !l.contains("l_extendedprice")),
       s"the fact scan must prune to join keys only:\n$p")
   }
+
+  test("bloom_contam: filter and eval set broadcast — the probe rides the train scan") {
+    val p = plan("bloom_contam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exact eval join must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row filter must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the train side must never shuffle for either probe:\n$p")
+  }
+
+  test("cms_freq: top-50 cut is a TakeOrdered; the sketch broadcasts onto it") {
+    val p = plan("cms_freq")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-frequency cut must be a bounded top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row sketch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here justifies a shuffle join:\n$p")
+  }
 }
