@@ -1,18 +1,22 @@
 package graft.tools
 
 /** Dev scratchpad (see .claude/skills/verify) — transient. Current:
-  * plan audit of the round-8 additions. */
+  * 10× scale probes for bloom_contam / cms_freq (SCALE.md rows). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
-    for (n <- Seq("substring_dedup", "dsir_weights", "link_rank")) {
-      val p = graft.SparkEntry.queries(n)(s, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString
-      System.err.println(s"==== $n ====")
-      System.err.println(p.linesIterator
-        .filter(l => l.contains("Exchange") || l.contains("Join") ||
-          l.contains("parquet") || l.contains("HashAggregate"))
-        .take(30).mkString("\n"))
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    for (name <- Seq("bloom_contam", "cms_freq")) {
+      for ((label, dir) <- Seq(
+          "1x" -> "/root/testdata/sf0.01", "10x" -> "/root/testdata/sf0.1")) {
+        val runs = (1 to 2).map { _ =>
+          time(graft.SparkEntry.queries(name)(s, dir)
+            .write.mode("overwrite").format("noop").save())
+        }
+        System.err.println(f"[probe] $name@$label  min=${runs.min}%.2fs  runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      }
     }
     s.stop()
   }
