@@ -158,6 +158,47 @@ object StreamBench {
         f"[stream-bench] windowed_mg@$label  $n rows  $tD%.1fs  ${n / tD}%.0f rows/s")
     }
 
+    // Mode E: exactly-once dedup on an at-least-once transport —
+    // every message delivered TWICE (producer-retry shape), then
+    // dropDuplicatesWithinWatermark restores exactly-once content
+    // with state held only until the watermark passes each key.
+    // rows/s counts the DOUBLED input (the transport volume the
+    // operator absorbs). The output must hold no duplicates (the
+    // exactly-once claim); count coverage gets the same 99%
+    // watermark-horizon allowance as mode C.
+    for ((label, _) <- sizes) {
+      val topic = s"$work/topic_$label"
+      val dupTopic = s"$work/topic_dup_$label"
+      spark.read.text(topic).write.mode("overwrite").text(dupTopic)
+      spark.read.text(topic).write.mode("append").text(dupTopic)
+      val n2 = spark.read.text(dupTopic).count()
+      val outE = LakeSink(s"$work/e_$label/deduped", partitionCols = Nil)
+      val tE = time {
+        val q = Pipeline.rawRows(Pipeline.dedupedStream(
+            Pipeline.prepare(JsonDirSource(dupTopic).readStream(spark))))
+          .writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$work/e_$label/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) => outE.append(b) }
+          .start()
+        q.awaitTermination()
+      }
+      results(s"dedup_stream@$label") = n2 / tE
+      val emitted = outE.read(spark)
+      val outRows = emitted.count()
+      val distinctRows = emitted
+        .select(col("machine_id"), col("sensor_type"), col("timestamp"))
+        .distinct().count()
+      require(outRows == distinctRows,
+        s"dedup output must be exactly-once at $label " +
+          s"($outRows rows, $distinctRows distinct)")
+      require(outRows <= n2 / 2 && outRows >= (n2 / 2) * 99 / 100,
+        s"dedup must emit each reading once (watermark-horizon slack) " +
+          s"at $label: $outRows of ${n2 / 2}")
+      System.err.println(
+        f"[stream-bench] dedup_stream@$label  $n2 rows  $tE%.1fs  ${n2 / tE}%.0f rows/s")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

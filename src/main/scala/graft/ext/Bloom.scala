@@ -136,8 +136,12 @@ object Bloom {
       .select(col("doc"),
         Sampling.shard(col("doc"), nShards).as("shard"),
         Dedup.md5Hash60(col("s")).as("h"))
+    // The eval hash set feeds BOTH the filter build and the exact
+    // join — materialize it once (it is the bounded side: an eval
+    // suite is thousands of docs at any corpus scale, and without
+    // this each consumer re-derives every corpus shingle).
     val evalSh = rows.filter(col("shard") < evalKeep)
-      .select(col("h")).distinct()
+      .select(col("h")).distinct().localCheckpoint(true)
     val filterRow = evalSh.agg(agg(m, k)(col("h")).as("bloom"))
     val train = rows.filter(col("shard") >= evalKeep)
       .select(col("doc"), col("h")).distinct()
