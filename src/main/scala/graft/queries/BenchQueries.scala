@@ -111,13 +111,17 @@ object BenchQueries {
             .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("cust_nation"))
+      // supplier/customer are SF-proportional: no broadcast HINT —
+      // the size threshold (and AQE at runtime) picks broadcast while
+      // the pruned frames fit and degrades to shuffle when they
+      // don't; only the constant-size nation dims are forced.
       val ord = Tables.orders(s, d)
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("cust_nation"))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),

@@ -392,6 +392,16 @@ class PlanSpec extends SparkSpec {
       s"the train side must never shuffle for either probe:\n$p")
   }
 
+  test("nation_trade: pruned dims broadcast by SIZE (no hint); one orderkey shuffle") {
+    val p = plan("nation_trade")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      s"the 2-nation-pruned supplier and customer must broadcast at this SF:\n$p")
+    // lineitem⋈orders is the one fact-fact join: pre-AQE it plans a
+    // SortMergeJoin (AQE may convert at runtime); nothing else may.
+    assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1,
+      s"only lineitem⋈orders may plan a shuffle join at this SF:\n$p")
+  }
+
   test("cms_freq: top-50 cut is a TakeOrdered; the sketch broadcasts onto it") {
     val p = plan("cms_freq")
     assert(p.contains("TakeOrderedAndProject"),
