@@ -26,6 +26,17 @@ object TextOps {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpeTokenRe), lit(0))
 
+  /** Adjacent character bigrams of a word ("the" → ["th","he"]),
+    * overlapping, empty below 2 chars — the BPE merge-candidate unit
+    * (Sennrich et al. 2016 count these corpus-wide to pick the next
+    * merge). Pure built-ins; intended to run over the DISTINCT vocab
+    * with per-word corpus counts joined in, so the derivation is
+    * O(vocab × word length), never O(corpus tokens). */
+  def charPairs(w: Column): Column =
+    when(length(w) >= 2,
+      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-gram shingles ("a b c" for n=3) from a token array.
     * Empty when the doc has fewer than n tokens (sequence() would
     * otherwise run backwards). */

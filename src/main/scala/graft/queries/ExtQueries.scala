@@ -653,6 +653,49 @@ object ExtQueries {
       Bloom.contamPreProbe(Tables.documents(s, d), col("doc_id"), col("text"))
     },
 
+    // Temperature-scaled mixture rebalancing (round 8) — the
+    // multilingual data-mixing move (α = 0.5; mBERT/XLM-R/PaLM
+    // rebalance language shares toward p^α): head languages
+    // downsample at √(n_min/n_l), the smallest keeps everything.
+    // Rates are CORPUS-DERIVED (the tiny per-lang count frame
+    // broadcasts back), not config. w_l = ⌊10⁶·√n_l⌋ is the only
+    // float op — sqrt is correctly-rounded IEEE in both engines,
+    // floored at fixed scale — and the keep test is the exact-integer
+    // cross-multiply h·w_l < w_min·2⁶⁰ on the row's own md5 hash
+    // (mixture_sample's discipline): deterministic membership,
+    // idempotent retries, every boundary bit-identical.
+    "temp_mixture" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val w = c.withColumn("wl",
+        floor(lit(1000000.0) * sqrt(col("n_docs").cast("double"))).cast("long"))
+      val wmin = w.agg(min(col("wl")).as("wmin"))
+      docs.join(broadcast(w), Seq("lang")).crossJoin(broadcast(wmin))
+        .withColumn("h", Dedup.md5Hash60(col("doc_id").cast("string")))
+        .groupBy(col("lang"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          sum(when(col("h").cast("decimal(38,0)") * col("wl") <
+              col("wmin").cast("decimal(38,0)") * lit(1152921504606846976L), 1L)
+            .otherwise(0L)).as("kept"))
+    },
+
+    // BPE merge-candidate counting (round 8) — the first step of
+    // tokenizer TRAINING (Sennrich et al. 2016): corpus-wide counts of
+    // adjacent character pairs, weighted by word frequency, top-50
+    // merge candidates. The scale shape is the point: the only
+    // corpus-sized pass is the word-count explode+agg; the pair
+    // derivation (charPairs) runs over the DISTINCT vocabulary with
+    // counts already attached — O(vocab × word length), however many
+    // tokens the corpus holds. The top cut is a bounded TakeOrdered.
+    "bpe_pairs" -> { (s, d) =>
+      val words = Dedup.rebalance(Tables.documents(s, d))
+        .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      val wc = words.groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      wc.select(col("wn"), explode(TextOps.charPairs(col("w"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wn")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(50)
+    },
+
     // Count-Min frequency estimates (round 8) — the first EXACTLY
     // oracled sketch: CMS cells are pure sums (partition-invariant,
     // unlike MG/HLL), so the 4×2048 sketch built over every 3-gram
@@ -1460,6 +1503,39 @@ object ExtQueries {
          |SELECT agg.doc_id, n_shingles, n_contam,
          |       coalesce(n_bloom_hits, CAST(0 AS BIGINT)) AS n_bloom_hits
          |FROM agg LEFT JOIN bagg ON bagg.doc_id = agg.doc_id""".stripMargin,
+
+    // temp_mixture: 2^60 = 1152921504606846976; HUGEINT cross-multiply
+    // mirrors Spark's decimal(38,0) compare bit-for-bit.
+    "temp_mixture" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(floor(1000000 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wl
+        |      FROM c),
+        |mn AS (SELECT min(wl) AS wmin FROM w),
+        |k AS (SELECT d.lang, w.n_docs, w.wl, mn.wmin,
+        |        CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |      FROM documents d JOIN w USING (lang) CROSS JOIN mn)
+        |SELECT lang, max(n_docs) AS n_docs,
+        |       CAST(sum(CASE WHEN CAST(h AS HUGEINT) * wl <
+        |                          CAST(wmin AS HUGEINT) * 1152921504606846976
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(list_transform($ToksSql, t -> lower(t))) AS w
+         |           FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM w GROUP BY 1),
+         |pr AS (SELECT wn,
+         |         unnest(CASE WHEN len(w) >= 2
+         |           THEN list_transform(generate_series(1, len(w) - 1),
+         |                               i -> substr(w, i, 2))
+         |           ELSE [] END) AS pair
+         |       FROM wc),
+         |agg AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS pair_count
+         |        FROM pr GROUP BY 1)
+         |SELECT pair, pair_count FROM agg
+         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
 
     // cms_freq: the 4×2048 Count-Min sketch replayed relationally —
     // cell (i, p) is the occurrence count mapping there under the same

@@ -121,4 +121,45 @@ class ExtQueriesSpec extends SparkSpec {
         "kept doc must carry the group's best quality")
     } finally out.unpersist()
   }
+
+  test("charPairs: overlapping bigrams, repeats kept, sub-2-char words empty") {
+    val out = Seq("the", "aaa", "x", "", "ab")
+      .toDF("w").select(col("w"), graft.ext.TextOps.charPairs(col("w")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out("the") == List("th", "he"))
+    assert(out("aaa") == List("aa", "aa"), "repeated pairs keep multiplicity")
+    assert(out("x") == Nil && out("") == Nil)
+    assert(out("ab") == List("ab"))
+  }
+
+  test("temp_mixture: smallest language keeps all; heads thin at sqrt(n_min/n)") {
+    val out = ExtQueries.queries("temp_mixture")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val minN = out.map(_._2).min
+    out.foreach { case (lang, n, kept) =>
+      assert(kept <= n)
+      if (n == minN) assert(kept == n, s"smallest language $lang must keep all")
+      else {
+        val expect = n * math.sqrt(minN.toDouble / n)
+        // binomial-ish tolerance around the target share
+        assert(math.abs(kept - expect) <= 4 * math.sqrt(expect) + 2,
+          s"$lang kept=$kept expect≈$expect (n=$n, minN=$minN)")
+      }
+    }
+  }
+
+  test("bpe_pairs: pair counts are word-frequency-weighted (hand check)") {
+    // corpus: "aaa bb" ×2 docs + "aaa" ×1 → word counts: aaa=3, bb=2
+    // pairs: aa appears 2× in "aaa" → 2·3=6; bb 1× in "bb" → 2
+    val docs = Seq((1L, "aaa bb"), (2L, "aaa bb"), (3L, "aaa"))
+      .toDF("doc_id", "text")
+    val words = docs.select(explode(graft.ext.TextOps.tokens(lower(col("text")))).as("w"))
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    val pairs = wc.select(col("wn"),
+        explode(graft.ext.TextOps.charPairs(col("w"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("pair_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs == Map("aa" -> 6L, "bb" -> 2L))
+  }
 }
