@@ -8,7 +8,7 @@ object Scratch {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    for (name <- Seq("bloom_contam", "cms_freq")) {
+    for (name <- Seq("bpe_pairs", "temp_mixture")) {
       for ((label, dir) <- Seq(
           "1x" -> "/root/testdata/sf0.01", "10x" -> "/root/testdata/sf0.1")) {
         val runs = (1 to 2).map { _ =>
