@@ -110,23 +110,30 @@ object StreamBench {
         results(s"fullouter_join@$label") = n / tC
         System.err.println(
           f"[stream-bench] fullouter_join@$label  $n rows  $tC%.1fs  ${n / tC}%.0f rows/s")
-        // Drain-to-empty guarantee: every left row outside the FINAL
-        // watermark horizon emits (matched or null-padded on eviction).
-        // The trailing horizon itself never finalizes — AvailableNow
-        // runs exactly ONE no-data eviction batch, so rows the final
-        // watermark hasn't passed stay in state (measured: 60 of
-        // 100,800 on an idle machine, where the whole topic lands in
-        // one micro-batch; under load multi-batch splits evict more).
-        // 99% coverage is the invariant a static-topic drain actually
-        // provides; exact null-pad semantics are PipelineSpec's job.
+        // Drain-to-empty guarantee: every left READING outside the
+        // FINAL watermark horizon emits (matched or null-padded on
+        // eviction). The trailing horizon itself never finalizes —
+        // AvailableNow runs exactly ONE no-data eviction batch, so
+        // rows the final watermark hasn't passed stay in state
+        // (measured: 60 of 100,800 on an idle machine, where the
+        // whole topic lands in one micro-batch). Coverage counts
+        // DISTINCT left keys, not emitted rows — multi-alert matches
+        // and right-only null rows would otherwise inflate the total
+        // past n and mask stranded left state. 99% of distinct keys
+        // is the invariant a static-topic drain actually provides;
+        // exact null-pad semantics are PipelineSpec's job.
         val emittedC = outC.read(spark)
         val matchedC = emittedC.filter(col("alert_time").isNotNull &&
           col("event_time").isNotNull).count()
         val leftOnlyC = emittedC.filter(col("alert_time").isNull).count()
+        val coveredLeft = emittedC.filter(col("event_time").isNotNull)
+          .select(col("machine_id"), col("sensor_type"), col("event_time"))
+          .distinct().count()
         require(matchedC > 0 && leftOnlyC > 0 &&
-          emittedC.count() >= (n * 99) / 100,
+          coveredLeft >= (n * 99) / 100,
           s"full-outer drain must cover all but the final watermark " +
-            s"horizon at $label (matched=$matchedC leftOnly=$leftOnlyC)")
+            s"horizon at $label (matched=$matchedC leftOnly=$leftOnlyC " +
+            s"coveredLeft=$coveredLeft of $n)")
       }
     }
 

@@ -132,25 +132,24 @@ object Bloom {
   def contamPreProbe(docs: DataFrame, id: Column, text: Column,
       nShards: Int = 20, evalKeep: Int = 2, n: Int = 3,
       m: Int = DefaultM, k: Int = DefaultK): DataFrame = {
-    val rows = Dedup.shingleRows(Dedup.rebalance(docs), id, text, n)
-      .select(col("doc"),
-        Sampling.shard(col("doc"), nShards).as("shard"),
-        Dedup.md5Hash60(col("s")).as("h"))
+    // One shared derivation with Contamination.check — both probes
+    // must always measure the SAME eval/train split and shingle hash.
+    val rows = Contamination.shingleShardRows(docs, id, text, nShards, n)
     // The eval hash set feeds BOTH the filter build and the exact
     // join — materialize it once (it is the bounded side: an eval
     // suite is thousands of docs at any corpus scale, and without
     // this each consumer re-derives every corpus shingle).
     val evalSh = rows.filter(col("shard") < evalKeep)
-      .select(col("h")).distinct().localCheckpoint(true)
-    val filterRow = evalSh.agg(agg(m, k)(col("h")).as("bloom"))
+      .select(col("sh")).distinct().localCheckpoint(true)
+    val filterRow = evalSh.agg(agg(m, k)(col("sh")).as("bloom"))
     val train = rows.filter(col("shard") >= evalKeep)
-      .select(col("doc"), col("h")).distinct()
+      .select(col("doc"), col("sh")).distinct()
     train.crossJoin(broadcast(filterRow))
-      .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_contam"),
-        sum(mightContain(col("bloom"), col("h"), m, k).cast("long"))
+        sum(mightContain(col("bloom"), col("sh"), m, k).cast("long"))
           .as("n_bloom_hits"))
       .select(col("doc").as("doc_id"), col("n_shingles"), col("n_contam"),
         col("n_bloom_hits"))

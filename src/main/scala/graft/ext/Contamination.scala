@@ -32,12 +32,19 @@ object Contamination {
     *         doc_id, n_shingles (distinct), n_contam (distinct shingles
     *         also present in eval), contam_frac (4 dp)
     */
-  def check(docs: DataFrame, id: Column, text: Column,
-      nShards: Int = 20, evalKeep: Int = 2, n: Int = 3): DataFrame = {
-    val rows = Dedup.shingleRows(Dedup.rebalance(docs), id, text, n)
+  /** (doc, shard, sh) shingle-hash rows — the shared derivation under
+    * [[check]] and [[Bloom.contamPreProbe]] (one definition so both
+    * probes always measure the SAME eval/train split and hash). */
+  def shingleShardRows(docs: DataFrame, id: Column, text: Column,
+      nShards: Int = 20, n: Int = 3): DataFrame =
+    Dedup.shingleRows(Dedup.rebalance(docs), id, text, n)
       .select(col("doc"),
         Sampling.shard(col("doc"), nShards).as("shard"),
         Dedup.md5Hash60(col("s")).as("sh"))
+
+  def check(docs: DataFrame, id: Column, text: Column,
+      nShards: Int = 20, evalKeep: Int = 2, n: Int = 3): DataFrame = {
+    val rows = shingleShardRows(docs, id, text, nShards, n)
     // The shard filter references only `doc`, so Catalyst pushes it
     // below the explode — the eval branch shingles only eval docs.
     val evalSh = rows.filter(col("shard") < evalKeep)

@@ -89,47 +89,6 @@ object BenchQueries {
         .agg(dsum(rev, 4).as("revenue"))
     },
 
-    // TPC-H Q7 shape (completes all 22 classic shapes): volume
-    // shipping between two nations by year, both directions. The pair
-    // filter is pushed INTO the tiny nation dims, so the broadcast
-    // joins prune supplier and customer to the two nations before any
-    // fact row moves; lineitem⋈orders on orderkey is the single big
-    // shuffle (product_profit's discipline), with the shipdate range
-    // pushed to the scan. The cross-pair residual (keep 1→2 and 2→1,
-    // drop 1→1 and 2→2) evaluates on the joined row.
-    "nation_trade" -> { (s, d) =>
-      val pair = Seq("NATION_1", "NATION_2")
-      val sup = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_name").isin(pair: _*))
-            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("supp_nation"))
-      val cust = Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_name").isin(pair: _*))
-            .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("cust_nation"))
-      // supplier/customer are SF-proportional: no broadcast HINT —
-      // the size threshold (and AQE at runtime) picks broadcast while
-      // the pruned frames fit and degrades to shuffle when they
-      // don't; only the constant-size nation dims are forced.
-      val ord = Tables.orders(s, d)
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("cust_nation"))
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("revenue"))
-    },
-
     // TPC-H Q4 shape: order-priority counts gated by an EXISTS
     // subquery — the left-semi join pattern with a non-equi residual
     // (line shipped after the order date). The semi join shuffles on
@@ -166,7 +125,11 @@ object BenchQueries {
     // this is the difference between shuffling 8% of lineitem⋈orders
     // output and shuffling all of it. The asymmetric-pair predicate
     // reduces to supp_nation != cust_nation once both sides are
-    // restricted to the same two-nation set.
+    // restricted to the same two-nation set. supplier/customer are
+    // SF-proportional, so they carry no broadcast HINT (round-8 fix):
+    // the size threshold (and AQE at runtime) broadcasts the pruned
+    // frames while they fit and degrades to shuffle when they don't;
+    // only the constant-size nation dim is forced.
     "nation_volume" -> { (s, d) =>
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       val picked = Tables.nation(s, d)
@@ -182,8 +145,8 @@ object BenchQueries {
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
@@ -597,20 +560,6 @@ object BenchQueries {
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
-
-    "nation_trade" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  year(l_shipdate) AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
-        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
-        |  AND l_suppkey = s_suppkey
-        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY 1, 2, 3""".stripMargin,
 
     "priority_count" ->
       """SELECT o_orderpriority, count(*) AS order_count

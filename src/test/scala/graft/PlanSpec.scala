@@ -392,8 +392,8 @@ class PlanSpec extends SparkSpec {
       s"the train side must never shuffle for either probe:\n$p")
   }
 
-  test("nation_trade: pruned dims broadcast by SIZE (no hint); one orderkey shuffle") {
-    val p = plan("nation_trade")
+  test("nation_volume: pruned dims broadcast by SIZE (no hint); one orderkey shuffle") {
+    val p = plan("nation_volume")
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
       s"the 2-nation-pruned supplier and customer must broadcast at this SF:\n$p")
     // lineitem⋈orders is the one fact-fact join: pre-AQE it plans a

@@ -1,7 +1,7 @@
 package graft.tools
 
 /** Dev scratchpad (see .claude/skills/verify) — transient. Current:
-  * 10× scale probes for bloom_contam / cms_freq (SCALE.md rows). */
+  * 10× scale probes for bpe_pairs / temp_mixture (SCALE.md rows). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
