@@ -157,7 +157,7 @@ object AnalyticsQueries {
         .join(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev")),
           col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("o_year"))
         .agg(
           dsum(when(col("supp_nation") === "NATION_7", col("rev")).otherwise(lit(0.0)), 4)

@@ -180,7 +180,7 @@ object BenchQueries {
       perOrderSupp.filter(col("late_lines") > 0)
         .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
           Seq("l_orderkey"))
-        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(sum(col("late_lines")).as("numwait"))
@@ -272,8 +272,8 @@ object BenchQueries {
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
           col("l_discount"))
-        .join(broadcast(Tables.part(s, d)
-          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        .join(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(dsum(rev, 4).as("revenue"))
@@ -395,8 +395,8 @@ object BenchQueries {
         .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
         .select(col("p_partkey"))
       val offers = cost
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
       val byPart = Window.partitionBy(col("p_partkey"))
       offers
         .withColumn("min_cost", min(col("cost")).over(byPart))
@@ -424,7 +424,7 @@ object BenchQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val perPart = Tables.lineitem(s, d)
-        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("vd"))
         .localCheckpoint(true)
@@ -452,8 +452,8 @@ object BenchQueries {
       val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
         lit(0.1) * col("p_retailprice") * col("l_quantity")
       Tables.lineitem(s, d)
-        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
@@ -475,8 +475,8 @@ object BenchQueries {
       val excluded = Tables.supplier(s, d)
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
       Tables.lineitem(s, d)
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"),
           "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -498,7 +498,7 @@ object BenchQueries {
       val qualifying = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"),
+        .join(smallParts, col("l_partkey") === col("p_partkey"),
           "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))

@@ -304,8 +304,14 @@ class PlanSpec extends SparkSpec {
 
   test("min_cost_supplier: dims broadcast; correlated min is a window, not a second fact scan") {
     val p = plan("min_cost_supplier")
-    assert(p.contains("BroadcastHashJoin"), s"parts/suppliers must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"no shuffle join for dims:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"filtered parts must broadcast:\n$p")
+    // eurSupp is a JOIN OUTPUT (supplier⋈nation): static size-only
+    // stats multiply past the threshold, so pre-AQE it plans ONE
+    // SortMergeJoin — AQE converts it at runtime while the frame fits,
+    // and at real scale (20% of supplier) SMJ is the honest choice.
+    // No hint forces it either way (round-8 de-hint audit).
+    assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1,
+      s"only the supplier-side join may plan a shuffle join:\n$p")
     assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
       s"exactly one lineitem scan:\n$p")
     assert(p.contains("Window"), s"per-part min must be a window over the offer frame:\n$p")
