@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Fold a batch of raw rows into view-shaped partials. */
-  def partials(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+  /** Fold a batch of raw rows into view-shaped partials.
+    * @param scale decimal scale of the exact sum — must put the true
+    *   values ON the decimal grid (2 for raw 2-dp measures; 4 for
+    *   products of two 2-dp factors, where a 2-dp cast would hit
+    *   half-points and the engines' tie rules diverge) */
+  def partials(df: DataFrame, keys: Seq[String], value: String,
+      scale: Int = 2): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col(value).cast("decimal(18,2)")).as("sum_v"),
+        sum(col(value).cast(s"decimal(18,$scale)")).as("sum_v"),
         min(col(value)).as("min_v"),
         max(col(value)).as("max_v"))
 
@@ -45,4 +50,21 @@ object Incremental {
         sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
+
+  /** The delta terms of an insert-only JOIN view refresh (classic IVM:
+    * Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — with the standing
+    * A_old⋈B_old these four quadrants cover (A_old∪ΔA)⋈(B_old∪ΔB)
+    * disjointly and exactly, so folding their partials into the view
+    * is indistinguishable from a full re-join).
+    *
+    * Cost shape at 100 TB: every term has at least one Δ-sized side —
+    * ΔA⋈B_old shuffles only ΔA against the dim, A_old⋈ΔB broadcasts
+    * the tiny ΔB so history pays one pruned SCAN but an O(Δ) shuffle,
+    * ΔA⋈ΔB is negligible. The history⋈history quadrant — the cost the
+    * reference's nightly full re-extract pays every run — is never
+    * recomputed. */
+  def deltaJoinTerms(
+      aOld: DataFrame, aNew: DataFrame, bOld: DataFrame, bNew: DataFrame,
+      join: (DataFrame, DataFrame) => DataFrame): Seq[DataFrame] =
+    Seq(join(aNew, bOld), join(aOld, bNew), join(aNew, bNew))
 }

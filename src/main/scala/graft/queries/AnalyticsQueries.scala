@@ -332,6 +332,46 @@ object AnalyticsQueries {
           "CAST((2 * cents * 100 + n) div (2 * n) AS DOUBLE) / 10000.0 AS avg_value")
     },
 
+    // Incremental JOIN-view maintenance (round 8) — mv_refresh's IVM
+    // story extended from one table to a join: the (priority, year)
+    // revenue view over lineitem⋈orders refreshed via the classic
+    // delta decomposition (Incremental.deltaJoinTerms): standing
+    // old⋈old partials + ΔL⋈O_old + L_old⋈ΔO + ΔL⋈ΔO, all merged by
+    // the algebraic view merge. The four quadrants partition the join
+    // exactly, so the oracle IS the full recompute — the incremental
+    // path must be indistinguishable from one pass over everything.
+    // The cutoff derives from the data's own max shipdate (both
+    // tables split at the SAME instant), so every SF exercises all
+    // delta terms its data can produce.
+    "mv_refresh_join" -> { (s, d) =>
+      val keys = Seq("o_orderpriority", "o_year")
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        col("l_shipdate"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"), year(col("o_orderdate")).as("o_year"),
+        col("o_orderdate"))
+      val cut = l.agg((max(col("l_shipdate")) - expr("INTERVAL 90 DAYS"))
+        .as("cutoff"))
+      def part(df: DataFrame,
+          p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        df.crossJoin(broadcast(cut)).filter(p(col("cutoff"))).drop("cutoff")
+      val (lOld, lNew) =
+        (part(l, col("l_shipdate") < _), part(l, col("l_shipdate") >= _))
+      val (oOld, oNew) =
+        (part(o, col("o_orderdate") < _), part(o, col("o_orderdate") >= _))
+      def joined(lf: DataFrame, of: DataFrame) =
+        Incremental.partials(
+          lf.join(of, col("l_orderkey") === col("o_orderkey")), keys, "rev",
+          scale = 4)
+      val standing = joined(lOld, oOld)
+      val refreshed = Incremental
+        .deltaJoinTerms(lOld, lNew, oOld, oNew, joined)
+        .foldLeft(standing)(Incremental.merge(_, _, keys))
+      refreshed.select(col("o_orderpriority"), col("o_year"), col("n"),
+        col("sum_v").cast("double").as("revenue"))
+    },
+
     // Share-of-total: each order priority's slice of total revenue via
     // a window over the AGGREGATE output (5 rows) — the
     // ratio_to_report shape. The global window is an empty-partition
@@ -826,6 +866,15 @@ object AnalyticsQueries {
         |  CAST((2 * CAST(sum_v * 100 AS BIGINT) * 100 + n) // (2 * n) AS DOUBLE)
         |    / 10000.0 AS avg_value
         |FROM a""".stripMargin,
+
+    // The oracle IS the full re-join — the four-quadrant incremental
+    // path must be indistinguishable from one pass over everything.
+    "mv_refresh_join" ->
+      """SELECT o_orderpriority, year(o_orderdate) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "share_of_total" ->
       """WITH a AS (SELECT o_orderpriority,
