@@ -51,6 +51,17 @@ object Incremental {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 
+  /** Lazy data-derived history/delta split — the shared idiom under
+    * mv_refresh and mv_refresh_join (Retention.retain carries its own
+    * filesystem-side variant): `cut` is a 1-row frame with a `cutoff`
+    * column (an aggregate of the SAME frame being split — no eager
+    * driver action), broadcast-crossed in; rows route by the
+    * predicate. If `cut` is empty (empty input) both halves are empty
+    * — which is correct, since the frame being split is too. */
+  def splitAt(df: DataFrame, cut: DataFrame,
+      p: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    df.crossJoin(broadcast(cut)).filter(p(col("cutoff"))).drop("cutoff")
+
   /** The delta terms of an insert-only JOIN view refresh (classic IVM:
     * Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — with the standing
     * A_old⋈B_old these four quadrants cover (A_old∪ΔA)⋈(B_old∪ΔB)

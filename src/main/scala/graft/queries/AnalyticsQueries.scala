@@ -313,12 +313,12 @@ object AnalyticsQueries {
         .select((Tables.tsUs - pmod(Tables.tsUs, lit(Tables.MicrosPerDay))).as("day_us"),
           col("event_type"), col("value"))
       // lazy cutoff: 1-row aggregate broadcast-crossed into both
-      // branches (no eager driver action; Retention.retain's pattern).
+      // branches (no eager driver action; Incremental.splitAt).
       val cut = e.agg((max(col("day_us")) - lit(7L * Tables.MicrosPerDay)).as("cutoff"))
-      def split(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        e.crossJoin(broadcast(cut)).filter(p(col("cutoff"))).drop("cutoff")
-      val history = Incremental.partials(split(col("day_us") < _), keys, "value")
-      val fresh = Incremental.partials(split(col("day_us") >= _), keys, "value")
+      val history = Incremental.partials(
+        Incremental.splitAt(e, cut, col("day_us") < _), keys, "value")
+      val fresh = Incremental.partials(
+        Incremental.splitAt(e, cut, col("day_us") >= _), keys, "value")
       // avg at 4 dp via EXACT integer HALF_UP ((2a + n) div 2n over
       // a = cents·100) — round(double/count) straddles engines on
       // half-points like 307.03/8 (the sensor_stats convention).
@@ -353,13 +353,10 @@ object AnalyticsQueries {
         col("o_orderdate"))
       val cut = l.agg((max(col("l_shipdate")) - expr("INTERVAL 90 DAYS"))
         .as("cutoff"))
-      def part(df: DataFrame,
-          p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        df.crossJoin(broadcast(cut)).filter(p(col("cutoff"))).drop("cutoff")
-      val (lOld, lNew) =
-        (part(l, col("l_shipdate") < _), part(l, col("l_shipdate") >= _))
-      val (oOld, oNew) =
-        (part(o, col("o_orderdate") < _), part(o, col("o_orderdate") >= _))
+      val (lOld, lNew) = (Incremental.splitAt(l, cut, col("l_shipdate") < _),
+        Incremental.splitAt(l, cut, col("l_shipdate") >= _))
+      val (oOld, oNew) = (Incremental.splitAt(o, cut, col("o_orderdate") < _),
+        Incremental.splitAt(o, cut, col("o_orderdate") >= _))
       def joined(lf: DataFrame, of: DataFrame) =
         Incremental.partials(
           lf.join(of, col("l_orderkey") === col("o_orderkey")), keys, "rev",

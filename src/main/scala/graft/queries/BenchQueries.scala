@@ -236,9 +236,10 @@ object BenchQueries {
     // quantities are integral), so no engine can flip a boundary row;
     // the single closing division is the only float op.
     "small_qty_revenue" -> { (s, d) =>
-      val brand = broadcast(
-        Tables.part(s, d).filter(col("p_brand") === "Brand#1")
-          .select(col("p_partkey")))
+      // filtered part is SF-proportional: no broadcast hint (round-8
+      // audit) — size-based planning broadcasts it while it fits.
+      val brand = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
       val byPart = Window.partitionBy(col("l_partkey"))
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),

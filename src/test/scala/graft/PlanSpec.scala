@@ -304,7 +304,10 @@ class PlanSpec extends SparkSpec {
 
   test("min_cost_supplier: dims broadcast; correlated min is a window, not a second fact scan") {
     val p = plan("min_cost_supplier")
-    assert(p.contains("BroadcastHashJoin"), s"filtered parts must broadcast:\n$p")
+    // key-specific: the parts join in particular must be the broadcast
+    // one (a bare contains() would pass on the nation joins alone)
+    assert("BroadcastHashJoin \\[l_partkey".r.findFirstIn(p).isDefined,
+      s"filtered parts must broadcast onto the cost frame:\n$p")
     // eurSupp is a JOIN OUTPUT (supplier⋈nation): static size-only
     // stats multiply past the threshold, so pre-AQE it plans ONE
     // SortMergeJoin — AQE converts it at runtime while the frame fits,
