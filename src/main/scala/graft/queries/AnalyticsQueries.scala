@@ -28,6 +28,11 @@ object AnalyticsQueries {
 
   private val WeekUs = 7L * Tables.MicrosPerDay
 
+  /** assoc_rules basket-size cap: pair generation is O(size²) per
+    * basket, so oversized baskets are excluded before the explode —
+    * the MaxSemCluster / MaxBandBucket guard, mirrored in the oracle. */
+  val MaxBasketItems = 32
+
   /** decimal-exact money sum (BenchQueries convention). */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -94,6 +99,96 @@ object AnalyticsQueries {
         .withColumn("sy", longExact(col("sy")))
         .withColumn("sxy", longExact(col("sxy")))
         .withColumn("sxx", longExact(col("sxx")))
+    },
+
+    // Per-user lag-1 autocorrelation (round 8) — the serial-dependence
+    // companion to trend_slope: consecutive (prev, cur) centi-value
+    // pairs over the (ts, event_id) total order, Pearson r over the
+    // pairs. Six sufficient statistics accumulate as exact
+    // DECIMAL(38,0) integer sums (narrowed to int64 under the same
+    // raise_error guard as trend_slope), so the closing r is a FIXED
+    // tree of IEEE double ops over identical integer inputs — both
+    // engines produce the same bits with no rounding (the ewma
+    // unrounded-double convention). Plan shape: ONE sort exchange for
+    // the lag window, then partial+final hash aggregate; the pair
+    // stream never rewidens — at 100 TB this is the same
+    // sort-within-user cost the window family already pays.
+    "autocorr" -> { (s, d) =>
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft autocorr: sufficient statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsUs.as("tus"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+        .withColumn("x", lag(col("y"), 1).over(w))
+        .filter(col("x").isNotNull)
+      def dsum38(c: Column) = sum(c.cast("decimal(38,0)"))
+      val stats = pairs.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_pairs"),
+        longExact(dsum38(col("x"))).as("sx"),
+        longExact(dsum38(col("y"))).as("sy"),
+        longExact(dsum38(col("x") * col("y"))).as("sxy"),
+        longExact(dsum38(col("x") * col("x"))).as("sxx"),
+        longExact(dsum38(col("y") * col("y"))).as("syy"))
+      def dbl(name: String) = col(name).cast("double")
+      val num = dbl("n_pairs") * dbl("sxy") - dbl("sx") * dbl("sy")
+      val den1 = dbl("n_pairs") * dbl("sxx") - dbl("sx") * dbl("sx")
+      val den2 = dbl("n_pairs") * dbl("syy") - dbl("sy") * dbl("sy")
+      stats.select(col("user_id"), col("n_pairs"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        when(den1 > lit(0.0) && den2 > lit(0.0), num / sqrt(den1 * den2))
+          .as("r_lag1"))
+    },
+
+    // Market-basket association rules (round 8) — pairwise
+    // co-occurrence over (order = basket, part = item) with support ≥
+    // 2 and exact-integer confidence/lift at 1e6 scale (truncating
+    // `div` ≡ DuckDB `//` on non-negative operands, the link_rank
+    // convention — no float division to tie-break). Pair generation is
+    // quadratic in basket size, so baskets above MaxBasketItems are
+    // excluded UP FRONT (mirrored in the oracle — the MaxSemCluster /
+    // MaxBandBucket pattern; TPC-H baskets top out at ~13 distinct
+    // items, so the cap is a no-op guard at any SF of this schema).
+    // Plan shape: ONE groupBy(basket) exchange builds the sorted item
+    // arrays; pairs then explode MAP-SIDE from each array (the
+    // textbook self-join shuffles the item table twice and re-shuffles
+    // the join output); the basket frame is localCheckpoint-ed once
+    // for its three consumers (pairs, item supports, basket count).
+    "assoc_rules" -> { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+        .distinct()
+      val baskets = items.groupBy(col("basket"))
+        .agg(sort_array(collect_set(col("item"))).as("its"))
+        .filter(size(col("its")).between(2, MaxBasketItems))
+        .localCheckpoint(true)
+      val ic = baskets.select(explode(col("its")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+      val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+      val pairs = baskets
+        .select(col("its"), posexplode(col("its")).as(Seq("i", "part_a")))
+        .select(col("part_a"),
+          explode(slice(col("its"), col("i") + lit(2), size(col("its"))))
+            .as("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(ic.select(col("item").as("part_a"), col("n_i").as("n_a")),
+          "part_a")
+        .join(ic.select(col("item").as("part_b"), col("n_i").as("n_b")),
+          "part_b")
+        .crossJoin(broadcast(nb))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          expr("(n_ab * 1000000) div n_a").as("conf_x1e6"),
+          expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)")
+            .as("lift_x1e6"))
     },
 
     // First-touch funnel: of all users, how many ever signed up; of
@@ -722,6 +817,59 @@ object AnalyticsQueries {
         |                 END AS DOUBLE) / 100000000.0
         |       END AS slope
         |FROM t""".stripMargin,
+
+    // r_lag1 is emitted UNROUNDED (ewma convention): both engines
+    // evaluate the same fixed IEEE-double tree over the same exact
+    // int64 sufficient statistics, so the bits agree by construction.
+    "autocorr" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |           FROM events),
+        |p AS (SELECT user_id, y,
+        |        lag(y) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS x
+        |      FROM e),
+        |s AS (SELECT user_id, count(*) AS n_pairs,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_pairs, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |       THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                 * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |       END AS r_lag1
+        |FROM s""".stripMargin,
+
+    "assoc_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+         |                 l_partkey AS item FROM lineitem),
+         |sz AS (SELECT basket, count(*) AS bs FROM items GROUP BY 1),
+         |ok AS (SELECT i.basket, i.item FROM items i JOIN sz USING (basket)
+         |       WHERE bs BETWEEN 2 AND $MaxBasketItems),
+         |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
+         |            CAST(count(*) AS BIGINT) AS n_ab
+         |          FROM ok a JOIN ok b
+         |            ON a.basket = b.basket AND a.item < b.item
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i
+         |       FROM ok GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sz
+         |       WHERE bs BETWEEN 2 AND $MaxBasketItems)
+         |SELECT part_a, part_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+         |       (n_ab * 1000000) // ia.n_i AS conf_x1e6,
+         |       (n_ab * nb.n * 1000000) // (ia.n_i * ib.n_i) AS lift_x1e6
+         |FROM pairs
+         |JOIN ic ia ON ia.item = pairs.part_a
+         |JOIN ic ib ON ib.item = pairs.part_b
+         |CROSS JOIN nb""".stripMargin,
 
     "funnel_stages" ->
       """WITH per AS (

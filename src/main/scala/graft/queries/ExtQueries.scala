@@ -634,6 +634,57 @@ object ExtQueries {
       ranks.select(col("doc_id"), col("r").as("rank_x1e6"))
     },
 
+    // Triangle counting over link_rank's deterministic graph (round
+    // 8) — the graph-structure curation signal (clustering/community
+    // density) next to link authority. Degree-ordered orientation
+    // (Cohen 2009 / Schank-Wagner "forward"): every undirected edge
+    // points from its lower-(degree, id) endpoint to the higher, so
+    // each triangle is counted EXACTLY once at its lowest vertex and —
+    // the 100 TB point — wedge fan-out is bounded by oriented
+    // out-degree, O(√m) worst case for any graph, instead of the
+    // unoriented max degree (a celebrity node makes the naive wedge
+    // join quadratic). Plan: one distinct exchange builds the edge
+    // set (checkpointed for its three consumers), one co-partitioned
+    // self-join on the wedge apex, one LEFT SEMI probe closes it.
+    "graph_triangles" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("u"),
+          explode(array((1 to 3).map(k =>
+            Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
+              % col("n")): _*)).as("v"))
+      val und = raw.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // a < b by construction, so the (deg, id) tie-break is a < b.
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val o = und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+          when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+        .localCheckpoint(true)
+      val tri = o.as("o1").join(o.as("o2"),
+          col("o1.src") === col("o2.src") &&
+            (col("o1.ddeg") < col("o2.ddeg") ||
+              (col("o1.ddeg") === col("o2.ddeg") &&
+                col("o1.dst") < col("o2.dst"))))
+        .select(col("o1.dst").as("w_src"), col("o2.dst").as("w_dst"))
+        .join(o.select(col("src").as("w_src"), col("dst").as("w_dst")),
+          Seq("w_src", "w_dst"), "left_semi")
+      docs.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+    },
+
     // Benchmark-contamination check (round 5) — per-train-doc distinct
     // 3-gram overlap with the deterministic eval shards
     // (ext.Contamination: broadcast eval hash set, train side never
@@ -1644,6 +1695,43 @@ object ExtQueries {
          |r0 AS (SELECT doc_id, 1000000 // nn.n AS r FROM ids CROSS JOIN nn),
          |$iters
          |SELECT doc_id, CAST(r AS BIGINT) AS rank_x1e6 FROM r5""".stripMargin
+    },
+
+    "graph_triangles" -> {
+      val hash = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ids AS (SELECT doc_id FROM documents),
+         |raw AS (SELECT doc_id AS u, $hash % nn.n AS v
+         |        FROM ids CROSS JOIN nn
+         |        CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+         |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         |        FROM raw WHERE u <> v),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS v FROM und
+         |              UNION ALL SELECT b AS v FROM und)
+         |        GROUP BY 1),
+         |o AS (SELECT CASE WHEN da.deg < db.deg
+         |                    OR (da.deg = db.deg AND a < b)
+         |                  THEN a ELSE b END AS src,
+         |             CASE WHEN da.deg < db.deg
+         |                    OR (da.deg = db.deg AND a < b)
+         |                  THEN b ELSE a END AS dst,
+         |             CASE WHEN da.deg < db.deg
+         |                    OR (da.deg = db.deg AND a < b)
+         |                  THEN db.deg ELSE da.deg END AS ddeg
+         |      FROM und JOIN deg da ON da.v = und.a
+         |               JOIN deg db ON db.v = und.b),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |        FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |          AND (o1.ddeg < o2.ddeg
+         |               OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))
+         |        WHERE EXISTS (SELECT 1 FROM o o3
+         |                      WHERE o3.src = o1.dst AND o3.dst = o2.dst))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_vertices,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+         |       n_triangles
+         |FROM tri""".stripMargin
     },
 
     "substring_dedup" ->

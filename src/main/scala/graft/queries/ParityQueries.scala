@@ -434,6 +434,29 @@ object ParityQueries {
       p.select(col("user_id") +: counts :+ total.as("n_total"): _*)
     },
 
+    // Unpivot / melt (round 8) — the inverse reshape of pivot_events:
+    // the per-user wide counts fold back to (user_id, metric, n) long
+    // form via Dataset.unpivot. Plan shape: unpivot is a map-side
+    // Expand (rows × #value-columns, no shuffle beyond the pivot's own
+    // aggregate), so the whole round-trip is still the single pivot
+    // exchange. All value columns are non-null 0L-coalesced longs, so
+    // Spark's null-keeping melt and DuckDB's UNPIVOT (which drops
+    // NULL cells) agree row-for-row.
+    "unpivot_metrics" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      p.unpivot(
+        ids = Array(col("user_id")),
+        values = types.map(t => col(s"n_$t")).toArray,
+        variableColumnName = "metric",
+        valueColumnName = "n")
+    },
+
     // M — the typed Aggregator surface (Dataset[SensorReading] →
     // SensorStats) as a first-class query: one-pass algebraic
     // avg/min/max/count per (machine, sensor) through the typed API.
@@ -751,6 +774,18 @@ object ParityQueries {
         |     + sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)
         |     + sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_total
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "unpivot_metrics" ->
+      """WITH p AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, metric, n
+        |FROM p UNPIVOT (n FOR metric IN
+        |  (n_click, n_error, n_purchase, n_signup, n_view))""".stripMargin,
 
     "sensor_stats" ->
       """WITH s AS (

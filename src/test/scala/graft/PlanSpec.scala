@@ -419,4 +419,34 @@ class PlanSpec extends SparkSpec {
       s"the 1-row sketch must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"nothing here justifies a shuffle join:\n$p")
   }
+
+  test("unpivot_metrics: the melt is a map-side Expand over the pivot agg") {
+    val p = plan("unpivot_metrics")
+    assert(p.contains("Expand"),
+      s"unpivot must plan an Expand, not a union of per-metric scans:\n$p")
+    assert(!p.contains("Join") && !p.contains("Union"),
+      s"the round-trip adds no join/union beyond the pivot's own aggregate:\n$p")
+  }
+
+  test("autocorr: the aggregate reuses the lag window's partitioning — one exchange") {
+    val p = plan("autocorr")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"groupBy(user_id) must reuse the window's hashpartitioning(user_id):\n$p")
+    assert(p.contains("partial_sum"), s"sums must combine map-side:\n$p")
+  }
+
+  test("assoc_rules: pairs explode map-side from the basket arrays, no self-join of items") {
+    val p = plan("assoc_rules")
+    assert(p.contains("Generate explode(slice("),
+      s"pair generation must be the array slice-explode, not an items self-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row basket count must broadcast, never cartesian:\n$p")
+  }
+
+  test("graph_triangles: wedges close with a LEFT SEMI probe") {
+    val p = plan("graph_triangles")
+    assert(p.contains("LeftSemi"),
+      s"the closing-edge membership test must be a semi join, not inner+distinct:\n$p")
+  }
 }

@@ -360,4 +360,89 @@ class AnalyticsSpec extends SparkSpec {
     // which only exists in the NEW dim delta.
     assert(norm(full).exists(_.contains("b")), "quadrant coverage")
   }
+
+  test("autocorr matches a driver-side recompute bit-for-bit") {
+    // Independent code path: collect the raw events, sort and fold in
+    // plain Scala, evaluate the SAME fixed IEEE-double tree — the
+    // query's unrounded r_lag1 must agree to the last bit.
+    val out = graft.queries.AnalyticsQueries.queries("autocorr")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = raw.groupBy(_._1).flatMap { case (u, rows) =>
+      val ys = rows.sortBy(r => (r._2, r._3))
+        .map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      val pairs = ys.zip(ys.drop(1))
+      if (pairs.isEmpty) None
+      else {
+        val n = pairs.length.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+        val den1 = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val den2 = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        val r = if (den1 > 0 && den2 > 0)
+          Some(num / math.sqrt(den1 * den2)) else None
+        Some(u -> ((n, sx, sy, sxy, sxx, syy, r)))
+      }
+    }
+    assert(out === expected)
+    assert(out.values.forall(_._7.forall(r => r >= -1.0 && r <= 1.0)),
+      "Pearson r stays in [-1, 1]")
+  }
+
+  test("assoc_rules matches a brute-force driver recompute") {
+    val out = graft.queries.AnalyticsQueries.queries("assoc_rules")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.distinct.groupBy(_._1).values
+      .map(_.map(_._2).toSet)
+      .filter(s => s.size >= 2 &&
+        s.size <= graft.queries.AnalyticsQueries.MaxBasketItems)
+      .toSeq
+    val nB = baskets.size.toLong
+    val ic = baskets.flatten.groupBy(identity).map { case (i, xs) =>
+      i -> xs.size.toLong }
+    val pc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for (b <- baskets; s = b.toSeq.sorted;
+         i <- s.indices; j <- (i + 1) until s.size)
+      pc((s(i), s(j))) += 1
+    val expected = pc.toMap.collect { case ((a, b), nab) if nab >= 2 =>
+      val (na, nb) = (ic(a), ic(b))
+      // Long / on non-negatives truncates exactly like `div` and `//`
+      (a, b) -> ((nab, na, nb,
+        nab * 1000000L / na, nab * nB * 1000000L / (na * nb)))
+    }
+    assert(out === expected)
+    assert(out.nonEmpty, "sf0.001 has co-occurring pairs with support >= 2")
+  }
+
+  test("unpivot_metrics is the exact melt of pivot_events' counts") {
+    val melted = graft.queries.ParityQueries.queries("unpivot_metrics")(
+      spark, sf)
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(melted.count() == 5L * users,
+      "every user melts to exactly one row per metric")
+    // folding the long form back (sum over metrics) recovers each
+    // user's total event count — the reshape lost nothing.
+    val totals = melted.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("total"))
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+    assert(totals.except(direct).isEmpty && direct.except(totals).isEmpty)
+  }
 }

@@ -162,4 +162,34 @@ class ExtQueriesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pairs == Map("aa" -> 6L, "bb" -> 2L))
   }
+
+  test("graph_triangles matches a brute-force adjacency-set recount") {
+    // Independent path: rebuild the md5-derived edge set in plain JVM
+    // code, count triangles as Σ_edges |N(a)∩N(b)| / 3 (each triangle
+    // is seen once per edge) — no orientation involved, so the
+    // degree-ordered wedge count is checked against first principles.
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val edges = (for {
+      id <- ids; k <- 1 to 3
+      v = h60(s"$id:$k") % n
+      if v != id
+    } yield (math.min(id, v), math.max(id, v))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val triples = edges.toSeq
+      .map { case (a, b) => (adj(a) & adj(b)).size.toLong }.sum
+    assert(triples % 3 == 0, "every triangle is seen exactly 3 times")
+    val out = ExtQueries.queries("graph_triangles")(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((n, edges.size.toLong, triples / 3)))
+  }
 }

@@ -1,14 +1,16 @@
 package graft.tools
 
 /** Dev scratchpad (see .claude/skills/verify) — transient. Current:
-  * 10× scale probes for bpe_pairs / temp_mixture (SCALE.md rows). */
+  * 10× scale probes for assoc_rules / graph_triangles / autocorr /
+  * unpivot_metrics (SCALE.md rows). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    for (name <- Seq("bpe_pairs", "temp_mixture")) {
+    for (name <- Seq("assoc_rules", "graph_triangles", "autocorr",
+        "unpivot_metrics")) {
       for ((label, dir) <- Seq(
           "1x" -> "/root/testdata/sf0.01", "10x" -> "/root/testdata/sf0.1")) {
         val runs = (1 to 2).map { _ =>
