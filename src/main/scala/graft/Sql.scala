@@ -14,10 +14,15 @@ object Sql {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register all corpus tables for `sfDir` as temp views. */
+  /** Register all corpus tables for `sfDir` as temp views. `events` goes
+    * through [[Tables.events]] so `ts` is epoch-nanos Long regardless of
+    * the file's timestamp precision (see the normalization note there). */
   def register(spark: SparkSession, sfDir: String): Unit =
     TableNames.foreach { t =>
-      Tables.read(spark, sfDir, t).createOrReplaceTempView(t)
+      val df =
+        if (t == "events") Tables.events(spark, sfDir)
+        else Tables.read(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
     }
 
   /** Run a SQL query against the registered views. */

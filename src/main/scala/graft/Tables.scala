@@ -25,10 +25,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** `events` with `ts` as raw epoch-nanos Long (needs
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by [[GraftSession]]).
+  /** `events` with `ts` normalized to epoch-nanos Long.
+    *
+    * The driver corpus has shipped `ts` two ways across rounds:
+    * TIMESTAMP(NANOS) — which `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by [[GraftSession]]) surfaces as a raw nanos Long — and
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Both are
+    * normalized here to the same epoch-nanos Long so every consumer keeps
+    * the single `ts div 1000` micros convention ([[tsUs]]). The NTZ→LTZ
+    * cast is an identity reinterpretation under the UTC session timezone
+    * (GraftSession pins it), matching DuckDB's `epoch_us(ts)` on the same
+    * file. Map-side projection — no effect on pushdown of other columns.
     */
-  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn(
+          "ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+  }
 
   /** Epoch-microseconds projection of the nanos `ts` column.
     *
