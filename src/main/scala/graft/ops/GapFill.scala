@@ -89,4 +89,72 @@ object GapFill {
         when(col("bucket_us") === col("obs_us"), col("avg_obs")).as("avg_value"),
         col("avg_obs").as("filled_value")): _*)
   }
+
+  /** Densify per-key bucketed means onto the gap grid and LINEARLY
+    * INTERPOLATE between consecutive observations — TimescaleDB's
+    * `interpolate()` companion to [[hourlyFill]]'s `locf`.
+    *
+    * Same three-stage shape (and the same 100 TB argument) as
+    * [[hourlyFill]]: one algebraic aggregate over the raw input, one
+    * collapsed-frame window for `lead`, then map-side explode. The only
+    * difference is that each observation also carries the NEXT bucket's
+    * mean so every gap row can close-form its interpolated value.
+    *
+    * Exactness: means and interpolation run on centi-value integers
+    * (floor(value*100+0.5), the trend_slope/zscore encoding) with
+    * signed HALF_UP integer division, so both engines produce identical
+    * integers and the closing `/100.0` double is the same bits — no
+    * float summation-order or rounding drift anywhere. Magnitudes:
+    * |Δcenti| ≤ ~1e6, gap spans ≤ ~1e12 µs → numerators ≤ ~1e18✗ — the
+    * multiplication happens in DECIMAL(38,0) and the quotient (≤ |Δcenti|)
+    * narrows back to long, so nothing can overflow or wrap.
+    *
+    * @return one row per key per grid bucket: keys*, bucket_us,
+    *         observed (true on observation buckets), interp_cx
+    *         (centi-value long), interp_value (double, = interp_cx/100)
+    */
+  def hourlyInterp(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      value: Column,
+      bucketUs: Long): DataFrame = {
+    val keyNames = keys.map(_.toString)
+    val keyCols = keyNames.map(col)
+    val perBucket = df
+      .select(keys :+ ts.as("tus")
+        :+ floor(value * 100 + lit(0.5)).cast("long").as("c"): _*)
+      .groupBy(keyCols :+ (col("tus") - pmod(col("tus"), lit(bucketUs))).as("obs_us"): _*)
+      .agg(count(lit(1)).as("n_obs"), sum(col("c")).as("sc"))
+      // signed HALF_UP mean in centi-units (exact: sum and count are ints)
+      .withColumn("cx",
+        expr("""CASE WHEN sc >= 0 THEN (2 * sc + n_obs) div (2 * n_obs)
+               |     ELSE -((2 * -sc + n_obs) div (2 * n_obs)) END""".stripMargin))
+
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("obs_us"))
+    perBucket
+      .withColumn("next_us", lead(col("obs_us"), 1).over(w))
+      .withColumn("next_cx", lead(col("cx"), 1).over(w))
+      .select(keyCols ++ Seq(
+        explode(sequence(col("obs_us"),
+          coalesce(col("next_us") - bucketUs, col("obs_us")), lit(bucketUs)))
+          .as("bucket_us"),
+        col("obs_us"), col("cx"), col("next_us"), col("next_cx")): _*)
+      // gap rows: cx + HALF_UP((next_cx-cx)*(bucket-obs), next_us-obs) —
+      // DECIMAL(38,0) product, long quotient (|q| ≤ |Δcenti|).
+      .withColumn("interp_cx",
+        when(col("bucket_us") === col("obs_us"), col("cx")).otherwise(
+          col("cx") + expr(
+            """CASE WHEN (next_cx - cx) >= 0
+              |THEN (2 * CAST(next_cx - cx AS DECIMAL(38,0)) * (bucket_us - obs_us)
+              |      + (next_us - obs_us)) div (2 * (next_us - obs_us))
+              |ELSE -((2 * CAST(cx - next_cx AS DECIMAL(38,0)) * (bucket_us - obs_us)
+              |        + (next_us - obs_us)) div (2 * (next_us - obs_us))) END"""
+              .stripMargin).cast("long")))
+      .select(keyCols ++ Seq(
+        col("bucket_us"),
+        (col("bucket_us") === col("obs_us")).as("observed"),
+        col("interp_cx"),
+        (col("interp_cx").cast("double") / 100.0).as("interp_value")): _*)
+  }
 }
