@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity resolution (record linkage over names/titles/
+  * addresses — the matching family exact and shingle dedup both miss).
+  *
+  * Blocking bounds the O(len²) Levenshtein verify to within-block
+  * candidate pairs — never all-pairs — but blocking alone is only
+  * linear while the key's cardinality grows with the corpus. A
+  * FIXED-cardinality key (e.g. the last-4-digit name suffix: 10⁴
+  * blocks) makes per-block occupancy grow linearly with rows and
+  * candidate pairs quadratically (the repo's own 10× probe: 35 k →
+  * 4.85 M pairs). [[MaxBlock]] closes that hole.
+  */
+object Fuzzy {
+
+  /** Blocks larger than this are re-split into ceil(n/cap)
+    * deterministic sub-blocks (id mod nsplit) before the candidate
+    * self-join — the entity-resolution analog of
+    * [[Dedup.MaxBandBucket]] / [[Dedup.MaxSemCluster]]. An n-row block
+    * contributes n²/2 candidate pairs, so one degenerate block (a
+    * common surname suffix, an empty-field sentinel) can dominate the
+    * whole join at corpus scale; the split bounds every join bucket at
+    * ~cap rows → ≤ cap²/2 pairs. Pairs whose members land in different
+    * sub-blocks are not compared — the documented approximation
+    * (blocking is approximate by construction: the key choice already
+    * misses cross-block true matches); the DuckDB oracle applies the
+    * SAME deterministic split, so nothing is silently dropped from the
+    * correctness contract. Test corpora stay below the cap (largest
+    * sf0.1 block ≈ 30), so the split is the identity at test SF and
+    * engages from ~30× up. */
+  val MaxBlock = 1000
+
+  /** Within-block Levenshtein matching with the [[MaxBlock]] split.
+    *
+    * 100 TB shape: per-block counts are bounded by the BLOCKING KEY's
+    * cardinality, not the corpus (10⁴ rows for a 4-digit suffix key) —
+    * safe to broadcast back; the corpus shuffles once on (blk, sub);
+    * every join bucket holds ≤ ~cap rows, so the edit-distance verify
+    * is O(blocks × cap²) regardless of how key mass concentrates. For
+    * a high-cardinality key (where the sizes frame is SF-proportional)
+    * drop the broadcast hint and let AQE pick the join side.
+    *
+    * @param pool (id: long, name: string, blk: string)
+    * @return (id_a, id_b, name_a, name_b, lev) — within-sub-block
+    *         pairs (id_a < id_b) at edit distance ≤ maxLev
+    */
+  def blockedMatch(pool: DataFrame, maxLev: Int = 2,
+                   cap: Int = MaxBlock): DataFrame = {
+    // nsplit = ceil(cn / cap) via exact integers so both engines agree;
+    // identity (nsplit = 1, sub = 0) while every block fits the cap.
+    val sizes = pool.groupBy(col("blk")).agg(count(lit(1)).as("cn"))
+    val split = pool.join(broadcast(sizes), Seq("blk"))
+      .withColumn("sub",
+        pmod(col("id"),
+          floor((col("cn") + lit(cap - 1).cast("long")) / lit(cap))
+            .cast("long")))
+    val a = split.select(col("blk"), col("sub"),
+      col("id").as("id_a"), col("name").as("name_a"))
+    val b = split.select(col("blk"), col("sub"),
+      col("id").as("id_b"), col("name").as("name_b"))
+    a.join(b, Seq("blk", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= maxLev)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("lev"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, Contamination, CountMin, Dedup, Multimodal, Packing, Repetition, Sampling, TextOps, VectorOps, ZOrder}
+import graft.ext.{Bloom, Contamination, CountMin, Dedup, Fuzzy, Multimodal, Packing, Repetition, Sampling, TextOps, VectorOps, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -391,19 +391,21 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
-    // Fuzzy entity resolution (round 6) — blocked Levenshtein match,
-    // the record-linkage / entity-dedup primitive (names, titles,
-    // addresses) that exact and shingle dedup both miss. The classic
-    // scale shape: a BLOCKING KEY (here the last 4 name chars, which
-    // the synthesized typo preserves) bounds the candidate set, the
-    // O(len²) edit-distance verify runs only within blocks — never
-    // all-pairs — and both engines compute the same integer distance.
-    // Block sizes are data-bounded (key cardinality grows with the
-    // table); degenerate blocks would get the MaxBandBucket cap
-    // exactly like LSH bands. Synth: one mid-name char substitution
-    // (position 11 → 'X', ids +1000000) — lev 1 from its original,
-    // block key intact; cross-original near-ids (same digit tail)
-    // surface too, which is the point of fuzzy matching.
+    // Fuzzy entity resolution (round 6; capped round 9) — blocked
+    // Levenshtein match, the record-linkage / entity-dedup primitive
+    // (names, titles, addresses) that exact and shingle dedup both
+    // miss. The classic scale shape: a BLOCKING KEY (here the last 4
+    // name chars, which the synthesized typo preserves) bounds the
+    // candidate set, the O(len²) edit-distance verify runs only within
+    // blocks — never all-pairs — and both engines compute the same
+    // integer distance. The 4-digit key space is FIXED (10⁴ blocks),
+    // so per-block occupancy grows with the corpus: Fuzzy.MaxBlock
+    // re-splits oversized blocks (the MaxBandBucket / MaxSemCluster
+    // pattern), mirrored in the oracle SQL, so the verify join is
+    // bounded at cap²/2 pairs per block at any SF. Synth: one mid-name
+    // char substitution (position 11 → 'X', ids +1000000) — lev 1 from
+    // its original, block key intact; cross-original near-ids (same
+    // digit tail) surface too, which is the point of fuzzy matching.
     "fuzzy_match" -> { (s, d) =>
       val base = Tables.customer(s, d)
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -412,13 +414,7 @@ object ExtQueries {
           expr("substring(name, 12)")).as("name"))
       val pool = base.unionByName(synth)
         .withColumn("blk", expr("substring(name, length(name) - 3, 4)"))
-      val a = pool.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
-      val b = pool.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
-      a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("lev") <= 2)
-        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("lev"))
+      Fuzzy.blockedMatch(pool, maxLev = 2)
     },
 
     // Product quantization codes (round 6) — the IVF-PQ compression
@@ -1783,18 +1779,28 @@ object ExtQueries {
          |FROM tf JOIN dlp USING (term)
          |GROUP BY 1""".stripMargin,
 
+    // Mirrors Fuzzy.blockedMatch exactly: oversized blocks re-split
+    // into ceil(cn/1000) sub-blocks keyed by id mod nsplit (identity at
+    // this SF — largest block ≈ 30 rows — exactly like MaxSemCluster).
     "fuzzy_match" ->
-      """WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      s"""WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
         |synth AS (SELECT id + 1000000 AS id,
         |                 substring(name, 1, 10) || 'X' || substring(name, 12) AS name
         |          FROM base),
         |pool AS (SELECT id, name,
         |                substring(name, length(name) - 3, 4) AS blk
         |         FROM (SELECT * FROM base UNION ALL SELECT * FROM synth)),
+        |sizes AS (SELECT blk, CAST(count(*) AS BIGINT) AS cn
+        |          FROM pool GROUP BY 1),
+        |sp AS (SELECT p.id, p.name, p.blk,
+        |              p.id % CAST(floor((cn + ${Fuzzy.MaxBlock - 1}) /
+        |                                ${Fuzzy.MaxBlock}.0) AS BIGINT) AS sub
+        |       FROM pool p JOIN sizes USING (blk)),
         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
         |                 a.name AS name_a, b.name AS name_b,
         |                 levenshtein(a.name, b.name) AS lev
-        |          FROM pool a JOIN pool b ON a.blk = b.blk AND a.id < b.id)
+        |          FROM sp a JOIN sp b
+        |            ON a.blk = b.blk AND a.sub = b.sub AND a.id < b.id)
         |SELECT id_a, id_b, name_a, name_b, lev
         |FROM pairs WHERE lev <= 2""".stripMargin,
 
