@@ -105,9 +105,11 @@ object GapFill {
     * signed HALF_UP integer division, so both engines produce identical
     * integers and the closing `/100.0` double is the same bits — no
     * float summation-order or rounding drift anywhere. Magnitudes:
-    * |Δcenti| ≤ ~1e6, gap spans ≤ ~1e12 µs → numerators ≤ ~1e18✗ — the
-    * multiplication happens in DECIMAL(38,0) and the quotient (≤ |Δcenti|)
-    * narrows back to long, so nothing can overflow or wrap.
+    * |Δcenti| ≤ ~1e6 and gap spans ≤ ~1e12 µs, so the 2·|Δcenti|·span
+    * numerator can reach ~2e18 — too close to the int64 edge (9.2e18)
+    * to trust at cluster scale — hence the product is formed in
+    * DECIMAL(38,0); the quotient (|q| ≤ |Δcenti|) narrows back to
+    * long, so nothing can overflow or wrap.
     *
     * @return one row per key per grid bucket: keys*, bucket_us,
     *         observed (true on observation buckets), interp_cx

@@ -71,6 +71,17 @@ object AnalyticsQueries {
         Tables.tsUs, col("value"), bucketUs = 3600L * Tables.MicrosPerSecond)
     },
 
+    // Linear-interpolation companion (ops.GapFill.hourlyInterp):
+    // TimescaleDB's interpolate() next to gap_fill's locf. Same
+    // one-scan lead/sequence shape; gap buckets get the exact
+    // HALF_UP-integer interpolation between the surrounding means
+    // (centi-value longs — both engines produce identical integers,
+    // the closing /100.0 double is the same bits).
+    "gap_interp" -> { (s, d) =>
+      GapFill.hourlyInterp(Tables.events(s, d), Seq(col("user_id")),
+        Tables.tsUs, col("value"), bucketUs = 3600L * Tables.MicrosPerSecond)
+    },
+
     // Per-user value trend (ops.Trend): least-squares slope over
     // (minutes-since-origin, centi-value) — both LONG-encoded so the
     // five sufficient statistics are exact integer sums; the single
@@ -788,6 +799,45 @@ object AnalyticsQueries {
         |LEFT JOIN a ON a.user_id = g.user_id AND a.bucket_us = g.bucket_us
         |ASOF LEFT JOIN a f
         |  ON f.user_id = g.user_id AND g.bucket_us >= f.bucket_us""".stripMargin,
+
+    // Mirrors GapFill.hourlyInterp exactly: HALF_UP centi-mean per
+    // observed bucket, lead() to the next observation, gap rows
+    // generated between consecutive observations, HALF_UP integer
+    // interpolation (sign-split so DuckDB's floor `//` matches Spark's
+    // truncating `div` — numerators are kept non-negative in both).
+    "gap_interp" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |           FROM events),
+        |a AS (SELECT user_id, tus - tus % 3600000000 AS obs_us,
+        |             count(*) AS n_obs, sum(c) AS sc
+        |      FROM e GROUP BY 1, 2),
+        |m AS (SELECT user_id, obs_us,
+        |        CASE WHEN sc >= 0 THEN (2 * sc + n_obs) // (2 * n_obs)
+        |             ELSE -((2 * -sc + n_obs) // (2 * n_obs)) END AS cx
+        |      FROM a),
+        |l AS (SELECT user_id, obs_us, cx,
+        |        lead(obs_us) OVER w AS next_us,
+        |        lead(cx) OVER w AS next_cx
+        |      FROM m WINDOW w AS (PARTITION BY user_id ORDER BY obs_us)),
+        |g AS (SELECT user_id, obs_us, cx, next_us, next_cx,
+        |        unnest(generate_series(obs_us,
+        |          coalesce(next_us - 3600000000, obs_us), 3600000000)) AS bucket_us
+        |      FROM l),
+        |r AS (SELECT user_id, bucket_us, bucket_us = obs_us AS observed,
+        |        CASE WHEN bucket_us = obs_us THEN cx
+        |             ELSE cx + CAST(CASE WHEN next_cx - cx >= 0
+        |               THEN (2 * CAST(next_cx - cx AS HUGEINT) * (bucket_us - obs_us)
+        |                     + (next_us - obs_us)) // (2 * (next_us - obs_us))
+        |               ELSE -((2 * CAST(cx - next_cx AS HUGEINT) * (bucket_us - obs_us)
+        |                       + (next_us - obs_us)) // (2 * (next_us - obs_us)))
+        |               END AS BIGINT)
+        |        END AS interp_cx
+        |      FROM g)
+        |SELECT user_id, bucket_us, observed,
+        |       CAST(interp_cx AS BIGINT) AS interp_cx,
+        |       CAST(interp_cx AS DOUBLE) / 100.0 AS interp_value
+        |FROM r""".stripMargin,
 
     // HUGEINT (DuckDB) and DECIMAL(38,0) (Spark) are both exact for the
     // closed-form products; the nearest-double cast of the same integer

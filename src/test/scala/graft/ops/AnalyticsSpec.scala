@@ -51,6 +51,36 @@ class AnalyticsSpec extends SparkSpec {
     assert("LocalTableScan".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("gap_interp linearly interpolates gap buckets with HALF_UP centi math") {
+    // key 1: 10.0 at h0, 40.0 at h3 → gaps at h1/h2 interpolate to
+    // 20.0/30.0. keys 2/3: a 1-centi delta over 2 hours forces the
+    // half-way case in both directions — HALF_UP is away from zero.
+    val df = Seq(
+      (1L, 0L * H + 5L, 10.0),
+      (1L, 3L * H + 1L, 40.0),
+      (2L, 0L * H, 1.00), (2L, 2L * H, 1.01),
+      (3L, 0L * H, 1.01), (3L, 2L * H, 1.00)
+    ).toDF("k", "tus", "v")
+    val out = GapFill.hourlyInterp(df, Seq(col("k")), col("tus"), col("v"), H)
+      .orderBy(col("k"), col("bucket_us"))
+      .select(col("k"), col("bucket_us"), col("observed"), col("interp_cx"),
+        col("interp_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out === Seq(
+      (1L, 0L, true, 1000L, 10.0),
+      (1L, H, false, 2000L, 20.0),
+      (1L, 2 * H, false, 3000L, 30.0),
+      (1L, 3 * H, true, 4000L, 40.0),
+      (2L, 0L, true, 100L, 1.0),
+      (2L, H, false, 101L, 1.01), // +0.5 centi rounds away from zero
+      (2L, 2 * H, true, 101L, 1.01),
+      (3L, 0L, true, 101L, 1.01),
+      (3L, H, false, 100L, 1.0),  // −0.5 centi rounds away from zero
+      (3L, 2 * H, true, 100L, 1.0)))
+  }
+
   test("trend slope recovers an exact linear relationship") {
     // y = 3x + 7 exactly → slope 3.0 regardless of x spacing.
     val pts = Seq((1L, 0L), (1L, 2L), (1L, 5L), (1L, 11L))
