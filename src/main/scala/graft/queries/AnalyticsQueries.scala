@@ -363,18 +363,30 @@ object AnalyticsQueries {
     // hll_union_agg + estimate per type — distinct users over ANY day
     // range without re-touching raw data. THE pattern that replaces
     // count(DISTINCT) at 100 TB: raw rows fold into fixed-size binary
-    // sketches map-side; only sketches move from then on. Estimates are
-    // implementation-specific (Datasketches) → rows-only, spec-bounded
-    // against exact (HllUnionSpec in AnalyticsSpec).
+    // sketches map-side; only sketches move from then on. Datasketches
+    // estimates are implementation-specific (no cross-engine value
+    // oracle), so the query emits the exact per-type counts plus an
+    // ERROR-BOUND BOOLEAN the DuckDB oracle asserts as literal TRUE:
+    // the union-of-366-daily-sketches estimate must land within 5% of
+    // exact (lgK=14 → rsd 0.8%, so 5% is >6σ; register max-merge makes
+    // the estimate partition-layout-invariant). The exact branch GATES
+    // the sketch — at 100 TB only the sketch path ships.
     "hll_daily_union" -> { (s, d) =>
       val day = (Tables.tsUs - pmod(Tables.tsUs, lit(Tables.MicrosPerDay)))
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), day.as("day_us"))
-        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
-      daily.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sketch"))
+      val unioned = daily.groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+          hll_sketch_estimate(hll_union_agg(col("sketch"))).as("au"))
+      val exact = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      unioned.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_users"),
+          (abs(col("au") - col("n_users")) <=
+            greatest(ceil(col("n_users") * lit(0.05)), lit(5L)))
+            .as("union_est_ok"))
     },
 
     // FULL OUTER join — the one join type the registry didn't yet
@@ -768,16 +780,28 @@ object AnalyticsQueries {
     // Approximate percentiles (KLL-style sketch) next to the exact
     // `quantiles` oracle: the single-pass mergeable form that replaces
     // exact percentile's full per-group sort+materialization at scale.
-    // Sketch estimates are accuracy-parameter- and merge-order-
-    // dependent → rows-only; AnalyticsSpec bounds them against exact
-    // percentile at rank-error 1/accuracy.
+    // Sketch VALUES are accuracy-parameter- and merge-order-dependent
+    // (no cross-engine oracle), so the query emits RANK-BRACKET
+    // BOOLEANS the DuckDB oracle asserts as literal TRUE: each approx
+    // percentile must land between the exact percentiles at p∓0.02 —
+    // a ±2% rank window, 200× the sketch's 1e-4 rank error, yet tight
+    // enough that a wrong column / wrong pct / broken merge fails the
+    // driver's hash gate. The exact-percentile branch exists to GATE
+    // the sketch (at 100 TB only the sketch path ships; `quantiles`
+    // is the exact baseline query).
     "approx_quantiles" -> { (s, d) =>
+      def ok(a: Column, p: Double): Column =
+        a >= expr(s"percentile(value, ${p - 0.02})") &&
+          a <= expr(s"percentile(value, ${p + 0.02})")
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(
-          percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.9)),
-            lit(10000)).as("pcts"))
-        .select(col("event_type"),
-          col("pcts")(0).as("p25"), col("pcts")(1).as("p50"), col("pcts")(2).as("p90"))
+          count(lit(1)).as("n"),
+          ok(percentile_approx(col("value"), lit(0.25), lit(10000)), 0.25)
+            .as("p25_ok"),
+          ok(percentile_approx(col("value"), lit(0.5), lit(10000)), 0.5)
+            .as("p50_ok"),
+          ok(percentile_approx(col("value"), lit(0.9), lit(10000)), 0.9)
+            .as("p90_ok"))
     }
   )
 
@@ -838,6 +862,25 @@ object AnalyticsQueries {
         |       CAST(interp_cx AS BIGINT) AS interp_cx,
         |       CAST(interp_cx AS DOUBLE) / 100.0 AS interp_value
         |FROM r""".stripMargin,
+
+    // Sketch-gating oracles: the exact columns replay relationally;
+    // the *_ok booleans are asserted literal TRUE, so a Spark sketch
+    // outside its bound flips the cell and fails the driver hash gate.
+    "approx_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "hll_daily_union" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+        |             user_id
+        |           FROM events)
+        |SELECT event_type,
+        |       count(DISTINCT day_us) AS n_days,
+        |       count(DISTINCT user_id) AS n_users,
+        |       TRUE AS union_est_ok
+        |FROM e GROUP BY 1""".stripMargin,
 
     // HUGEINT (DuckDB) and DECIMAL(38,0) (Spark) are both exact for the
     // closed-form products; the nearest-double cast of the same integer

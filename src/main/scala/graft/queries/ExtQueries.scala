@@ -1862,7 +1862,10 @@ object ExtQueries {
          |FROM cand JOIN q ON q.vec_id = cand.vec_id CROSS JOIN qv
          |ORDER BY exact_d2, cand.vec_id LIMIT 10""".stripMargin
     }
-    // approx_distinct (ParityQueries) stays spec-bounded: HLL sketches
-    // legitimately differ across engines.
+    // heavy_hitters (AnalyticsQueries) stays rows-only: Misra–Gries'
+    // RETAINED-TOKEN SET depends on counter admission order across
+    // partitions, so even the row set is layout-dependent; the other
+    // sketches oracle via exact columns + TRUE-asserted error-bound
+    // booleans (approx_distinct / approx_quantiles / hll_daily_union).
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,13 +157,27 @@ object ParityQueries {
 
     // F-adjacent — sketch aggregation (HyperLogLog++): approximate
     // distinct counts, the 100 TB answer when exact distinct's shuffle
-    // is unaffordable. No cross-engine oracle (HLL implementations
-    // differ); the spec bounds relative error against the exact count.
+    // is unaffordable. Raw HLL estimates can't cross-engine-oracle
+    // (implementations differ), so the query emits the exact counts
+    // plus ERROR-BOUND BOOLEANS the DuckDB oracle asserts as literal
+    // TRUE — the driver's hash gate then genuinely verifies the sketch
+    // landed within 5% (~5σ at rsd 0.01; the estimate is
+    // deterministic: HLL registers are max-merged, so partition layout
+    // cannot change it). The exact branch exists to GATE the sketch —
+    // at 100 TB only the sketch path ships (see hll_daily_union for
+    // the re-aggregatable rollup form).
     "approx_distinct" -> { (s, d) =>
+      def ok(approx: Column, exact: Column): Column =
+        abs(approx - exact) <= greatest(ceil(exact * lit(0.05)), lit(5L))
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("props"), 0.01).as("approx_props"))
+          approx_count_distinct(col("user_id"), 0.01).as("au"),
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("props"), 0.01).as("ap"),
+          countDistinct(col("props")).as("n_props"))
+        .select(col("event_type"), col("n_users"), col("n_props"),
+          ok(col("au"), col("n_users")).as("users_est_ok"),
+          ok(col("ap"), col("n_props")).as("props_est_ok"))
     },
 
     // F-adjacent — hierarchical subtotals via ROLLUP (SURVEY §2 F note:
@@ -572,6 +586,16 @@ object ParityQueries {
     "distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // The exact counts replay relationally; the *_est_ok booleans are
+    // asserted literal TRUE — a Spark-side sketch outside its 5% bound
+    // flips the cell and fails the driver's hash gate.
+    "approx_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT props) AS n_props,
+        |       TRUE AS users_est_ok, TRUE AS props_est_ok
         |FROM events GROUP BY 1""".stripMargin,
 
     "rollup_agg" ->

@@ -22,10 +22,13 @@ class RegistrySpec extends AnyFunSuite {
     "lateral_topk", "set_ops", "retention_filter", "sessionize")
 
   /** Non-SQL-expressible sketch queries: registered rows-only BY
-    * DESIGN (estimates are engine/layout-specific); every other query
-    * must carry an oracle. */
-  private val RowsOnlyByDesign = Set(
-    "approx_distinct", "approx_quantiles", "heavy_hitters", "hll_daily_union")
+    * DESIGN; every other query must carry an oracle. Round 9 converted
+    * approx_distinct / approx_quantiles / hll_daily_union to
+    * error-bound-boolean form (exact columns + TRUE-asserted bound
+    * cells), leaving only Misra–Gries: its RETAINED-TOKEN SET depends
+    * on counter admission order across partitions, so even the row set
+    * — not just the estimates — is layout-dependent (SURVEY §8). */
+  private val RowsOnlyByDesign = Set("heavy_hitters")
 
   test("every §2 gate query exists in the registry with an oracle") {
     val qs = SparkEntry.queries.keySet

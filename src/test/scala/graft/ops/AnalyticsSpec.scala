@@ -333,22 +333,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(est - exact) <= exact * 0.05, s"est $est vs exact $exact")
   }
 
-  test("approx percentiles track exact percentiles at high accuracy") {
-    val sfDir = sf
-    val approx = graft.SparkEntry.queries("approx_quantiles")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
-    val exact = graft.SparkEntry.queries("quantiles")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
-    for ((et, (a25, a50, a90)) <- approx) {
-      val (e25, e50, e90) = exact(et)
-      // rank error 1/accuracy=1e-4 over ~2k rows/group → the sketch
-      // returns an actual element within a hair of the exact rank;
-      // values are in [0, 500], so a 5-unit tolerance is generous but
-      // catches any real regression (e.g. wrong column, wrong pct).
-      assert(math.abs(a25 - e25) <= 5.0, s"$et p25 $a25 vs $e25")
-      assert(math.abs(a50 - e50) <= 5.0, s"$et p50 $a50 vs $e50")
-      assert(math.abs(a90 - e90) <= 10.0, s"$et p90 $a90 vs $e90")
-    }
+  test("approx percentiles land inside their ±2% rank brackets") {
+    // The registry query embeds the bound (approx pct between the
+    // exact percentiles at p∓0.02) as boolean cells the DuckDB oracle
+    // asserts TRUE — the same cells are asserted here on the live
+    // corpus, so a sketch regression fails both gates.
+    val rows = graft.SparkEntry.queries("approx_quantiles")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; c <- Seq("p25_ok", "p50_ok", "p90_ok"))
+      assert(r.getAs[Boolean](c), s"${r.getString(0)} $c")
   }
 
   test("quality filter reasons list multiple failures in rule order") {
