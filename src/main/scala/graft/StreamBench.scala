@@ -206,6 +206,63 @@ object StreamBench {
         f"[stream-bench] dedup_stream@$label  $n2 rows  $tE%.1fs  ${n2 / tE}%.0f rows/s")
     }
 
+    // Mode F: streaming incremental JOIN-view maintenance at 100k —
+    // the machine dim rides the SAME topic as CDC-shaped "dim:" rows
+    // (one small leading file), facts are the readings; each
+    // micro-batch folds its delta quadrants into the standing
+    // per-machine-type view (JoinView.maintain). The A_old⋈B_old
+    // quadrant is never recomputed — the final view must still equal
+    // a full join+aggregate over everything (the mv_refresh_join
+    // contract, here asserted after a streamed drain).
+    locally {
+      val label = "100k"
+      val topic = s"$work/topic_$label"
+      val cdcTopic = s"$work/topic_cdc_$label"
+      spark.read.text(topic).write.mode("overwrite").text(cdcTopic)
+      val dimLines = DataGen.machineDim(spark)
+        .select(to_json(struct(
+          lit("2024-12-01T00:00:00").as("timestamp"),
+          col("machine_id"),
+          concat(lit("dim:"), col("machine_type")).as("sensor_type"),
+          lit(0.0).as("value"))).as("value"))
+      dimLines.write.mode("append").text(cdcTopic)
+      val n = spark.read.text(cdcTopic).count()
+      val splitA = (b: DataFrame) =>
+        b.filter(!col("sensor_type").startsWith("dim:"))
+          .select(col("machine_id"), col("value"))
+      val splitB = (b: DataFrame) =>
+        b.filter(col("sensor_type").startsWith("dim:"))
+          .select(col("machine_id").as("dim_machine_id"),
+            expr("substring(sensor_type, 5)").as("machine_type"))
+      var handle: Option[graft.stream.JoinView.Handle] = None
+      val tF = time {
+        val decoded = Pipeline.prepare(
+          JsonDirSource(cdcTopic).readStream(spark))
+        val (q, h) = graft.stream.JoinView.maintain(decoded,
+          splitA, splitB,
+          join = (f, d) => f.join(d, col("machine_id") === col("dim_machine_id")),
+          keys = Seq("machine_type"), value = "value", scale = 2,
+          checkpointDir = s"$work/f_$label/ckpt")
+        handle = Some(h)
+        q.awaitTermination()
+      }
+      results(s"ivm_join_view@$label") = n / tF
+      val view = handle.get.view
+      val full = graft.ops.Incremental.partials(
+        splitA(spark.read.json(cdcTopic)).join(
+          splitB(spark.read.json(cdcTopic)),
+          col("machine_id") === col("dim_machine_id")),
+        Seq("machine_type"), "value", scale = 2)
+      val vRows = view.select(col("machine_type"), col("n"),
+        col("sum_v").cast("string")).collect().map(_.toSeq).toSet
+      val fRows = full.select(col("machine_type"), col("n"),
+        col("sum_v").cast("string")).collect().map(_.toSeq).toSet
+      require(vRows == fRows && vRows.nonEmpty,
+        s"stream-maintained view must equal full recompute ($vRows vs $fRows)")
+      System.err.println(
+        f"[stream-bench] ivm_join_view@$label  $n rows  $tF%.1fs  ${n / tF}%.0f rows/s")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

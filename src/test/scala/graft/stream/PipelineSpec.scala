@@ -403,6 +403,52 @@ class PipelineSpec extends SparkSpec {
       ("10:02", "LATHE-002", 1.5, 1L)))
   }
 
+  test("stream-maintained join view ≡ full recompute after N batches (IVM)") {
+    // One tagged CDC-shaped stream: plain readings are fact inserts,
+    // sensor_type "dim:<type>" rows are dim inserts. Batch 2's dim row
+    // for M2 must join batch 1's M2 FACT (the A_old⋈ΔB quadrant — the
+    // one a naive "join this batch only" stream loses).
+    def fact(m: String, v: Double) = SensorReading("2025-01-01T00:00:00", m, "t", v)
+    def dim(m: String, t: String) = SensorReading("2025-01-01T00:00:00", m, s"dim:$t", 0)
+    val batches = Seq(
+      Seq(fact("M1", 10.0), fact("M2", 20.0), dim("M1", "X")),
+      Seq(fact("M1", 30.0), dim("M2", "Y")),
+      Seq(fact("M2", 40.0), fact("M3", 5.0), dim("M4", "Z")))
+
+    val ms = MemoryStream[SensorReading](spark)
+    val splitA = (b: DataFrame) => b.filter(!col("sensor_type").startsWith("dim:"))
+      .select(col("machine_id"), col("value"))
+    val splitB = (b: DataFrame) => b.filter(col("sensor_type").startsWith("dim:"))
+      .select(col("machine_id").as("dim_machine_id"),
+        expr("substring(sensor_type, 5)").as("machine_type"))
+    val (q, h) = JoinView.maintain(ms.toDF(), splitA, splitB,
+      join = (f, d) => f.join(d, col("machine_id") === col("dim_machine_id")),
+      keys = Seq("machine_type"), value = "value", scale = 2,
+      checkpointDir = s"${tmp()}/ckpt", availableNow = false)
+    def snap(df: DataFrame): Set[(String, Long, Double, Double, Double)] =
+      df.select(col("machine_type"), col("n"),
+        col("sum_v").cast("double"), col("min_v"), col("max_v"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+    try {
+      batches.take(2).foreach { b => ms.addData(b); q.processAllAvailable() }
+      // the cross-batch quadrant must already be in after batch 2:
+      // Y = batch-1 M2 fact × batch-2 M2 dim
+      assert(snap(h.view) == Set(("X", 2L, 40.0, 10.0, 30.0),
+        ("Y", 1L, 20.0, 20.0, 20.0)))
+      ms.addData(batches(2)); q.processAllAvailable()
+      val afterAll = snap(h.view)
+      assert(afterAll == Set(("X", 2L, 40.0, 10.0, 30.0),
+        ("Y", 2L, 60.0, 20.0, 40.0)))
+      // equivalence: indistinguishable from one full join over all input
+      val all = batches.flatten.toDF()
+      val full = graft.ops.Incremental.partials(
+        splitA(all).join(splitB(all),
+          col("machine_id") === col("dim_machine_id")),
+        Seq("machine_type"), "value", scale = 2)
+      assert(afterAll == snap(full))
+    } finally q.stop()
+  }
+
   test("enriched raw branch realizes machine_type/location in-stream (E1)") {
     val ms = MemoryStream[SensorReading](spark)
     val machines = graft.gen.DataGen.machineDim(spark)
