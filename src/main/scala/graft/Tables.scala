@@ -42,6 +42,15 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case _ =>
+        // Identity only under UTC: with any other session timezone the
+        // NTZ→LTZ cast SHIFTS every instant by the local offset and
+        // silently corrupts all downstream epoch math — fail loudly
+        // instead (sessions built via GraftSession always pass).
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC (found " +
+            s"'$tz'): the TIMESTAMP(MICROS) normalization reinterprets " +
+            "NTZ as instants and is only offset-free under UTC")
         raw.withColumn(
           "ts",
           unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
