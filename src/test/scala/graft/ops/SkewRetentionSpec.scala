@@ -74,6 +74,28 @@ class SkewRetentionSpec extends SparkSpec {
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
         s"AQE must mark the hot partition's join skew=true:\n$p")
+      // metric-level proof (not just the plan marker): the final
+      // adaptive plan's shuffle reads report how many partitions were
+      // detected skewed and how many splits they fanned into
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+      val finalPlan = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(joined.queryExecution.executedPlan)
+      // query stages are leaf wrappers — recurse through their plans
+      def collectReads(p: SparkPlan): Seq[AQEShuffleReadExec] = p.collect {
+        case r: AQEShuffleReadExec => Seq(r)
+        case q: QueryStageExec => collectReads(q.plan)
+      }.flatten
+      val reads = collectReads(finalPlan)
+      assert(reads.nonEmpty, s"expected AQEShuffleRead nodes:\n$finalPlan")
+      def m(name: String): Long =
+        reads.flatMap(_.metrics.get(name).map(_.value)).sum
+      val (skewed, splits) = (m("numSkewedPartitions"), m("numSkewedSplits"))
+      assert(skewed >= 1, s"numSkewedPartitions=$skewed:\n$finalPlan")
+      assert(splits > skewed,
+        s"a skewed partition must fan out into >1 split " +
+          s"(numSkewedSplits=$splits, numSkewedPartitions=$skewed)")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
