@@ -134,6 +134,16 @@ object Bench {
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     if (line.length > 1000)
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars — driver tail capture is 2000")
+    // Contended recordings must self-identify (round-8's driver
+    // artifact started at loadavg 11 and read 1.5-2× the quiet
+    // minima): flag any pass that began above 4 on this 32-core box.
+    val load1 = (loadStart +: passLoads.toSeq)
+      .flatMap(_.split(",").headOption).flatMap(_.toDoubleOption)
+    if (load1.exists(_ > 4.0))
+      System.err.println(
+        s"[bench] WARNING contended recording: loadavg at pass starts = " +
+          s"${load1.mkString(", ")} (>4 on at least one pass) — timings " +
+          "include external load; re-record on a quiet machine")
     println(line)
     spark.stop()
   }
