@@ -240,6 +240,26 @@ class PlanSpec extends SparkSpec {
       s"corpus-keyed exchange leaked:\n${exchanges.mkString("\n")}")
   }
 
+  test("gap_interp scans events once and joins never (lead/sequence shape)") {
+    // same contract as gap_fill: raw rows cross exactly one exchange
+    // (the bucket aggregate); gap rows are GENERATED from lead()+
+    // sequence(), never joined against a dense grid
+    val p = plan("gap_interp")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+  }
+
+  test("fuzzy_match: block sizes broadcast back; no cartesian anywhere") {
+    val p = plan("fuzzy_match")
+    // the per-block counts (bounded by the key space, not the corpus)
+    // come back via broadcast; the candidate join is the (blk, sub)
+    // equi-join — a cartesian/BNLJ would mean the blocking broke
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("footer-only aggregates: min/max/count push down to the parquet scan") {
     // With v2 parquet + aggregate pushdown, MIN/MAX/COUNT over a table
     // are answered from row-group footer statistics — zero data pages
