@@ -49,10 +49,11 @@ object Scratch {
     }
 
     // ---- wall-clock probes (noop sink, min-of-2 JIT-warm) ------------
-    for (name <- Seq("dedup_corpus", "substring_dedup", "semdedup")) {
-      val t = minOf2(graft.SparkEntry.queries(name)(s, dir)
+    for (name <- Seq("dedup_corpus", "substring_dedup", "semdedup");
+         (label, d) <- Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> dir)) {
+      val t = minOf2(graft.SparkEntry.queries(name)(s, d)
         .write.mode("overwrite").format("noop").save())
-      pr(f"$name@sf1  min=$t%.2fs")
+      pr(f"$name@$label  min=$t%.2fs")
     }
 
     // ---- cap-engagement diagnostics ----------------------------------
