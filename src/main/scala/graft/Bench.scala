@@ -136,14 +136,16 @@ object Bench {
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars — driver tail capture is 2000")
     // Contended recordings must self-identify (round-8's driver
     // artifact started at loadavg 11 and read 1.5-2× the quiet
-    // minima): flag any pass that began above 4 on this 32-core box.
-    val load1 = (loadStart +: passLoads.toSeq)
-      .flatMap(_.split(",").headOption).flatMap(_.toDoubleOption)
-    if (load1.exists(_ > 4.0))
+    // minima). Only the PRE-SESSION loadavg is judged: once passes
+    // run, the 1-minute average reflects the bench's own 32 threads,
+    // not external load (per-pass loads stay in the JSON for post-hoc
+    // reads).
+    val preLoad = loadStart.split(",").headOption.flatMap(_.toDoubleOption)
+    if (preLoad.exists(_ > 4.0))
       System.err.println(
-        s"[bench] WARNING contended recording: loadavg at pass starts = " +
-          s"${load1.mkString(", ")} (>4 on at least one pass) — timings " +
-          "include external load; re-record on a quiet machine")
+        s"[bench] WARNING contended recording: loadavg_start=$loadStart " +
+          "(1-min > 4 before the session started) — timings include " +
+          "external load; re-record on a quiet machine")
     println(line)
     spark.stop()
   }
