@@ -49,10 +49,16 @@ object Fuzzy {
     */
   def blockedMatch(pool: DataFrame, maxLev: Int = 2,
                    cap: Int = MaxBlock): DataFrame = {
+    // The pool feeds three consumers (the size aggregate and both join
+    // sides) — materialize it once so the upstream derivation isn't
+    // re-scanned per consumer (unchecked, the fuzzy_match query read
+    // its source 8×; at 100 TB the canonicalized pool is a persisted
+    // silver table and this checkpoint is its stand-in).
+    val p = pool.localCheckpoint(true)
     // nsplit = ceil(cn / cap) via exact integers so both engines agree;
     // identity (nsplit = 1, sub = 0) while every block fits the cap.
-    val sizes = pool.groupBy(col("blk")).agg(count(lit(1)).as("cn"))
-    val split = pool.join(broadcast(sizes), Seq("blk"))
+    val sizes = p.groupBy(col("blk")).agg(count(lit(1)).as("cn"))
+    val split = p.join(broadcast(sizes), Seq("blk"))
       .withColumn("sub",
         pmod(col("id"),
           floor((col("cn") + lit(cap - 1).cast("long")) / lit(cap))
