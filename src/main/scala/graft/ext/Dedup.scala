@@ -444,6 +444,97 @@ object Dedup {
     out
   }
 
+  /** EXACT all-pairs set-similarity join with prefix filtering — the
+    * AllPairs/PPJoin shape (Chaudhuri et al. ICDE 2006 prefix-filter
+    * lemma; Bayardo et al. WWW 2007): every doc pair whose word-level
+    * n-gram Jaccard ≥ thrNum/thrDen, with NO approximation — the exact
+    * complement to [[minhashPairs]] (probabilistic recall) for
+    * thresholds where certainty matters (legal dedup, eval-set
+    * decontamination).
+    *
+    * Candidate generation: shingles are globally ordered by
+    * (df ascending, shingle) — rarest first; each doc indexes only its
+    * PREFIX (the first |d| − ceil(t·|d|) + 1 shingles), and two docs
+    * are candidates iff their prefixes share a shingle. The lemma
+    * guarantees completeness: J(A,B) ≥ t ⇒ |A∩B| ≥ ceil(t·max(|A|,|B|))
+    * ⇒ the prefixes intersect. A size filter (den·min ≥ num·max) and
+    * pair-distinct run before the verify. All threshold tests are
+    * exact integer cross-multiplies (den·|A∩B| ≥ num·|A∪B|, ceil via
+    * (num·len + den − 1) div den) — no float boundary anywhere, so
+    * both engines agree bit-for-bit on membership.
+    *
+    * 100 TB shape: the shingle-set frame materializes once (at scale:
+    * the persisted signature table) and is the only corpus-sized
+    * state; df ranks ride one (doc, shingle) exchange + a per-doc
+    * window over the same partitioning; the candidate self-join is
+    * keyed by PREFIX shingles, whose buckets are df-bounded from the
+    * rare end of the vocabulary — the df-ascending order is the
+    * bucket-size defense (a doc's hottest shingles never enter the
+    * index). Verify ships shingle arrays only for surviving candidate
+    * ids. Lengths ≤ ~2×10⁴ shingles keep every integer product well
+    * inside int64.
+    */
+  def similarityJoin(docs: DataFrame, id: Column, text: Column,
+                     thrNum: Int, thrDen: Int, n: Int = 3): DataFrame = {
+    // Tokens are MATERIALIZED before shingling: with tokens(text)
+    // inlined into the transform lambda, every element_at re-evaluates
+    // the split — O(len²) re-tokenization per doc (measured: 30 s of
+    // the 39 s total at sf0.1). A projection alias is NOT enough — the
+    // optimizer collapses it back into the lambda — so the boundary is
+    // a checkpoint of the (doc, toks) frame (tiny: token arrays are
+    // bytes per doc, and the frame is consumed exactly once here).
+    val toks = docs.select(id.as("doc"), TextOps.tokens(text).as("toks"))
+      .localCheckpoint(true)
+    val ds = toks
+      .select(col("doc"),
+        array_distinct(TextOps.shingles(col("toks"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("len", size(col("sh")).cast("long"))
+      .localCheckpoint(true)
+    val exploded = ds.select(col("doc"), col("len"), explode(col("sh")).as("s"))
+    val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("df"), col("s"))
+    // The prefix index is consumed by BOTH candidate-join sides —
+    // materialize it once (it is the ~0.4·Σ|d| rarest-first slice of
+    // the inverted index, the only frame the self-join touches).
+    val prefix = exploded.join(dfc, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      // p = len − ceil(t·len) + 1, ceil in exact integers
+      .filter(col("rn") <=
+        col("len") - expr(s"(($thrNum * len + $thrDen - 1) div $thrDen)") + 1)
+      .select(col("s"), col("doc"), col("len"), col("rn"))
+      .localCheckpoint(true)
+    val cand = prefix.select(col("s"), col("doc").as("doc_a"),
+        col("len").as("len_a"), col("rn").as("rn_a"))
+      .join(prefix.select(col("s"), col("doc").as("doc_b"),
+        col("len").as("len_b"), col("rn").as("rn_b")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      // size filter: J ≥ t ⇒ min/max ≥ t, as den·min ≥ num·max
+      .filter(least(col("len_a"), col("len_b")) * thrDen >=
+        greatest(col("len_a"), col("len_b")) * thrNum)
+      // PPJoin positional filter: through a token at (1-based) ranks
+      // (rn_a, rn_b) of the df-sorted lists, the overlap can reach at
+      // most 1 + min(len_a − rn_a, len_b − rn_b); J ≥ t needs
+      // |A∩B| ≥ ceil(t/(1+t)·(|A|+|B|)). A pair survives if ANY shared
+      // prefix token leaves that reachable — exact integers again.
+      .filter(lit(1) + least(col("len_a") - col("rn_a"),
+          col("len_b") - col("rn_b")) >=
+        expr(s"($thrNum * (len_a + len_b) + ${thrNum + thrDen - 1}) " +
+          s"div ${thrNum + thrDen}"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(ds.select(col("doc").as("doc_a"), col("sh").as("sh_a"),
+        col("len").as("na")), Seq("doc_a"))
+      .join(ds.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
+        col("len").as("nb")), Seq("doc_b"))
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("nu", col("na") + col("nb") - col("ni"))
+      .filter(col("ni") * thrDen >= col("nu") * thrNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") / col("nu"), 4).as("jaccard"))
+  }
+
   /** Exact word-level n-gram Jaccard between paired docs (set
     * semantics: distinct shingles). */
   def ngramJaccard(shinglesA: Column, shinglesB: Column): Column = {

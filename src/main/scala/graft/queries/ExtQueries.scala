@@ -187,6 +187,19 @@ object ExtQueries {
         col("doc_id"), col("text"), threshold = 0.5)
     },
 
+    // EXACT set-similarity join (round 9) — every pair at 3-gram
+    // Jaccard ≥ 3/5 via prefix filtering (AllPairs/PPJoin), the
+    // zero-false-negative complement to dedup_minhash's probabilistic
+    // recall. The oracle is the BRUTE-FORCE exact join (all
+    // co-occurring pairs, exact integer threshold cross-multiply), so
+    // the gate proves the prefix filter loses nothing — candidate
+    // completeness checked against ground truth at every SF, not
+    // claimed from the lemma alone.
+    "simjoin_ngram" -> { (s, d) =>
+      Dedup.similarityJoin(withNearDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), thrNum = 3, thrDen = 5)
+    },
+
     // Cross-document repeated-substring scoring (round 8; Lee et al.
     // 2022 motivate EXACT substring dedup as the complement to
     // fingerprint near-dup: verbatim boilerplate passages recur across
@@ -1164,6 +1177,32 @@ object ExtQueries {
         |FROM r""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
+
+    // Brute-force exact ground truth for the prefix-filtered Spark
+    // side: every co-occurring pair, intersection counted per pair,
+    // threshold as the exact cross-multiply 5·ni ≥ 3·(na+nb−ni).
+    "simjoin_ngram" ->
+      s"""WITH $CorpusCte,
+        |ct AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
+        |cu AS (SELECT doc_id, unnest(toks) AS w,
+        |              generate_subscripts(toks, 1) AS pos FROM ct),
+        |csh AS (SELECT doc_id,
+        |          concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
+        |          lead(w,2) OVER win AS w2
+        |        FROM cu WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |ds AS (SELECT DISTINCT doc_id, s FROM csh WHERE w2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM ds GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                 CAST(count(*) AS BIGINT) AS ni
+        |          FROM ds x JOIN ds y ON y.s = x.s AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE 5 * ni >= 3 * (sa.n + sb.n - ni)""".stripMargin,
     "dedup_incremental" -> incrementalOracle,
     "dedup_groups" -> groupsOracle,
     "dedup_keep_best" -> keepBestOracle,

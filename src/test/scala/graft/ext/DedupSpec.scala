@@ -134,6 +134,39 @@ class DedupSpec extends SparkSpec {
     assert(drops(2) == Map(3L -> 0L))
   }
 
+  test("similarityJoin (prefix filter) ≡ brute-force exact join at 3 thresholds") {
+    import spark.implicits._
+    val corpus = docs.unionByName(Seq(
+      (5L, "too short"),                                          // no 3-shingles → excluded
+      (6L, "the quick brown fox jumps over the lazy dog today")   // superset of doc 1
+    ).toDF("doc_id", "text"))
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def brute(num: Int, den: Int) = {
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      collectSet(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          col("doc_a") < col("doc_b"))
+        .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("nu",
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("ni"))
+        .filter(col("ni") * den >= col("nu") * num)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ni").cast("double") / col("nu"), 4).as("jaccard")))
+    }
+    def pj(num: Int, den: Int) = collectSet(
+      Dedup.similarityJoin(corpus, col("doc_id"), col("text"), num, den))
+    for ((num, den) <- Seq((1, 2), (3, 5), (9, 10)))
+      assert(pj(num, den) == brute(num, den), s"t=$num/$den")
+    // boundary exactness: docs 3 and 6 sit at J = 5/10 = t exactly —
+    // the integer cross-multiply keeps them IN at t=1/2 in both forms
+    assert(pj(1, 2).exists(p => p._1 == 3L && p._2 == 6L && p._3 == 0.5))
+    // high threshold keeps only the exact dup
+    assert(pj(9, 10).map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("ngram jaccard: identical → 1.0, disjoint → 0.0") {
     val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
     val a = docs.select(col("doc_id").as("ida"), sh.as("sa"))
