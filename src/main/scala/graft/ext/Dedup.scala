@@ -476,18 +476,20 @@ object Dedup {
     */
   def similarityJoin(docs: DataFrame, id: Column, text: Column,
                      thrNum: Int, thrDen: Int, n: Int = 3): DataFrame = {
-    // Tokens are MATERIALIZED before shingling: with tokens(text)
-    // inlined into the transform lambda, every element_at re-evaluates
-    // the split — O(len²) re-tokenization per doc (measured: 30 s of
-    // the 39 s total at sf0.1). A projection alias is NOT enough — the
-    // optimizer collapses it back into the lambda — so the boundary is
-    // a checkpoint of the (doc, toks) frame (tiny: token arrays are
-    // bytes per doc, and the frame is consumed exactly once here).
-    val toks = docs.select(id.as("doc"), TextOps.tokens(text).as("toks"))
-      .localCheckpoint(true)
-    val ds = toks
-      .select(col("doc"),
-        array_distinct(TextOps.shingles(col("toks"), n)).as("sh"))
+    // Shingle sets are 60-bit window hashes from the ShingleMd5
+    // codegen kernel (one JVM call per doc; bit-identical to md5Hash60
+    // over the joined window, the repo's shared oracle convention) —
+    // NOT string arrays. Three wins: no interpreted HOF lambda (the
+    // string form re-ran tokenization per element_at, O(len²)/doc —
+    // 30 of 39 s at sf0.1, SCALE.md), 8-byte set elements instead of
+    // ~25-byte strings through every shuffle, and long equality in the
+    // intersect. Jaccard over the hashed sets ≡ Jaccard over the
+    // string sets up to 2⁻⁶⁰ collisions, and both engines hash
+    // identically, so the comparison is still exact cross-engine.
+    val ds = docs
+      .select(id.as("doc"), array_distinct(
+        graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
+        .as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("len", size(col("sh")).cast("long"))
       .localCheckpoint(true)

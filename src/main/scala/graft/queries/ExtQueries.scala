@@ -1181,16 +1181,19 @@ object ExtQueries {
     // Brute-force exact ground truth for the prefix-filtered Spark
     // side: every co-occurring pair, intersection counted per pair,
     // threshold as the exact cross-multiply 5·ni ≥ 3·(na+nb−ni).
+    // Shingle sets are the shared 60-bit md5 window hashes
+    // (substring_dedup's convention) — both engines hash identically.
     "simjoin_ngram" ->
       s"""WITH $CorpusCte,
         |ct AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
-        |cu AS (SELECT doc_id, unnest(toks) AS w,
-        |              generate_subscripts(toks, 1) AS pos FROM ct),
-        |csh AS (SELECT doc_id,
-        |          concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
-        |          lead(w,2) OVER win AS w2
-        |        FROM cu WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-        |ds AS (SELECT DISTINCT doc_id, s FROM csh WHERE w2 IS NOT NULL),
+        |pos AS (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 2)) AS p
+        |        FROM ct),
+        |ds AS (SELECT DISTINCT doc_id,
+        |         CAST('0x' || substr(md5(
+        |           array_to_string(list_slice(toks, p, p + 2), ' ')), 1, 15)
+        |           AS BIGINT) AS s
+        |       FROM pos),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
         |          FROM ds GROUP BY 1),
         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
