@@ -537,6 +537,72 @@ object Dedup {
         round(col("ni").cast("double") / col("nu"), 4).as("jaccard"))
   }
 
+  /** EXACT containment (overlap-similarity) join — every pair where
+    * |A∩B| / min(|A|,|B|) ≥ thrNum/thrDen over the hashed n-gram
+    * shingle sets. The asymmetric-size complement to
+    * [[similarityJoin]]: a 50-shingle excerpt quoted inside a
+    * 5000-shingle document has Jaccard ≈ 0.01 (invisible to any
+    * Jaccard threshold) but containment 1.0 — the quote/excerpt
+    * detector an eval-decontamination pass needs (contam_check tests
+    * 8-gram MEMBERSHIP; this scores pairwise containment).
+    *
+    * Candidates: the prefix-filter lemma applies to the SMALLER set
+    * (C ≥ t ⇒ |A∩B| ≥ ceil(t·|A|) for |A| ≤ |B|), so each doc's
+    * rarest-first prefix (p = |d| − ceil(t·|d|) + 1) probes the FULL
+    * inverted index, restricted to partners with len ≥ its own — no
+    * pair with containment ≥ t can escape (the oracle is brute force,
+    * re-proving completeness at every SF). Verify is the exact
+    * integer cross-multiply den·|A∩B| ≥ num·min(|A|,|B|).
+    *
+    * 100 TB shape: same frames as [[similarityJoin]] (one materialized
+    * signature table, one prefix slice); the candidate join probes
+    * prefix × full-index, so its buckets are df-bounded on the prefix
+    * side — a doc's hottest shingles never probe. Output pairs are
+    * id-ordered (doc_a < doc_b) with the symmetric min-normalized
+    * score, so equal-size pairs emit exactly once.
+    */
+  def containmentJoin(docs: DataFrame, id: Column, text: Column,
+                      thrNum: Int, thrDen: Int, n: Int = 3): DataFrame = {
+    val ds = docs
+      .select(id.as("doc"), array_distinct(
+        graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("len", size(col("sh")).cast("long"))
+      .localCheckpoint(true)
+    val exploded = ds.select(col("doc"), col("len"), explode(col("sh")).as("s"))
+    val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("df"), col("s"))
+    val prefix = exploded.join(dfc, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("len") - expr(s"(($thrNum * len + $thrDen - 1) div $thrDen)") + 1)
+      .select(col("s"), col("doc").as("doc_p"), col("len").as("len_p"))
+      .localCheckpoint(true)
+    val cand = prefix
+      .join(exploded.select(col("s"), col("doc").as("doc_f"),
+        col("len").as("len_f")), Seq("s"))
+      .filter(col("doc_p") =!= col("doc_f"))
+      // the lemma binds the smaller set's prefix; ties probe from the
+      // lower id only, so every unordered pair surfaces exactly once
+      .filter(col("len_p") < col("len_f") ||
+        (col("len_p") === col("len_f") && col("doc_p") < col("doc_f")))
+      .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_f")).as("doc_b"))
+      .distinct()
+    cand
+      .join(ds.select(col("doc").as("doc_a"), col("sh").as("sh_a"),
+        col("len").as("na")), Seq("doc_a"))
+      .join(ds.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
+        col("len").as("nb")), Seq("doc_b"))
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("ni") * thrDen >= least(col("na"), col("nb")) * thrNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") / least(col("na"), col("nb")), 4)
+          .as("containment"))
+  }
+
   /** Exact word-level n-gram Jaccard between paired docs (set
     * semantics: distinct shingles). */
   def ngramJaccard(shinglesA: Column, shinglesB: Column): Column = {

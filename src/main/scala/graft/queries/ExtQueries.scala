@@ -200,6 +200,18 @@ object ExtQueries {
         col("doc_id"), col("text"), thrNum = 3, thrDen = 5)
     },
 
+    // EXACT containment join (round 9) — pairs where the smaller
+    // shingle set is ≥ 9/10 inside the larger: the quote/excerpt
+    // detector Jaccard thresholds cannot see (a 50-shingle excerpt in
+    // a 5000-shingle doc has J ≈ 0.01 but containment 1.0). Same
+    // prefix-filter machinery as simjoin_ngram, lemma applied to the
+    // smaller set probing the full index; brute-force oracle re-proves
+    // candidate completeness at every SF.
+    "containment_join" -> { (s, d) =>
+      Dedup.containmentJoin(withNearDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), thrNum = 9, thrDen = 10)
+    },
+
     // Cross-document repeated-substring scoring (round 8; Lee et al.
     // 2022 motivate EXACT substring dedup as the complement to
     // fingerprint near-dup: verbatim boilerplate passages recur across
@@ -1206,6 +1218,32 @@ object ExtQueries {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE 5 * ni >= 3 * (sa.n + sb.n - ni)""".stripMargin,
+
+    // Brute-force containment ground truth: same hashed-shingle CTEs,
+    // threshold 10·ni ≥ 9·min(|A|,|B|) on id-ordered pairs.
+    "containment_join" ->
+      s"""WITH $CorpusCte,
+        |ct AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
+        |pos AS (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 2)) AS p
+        |        FROM ct),
+        |ds AS (SELECT DISTINCT doc_id,
+        |         CAST('0x' || substr(md5(
+        |           array_to_string(list_slice(toks, p, p + 2), ' ')), 1, 15)
+        |           AS BIGINT) AS s
+        |       FROM pos),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM ds GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                 CAST(count(*) AS BIGINT) AS ni
+        |          FROM ds x JOIN ds y ON y.s = x.s AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       round(CAST(ni AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE 10 * ni >= 9 * least(sa.n, sb.n)""".stripMargin,
     "dedup_incremental" -> incrementalOracle,
     "dedup_groups" -> groupsOracle,
     "dedup_keep_best" -> keepBestOracle,

@@ -167,6 +167,47 @@ class DedupSpec extends SparkSpec {
     assert(pj(9, 10).map(p => (p._1, p._2)) == Set((1L, 2L)))
   }
 
+  test("containmentJoin finds excerpts Jaccard misses; ≡ brute force") {
+    import spark.implicits._
+    // doc 8 is the first 6 tokens of doc 7 — a strict excerpt: its 4
+    // shingles are all inside doc 7's 18, so containment 1.0 while
+    // Jaccard is 4/18 ≈ 0.22 (invisible at any high J threshold).
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (7L, long),
+      (8L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "unrelated words entirely different from everything here now")
+    ).toDF("doc_id", "text")
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = collectSet(
+      Dedup.containmentJoin(corpus, col("doc_id"), col("text"), 9, 10))
+    assert(out == Set((7L, 8L, 1.0)))
+    // simjoin at t=3/5 must NOT see the excerpt pair
+    assert(collectSet(Dedup.similarityJoin(corpus, col("doc_id"),
+      col("text"), 3, 5)).isEmpty)
+    // brute-force equivalence on the shared fixture incl. equal-size
+    // near-dup pairs (docs 1-4 + the excerpt corpus)
+    val mixed = docs.unionByName(corpus)
+    val sh = mixed.select(col("doc_id"), array_distinct(
+      graft.ext.expr.ShingleMd5.shingleMd5(
+        TextOps.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = collectSet(
+      sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          col("doc_a") < col("doc_b"))
+        .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("mn",
+          least(size(col("sh_a")), size(col("sh_b"))).cast("long"))
+        .filter(col("ni") * 10 >= col("mn") * 9)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ni").cast("double") / col("mn"), 4).as("containment")))
+    assert(collectSet(Dedup.containmentJoin(mixed, col("doc_id"),
+      col("text"), 9, 10)) == brute)
+  }
+
   test("ngram jaccard: identical → 1.0, disjoint → 0.0") {
     val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
     val a = docs.select(col("doc_id").as("ida"), sh.as("sa"))
