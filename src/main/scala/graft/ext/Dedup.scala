@@ -476,37 +476,8 @@ object Dedup {
     */
   def similarityJoin(docs: DataFrame, id: Column, text: Column,
                      thrNum: Int, thrDen: Int, n: Int = 3): DataFrame = {
-    // Shingle sets are 60-bit window hashes from the ShingleMd5
-    // codegen kernel (one JVM call per doc; bit-identical to md5Hash60
-    // over the joined window, the repo's shared oracle convention) —
-    // NOT string arrays. Three wins: no interpreted HOF lambda (the
-    // string form re-ran tokenization per element_at, O(len²)/doc —
-    // 30 of 39 s at sf0.1, SCALE.md), 8-byte set elements instead of
-    // ~25-byte strings through every shuffle, and long equality in the
-    // intersect. Jaccard over the hashed sets ≡ Jaccard over the
-    // string sets up to 2⁻⁶⁰ collisions, and both engines hash
-    // identically, so the comparison is still exact cross-engine.
-    val ds = docs
-      .select(id.as("doc"), array_distinct(
-        graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
-        .as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("len", size(col("sh")).cast("long"))
-      .localCheckpoint(true)
-    val exploded = ds.select(col("doc"), col("len"), explode(col("sh")).as("s"))
-    val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("df"), col("s"))
-    // The prefix index is consumed by BOTH candidate-join sides —
-    // materialize it once (it is the ~0.4·Σ|d| rarest-first slice of
-    // the inverted index, the only frame the self-join touches).
-    val prefix = exploded.join(dfc, Seq("s"))
-      .withColumn("rn", row_number().over(w))
-      // p = len − ceil(t·len) + 1, ceil in exact integers
-      .filter(col("rn") <=
-        col("len") - expr(s"(($thrNum * len + $thrDen - 1) div $thrDen)") + 1)
-      .select(col("s"), col("doc"), col("len"), col("rn"))
-      .localCheckpoint(true)
+    val ds = hashedShingleSets(docs, id, text, n)
+    val (_, prefix) = shingleIndex(ds, thrNum, thrDen)
     val cand = prefix.select(col("s"), col("doc").as("doc_a"),
         col("len").as("len_a"), col("rn").as("rn_a"))
       .join(prefix.select(col("s"), col("doc").as("doc_b"),
@@ -563,23 +534,10 @@ object Dedup {
     */
   def containmentJoin(docs: DataFrame, id: Column, text: Column,
                       thrNum: Int, thrDen: Int, n: Int = 3): DataFrame = {
-    val ds = docs
-      .select(id.as("doc"), array_distinct(
-        graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
-        .as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("len", size(col("sh")).cast("long"))
-      .localCheckpoint(true)
-    val exploded = ds.select(col("doc"), col("len"), explode(col("sh")).as("s"))
-    val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("df"), col("s"))
-    val prefix = exploded.join(dfc, Seq("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("len") - expr(s"(($thrNum * len + $thrDen - 1) div $thrDen)") + 1)
+    val ds = hashedShingleSets(docs, id, text, n)
+    val (exploded, rawPrefix) = shingleIndex(ds, thrNum, thrDen)
+    val prefix = rawPrefix
       .select(col("s"), col("doc").as("doc_p"), col("len").as("len_p"))
-      .localCheckpoint(true)
     val cand = prefix
       .join(exploded.select(col("s"), col("doc").as("doc_f"),
         col("len").as("len_f")), Seq("s"))
@@ -601,6 +559,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") / least(col("na"), col("nb")), 4)
           .as("containment"))
+  }
+
+  /** (doc, sh: array<long>, len) — distinct 60-bit hashed n-gram
+    * shingle sets, the signature table both exact similarity joins
+    * read. Hashes come from the ShingleMd5 codegen kernel (one JVM
+    * call per doc; bit-identical to md5Hash60 over the joined window,
+    * the repo's shared oracle convention) — NOT string arrays. Three
+    * wins: no interpreted HOF lambda (the string form re-ran
+    * tokenization per element_at, O(len²)/doc — 30 of 39 s at sf0.1,
+    * SCALE.md), 8-byte set elements instead of ~25-byte strings
+    * through every shuffle, and long equality in the intersects.
+    * Set similarity over the hashed sets ≡ over the string sets up to
+    * 2⁻⁶⁰ collisions, and both engines hash identically, so every
+    * comparison stays exact cross-engine. Eagerly materialized: the
+    * frame feeds the index build and both verify sides (at 100 TB it
+    * is the persisted signature table). */
+  private def hashedShingleSets(docs: DataFrame, id: Column,
+                                text: Column, n: Int): DataFrame =
+    docs
+      .select(id.as("doc"), array_distinct(
+        graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("len", size(col("sh")).cast("long"))
+      .localCheckpoint(true)
+
+  /** Inverted index over [[hashedShingleSets]] output plus its
+    * rarest-first prefix slice at p = |d| − ceil(t·|d|) + 1 (ceil in
+    * exact integers so both engines agree). Returns
+    * (exploded full index (doc, len, s), prefix (s, doc, len, rn)).
+    * The prefix is eagerly materialized — it is consumed by both
+    * candidate-join sides (self-join) or by the probe side
+    * (containment), and is the only frame those joins touch. */
+  private def shingleIndex(ds: DataFrame, thrNum: Int,
+                           thrDen: Int): (DataFrame, DataFrame) = {
+    val exploded = ds.select(col("doc"), col("len"), explode(col("sh")).as("s"))
+    val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("df"), col("s"))
+    val prefix = exploded.join(dfc, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("len") - expr(s"(($thrNum * len + $thrDen - 1) div $thrDen)") + 1)
+      .select(col("s"), col("doc"), col("len"), col("rn"))
+      .localCheckpoint(true)
+    (exploded, prefix)
   }
 
   /** Exact word-level n-gram Jaccard between paired docs (set

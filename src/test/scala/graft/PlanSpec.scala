@@ -260,19 +260,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("simjoin_ngram: equi-joins only, all passes over materialized frames") {
-    val p = plan("simjoin_ngram")
-    // blocking is real: a cartesian/BNLJ would mean the prefix-index
-    // equi-join degenerated
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
-    // the token, shingle-set and prefix-index frames are eagerly
-    // checkpointed — the final plan reads those materialized blocks,
-    // never the parquet source again (0 source re-scans across the
-    // df agg, window, self-join and verify consumers)
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0, p)
-    assert(p.contains("ExistingRDD"), p)
-  }
+  for (q <- Seq("simjoin_ngram", "containment_join"))
+    test(s"$q: equi-joins only, all passes over materialized frames") {
+      val p = plan(q)
+      // blocking is real: a cartesian/BNLJ would mean the prefix-index
+      // equi-join degenerated
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      // the shingle-set and prefix-index frames are eagerly
+      // checkpointed — the final plan reads those materialized blocks,
+      // never the parquet source again (0 source re-scans across the
+      // df agg, window, candidate and verify consumers)
+      assert(p.linesIterator.count(_.contains("Scan parquet")) == 0, p)
+      assert(p.contains("ExistingRDD"), p)
+    }
 
   test("footer-only aggregates: min/max/count push down to the parquet scan") {
     // With v2 parquet + aggregate pushdown, MIN/MAX/COUNT over a table
