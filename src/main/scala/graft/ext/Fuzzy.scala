@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
 object Fuzzy {
 
   /** Blocks larger than this are re-split into ceil(n/cap)
-    * deterministic sub-blocks (id mod nsplit) before the candidate
+    * deterministic sub-blocks (md5Hash60(id) mod nsplit — a HASH of
+    * the id, not the raw id: raw `id % nsplit` is defeated when a hot
+    * block's ids share a residue, e.g. after a generator's +1000000
+    * offset or 10× multiplier, collapsing every row into one sub-block
+    * and restoring the unbounded n²/2 verify) before the candidate
     * self-join — the entity-resolution analog of
     * [[Dedup.MaxBandBucket]] / [[Dedup.MaxSemCluster]]. An n-row block
     * contributes n²/2 candidate pairs, so one degenerate block (a
@@ -60,7 +64,7 @@ object Fuzzy {
     val sizes = p.groupBy(col("blk")).agg(count(lit(1)).as("cn"))
     val split = p.join(broadcast(sizes), Seq("blk"))
       .withColumn("sub",
-        pmod(col("id"),
+        pmod(Dedup.md5Hash60(col("id").cast("string")),
           floor((col("cn") + lit(cap - 1).cast("long")) / lit(cap))
             .cast("long")))
     val a = split.select(col("blk"), col("sub"),

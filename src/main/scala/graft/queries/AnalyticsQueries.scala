@@ -786,21 +786,42 @@ object AnalyticsQueries {
     // percentile must land between the exact percentiles at p∓0.02 —
     // a ±2% rank window, 200× the sketch's 1e-4 rank error, yet tight
     // enough that a wrong column / wrong pct / broken merge fails the
-    // driver's hash gate. The exact-percentile branch exists to GATE
-    // the sketch (at 100 TB only the sketch path ships; `quantiles`
-    // is the exact baseline query).
+    // driver's hash gate. The bracket is SNAPPED OUTWARD to the
+    // nearest ACTUAL elements: percentile_approx returns a data value,
+    // while interpolated percentile fabricates one — for a small group
+    // the open interpolated interval can contain no element at all,
+    // flipping the cell on a CORRECT sketch. Snapping (largest element
+    // ≤ lo, smallest ≥ hi, group min/max when none exists) makes the
+    // bracket attainable at every group size without loosening it
+    // where groups are large. The exact branch exists to GATE the
+    // sketch (at 100 TB only the sketch path ships; `quantiles` is the
+    // exact baseline query).
     "approx_quantiles" -> { (s, d) =>
-      def ok(a: Column, p: Double): Column =
-        a >= expr(s"percentile(value, ${p - 0.02})") &&
-          a <= expr(s"percentile(value, ${p + 0.02})")
-      Tables.events(s, d).groupBy(col("event_type"))
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.23)").as("lo25"),
+        expr("percentile(value, 0.27)").as("hi25"),
+        expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.88)").as("lo90"),
+        expr("percentile(value, 0.92)").as("hi90"))
+      def snapLo(t: String): Column =
+        coalesce(max(when(col("value") <= col(s"lo$t"), col("value"))),
+          min(col("value")))
+      def snapHi(t: String): Column =
+        coalesce(min(when(col("value") >= col(s"hi$t"), col("value"))),
+          max(col("value")))
+      def appr(p: Double): Column =
+        percentile_approx(col("value"), lit(p), lit(10000))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          ok(percentile_approx(col("value"), lit(0.25), lit(10000)), 0.25)
+          (appr(0.25) >= snapLo("25") && appr(0.25) <= snapHi("25"))
             .as("p25_ok"),
-          ok(percentile_approx(col("value"), lit(0.5), lit(10000)), 0.5)
+          (appr(0.5) >= snapLo("50") && appr(0.5) <= snapHi("50"))
             .as("p50_ok"),
-          ok(percentile_approx(col("value"), lit(0.9), lit(10000)), 0.9)
+          (appr(0.9) >= snapLo("90") && appr(0.9) <= snapHi("90"))
             .as("p90_ok"))
     }
   )

@@ -1860,8 +1860,10 @@ object ExtQueries {
          |GROUP BY 1""".stripMargin,
 
     // Mirrors Fuzzy.blockedMatch exactly: oversized blocks re-split
-    // into ceil(cn/1000) sub-blocks keyed by id mod nsplit (identity at
-    // this SF — largest block ≈ 30 rows — exactly like MaxSemCluster).
+    // into ceil(cn/1000) sub-blocks keyed by md5Hash60(id) mod nsplit
+    // — a hash of the id, so adversarial id residue patterns (shared
+    // offsets/multipliers) can't collapse a hot block into one
+    // sub-block (identity at this SF — largest block ≈ 30 rows).
     "fuzzy_match" ->
       s"""WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
         |synth AS (SELECT id + 1000000 AS id,
@@ -1873,8 +1875,10 @@ object ExtQueries {
         |sizes AS (SELECT blk, CAST(count(*) AS BIGINT) AS cn
         |          FROM pool GROUP BY 1),
         |sp AS (SELECT p.id, p.name, p.blk,
-        |              p.id % CAST(floor((cn + ${Fuzzy.MaxBlock - 1}) /
-        |                                ${Fuzzy.MaxBlock}.0) AS BIGINT) AS sub
+        |              CAST('0x' || substr(md5(CAST(p.id AS VARCHAR)), 1, 15)
+        |                   AS BIGINT)
+        |              % CAST(floor((cn + ${Fuzzy.MaxBlock - 1}) /
+        |                           ${Fuzzy.MaxBlock}.0) AS BIGINT) AS sub
         |       FROM pool p JOIN sizes USING (blk)),
         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
         |                 a.name AS name_a, b.name AS name_b,

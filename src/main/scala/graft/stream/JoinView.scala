@@ -30,8 +30,28 @@ import graft.ops.Incremental
   * (foreachBatch is at-least-once) are guarded by the batchId
   * high-water mark: add-merge is not idempotent, so a replayed batch
   * must be skipped, mirroring the reference's ON CONFLICT sinks.
+  *
+  * RESTART is unsupported by design: the high-water mark and history
+  * deltas live only in the in-memory [[Handle]], while
+  * `checkpointDir` is durable — a restarted query would skip
+  * already-committed batches against an EMPTY handle and silently
+  * omit all pre-restart history from the view. [[maintain]] fails
+  * fast if the checkpoint already holds progress; use a fresh dir
+  * per handle (the cluster deployment persists the handle state to
+  * bronze/silver tables instead, where resume is natural).
   */
 object JoinView {
+
+  /** Fold the per-batch delta history into ONE compacted checkpoint
+    * whenever this many frames accumulate, so the `hist` union and
+    * the ΔA⋈B_old plan stay O(CompactEvery) wide instead of
+    * O(batches) — a long-running stream otherwise degrades as every
+    * micro-batch re-unions the full delta vector (plan build + union
+    * exec both grow per batch). The fold materializes history rows
+    * (data-proportional IO, amortized 1/CompactEvery per batch) in
+    * exchange for a bounded plan — the single-JVM analog of bronze
+    * compaction. */
+  val CompactEvery = 8
 
   /** Mutable handle over the standing state; `view` is view-shaped
     * partials (keys*, n, sum_v, min_v, max_v — [[Incremental
@@ -65,8 +85,21 @@ object JoinView {
       checkpointDir: String,
       availableNow: Boolean = true): (StreamingQuery, Handle) = {
     val h = new Handle()
+    // Fail fast on a reused checkpoint (see object doc): any recorded
+    // offset means Spark has progress this in-memory handle lacks.
+    val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val fs = offsets.getFileSystem(
+      tagged.sparkSession.sessionState.newHadoopConf())
+    require(!fs.exists(offsets) || fs.listStatus(offsets).isEmpty,
+      s"JoinView.maintain: checkpoint dir '$checkpointDir' already " +
+        "contains streaming progress, but view state is in-memory only " +
+        "— resuming would silently omit all pre-restart history. " +
+        "Restart is unsupported; use a fresh checkpoint dir.")
     def hist(ds: Vector[DataFrame], empty: DataFrame): DataFrame =
       if (ds.isEmpty) empty else ds.reduce(_.unionByName(_))
+    def compacted(ds: Vector[DataFrame]): Vector[DataFrame] =
+      if (ds.size < CompactEvery) ds
+      else Vector(ds.reduce(_.unionByName(_)).localCheckpoint(true))
     val writer = tagged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -88,8 +121,8 @@ object JoinView {
             val merged = (Option(h.viewPartials).toSeq ++ terms)
               .reduce(Incremental.merge(_, _, keys))
             h.viewPartials = merged.localCheckpoint(true)
-            h.aDeltas :+= dA
-            h.bDeltas :+= dB
+            h.aDeltas = compacted(h.aDeltas :+ dA)
+            h.bDeltas = compacted(h.bDeltas :+ dB)
             h.lastBatchId = batchId
           } finally {
             batch.unpersist()

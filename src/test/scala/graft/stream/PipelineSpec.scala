@@ -449,6 +449,78 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("join-view history compacts: 20+ batches, bounded plan, view ≡ full recompute") {
+    // CompactEvery=8 fires twice over 22 batches; the delta vectors
+    // must never exceed CompactEvery frames (the O(batches) hist-union
+    // degradation the compaction exists to prevent), and the view must
+    // stay indistinguishable from one full join over all input.
+    def fact(m: String, v: Double) = SensorReading("2025-01-01T00:00:00", m, "t", v)
+    def dim(m: String, t: String) = SensorReading("2025-01-01T00:00:00", m, s"dim:$t", 0)
+    // batch i: one fact for machine M{i%5} and, every 4th batch, a dim
+    // row for M{i%5} — so cross-batch quadrants engage continually.
+    val batches = (0 until 22).map { i =>
+      val m = s"M${i % 5}"
+      Seq(fact(m, i.toDouble)) ++
+        (if (i % 4 == 0) Seq(dim(m, s"T${i % 5}")) else Nil)
+    }
+    val ms = MemoryStream[SensorReading](spark)
+    val splitA = (b: DataFrame) => b.filter(!col("sensor_type").startsWith("dim:"))
+      .select(col("machine_id"), col("value"))
+    val splitB = (b: DataFrame) => b.filter(col("sensor_type").startsWith("dim:"))
+      .select(col("machine_id").as("dim_machine_id"),
+        expr("substring(sensor_type, 5)").as("machine_type"))
+    val (q, h) = JoinView.maintain(ms.toDF(), splitA, splitB,
+      join = (f, d) => f.join(d, col("machine_id") === col("dim_machine_id")),
+      keys = Seq("machine_type"), value = "value", scale = 2,
+      checkpointDir = s"${tmp()}/ckpt", availableNow = false)
+    try {
+      batches.foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+        assert(h.aDeltas.size <= JoinView.CompactEvery,
+          s"aDeltas grew past CompactEvery: ${h.aDeltas.size}")
+        assert(h.bDeltas.size <= JoinView.CompactEvery,
+          s"bDeltas grew past CompactEvery: ${h.bDeltas.size}")
+      }
+      // compaction actually fired: 22 appends with two folds leaves
+      // fewer frames than batches
+      assert(h.aDeltas.size < batches.size)
+      val all = batches.flatten.toDF()
+      val full = graft.ops.Incremental.partials(
+        splitA(all).join(splitB(all),
+          col("machine_id") === col("dim_machine_id")),
+        Seq("machine_type"), "value", scale = 2)
+      def snap(df: DataFrame): Set[(String, Long, Double, Double, Double)] =
+        df.select(col("machine_type"), col("n"),
+          col("sum_v").cast("double"), col("min_v"), col("max_v"))
+          .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(snap(h.view) == snap(full))
+    } finally q.stop()
+  }
+
+  test("join-view refuses a reused checkpoint dir (restart unsupported)") {
+    def fact(m: String, v: Double) = SensorReading("2025-01-01T00:00:00", m, "t", v)
+    val ckpt = s"${tmp()}/ckpt"
+    val splitA = (b: DataFrame) => b.filter(!col("sensor_type").startsWith("dim:"))
+      .select(col("machine_id"), col("value"))
+    val splitB = (b: DataFrame) => b.filter(col("sensor_type").startsWith("dim:"))
+      .select(col("machine_id").as("dim_machine_id"),
+        expr("substring(sensor_type, 5)").as("machine_type"))
+    def start(ms: MemoryStream[SensorReading]) =
+      JoinView.maintain(ms.toDF(), splitA, splitB,
+        join = (f, d) => f.join(d, col("machine_id") === col("dim_machine_id")),
+        keys = Seq("machine_type"), value = "value", scale = 2,
+        checkpointDir = ckpt, availableNow = false)
+    val ms1 = MemoryStream[SensorReading](spark)
+    val (q1, _) = start(ms1)
+    try { ms1.addData(Seq(fact("M1", 1.0))); q1.processAllAvailable() }
+    finally q1.stop()
+    // same dir again: the durable checkpoint has progress the fresh
+    // in-memory handle lacks — must fail fast, not silently resume
+    val ms2 = MemoryStream[SensorReading](spark)
+    val ex = intercept[IllegalArgumentException] { start(ms2) }
+    assert(ex.getMessage.contains("fresh checkpoint dir"))
+  }
+
   test("enriched raw branch realizes machine_type/location in-stream (E1)") {
     val ms = MemoryStream[SensorReading](spark)
     val machines = graft.gen.DataGen.machineDim(spark)
