@@ -879,6 +879,57 @@ object ExtQueries {
             |  AS avg_lp_x1e6""".stripMargin)
     },
 
+    // Bigram conditional log-probability fluency score (round 10) —
+    // unigram_logprob's next order: P(w2|w1) with add-1 smoothing over
+    // the corpus unigram vocabulary, the classic KenLM-style fluency
+    // proxy that catches shuffled/garbled text a unigram LM scores as
+    // fluent (same words, broken transitions). Exact-integer
+    // discipline identical to unigram_logprob: ln((c(w1,w2)+1)/
+    // (c(w1·)+|V|)) is scaled to BIGINT once per DISTINCT BIGRAM; doc
+    // totals are exact Σ tf·lp; the mean is signed HALF_UP integer
+    // division — no double crosses an aggregate. Shape: the token
+    // arrays materialize ONCE (localCheckpoint, two consumers: vocab
+    // count + bigram explode); bigrams derive map-side via zip_with
+    // over adjacent slices (no positional self-join — the (doc,pos)⋈
+    // (doc,pos+1) formulation shuffles the whole corpus twice); the
+    // conditional denominator c(w1·) rides the DISTINCT-BIGRAM frame
+    // (head-group sums), never the corpus; |V| is a broadcast 1-row.
+    // 100 TB: everything after the one (doc,bigram) tf exchange is
+    // vocab-sized — per-round cost rides the distinct bigram count.
+    "bigram_logprob" -> { (s, d) =>
+      val docs = Dedup.rebalance(Tables.documents(s, d))
+      val toks = docs.select(col("doc_id"),
+          TextOps.tokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(true)
+      val v = toks.select(explode(col("toks")).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      val tf = toks
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val cbf = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cbf"))
+        .withColumn("head", substring_index(col("bigram"), " ", 1))
+      val heads = cbf.groupBy(col("head")).agg(sum(col("cbf")).as("hc"))
+      val lp = cbf.join(heads, "head").crossJoin(broadcast(v))
+        .select(col("bigram"),
+          floor(log((col("cbf") + 1).cast("double") /
+              (col("hc") + col("v")).cast("double")) * 1e6 + 0.5)
+            .cast("long").as("lp_x1e6"))
+      tf.join(lp, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * col("lp_x1e6")).as("sum_lp_x1e6"))
+        .withColumn("num", col("sum_lp_x1e6"))
+        .selectExpr("doc_id", "n_bigrams", "sum_lp_x1e6",
+          """CASE WHEN num >= 0 THEN (2 * num + n_bigrams) div (2 * n_bigrams)
+            |     ELSE -((2 * -num + n_bigrams) div (2 * n_bigrams)) END
+            |  AS avg_lp_x1e6""".stripMargin)
+    },
+
     // DSIR-style importance weights (round 8; Xie et al. 2023 motivate
     // importance resampling from an n-gram proxy): per-doc log
     // importance weight between the TARGET distribution (lang='en'
@@ -1747,6 +1798,41 @@ object ExtQueries {
          |  CAST(CASE WHEN sum_lp_x1e6 >= 0
          |       THEN (2 * sum_lp_x1e6 + n_tokens) // (2 * n_tokens)
          |       ELSE -((2 * -sum_lp_x1e6 + n_tokens) // (2 * n_tokens)) END
+         |    AS BIGINT) AS avg_lp_x1e6
+         |FROM a""".stripMargin,
+
+    // bigram_logprob: mirrors the Spark plan — bigrams via 1-based
+    // adjacent list indexing (range(1, len) = positions 1..len-1),
+    // add-1-smoothed conditional lp scaled to BIGINT once per distinct
+    // bigram, exact-integer doc sums + signed HALF_UP mean.
+    "bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |                     list_transform($ToksSql, t -> lower(t)) AS toks
+         |              FROM documents),
+         |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+         |      FROM (SELECT unnest(toks) AS term FROM toks)),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |       FROM toks),
+         |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |cbf AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cbf,
+         |               split_part(bigram, ' ', 1) AS head
+         |        FROM tf GROUP BY 1),
+         |heads AS (SELECT head, CAST(sum(cbf) AS BIGINT) AS hc
+         |          FROM cbf GROUP BY 1),
+         |lp AS (SELECT bigram,
+         |         CAST(floor(ln(CAST(cbf + 1 AS DOUBLE) /
+         |                       CAST(hc + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |           AS lp_x1e6
+         |       FROM cbf JOIN heads USING (head) CROSS JOIN v),
+         |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |             CAST(sum(tf * lp_x1e6) AS BIGINT) AS sum_lp_x1e6
+         |      FROM tf JOIN lp USING (bigram) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_lp_x1e6,
+         |  CAST(CASE WHEN sum_lp_x1e6 >= 0
+         |       THEN (2 * sum_lp_x1e6 + n_bigrams) // (2 * n_bigrams)
+         |       ELSE -((2 * -sum_lp_x1e6 + n_bigrams) // (2 * n_bigrams)) END
          |    AS BIGINT) AS avg_lp_x1e6
          |FROM a""".stripMargin,
 
