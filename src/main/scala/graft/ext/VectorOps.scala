@@ -214,9 +214,27 @@ object VectorOps {
   def pqSearchTopK(corpus: DataFrame, query: DataFrame, k: Int,
       rerank: Int = 40, nSub: Int = 8, subDim: Int = 8,
       nCode: Int = 16): DataFrame = {
+    val (cb, codes) = pqIndex(corpus, nSub, subDim, nCode)
+    pqAdcTopK(corpus, cb, codes, query, k, rerank, nSub, subDim)
+  }
+
+  /** Build the IVF-PQ stored index once: (codebook, codes). The
+    * many-queries serving shape — `ann_recall` derives this once and
+    * runs every query against it, which is exactly how the index is
+    * used at 100 TB (codes written once, bucketed by vec_id; each
+    * query is a broadcast LUT + one agg over codes). */
+  def pqIndex(corpus: DataFrame, nSub: Int = 8, subDim: Int = 8,
+      nCode: Int = 16): (DataFrame, DataFrame) = {
     val cb = pqCodebook(corpus, nCode)
-    val codes = pqEncodeWith(corpus, cb, nSub, subDim)
-      .select(col("vec_id"), col("subspace"), col("code"))
+    (cb, pqEncodeWith(corpus, cb, nSub, subDim)
+      .select(col("vec_id"), col("subspace"), col("code")))
+  }
+
+  /** [[pqSearchTopK]]'s query path against a PRE-BUILT index from
+    * [[pqIndex]] — no per-query codebook or encode pass. */
+  def pqAdcTopK(corpus: DataFrame, cb: DataFrame, codes: DataFrame,
+      query: DataFrame, k: Int, rerank: Int = 40, nSub: Int = 8,
+      subDim: Int = 8): DataFrame = {
     val qrow = query.select(col("q").as("qq"))
     val lut = cb.crossJoin(qrow)
       .select(col("code_id"),
@@ -269,13 +287,31 @@ object VectorOps {
       nCentroids: Int = IvfFlatCentroids, nProbe: Int = IvfFlatProbes)
       : DataFrame = {
     val base = corpus.select(id.as("vec_id"), vec.as("v"))
-    val cents: Array[(Long, Array[Double])] = base
+    val cents = ivfFlatRouting(base, nCentroids)
+    val qv: Array[Double] = query.select(queryVec.cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    ivfFlatTopKRouted(base, cents, qv, k, nProbe)
+  }
+
+  /** The IVF-Flat coordinator-side routing table: the `nCentroids`
+    * md5-lowest corpus vectors, collected once (≤ nCentroids tiny
+    * vectors — model-sized, NOT a data collect). Shared across
+    * queries by [[ivfFlatTopKRouted]]. */
+  def ivfFlatRouting(base: DataFrame, nCentroids: Int = IvfFlatCentroids)
+      : Array[(Long, Array[Double])] =
+    base
       .select(col("vec_id"), col("v").cast("array<double>").as("cv"))
       .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
       .limit(nCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** [[ivfFlatTopK]]'s probe path against a pre-collected routing
+    * table — the many-queries serving shape. */
+  def ivfFlatTopKRouted(base: DataFrame,
+      cents: Array[(Long, Array[Double])], qv: Array[Double], k: Int,
+      nProbe: Int = IvfFlatProbes): DataFrame = {
     // Nearest centroid per row — min over lexicographic (distance, cid),
     // fused into one codegen loop (see [[graft.ext.expr.NearestCentroid]];
     // the HOF formulation runs interpreted per centroid per row).
@@ -283,8 +319,6 @@ object VectorOps {
       col("v"), cents.map(_._2.toSeq).toSeq, cents.map(_._1).toSeq)
     // Query routing on the driver, in the same left-to-right double
     // arithmetic the in-plan expression and the oracle use.
-    val qv: Array[Double] = query.select(queryVec.cast("array<double>"))
-      .head().getSeq[Double](0).toArray
     def sqDist(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var j = 0
       while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }

@@ -416,6 +416,77 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
+    // ANN retrieval-quality gate (round 10) — recall@k of BOTH
+    // approximate search paths (IVF-Flat sampled-centroid, IVF-PQ ADC
+    // + exact rerank) against the exact CosineSim top-k, as an
+    // error-bound-boolean oracle (the approx_distinct / hll pattern):
+    // per-query hit counts reduce to TRUE-asserted bound cells
+    // (recall ≥ 0.7 at k=10). The corpus PLANTS true neighbors — 10
+    // perturbed copies (+0.0001·j) of each query vector, the semdedup
+    // synth convention — because the raw synthetic embeddings are
+    // near-orthogonal random vectors whose top-10 is barely
+    // distinguishable from rank 11+ (measured: IVF 3-8/10, PQ 4-8/10
+    // hits — bucket pruning cannot beat chance on structureless
+    // data, and no real retrieval corpus is structureless). With
+    // planted structure the gate measures the RETRIEVAL MACHINERY:
+    // broken routing, a wrong codebook, or a collapsed rerank loses
+    // the planted neighbors and drives hits below 7. Until now recall
+    // was gated only by VectorOpsSpec at toy scale; this puts it
+    // under the driver's hash gate at sf0.01 AND sf0.1. Shape: the
+    // indexes build ONCE (routing table collected once — model-sized;
+    // PQ codebook+codes derived once, checkpointed) and all nQ
+    // queries probe them — the 100 TB serving shape, where per-query
+    // cost is bucket-pruned scans and a 128-int LUT agg, never an
+    // index rebuild.
+    "ann_recall" -> { (s, d) =>
+      val k = 10; val nQ = 5
+      val raw = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val plant = raw.filter(col("vec_id") < nQ)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(k))).as("j"))
+        .select((lit(9000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + col("j") * lit(0.0001)).cast("float")).as("embedding"))
+      val emb = raw.unionByName(plant).localCheckpoint(true)
+      val base = emb.select(col("vec_id"), col("embedding").as("v"))
+      val cents = VectorOps.ivfFlatRouting(base)
+      val qcorpus = emb.select(col("vec_id"), VectorOps.quantize1000(
+          col("embedding").cast("array<double>")).as("q"))
+        .localCheckpoint(true)
+      val (cb0, codes0) = VectorOps.pqIndex(qcorpus)
+      val cb = cb0.localCheckpoint(true)
+      val codes = codes0.localCheckpoint(true)
+      val qvecs = emb.filter(col("vec_id") < nQ)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val marked = qvecs.map { case (qid, qv) =>
+        def mark(df: org.apache.spark.sql.DataFrame, m: String) =
+          df.select(lit(qid).as("query_id"), col("vec_id"),
+            lit(if (m == "ex") 1 else 0).as("ex"),
+            lit(if (m == "iv") 1 else 0).as("iv"),
+            lit(if (m == "pq") 1 else 0).as("pq"))
+        mark(VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") === qid), col("embedding"), k), "ex")
+          .unionByName(mark(
+            VectorOps.ivfFlatTopKRouted(base, cents, qv, k), "iv"))
+          .unionByName(mark(VectorOps.pqAdcTopK(qcorpus, cb, codes,
+            qcorpus.filter(col("vec_id") === qid), k), "pq"))
+      }.reduce(_ unionByName _)
+      marked
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("ex")).as("ex"), max(col("iv")).as("iv"),
+          max(col("pq")).as("pq"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("ex")).as("n_exact"),
+          sum(col("ex") * col("iv")).as("ivf_hits"),
+          sum(col("ex") * col("pq")).as("pq_hits"))
+        .select(col("query_id"), col("n_exact"),
+          (col("ivf_hits") >= lit(7L)).as("ivf_recall_ok"),
+          (col("pq_hits") >= lit(7L)).as("pq_recall_ok"))
+    },
+
     // Fuzzy entity resolution (round 6; capped round 9) — blocked
     // Levenshtein match, the record-linkage / entity-dedup primitive
     // (names, titles, addresses) that exact and shingle dedup both
@@ -1202,6 +1273,17 @@ object ExtQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ivf_topk" -> ivfFlatOracle,
+
+    // ann_recall: the bound-boolean pattern — query ids and the exact
+    // branch's row count replay relationally; the recall cells are
+    // asserted literal TRUE (recall ≥ 0.7 at k=10 for both the
+    // IVF-Flat and IVF-PQ ADC paths). A wrong index, broken routing,
+    // or collapsed rerank drives hits below 7 and fails the hash gate.
+    "ann_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |       CAST(10 AS BIGINT) AS n_exact,
+        |       TRUE AS ivf_recall_ok, TRUE AS pq_recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
