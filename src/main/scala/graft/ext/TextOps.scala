@@ -37,6 +37,37 @@ object TextOps {
       transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Separator for the BPE trainer's symbol-sequence encoding: every
+    * symbol is flanked by a DOUBLE separator (␁␁sym␁␁sym␁␁), so a
+    * merge is a literal replace of ␁p1␁␁p2␁ → ␁p1p2␁. Both engines'
+    * literal replace scans left-to-right non-overlapping — exactly
+    * greedy BPE — and the double boundary is load-bearing: each match
+    * consumes only the INNER half of its flanking boundaries, so runs
+    * like a·a·a·a merge twice (single separators would be consumed by
+    * the first match, hiding the second), and a pattern can never
+    * match inside a symbol (a match's single-separator edges must
+    * land on boundary halves, forcing p1/p2 to be complete symbols). */
+  val BpeSep = "\u0001"
+  val BpeBoundary: String = BpeSep + BpeSep
+
+  /** Initial BPE representation of a word: its characters, each
+    * flanked by double separators. */
+  def bpeInitRep(w: Column): Column =
+    concat(lit(BpeBoundary),
+      array_join(transform(sequence(lit(1), length(w)),
+        j => w.substr(j, lit(1))), BpeBoundary),
+      lit(BpeBoundary))
+
+  /** Symbol array of an encoded representation. */
+  def bpeSymbols(rep: Column): Column =
+    filter(split(rep, BpeBoundary), x => x =!= "")
+
+  /** Apply one merge (p1, p2) → p1p2 greedily left-to-right. */
+  def bpeMerge(rep: Column, p1: Column, p2: Column): Column =
+    replace(rep,
+      concat(lit(BpeSep), p1, lit(BpeBoundary), p2, lit(BpeSep)),
+      concat(lit(BpeSep), p1, p2, lit(BpeSep)))
+
   /** Word n-gram shingles ("a b c" for n=3) from a token array.
     * Empty when the doc has fewer than n tokens (sequence() would
     * otherwise run backwards). */

@@ -839,6 +839,57 @@ object ExtQueries {
         .orderBy(col("pair_count").desc, col("pair")).limit(50)
     },
 
+    // Iterated BPE merge TRAINING (round 10) — bpe_pairs computes one
+    // round of merge candidates; this unrolls N=4 full trainer rounds
+    // (Sennrich et al. 2016): count adjacent symbol pairs weighted by
+    // word frequency → apply the top merge to every word → re-count.
+    // Output: the merge table (round, p1, p2, merged, pair_count) — a
+    // real tokenizer's training artifact. Symbol sequences live as
+    // DOUBLE-separator strings (␁␁sym␁␁sym␁␁): the merge is then a
+    // literal replace of ␁p1␁␁p2␁ → ␁p1p2␁, and both engines' replace
+    // scans left-to-right non-overlapping — exactly greedy BPE. The
+    // double boundary is load-bearing: with single separators the
+    // pattern consumes the next match's leading boundary ("a a a a"
+    // merges once instead of twice); with doubled ones each match
+    // consumes only the inner halves, so runs merge greedily —
+    // and a pattern can never match inside a symbol (every ␁ belongs
+    // to a boundary; a match's edges must land on boundary halves,
+    // forcing p1/p2 to be complete symbols). 100 TB shape: the ONLY
+    // corpus-sized pass is the initial word-count agg; every round
+    // runs over the DISTINCT VOCAB (split + pair explode + one tiny
+    // agg + map-side replace), checkpointed per round so the merge
+    // table's branches share work — per-round cost rides vocab size,
+    // however many tokens the corpus holds.
+    "bpe_train" -> { (s, d) =>
+      val N = 4
+      val wc = Dedup.rebalance(Tables.documents(s, d))
+        .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      var rep = wc.select(col("wn"), TextOps.bpeInitRep(col("w")).as("rep"))
+        .localCheckpoint(true)
+      val merges = (1 to N).map { i =>
+        val top1 = rep.select(col("wn"), TextOps.bpeSymbols(col("rep")).as("sy"))
+          .select(col("wn"), explode(when(size(col("sy")) >= 2,
+              transform(sequence(lit(1), size(col("sy")) - 1),
+                k => struct(element_at(col("sy"), k).as("p1"),
+                  element_at(col("sy"), k + 1).as("p2"))))
+            .otherwise(array().cast("array<struct<p1:string,p2:string>>")))
+            .as("pr"))
+          .select(col("wn"), col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .groupBy(col("p1"), col("p2")).agg(sum(col("wn")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
+          .localCheckpoint(true)
+        rep = rep.crossJoin(broadcast(top1))
+          .select(col("wn"),
+            TextOps.bpeMerge(col("rep"), col("p1"), col("p2")).as("rep"))
+          .localCheckpoint(true)
+        top1.select(lit(i).as("round"), col("p1"), col("p2"),
+          concat(col("p1"), col("p2")).as("merged"),
+          col("cnt").as("pair_count"))
+      }
+      merges.reduce(_ unionByName _)
+    },
+
     // Count-Min frequency estimates (round 8) — the first EXACTLY
     // oracled sketch: CMS cells are pure sums (partition-invariant,
     // unlike MG/HLL), so the 4×2048 sketch built over every 3-gram
@@ -1796,6 +1847,38 @@ object ExtQueries {
          |        FROM pr GROUP BY 1)
          |SELECT pair, pair_count FROM agg
          |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    // bpe_train: the N merge rounds replay as chained CTEs — same
+    // double-separator string representation (sep = chr(1)), same
+    // literal left-to-right replace, same (cnt DESC, p1, p2) top-1.
+    "bpe_train" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""sy$i AS (SELECT wn, list_filter(string_split(rep, bb), x -> x <> '') AS sy
+           |         FROM r${i - 1} CROSS JOIN sep),
+           |pc$i AS (SELECT p1, p2, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+           |           SELECT wn, sy[k] AS p1, sy[k + 1] AS p2
+           |           FROM (SELECT wn, sy, unnest(generate_series(1, len(sy) - 1)) AS k
+           |                 FROM sy$i))
+           |         GROUP BY 1, 2),
+           |t$i AS (SELECT p1, p2, cnt FROM pc$i ORDER BY cnt DESC, p1, p2 LIMIT 1),
+           |r$i AS (SELECT wn, replace(rep, s1 || p1 || bb || p2 || s1,
+           |                           s1 || p1 || p2 || s1) AS rep
+           |        FROM r${i - 1} CROSS JOIN t$i CROSS JOIN sep)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 4).map(i =>
+        s"SELECT $i AS round, p1, p2, p1 || p2 AS merged, cnt AS pair_count FROM t$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH sep AS (SELECT chr(1) AS s1, chr(1) || chr(1) AS bb),
+         |w AS (SELECT unnest(list_transform($ToksSql, t -> lower(t))) AS w
+         |      FROM documents),
+         |wc0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM w GROUP BY 1),
+         |r0 AS (SELECT wn, bb || array_to_string(
+         |         list_transform(generate_series(1, len(w)), j -> substr(w, j, 1)),
+         |         chr(1) || chr(1)) || bb AS rep
+         |       FROM wc0 CROSS JOIN sep),
+         |$rounds
+         |$out""".stripMargin
+    },
 
     // cms_freq: the 4×2048 Count-Min sketch replayed relationally —
     // cell (i, p) is the occurrence count mapping there under the same

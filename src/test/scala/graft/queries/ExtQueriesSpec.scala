@@ -207,6 +207,53 @@ class ExtQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bpe merge encoding: greedy runs, multi-char symbols, no intra-symbol match") {
+    import graft.ext.TextOps
+    val df = Seq("aaaa", "aab", "xab").toDF("w")
+      .select(col("w"), TextOps.bpeInitRep(col("w")).as("rep"))
+    // merge (a,a): "aaaa" → [aa, aa] (greedy non-overlapping, TWO
+    // merges — the case single separators get wrong), "aab" → [aa, b],
+    // "xab" untouched ("xa","b" adjacency must NOT match inside the
+    // symbol boundary structure)
+    val m1 = df.select(col("w"),
+      TextOps.bpeSymbols(TextOps.bpeMerge(col("rep"), lit("a"), lit("a")))
+        .as("sy"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(m1("aaaa") == List("aa", "aa"))
+    assert(m1("aab") == List("aa", "b"))
+    assert(m1("xab") == List("x", "a", "b"))
+    // second-order merge over multi-char symbols: (aa,aa) → aaaa
+    val m2 = Seq("aaaa").toDF("w")
+      .select(TextOps.bpeSymbols(TextOps.bpeMerge(
+        TextOps.bpeMerge(TextOps.bpeInitRep(col("w")), lit("a"), lit("a")),
+        lit("aa"), lit("aa"))).as("sy"))
+      .head().getSeq[String](0).toList
+    assert(m2 == List("aaaa"))
+  }
+
+  test("bpe_train: 4 merge rounds, counts consistent with bpe_pairs round 1") {
+    val out = ExtQueries.queries("bpe_train")(spark, sf)
+      .orderBy("round").collect()
+    assert(out.length == 4)
+    // round 1's winning pair IS bpe_pairs' top candidate (same corpus,
+    // same weighting) — the trainer's first step must agree with the
+    // one-round candidate counter
+    val top = ExtQueries.queries("bpe_pairs")(spark, sf)
+      .orderBy(col("pair_count").desc, col("pair")).limit(1).head()
+    assert(out(0).getAs[String]("merged") == top.getAs[String]("pair"))
+    assert(out(0).getAs[Long]("pair_count") == top.getAs[Long]("pair_count"))
+    // merged symbols accumulate: each round's pair members are either
+    // single chars or previously-merged symbols
+    val prior = scala.collection.mutable.Set.empty[String]
+    out.foreach { r =>
+      Seq(r.getAs[String]("p1"), r.getAs[String]("p2")).foreach { p =>
+        assert(p.length == 1 || prior.contains(p),
+          s"round ${r.getAs[Int]("round")}: symbol '$p' neither char nor prior merge")
+      }
+      prior += r.getAs[String]("merged")
+    }
+  }
+
   test("bpe_pairs: pair counts are word-frequency-weighted (hand check)") {
     // corpus: "aaa bb" ×2 docs + "aaa" ×1 → word counts: aaa=3, bb=2
     // pairs: aa appears 2× in "aaa" → 2·3=6; bb 1× in "bb" → 2
