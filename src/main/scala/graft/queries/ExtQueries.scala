@@ -314,6 +314,20 @@ object ExtQueries {
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
     },
 
+    // End-to-end corpus-pipeline capstone (round 10) — the COMPOSITION
+    // of the individually-gated stages in training-run order: quality
+    // filter → URL dedup → exact-text dedup → MinHash near dedup (LSH
+    // → CC) → decontamination (eval split out + ≥20%-contaminated
+    // train docs out) → mixture sampling → sequence packing. Each
+    // stage is separately oracled, but interface drift BETWEEN stages
+    // is the bug class per-stage gates cannot catch — this gates the
+    // chain: the packed table's offsets depend on the exact survivor
+    // set per shard, so any stage regression hash-mismatches. Planted
+    // artifacts give every stage real work (see ext.CorpusPipeline).
+    "corpus_pipeline" -> { (s, d) =>
+      graft.ext.CorpusPipeline.build(Tables.documents(s, d)).packed
+    },
+
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
     // highest-quality member of each duplicate group, not the smallest
     // id: pairs → CC → join the (tiny) label set to per-doc quality →
@@ -1113,7 +1127,13 @@ object ExtQueries {
 
   /** CTE chain ending in `pairs(doc_a, doc_b, est_jaccard)` — the
     * DuckDB replica of Dedup.minhashPairs over the near-dup corpus. */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = s"$CorpusCte,\n$minhashChainCtes"
+
+  /** The minhash machinery AFTER the corpus definition: reads a CTE
+    * named `corpus(doc_id, text)` and ends in `pairs`. Shared by the
+    * dedup oracles (over [[CorpusCte]]) and corpus_pipeline (over its
+    * stage-3 survivors). */
+  private def minhashChainCtes: String = {
     val sigmCols = (0 until Dedup.NumHashes / 4)
       .map(i => s"md5('$i:' || s) AS m$i").mkString(", ")
     val sigCols = (0 until Dedup.NumHashes).map { k =>
@@ -1127,8 +1147,7 @@ object ExtQueries {
     }.mkString("\n  UNION ALL\n")
     val nEq = (0 until Dedup.NumHashes)
       .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""$CorpusCte,
-       |ct AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
+    s"""ct AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
        |cu AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM ct),
        |csh AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
        |               lead(w,2) OVER win AS w2
@@ -1456,6 +1475,111 @@ object ExtQueries {
          |WHERE c.doc_id NOT IN (SELECT node FROM losers)""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
+
+    // corpus_pipeline: the full chain replayed as one CTE cascade —
+    // planted corpus, quality rules, URL canonicalization (url_dedup's
+    // regex chain), exact-text QUALIFY, the shared minhash machinery
+    // over the stage-3 survivors (minhashChainCtes + recursive CC),
+    // contamination split/threshold, mixture keep test, pack window.
+    "corpus_pipeline" ->
+      s"""WITH RECURSIVE
+         |aug AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000, array_to_string(toks[1:2], ' '), source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
+         |  UNION ALL
+         |  SELECT doc_id + 5000000000, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 6000000000, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000,
+         |         array_to_string(list_slice(toks, 1, greatest(len(toks) - 3, 1)), ' '),
+         |         source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
+         |  UNION ALL
+         |  SELECT doc_id + 7000000000,
+         |         array_to_string(toks[1:20], ' ') || ' ' ||
+         |         array_to_string(list_transform(generate_series(1, 20),
+         |           k -> 'zq' || CAST(doc_id AS VARCHAR) || 'x' || CAST(k AS VARCHAR)), ' '),
+         |         source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)),
+         |qr AS (SELECT doc_id, text, source,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(length(array_to_string(toks, '')) AS BIGINT) AS char_sum,
+         |         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) AS BIGINT) AS text_len
+         |       FROM (SELECT doc_id, text, source, $ToksSql AS toks FROM aug)),
+         |s1 AS (SELECT doc_id, text, source FROM qr
+         |       WHERE NOT ((n_words < 5) OR (n_words > 50000)
+         |         OR (n_words > 0 AND (CAST(char_sum AS DOUBLE) / n_words < 2.0
+         |                              OR CAST(char_sum AS DOUBLE) / n_words > 15.0))
+         |         OR (text_len > 0 AND CAST(n_punct AS DOUBLE) / text_len > 0.2))),
+         |s2u AS (SELECT doc_id, text, source,
+         |          CASE WHEN doc_id >= 5000000000 AND doc_id < 6000000000
+         |            THEN 'HTTPS://WWW.Site' || CAST((doc_id - 5000000000) % 7 AS VARCHAR)
+         |                 || '.COM:80/p/' || CAST(doc_id - 5000000000 AS VARCHAR)
+         |            ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         |                 || '.com/p/' || CAST(doc_id AS VARCHAR) END AS url
+         |        FROM s1),
+         |s2n AS (SELECT doc_id, text, source,
+         |          regexp_replace(regexp_replace(
+         |            lower(regexp_extract(t, '^([^/]*)', 1)),
+         |            ':(80|443)$$', ''), '^www\\.', '') ||
+         |          regexp_replace(regexp_replace(t, '^[^/]*', ''), '/$$', '') AS canon
+         |        FROM (SELECT doc_id, text, source,
+         |                regexp_replace(regexp_replace(regexp_replace(url,
+         |                  '#.*$$', ''), '\\?.*$$', ''), '(?i)^https?://', '') AS t
+         |              FROM s2u)),
+         |s2 AS (SELECT doc_id, text, source FROM s2n
+         |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canon)),
+         |s3c AS (SELECT doc_id, text, source FROM s2
+         |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY lower(trim(text)))),
+         |corpus AS (SELECT doc_id, text FROM s3c),
+         |$minhashChainCtes,
+         |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, d FROM und
+         |  UNION
+         |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
+         |lbl AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node),
+         |losers AS (SELECT node FROM lbl WHERE node <> group_id),
+         |s4 AS (SELECT doc_id, text, source FROM s3c
+         |       WHERE doc_id NOT IN (SELECT node FROM losers)),
+         |u5 AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+         |       FROM (SELECT doc_id, $ToksSql AS toks FROM s4)),
+         |sh5 AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win5, lead(w,2) OVER win5) AS s,
+         |               lead(w,2) OVER win5 AS w2
+         |        FROM u5 WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos)),
+         |hv5 AS (SELECT doc_id,
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 AS shard,
+         |          CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+         |        FROM sh5 WHERE w2 IS NOT NULL),
+         |ev5 AS (SELECT DISTINCT h FROM hv5 WHERE shard < 2),
+         |tr5 AS (SELECT DISTINCT doc_id, h FROM hv5 WHERE shard >= 2),
+         |bad5 AS (SELECT tr5.doc_id FROM tr5 LEFT JOIN ev5 ON ev5.h = tr5.h
+         |         GROUP BY tr5.doc_id
+         |         HAVING 5 * sum(CASE WHEN ev5.h IS NOT NULL THEN 1 ELSE 0 END) >= count(*)),
+         |s5 AS (SELECT doc_id, text, source FROM s4
+         |       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 >= 2
+         |         AND doc_id NOT IN (SELECT doc_id FROM bad5)),
+         |w6 AS (SELECT source AS stratum,
+         |              (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 200 AS permille
+         |       FROM (SELECT DISTINCT source FROM s5)),
+         |s6 AS (SELECT doc_id, text FROM s5 JOIN w6 ON s5.source = w6.stratum
+         |       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |             < permille * 1152921504606846 + (permille * 976) // 1000),
+         |t7 AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |       FROM s6),
+         |w7 AS (SELECT doc_id, n_tokens, h % 8 AS shard,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_toks
+         |       FROM t7)
+         |SELECT doc_id, n_tokens, shard, offset_toks,
+         |       offset_toks // 256 AS pack_seq
+         |FROM w7""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,

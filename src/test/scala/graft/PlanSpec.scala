@@ -484,4 +484,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"),
       s"the closing-edge membership test must be a semi join, not inner+distinct:\n$p")
   }
+
+  test("corpus_pipeline: one corpus scan total; every stage derives from the checkpointed seams") {
+    val st = graft.ext.CorpusPipeline.build(graft.Tables.documents(spark, sf))
+    // The corpus parquet was scanned ONCE — into the checkpointed
+    // base during build(). Every stage plan must read checkpoint RDD
+    // blocks, never the file again: a "Scan parquet" in any stage
+    // means that stage re-derives the corpus from disk.
+    for ((name, df) <- Seq(
+        "afterQuality" -> st.afterQuality,
+        "afterUrlDedup" -> st.afterUrlDedup,
+        "afterExactDedup" -> st.afterExactDedup,
+        "afterNearDedup" -> st.afterNearDedup,
+        "afterDecontam" -> st.afterDecontam,
+        "packed" -> st.packed)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Scan parquet"),
+        s"$name re-scans the corpus parquet instead of the checkpointed seam:\n$p")
+    }
+    val p = st.packed.queryExecution.executedPlan.toString
+    // stage 5-7 shapes: eval shingles + contaminated set + mixture
+    // weights all meet the corpus through broadcasts; nothing plans a
+    // cartesian
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3,
+      s"eval probe, contamination anti-join, and weights must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
