@@ -477,8 +477,18 @@ object Dedup {
   def similarityJoin(docs: DataFrame, id: Column, text: Column,
                      thrNum: Int, thrDen: Int, n: Int = 3): DataFrame = {
     val ds = hashedShingleSets(docs, id, text, n)
+    val cand = similarityCandidates(ds, thrNum, thrDen)
+    verifyJaccard(ds, cand, thrNum, thrDen)
+  }
+
+  /** Candidate pairs (post prefix/size/positional filter, pre-verify)
+    * — exposed so SCALE.md's worst-case probes can record candidate
+    * volume against true output size (the joins' degradation claim is
+    * output-boundedness, which only this count can evidence). */
+  private[graft] def similarityCandidates(ds: DataFrame, thrNum: Int,
+                                          thrDen: Int): DataFrame = {
     val (_, prefix) = shingleIndex(ds, thrNum, thrDen)
-    val cand = prefix.select(col("s"), col("doc").as("doc_a"),
+    prefix.select(col("s"), col("doc").as("doc_a"),
         col("len").as("len_a"), col("rn").as("rn_a"))
       .join(prefix.select(col("s"), col("doc").as("doc_b"),
         col("len").as("len_b"), col("rn").as("rn_b")), Seq("s"))
@@ -496,6 +506,11 @@ object Dedup {
         expr(s"($thrNum * (len_a + len_b) + ${thrNum + thrDen - 1}) " +
           s"div ${thrNum + thrDen}"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The exact-Jaccard verify over a candidate pair set. */
+  private def verifyJaccard(ds: DataFrame, cand: DataFrame, thrNum: Int,
+                            thrDen: Int): DataFrame =
     cand
       .join(ds.select(col("doc").as("doc_a"), col("sh").as("sh_a"),
         col("len").as("na")), Seq("doc_a"))
@@ -506,7 +521,6 @@ object Dedup {
       .filter(col("ni") * thrDen >= col("nu") * thrNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") / col("nu"), 4).as("jaccard"))
-  }
 
   /** EXACT containment (overlap-similarity) join — every pair where
     * |A∩B| / min(|A|,|B|) ≥ thrNum/thrDen over the hashed n-gram
@@ -535,20 +549,7 @@ object Dedup {
   def containmentJoin(docs: DataFrame, id: Column, text: Column,
                       thrNum: Int, thrDen: Int, n: Int = 3): DataFrame = {
     val ds = hashedShingleSets(docs, id, text, n)
-    val (exploded, rawPrefix) = shingleIndex(ds, thrNum, thrDen)
-    val prefix = rawPrefix
-      .select(col("s"), col("doc").as("doc_p"), col("len").as("len_p"))
-    val cand = prefix
-      .join(exploded.select(col("s"), col("doc").as("doc_f"),
-        col("len").as("len_f")), Seq("s"))
-      .filter(col("doc_p") =!= col("doc_f"))
-      // the lemma binds the smaller set's prefix; ties probe from the
-      // lower id only, so every unordered pair surfaces exactly once
-      .filter(col("len_p") < col("len_f") ||
-        (col("len_p") === col("len_f") && col("doc_p") < col("doc_f")))
-      .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
-        greatest(col("doc_p"), col("doc_f")).as("doc_b"))
-      .distinct()
+    val cand = containmentCandidates(ds, thrNum, thrDen)
     cand
       .join(ds.select(col("doc").as("doc_a"), col("sh").as("sh_a"),
         col("len").as("na")), Seq("doc_a"))
@@ -559,6 +560,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") / least(col("na"), col("nb")), 4)
           .as("containment"))
+  }
+
+  /** Containment candidate pairs (prefix probing the full index,
+    * pre-verify) — see [[similarityCandidates]] for why this is
+    * exposed. */
+  private[graft] def containmentCandidates(ds: DataFrame, thrNum: Int,
+                                           thrDen: Int): DataFrame = {
+    val (exploded, rawPrefix) = shingleIndex(ds, thrNum, thrDen)
+    val prefix = rawPrefix
+      .select(col("s"), col("doc").as("doc_p"), col("len").as("len_p"))
+    prefix
+      .join(exploded.select(col("s"), col("doc").as("doc_f"),
+        col("len").as("len_f")), Seq("s"))
+      .filter(col("doc_p") =!= col("doc_f"))
+      // the lemma binds the smaller set's prefix; ties probe from the
+      // lower id only, so every unordered pair surfaces exactly once
+      .filter(col("len_p") < col("len_f") ||
+        (col("len_p") === col("len_f") && col("doc_p") < col("doc_f")))
+      .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_f")).as("doc_b"))
+      .distinct()
   }
 
   /** (doc, sh: array<long>, len) — distinct 60-bit hashed n-gram
@@ -575,8 +597,8 @@ object Dedup {
     * comparison stays exact cross-engine. Eagerly materialized: the
     * frame feeds the index build and both verify sides (at 100 TB it
     * is the persisted signature table). */
-  private def hashedShingleSets(docs: DataFrame, id: Column,
-                                text: Column, n: Int): DataFrame =
+  private[graft] def hashedShingleSets(docs: DataFrame, id: Column,
+                                       text: Column, n: Int): DataFrame =
     docs
       .select(id.as("doc"), array_distinct(
         graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
