@@ -904,6 +904,58 @@ object ExtQueries {
       merges.reduce(_ unionByName _)
     },
 
+    // BPE ENCODING (round 10) — bpe_train learns the merge table; this
+    // is the other half a tokenizer needs: APPLY those merges to every
+    // document and report its token counts (the number a training-data
+    // pipeline actually budgets by — packed-sequence length, mixture
+    // token shares, cost estimates all ride the TOKENIZER's count, not
+    // the whitespace word count). Re-runs the same 4 training rounds
+    // but keeps the word key alongside each representation, so the
+    // final round yields a word → symbol-count encoder table; per-doc
+    // totals are then exact BIGINT sums over the (doc, word) tf frame.
+    // 100 TB shape: the corpus is touched exactly twice (the word
+    // tokenize→count agg; the final tf⋈encoder join, with the encoder
+    // VOCAB-sized and broadcastable) — every merge round rides the
+    // DISTINCT vocab, so training cost is independent of corpus size,
+    // and encoding adds one map-side join. tpw_x100 (tokens per 100
+    // words) is the compression diagnostic, HALF_UP exact-integer.
+    "bpe_encode" -> { (s, d) =>
+      val N = 4
+      val words = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val wc = tf.groupBy(col("w")).agg(sum(col("tf")).as("wn"))
+      var rep = wc.select(col("w"), col("wn"), TextOps.bpeInitRep(col("w")).as("rep"))
+        .localCheckpoint(true)
+      (1 to N).foreach { _ =>
+        val top1 = rep.select(col("wn"), TextOps.bpeSymbols(col("rep")).as("sy"))
+          .select(col("wn"), explode(when(size(col("sy")) >= 2,
+              transform(sequence(lit(1), size(col("sy")) - 1),
+                k => struct(element_at(col("sy"), k).as("p1"),
+                  element_at(col("sy"), k + 1).as("p2"))))
+            .otherwise(array().cast("array<struct<p1:string,p2:string>>")))
+            .as("pr"))
+          .select(col("wn"), col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .groupBy(col("p1"), col("p2")).agg(sum(col("wn")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
+        rep = rep.crossJoin(broadcast(top1))
+          .select(col("w"), col("wn"),
+            TextOps.bpeMerge(col("rep"), col("p1"), col("p2")).as("rep"))
+          .localCheckpoint(true)
+      }
+      val enc = rep.select(col("w"),
+        size(TextOps.bpeSymbols(col("rep"))).cast("long").as("n_sym"))
+      tf.join(enc, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_words"),
+          sum(col("tf") * col("n_sym")).as("n_tokens"))
+        // tokens per 100 words, HALF_UP exact-integer (both counts > 0
+        // whenever the doc has any word — n_sym >= 1 always)
+        .selectExpr("doc_id", "n_words", "n_tokens",
+          "(200 * n_tokens + n_words) div (2 * n_words) AS tpw_x100")
+    },
+
     // Count-Min frequency estimates (round 8) — the first EXACTLY
     // oracled sketch: CMS cells are pure sums (partition-invariant,
     // unlike MG/HLL), so the 4×2048 sketch built over every 3-gram
@@ -2002,6 +2054,44 @@ object ExtQueries {
          |       FROM wc0 CROSS JOIN sep),
          |$rounds
          |$out""".stripMargin
+    },
+
+    // bpe_encode: the same 4-round chain, but the rep table keeps its
+    // word key (rW chain) so round 4 yields the word → symbol-count
+    // encoder; per-doc totals are exact integer sums over the tf CTE.
+    "bpe_encode" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""sy$i AS (SELECT wn, list_filter(string_split(rep, bb), x -> x <> '') AS sy
+           |         FROM rW${i - 1} CROSS JOIN sep),
+           |pc$i AS (SELECT p1, p2, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+           |           SELECT wn, sy[k] AS p1, sy[k + 1] AS p2
+           |           FROM (SELECT wn, sy, unnest(generate_series(1, len(sy) - 1)) AS k
+           |                 FROM sy$i))
+           |         GROUP BY 1, 2),
+           |t$i AS (SELECT p1, p2, cnt FROM pc$i ORDER BY cnt DESC, p1, p2 LIMIT 1),
+           |rW$i AS (SELECT w, wn, replace(rep, s1 || p1 || bb || p2 || s1,
+           |                               s1 || p1 || p2 || s1) AS rep
+           |         FROM rW${i - 1} CROSS JOIN t$i CROSS JOIN sep)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sep AS (SELECT chr(1) AS s1, chr(1) || chr(1) AS bb),
+         |tw AS (SELECT doc_id, unnest(list_transform($ToksSql, t -> lower(t))) AS w
+         |       FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tw GROUP BY 1, 2),
+         |wc0 AS (SELECT w, CAST(sum(tf) AS BIGINT) AS wn FROM tf GROUP BY 1),
+         |rW0 AS (SELECT w, wn, bb || array_to_string(
+         |          list_transform(generate_series(1, len(w)), j -> substr(w, j, 1)),
+         |          chr(1) || chr(1)) || bb AS rep
+         |        FROM wc0 CROSS JOIN sep),
+         |$rounds,
+         |enc AS (SELECT w, CAST(len(list_filter(string_split(rep, bb), x -> x <> ''))
+         |                  AS BIGINT) AS n_sym
+         |        FROM rW4 CROSS JOIN sep),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |               CAST(sum(tf * n_sym) AS BIGINT) AS n_tokens
+         |        FROM tf JOIN enc USING (w) GROUP BY 1)
+         |SELECT doc_id, n_words, n_tokens,
+         |       (200 * n_tokens + n_words) // (2 * n_words) AS tpw_x100
+         |FROM agg""".stripMargin
     },
 
     // cms_freq: the 4×2048 Count-Min sketch replayed relationally —

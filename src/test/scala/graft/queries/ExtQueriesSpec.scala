@@ -254,6 +254,33 @@ class ExtQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode: token counts bounded by words and chars, and compression is real") {
+    val out = ExtQueries.queries("bpe_encode")(spark, sf).cache()
+    try {
+      // per-doc exact recheck of n_words and the char upper bound:
+      // every word encodes to >= 1 and <= len(word) symbols
+      val base = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.ext.TextOps.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("nw"),
+          length(concat_ws("", col("toks"))).cast("long").as("nc"))
+      val joined = out.join(base, "doc_id").cache()
+      assert(joined.count() == out.count())
+      val bad = joined.filter(col("n_words") =!= col("nw") ||
+        col("n_tokens") < col("n_words") || col("n_tokens") > col("nc")).count()
+      assert(bad == 0, s"$bad docs violate word/char bounds")
+      // 4 merges must actually compress the corpus (the top pair has
+      // positive count, so at least its occurrences merged somewhere)
+      val (toks, chars) = joined
+        .agg(sum("n_tokens"), sum("nc")).as[(Long, Long)].head()
+      assert(toks < chars, s"no compression: $toks tokens vs $chars chars")
+      // HALF_UP recheck of the tokens-per-100-words diagnostic
+      val tpwBad = out.filter(col("tpw_x100") =!=
+        expr("(200 * n_tokens + n_words) div (2 * n_words)")).count()
+      assert(tpwBad == 0)
+    } finally out.unpersist()
+  }
+
   test("bpe_pairs: pair counts are word-frequency-weighted (hand check)") {
     // corpus: "aaa bb" ×2 docs + "aaa" ×1 → word counts: aaa=3, bb=2
     // pairs: aa appears 2× in "aaa" → 2·3=6; bb 1× in "bb" → 2
