@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, Contamination, CountMin, Dedup, Fuzzy, Multimodal, Packing, Repetition, Sampling, TextOps, VectorOps, ZOrder}
+import graft.ext.{Bloom, Contamination, CountMin, Dedup, Fuzzy, Multimodal, Packing, QualityFilter, Repetition, Sampling, TextOps, VectorOps, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -1155,6 +1155,89 @@ object ExtQueries {
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
           sum(col("tf") * col("dlp_x1e6")).as("weight_x1e6"))
+    },
+
+    // Supervised quality classifier (round 10) — the fastText-style
+    // distillation step real curation pipelines run (Joulin et al.
+    // 2016; CCNet, GPT-3 appendix A): take cheap rule labels
+    // (QualityFilter.keep over the same perturbed corpus quality_filter
+    // gates), hash-split docs into train/serve halves, train a
+    // multinomial naive-Bayes token model on the train half, then
+    // score EVERY doc and report the (is_train, actual, predicted)
+    // confusion cells with exact BIGINT score sums. Unlike
+    // dsir_weights (class = lang metadata, output = per-doc weights),
+    // this is a full supervised loop: labels are COMPUTED, the model
+    // is trained on a capped vocabulary (top-K=300 train terms by
+    // count — the fastText bucket-cap analog, deterministic
+    // (count desc, term) cut; OOV terms contribute 0), and the served
+    // artifact is a decision. Exact-integer discipline throughout:
+    // per-term log-odds and the class prior are floored to 1e6-scaled
+    // BIGINTs BEFORE any aggregation (unigram_logprob convention), so
+    // doc scores are exact integer sums and the confusion cells can't
+    // drift. 100 TB shape: one corpus explode feeds label counts and
+    // scoring; the model (vocab weights + totals + prior) is
+    // model-sized and broadcast; everything between the (doc,term)
+    // exchange and the 8-row output rides the capped vocab.
+    "quality_classifier" -> { (s, d) =>
+      val K = 300
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val rtoks = TextOps.tokens(col("text"))
+      val short = docs.select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat_ws(" ", slice(rtoks, 1, 2)).as("text"))
+      val punct = docs.select((col("doc_id") + 3000000000L).as("doc_id"),
+        concat(col("text"), lit(" "),
+          expr("repeat('.', CAST(length(text) / 2 AS INT))")).as("text"))
+      val glued = docs.select((col("doc_id") + 4000000000L).as("doc_id"),
+        expr("replace(text, ' ', '')").as("text"))
+      // one corpus materialization; labels, split, and token arrays
+      // derive map-side and feed every downstream consumer
+      val aug = Dedup.rebalance(
+          docs.unionByName(short).unionByName(punct).unionByName(glued))
+        .select(col("doc_id"),
+          QualityFilter.keep(col("text")).as("actual_keep"),
+          (pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(2L)) === 0L)
+            .as("is_train"),
+          TextOps.tokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(true)
+      val tf = aug
+        .select(col("doc_id"), col("actual_keep"), col("is_train"),
+          explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("actual_keep"), col("is_train"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val vocab = tf.filter(col("is_train"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("cc"),
+          sum(when(col("actual_keep"), col("tf")).otherwise(0L)).as("pos_c"))
+        .orderBy(col("cc").desc, col("term")).limit(K)
+        .withColumn("neg_c", col("cc") - col("pos_c"))
+        .localCheckpoint(true)
+      val totals = vocab.agg(sum("pos_c").as("pos_tot"),
+        sum("neg_c").as("neg_tot"), count(lit(1)).as("v"))
+      val classes = aug.agg(
+        sum(when(col("is_train") && col("actual_keep"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("is_train") && !col("actual_keep"), 1L).otherwise(0L)).as("n_neg"))
+      val w = vocab.crossJoin(broadcast(totals))
+        .select(col("term"),
+          (floor(log((col("pos_c") + 1).cast("double") /
+              (col("pos_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long") -
+           floor(log((col("neg_c") + 1).cast("double") /
+              (col("neg_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long"))
+            .as("w_x1e6"))
+      val docScore = tf.join(broadcast(w), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("w_x1e6")).as("sum_w"))
+      aug.select(col("doc_id"), col("actual_keep"), col("is_train"))
+        .join(docScore, Seq("doc_id"), "left")
+        .crossJoin(broadcast(classes))
+        .select(col("is_train"), col("actual_keep"),
+          (coalesce(col("sum_w"), lit(0L)) +
+            floor(log((col("n_pos") + 1).cast("double") /
+                (col("n_neg") + 1).cast("double")) * 1e6 + 0.5).cast("long"))
+            .as("score"))
+        .groupBy(col("is_train"), col("actual_keep"),
+          (col("score") > 0L).as("predicted_keep"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score_x1e6"))
     }
   )
 
@@ -2323,6 +2406,78 @@ object ExtQueries {
          |       CAST(sum(tf * dlp_x1e6) AS BIGINT) AS weight_x1e6
          |FROM tf JOIN dlp USING (term)
          |GROUP BY 1""".stripMargin,
+
+    // quality_classifier: the full supervised loop replayed — same
+    // perturbed corpus as quality_filter, md5 train split, top-300
+    // train-term vocab, 1e6-floored NB log-odds + prior, confusion
+    // cells with exact score sums.
+    "quality_classifier" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000,
+         |         array_to_string(($ToksSql)[1:2], ' ')
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000000,
+         |         text || ' ' || repeat('.', length(text) // 2)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 4000000000, replace(text, ' ', '') FROM documents),
+         |m AS (SELECT doc_id, text, $ToksSql AS rtoks,
+         |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+         |          AS n_punct
+         |      FROM aug),
+         |lab AS (SELECT doc_id,
+         |          NOT ((len(rtoks) < 5) OR (len(rtoks) > 50000)
+         |            OR (len(rtoks) > 0 AND
+         |                (CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) < 2.0
+         |                 OR CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) > 15.0))
+         |            OR (length(text) > 0 AND CAST(n_punct AS DOUBLE) / length(text) > 0.2))
+         |            AS actual_keep,
+         |          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |             % 2 = 0) AS is_train,
+         |          list_transform(rtoks, t -> lower(t)) AS toks
+         |        FROM m),
+         |tw AS (SELECT doc_id, actual_keep, is_train, unnest(toks) AS term FROM lab),
+         |tf AS (SELECT doc_id, actual_keep, is_train, term,
+         |              CAST(count(*) AS BIGINT) AS tf
+         |       FROM tw GROUP BY 1, 2, 3, 4),
+         |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cc,
+         |            CAST(sum(CASE WHEN actual_keep THEN tf ELSE 0 END) AS BIGINT)
+         |              AS pos_c
+         |          FROM tf WHERE is_train GROUP BY 1
+         |          ORDER BY cc DESC, term LIMIT 300),
+         |vc AS (SELECT term, cc, pos_c, cc - pos_c AS neg_c FROM vocab),
+         |tot AS (SELECT CAST(sum(pos_c) AS BIGINT) AS pos_tot,
+         |               CAST(sum(neg_c) AS BIGINT) AS neg_tot,
+         |               CAST(count(*) AS BIGINT) AS v
+         |        FROM vc),
+         |cls AS (SELECT
+         |          CAST(sum(CASE WHEN is_train AND actual_keep THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pos,
+         |          CAST(sum(CASE WHEN is_train AND NOT actual_keep THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_neg
+         |        FROM lab),
+         |w AS (SELECT term,
+         |        CAST(floor(ln(CAST(pos_c + 1 AS DOUBLE) /
+         |                      CAST(pos_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |        - CAST(floor(ln(CAST(neg_c + 1 AS DOUBLE) /
+         |                        CAST(neg_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |          AS w_x1e6
+         |      FROM vc CROSS JOIN tot),
+         |ds AS (SELECT doc_id, CAST(sum(tf * w_x1e6) AS BIGINT) AS sum_w
+         |       FROM tf JOIN w USING (term) GROUP BY 1),
+         |sc AS (SELECT is_train, actual_keep,
+         |         coalesce(sum_w, 0)
+         |           + CAST(floor(ln(CAST(n_pos + 1 AS DOUBLE) /
+         |                           CAST(n_neg + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |           AS score
+         |       FROM lab LEFT JOIN ds USING (doc_id) CROSS JOIN cls)
+         |SELECT is_train, actual_keep, (score > 0) AS predicted_keep,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(score) AS BIGINT) AS sum_score_x1e6
+         |FROM sc GROUP BY 1, 2, 3""".stripMargin,
 
     // Mirrors Fuzzy.blockedMatch exactly: oversized blocks re-split
     // into ceil(cn/1000) sub-blocks keyed by md5Hash60(id) mod nsplit

@@ -281,6 +281,45 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("quality_classifier: vocab cap engages, and held-out accuracy beats majority class") {
+    val out = ExtQueries.queries("quality_classifier")(spark, sf).cache()
+    try {
+      // every augmented doc lands in exactly one confusion cell
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      assert(out.agg(sum("n_docs")).as[Long].head() == 4 * nDocs)
+      // cell sign structure: predicted=keep cells sum positive scores
+      assert(out.filter(col("predicted_keep") && col("sum_score_x1e6") <= 0L).isEmpty)
+      assert(out.filter(!col("predicted_keep") && col("sum_score_x1e6") > 0L).isEmpty)
+      // the top-K vocab cap is ENGAGED at this SF (train vocabulary
+      // strictly exceeds K=300), so the OOV→0 path is really exercised
+      val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val toks = graft.ext.TextOps.tokens(col("text"))
+      val aug = docs
+        .unionByName(docs.select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 1, 2)).as("text")))
+        .unionByName(docs.select((col("doc_id") + 3000000000L).as("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("repeat('.', CAST(length(text) / 2 AS INT))")).as("text")))
+        .unionByName(docs.select((col("doc_id") + 4000000000L).as("doc_id"),
+          expr("replace(text, ' ', '')").as("text")))
+      val trainVocab = aug
+        .filter(pmod(graft.ext.Dedup.md5Hash60(col("doc_id").cast("string")), lit(2L)) === 0L)
+        .select(explode(graft.ext.TextOps.tokens(lower(col("text")))).as("t"))
+        .distinct().count()
+      assert(trainVocab > 300L, s"cap inert: train vocab $trainVocab <= 300")
+      // the model LEARNS: held-out accuracy beats always-predict-majority
+      val held = out.filter(!col("is_train"))
+        .select(col("actual_keep"), col("predicted_keep"), col("n_docs")).collect()
+      val total = held.map(_.getLong(2)).sum.toDouble
+      val correct = held.filter(r => r.getBoolean(0) == r.getBoolean(1))
+        .map(_.getLong(2)).sum.toDouble
+      val majority = held.groupBy(_.getBoolean(0)).map(_._2.map(_.getLong(2)).sum).max.toDouble
+      assert(correct / total > majority / total,
+        f"held-out acc ${correct / total}%.3f does not beat majority ${majority / total}%.3f")
+      assert(correct / total >= 0.80, f"held-out acc ${correct / total}%.3f < 0.80")
+    } finally out.unpersist()
+  }
+
   test("bpe_pairs: pair counts are word-frequency-weighted (hand check)") {
     // corpus: "aaa bb" ×2 docs + "aaa" ×1 → word counts: aaa=3, bb=2
     // pairs: aa appears 2× in "aaa" → 2·3=6; bb 1× in "bb" → 2
