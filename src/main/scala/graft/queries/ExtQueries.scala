@@ -956,6 +956,34 @@ object ExtQueries {
           "(200 * n_tokens + n_words) div (2 * n_words) AS tpw_x100")
     },
 
+    // N-gram novelty scoring (round 10) — per doc, the fraction of its
+    // distinct 3-gram shingles whose FIRST corpus occurrence (min
+    // doc_id — the crawl-order stand-in) is this doc. The incremental-
+    // curation diagnostic behind "is this batch adding content or
+    // re-crawling?": near-dups and boilerplate-heavy docs score near 0,
+    // genuinely new text near 100. Shingles are ShingleMd5 60-bit
+    // hashes (the codegen kernel), so rows crossing the exchanges are
+    // (long, long) — never text. Docs with < 3 tokens carry no
+    // shingles and are absent (no 0/0 cell). 100 TB shape: one explode
+    // → per-doc distinct → min-agg on the hash → hash-join back on the
+    // same key → doc agg; everything is (doc,hash)-sized, the verify
+    // math is exact-integer HALF_UP.
+    "ngram_novelty" -> { (s, d) =>
+      val sh = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"), explode(graft.ext.expr.ShingleMd5.shingleMd5(
+          TextOps.tokens(lower(col("text"))), 3)).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .selectExpr("doc_id", "n_shingles", "n_novel",
+          "(200 * n_novel + n_shingles) div (2 * n_shingles) AS novelty_x100")
+    },
+
     // Count-Min frequency estimates (round 8) — the first EXACTLY
     // oracled sketch: CMS cells are pure sums (partition-invariant,
     // unlike MG/HLL), so the 4×2048 sketch built over every 3-gram
@@ -2176,6 +2204,27 @@ object ExtQueries {
          |       (200 * n_tokens + n_words) // (2 * n_words) AS tpw_x100
          |FROM agg""".stripMargin
     },
+
+    // ngram_novelty: same 60-bit shingle hash as cms_freq, first
+    // occurrence by min(doc_id), exact-integer HALF_UP percentage.
+    "ngram_novelty" ->
+      s"""WITH ct AS (SELECT doc_id, list_transform($ToksSql, t -> lower(t)) AS toks
+         |            FROM documents),
+         |pos AS (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 2)) AS s
+         |        FROM ct),
+         |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(
+         |         array_to_string(list_slice(toks, s, s + 2), ' ')), 1, 15)
+         |         AS BIGINT) AS h
+         |       FROM pos),
+         |first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |          CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel
+         |        FROM sh JOIN first USING (h) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_novel,
+         |       (200 * n_novel + n_shingles) // (2 * n_shingles) AS novelty_x100
+         |FROM agg""".stripMargin,
 
     // cms_freq: the 4×2048 Count-Min sketch replayed relationally —
     // cell (i, p) is the occurrence count mapping there under the same

@@ -281,6 +281,28 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("ngram_novelty: every shingle novel exactly once, first doc scores 100") {
+    val out = ExtQueries.queries("ngram_novelty")(spark, sf).cache()
+    try {
+      assert(out.filter(col("novelty_x100") < 0L || col("novelty_x100") > 100L).isEmpty)
+      // each distinct corpus shingle is novel in exactly one doc
+      val totalNovel = out.agg(sum("n_novel")).as[Long].head()
+      val distinctShingles = graft.Tables.documents(spark, sf)
+        .select(explode(graft.ext.expr.ShingleMd5.shingleMd5(
+          graft.ext.TextOps.tokens(lower(col("text"))), 3)).as("h"))
+        .distinct().count()
+      assert(totalNovel == distinctShingles,
+        s"sum(n_novel)=$totalNovel != $distinctShingles distinct shingles")
+      // the lowest doc_id sees everything first
+      val firstDoc = out.orderBy("doc_id").limit(1).head()
+      assert(firstDoc.getAs[Long]("novelty_x100") == 100L)
+      assert(firstDoc.getAs[Long]("n_novel") == firstDoc.getAs[Long]("n_shingles"))
+      // HALF_UP recheck
+      assert(out.filter(col("novelty_x100") =!=
+        expr("(200 * n_novel + n_shingles) div (2 * n_shingles)")).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("quality_classifier: vocab cap engages, and held-out accuracy beats majority class") {
     val out = ExtQueries.queries("quality_classifier")(spark, sf).cache()
     try {
