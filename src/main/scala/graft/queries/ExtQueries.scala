@@ -984,6 +984,39 @@ object ExtQueries {
           "(200 * n_novel + n_shingles) div (2 * n_shingles) AS novelty_x100")
     },
 
+    // Character-entropy scoring (round 10) — Shannon entropy of each
+    // doc's character distribution, the Gopher-family gibberish
+    // detector (random keyboard mash ≈ uniform → high; "aaaa…" /
+    // single-char padding → near 0; natural text sits in a stable
+    // band). H = Σ c·(ln n − ln c)/n in nats, computed under the
+    // unigram_logprob discipline: both ln's are floored to 1e6-scaled
+    // BIGINTs per (doc,char) AFTER exact-integer counts, the numerator
+    // is an exact BIGINT sum, and the mean is HALF_UP integer division
+    // (ent_num ≥ 0 always since n ≥ c). Char explode is the explicit
+    // substr sequence — identical semantics both engines (split-by-
+    // empty-regex differs). Empty docs carry no rows. 100 TB shape:
+    // one linear char explode (the same class as the token explodes)
+    // → (doc,char) agg → doc agg; nothing wider than the corpus.
+    "char_entropy" -> { (s, d) =>
+      val cc = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(when(length(col("text")) >= 1,
+            transform(sequence(lit(1), length(col("text"))),
+              i => col("text").substr(i, lit(1))))
+            .otherwise(array().cast("array<string>"))).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cc"))
+      val n = cc.groupBy(col("doc_id")).agg(sum(col("cc")).as("n_chars"),
+        count(lit(1)).as("n_distinct"))
+      cc.join(n, "doc_id")
+        .groupBy(col("doc_id"), col("n_chars"), col("n_distinct"))
+        .agg(sum(col("cc") *
+          (floor(log(col("n_chars").cast("double")) * 1e6 + 0.5).cast("long") -
+           floor(log(col("cc").cast("double")) * 1e6 + 0.5).cast("long")))
+          .as("ent_num"))
+        .selectExpr("doc_id", "n_chars", "n_distinct",
+          "(2 * ent_num + n_chars) div (2 * n_chars) AS entropy_x1e6")
+    },
+
     // Count-Min frequency estimates (round 8) — the first EXACTLY
     // oracled sketch: CMS cells are pure sums (partition-invariant,
     // unlike MG/HLL), so the 4×2048 sketch built over every 3-gram
@@ -2225,6 +2258,26 @@ object ExtQueries {
          |SELECT doc_id, n_shingles, n_novel,
          |       (200 * n_novel + n_shingles) // (2 * n_shingles) AS novelty_x100
          |FROM agg""".stripMargin,
+
+    // char_entropy: same explicit substr char explode, 1e6-floored
+    // ln's over exact counts, HALF_UP mean.
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |              unnest(list_transform(generate_series(1, length(text)),
+        |                                    i -> substr(text, i, 1))) AS c
+        |            FROM documents),
+        |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cc FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n_chars,
+        |             CAST(count(*) AS BIGINT) AS n_distinct
+        |      FROM cc GROUP BY 1),
+        |e AS (SELECT cc.doc_id, n_chars, n_distinct,
+        |        CAST(sum(cc * (CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |                       - CAST(floor(ln(CAST(cc AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)))
+        |          AS BIGINT) AS ent_num
+        |      FROM cc JOIN n USING (doc_id) GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_chars, n_distinct,
+        |       (2 * ent_num + n_chars) // (2 * n_chars) AS entropy_x1e6
+        |FROM e""".stripMargin,
 
     // cms_freq: the 4×2048 Count-Min sketch replayed relationally —
     // cell (i, p) is the occurrence count mapping there under the same

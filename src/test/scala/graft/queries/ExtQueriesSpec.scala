@@ -303,6 +303,23 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("char_entropy: bounded by ln(n_distinct), natural text sits in a sane band") {
+    val out = ExtQueries.queries("char_entropy")(spark, sf).cache()
+    try {
+      assert(out.count() == graft.Tables.documents(spark, sf)
+        .filter(length(col("text")) >= 1).count())
+      assert(out.filter(col("entropy_x1e6") < 0L).isEmpty)
+      // H <= ln(k) for k distinct symbols (uniform maximizes entropy);
+      // +2 covers the two 1e6-floor roundings in the numerator terms
+      val overMax = out.filter(col("entropy_x1e6") >
+        floor(log(col("n_distinct").cast("double")) * 1e6 + 0.5).cast("long") + 2L)
+      assert(overMax.isEmpty, "entropy exceeded the uniform bound")
+      // real text is never near-degenerate: every substantial doc
+      // carries at least 1 nat of character entropy
+      assert(out.filter(col("n_chars") > 100L && col("entropy_x1e6") < 1000000L).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("quality_classifier: vocab cap engages, and held-out accuracy beats majority class") {
     val out = ExtQueries.queries("quality_classifier")(spark, sf).cache()
     try {
