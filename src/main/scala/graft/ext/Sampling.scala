@@ -61,4 +61,41 @@ object Sampling {
       .filter(col("__h") < threshold)
       .drop("stratum", "__h")
   }
+
+  /** PPS (probability-proportional-to-size) Poisson sampling with a
+    * Horvitz–Thompson stratum-total estimate (Ohlsson 1998's Poisson
+    * πps family). Doc i is kept with p_i = min(1, k·size_i/W) — an
+    * expected-k sample that over-represents the big items dominating
+    * token budgets, where uniform sampling would be dominated by tiny
+    * docs by count and miss the mass. The keep test is exact integer
+    * (md5Hash60("pps:"+id)·W < k·size_i·2⁶⁰ in DECIMAL(38,0); HUGEINT
+    * in the oracle) — no float probability ever exists — and
+    * certainty items (k·size_i ≥ W) are kept outright. HT is where
+    * PPS shines: each probabilistic keep contributes size/p = W/k to
+    * the estimate, so est = certain_sum + HALF_UP(n_prob·W/k),
+    * exact-integer and unbiased (relative SE ≈ 1/√k). Same contract
+    * as the rest of this file: membership depends only on the row's
+    * own id + stratum totals, so re-runs and engines agree
+    * bit-for-bit. 100 TB shape: stratum totals broadcast, the keep
+    * test rides the scan map-side, output is strata-sized. */
+  def ppsSummary(docs: DataFrame, stratum: String, id: String, size: String,
+      k: Long): DataFrame = {
+    val two60 = lit(1152921504606846976L) // 2^60
+    val strata = docs.groupBy(col(stratum))
+      .agg(sum(col(size)).as("w_tot"), count(lit(1)).as("n_docs"))
+    val tagged = docs.join(broadcast(strata), stratum)
+      .withColumn("certain", lit(k) * col(size) >= col("w_tot"))
+      .withColumn("keep", col("certain") ||
+        (Dedup.md5Hash60(concat(lit("pps:"), col(id).cast("string")))
+          .cast("decimal(38,0)") * col("w_tot").cast("decimal(38,0)") <
+         (lit(k) * col(size)).cast("decimal(38,0)") * two60.cast("decimal(38,0)")))
+    tagged.groupBy(col(stratum), col("w_tot"), col("n_docs"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("certain"), 1L).otherwise(0L)).as("n_certain"),
+        sum(when(col("certain"), col(size)).otherwise(0L)).as("certain_chars"))
+      .selectExpr(stratum, "n_docs", "n_kept", "n_certain",
+        "w_tot AS true_chars",
+        s"""certain_chars + (2 * (n_kept - n_certain) * w_tot + $k)
+           |  div (2 * $k) AS est_chars""".stripMargin)
+  }
 }

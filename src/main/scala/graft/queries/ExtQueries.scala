@@ -1017,6 +1017,28 @@ object ExtQueries {
           "(2 * ent_num + n_chars) div (2 * n_chars) AS entropy_x1e6")
     },
 
+    // PPS Poisson sampling + Horvitz–Thompson estimation (round 10) —
+    // probability-proportional-to-size sampling per lang stratum
+    // (Ohlsson 1998's Poisson πps family): doc i is kept with
+    // p_i = min(1, k·w_i/W) where w_i = n_chars, so a size-k expected
+    // sample over-represents the big docs that dominate token budgets
+    // — the right way to draw eval/inspection subsets when docs vary
+    // 1000× in length (uniform sampling would be dominated by tiny
+    // docs by count and miss the mass). The keep test is EXACT
+    // integer: md5Hash60("pps:"+id)·W < k·w_i·2^60 in DECIMAL(38,0)
+    // (HUGEINT in the oracle) — no float probability ever exists —
+    // and certainty items (k·w_i ≥ W) are kept outright. The HT
+    // estimator is where PPS shines: every probabilistic keep
+    // contributes w_i/p_i = W/k to the stratum-total estimate, so
+    // est = certain_sum + HALF_UP(n_prob·W/k), again exact-integer.
+    // 100 TB shape: the keep test is map-side (stratum totals
+    // broadcast); output is strata-sized.
+    "pps_sample" -> { (s, d) =>
+      Sampling.ppsSummary(
+        Tables.documents(s, d).select(col("lang"), col("doc_id"), col("n_chars")),
+        "lang", "doc_id", "n_chars", k = 100L)
+    },
+
     // Count-Min frequency estimates (round 8) — the first EXACTLY
     // oracled sketch: CMS cells are pure sums (partition-invariant,
     // unlike MG/HLL), so the 4×2048 sketch built over every 3-gram
@@ -2278,6 +2300,30 @@ object ExtQueries {
         |SELECT doc_id, n_chars, n_distinct,
         |       (2 * ent_num + n_chars) // (2 * n_chars) AS entropy_x1e6
         |FROM e""".stripMargin,
+
+    // pps_sample: identical HUGEINT keep test and exact-integer HT
+    // estimator; k = 100, 2^60 = 1152921504606846976.
+    "pps_sample" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w_tot,
+        |                  CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT d.lang, d.n_chars, s.w_tot, s.n_docs,
+        |        (100 * d.n_chars >= s.w_tot) AS certain,
+        |        ((100 * d.n_chars >= s.w_tot) OR
+        |         CAST(CAST('0x' || substr(md5('pps:' || CAST(d.doc_id AS VARCHAR)),
+        |                                  1, 15) AS BIGINT) AS HUGEINT) * s.w_tot
+        |         < CAST(100 * d.n_chars AS HUGEINT) * 1152921504606846976) AS keep
+        |      FROM documents d JOIN s USING (lang))
+        |SELECT lang, n_docs,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN certain THEN 1 ELSE 0 END) AS BIGINT) AS n_certain,
+        |       w_tot AS true_chars,
+        |       CAST(sum(CASE WHEN certain THEN n_chars ELSE 0 END)
+        |            + (2 * (sum(CASE WHEN keep THEN 1 ELSE 0 END)
+        |                    - sum(CASE WHEN certain THEN 1 ELSE 0 END)) * w_tot + 100)
+        |              // 200
+        |            AS BIGINT) AS est_chars
+        |FROM t GROUP BY lang, n_docs, w_tot""".stripMargin,
 
     // cms_freq: the 4×2048 Count-Min sketch replayed relationally —
     // cell (i, p) is the occurrence count mapping there under the same

@@ -91,4 +91,43 @@ class SamplingSpec extends SparkSpec {
       .select(col("id")).as[Long].collect().toSet
     assert(half === out.select(col("id")).as[Long].collect().toSet.filter(_ < 1500))
   }
+
+  test("ppsSummary: certainty branch engages on a dominant item, HT stays exact") {
+    import spark.implicits._
+    // one giant doc holds ~91% of the stratum's mass: k·w >= W forces
+    // the certainty path (kept with p=1, contributes its exact size)
+    val rows = (1L to 100L).map(i => (i, "s", 10L)) :+ (999L, "s", 10000L)
+    val out = Sampling.ppsSummary(rows.toDF("doc_id", "lang", "n_chars"),
+      "lang", "doc_id", "n_chars", k = 10L).head()
+    val (nKept, nCertain) = (out.getAs[Long]("n_kept"), out.getAs[Long]("n_certain"))
+    assert(nCertain >= 1L, "certainty branch did not engage")
+    assert(out.getAs[Long]("true_chars") == 11000L)
+    // HT recheck by hand: certain items contribute their size, each
+    // probabilistic keep contributes W/k = 1100, HALF_UP
+    val nProb = nKept - nCertain
+    val expected = 10000L + (2L * nProb * 11000L + 10L) / (2L * 10L)
+    assert(out.getAs[Long]("est_chars") == expected)
+  }
+
+  test("ppsSummary on the corpus: every stratum estimate within HT tolerance") {
+    val out = ExtQueriesAccess.ppsCorpus(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (est, truth) = (r.getAs[Long]("est_chars"), r.getAs[Long]("true_chars"))
+      // k=100 → relative SE ≈ 10%; 3σ band (deterministic on this
+      // fixed corpus — this documents the estimator really estimates)
+      assert(math.abs(est - truth).toDouble / truth < 0.30,
+        s"${r.getAs[String]("lang")}: est $est vs true $truth")
+      // expected sample size ≈ k (no stratum smaller than k docs here)
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept > 50L && kept < 200L, s"n_kept $kept far from k=100")
+    }
+  }
+}
+
+/** Spec-side handle on the registry entry (kept out of the spec body so
+  * the corpus test reads like the others). */
+private object ExtQueriesAccess {
+  def ppsCorpus(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.queries.ExtQueries.queries("pps_sample")(s, d)
 }
