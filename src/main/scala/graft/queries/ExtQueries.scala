@@ -799,6 +799,83 @@ object ExtQueries {
       Contamination.check(Tables.documents(s, d), col("doc_id"), col("text"))
     },
 
+    // Transitive decontamination (round 10) — the expansion pass real
+    // pipelines run AFTER n-gram decontamination (Llama/GPT-family
+    // decontamination drops near-duplicates of contaminated docs too:
+    // a paraphrase that no longer shares the eval n-grams still leaks
+    // the benchmark): BFS from the directly-contaminated seeds over
+    // the MinHash near-dup graph, 2 unrolled hops with min-hop
+    // semantics. Seeds = train docs with ≥ 20% distinct-shingle eval
+    // overlap (corpus_pipeline's exact-integer 5·n_c ≥ n_sh rule);
+    // edges = Dedup.minhashPairs over the train docs. The corpus
+    // plants per-eval-doc 3-chains to make both hops REAL: a base
+    // sequence B = 8 eval tokens + 38 tokens of a paired train doc,
+    // and windows W0=B[1..30] (21% eval shingles → seed),
+    // W1=B[9..38] (0 eval shingles, J(W0,W1)≈0.56 → hop 1),
+    // W2=B[17..46] (J(W1,W2)≈0.56, J(W0,W2)≈0.27 → hop 2) — the
+    // row_number zip-pairing is plant scaffolding, not pipeline shape.
+    // 100 TB shape: contamination is the broadcast-eval probe
+    // (contam_check); the edge set is dedup OUTPUT (coordinator-
+    // sized); each BFS round is one hash join on the frontier — the
+    // standard unrolled-BFS shape (full closure = the CC machinery).
+    "contam_expand" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val shardOf = (c: org.apache.spark.sql.Column) =>
+        pmod(Dedup.md5Hash60(c.cast("string")), lit(20L))
+      val base = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("shard", shardOf(col("doc_id")))
+      val ev = base.filter(col("shard") < 2 && size(col("t")) >= 8)
+        .select(row_number().over(Window.orderBy("doc_id")).as("rn"),
+          col("t").as("et"))
+      val tr = base.filter(col("shard") >= 2 && size(col("t")) >= 38)
+        .select(row_number().over(Window.orderBy("doc_id")).as("rn"),
+          col("t").as("tt"))
+      val b = ev.join(tr, "rn")
+        .select(col("rn"), concat(slice(col("et"), 1, 8),
+          slice(col("tt"), 1, 38)).as("bt"))
+      val plants = b.select((col("rn") + 7000000000L).as("doc_id"),
+          concat_ws(" ", slice(col("bt"), 1, 30)).as("text"))
+        .unionByName(b.select((col("rn") + 8000000000L).as("doc_id"),
+          concat_ws(" ", slice(col("bt"), 9, 30)).as("text")))
+        .unionByName(b.select((col("rn") + 9000000000L).as("doc_id"),
+          concat_ws(" ", slice(col("bt"), 17, 30)).as("text")))
+      val full = docs.unionByName(plants)
+      // eval membership: ORIGINAL docs in shards {0,1} (plants are
+      // train by definition — they model the training corpus)
+      val isEval = col("doc") < 7000000000L && shardOf(col("doc")) < 2
+      val rows = Dedup.shingleRows(Dedup.rebalance(full), col("doc_id"),
+          col("text"), 3)
+        .select(col("doc"), Dedup.md5Hash60(col("s")).as("sh"))
+      val evalSh = rows.filter(isEval).select(col("sh")).distinct()
+      val trainSh = rows.filter(!isEval).distinct()
+      val seeds = trainSh
+        .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("ns"), sum(coalesce(col("hit"), lit(0L))).as("nc"))
+        .filter(lit(5L) * col("nc") >= col("ns"))
+        .select(col("doc").as("doc_id"))
+        .localCheckpoint(true)
+      val trainDocs = full.filter(!(col("doc_id") < 7000000000L &&
+        shardOf(col("doc_id")) < 2))
+      val pairs = Dedup.minhashPairs(trainDocs, col("doc_id"), col("text"), 0.5)
+        .localCheckpoint(true)
+      val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val hop1 = und.join(seeds.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(seeds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val hop2 = und.join(hop1.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(seeds, Seq("doc_id"), "left_anti")
+        .join(hop1, Seq("doc_id"), "left_anti")
+      seeds.withColumn("hop", lit(0L))
+        .unionByName(hop1.withColumn("hop", lit(1L)))
+        .unionByName(hop2.withColumn("hop", lit(2L)))
+    },
+
     // Bloom-filter pre-probe (round 8) — contam_check's documented
     // beyond-broadcast fallback made real: the eval shingle set folds
     // into a 2^20-bit mergeable bitset (ext.Bloom, md5-derived double
@@ -2103,6 +2180,66 @@ object ExtQueries {
          |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
          |      FROM dom)
          |SELECT doc_id, domain FROM r WHERE rn <= 10""".stripMargin,
+
+    // contam_expand: plants + contamination + the shared minhash chain
+    // (corpus CTE = train docs) + 2 unrolled BFS hops.
+    "contam_expand" ->
+      s"""WITH dt AS (SELECT doc_id, text, $ToksSql AS t,
+         |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |                   AS BIGINT) % 20 AS shard
+         |            FROM documents),
+         |ev AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, t AS et
+         |       FROM dt WHERE shard < 2 AND len(t) >= 8),
+         |tr AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, t AS tt
+         |       FROM dt WHERE shard >= 2 AND len(t) >= 38),
+         |b AS (SELECT rn, list_concat(et[1:8], tt[1:38]) AS bt
+         |      FROM ev JOIN tr USING (rn)),
+         |plants AS (
+         |  SELECT rn + 7000000000 AS doc_id, array_to_string(bt[1:30], ' ') AS text
+         |  FROM b
+         |  UNION ALL SELECT rn + 8000000000, array_to_string(bt[9:38], ' ') FROM b
+         |  UNION ALL SELECT rn + 9000000000, array_to_string(bt[17:46], ' ') FROM b),
+         |fulldocs AS (SELECT doc_id, text FROM documents
+         |             UNION ALL SELECT doc_id, text FROM plants),
+         |ftk AS (SELECT doc_id, $ToksSql AS toks,
+         |          (doc_id < 7000000000 AND
+         |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |                AS BIGINT) % 20 < 2) AS is_eval
+         |        FROM fulldocs),
+         |fu AS (SELECT doc_id, is_eval, unnest(toks) AS w,
+         |              generate_subscripts(toks, 1) AS pos
+         |       FROM ftk),
+         |fsh AS (SELECT doc_id, is_eval,
+         |          concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win) AS s,
+         |          lead(w,2) OVER win AS w2
+         |        FROM fu WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |fhv AS (SELECT doc_id, is_eval,
+         |               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh
+         |        FROM fsh WHERE w2 IS NOT NULL),
+         |evsh AS (SELECT DISTINCT sh FROM fhv WHERE is_eval),
+         |trsh AS (SELECT DISTINCT doc_id, sh FROM fhv WHERE NOT is_eval),
+         |seeds AS (SELECT doc_id FROM (
+         |            SELECT trsh.doc_id, count(*) AS ns,
+         |                   sum(CASE WHEN evsh.sh IS NOT NULL THEN 1 ELSE 0 END) AS nc
+         |            FROM trsh LEFT JOIN evsh ON evsh.sh = trsh.sh GROUP BY 1)
+         |          WHERE 5 * nc >= ns),
+         |corpus AS (SELECT doc_id, text FROM fulldocs
+         |           WHERE NOT (doc_id < 7000000000 AND
+         |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |                  AS BIGINT) % 20 < 2)),
+         |$minhashChainCtes,
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |h1 AS (SELECT DISTINCT dst AS doc_id
+         |       FROM und JOIN seeds ON und.src = seeds.doc_id
+         |       WHERE dst NOT IN (SELECT doc_id FROM seeds)),
+         |h2 AS (SELECT DISTINCT dst AS doc_id
+         |       FROM und JOIN h1 ON und.src = h1.doc_id
+         |       WHERE dst NOT IN (SELECT doc_id FROM seeds)
+         |         AND dst NOT IN (SELECT doc_id FROM h1))
+         |SELECT doc_id, CAST(0 AS BIGINT) AS hop FROM seeds
+         |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM h1
+         |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM h2""".stripMargin,
 
     "contam_check" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -303,6 +303,25 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("contam_expand: planted 3-chains land on their designed hops, min-hop unique") {
+    val out = ExtQueries.queries("contam_expand")(spark, sf).cache()
+    try {
+      // min-hop semantics: every flagged doc appears exactly once
+      assert(out.select("doc_id").distinct().count() == out.count())
+      def cls(lo: Long, hi: Long, hop: Long) = out.filter(
+        col("doc_id") >= lo && col("doc_id") < hi && col("hop") === hop).count()
+      // W0 quote windows (21% eval shingles) are direct seeds; W1
+      // (J≈0.56 to W0, zero eval shingles) reach hop 1; W2 (J≈0.56 to
+      // W1, J≈0.27 to W0) only arrive transitively at hop 2
+      assert(cls(7000000000L, 8000000000L, 0L) > 0, "no quote-window seeds")
+      assert(cls(8000000000L, 9000000000L, 1L) > 0, "no hop-1 neighbors")
+      assert(cls(9000000000L, Long.MaxValue, 2L) > 0, "no hop-2 transitive docs")
+      // the W1 class is predominantly hop-1 (occasional natural eval
+      // overlap may seed a few — min-hop resolves those to 0)
+      assert(cls(8000000000L, 9000000000L, 1L) > cls(8000000000L, 9000000000L, 0L))
+    } finally out.unpersist()
+  }
+
   test("char_entropy: bounded by ln(n_distinct), natural text sits in a sane band") {
     val out = ExtQueries.queries("char_entropy")(spark, sf).cache()
     try {
