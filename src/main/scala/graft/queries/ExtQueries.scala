@@ -740,6 +740,48 @@ object ExtQueries {
       ranks.select(col("doc_id"), col("r").as("rank_x1e6"))
     },
 
+    // Seeded trust propagation (round 10) — TrustRank (Gyöngyi,
+    // Garcia-Molina & Pedersen, VLDB 2004): link_rank with the uniform
+    // restart vector replaced by a TRUSTED SEED distribution, the
+    // quality-propagation move behind domain-trust curation (content
+    // linked from vetted sources inherits trust; spam islands
+    // unreachable from seeds decay to 0 — the uniform-restart
+    // PageRank would still give them the damping floor). Seeds are
+    // the md5-selected ~10% ("trust:"+id % 10 == 0 — the
+    // hand-vetted-list stand-in, oracle-portable like every split in
+    // this file); same deterministic 3-out-edge graph, same
+    // exact-integer damping (r div 3 contributions, 85/100 damping,
+    // 15% restart mass split over the SEEDS only). 100 TB shape
+    // identical to link_rank: the rank frame is (id, long), each
+    // round is one edge⋈rank join + agg, seed membership is a
+    // map-side hash predicate — no extra state.
+    "trust_rank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
+      val isSeed = pmod(Dedup.md5Hash60(
+        concat(lit("trust:"), col("doc_id").cast("string"))), lit(10L)) === 0L
+      val ns = docs.filter(isSeed).agg(count(lit(1)).cast("long").as("ns"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(k =>
+            Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
+              % col("n")): _*)).as("dst"))
+        .localCheckpoint(true)
+      var ranks = docs.crossJoin(broadcast(ns))
+        .select(col("doc_id"),
+          when(isSeed, expr("1000000 div ns")).otherwise(lit(0L)).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+          .groupBy(col("dst")).agg(sum(expr("r div 3")).as("cs"))
+        ranks = docs.crossJoin(broadcast(ns))
+          .join(contrib, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            (when(isSeed, expr("150000 div ns")).otherwise(lit(0L)) +
+              expr("(85 * coalesce(cs, 0)) div 100")).as("r"))
+      }
+      ranks.select(col("doc_id"), col("r").as("trust_x1e6"))
+    },
+
     // Triangle counting over link_rank's deterministic graph (round
     // 8) — the graph-structure curation signal (clustering/community
     // density) next to link authority. Degree-ordered orientation
@@ -2604,6 +2646,39 @@ object ExtQueries {
          |r0 AS (SELECT doc_id, 1000000 // nn.n AS r FROM ids CROSS JOIN nn),
          |$iters
          |SELECT doc_id, CAST(r AS BIGINT) AS rank_x1e6 FROM r5""".stripMargin
+    },
+
+    // trust_rank: link_rank's chain with the restart mass on the
+    // md5-selected seed set only.
+    "trust_rank" -> {
+      val hash = "CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || " +
+        "CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT dst, sum(r // 3) AS cs
+           |        FROM edges JOIN r${i - 1} ON r${i - 1}.doc_id = edges.src
+           |        GROUP BY 1),
+           |r$i AS (SELECT sd.doc_id,
+           |          CASE WHEN sd.is_seed THEN 150000 // ns.ns ELSE 0 END
+           |            + (85 * coalesce(cs, 0)) // 100 AS r
+           |        FROM sd CROSS JOIN ns LEFT JOIN c$i ON c$i.dst = sd.doc_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ids AS (SELECT doc_id FROM documents),
+         |sd AS (SELECT doc_id,
+         |         (CAST('0x' || substr(md5('trust:' || CAST(doc_id AS VARCHAR)),
+         |               1, 15) AS BIGINT) % 10 = 0) AS is_seed
+         |       FROM ids),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd WHERE is_seed),
+         |edges AS (SELECT doc_id AS src, $hash % nn.n AS dst
+         |          FROM (SELECT doc_id AS src, doc_id FROM ids)
+         |          CROSS JOIN nn
+         |          CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+         |r0 AS (SELECT sd.doc_id,
+         |         CASE WHEN sd.is_seed THEN 1000000 // ns.ns ELSE 0 END AS r
+         |       FROM sd CROSS JOIN ns),
+         |$iters
+         |SELECT doc_id, CAST(r AS BIGINT) AS trust_x1e6 FROM r5""".stripMargin
     },
 
     "graph_triangles" -> {

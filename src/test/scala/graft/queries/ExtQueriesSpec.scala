@@ -303,6 +303,26 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("trust_rank: seeds hold restart mass, spam islands decay to exactly 0") {
+    val out = ExtQueries.queries("trust_rank")(spark, sf).cache()
+    try {
+      val isSeed = pmod(graft.ext.Dedup.md5Hash60(
+        concat(lit("trust:"), col("doc_id").cast("string"))), lit(10L)) === 0L
+      // every seed keeps at least its restart share
+      assert(out.filter(isSeed && col("trust_x1e6") <= 0L).isEmpty)
+      // trust PROPAGATES: non-seed docs reachable from seeds score > 0
+      assert(out.filter(!isSeed && col("trust_x1e6") > 0L).count() > 0L)
+      // the TrustRank point vs link_rank: docs unreachable from the
+      // seed set within 5 hops score EXACTLY 0 (uniform-restart
+      // PageRank gives everyone the damping floor) — non-seeds only
+      val zeros = out.filter(col("trust_x1e6") === 0L)
+      assert(zeros.count() > 0L, "no spam island — graph too connected to discriminate")
+      assert(zeros.filter(isSeed).isEmpty)
+      // truncating division only loses mass
+      assert(out.agg(sum("trust_x1e6")).as[Long].head() <= 1000000L)
+    } finally out.unpersist()
+  }
+
   test("contam_expand: planted 3-chains land on their designed hops, min-hop unique") {
     val out = ExtQueries.queries("contam_expand")(spark, sf).cache()
     try {
