@@ -1320,6 +1320,51 @@ object ExtQueries {
             |  AS avg_lp_x1e6""".stripMargin)
     },
 
+    // PMI phrase mining (round 10) — pointwise mutual information over
+    // adjacent token pairs (Church & Hanks 1990; the word2phrase merge
+    // score in Mikolov et al. 2013 is its discounted variant): the
+    // top-50 bigrams whose co-occurrence beats independence, the
+    // phrase/collocation detector a tokenizer- or embedding-pipeline
+    // runs to promote "new york"-style units before training.
+    // PMI = ln(c12·Tu²/(Tb·c1·c2)), every input an exact integer, the
+    // double op tree written IDENTICALLY in both engines (bm25/tfidf
+    // convention: IEEE mult/div are exactly rounded, ln is the one
+    // libm call), floored at 1e6 scale for the rank key; min-support
+    // c12 ≥ 5 keeps the noise floor out (a 1-occurrence pair of two
+    // hapaxes would otherwise top the list). 100 TB shape: one token
+    // explode for unigram counts, one map-side zip_with bigram
+    // derivation (no positional self-join), totals broadcast, the
+    // c1/c2 joins ride the DISTINCT-bigram frame, top cut is a
+    // bounded TakeOrdered.
+    "phrase_detect" -> { (s, d) =>
+      val toks = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(true)
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val tu = uni.agg(sum(col("c")).as("tu"))
+      val tb = toks
+        .select((size(col("toks")) - 1).cast("long").as("nb"))
+        .agg(sum(when(col("nb") > 0L, col("nb")).otherwise(0L)).as("tb"))
+      val bi = toks.select(explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5L)
+      bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+        .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+          floor(log((col("c12").cast("double") * col("tu") * col("tu")) /
+              (col("tb").cast("double") * col("c1") * col("c2"))) * 1e6 + 0.5)
+            .cast("long").as("pmi_x1e6"))
+        .orderBy(col("pmi_x1e6").desc, col("bigram")).limit(50)
+    },
+
     // DSIR-style importance weights (round 8; Xie et al. 2023 motivate
     // importance resampling from an n-gram proxy): per-doc log
     // importance weight between the TARGET distribution (lang='en'
@@ -2766,6 +2811,32 @@ object ExtQueries {
          |       CAST(sum(tf * dlp_x1e6) AS BIGINT) AS weight_x1e6
          |FROM tf JOIN dlp USING (term)
          |GROUP BY 1""".stripMargin,
+
+    // phrase_detect: identical PMI op tree (left-assoc mults, one
+    // div, one ln), min-support 5, (pmi DESC, bigram) top-50.
+    "phrase_detect" ->
+      s"""WITH tk AS (SELECT doc_id, list_transform($ToksSql, t -> lower(t)) AS toks
+         |            FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM tk),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+         |tu AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM uni),
+         |tb AS (SELECT CAST(sum(CASE WHEN len(toks) > 1 THEN len(toks) - 1
+         |                            ELSE 0 END) AS BIGINT) AS tb
+         |       FROM tk),
+         |bg AS (SELECT toks[k] || ' ' || toks[k + 1] AS bigram
+         |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS k
+         |             FROM tk)),
+         |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12
+         |       FROM bg GROUP BY 1 HAVING count(*) >= 5),
+         |sc AS (SELECT bigram, c12, u1.c AS c1, u2.c AS c2,
+         |         CAST(floor(ln((CAST(c12 AS DOUBLE) * tu * tu) /
+         |                       (CAST(tb AS DOUBLE) * u1.c * u2.c)) * 1e6 + 0.5)
+         |           AS BIGINT) AS pmi_x1e6
+         |       FROM bi JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+         |               JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+         |       CROSS JOIN tu CROSS JOIN tb)
+         |SELECT bigram, c12, c1, c2, pmi_x1e6 FROM sc
+         |ORDER BY pmi_x1e6 DESC, bigram LIMIT 50""".stripMargin,
 
     // quality_classifier: the full supervised loop replayed — same
     // perturbed corpus as quality_filter, md5 train split, top-300

@@ -303,6 +303,34 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("phrase_detect: min support holds and PMI recheck matches per row") {
+    val out = ExtQueries.queries("phrase_detect")(spark, sf).cache()
+    try {
+      assert(out.count() == 50)
+      assert(out.filter(col("c12") < 5L).isEmpty, "min-support violated")
+      // c12 can never exceed either unigram count
+      assert(out.filter(col("c12") > col("c1") || col("c12") > col("c2")).isEmpty)
+      // per-row PMI recheck from the carried exact integers
+      val tu = graft.Tables.documents(spark, sf)
+        .select(explode(graft.ext.TextOps.tokens(lower(col("text")))).as("w"))
+        .count()
+      val bad = out.collect().filter { r =>
+        val (c12, c1, c2) = (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"))
+        // Tb differs from Tu by one per doc; recompute loosely: the
+        // floored value must sit within 1 of the recheck at Tb ∈
+        // [Tu - nDocs, Tu] — exact equality is the oracle's job
+        val lo = math.floor(math.log(c12.toDouble * tu * tu /
+          (tu.toDouble * c1 * c2)) * 1e6 + 0.5) - 60000
+        val hi = lo + 120000
+        val v = r.getAs[Long]("pmi_x1e6").toDouble
+        v < lo || v > hi
+      }
+      assert(bad.isEmpty, s"${bad.length} rows outside the PMI recheck band")
+      // phrases genuinely beat independence at the top of the list
+      assert(out.orderBy(col("pmi_x1e6").desc).head().getAs[Long]("pmi_x1e6") > 0L)
+    } finally out.unpersist()
+  }
+
   test("trust_rank: seeds hold restart mass, spam islands decay to exactly 0") {
     val out = ExtQueries.queries("trust_rank")(spark, sf).cache()
     try {
