@@ -303,6 +303,17 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("dedup_recall: bound cells are literally TRUE, hits bounded by both sides") {
+    val out = ExtQueries.queries("dedup_recall")(spark, sf).head()
+    val (ne, nl, nh) = (out.getAs[Long]("n_exact"), out.getAs[Long]("n_lsh"),
+      out.getAs[Long]("n_hit"))
+    assert(ne > 0L && nl > 0L, "degenerate corpus: no near-dup pairs at all")
+    assert(nh <= ne && nh <= nl)
+    // the gate's contract: the asserted bounds hold as literal TRUE
+    assert(out.getAs[Boolean]("recall_ok"), s"recall $nh/$ne below 0.9")
+    assert(out.getAs[Boolean]("precision_ok"), s"precision $nh/$nl below 0.9")
+  }
+
   test("phrase_detect: min support holds and PMI recheck matches per row") {
     val out = ExtQueries.queries("phrase_detect")(spark, sf).cache()
     try {

@@ -16,7 +16,8 @@ object Scratch {
     def pr(msg: String): Unit = System.err.println(s"[probe] $msg")
 
     for (name <- Seq("bpe_encode", "quality_classifier", "ngram_novelty",
-        "char_entropy", "pps_sample", "contam_expand");
+        "char_entropy", "pps_sample", "contam_expand", "trust_rank",
+        "phrase_detect");
         (label, d) <- Seq("sf0.01" -> "/root/testdata/sf0.01",
           "sf0.1" -> "/root/testdata/sf0.1")) {
       val t = minOf2(graft.SparkEntry.queries(name)(s, d)
