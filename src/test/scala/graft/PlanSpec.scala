@@ -275,6 +275,47 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ExistingRDD"), p)
     }
 
+  test("quality_classifier: the NB model reaches scoring via broadcast only") {
+    val p = plan("quality_classifier")
+    // the capped-vocab weight table and the totals/prior are the
+    // MODEL — they must broadcast to the (doc,term) frame, never
+    // shuffle it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pps_sample: stratum totals broadcast back; the keep test rides the scan") {
+    val p = plan("pps_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("phrase_detect: top-50 via TakeOrdered; totals broadcast") {
+    val p = plan("phrase_detect")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("contam_expand: BFS over materialized frames, equi-joins only") {
+    // seeds/pairs/hop1 are eagerly checkpointed (the eval-shingle
+    // broadcast probe runs inside those sub-jobs — same split as the
+    // simjoin guards); the final plan must read ONLY the materialized
+    // frames and compose them with equi-joins/anti-joins — a
+    // cartesian would mean the frontier join degenerated
+    val p = plan("contam_expand")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p) // the min-hop set subtraction
+  }
+
+  for (q <- Seq("bpe_encode", "ngram_novelty", "char_entropy", "trust_rank",
+      "dedup_recall"))
+    test(s"$q: equi-joins only — no cartesian anywhere") {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+
   test("footer-only aggregates: min/max/count push down to the parquet scan") {
     // With v2 parquet + aggregate pushdown, MIN/MAX/COUNT over a table
     // are answered from row-group footer statistics — zero data pages
