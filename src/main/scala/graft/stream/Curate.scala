@@ -1,0 +1,63 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{QualityFilter, TextOps}
+
+/** Streaming document curation — the corpus pipeline's map-side stages
+  * composed as ONE Structured Streaming flow over a document stream:
+  *
+  *   quality filter → PII scrub → exactly-once content dedup →
+  *   decontamination (eval-fingerprint anti-join)
+  *
+  * This is the ingest-time counterpart of the batch `corpus_pipeline`
+  * capstone: a crawler/firehose delivers documents continuously, and
+  * everything that CAN be decided per-document is decided before the
+  * lake write, so the nightly batch passes (MinHash near-dup, CC,
+  * packing) start from a pre-cleaned bronze table.
+  *
+  * Scale/state shape, stage by stage:
+  *  - quality filter + PII scrub: pure codegen'd Column expressions
+  *    (QualityFilter.keep / TextOps.scrubPii) — zero state, ride the
+  *    micro-batch scan at any rate;
+  *  - content dedup: `dropDuplicatesWithinWatermark` on the md5
+  *    fingerprint of the SCRUBBED text (two docs differing only in a
+  *    scrubbed email are the same document) — state holds one row per
+  *    distinct fingerprint only until the watermark passes it, so
+  *    producer retries and crawl re-fetches drop without unbounded
+  *    state (the classic dropDuplicates would grow forever);
+  *  - decontamination: stream-static LEFT ANTI join against the eval
+  *    fingerprint table, broadcast — benchmark-sized, the stream side
+  *    never shuffles for it.
+  *
+  * Scrub-before-fingerprint is load-bearing: retries that differ only
+  * inside PII spans still dedup, and no raw PII ever reaches the
+  * dedup state store or the sink.
+  */
+object Curate {
+
+  /** The streaming flow. `docs` must carry (doc_id, text, event_time).
+    * Exact-dup retries arriving within `watermark` of the original are
+    * dropped; eval-set members never reach the sink. */
+  def curate(docs: DataFrame, evalFingerprints: DataFrame,
+      watermark: String = "10 seconds"): DataFrame =
+    docs
+      .withWatermark("event_time", watermark)
+      .filter(QualityFilter.keep(col("text")))
+      .withColumn("text", TextOps.scrubPii(col("text")))
+      .withColumn("fp", TextOps.contentFingerprint(col("text")))
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .join(broadcast(evalFingerprints), Seq("fp"), "left_anti")
+
+  /** The batch replica of the same stages — the equivalence oracle the
+    * spec holds the stream output to (F3 discipline: batch ≡ stream on
+    * the same input). */
+  def curateBatch(docs: DataFrame, evalFingerprints: DataFrame): DataFrame =
+    docs
+      .filter(QualityFilter.keep(col("text")))
+      .withColumn("text", TextOps.scrubPii(col("text")))
+      .withColumn("fp", TextOps.contentFingerprint(col("text")))
+      .dropDuplicates(Seq("fp"))
+      .join(broadcast(evalFingerprints), Seq("fp"), "left_anti")
+}
