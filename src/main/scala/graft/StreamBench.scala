@@ -263,6 +263,49 @@ object StreamBench {
         f"[stream-bench] ivm_join_view@$label  $n rows  $tF%.1fs  ${n / tF}%.0f rows/s")
     }
 
+    // Mode G: streaming document curation — the LLM-ingest flow
+    // (stream.Curate: quality filter → PII scrub → exactly-once
+    // content dedup → broadcast decontamination) draining a 50k-doc
+    // topic (sf0.1 documents × 10 replicas — the replicas ARE the
+    // dedup workload, and ~10% of content is eval-fingerprinted).
+    // The number only records after the stream output set is REQUIREd
+    // equal to the batch replica (mode-F discipline).
+    locally {
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val input = (0 until 10).map(k => docs0.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .withColumn("event_time",
+          lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+      val topic = s"$work/topic_docs"
+      input.write.mode("overwrite").parquet(topic)
+      val evalFps = docs0
+        .filter(pmod(graft.ext.Dedup.md5Hash60(col("doc_id").cast("string")),
+          lit(20L)) < 2)
+        .select(graft.ext.TextOps.contentFingerprint(col("text")).as("fp"))
+      val n = spark.read.parquet(topic).count()
+      val sink = s"$work/g_out"
+      val tG = time {
+        val q = graft.stream.Curate.curate(
+            spark.readStream.schema(input.schema).parquet(topic), evalFps)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", s"$work/g_ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      results(s"curate@${n / 1000}k") = n / tG
+      val sFps = spark.read.parquet(sink)
+        .select("fp").collect().map(_.getString(0)).toSet
+      val bFps = graft.stream.Curate.curateBatch(spark.read.parquet(topic), evalFps)
+        .select("fp").collect().map(_.getString(0)).toSet
+      require(sFps == bFps && sFps.nonEmpty,
+        s"curated stream set (${sFps.size}) must equal batch replica (${bFps.size})")
+      System.err.println(
+        f"[stream-bench] curate@${n / 1000}k  $n rows  $tG%.1fs  ${n / tG}%.0f rows/s  " +
+          s"kept=${sFps.size}")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +
