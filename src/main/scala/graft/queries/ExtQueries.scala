@@ -1399,6 +1399,61 @@ object ExtQueries {
         .orderBy(col("pmi_x1e6").desc, col("bigram")).limit(50)
     },
 
+    // Held-out LM scoring (round 10) — bigram_logprob as DEPLOYED
+    // (CCNet/Wenzek et al. 2020 filter by the perplexity of a FIXED
+    // LM over incoming data; scoring your own training counts, as
+    // bigram_logprob does, can't see overfitting): the add-1 bigram
+    // LM trains on the md5-selected 80% shard ONLY, then scores the
+    // held-out 20% — unseen bigrams get ln((0+1)/(hc+|V|)), unseen
+    // heads the ln(1/|V|) floor, exactly the backoff a serving filter
+    // applies to novel text. Same exact-integer discipline (1e6
+    // BIGINT lp per DISTINCT held-out bigram, exact doc sums, signed
+    // HALF_UP mean). 100 TB shape: the MODEL (train bigram + head
+    // counts) is distinct-bigram-sized; scoring joins ride the
+    // distinct held-out bigram frame; one (doc,bigram) exchange total.
+    "heldout_perplexity" -> { (s, d) =>
+      val toks = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"),
+          (pmod(Dedup.md5Hash60(concat(lit("lm:"), col("doc_id").cast("string"))),
+            lit(10L)) < 8L).as("is_train"),
+          TextOps.tokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(true)
+      val btf = toks.select(col("doc_id"), col("is_train"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("doc_id"), col("is_train"), col("bigram"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val v = toks.filter(col("is_train"))
+        .select(explode(col("toks")).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      val trainBg = btf.filter(col("is_train"))
+        .groupBy(col("bigram")).agg(sum(col("tf")).as("c12"))
+        .withColumn("head", substring_index(col("bigram"), " ", 1))
+        .localCheckpoint(true)
+      val heads = trainBg.groupBy(col("head")).agg(sum(col("c12")).as("hc"))
+      val lp = btf.filter(!col("is_train")).select(col("bigram")).distinct()
+        .withColumn("head", substring_index(col("bigram"), " ", 1))
+        .join(trainBg.select(col("bigram"), col("c12")), Seq("bigram"), "left")
+        .join(heads, Seq("head"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("bigram"),
+          floor(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("hc"), lit(0L)) + col("v")).cast("double")) * 1e6 + 0.5)
+            .cast("long").as("lp_x1e6"))
+      btf.filter(!col("is_train")).join(lp, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * col("lp_x1e6")).as("sum_lp_x1e6"))
+        .withColumn("num", col("sum_lp_x1e6"))
+        .selectExpr("doc_id", "n_bigrams", "sum_lp_x1e6",
+          """CASE WHEN num >= 0 THEN (2 * num + n_bigrams) div (2 * n_bigrams)
+            |     ELSE -((2 * -num + n_bigrams) div (2 * n_bigrams)) END
+            |  AS avg_lp_x1e6""".stripMargin)
+    },
+
     // DSIR-style importance weights (round 8; Xie et al. 2023 motivate
     // importance resampling from an n-gram proxy): per-doc log
     // importance weight between the TARGET distribution (lang='en'
@@ -2881,6 +2936,48 @@ object ExtQueries {
          |       CAST(sum(tf * dlp_x1e6) AS BIGINT) AS weight_x1e6
          |FROM tf JOIN dlp USING (term)
          |GROUP BY 1""".stripMargin,
+
+    // heldout_perplexity: train-shard bigram/head counts, held-out
+    // scoring with the same backoff, identical ln/floor tree.
+    "heldout_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              (CAST('0x' || substr(md5('lm:' || CAST(doc_id AS VARCHAR)),
+         |                    1, 15) AS BIGINT) % 10 < 8) AS is_train,
+         |              list_transform($ToksSql, t -> lower(t)) AS toks
+         |            FROM documents),
+         |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+         |      FROM (SELECT unnest(toks) AS term FROM tk WHERE is_train)),
+         |bg AS (SELECT doc_id, is_train, toks[k] || ' ' || toks[k + 1] AS bigram
+         |       FROM (SELECT doc_id, is_train, toks,
+         |               unnest(generate_series(1, len(toks) - 1)) AS k
+         |             FROM tk)),
+         |btf AS (SELECT doc_id, is_train, bigram, CAST(count(*) AS BIGINT) AS tf
+         |        FROM bg GROUP BY 1, 2, 3),
+         |trainbg AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c12,
+         |                   string_split(bigram, ' ')[1] AS head
+         |            FROM btf WHERE is_train GROUP BY 1),
+         |heads AS (SELECT head, CAST(sum(c12) AS BIGINT) AS hc
+         |          FROM trainbg GROUP BY 1),
+         |hel AS (SELECT DISTINCT bigram, string_split(bigram, ' ')[1] AS head
+         |        FROM btf WHERE NOT is_train),
+         |lp AS (SELECT hel.bigram,
+         |         CAST(floor(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE) /
+         |                       CAST(coalesce(hc, 0) + v AS DOUBLE)) * 1e6 + 0.5)
+         |           AS BIGINT) AS lp_x1e6
+         |       FROM hel
+         |       LEFT JOIN trainbg ON trainbg.bigram = hel.bigram
+         |       LEFT JOIN heads ON heads.head = hel.head
+         |       CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(tf * lp_x1e6) AS BIGINT) AS sum_lp_x1e6
+         |        FROM btf JOIN lp USING (bigram)
+         |        WHERE NOT is_train GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_lp_x1e6,
+         |       CASE WHEN sum_lp_x1e6 >= 0
+         |            THEN (2 * sum_lp_x1e6 + n_bigrams) // (2 * n_bigrams)
+         |            ELSE -((2 * -sum_lp_x1e6 + n_bigrams) // (2 * n_bigrams)) END
+         |         AS avg_lp_x1e6
+         |FROM agg""".stripMargin,
 
     // phrase_detect: identical PMI op tree (left-assoc mults, one
     // div, one ln), min-support 5, (pmi DESC, bigram) top-50.

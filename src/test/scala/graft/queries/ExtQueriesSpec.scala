@@ -303,6 +303,29 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("heldout_perplexity: only held-out docs scored, and the held-out gap is real") {
+    val out = ExtQueries.queries("heldout_perplexity")(spark, sf).cache()
+    try {
+      // output is exactly the held-out shard (md5 'lm:' >= 8 of 10)
+      val isTrain = pmod(graft.ext.Dedup.md5Hash60(
+        concat(lit("lm:"), col("doc_id").cast("string"))), lit(10L)) < 8L
+      assert(out.filter(isTrain).isEmpty, "a train doc leaked into scoring")
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      val n = out.count()
+      assert(n > nDocs / 10 && n < nDocs * 3 / 10, s"held-out share off: $n of $nDocs")
+      // log-probabilities are negative: P < 1 always under add-1
+      assert(out.filter(col("avg_lp_x1e6") >= 0L).isEmpty)
+      // the held-out GAP: scoring unseen data under the train-only
+      // model must average strictly below bigram_logprob's
+      // self-scored values for the SAME docs (that model saw them)
+      val self = ExtQueries.queries("bigram_logprob")(spark, sf)
+        .select(col("doc_id"), col("avg_lp_x1e6").as("self_lp"))
+      val gap = out.join(self, "doc_id")
+        .agg(avg(col("avg_lp_x1e6") - col("self_lp"))).head().getDouble(0)
+      assert(gap < 0.0, f"no held-out gap: $gap%.1f (model should score unseen data lower)")
+    } finally out.unpersist()
+  }
+
   test("dedup_recall: bound cells are literally TRUE, hits bounded by both sides") {
     val out = ExtQueries.queries("dedup_recall")(spark, sf).head()
     val (ne, nl, nh) = (out.getAs[Long]("n_exact"), out.getAs[Long]("n_lsh"),
