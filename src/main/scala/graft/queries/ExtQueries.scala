@@ -1354,6 +1354,68 @@ object ExtQueries {
             |  AS avg_lp_x1e6""".stripMargin)
     },
 
+    // Exactly-oracled k-means training (round 10) — the Lloyd
+    // refinement the IVF family deliberately skips in its oracled path
+    // (VectorOps.ivfFlatTopK uses a SAMPLED quantizer precisely
+    // because ml.KMeans isn't engine-replicable; its doc says
+    // "before any Lloyd refinement"). This closes that gap: 2 unrolled
+    // Lloyd rounds over milli-quantized vectors where EVERY step is
+    // exact integer — assignment by the codegen'd idist2 squared
+    // distance with (dist, cid) lexicographic tie-break, centroid
+    // update by per-dim signed HALF_UP integer means, empty clusters
+    // keeping their old centroid — so the trained model itself
+    // hash-compares across engines (the output carries each round's
+    // per-cluster inertia and the md5 of the updated centroid).
+    // 100 TB shape: centroids broadcast (k=8 tiny vectors), assignment
+    // is one map-side pass, the update aggregates (cid, dim) cells —
+    // the classic scalable k-means layout; rounds are unrolled with
+    // per-round checkpoints like bpe_train.
+    "kmeans_train" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.quantize1000(col("embedding")).as("q"))
+        .localCheckpoint(true)
+      var cents = vecs
+        .withColumn("h", Dedup.md5Hash60(
+          concat(lit("km:"), col("vec_id").cast("string"))))
+        .orderBy(col("h")).limit(k)
+        .select(row_number().over(Window.orderBy("h")).as("cid"),
+          col("q").as("cv"))
+        .localCheckpoint(true)
+      val rounds = (1 to 2).map { r =>
+        val assigned = vecs.crossJoin(broadcast(cents))
+          .withColumn("dist", VectorOps.idist2(col("q"), col("cv")))
+          .groupBy(col("vec_id"), col("q"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("q"),
+            col("m.dist").as("dist"), col("m.cid").as("cid"))
+          .localCheckpoint(true)
+        val stats = assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("inertia"))
+        val upd = assigned
+          .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
+          .selectExpr("cid", "dim",
+            """CASE WHEN sv >= 0 THEN (2 * sv + cn) div (2 * cn)
+              |     ELSE -((2 * -sv + cn) div (2 * cn)) END AS m""".stripMargin)
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+            x => x.getField("m")).as("new_cv"))
+        cents = cents.select(col("cid"), col("cv").as("old_cv"))
+          .join(upd, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("new_cv"), col("old_cv")).as("cv"))
+          .localCheckpoint(true)
+        stats.join(cents, "cid")
+          .select(lit(r).as("round"), col("cid"), col("n_assigned"),
+            col("inertia"),
+            md5(concat_ws(",", transform(col("cv"), _.cast("string")))
+              .cast("binary")).as("centroid_md5"))
+      }
+      rounds.reduce(_ unionByName _)
+    },
+
     // PMI phrase mining (round 10) — pointwise mutual information over
     // adjacent token pairs (Church & Hanks 1990; the word2phrase merge
     // score in Mikolov et al. 2013 is its discounted variant): the
@@ -2936,6 +2998,60 @@ object ExtQueries {
          |       CAST(sum(tf * dlp_x1e6) AS BIGINT) AS weight_x1e6
          |FROM tf JOIN dlp USING (term)
          |GROUP BY 1""".stripMargin,
+
+    // kmeans_train: the 2 Lloyd rounds replayed — same quantization,
+    // same (dist, cid) argmin, same signed HALF_UP per-dim means,
+    // same empty-cluster fallback, same centroid md5.
+    "kmeans_train" -> {
+      val rounds = (1 to 2).map { r =>
+        val p = r - 1
+        s"""a$r AS (SELECT vec_id, q, dist, cid FROM (
+           |          SELECT vec_id, q, dist, cid,
+           |                 row_number() OVER (PARTITION BY vec_id
+           |                                    ORDER BY dist, cid) AS rn
+           |          FROM (SELECT v.vec_id, v.q, c.cid,
+           |                  CAST(list_sum(list_transform(
+           |                    generate_series(1, len(v.q)),
+           |                    i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))
+           |                    AS BIGINT) AS dist
+           |                FROM vecs v CROSS JOIN c$p c))
+           |        WHERE rn = 1),
+           |st$r AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+           |                CAST(sum(dist) AS BIGINT) AS inertia
+           |         FROM a$r GROUP BY 1),
+           |u$r AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+           |          SELECT cid, dim,
+           |                 CASE WHEN sv >= 0 THEN (2 * sv + cn) // (2 * cn)
+           |                      ELSE -((2 * -sv + cn) // (2 * cn)) END AS m
+           |          FROM (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS sv,
+           |                       CAST(count(*) AS BIGINT) AS cn
+           |                FROM (SELECT cid, unnest(q) AS v,
+           |                             generate_subscripts(q, 1) AS dim
+           |                      FROM a$r)
+           |                GROUP BY 1, 2))
+           |        GROUP BY cid),
+           |c$r AS (SELECT c$p.cid, coalesce(u$r.cv, c$p.cv) AS cv
+           |        FROM c$p LEFT JOIN u$r ON u$r.cid = c$p.cid),
+           |out$r AS (SELECT $r AS round, st$r.cid, n_assigned, inertia,
+           |                 md5(array_to_string(list_transform(c$r.cv,
+           |                   x -> CAST(x AS VARCHAR)), ',')) AS centroid_md5
+           |          FROM st$r JOIN c$r ON c$r.cid = st$r.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH vecs AS (SELECT vec_id,
+         |       list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |     FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY h) AS cid, q AS cv
+         |       FROM (SELECT q, CAST('0x' || substr(
+         |               md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15)
+         |               AS BIGINT) AS h
+         |             FROM vecs ORDER BY h LIMIT 8)),
+         |$rounds
+         |SELECT round, cid, n_assigned, inertia, centroid_md5 FROM out1
+         |UNION ALL
+         |SELECT round, cid, n_assigned, inertia, centroid_md5 FROM out2"""
+        .stripMargin
+    },
 
     // heldout_perplexity: train-shard bigram/head counts, held-out
     // scoring with the same backoff, identical ln/floor tree.

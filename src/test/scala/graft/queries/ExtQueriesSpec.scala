@@ -303,6 +303,31 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("kmeans_train: every vector assigned each round, and Lloyd really descends") {
+    val out = ExtQueries.queries("kmeans_train")(spark, sf).cache()
+    try {
+      val n = graft.Tables.embeddings(spark, sf).count()
+      val byRound = out.groupBy("round")
+        .agg(sum("n_assigned").as("n"), sum("inertia").as("inertia"))
+        .orderBy("round").collect()
+      assert(byRound.length == 2)
+      // partition property: every vector lands in exactly one cluster
+      byRound.foreach(r => assert(r.getAs[Long]("n") == n))
+      // Lloyd descent: round-2 assignment against the refined
+      // centroids must not cost more than round 1's
+      assert(byRound(1).getAs[Long]("inertia") <= byRound(0).getAs[Long]("inertia"),
+        s"inertia rose: ${byRound.map(_.getAs[Long]("inertia")).mkString(" -> ")}")
+      // centroids actually moved: round-2 md5s differ from round 1
+      // for at least one cluster (identical would mean a fixed point
+      // on the very first update — not this data)
+      val m1 = out.filter(col("round") === 1).select("cid", "centroid_md5")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val moved = out.filter(col("round") === 2).collect()
+        .count(r => m1.get(r.getAs[Int]("cid")).exists(_ != r.getAs[String]("centroid_md5")))
+      assert(moved > 0, "no centroid moved between rounds")
+    } finally out.unpersist()
+  }
+
   test("heldout_perplexity: only held-out docs scored, and the held-out gap is real") {
     val out = ExtQueries.queries("heldout_perplexity")(spark, sf).cache()
     try {
