@@ -257,6 +257,59 @@ object VectorOps {
       .orderBy(col("exact_d2"), col("vec_id")).limit(k)
   }
 
+  // ---- exactly-replicable Lloyd training (kmeans_train / trained IVF) --
+
+  /** Nearest-centroid assignment over quantized vectors: exact-integer
+    * idist2 with (dist, cid) lexicographic tie-break — the one
+    * assignment rule both engines replay bit-for-bit. `vecs` carries
+    * (vec_id, q); `cents` (cid, cv). */
+  def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", idist2(col("q"), col("cv")))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("q"),
+        col("m.dist").as("dist"), col("m.cid").as("cid"))
+
+  /** Unrolled Lloyd iterations, every step exact integer (assignment
+    * via [[assignTo]]; update via per-dim signed HALF_UP integer
+    * means; empty clusters keep their old centroid; init = the k
+    * corpus vectors with the smallest md5("km:"+id) — the sampled
+    * init ivfFlatTopK uses, now refined). Returns each round's
+    * (assignments-against-pre-update-centroids, post-update
+    * centroids), both eagerly checkpointed. 100 TB shape: centroids
+    * broadcast, assignment map-side, the update aggregates (cid, dim)
+    * cells — the classic scalable k-means layout. */
+  def lloydRounds(vecs: DataFrame, k: Int, rounds: Int)
+      : Seq[(DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    var cents = vecs
+      .withColumn("h", Dedup.md5Hash60(
+        concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("h")).limit(k)
+      .select(row_number().over(Window.orderBy("h")).as("cid"),
+        col("q").as("cv"))
+      .localCheckpoint(true)
+    (1 to rounds).map { _ =>
+      val assigned = assignTo(vecs, cents).localCheckpoint(true)
+      val upd = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
+        .selectExpr("cid", "dim",
+          """CASE WHEN sv >= 0 THEN (2 * sv + cn) div (2 * cn)
+            |     ELSE -((2 * -sv + cn) div (2 * cn)) END AS m""".stripMargin)
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("new_cv"))
+      cents = cents.select(col("cid"), col("cv").as("old_cv"))
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_cv"), col("old_cv")).as("cv"))
+        .localCheckpoint(true)
+      (assigned, cents)
+    }
+  }
+
   // ---- IVF-Flat ANN: deterministic sampled-centroid quantizer --------
 
   /** Default bucket/probe counts for [[ivfFlatTopK]] — shared with the

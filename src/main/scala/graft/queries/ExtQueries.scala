@@ -1371,49 +1371,55 @@ object ExtQueries {
     // the classic scalable k-means layout; rounds are unrolled with
     // per-round checkpoints like bpe_train.
     "kmeans_train" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val k = 8
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id"), VectorOps.quantize1000(col("embedding")).as("q"))
         .localCheckpoint(true)
-      var cents = vecs
-        .withColumn("h", Dedup.md5Hash60(
-          concat(lit("km:"), col("vec_id").cast("string"))))
-        .orderBy(col("h")).limit(k)
-        .select(row_number().over(Window.orderBy("h")).as("cid"),
-          col("q").as("cv"))
+      VectorOps.lloydRounds(vecs, k = 8, rounds = 2).zipWithIndex.map {
+        case ((assigned, cents), i) =>
+          assigned.groupBy(col("cid"))
+            .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("inertia"))
+            .join(cents, "cid")
+            .select(lit(i + 1).as("round"), col("cid"), col("n_assigned"),
+              col("inertia"),
+              md5(concat_ws(",", transform(col("cv"), _.cast("string")))
+                .cast("binary")).as("centroid_md5"))
+      }.reduce(_ unionByName _)
+    },
+
+    // Trained-IVF serving (round 10) — the other half of kmeans_train:
+    // bucket the corpus under the FINAL Lloyd centroids, route the
+    // query to its nProbe=2 nearest refined centroids (exact-integer
+    // distances on the quantized vectors), exact-cosine rerank only
+    // the probed buckets — the full train → index → query loop with
+    // every step engine-replicable (ivf_topk serves the UNREFINED
+    // sampled quantizer; ml.KMeans-backed ivfTopK can never be
+    // hash-oracled). Same output shape and rounding convention as
+    // ivf_topk. 100 TB shape identical to ivfFlatTopK: the refined
+    // routing table is model-sized, bucketing is the map-side
+    // assignment written once as the table's bucket column, the probe
+    // reads nProbe/k of the corpus, TakeOrdered ends it.
+    "ivf_trained_topk" -> { (s, d) =>
+      val nProbe = 2
+      val emb = Tables.embeddings(s, d)
+      val vecs = emb
+        .select(col("vec_id"), VectorOps.quantize1000(col("embedding")).as("q"))
         .localCheckpoint(true)
-      val rounds = (1 to 2).map { r =>
-        val assigned = vecs.crossJoin(broadcast(cents))
-          .withColumn("dist", VectorOps.idist2(col("q"), col("cv")))
-          .groupBy(col("vec_id"), col("q"))
-          .agg(min(struct(col("dist"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("q"),
-            col("m.dist").as("dist"), col("m.cid").as("cid"))
-          .localCheckpoint(true)
-        val stats = assigned.groupBy(col("cid"))
-          .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("inertia"))
-        val upd = assigned
-          .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
-          .selectExpr("cid", "dim",
-            """CASE WHEN sv >= 0 THEN (2 * sv + cn) div (2 * cn)
-              |     ELSE -((2 * -sv + cn) div (2 * cn)) END AS m""".stripMargin)
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-            x => x.getField("m")).as("new_cv"))
-        cents = cents.select(col("cid"), col("cv").as("old_cv"))
-          .join(upd, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("new_cv"), col("old_cv")).as("cv"))
-          .localCheckpoint(true)
-        stats.join(cents, "cid")
-          .select(lit(r).as("round"), col("cid"), col("n_assigned"),
-            col("inertia"),
-            md5(concat_ws(",", transform(col("cv"), _.cast("string")))
-              .cast("binary")).as("centroid_md5"))
-      }
-      rounds.reduce(_ unionByName _)
+      val cents = VectorOps.lloydRounds(vecs, k = 8, rounds = 2).last._2
+      val bucketed = VectorOps.assignTo(vecs, cents)
+        .select(col("vec_id"), col("cid").as("bucket"))
+      val qq = vecs.filter(col("vec_id") === 0).select(col("q").as("qq"))
+      val probes = cents.crossJoin(broadcast(qq))
+        .withColumn("dist", VectorOps.idist2(col("qq"), col("cv")))
+        .orderBy(col("dist"), col("cid")).limit(nProbe)
+        .select(col("cid").as("bucket"))
+      val qraw = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      emb.join(bucketed, "vec_id").join(broadcast(probes), "bucket")
+        .crossJoin(broadcast(qraw))
+        .select(col("vec_id"),
+          round(VectorOps.cosineFast(col("embedding"), col("qv")), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
     // PMI phrase mining (round 10) — pointwise mutual information over
@@ -1846,6 +1852,54 @@ object ExtQueries {
   /** [[VectorOps.ivfFlatTopK]] replicated: same sampled centroids (md5
     * id-hash order), same argmin assignment (distance then cid), same
     * nProbe routing, same rounded-cosine rerank. */
+  /** Shared Lloyd-training CTE chain (kmeans_train / ivf_trained_topk):
+    * vecs (milli-quantized), c0 (md5-sampled init, k=8), and per round
+    * r ∈ {1,2}: a$r (assignment vs c{r-1}), st$r (per-cluster stats),
+    * u$r (per-dim signed HALF_UP means), c$r (updated centroids with
+    * empty-cluster fallback). */
+  private def lloydCtes: String = {
+    val rounds = (1 to 2).map { r =>
+      val p = r - 1
+      s"""a$r AS (SELECT vec_id, q, dist, cid FROM (
+         |          SELECT vec_id, q, dist, cid,
+         |                 row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY dist, cid) AS rn
+         |          FROM (SELECT v.vec_id, v.q, c.cid,
+         |                  CAST(list_sum(list_transform(
+         |                    generate_series(1, len(v.q)),
+         |                    i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))
+         |                    AS BIGINT) AS dist
+         |                FROM vecs v CROSS JOIN c$p c))
+         |        WHERE rn = 1),
+         |st$r AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+         |                CAST(sum(dist) AS BIGINT) AS inertia
+         |         FROM a$r GROUP BY 1),
+         |u$r AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+         |          SELECT cid, dim,
+         |                 CASE WHEN sv >= 0 THEN (2 * sv + cn) // (2 * cn)
+         |                      ELSE -((2 * -sv + cn) // (2 * cn)) END AS m
+         |          FROM (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS sv,
+         |                       CAST(count(*) AS BIGINT) AS cn
+         |                FROM (SELECT cid, unnest(q) AS v,
+         |                             generate_subscripts(q, 1) AS dim
+         |                      FROM a$r)
+         |                GROUP BY 1, 2))
+         |        GROUP BY cid),
+         |c$r AS (SELECT c$p.cid, coalesce(u$r.cv, c$p.cv) AS cv
+         |        FROM c$p LEFT JOIN u$r ON u$r.cid = c$p.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""vecs AS (SELECT vec_id,
+       |       list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |     FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY h) AS cid, q AS cv
+       |       FROM (SELECT q, CAST('0x' || substr(
+       |               md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15)
+       |               AS BIGINT) AS h
+       |             FROM vecs ORDER BY h LIMIT 8)),
+       |$rounds""".stripMargin
+  }
+
   private def ivfFlatOracle: String =
     s"""WITH c AS (
        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -2999,59 +3053,58 @@ object ExtQueries {
          |FROM tf JOIN dlp USING (term)
          |GROUP BY 1""".stripMargin,
 
-    // kmeans_train: the 2 Lloyd rounds replayed — same quantization,
-    // same (dist, cid) argmin, same signed HALF_UP per-dim means,
-    // same empty-cluster fallback, same centroid md5.
+    // kmeans_train: the 2 Lloyd rounds replayed (shared lloydCtes) —
+    // same quantization, (dist, cid) argmin, signed HALF_UP per-dim
+    // means, empty-cluster fallback, centroid md5.
     "kmeans_train" -> {
-      val rounds = (1 to 2).map { r =>
-        val p = r - 1
-        s"""a$r AS (SELECT vec_id, q, dist, cid FROM (
-           |          SELECT vec_id, q, dist, cid,
-           |                 row_number() OVER (PARTITION BY vec_id
-           |                                    ORDER BY dist, cid) AS rn
-           |          FROM (SELECT v.vec_id, v.q, c.cid,
-           |                  CAST(list_sum(list_transform(
-           |                    generate_series(1, len(v.q)),
-           |                    i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))
-           |                    AS BIGINT) AS dist
-           |                FROM vecs v CROSS JOIN c$p c))
-           |        WHERE rn = 1),
-           |st$r AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
-           |                CAST(sum(dist) AS BIGINT) AS inertia
-           |         FROM a$r GROUP BY 1),
-           |u$r AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
-           |          SELECT cid, dim,
-           |                 CASE WHEN sv >= 0 THEN (2 * sv + cn) // (2 * cn)
-           |                      ELSE -((2 * -sv + cn) // (2 * cn)) END AS m
-           |          FROM (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS sv,
-           |                       CAST(count(*) AS BIGINT) AS cn
-           |                FROM (SELECT cid, unnest(q) AS v,
-           |                             generate_subscripts(q, 1) AS dim
-           |                      FROM a$r)
-           |                GROUP BY 1, 2))
-           |        GROUP BY cid),
-           |c$r AS (SELECT c$p.cid, coalesce(u$r.cv, c$p.cv) AS cv
-           |        FROM c$p LEFT JOIN u$r ON u$r.cid = c$p.cid),
-           |out$r AS (SELECT $r AS round, st$r.cid, n_assigned, inertia,
+      val outs = (1 to 2).map { r =>
+        s"""out$r AS (SELECT $r AS round, st$r.cid, n_assigned, inertia,
            |                 md5(array_to_string(list_transform(c$r.cv,
            |                   x -> CAST(x AS VARCHAR)), ',')) AS centroid_md5
            |          FROM st$r JOIN c$r ON c$r.cid = st$r.cid)""".stripMargin
       }.mkString(",\n")
-      s"""WITH vecs AS (SELECT vec_id,
-         |       list_transform(embedding,
-         |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
-         |     FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY h) AS cid, q AS cv
-         |       FROM (SELECT q, CAST('0x' || substr(
-         |               md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15)
-         |               AS BIGINT) AS h
-         |             FROM vecs ORDER BY h LIMIT 8)),
-         |$rounds
+      s"""WITH $lloydCtes,
+         |$outs
          |SELECT round, cid, n_assigned, inertia, centroid_md5 FROM out1
          |UNION ALL
          |SELECT round, cid, n_assigned, inertia, centroid_md5 FROM out2"""
         .stripMargin
     },
+
+    // ivf_trained_topk: the same chain, then serving — final-centroid
+    // bucketing, nProbe=2 routing on exact integer distances, cosine
+    // rerank of the probed buckets (ivf_topk's rounding convention).
+    "ivf_trained_topk" ->
+      s"""WITH $lloydCtes,
+         |bkt AS (SELECT vec_id, cid AS bucket FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY dist, cid) AS rn
+         |          FROM (SELECT v.vec_id, c.cid,
+         |                  CAST(list_sum(list_transform(
+         |                    generate_series(1, len(v.q)),
+         |                    i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))
+         |                    AS BIGINT) AS dist
+         |                FROM vecs v CROSS JOIN c2 c))
+         |        WHERE rn = 1),
+         |qq AS (SELECT q FROM vecs WHERE vec_id = 0),
+         |qp AS (SELECT cid AS bucket FROM (
+         |         SELECT c.cid,
+         |                CAST(list_sum(list_transform(
+         |                  generate_series(1, len(qq.q)),
+         |                  i -> (qq.q[i] - c.cv[i]) * (qq.q[i] - c.cv[i])))
+         |                  AS BIGINT) AS dist
+         |         FROM c2 c CROSS JOIN qq)
+         |       ORDER BY dist, cid LIMIT 2),
+         |qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |         FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                    qraw.qv), 4) AS cos_sim
+         |FROM embeddings e
+         |JOIN bkt ON bkt.vec_id = e.vec_id
+         |JOIN qp ON bkt.bucket = qp.bucket, qraw
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
     // heldout_perplexity: train-shard bigram/head counts, held-out
     // scoring with the same backoff, identical ln/floor tree.

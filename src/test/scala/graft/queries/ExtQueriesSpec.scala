@@ -328,6 +328,18 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("ivf_trained_topk: query retrieves itself first; results come from probed buckets only") {
+    val out = ExtQueries.queries("ivf_trained_topk")(spark, sf).collect()
+    assert(out.length == 10)
+    // the query vector is in the corpus: its own bucket is always
+    // probed, so rank 1 is itself at cos_sim 1.0
+    assert(out.head.getAs[Long]("vec_id") == 0L)
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+    // descending, tie-broken deterministically
+    val sims = out.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("heldout_perplexity: only held-out docs scored, and the held-out gap is real") {
     val out = ExtQueries.queries("heldout_perplexity")(spark, sf).cache()
     try {
