@@ -1422,6 +1422,38 @@ object ExtQueries {
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     },
 
+    // Vocabulary-coverage quality signal (round 10) — the Gopher-rule
+    // pair the quality_filter chain doesn't carry: per doc, the
+    // fraction of token OCCURRENCES drawn from the corpus's top-100
+    // terms (natural text is dominated by its common vocabulary;
+    // machine-generated/obfuscated text is not) and the fraction that
+    // are corpus HAPAXES (cc = 1 — gibberish, IDs and mojibake are
+    // hapax-heavy; a doc's own novel words are fine in moderation).
+    // Exact integers end to end: both fractions are HALF_UP at 1e4
+    // scale (basis points). 100 TB shape: ONE corpus explode feeds the
+    // (doc,term) tf, the corpus counts derive from it, the top-100 cut
+    // is a bounded TakeOrdered broadcast back, and the doc rollup
+    // rides the tf frame.
+    "vocab_coverage" -> { (s, d) =>
+      val tf = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val cc = tf.groupBy(col("term")).agg(sum(col("tf")).as("cc"))
+        .localCheckpoint(true)
+      val top = cc.orderBy(col("cc").desc, col("term")).limit(100)
+        .select(col("term"), lit(1L).as("is_top"))
+      tf.join(cc, "term")
+        .join(broadcast(top), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(when(col("is_top") === 1L, col("tf")).otherwise(0L)).as("top_tok"),
+          sum(when(col("cc") === 1L, col("tf")).otherwise(0L)).as("hapax_tok"))
+        .selectExpr("doc_id", "n_tokens",
+          "(20000 * top_tok + n_tokens) div (2 * n_tokens) AS top100_x1e4",
+          "(20000 * hapax_tok + n_tokens) div (2 * n_tokens) AS hapax_x1e4")
+    },
+
     // PMI phrase mining (round 10) — pointwise mutual information over
     // adjacent token pairs (Church & Hanks 1990; the word2phrase merge
     // score in Mikolov et al. 2013 is its discounted variant): the
@@ -3146,6 +3178,30 @@ object ExtQueries {
          |            THEN (2 * sum_lp_x1e6 + n_bigrams) // (2 * n_bigrams)
          |            ELSE -((2 * -sum_lp_x1e6 + n_bigrams) // (2 * n_bigrams)) END
          |         AS avg_lp_x1e6
+         |FROM agg""".stripMargin,
+
+    // vocab_coverage: same single-explode derivation, (cc DESC, term)
+    // top-100 cut, HALF_UP basis points.
+    "vocab_coverage" ->
+      s"""WITH tw AS (SELECT doc_id,
+         |              unnest(list_transform($ToksSql, t -> lower(t))) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tw GROUP BY 1, 2),
+         |cc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cc FROM tf GROUP BY 1),
+         |top AS (SELECT term, 1 AS is_top FROM cc
+         |        ORDER BY cc DESC, term LIMIT 100),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |          CAST(sum(CASE WHEN is_top = 1 THEN tf ELSE 0 END) AS BIGINT)
+         |            AS top_tok,
+         |          CAST(sum(CASE WHEN cc = 1 THEN tf ELSE 0 END) AS BIGINT)
+         |            AS hapax_tok
+         |        FROM tf JOIN cc USING (term)
+         |        LEFT JOIN top USING (term)
+         |        GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |       (20000 * top_tok + n_tokens) // (2 * n_tokens) AS top100_x1e4,
+         |       (20000 * hapax_tok + n_tokens) // (2 * n_tokens) AS hapax_x1e4
          |FROM agg""".stripMargin,
 
     // phrase_detect: identical PMI op tree (left-assoc mults, one

@@ -303,6 +303,27 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("vocab_coverage: basis points bounded, coverage mass conserved") {
+    val out = ExtQueries.queries("vocab_coverage")(spark, sf).cache()
+    try {
+      assert(out.filter(col("top100_x1e4") < 0L || col("top100_x1e4") > 10000L ||
+        col("hapax_x1e4") < 0L || col("hapax_x1e4") > 10000L).isEmpty)
+      // Σ n_tokens is the corpus token count
+      val total = out.agg(sum("n_tokens")).as[Long].head()
+      val corpus = graft.Tables.documents(spark, sf)
+        .select(explode(graft.ext.TextOps.tokens(lower(col("text")))).as("t")).count()
+      assert(total == corpus)
+      // a top-100 term and a hapax are disjoint classes on this
+      // corpus (top terms have cc >> 1), so the two fractions can
+      // never sum past 100%
+      assert(out.filter(col("top100_x1e4") + col("hapax_x1e4") > 10001L).isEmpty)
+      // word salad really is dominated by its common vocabulary: the
+      // corpus-median top-100 coverage is substantial
+      val med = out.stat.approxQuantile("top100_x1e4", Array(0.5), 0.0).head
+      assert(med > 1000.0, s"median top-100 coverage $med <= 10%")
+    } finally out.unpersist()
+  }
+
   test("kmeans_train: every vector assigned each round, and Lloyd really descends") {
     val out = ExtQueries.queries("kmeans_train")(spark, sf).cache()
     try {
