@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitors for pipeline governance: exact
+  * two-sample Kolmogorov–Smirnov and Population Stability Index per
+  * key, comparing a row-level A/B membership split (typically early vs
+  * late deployment windows).
+  *
+  * Both are exact-integer end to end so the results hash-oracle across
+  * engines (SparkEntry conventions): KS defers the common denominator
+  * (na·nb) to one final HALF_UP division; PSI floors both logs to
+  * 1e6-scaled BIGINTs from exact-integer ratios and divides per bin on
+  * provably non-negative operands.
+  *
+  * 100 TB shape: raw rows collapse to a compressed (key, value) /
+  * (key, bin) histogram in ONE partial+final aggregate before any
+  * window or join; the cumulative pass rides distinct values per key,
+  * the PSI tail rides the bin count. No row-level shuffle survives the
+  * first aggregate.
+  */
+object Drift {
+
+  /** Exact two-sample KS statistic per key.
+    *
+    * Input: one row per observation with a boolean A-side marker.
+    * Output: (key, na, nb, d_num, d_x1e6) where
+    * d_num = max over values of |nb·cumA − na·cumB| and
+    * d_x1e6 = HALF_UP(1e6 · d_num / (na·nb)). na·nb must stay inside
+    * BIGINT — holds through ~3e9 rows per side per key.
+    */
+  def ks(df: DataFrame, key: Column, inA: Column, value: Column): DataFrame = {
+    val cc = df
+      .select(key.as("k"), inA.as("in_a"), value.as("value"))
+      .groupBy(col("k"), col("value"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    val byKey = Window.partitionBy(col("k"))
+    val cum = Window.partitionBy(col("k")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cc.withColumn("na", sum(col("ca")).over(byKey))
+      .withColumn("nb", sum(col("cb")).over(byKey))
+      .withColumn("gap",
+        abs(col("nb") * sum(col("ca")).over(cum) -
+            col("na") * sum(col("cb")).over(cum)))
+      .groupBy(col("k"), col("na"), col("nb"))
+      .agg(max(col("gap")).as("d_num"))
+      .selectExpr("k", "na", "nb", "d_num",
+        "(2000000 * d_num + na * nb) div (2 * na * nb) AS d_x1e6")
+  }
+
+  /** PSI per key over fixed-width bins with add-1 smoothing on the
+    * observed bin set.
+    *
+    * Per bin the contribution is (pA − pB)·ln(pA/pB) under smoothed
+    * probabilities pA = (ca+1)/(na+v), pB = (cb+1)/(nb+v); both lns
+    * floor to 1e6-scaled BIGINTs and the numerator
+    * ((ca+1)(nb+v) − (cb+1)(na+v))·dln shares sign with dln by
+    * monotonicity of x ↦ floor(x·1e6 + 0.5), so every per-bin HALF_UP
+    * division runs on non-negative operands. Output:
+    * (key, na, nb, n_bins, psi_x1e6).
+    */
+  def psi(df: DataFrame, key: Column, inA: Column, value: Column,
+      binWidth: Double): DataFrame = {
+    val cc = df
+      .select(key.as("k"), inA.as("in_a"),
+        floor(value / binWidth).cast("long").as("bin"))
+      .groupBy(col("k"), col("bin"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = cc.groupBy(col("k"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("v"))
+    def lnFloor(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * 1e6 + 0.5)
+        .cast("long")
+    cc.join(tot, "k")
+      .withColumn("dln",
+        lnFloor(col("ca") + 1, col("na") + col("v")) -
+          lnFloor(col("cb") + 1, col("nb") + col("v")))
+      .withColumn("num",
+        (col("ca") + 1) * (col("nb") + col("v")) -
+          (col("cb") + 1) * (col("na") + col("v")))
+      .selectExpr("k", "na", "nb", "v",
+        "(2 * num * dln + (na + v) * (nb + v)) div (2 * (na + v) * (nb + v)) AS term")
+      .groupBy(col("k"), col("na"), col("nb"), col("v").as("n_bins"))
+      .agg(sum(col("term")).as("psi_x1e6"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{HeavyHitters, InvertedIndex, QualityFilter, TextOps}
-import graft.ops.{GapFill, Hierarchy, Incremental, Trend}
+import graft.ops.{Drift, GapFill, Hierarchy, Incremental, Trend}
 
 /** Round-5 analytics + corpus-governance queries: time-series
   * densification, trend fitting, behavioral funnels/cohorts, a TPC-H Q8
@@ -823,6 +823,59 @@ object AnalyticsQueries {
             .as("p50_ok"),
           (appr(0.9) >= snapLo("90") && appr(0.9) <= snapHi("90"))
             .as("p90_ok"))
+    },
+
+    // Two-sample Kolmogorov–Smirnov drift test (round 10) — the
+    // distribution-shift monitor a production pipeline runs between
+    // deployment windows: per event_type, split the table at the
+    // midpoint of its time range (exact epoch-micros integer midpoint,
+    // 1-row broadcast) and compare the early/late value distributions.
+    // The statistic is EXACT integer end to end: at each observed value
+    // the scaled CDF gap is |nb·cumA − na·cumB| (common denominator
+    // na·nb deferred), d_num = max over values, and only the final
+    // d_x1e6 divides — HALF_UP on non-negative BIGINTs. No sketch, no
+    // float compare. 100 TB shape: raw rows collapse to the compressed
+    // (type, value) histogram FIRST (one partial+final agg — the
+    // equidepth_hist_scale move); the cumulative window then rides
+    // distinct values per type, not rows, and a quantized `value`
+    // (centi-units) bounds that domain outright if a corpus arrives
+    // with unbounded distinct doubles. na·nb ≤ (rows/type)² stays
+    // inside BIGINT through petabyte-per-type counts (na, nb < 3e9).
+    "ks_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Tables.tsUs.as("tus"), col("value"))
+      val mid = ev.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+        .selectExpr("(lo + hi) div 2 AS tmid")
+      Drift.ks(ev.crossJoin(broadcast(mid)),
+          col("event_type"), col("tus") < col("tmid"), col("value"))
+        .withColumnRenamed("k", "event_type")
+    },
+
+    // Population Stability Index drift (round 10) — the banded
+    // companion to ks_drift (PSI is the score-drift metric model-risk
+    // teams actually chart; Karakoulas 2004): same early/late midpoint
+    // split, value_histogram's fixed width-5 bins, add-1 smoothing
+    // over the per-type observed bin set (so empty-on-one-side bins
+    // contribute finitely — the standard ε floor, made exact).
+    // Exact-integer discipline: both lns are floored to 1e6-scaled
+    // BIGINTs from exact-integer-valued ratios (unigram_logprob
+    // convention); each bin's term is
+    //   ((ca+1)(nb+v) − (cb+1)(na+v)) · dln  /  ((na+v)(nb+v))
+    // whose factors provably share sign (floor(x·1e6+0.5) is
+    // monotone), so every term is ≥ 0 and the per-bin HALF_UP division
+    // stays on non-negative operands inside BIGINT (≤ ~4e17 at 1e6
+    // rows/type); psi_x1e6 is their exact sum. 100 TB shape: one
+    // partial+final agg to the (type, bin) frame, a per-type 1-row
+    // broadcastable totals join, everything after rides the bin count.
+    "psi_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Tables.tsUs.as("tus"), col("value"))
+      val mid = ev.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+        .selectExpr("(lo + hi) div 2 AS tmid")
+      Drift.psi(ev.crossJoin(broadcast(mid)),
+          col("event_type"), col("tus") < col("tmid"), col("value"),
+          binWidth = 5.0)
+        .withColumnRenamed("k", "event_type")
     }
   )
 
@@ -1294,6 +1347,59 @@ object AnalyticsQueries {
         |       c_name,
         |       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
         |       sum_price
-        |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
+        |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+
+    // ks_drift: same integer-midpoint split, compressed (type, value)
+    // histogram, deferred common denominator, HALF_UP only at the end.
+    "ks_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+        |m AS (SELECT (min(tus) + max(tus)) // 2 AS tmid FROM e),
+        |cc AS (SELECT event_type, value,
+        |         CAST(sum(CASE WHEN tus < tmid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN tus >= tmid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |       FROM e CROSS JOIN m GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |        sum(ca) OVER (PARTITION BY event_type) AS na,
+        |        sum(cb) OVER (PARTITION BY event_type) AS nb,
+        |        abs(sum(cb) OVER (PARTITION BY event_type)
+        |              * sum(ca) OVER (PARTITION BY event_type ORDER BY value
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - sum(ca) OVER (PARTITION BY event_type)
+        |              * sum(cb) OVER (PARTITION BY event_type ORDER BY value
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |          AS gap
+        |      FROM cc),
+        |g AS (SELECT event_type, CAST(na AS BIGINT) AS na,
+        |             CAST(nb AS BIGINT) AS nb, CAST(max(gap) AS BIGINT) AS d_num
+        |      FROM w GROUP BY 1, 2, 3)
+        |SELECT event_type, na, nb, d_num,
+        |       (2000000 * d_num + na * nb) // (2 * na * nb) AS d_x1e6
+        |FROM g""".stripMargin,
+
+    // psi_drift: width-5 bins, add-1 smoothing over the observed bin
+    // set, 1e6-floored lns over exact-integer ratios, per-bin HALF_UP
+    // terms (factors share sign, so every term is non-negative).
+    "psi_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+        |m AS (SELECT (min(tus) + max(tus)) // 2 AS tmid FROM e),
+        |cc AS (SELECT event_type, CAST(floor(value / 5) AS BIGINT) AS bin,
+        |         CAST(sum(CASE WHEN tus < tmid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN tus >= tmid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |       FROM e CROSS JOIN m GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb,
+        |               CAST(count(*) AS BIGINT) AS v
+        |        FROM cc GROUP BY 1),
+        |t AS (SELECT cc.event_type, na, nb, v,
+        |        ((ca + 1) * (nb + v) - (cb + 1) * (na + v))
+        |          * (CAST(floor(ln(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+        |                        * 1e6 + 0.5) AS BIGINT)
+        |             - CAST(floor(ln(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |                          * 1e6 + 0.5) AS BIGINT)) AS nd
+        |      FROM cc JOIN tot USING (event_type))
+        |SELECT event_type, na, nb, v AS n_bins,
+        |       CAST(sum((2 * nd + (na + v) * (nb + v))
+        |                // (2 * (na + v) * (nb + v))) AS BIGINT) AS psi_x1e6
+        |FROM t GROUP BY 1, 2, 3, 4""".stripMargin
   )
 }

@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, Contamination, CountMin, Dedup, Fuzzy, Multimodal, Packing, QualityFilter, Repetition, Sampling, TextOps, VectorOps, ZOrder}
+import graft.ext.{Bloom, Contamination, CountMin, Dedup, FeatureSelect, Fuzzy, Multimodal, Packing, QualityFilter, Repetition, Sampling, TextOps, VectorOps, Winnow, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -35,6 +36,26 @@ object ExtQueries {
       (col("doc_id") + NearDupOffset).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
     docs.select(col("doc_id"), col("text")).unionByName(perturbed)
+  }
+
+  /** The supervised-quality corpus: documents ∪ three deterministic
+    * degradations (2-token truncation, 50%-dot punctuation padding,
+    * whitespace-stripped gluing), each tripping a different
+    * QualityFilter rule so both label classes exist at every SF.
+    * Shared by quality_classifier and feature_mi; the oracle replica
+    * is the `aug` CTE. Id offsets keep the four slices provably
+    * disjoint (documents ids are < 1e9 at every SF). */
+  def perturbedCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val rtoks = TextOps.tokens(col("text"))
+    val short = docs.select((col("doc_id") + 2000000000L).as("doc_id"),
+      concat_ws(" ", slice(rtoks, 1, 2)).as("text"))
+    val punct = docs.select((col("doc_id") + 3000000000L).as("doc_id"),
+      concat(col("text"), lit(" "),
+        expr("repeat('.', CAST(length(text) / 2 AS INT))")).as("text"))
+    val glued = docs.select((col("doc_id") + 4000000000L).as("doc_id"),
+      expr("replace(text, ' ', '')").as("text"))
+    docs.unionByName(short).unionByName(punct).unionByName(glued)
   }
 
   /** Three messy spellings of a logical page per document (the corpus
@@ -1616,19 +1637,9 @@ object ExtQueries {
     // exchange and the 8-row output rides the capped vocab.
     "quality_classifier" -> { (s, d) =>
       val K = 300
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val rtoks = TextOps.tokens(col("text"))
-      val short = docs.select((col("doc_id") + 2000000000L).as("doc_id"),
-        concat_ws(" ", slice(rtoks, 1, 2)).as("text"))
-      val punct = docs.select((col("doc_id") + 3000000000L).as("doc_id"),
-        concat(col("text"), lit(" "),
-          expr("repeat('.', CAST(length(text) / 2 AS INT))")).as("text"))
-      val glued = docs.select((col("doc_id") + 4000000000L).as("doc_id"),
-        expr("replace(text, ' ', '')").as("text"))
       // one corpus materialization; labels, split, and token arrays
       // derive map-side and feed every downstream consumer
-      val aug = Dedup.rebalance(
-          docs.unionByName(short).unionByName(punct).unionByName(glued))
+      val aug = Dedup.rebalance(perturbedCorpus(s, d))
         .select(col("doc_id"),
           QualityFilter.keep(col("text")).as("actual_keep"),
           (pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(2L)) === 0L)
@@ -1674,6 +1685,116 @@ object ExtQueries {
         .groupBy(col("is_train"), col("actual_keep"),
           (col("score") > 0L).as("predicted_keep"))
         .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score_x1e6"))
+    },
+
+    // Winnowing fingerprints (round 10) — the MOSS document
+    // fingerprint (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    // guarantee-backed sampling of the k-gram hash stream. Every
+    // window of WinnowW=4 consecutive shingle hashes selects its
+    // RIGHTMOST MINIMUM, so any match of ≥ w+k−1 tokens between two
+    // docs shares a selected fingerprint (the paper's coverage
+    // guarantee — doc_fingerprint's plain rolling-hash sample has no
+    // such bound). The window-sweep is re-expressed as a per-position
+    // predicate so it runs as ONE Window exec instead of a w-way
+    // self-join: position p is selected ⟺ for some split l+r = w−1
+    // with both frames in bounds, all l left-neighbors have h ≥ h_p
+    // and all r right-neighbors have h > h_p (rightmost-min
+    // tie-break). The equivalence to the sliding-window definition is
+    // brute-force-verified over 20k random cases in WinnowSpec.
+    // 100 TB shape: one token explode → one per-doc Window pass (docs
+    // are bounded, partitions balance by doc count) → doc-sized aggs;
+    // the shared-fingerprint join rides the SELECTED set (~2/(w+1) of
+    // positions, deduped), never all-pairs.
+    "winnow_fingerprint" -> { (s, d) =>
+      val sh = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.ext.expr.ShingleMd5.shingleMd5(
+            TextOps.tokens(lower(col("text"))), 3)))
+        .toDF("doc_id", "pos", "h")
+      val fp = Winnow.selected(sh, col("doc_id"), col("pos"), col("h"))
+        .drop("pos")
+        .localCheckpoint(true)
+      val stats = fp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kgrams"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_fp"))
+      val selFp = fp.filter(col("sel"))
+        .select(col("doc_id"), col("h")).distinct()
+      val multi = selFp.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2L)
+      val shared = selFp.join(multi.select("h"), "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      stats.join(shared, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_kgrams", "n_fp",
+          "coalesce(ns, 0) AS n_shared_fp",
+          "(2000000 * n_fp + n_kgrams) div (2 * n_kgrams) AS density_x1e6")
+    },
+
+    // HITS hub/authority scores (round 10) — Kleinberg (JACM 1999)
+    // over link_rank's deterministic 3-out-edge graph: the
+    // two-sided authority signal (a page is a good hub if it points
+    // at good authorities and vice versa) next to link_rank's
+    // single-vector PageRank. Three unrolled mutual-reinforcement
+    // rounds run UNNORMALIZED from hub=1, so every score is an exact
+    // BIGINT path count (weighted in-/out-tree tallies) and no
+    // division ever happens — the normalization constant cancels in
+    // any downstream ranking use, and values stay ≤ (3·maxdeg)³,
+    // comfortably inside BIGINT at any corpus size (Poisson-bounded
+    // degrees). 100 TB shape identical to link_rank: the edge set
+    // builds once map-side and checkpoints; each half-round is one
+    // (id, long) join + agg exchange pair.
+    "hits_scores" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(k =>
+            Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
+              % col("n")): _*)).as("dst"))
+        .localCheckpoint(true)
+      var hub = docs.select(col("doc_id"), lit(1L).as("hs"))
+      var auth = docs.select(col("doc_id"), lit(0L).as("av"))
+      for (_ <- 1 to 3) {
+        val aRaw = edges.join(hub, edges("src") === hub("doc_id"))
+          .groupBy(col("dst")).agg(sum(col("hs")).as("sum_a"))
+        auth = docs.join(aRaw, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"), coalesce(col("sum_a"), lit(0L)).as("av"))
+        val hRaw = edges.join(auth, edges("dst") === auth("doc_id"))
+          .groupBy(col("src")).agg(sum(col("av")).as("sum_h"))
+        hub = docs.join(hRaw, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"), coalesce(col("sum_h"), lit(0L)).as("hs"))
+      }
+      auth.join(hub, "doc_id")
+        .select(col("doc_id"), col("av").as("auth_score"),
+          col("hs").as("hub_score"))
+    },
+
+    // Mutual-information feature selection (round 10) — the
+    // feature-audit step between rule labels and a trained filter
+    // (Manning/Raghavan/Schütze IR ch. 13.5): over the SAME perturbed
+    // corpus and QualityFilter labels quality_classifier trains on,
+    // rank the top-300-df vocabulary by I(term-presence; label) and
+    // report the 50 most label-informative terms with their full
+    // 2×2 presence/label contingency cells. Exact-integer discipline:
+    // cells come from one distinct-presence explode + exact counts;
+    // each cell's ln(N·N_ij/(N_i·N_j)) is 1e6-floored from
+    // exact-integer-valued ratios (arguments ≤ 4e8 — double-exact),
+    // weighted by the exact N_ij and summed as BIGINTs; zero cells
+    // contribute 0 (the 0·ln 0 limit). mi_num can sit a few 1e-6
+    // below 0 on near-independent terms (floor jitter), so the
+    // per-doc-scale mi_x1e6 clamps at 0 to keep HALF_UP on
+    // non-negative operands — the signed mi_num ships alongside.
+    // 100 TB shape: corpus explode → (term) agg; the vocab cut is a
+    // TakeOrdered; cells and MI ride the 300-term frame with 1-row
+    // totals broadcast.
+    "feature_mi" -> { (s, d) =>
+      val aug = Dedup.rebalance(perturbedCorpus(s, d))
+        .select(col("doc_id"), QualityFilter.keep(col("text")).as("keep"),
+          array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
+        .localCheckpoint(true)
+      FeatureSelect.mutualInfo(
+        aug.select(col("doc_id"), col("keep")),
+        aug.select(col("doc_id"), col("keep"), explode(col("toks")).as("term")),
+        vocabK = 300, topK = 50)
     }
   )
 
@@ -3388,7 +3509,139 @@ object ExtQueries {
          |SELECT cand.vec_id, adc_d2, CAST($ed2 AS BIGINT) AS exact_d2
          |FROM cand JOIN q ON q.vec_id = cand.vec_id CROSS JOIN qv
          |ORDER BY exact_d2, cand.vec_id LIMIT 10""".stripMargin
-    }
+    },
+
+    // winnow_fingerprint: same 60-bit shingle hashes, the same
+    // split-criterion predicate over ROWS-PRECEDING/FOLLOWING frames
+    // (l left-neighbors ≥ h, r right-neighbors > h, l + r = 3, frames
+    // in bounds), shared set over distinct selected hashes.
+    "winnow_fingerprint" ->
+      s"""WITH ct AS (SELECT doc_id, list_transform($ToksSql, t -> lower(t)) AS toks
+         |            FROM documents),
+         |sh AS (SELECT doc_id, s AS pos, CAST('0x' || substr(md5(
+         |         array_to_string(list_slice(toks, s, s + 2), ' ')), 1, 15)
+         |         AS BIGINT) AS h
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks) - 2)) AS s
+         |             FROM ct)),
+         |f AS (SELECT doc_id, pos, h,
+         |        ${(1 to 3).map(k =>
+               s"""min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN $k PRECEDING AND 1 PRECEDING) AS lmin$k,
+         |        count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN $k PRECEDING AND 1 PRECEDING) AS lcnt$k,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 1 FOLLOWING AND $k FOLLOWING) AS rmin$k,
+         |        count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 1 FOLLOWING AND $k FOLLOWING) AS rcnt$k""")
+               .mkString(",\n         |        ")}
+         |      FROM sh),
+         |sel AS (SELECT doc_id, h,
+         |          (${(0 to 3).map { l =>
+                 val r = 3 - l
+                 val okL = if (l == 0) "TRUE" else s"(lcnt$l = $l AND lmin$l >= h)"
+                 val okR = if (r == 0) "TRUE" else s"(rcnt$r = $r AND rmin$r > h)"
+                 s"($okL AND $okR)"
+               }.mkString("\n         |           OR ")}) AS sel
+         |        FROM f),
+         |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams,
+         |            CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+         |          FROM sel GROUP BY 1),
+         |sf AS (SELECT DISTINCT doc_id, h FROM sel WHERE sel),
+         |multi AS (SELECT h FROM sf GROUP BY 1 HAVING count(*) >= 2),
+         |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns
+         |           FROM sf JOIN multi USING (h) GROUP BY 1)
+         |SELECT stats.doc_id, n_kgrams, n_fp,
+         |       CAST(coalesce(ns, 0) AS BIGINT) AS n_shared_fp,
+         |       (2000000 * n_fp + n_kgrams) // (2 * n_kgrams) AS density_x1e6
+         |FROM stats LEFT JOIN shared ON stats.doc_id = shared.doc_id""".stripMargin,
+
+    // hits_scores: link_rank's edge CTE, three unrolled unnormalized
+    // mutual-reinforcement half-round pairs — pure BIGINT sums.
+    "hits_scores" -> {
+      val hash = "CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || " +
+        "CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"
+      val iters = (1 to 3).map { i =>
+        s"""a$i AS (SELECT ids.doc_id, CAST(coalesce(t.v, 0) AS BIGINT) AS av
+           |        FROM ids LEFT JOIN (
+           |          SELECT dst, sum(hs) AS v FROM edges
+           |          JOIN h${i - 1} ON h${i - 1}.doc_id = edges.src
+           |          GROUP BY 1) t ON t.dst = ids.doc_id),
+           |h$i AS (SELECT ids.doc_id, CAST(coalesce(t.v, 0) AS BIGINT) AS hs
+           |        FROM ids LEFT JOIN (
+           |          SELECT src, sum(av) AS v FROM edges
+           |          JOIN a$i ON a$i.doc_id = edges.dst
+           |          GROUP BY 1) t ON t.src = ids.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ids AS (SELECT doc_id FROM documents),
+         |edges AS (SELECT doc_id AS src, $hash % nn.n AS dst
+         |          FROM (SELECT doc_id AS src, doc_id FROM ids)
+         |          CROSS JOIN nn
+         |          CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+         |h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS hs FROM ids),
+         |$iters
+         |SELECT a3.doc_id, a3.av AS auth_score, h3.hs AS hub_score
+         |FROM a3 JOIN h3 ON a3.doc_id = h3.doc_id""".stripMargin
+    },
+
+    // feature_mi: quality_classifier's aug corpus + labels, distinct
+    // term presence, top-300-df vocab, 1e6-floored pointwise lns over
+    // the exact 2×2 cells, clamped HALF_UP per-doc scale.
+    "feature_mi" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000,
+         |         array_to_string(($ToksSql)[1:2], ' ')
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000000,
+         |         text || ' ' || repeat('.', length(text) // 2)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 4000000000, replace(text, ' ', '') FROM documents),
+         |m AS (SELECT doc_id, text, $ToksSql AS rtoks,
+         |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+         |          AS n_punct
+         |      FROM aug),
+         |lab AS (SELECT doc_id,
+         |          NOT ((len(rtoks) < 5) OR (len(rtoks) > 50000)
+         |            OR (len(rtoks) > 0 AND
+         |                (CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) < 2.0
+         |                 OR CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) > 15.0))
+         |            OR (length(text) > 0 AND CAST(n_punct AS DOUBLE) / length(text) > 0.2))
+         |            AS keep,
+         |          list_transform(rtoks, t -> lower(t)) AS toks
+         |        FROM m),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS npos
+         |        FROM lab),
+         |pres AS (SELECT DISTINCT doc_id, keep, term
+         |         FROM (SELECT doc_id, keep, unnest(toks) AS term FROM lab)),
+         |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n11
+         |       FROM pres GROUP BY 1 ORDER BY df DESC, term LIMIT 300),
+         |cells AS (SELECT term, n11, df - n11 AS n10, npos - n11 AS n01,
+         |                 n - npos - (df - n11) AS n00, n, npos, df
+         |          FROM tc CROSS JOIN tot),
+         |mi AS (SELECT term, n11, n10, n01, n00, n,
+         |         CAST(CASE WHEN n11 > 0 THEN n11 * CAST(floor(ln(
+         |                CAST(n * n11 AS DOUBLE) / CAST(df * npos AS DOUBLE))
+         |                * 1e6 + 0.5) AS BIGINT) ELSE 0 END
+         |           + CASE WHEN n10 > 0 THEN n10 * CAST(floor(ln(
+         |                CAST(n * n10 AS DOUBLE) / CAST(df * (n - npos) AS DOUBLE))
+         |                * 1e6 + 0.5) AS BIGINT) ELSE 0 END
+         |           + CASE WHEN n01 > 0 THEN n01 * CAST(floor(ln(
+         |                CAST(n * n01 AS DOUBLE) / CAST((n - df) * npos AS DOUBLE))
+         |                * 1e6 + 0.5) AS BIGINT) ELSE 0 END
+         |           + CASE WHEN n00 > 0 THEN n00 * CAST(floor(ln(
+         |                CAST(n * n00 AS DOUBLE) / CAST((n - df) * (n - npos) AS DOUBLE))
+         |                * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS BIGINT) AS mi_num
+         |       FROM cells)
+         |SELECT term, n11, n10, n01, n00, mi_num,
+         |       (2 * greatest(mi_num, 0) + n) // (2 * n) AS mi_x1e6
+         |FROM mi ORDER BY mi_num DESC, term LIMIT 50""".stripMargin
     // heavy_hitters (AnalyticsQueries) stays rows-only: Misra–Gries'
     // RETAINED-TOKEN SET depends on counter admission order across
     // partitions, so even the row set is layout-dependent; the other

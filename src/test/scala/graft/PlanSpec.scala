@@ -553,4 +553,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("ks_drift / psi_drift: raw rows collapse in a map-side-combined agg first") {
+    // The 1-row midpoint broadcast legitimately plans a BNLJ; what
+    // must hold is that the first pass over raw events is a
+    // partial+final HashAggregate (the compressed-histogram move) so
+    // the window/join tail rides distinct values, not rows.
+    for (name <- Seq("ks_drift", "psi_drift")) {
+      val p = plan(name)
+      assert(p.sliding("partial_sum".length).count(_ == "partial_sum") >= 2,
+        s"$name must map-side combine the (key, value) histogram:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("hits_scores: all six half-round aggregates map-side combine") {
+    val p = plan("hits_scores")
+    assert(p.sliding("partial_sum".length).count(_ == "partial_sum") >= 6,
+      s"each mutual-reinforcement half-round must combine map-side:\n$p")
+  }
+
+  test("feature_mi: vocab cut is a TakeOrdered; totals broadcast onto the term frame") {
+    val p = plan("feature_mi")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the df-vocab and MI cuts must be bounded top-k, not global sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

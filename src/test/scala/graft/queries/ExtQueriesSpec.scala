@@ -561,4 +561,35 @@ class ExtQueriesSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
       ((n, edges.size.toLong, triples / 3)))
   }
+
+  test("hits_scores equals an independent driver-side mutual-reinforcement loop") {
+    // Independent path: rebuild the md5-derived multigraph in plain
+    // JVM code (self-loops and duplicate targets KEPT — the query's
+    // edge list keeps them too) and run the three unnormalized HITS
+    // rounds as literal map folds, no joins involved.
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val edges = for { id <- ids.toSeq; k <- 1 to 3 } yield (id, h60(s"$id:$k") % n)
+    var hub = ids.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to 3) {
+      auth = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => hub(e._1)).sum }.withDefaultValue(0L)
+      hub = ids.map(id => id -> edges.filter(_._1 == id).map(e => auth(e._2)).sum).toMap
+    }
+    val out = ExtQueries.queries("hits_scores")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == ids.toSet)
+    for (id <- ids)
+      assert(out(id) == ((auth(id), hub(id))), s"doc $id")
+    // scores are genuine path tallies, not all-zero degenerates
+    assert(ids.map(id => out(id)._1).max > 0L)
+    assert(ids.map(id => out(id)._2).max > 0L)
+  }
 }
