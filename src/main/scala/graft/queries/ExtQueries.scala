@@ -1795,6 +1795,52 @@ object ExtQueries {
         aug.select(col("doc_id"), col("keep")),
         aug.select(col("doc_id"), col("keep"), explode(col("toks")).as("term")),
         vocabK = 300, topK = 50)
+    },
+
+    // Label-propagation communities (round 10) — Raghavan, Albert &
+    // Kumara (Phys. Rev. E 2007), made DETERMINISTIC: synchronous
+    // updates, each node adopting its neighbors' MODE label with the
+    // (count desc, label asc) tie-break, 3 unrolled rounds from
+    // singleton labels over the undirected link graph. The density
+    // community signal next to dedup_groups' pure connectivity (CC
+    // merges everything reachable; LPA keeps weakly-bridged regions
+    // apart). The per-node argmax is NOT a window sort: mode selection
+    // aggregates as max(struct(c, -lab)) — partial-aggregable, so
+    // each round's shuffle carries (node, lab) partial counts, then
+    // node-sized maxima; label frames are (id, long) rows throughout.
+    // 100 TB shape: the adjacency builds once map-side and
+    // checkpoints; each round is two partial+final agg exchanges —
+    // the link_rank envelope with the window eliminated.
+    "label_prop" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
+      val und = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("u"),
+          explode(array((1 to 3).map(k =>
+            Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
+              % col("n")): _*)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+      val nbr = und.select(col("a").as("node"), col("b").as("other"))
+        .unionByName(und.select(col("b").as("node"), col("a").as("other")))
+        .localCheckpoint(true)
+      var labels = docs.select(col("doc_id"), col("doc_id").as("lab"))
+      for (_ <- 1 to 3) {
+        val cnt = nbr
+          .join(labels.select(col("doc_id").as("other"), col("lab")), "other")
+          .groupBy(col("node"), col("lab")).agg(count(lit(1)).as("c"))
+        val pick = cnt.groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("plab"))
+        labels = docs.join(pick, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("plab"), col("doc_id")).as("lab"))
+      }
+      val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "lab")
+        .select(col("doc_id"), col("lab").as("community"), col("csize"))
     }
   )
 
@@ -3641,7 +3687,42 @@ object ExtQueries {
          |       FROM cells)
          |SELECT term, n11, n10, n01, n00, mi_num,
          |       (2 * greatest(mi_num, 0) + n) // (2 * n) AS mi_x1e6
-         |FROM mi ORDER BY mi_num DESC, term LIMIT 50""".stripMargin
+         |FROM mi ORDER BY mi_num DESC, term LIMIT 50""".stripMargin,
+
+    // label_prop: same undirected edge set, three unrolled synchronous
+    // LPA rounds, mode via row_number (count desc, label asc).
+    "label_prop" -> {
+      val hash = "CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || " +
+        "CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT node, lab, CAST(count(*) AS BIGINT) AS c
+           |        FROM nbr JOIN l${i - 1} ON l${i - 1}.doc_id = nbr.other
+           |        GROUP BY 1, 2),
+           |p$i AS (SELECT node, lab FROM (
+           |          SELECT node, lab, row_number() OVER (
+           |            PARTITION BY node ORDER BY c DESC, lab) AS rn
+           |          FROM c$i) WHERE rn = 1),
+           |l$i AS (SELECT ids.doc_id, coalesce(p$i.lab, ids.doc_id) AS lab
+           |        FROM ids LEFT JOIN p$i ON p$i.node = ids.doc_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ids AS (SELECT doc_id FROM documents),
+         |raw AS (SELECT src AS u, $hash % nn.n AS v
+         |        FROM (SELECT doc_id AS src FROM ids)
+         |        CROSS JOIN nn
+         |        CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+         |ue AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         |       FROM raw WHERE u <> v),
+         |nbr AS (SELECT a AS node, b AS other FROM ue
+         |        UNION ALL SELECT b, a FROM ue),
+         |l0 AS (SELECT doc_id, doc_id AS lab FROM ids),
+         |$iters,
+         |sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize
+         |          FROM l3 GROUP BY 1)
+         |SELECT l3.doc_id, l3.lab AS community, csize
+         |FROM l3 JOIN sizes USING (lab)""".stripMargin
+    }
     // heavy_hitters (AnalyticsQueries) stays rows-only: Misra–Gries'
     // RETAINED-TOKEN SET depends on counter admission order across
     // partitions, so even the row set is layout-dependent; the other

@@ -579,4 +579,12 @@ class PlanSpec extends SparkSpec {
       s"the df-vocab and MI cuts must be bounded top-k, not global sorts:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("label_prop: mode selection aggregates (partial max), no per-node window sort") {
+    val p = plan("label_prop")
+    assert(p.sliding("partial_max".length).count(_ == "partial_max") >= 3,
+      s"each round's argmax must be a partial-aggregable struct max:\n$p")
+    assert(!p.contains("Window"),
+      s"the per-node mode must not plan a window sort:\n$p")
+  }
 }

@@ -592,4 +592,39 @@ class ExtQueriesSpec extends SparkSpec {
     assert(ids.map(id => out(id)._1).max > 0L)
     assert(ids.map(id => out(id)._2).max > 0L)
   }
+
+  test("label_prop equals an independent driver-side synchronous LPA loop") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val ue = (for { id <- ids.toSeq; k <- 1 to 3; v = h60(s"$id:$k") % n
+      if v != id } yield (math.min(id, v), math.max(id, v))).toSet
+    val adj = ue.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+      .withDefaultValue(Seq.empty)
+    var lab = ids.map(id => id -> id).toMap
+    for (_ <- 1 to 3) {
+      lab = ids.map { id =>
+        val nl = adj(id).map(lab)
+        if (nl.isEmpty) id -> id
+        else id -> nl.groupBy(identity).toSeq
+          .map { case (l, os) => (os.size, l) }
+          .sortBy { case (c, l) => (-c, l) }.head._2
+      }.toMap
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+    val out = ExtQueries.queries("label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == ids.toSet)
+    for (id <- ids)
+      assert(out(id) == ((lab(id), sizes(lab(id)))), s"doc $id")
+    // propagation actually merged singletons into communities
+    assert(sizes.size < ids.length)
+    assert(sizes.values.max >= 3L)
+  }
 }

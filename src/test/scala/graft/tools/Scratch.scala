@@ -15,7 +15,7 @@ object Scratch {
     def minOf2(body: => Unit): Double = Seq(time(body), time(body)).min
     def pr(msg: String): Unit = System.err.println(s"[probe] $msg")
 
-    for (name <- Seq("ks_drift", "psi_drift", "winnow_fingerprint", "hits_scores", "feature_mi");
+    for (name <- Seq("label_prop");
         (label, d) <- Seq("sf0.01" -> "/root/testdata/sf0.01",
           "sf0.1" -> "/root/testdata/sf0.1")) {
       val t = minOf2(graft.SparkEntry.queries(name)(s, d)
