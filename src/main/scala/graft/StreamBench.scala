@@ -306,6 +306,63 @@ object StreamBench {
           s"kept=${sFps.size}")
     }
 
+    // Mode H: streaming drift monitor — stream.DriftMonitor draining
+    // the full sf0.1 events table (100k rows, 30 days × 5 types) as
+    // 1-day windows against a first-week reference histogram, PSI per
+    // finalized (type, day) computed in foreachBatch. A sentinel event
+    // past the corpus flushes every real window through the watermark;
+    // the number only records after the streamed PSI set is REQUIREd
+    // equal to the batch replica on the same finalized windows.
+    locally {
+      val ev = graft.Tables.eventsWithTime(spark, "/root/testdata/sf0.1")
+        .select(col("event_type"), col("event_time"), col("value"))
+      val sentinelTs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+      val input = ev.unionByName(ev.limit(1)
+        .select(col("event_type"), lit(sentinelTs).as("event_time"),
+          col("value")))
+      val topic = s"$work/topic_drift"
+      input.write.mode("overwrite").parquet(topic)
+      val n = spark.read.parquet(topic).count()
+      val reference = ev
+        .filter(col("event_time") < "2024-01-08")
+        .groupBy(col("event_type"),
+          floor(col("value") / 5.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("rc"))
+        .localCheckpoint(true)
+      val sink = s"$work/h_out"
+      val tH = time {
+        val hist = graft.stream.DriftMonitor.windowedHistogram(
+          spark.readStream.schema(input.schema).parquet(topic),
+          "1 day", "30 seconds", binWidth = 5.0)
+        val q = hist.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$work/h_ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              if (!b.isEmpty)
+                graft.stream.DriftMonitor.psiVsReference(b, reference)
+                  .write.mode("append").parquet(sink)
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      results(s"drift@${n / 1000}k") = n / tH
+      val sRows = spark.read.parquet(sink)
+        .filter(col("window_start") < sentinelTs)
+        .select(col("event_type"), col("window_start").cast("string"),
+          col("psi_x1e6")).collect().map(_.toSeq).toSet
+      val bRows = graft.stream.DriftMonitor.monitorBatch(
+          spark.read.parquet(topic), reference, "1 day", binWidth = 5.0)
+        .filter(col("window_start") < sentinelTs)
+        .select(col("event_type"), col("window_start").cast("string"),
+          col("psi_x1e6")).collect().map(_.toSeq).toSet
+      require(sRows == bRows && sRows.nonEmpty,
+        s"streamed PSI set (${sRows.size}) must equal batch replica (${bRows.size})")
+      System.err.println(
+        f"[stream-bench] drift@${n / 1000}k  $n rows  $tH%.1fs  ${n / tH}%.0f rows/s  " +
+          s"windows=${sRows.size}")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

@@ -70,22 +70,78 @@ object Drift {
       .groupBy(col("k"), col("bin"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
-    val tot = cc.groupBy(col("k"))
+    psiFromCounts(cc, Seq("k"))
+  }
+
+  /** PSI from a pre-binned count frame: `cc` holds one row per
+    * (keyCols…, bin) with A-side count `ca` and B-side count `cb`
+    * (zero-count bins on one side must be PRESENT as explicit 0s —
+    * they are the drift signal). Grouping, smoothing, and the per-bin
+    * HALF_UP terms are exactly [[psi]]'s; this seam exists so the
+    * streaming monitor can reuse the identical math on finalized
+    * window histograms. */
+  def psiFromCounts(cc: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val kcols = keyCols.map(col)
+    val tot = cc.groupBy(kcols: _*)
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
         count(lit(1)).as("v"))
     def lnFloor(num: Column, den: Column): Column =
       floor(log(num.cast("double") / den.cast("double")) * 1e6 + 0.5)
         .cast("long")
-    cc.join(tot, "k")
+    cc.join(tot, keyCols)
       .withColumn("dln",
         lnFloor(col("ca") + 1, col("na") + col("v")) -
           lnFloor(col("cb") + 1, col("nb") + col("v")))
       .withColumn("num",
         (col("ca") + 1) * (col("nb") + col("v")) -
           (col("cb") + 1) * (col("na") + col("v")))
-      .selectExpr("k", "na", "nb", "v",
-        "(2 * num * dln + (na + v) * (nb + v)) div (2 * (na + v) * (nb + v)) AS term")
-      .groupBy(col("k"), col("na"), col("nb"), col("v").as("n_bins"))
+      .withColumn("term", expr(
+        "(2 * num * dln + (na + v) * (nb + v)) div (2 * (na + v) * (nb + v))"))
+      .groupBy(kcols ++ Seq(col("na"), col("nb"), col("v").as("n_bins")): _*)
       .agg(sum(col("term")).as("psi_x1e6"))
+  }
+
+  /** CUSUM change-point detection per key (Page 1954): the max
+    * excursion of the mean-centered cumulative sum, with the
+    * detection point — the IN-SERIES alarm beside [[ks]]/[[psi]]'s
+    * two-window comparisons (those need the analyst to pick the
+    * windows; CUSUM finds the shift's location itself).
+    *
+    * Exact-integer throughout: values quantize to centi-units
+    * (floor(v·100 + 0.5) — identical IEEE ops in any engine), and
+    * mean-centering avoids division entirely by scaling with n:
+    * C_t = n·prefix_t − t·total, so C is the exact n-scaled centered
+    * cumsum, E_t = C_t − min_{s≤t} C_s ≥ 0 its excursion,
+    * d_num = max E_t, and the detection point is the EARLIEST
+    * (time, tiebreak) attaining it — picked by max(struct(E, −t, −tb)),
+    * partial-aggregable, no second sort. d_x100 = HALF_UP(d_num/n)
+    * reports the excursion in centi-value units.
+    *
+    * Output: (key, n, d_num, cp_t, d_x100).
+    *
+    * 100 TB shape: one per-key ordered Window pass (row_number +
+    * running sum + running min share ONE sort), then a struct-max
+    * aggregate. The n-scaling keeps C inside BIGINT through ~1e8 rows
+    * per key at centi-value magnitude ~1e5 (n²·v̄ < 2⁶³); beyond that,
+    * route C through DECIMAL(38,0) — the pps_sample precedent — or
+    * window the series first. */
+  def cusum(df: DataFrame, key: Column, time: Column, tiebreak: Column,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tb"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(key.as("k"), time.as("t"), tiebreak.as("tb"),
+      floor(value * 100 + 0.5).cast("long").as("vc"))
+    val tot = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+    base.join(tot, "k")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("c", col("n") * sum(col("vc")).over(run) -
+        col("rn") * col("s"))
+      .withColumn("e", col("c") - min(col("c")).over(run))
+      .groupBy(col("k"), col("n"))
+      .agg(max(struct(col("e"), (-col("t")).as("nt"), (-col("tb")).as("ntb")))
+        .as("m"))
+      .selectExpr("k", "n", "m.e AS d_num", "-m.nt AS cp_t",
+        "(2 * m.e + n) div (2 * n) AS d_x100")
   }
 }

@@ -876,6 +876,25 @@ object AnalyticsQueries {
           col("event_type"), col("tus") < col("tmid"), col("value"),
           binWidth = 5.0)
         .withColumnRenamed("k", "event_type")
+    },
+
+    // CUSUM change-point detection (round 10) — Page (Biometrika
+    // 1954): the in-series shift alarm beside ks_drift/psi_drift's
+    // two-window comparisons (those need the windows chosen up front;
+    // CUSUM locates the shift itself). Per event_type over the
+    // (ts, event_id)-ordered value series: max excursion of the
+    // mean-centered cumulative sum, exact-integer via centi-quantized
+    // values and n-scaled centering (no division until the final
+    // HALF_UP report); detection point = earliest row attaining the
+    // max, picked by a partial-aggregable struct-max, not a second
+    // sort. One ordered Window pass per type (row_number + running
+    // sum + running min share ONE sort), then the struct-max agg —
+    // see Drift.cusum for the 100 TB overflow envelope and escape.
+    "cusum_shift" -> { (s, d) =>
+      Drift.cusum(Tables.events(s, d),
+          col("event_type"), Tables.tsUs, col("event_id"), col("value"))
+        .withColumnRenamed("k", "event_type")
+        .withColumnRenamed("cp_t", "cp_tus")
     }
   )
 
@@ -1400,6 +1419,33 @@ object AnalyticsQueries {
         |SELECT event_type, na, nb, v AS n_bins,
         |       CAST(sum((2 * nd + (na + v) * (nb + v))
         |                // (2 * (na + v) * (nb + v))) AS BIGINT) AS psi_x1e6
-        |FROM t GROUP BY 1, 2, 3, 4""".stripMargin
+        |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // cusum_shift: same centi-quantization, n-scaled centered cumsum,
+    // running min, earliest-argmax detection point via min(ROW()) on
+    // (-e, t, tb) — the mirror of Spark's max(struct(e, -t, -tb)).
+    "cusum_shift" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS t, event_id AS tb,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |           FROM events),
+        |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(vc) AS BIGINT) AS s
+        |        FROM e GROUP BY 1),
+        |c AS (SELECT e.k, t, tb, n,
+        |        n * sum(vc) OVER (PARTITION BY e.k ORDER BY t, tb
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - row_number() OVER (PARTITION BY e.k ORDER BY t, tb) * s AS cv
+        |      FROM e JOIN tot ON tot.k = e.k),
+        |x AS (SELECT k, t, tb, n,
+        |        cv - min(cv) OVER (PARTITION BY k ORDER BY t, tb
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS ex
+        |      FROM c),
+        |p AS (SELECT k, n, min(struct_pack(ne := -ex, t := t, tb := tb)) AS m
+        |      FROM x GROUP BY 1, 2)
+        |SELECT k AS event_type, n, CAST(-m.ne AS BIGINT) AS d_num,
+        |       CAST(m.t AS BIGINT) AS cp_tus,
+        |       CAST((2 * -m.ne + n) // (2 * n) AS BIGINT) AS d_x100
+        |FROM p""".stripMargin
   )
 }
