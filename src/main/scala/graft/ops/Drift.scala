@@ -28,8 +28,15 @@ object Drift {
     * Input: one row per observation with a boolean A-side marker.
     * Output: (key, na, nb, d_num, d_x1e6) where
     * d_num = max over values of |nb·cumA − na·cumB| and
-    * d_x1e6 = HALF_UP(1e6 · d_num / (na·nb)). na·nb must stay inside
-    * BIGINT — holds through ~3e9 rows per side per key.
+    * d_x1e6 = HALF_UP(1e6 · d_num / (na·nb)). Keys with an empty A or
+    * B side are DROPPED (the statistic is undefined there — a null
+    * from the 0-denominator division would silently degrade instead
+    * of failing loudly; callers wanting those keys flagged should
+    * anti-join against this output). The scaled-gap products keep
+    * na·nb inside BIGINT — holds through ~3e9 rows per side per key;
+    * the final division routes through DECIMAL(38,0) (the
+    * Trend/GapFill convention) so the 1e6 report scaling costs no
+    * headroom against that envelope.
     */
   def ks(df: DataFrame, key: Column, inA: Column, value: Column): DataFrame = {
     val cc = df
@@ -47,8 +54,12 @@ object Drift {
             col("na") * sum(col("cb")).over(cum)))
       .groupBy(col("k"), col("na"), col("nb"))
       .agg(max(col("gap")).as("d_num"))
+      .where(col("na") > 0 && col("nb") > 0)
       .selectExpr("k", "na", "nb", "d_num",
-        "(2000000 * d_num + na * nb) div (2 * na * nb) AS d_x1e6")
+        // d_num can reach na·nb, so 2e6·d_num would overflow BIGINT
+        // once na·nb > ~4.6e12; DECIMAL(38,0) keeps the HALF_UP exact
+        // through the full na·nb ≤ 2⁶³ envelope of the gap products.
+        "(2000000 * CAST(d_num AS DECIMAL(38,0)) + CAST(na AS DECIMAL(38,0)) * nb) div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS d_x1e6")
   }
 
   /** PSI per key over fixed-width bins with add-1 smoothing on the
@@ -59,8 +70,10 @@ object Drift {
     * floor to 1e6-scaled BIGINTs and the numerator
     * ((ca+1)(nb+v) − (cb+1)(na+v))·dln shares sign with dln by
     * monotonicity of x ↦ floor(x·1e6 + 0.5), so every per-bin HALF_UP
-    * division runs on non-negative operands. Output:
-    * (key, na, nb, n_bins, psi_x1e6).
+    * division runs on non-negative operands; the count-difference and
+    * ln products run in DECIMAL(38,0) (they exceed Int64 around a few
+    * 1e5 rows per side under concentrated drift — DECIMAL holds to
+    * ~1e15 rows per side). Output: (key, na, nb, n_bins, psi_x1e6).
     */
   def psi(df: DataFrame, key: Column, inA: Column, value: Column,
       binWidth: Double): DataFrame = {
@@ -92,11 +105,16 @@ object Drift {
       .withColumn("dln",
         lnFloor(col("ca") + 1, col("na") + col("v")) -
           lnFloor(col("cb") + 1, col("nb") + col("v")))
+      // num ≤ ~(n+v)², and the term numerator multiplies it by a
+      // 1e6-scaled ln (|dln| up to ~ln(n)·1e6) — BIGINT would wrap
+      // around a few 1e5 rows per side under concentrated drift, so
+      // both products run in DECIMAL(38,0) end to end (headroom to
+      // ~1e15 rows per side); the HALF_UP quotient narrows to BIGINT.
       .withColumn("num",
-        (col("ca") + 1) * (col("nb") + col("v")) -
-          (col("cb") + 1) * (col("na") + col("v")))
+        (col("ca") + 1).cast("decimal(38,0)") * (col("nb") + col("v")) -
+          (col("cb") + 1).cast("decimal(38,0)") * (col("na") + col("v")))
       .withColumn("term", expr(
-        "(2 * num * dln + (na + v) * (nb + v)) div (2 * (na + v) * (nb + v))"))
+        "(2 * num * dln + CAST(na + v AS DECIMAL(38,0)) * (nb + v)) div (2 * CAST(na + v AS DECIMAL(38,0)) * (nb + v))"))
       .groupBy(kcols ++ Seq(col("na"), col("nb"), col("v").as("n_bins")): _*)
       .agg(sum(col("term")).as("psi_x1e6"))
   }

@@ -840,7 +840,10 @@ object AnalyticsQueries {
     // distinct values per type, not rows, and a quantized `value`
     // (centi-units) bounds that domain outright if a corpus arrives
     // with unbounded distinct doubles. na·nb ≤ (rows/type)² stays
-    // inside BIGINT through petabyte-per-type counts (na, nb < 3e9).
+    // inside BIGINT through na, nb < 3e9 per type (the gap products
+    // bind; the final 1e6-scaled division rides DECIMAL(38,0) so it
+    // costs no headroom), and types seen on only ONE side of the
+    // split are dropped rather than emitting a null statistic.
     "ks_drift" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("event_type"), Tables.tsUs.as("tus"), col("value"))
@@ -863,8 +866,10 @@ object AnalyticsQueries {
     //   ((ca+1)(nb+v) − (cb+1)(na+v)) · dln  /  ((na+v)(nb+v))
     // whose factors provably share sign (floor(x·1e6+0.5) is
     // monotone), so every term is ≥ 0 and the per-bin HALF_UP division
-    // stays on non-negative operands inside BIGINT (≤ ~4e17 at 1e6
-    // rows/type); psi_x1e6 is their exact sum. 100 TB shape: one
+    // stays on non-negative operands — computed in DECIMAL(38,0) /
+    // HUGEINT on the two engines (the products exceed Int64 around a
+    // few 1e5 rows per side under concentrated drift; DECIMAL holds
+    // to ~1e15); psi_x1e6 is their exact sum. 100 TB shape: one
     // partial+final agg to the (type, bin) frame, a per-type 1-row
     // broadcastable totals join, everything after rides the bin count.
     "psi_drift" -> { (s, d) =>
@@ -1392,8 +1397,9 @@ object AnalyticsQueries {
         |             CAST(nb AS BIGINT) AS nb, CAST(max(gap) AS BIGINT) AS d_num
         |      FROM w GROUP BY 1, 2, 3)
         |SELECT event_type, na, nb, d_num,
-        |       (2000000 * d_num + na * nb) // (2 * na * nb) AS d_x1e6
-        |FROM g""".stripMargin,
+        |       CAST((2000000 * CAST(d_num AS HUGEINT) + CAST(na AS HUGEINT) * nb)
+        |            // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_x1e6
+        |FROM g WHERE na > 0 AND nb > 0""".stripMargin,
 
     // psi_drift: width-5 bins, add-1 smoothing over the observed bin
     // set, 1e6-floored lns over exact-integer ratios, per-bin HALF_UP
@@ -1410,15 +1416,17 @@ object AnalyticsQueries {
         |               CAST(count(*) AS BIGINT) AS v
         |        FROM cc GROUP BY 1),
         |t AS (SELECT cc.event_type, na, nb, v,
-        |        ((ca + 1) * (nb + v) - (cb + 1) * (na + v))
+        |        (CAST(ca + 1 AS HUGEINT) * (nb + v)
+        |           - CAST(cb + 1 AS HUGEINT) * (na + v))
         |          * (CAST(floor(ln(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
         |                        * 1e6 + 0.5) AS BIGINT)
         |             - CAST(floor(ln(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
         |                          * 1e6 + 0.5) AS BIGINT)) AS nd
         |      FROM cc JOIN tot USING (event_type))
         |SELECT event_type, na, nb, v AS n_bins,
-        |       CAST(sum((2 * nd + (na + v) * (nb + v))
-        |                // (2 * (na + v) * (nb + v))) AS BIGINT) AS psi_x1e6
+        |       CAST(sum((2 * nd + CAST(na + v AS HUGEINT) * (nb + v))
+        |                // (2 * CAST(na + v AS HUGEINT) * (nb + v))) AS BIGINT)
+        |         AS psi_x1e6
         |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // cusum_shift: same centi-quantization, n-scaled centered cumsum,

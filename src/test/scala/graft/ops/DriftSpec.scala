@@ -47,6 +47,17 @@ class DriftSpec extends SparkSpec {
     assert(out("shifted") == 1000000L)
   }
 
+  test("ks: a key entirely on one side of the split is dropped, not nulled") {
+    // "first seen after the midpoint" — na = 0 would divide by zero;
+    // the contract drops the key so the statistic never silently
+    // degrades to null (ADVICE r10).
+    val df = (Seq.tabulate(6)(i => ("both", i % 2 == 0, i.toDouble)) ++
+      Seq.tabulate(3)(i => ("late_only", false, i.toDouble)))
+      .toDF("g", "in_a", "v")
+    val out = Drift.ks(df, col("g"), col("in_a"), col("v")).collect()
+    assert(out.map(_.getString(0)).toSet == Set("both"))
+  }
+
   test("psi: identical histograms give exactly 0; a full shift is large and positive") {
     val same = Seq.tabulate(20)(i => ("k", i % 2 == 0, (i % 5) * 10.0))
       .toDF("g", "in_a", "v")
@@ -61,6 +72,31 @@ class DriftSpec extends SparkSpec {
     // ≈ 3.996 — anything in that band proves the shift registered
     val v = psi1.getAs[Long]("psi_x1e6")
     assert(v > 3500000L && v < 4500000L, s"psi_x1e6=$v")
+  }
+
+  test("cusum: a flat series has zero excursion") {
+    val df = Seq.tabulate(10)(i => ("k", i.toLong, i.toLong, 5.0))
+      .toDF("g", "t", "tb", "v")
+    val out = Drift.cusum(df, col("g"), col("t"), col("tb"), col("v")).head()
+    assert(out.getAs[Long]("d_num") == 0L)
+    assert(out.getAs[Long]("d_x100") == 0L)
+  }
+
+  test("cusum: a planted mean shift yields the exact hand-computed excursion") {
+    // 6 rows at 10.0 then 6 at 20.0 (centi 1000/2000, n = 12,
+    // s = 18000): C_rn = 12·prefix − rn·18000 descends to its min
+    // −36000 at the shift boundary (rn = 6) then climbs back to 0, so
+    // the max excursion E = C − runningMin is 0 − (−36000) = 36000,
+    // first attained at the series end (t = 11); d_x100 =
+    // HALF_UP(36000/12) = 3000 centi-units = a 30.0 shift magnitude.
+    val df = (Seq.tabulate(6)(i => ("k", i.toLong, i.toLong, 10.0)) ++
+      Seq.tabulate(6)(i => ("k", (6 + i).toLong, (6 + i).toLong, 20.0)))
+      .toDF("g", "t", "tb", "v")
+    val out = Drift.cusum(df, col("g"), col("t"), col("tb"), col("v")).head()
+    assert(out.getAs[Long]("n") == 12L)
+    assert(out.getAs[Long]("d_num") == 36000L)
+    assert(out.getAs[Long]("cp_t") == 11L)
+    assert(out.getAs[Long]("d_x100") == 3000L)
   }
 
   test("psi: every per-bin term is non-negative (floored lns share sign with the gap)") {
