@@ -909,8 +909,12 @@ object ExtQueries {
     // sequence B = 8 eval tokens + 38 tokens of a paired train doc,
     // and windows W0=B[1..30] (21% eval shingles → seed),
     // W1=B[9..38] (0 eval shingles, J(W0,W1)≈0.56 → hop 1),
-    // W2=B[17..46] (J(W1,W2)≈0.56, J(W0,W2)≈0.27 → hop 2) — the
-    // row_number zip-pairing is plant scaffolding, not pipeline shape.
+    // W2=B[17..46] (J(W1,W2)≈0.56, J(W0,W2)≈0.27 → hop 2). The
+    // eval↔train zip-pairing is plant scaffolding, not pipeline
+    // shape — but it still must not funnel the corpus through one
+    // partition, so docs pair by md5-hash RANK WITHIN 8 BOUNDED
+    // STRATA (the Sampling.shard convention; the rank window
+    // partitions by stratum) rather than one global row_number.
     // 100 TB shape: contamination is the broadcast-eval probe
     // (contam_check); the edge set is dedup OUTPUT (coordinator-
     // sized); each BFS round is one hash join on the frontier — the
@@ -923,20 +927,25 @@ object ExtQueries {
       val base = docs
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
         .withColumn("shard", shardOf(col("doc_id")))
-      val ev = base.filter(col("shard") < 2 && size(col("t")) >= 8)
-        .select(row_number().over(Window.orderBy("doc_id")).as("rn"),
+      val pairKeyed = base
+        .withColumn("ph",
+          Dedup.md5Hash60(concat(lit("pair:"), col("doc_id").cast("string"))))
+        .withColumn("ps", pmod(col("ph"), lit(8L)))
+      val byStratum = Window.partitionBy("ps").orderBy("ph", "doc_id")
+      val ev = pairKeyed.filter(col("shard") < 2 && size(col("t")) >= 8)
+        .select(col("ps"), row_number().over(byStratum).as("rn"),
           col("t").as("et"))
-      val tr = base.filter(col("shard") >= 2 && size(col("t")) >= 38)
-        .select(row_number().over(Window.orderBy("doc_id")).as("rn"),
+      val tr = pairKeyed.filter(col("shard") >= 2 && size(col("t")) >= 38)
+        .select(col("ps"), row_number().over(byStratum).as("rn"),
           col("t").as("tt"))
-      val b = ev.join(tr, "rn")
-        .select(col("rn"), concat(slice(col("et"), 1, 8),
-          slice(col("tt"), 1, 38)).as("bt"))
-      val plants = b.select((col("rn") + 7000000000L).as("doc_id"),
+      val b = ev.join(tr, Seq("ps", "rn"))
+        .select((col("ps") * 100000000L + col("rn")).as("pid"),
+          concat(slice(col("et"), 1, 8), slice(col("tt"), 1, 38)).as("bt"))
+      val plants = b.select((col("pid") + 7000000000L).as("doc_id"),
           concat_ws(" ", slice(col("bt"), 1, 30)).as("text"))
-        .unionByName(b.select((col("rn") + 8000000000L).as("doc_id"),
+        .unionByName(b.select((col("pid") + 8000000000L).as("doc_id"),
           concat_ws(" ", slice(col("bt"), 9, 30)).as("text")))
-        .unionByName(b.select((col("rn") + 9000000000L).as("doc_id"),
+        .unionByName(b.select((col("pid") + 9000000000L).as("doc_id"),
           concat_ws(" ", slice(col("bt"), 17, 30)).as("text")))
       val full = docs.unionByName(plants)
       // eval membership: ORIGINAL docs in shards {0,1} (plants are
@@ -2715,17 +2724,27 @@ object ExtQueries {
          |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
          |                   AS BIGINT) % 20 AS shard
          |            FROM documents),
-         |ev AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, t AS et
-         |       FROM dt WHERE shard < 2 AND len(t) >= 8),
-         |tr AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, t AS tt
-         |       FROM dt WHERE shard >= 2 AND len(t) >= 38),
-         |b AS (SELECT rn, list_concat(et[1:8], tt[1:38]) AS bt
-         |      FROM ev JOIN tr USING (rn)),
+         |dp AS (SELECT *,
+         |         CAST('0x' || substr(md5('pair:' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS ph,
+         |         CAST('0x' || substr(md5('pair:' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |              AS BIGINT) % 8 AS ps
+         |       FROM dt),
+         |ev AS (SELECT ps,
+         |         row_number() OVER (PARTITION BY ps ORDER BY ph, doc_id) AS rn,
+         |         t AS et
+         |       FROM dp WHERE shard < 2 AND len(t) >= 8),
+         |tr AS (SELECT ps,
+         |         row_number() OVER (PARTITION BY ps ORDER BY ph, doc_id) AS rn,
+         |         t AS tt
+         |       FROM dp WHERE shard >= 2 AND len(t) >= 38),
+         |b AS (SELECT ps * 100000000 + rn AS pid, list_concat(et[1:8], tt[1:38]) AS bt
+         |      FROM ev JOIN tr USING (ps, rn)),
          |plants AS (
-         |  SELECT rn + 7000000000 AS doc_id, array_to_string(bt[1:30], ' ') AS text
+         |  SELECT pid + 7000000000 AS doc_id, array_to_string(bt[1:30], ' ') AS text
          |  FROM b
-         |  UNION ALL SELECT rn + 8000000000, array_to_string(bt[9:38], ' ') FROM b
-         |  UNION ALL SELECT rn + 9000000000, array_to_string(bt[17:46], ' ') FROM b),
+         |  UNION ALL SELECT pid + 8000000000, array_to_string(bt[9:38], ' ') FROM b
+         |  UNION ALL SELECT pid + 9000000000, array_to_string(bt[17:46], ' ') FROM b),
          |fulldocs AS (SELECT doc_id, text FROM documents
          |             UNION ALL SELECT doc_id, text FROM plants),
          |ftk AS (SELECT doc_id, $ToksSql AS toks,
