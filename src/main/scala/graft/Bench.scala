@@ -54,7 +54,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val loadStart = loadavg()
+    // Quiet-window gate (round 11): every contended driver recording
+    // so far would have been clean minutes later (r10 started at
+    // loadavg 21.68; the builder's quiet re-run read 27% faster). If
+    // the PRE-SESSION 1-min loadavg exceeds 4, sleep and re-probe —
+    // up to SPARK_GRAFT_BENCH_QUIET_PROBES (default 10) sleeps of
+    // SPARK_GRAFT_BENCH_QUIET_SLEEP_SEC (default 60) — and only then
+    // start timing. Bounded, self-reporting (quiet_wait_sec in the
+    // JSON), and a no-op on a quiet machine.
+    val quietProbes =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_PROBES", "10").toInt.max(0)
+    val quietSleepSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SLEEP_SEC", "60").toInt.max(1)
+    def oneMin(s: String): Option[Double] =
+      s.split(",").headOption.flatMap(_.toDoubleOption)
+    var quietWaitSec = 0
+    var lv = loadavg()
+    var probe = 0
+    while (probe < quietProbes && oneMin(lv).exists(_ > 4.0)) {
+      probe += 1
+      System.err.println(s"[bench] loadavg $lv (1-min > 4) — waiting " +
+        s"${quietSleepSec}s for a quiet window (probe $probe/$quietProbes)")
+      Thread.sleep(quietSleepSec * 1000L)
+      quietWaitSec += quietSleepSec
+      lv = loadavg()
+    }
+    val loadStart = lv
     val wall0 = System.nanoTime()
     val spark = GraftSession.local("graft-bench")
     // Generic warm-up only (session init, shuffle infra).
@@ -131,6 +156,7 @@ object Bench {
         s""""failed":[${failedNames.take(5).map("\"" + _ + "\"").mkString(",")}],""" +
         s""""stat":"min_of_round_robin_passes","runs_per_query":$runs,""" +
         s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
+        s""""quiet_wait_sec":$quietWaitSec,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     if (line.length > 1000)
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars — driver tail capture is 2000")
@@ -144,7 +170,8 @@ object Bench {
     if (preLoad.exists(_ > 4.0))
       System.err.println(
         s"[bench] WARNING contended recording: loadavg_start=$loadStart " +
-          "(1-min > 4 before the session started) — timings include " +
+          "(1-min > 4 before the session started, after waiting " +
+          s"${quietWaitSec}s for a quiet window) — timings include " +
           "external load; re-record on a quiet machine")
     println(line)
     spark.stop()
