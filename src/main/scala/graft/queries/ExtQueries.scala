@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, Contamination, CountMin, Dedup, FeatureSelect, Fuzzy, Multimodal, Packing, QualityFilter, Repetition, Sampling, TextOps, VectorOps, Winnow, ZOrder}
+import graft.ext.{Bloom, Contamination, CountMin, Dedup, FeatureSelect, Fuzzy, Multimodal, Packing, QualityFilter, Repetition, Sampling, SubstringScrub, TextOps, VectorOps, Winnow, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -297,6 +297,24 @@ object ExtQueries {
           sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_windows"))
         .selectExpr("doc_id", "n_windows", "dup_windows",
           "(2 * 1000000 * dup_windows + n_windows) div (2 * n_windows) AS dup_frac_x1e6")
+    },
+
+    // Duplicated-span REMOVAL (round 11) — substring_dedup SCORES
+    // repeated 8-token windows; this is the rewrite Lee et al. 2022
+    // deploy: keep each duplicated window's first occurrence (min
+    // (doc_id, pos) — deterministic, hash-oracle-able), excise every
+    // later one, merge overlapping excisions (gaps-and-islands), and
+    // re-join the survivors into scrubbed text. The near-dup corpus
+    // guarantees real cross-doc repeated passages, so whole planted
+    // spans vanish from the copies while the originals keep them.
+    // Shape at 100 TB: see ext.SubstringScrub — window rows are (doc,
+    // pos, hash), the keep rule is one min-struct agg per hash, the
+    // islands window rides only the duplicated occurrences, and
+    // reconstruction is a map-side indexed filter per doc row.
+    "substring_scrub" -> { (s, d) =>
+      SubstringScrub.scrub(
+        Dedup.rebalance(withNearDups(Tables.documents(s, d))),
+        col("doc_id"), col("text"), w = 8)
     },
 
     // Incremental dedup (round 6) — the daily-increment shape: a new
@@ -3244,6 +3262,55 @@ object ExtQueries {
          |         AS dup_frac_x1e6
          |FROM wins JOIN hc USING (h)
          |GROUP BY 1""".stripMargin,
+
+    // substring_scrub: same window hashing as substring_dedup, then
+    // first-occurrence keep rule (min-struct per hash), islands merge,
+    // and a relational token-level anti-range reconstruction (the
+    // Spark side's indexed-filter equivalent).
+    "substring_scrub" ->
+      s"""WITH $CorpusCte,
+         |ct AS (SELECT doc_id,
+         |         list_transform($ToksSql, t -> lower(t)) AS toks
+         |       FROM corpus),
+         |pos AS (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 7)) AS s
+         |        FROM ct),
+         |wins AS (SELECT doc_id, s,
+         |           CAST('0x' || substr(md5(
+         |             array_to_string(list_slice(toks, s, s + 7), ' ')), 1, 15)
+         |             AS BIGINT) AS h
+         |         FROM pos),
+         |fst AS (SELECT h, min(struct_pack(d := doc_id, s := s)) AS m
+         |        FROM wins GROUP BY 1),
+         |rem AS (SELECT w.doc_id, w.s, w.s + 7 AS e
+         |        FROM wins w JOIN fst USING (h)
+         |        WHERE NOT (w.doc_id = fst.m.d AND w.s = fst.m.s)),
+         |i0 AS (SELECT doc_id, s, e,
+         |         CASE WHEN s > coalesce(max(e) OVER
+         |                (PARTITION BY doc_id ORDER BY s
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                CAST(-1 AS BIGINT))
+         |              THEN 1 ELSE 0 END AS newi
+         |       FROM rem),
+         |i1 AS (SELECT doc_id, s, e,
+         |         sum(newi) OVER (PARTITION BY doc_id ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |       FROM i0),
+         |isl AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+         |        FROM i1 GROUP BY 1, 2),
+         |tp AS (SELECT doc_id, unnest(toks) AS tok,
+         |              generate_subscripts(toks, 1) AS p
+         |       FROM ct),
+         |kept AS (SELECT t.doc_id, t.p, t.tok FROM tp t
+         |         WHERE NOT EXISTS (SELECT 1 FROM isl i
+         |           WHERE i.doc_id = t.doc_id AND t.p BETWEEN i.s AND i.e)),
+         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY p) AS scrubbed
+         |       FROM kept GROUP BY 1)
+         |SELECT ct.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |       coalesce(scrubbed, '') AS scrubbed_text
+         |FROM ct LEFT JOIN ka USING (doc_id)""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, lang,

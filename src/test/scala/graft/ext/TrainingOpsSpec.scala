@@ -138,4 +138,54 @@ class TrainingOpsSpec extends SparkSpec {
     assert(expected.values.exists(_._2 > 0), "some contamination present")
     assert(expected.values.exists(_._2 == 0), "some clean docs present")
   }
+
+  // ---- SubstringScrub -------------------------------------------------
+
+  // Distinct vocabularies per doc except the planted repeats, so every
+  // expectation is hand-derivable. w = 8 throughout.
+  private lazy val scrubDocs = {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ") // 10 shared tokens
+    val block = (1 to 8).map(i => s"w$i").mkString(" ")    // 8-token block
+    Seq(
+      (1L, s"$passage tailA1 tailA2"),          // first occurrence — kept
+      (2L, s"headB1 headB2 $passage tailB1"),   // later occurrence — excised
+      (3L, s"$block x $block"),                 // within-doc repeat
+      (4L, "solo tiny doc"))                    // < w tokens — untouched
+      .toDF("doc_id", "text")
+  }
+
+  private def scrubMap(df: org.apache.spark.sql.DataFrame) =
+    SubstringScrub.scrub(df, col("doc_id"), col("text"), w = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("substringScrub: exact rewrites — keep first occurrence, excise later ones") {
+    val out = scrubMap(scrubDocs)
+    // doc 1 holds the first (min doc_id) occurrence of every shared
+    // window — fully kept.
+    assert(out(1L) == ((12L, 0L, ((1 to 10).map(i => s"p$i") ++
+      Seq("taila1", "taila2")).mkString(" "))))
+    // doc 2's three windows fully inside the passage (starts 3,4,5,
+    // covering tokens 3..12) are dups of doc 1's starts 1,2,3 —
+    // islands merge to [3,12], excising the whole passage.
+    assert(out(2L) == ((13L, 10L, "headb1 headb2 tailb1")))
+    // doc 3: only the window at start 10 repeats the start-1 block
+    // (starts 2..9 all cross the 'x') — excise [10,17].
+    assert(out(3L) == ((17L, 8L, ((1 to 8).map(i => s"w$i") :+ "x")
+      .mkString(" "))))
+    // doc 4: shorter than w — no windows, untouched.
+    assert(out(4L) == ((3L, 0L, "solo tiny doc")))
+  }
+
+  test("substringScrub: idempotent — scrubbing the scrubbed corpus changes nothing") {
+    val once = SubstringScrub.scrub(scrubDocs, col("doc_id"), col("text"), w = 8)
+    val again = scrubMap(once.select(col("doc_id"),
+      col("scrubbed_text").as("text")))
+    once.collect().foreach { r =>
+      val (id, nt, nr, txt) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(again(id) == (((nt - nr), 0L, txt)), s"doc $id not idempotent")
+    }
+  }
 }

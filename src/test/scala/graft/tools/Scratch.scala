@@ -3,9 +3,8 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad (see .claude/skills/verify) — transient. Current:
-  * round-10 session-3 SCALE.md probes — 10× wall rows (sf0.01 →
-  * sf0.1) for the five new queries: ks_drift, psi_drift,
-  * winnow_fingerprint, hits_scores, feature_mi. */
+  * round-11 SCALE.md probes — 10× wall rows (sf0.01 → sf0.1)
+  * for the new queries. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
@@ -15,7 +14,7 @@ object Scratch {
     def minOf2(body: => Unit): Double = Seq(time(body), time(body)).min
     def pr(msg: String): Unit = System.err.println(s"[probe] $msg")
 
-    for (name <- Seq("label_prop");
+    for (name <- Seq("substring_scrub");
         (label, d) <- Seq("sf0.01" -> "/root/testdata/sf0.01",
           "sf0.1" -> "/root/testdata/sf0.1")) {
       val t = minOf2(graft.SparkEntry.queries(name)(s, d)
