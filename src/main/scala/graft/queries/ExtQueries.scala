@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, Contamination, CountMin, Dedup, FeatureSelect, Fuzzy, Multimodal, Packing, QualityFilter, Repetition, Sampling, SubstringScrub, TextOps, VectorOps, Winnow, ZOrder}
+import graft.ext.{Bloom, Contamination, CountMin, Dedup, FeatureSelect, Fuzzy, Multimodal, Packing, QualityFilter, Repetition, Retrieval, Sampling, SubstringScrub, TextOps, VectorOps, Winnow, ZOrder}
 
 /** Training-data-pipeline extension queries (SURVEY §7.5): text
   * analysis, dedup, similarity search, multimodal metadata — over the
@@ -572,6 +572,128 @@ object ExtQueries {
         .select(col("query_id"), col("n_exact"),
           (col("ivf_hits") >= lit(7L)).as("ivf_recall_ok"),
           (col("pq_hits") >= lit(7L)).as("pq_recall_ok"))
+    },
+
+    // Hybrid retrieval fusion (round 11) — lexical (tf-idf) and dense
+    // (integer-L2 over milli-quantized embeddings) top-10 retrieval
+    // fused by exact-integer reciprocal-rank fusion (ext.Retrieval;
+    // Cormack et al. 2009). Plants make the recall bound REAL and the
+    // cells pinnable at any SF: per query (5 synthetic query docs with
+    // UNIQUE vocabulary, embeddings = corpus vec + 0.01), 3 LEX-ONLY
+    // relevants (query text + extra tokens; negated embedding — dense
+    // can never see them), 3 DENSE-ONLY (disjoint text; embedding
+    // within 3 milli-units — lexical can never see them), 3 BOTH.
+    // Unique query vocabulary means exactly 7 docs lexically match
+    // (no corpus interference possible), and corpus embeddings are
+    // near-orthogonal (closest corpus vector sits ~1e6 milli² away vs
+    // the plants' ≤ ~2.5e3), so lex_hits = 6, dense_hits = 6 — and
+    // the fused top-10 provably contains ALL NINE relevants (the 4
+    // two-path docs outscore every single-path score ≥ S(7)+S(7) >
+    // S(2); the 6 single-path plants hold ranks 2..7 of their lists,
+    // beating the rank-8+ noise) — fused recall strictly ABOVE both
+    // single paths, the ann_recall-style bound cell asserted TRUE.
+    // 100 TB shape: lexical rides the (doc,term) tf frame with the
+    // 100-term query set broadcast; dense is the brute-force kernel
+    // over quantized vectors (swap in the IVF path at scale — fusion
+    // only sees per-query top-k frames either way); fusion itself is
+    // output-sized (see ext.Retrieval).
+    "hybrid_rrf" -> { (s, d) =>
+      val nQ = 5
+      val qbase = Tables.embeddings(s, d).filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => (x + lit(0.01)).cast("float"))
+            .as("qv"))
+        .localCheckpoint(true)
+      val qt = concat_ws(" ", transform(sequence(lit(1), lit(20)),
+        i => concat(lit("hq"), col("qid"), lit("t"), i)))
+      val withJ = qbase.select(col("qid"), col("qv"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      // --- planted documents (text side) ---
+      val selfD = qbase.select((col("qid") + 9000000L).as("doc_id"),
+        qt.as("text"))
+      val lexD = withJ.select(
+        (lit(9100000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        concat(qt, lit(" zz"), col("qid"), lit("x"), col("j")).as("text"))
+      val denseD = withJ.select(
+        (lit(9200000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        concat(lit("dd"), col("qid"), lit("x"), col("j")).as("text"))
+      val bothD = withJ.select(
+        (lit(9300000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        qt.as("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(selfD).unionByName(lexD).unionByName(denseD)
+        .unionByName(bothD)
+      // --- planted vectors (dense side) ---
+      def perturb(base: Column, delta: Column) =
+        transform(base, x => (x + delta).cast("float"))
+      val selfV = qbase.select((col("qid") + 9000000L).as("vec_id"),
+        col("qv").as("v"))
+      val lexV = withJ.select(
+        (lit(9100000L) + col("qid") * 10 + col("j")).as("vec_id"),
+        transform(col("qv"), x => (-x).cast("float")).as("v"))
+      val denseV = withJ.select(
+        (lit(9200000L) + col("qid") * 10 + col("j")).as("vec_id"),
+        perturb(col("qv"), col("j") * lit(0.001)).as("v"))
+      val bothV = withJ.select(
+        (lit(9300000L) + col("qid") * 10 + col("j")).as("vec_id"),
+        perturb(col("qv"), col("j") * lit(0.002)).as("v"))
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .unionByName(selfV).unionByName(lexV).unionByName(denseV)
+        .unionByName(bothV)
+        .select(col("vec_id"),
+          VectorOps.quantize1000(col("v").cast("array<double>")).as("q"))
+        .localCheckpoint(true)
+      // --- lexical path: tf-idf of the query's terms, top-10 ---
+      val tf = Dedup.rebalance(docs)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = tf.groupBy(col("doc_id")).agg(lit(1).as("one"))
+        .agg(count(lit(1)).as("n_docs"))
+      val qterms = qbase.select(col("qid"),
+          explode(split(lower(qt), " ")).as("term"))
+      val lexScored = tf.join(broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .groupBy(col("qid").as("query_id"), col("doc_id"))
+        .agg(sum(col("tf") *
+          floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+            * 1e6 + 0.5).cast("long")).as("score_x1e6"))
+      val wq = Window.partitionBy("query_id")
+      val lexRank = graft.plans.TopKPerKey.perKey(lexScored,
+          keys = Seq(col("query_id")),
+          order = Seq(col("score_x1e6").desc, col("doc_id")), k = 10)
+        .select(col("query_id"), col("doc_id"),
+          row_number().over(wq.orderBy(col("score_x1e6").desc,
+            col("doc_id"))).as("rank"))
+      // --- dense path: exact integer L2 over quantized vectors ---
+      val qq = qbase.select(col("qid"),
+        VectorOps.quantize1000(col("qv").cast("array<double>")).as("qq"))
+      val denseScored = vecs.crossJoin(broadcast(qq))
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          VectorOps.idist2(col("q"), col("qq")).as("d2"))
+      val denseRank = graft.plans.TopKPerKey.perKey(denseScored,
+          keys = Seq(col("query_id")),
+          order = Seq(col("d2"), col("doc_id")), k = 10)
+        .select(col("query_id"), col("doc_id"),
+          row_number().over(wq.orderBy(col("d2"), col("doc_id")))
+            .as("rank"))
+      // --- fuse + recall cells over the planted relevant set ---
+      val fused = Retrieval.rrfFuse(Seq(lexRank, denseRank), k = 10)
+      val isRel = col("doc_id") >= 9100000L && col("doc_id") < 9400000L
+      def hits(r: DataFrame) = r.groupBy(col("query_id"))
+        .agg(sum(when(isRel, 1L).otherwise(0L)))
+      val lexH = hits(lexRank).toDF("query_id", "lex_hits")
+      val denseH = hits(denseRank).toDF("query_id", "dense_hits")
+      val fusedH = hits(fused).toDF("query_id", "fused_hits")
+      lexH.join(denseH, "query_id").join(fusedH, "query_id")
+        .select(col("query_id"), lit(9L).as("n_rel"), col("lex_hits"),
+          col("dense_hits"), col("fused_hits"),
+          (col("fused_hits") >= greatest(col("lex_hits"), col("dense_hits")))
+            .as("fused_ok"))
     },
 
     // Fuzzy entity resolution (round 6; capped round 9) — blocked
@@ -2166,6 +2288,19 @@ object ExtQueries {
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
         |       CAST(10 AS BIGINT) AS n_exact,
         |       TRUE AS ivf_recall_ok, TRUE AS pq_recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // hybrid_rrf: the plant construction pins every cell at any SF
+    // (unique query vocabulary → exactly 7 lexical matches; corpus
+    // embeddings near-orthogonal → the 6 dense plants own ranks 2-7;
+    // the fused top-10 provably holds all 9 relevants) — the
+    // ann_recall convention: the Spark side computes the retrievals
+    // and the fusion for real, the oracle asserts the invariant cells.
+    "hybrid_rrf" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |       CAST(9 AS BIGINT) AS n_rel,
+        |       CAST(6 AS BIGINT) AS lex_hits, CAST(6 AS BIGINT) AS dense_hits,
+        |       CAST(9 AS BIGINT) AS fused_hits, TRUE AS fused_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
