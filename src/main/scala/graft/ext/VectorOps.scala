@@ -159,8 +159,9 @@ object VectorOps {
   /** [[pqEncode]] against an already-derived codebook — lets
     * [[pqSearchTopK]] derive the codebook ONCE and share it between
     * the LUT and the encode (each `pqCodebook` call is a full corpus
-    * pass for the md5 sample). */
-  private def pqEncodeWith(corpus: DataFrame, cb: DataFrame, nSub: Int,
+    * pass for the md5 sample). Public so specs can compare total
+    * quantization error (Σ d2) across codebooks. */
+  def pqEncodeWith(corpus: DataFrame, cb: DataFrame, nSub: Int,
       subDim: Int): DataFrame =
     corpus.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("code_id"), col("q"), col("cq"),
@@ -228,6 +229,78 @@ object VectorOps {
     val cb = pqCodebook(corpus, nCode)
     (cb, pqEncodeWith(corpus, cb, nSub, subDim)
       .select(col("vec_id"), col("subspace"), col("code")))
+  }
+
+  /** Codes table for a caller-supplied codebook (e.g. a
+    * [[pqTrainCodebook]]-refined one) — the [[pqIndex]] shape without
+    * re-deriving the codebook. */
+  def pqCodesWith(corpus: DataFrame, cb: DataFrame, nSub: Int = 8,
+      subDim: Int = 8): DataFrame =
+    pqEncodeWith(corpus, cb, nSub, subDim)
+      .select(col("vec_id"), col("subspace"), col("code"))
+
+  /** Per-subspace Lloyd refinement of the PQ codebook — the training
+    * step [[pqCodebook]]'s md5-sampled codewords deliberately skip
+    * (real PQ trains k-means per subspace; Jégou et al. 2011 §III).
+    * Exactly the [[lloydRounds]] discipline, generalized to run every
+    * subspace's k-means IN ONE PLAN: assignment is exact-integer
+    * idist2 over the subDim-wide sub-vectors with (dist, code_id)
+    * tie-break, the update is per-(subspace, code, dim) signed HALF_UP
+    * integer means, empty codewords keep their old centroid, and the
+    * init is the SAME md5-sampled codebook — so "refined vs sampled"
+    * is a true like-for-like comparison and the trained codebook
+    * hash-oracles across engines.
+    *
+    * Output: (code_id, cq) with cq full-width (subspace centroids
+    * concatenated in subspace order) — drop-in for [[pqCodesWith]] /
+    * [[pqAdcTopK]], which slice per subspace anyway.
+    *
+    * 100 TB shape: the codebook is nSub×nCode tiny rows BROADCAST
+    * into the assignment join; the sub-vector frame is nSub rows per
+    * vector of subDim ints (same order as the codes table the encode
+    * emits anyway); each round is one map-side assignment + one
+    * (subspace, code, dim) cell aggregate — nSub independent k-means
+    * sharing two exchanges total per round. */
+  def pqTrainCodebook(corpus: DataFrame, nSub: Int = 8, subDim: Int = 8,
+      nCode: Int = 16, rounds: Int = 2): DataFrame = {
+    val subs = corpus
+      .select(col("vec_id"), col("q"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("subspace"))
+      .select(col("vec_id"), col("subspace"),
+        slice(col("q"), col("subspace") * subDim + 1, lit(subDim)).as("sq"))
+      .localCheckpoint(true)
+    var cb = pqCodebook(corpus, nCode)
+      .select(col("code_id"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("subspace"), col("cq"))
+      .select(col("code_id"), col("subspace"),
+        slice(col("cq"), col("subspace") * subDim + 1, lit(subDim)).as("scv"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val assigned = subs.join(broadcast(cb), "subspace")
+        .withColumn("dist", idist2(col("sq"), col("scv")))
+        .groupBy(col("vec_id"), col("subspace"), col("sq"))
+        .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+        .select(col("subspace"), col("sq"), col("m.code_id").as("code_id"))
+      val upd = assigned
+        .select(col("subspace"), col("code_id"),
+          posexplode(col("sq")).as(Seq("dim", "v")))
+        .groupBy(col("subspace"), col("code_id"), col("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
+        .selectExpr("subspace", "code_id", "dim",
+          """CASE WHEN sv >= 0 THEN (2 * sv + cn) div (2 * cn)
+            |     ELSE -((2 * -sv + cn) div (2 * cn)) END AS m""".stripMargin)
+        .groupBy(col("subspace"), col("code_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("new_scv"))
+      cb = cb.join(upd, Seq("subspace", "code_id"), "left")
+        .select(col("code_id"), col("subspace"),
+          coalesce(col("new_scv"), col("scv")).as("scv"))
+        .localCheckpoint(true)
+    }
+    cb.groupBy(col("code_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("subspace"), col("scv")))),
+        x => x.getField("scv"))).as("cq"))
   }
 
   /** [[pqSearchTopK]]'s query path against a PRE-BUILT index from

@@ -762,6 +762,30 @@ object ExtQueries {
         k = 10)
     },
 
+    // Trained-PQ serving (round 11) — closes the train→serve loop for
+    // the PQ codebooks the way kmeans_train/ivf_trained_topk closed it
+    // for the IVF coarse quantizer: pq_topk serves md5-SAMPLED
+    // codewords; here each of the 8 subspaces runs 2 exactly-oracled
+    // Lloyd rounds (VectorOps.pqTrainCodebook — assignment by integer
+    // idist2 with (dist, code) tie-break, per-(subspace, code, dim)
+    // signed HALF_UP integer means, empty codes keep their centroid,
+    // init = the SAME sampled codebook), then ADC top-k serves the
+    // refined codebooks. Every step engine-replicable, so the full
+    // train→index→search chain hash-oracles. 100 TB shape: training
+    // broadcasts the nSub×nCode codebook and aggregates (subspace,
+    // code, dim) cells; serving is pq_topk's envelope (codes table +
+    // broadcast LUT + bounded rerank).
+    "pq_trained_topk" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.quantize1000(
+          col("embedding").cast("array<double>")).as("q"))
+        .localCheckpoint(true)
+      val cb = VectorOps.pqTrainCodebook(corpus).localCheckpoint(true)
+      val codes = VectorOps.pqCodesWith(corpus, cb)
+      VectorOps.pqAdcTopK(corpus, cb, codes,
+        corpus.filter(col("vec_id") === 0), k = 10)
+    },
+
     // int8 embedding quantization (the 4x-smaller storage form for
     // 100 TB embedding tables) — scale + quantized vector per row.
     // The quantized vector is csv-encoded to a scalar string: the
@@ -3773,6 +3797,71 @@ object ExtQueries {
          |cand AS (SELECT c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adc_d2
          |         FROM codes c JOIN lut l ON c.s = l.s AND c.code_id = l.code_id
          |         GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 40)
+         |SELECT cand.vec_id, adc_d2, CAST($ed2 AS BIGINT) AS exact_d2
+         |FROM cand JOIN q ON q.vec_id = cand.vec_id CROSS JOIN qv
+         |ORDER BY exact_d2, cand.vec_id LIMIT 10""".stripMargin
+    },
+
+    // pq_trained_topk: pq_topk's chain with 2 per-subspace Lloyd
+    // rounds between the sampled init and the encode/serve — the
+    // lloydCtes pattern generalized to (subspace, code) granularity;
+    // sub-vector distances expand to literal 8-term sums.
+    "pq_trained_topk" -> {
+      def ld2(a: String, b: String) = (1 to 8).map(j =>
+        s"($a.sq[$j] - $b.scv[$j]) * ($a.sq[$j] - $b.scv[$j])").mkString(" + ")
+      val ed2 = (1 to 64).map(j =>
+        s"(q.q[$j] - qv.q[$j]) * (q.q[$j] - qv.q[$j])").mkString(" + ")
+      val lloyd = (1 to 2).map { r =>
+        val p = r - 1
+        s"""pa$r AS (SELECT vec_id, s, sq, code_id FROM (
+           |          SELECT v.vec_id, v.s, v.sq, c.code_id,
+           |                 row_number() OVER (PARTITION BY v.vec_id, v.s
+           |                                    ORDER BY ${ld2("v", "c")},
+           |                                             c.code_id) AS rn
+           |          FROM subs v JOIN s$p c ON c.s = v.s)
+           |        WHERE rn = 1),
+           |pu$r AS (SELECT s, code_id, list(m ORDER BY dim) AS scv FROM (
+           |          SELECT s, code_id, dim,
+           |                 CASE WHEN sv >= 0 THEN (2 * sv + cn) // (2 * cn)
+           |                      ELSE -((2 * -sv + cn) // (2 * cn)) END AS m
+           |          FROM (SELECT s, code_id, dim, CAST(sum(v2) AS BIGINT) AS sv,
+           |                       CAST(count(*) AS BIGINT) AS cn
+           |                FROM (SELECT s, code_id, unnest(sq) AS v2,
+           |                             generate_subscripts(sq, 1) AS dim
+           |                      FROM pa$r)
+           |                GROUP BY 1, 2, 3))
+           |        GROUP BY 1, 2),
+           |s$r AS (SELECT p.code_id, p.s, coalesce(u.scv, p.scv) AS scv
+           |        FROM s$p p LEFT JOIN pu$r u
+           |          ON u.s = p.s AND u.code_id = p.code_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |subs AS (SELECT vec_id, s, list_slice(q, s*8+1, s*8+8) AS sq
+         |         FROM q CROSS JOIN generate_series(0, 7) t(s)),
+         |cbsel AS (SELECT vec_id, q,
+         |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM q ORDER BY h, vec_id LIMIT 16),
+         |s0 AS (SELECT code_id, s, list_slice(cq, s*8+1, s*8+8) AS scv FROM (
+         |         SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code_id,
+         |                q AS cq
+         |         FROM cbsel) CROSS JOIN generate_series(0, 7) t(s)),
+         |$lloyd,
+         |codes AS (SELECT vec_id, s, code_id FROM (
+         |            SELECT v.vec_id, v.s, c.code_id,
+         |                   row_number() OVER (PARTITION BY v.vec_id, v.s
+         |                                      ORDER BY ${ld2("v", "c")},
+         |                                               c.code_id) AS rn
+         |            FROM subs v JOIN s2 c ON c.s = v.s) WHERE rn = 1),
+         |qsub AS (SELECT s, sq FROM subs WHERE vec_id = 0),
+         |lut AS (SELECT c.s, c.code_id, CAST(${ld2("qv", "c")} AS BIGINT) AS qd2
+         |        FROM s2 c JOIN qsub qv ON qv.s = c.s),
+         |cand AS (SELECT c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adc_d2
+         |         FROM codes c JOIN lut l ON c.s = l.s AND c.code_id = l.code_id
+         |         GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 40),
+         |qv AS (SELECT q FROM q WHERE vec_id = 0)
          |SELECT cand.vec_id, adc_d2, CAST($ed2 AS BIGINT) AS exact_d2
          |FROM cand JOIN q ON q.vec_id = cand.vec_id CROSS JOIN qv
          |ORDER BY exact_d2, cand.vec_id LIMIT 10""".stripMargin

@@ -114,6 +114,43 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("pqTrainCodebook: refinement lowers quantization error; trained ADC recall ≥ sampled") {
+    // Planted neighbors (the ann_recall move): 10 perturbed copies of
+    // vec 0 make the true top-11 for query 0 known by construction.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val plant = emb.filter(col("vec_id") === 0)
+      .select(col("embedding"), explode(sequence(lit(1), lit(10))).as("j"))
+      .select((lit(9000L) + col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + col("j") * lit(0.0001)).cast("float")).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(plant)
+      .select(col("vec_id"), VectorOps.quantize1000(
+        col("embedding").cast("array<double>")).as("q"))
+      .localCheckpoint(true)
+    val sampledCb = VectorOps.pqCodebook(corpus).localCheckpoint(true)
+    val trainedCb = VectorOps.pqTrainCodebook(corpus).localCheckpoint(true)
+    // The per-subspace k-means objective: total encode error must not
+    // increase under the Lloyd-refined codebooks.
+    def err(cb: org.apache.spark.sql.DataFrame) =
+      VectorOps.pqEncodeWith(corpus, cb, 8, 8)
+        .agg(sum(col("d2"))).head().getLong(0)
+    val (se, te) = (err(sampledCb), err(trainedCb))
+    assert(te <= se, s"trained total d2 $te > sampled $se")
+    // ADC recall at rerank = k (no rerank slack, so candidate quality
+    // is what's measured): trained must not trail sampled.
+    val truth = (Set(0L) ++ (1 to 10).map(j => 9000L + j)).toSet
+    def hits(cb: org.apache.spark.sql.DataFrame) = {
+      val codes = VectorOps.pqCodesWith(corpus, cb)
+      VectorOps.pqAdcTopK(corpus, cb, codes,
+          corpus.filter(col("vec_id") === 0), k = 11, rerank = 11)
+        .collect().map(_.getLong(0)).count(truth.contains)
+    }
+    val (sh, th) = (hits(sampledCb), hits(trainedCb))
+    assert(th >= sh, s"trained ADC recall $th/11 < sampled $sh/11")
+    assert(th >= 6, s"trained ADC recall $th/11 unexpectedly low")
+  }
+
   test("brute-force top-k: query vector ranks itself first with cos 1.0") {
     val emb = graft.Tables.embeddings(spark, sf)
     val top = VectorOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),

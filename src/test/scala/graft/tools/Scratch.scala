@@ -14,7 +14,7 @@ object Scratch {
     def minOf2(body: => Unit): Double = Seq(time(body), time(body)).min
     def pr(msg: String): Unit = System.err.println(s"[probe] $msg")
 
-    for (name <- Seq("hybrid_rrf");
+    for (name <- Seq("pq_trained_topk");
         (label, d) <- Seq("sf0.01" -> "/root/testdata/sf0.01",
           "sf0.1" -> "/root/testdata/sf0.1")) {
       val t = minOf2(graft.SparkEntry.queries(name)(s, d)
