@@ -363,6 +363,88 @@ object StreamBench {
           s"windows=${sRows.size}")
     }
 
+    // Mode I: streaming NEAR-DUP curation — mode G's flow plus the
+    // banded-LSH keyed-state MinHash stage (stream.NearDup): sf0.1
+    // documents + a near-dup copy of every 3rd doc (last 3 tokens
+    // dropped — the withNearDups perturbation, true near-dups, not
+    // exact retries). State shape: one (doc_id, 32-long signature)
+    // row per band occurrence, watermark/retention-bounded — 8 rows
+    // per in-window doc, never stream-length-scaled. The number only
+    // records after the kept doc_id set is REQUIREd equal to the
+    // batch minhashPairs-derived survivor set (mode-F discipline).
+    // RocksDB provider: transformWithState is RocksDB-only.
+    locally {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Two chained stateful operators × shuffle partitions = that
+      // many RocksDB instances to open/commit per micro-batch; at
+      // this topic size the store fixed cost dominates, so run the
+      // mode at 8 state partitions (the knob a production job sizes
+      // to its throughput; state per instance stays tiny either way).
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevPart = spark.conf.get(partKey)
+      spark.conf.set(partKey, "8")
+      try {
+        val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val toks = graft.ext.TextOps.tokens(col("text"))
+        // three perturbation families so most of the topic IS the
+        // near-dup workload: every doc minus its last 3 tokens, every
+        // 2nd doc minus its first 3, every 3rd doc minus its last 6
+        // (a chain: near-dup of both the original and the first copy)
+        val nears1 = docs0
+          .select((col("doc_id") + 50000000L).as("doc_id"),
+            concat_ws(" ",
+              slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
+        val nears2 = docs0.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            concat_ws(" ",
+              slice(toks, lit(4), greatest(size(toks) - 3, lit(1)))).as("text"))
+        val nears3 = docs0.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 150000000L).as("doc_id"),
+            concat_ws(" ",
+              slice(toks, lit(1), greatest(size(toks) - 6, lit(1)))).as("text"))
+        val input = docs0.unionByName(nears1).unionByName(nears2)
+          .unionByName(nears3)
+          .withColumn("event_time",
+            lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+        val topic = s"$work/topic_neardup"
+        input.write.mode("overwrite").parquet(topic)
+        val evalFps = docs0.filter(lit(false))
+          .select(graft.ext.TextOps.contentFingerprint(col("text")).as("fp"))
+        val n = spark.read.parquet(topic).count()
+        val sink = s"$work/i_out"
+        val tI = time {
+          val q = graft.stream.Curate.curateNearDup(
+              spark.readStream.schema(input.schema).parquet(topic), evalFps)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", s"$work/i_ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        results(s"neardup_curate@${n / 1000}k") = n / tI
+        val sIds = spark.read.parquet(sink)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val bIds = graft.stream.Curate.curateNearDupBatch(
+            spark.read.parquet(topic), evalFps)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        require(sIds == bIds && sIds.nonEmpty,
+          s"near-dup stream kept set (${sIds.size}) must equal batch " +
+            s"survivor set (${bIds.size})")
+        System.err.println(
+          f"[stream-bench] neardup_curate@${n / 1000}k  $n rows  $tI%.1fs  " +
+            f"${n / tI}%.0f rows/s  kept=${sIds.size}")
+      } finally {
+        spark.conf.set(partKey, prevPart)
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None    => spark.conf.unset(provKey)
+        }
+      }
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

@@ -73,8 +73,12 @@ object Dedup {
     * [[minhashSignatures]] (explode + codegen'd hash aggregate) instead. */
   def minhashSignature(shingleArr: Column): Column =
     transform(sequence(lit(0), lit(NumHashes - 1)), k =>
+      // digest index = k div 4 as an INTEGER string ("0:".."7:") — a
+      // bare (k / 4) is double division whose "0.25:"-style prefixes
+      // silently fork the hash family away from [[minhashSignatures]]
+      // (caught by the round-11 stream ≡ batch near-dup gate).
       conv(array_min(transform(shingleArr, s =>
-        md5(concat((k / 4).cast("string"), lit(":"), s).cast("binary"))
+        md5(concat(floor(k / 4).cast("string"), lit(":"), s).cast("binary"))
           .substr((k % 4) * HexPerHash + 1, lit(HexPerHash)))), 16, 10)
         .cast("long"))
 

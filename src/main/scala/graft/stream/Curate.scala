@@ -53,11 +53,38 @@ object Curate {
   /** The batch replica of the same stages — the equivalence oracle the
     * spec holds the stream output to (F3 discipline: batch ≡ stream on
     * the same input). */
-  def curateBatch(docs: DataFrame, evalFingerprints: DataFrame): DataFrame =
+  def curateBatch(docs: DataFrame, evalFingerprints: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     docs
       .filter(QualityFilter.keep(col("text")))
       .withColumn("text", TextOps.scrubPii(col("text")))
       .withColumn("fp", TextOps.contentFingerprint(col("text")))
-      .dropDuplicates(Seq("fp"))
+      // deterministic representative per fingerprint — the FIRST
+      // arrival, exactly what the stream's watermark dedup keeps (a
+      // bare dropDuplicates picks an arbitrary row, which breaks any
+      // doc_id-level stream ≡ batch comparison downstream)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("event_time"), col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
       .join(broadcast(evalFingerprints), Seq("fp"), "left_anti")
+  }
+
+  /** [[curate]] extended with the batch pipeline's defining stage
+    * brought in-stream: MinHash near-dup dedup via banded-LSH keyed
+    * state (see [[NearDup]]) — a near-duplicate (not just an exact
+    * retry) arriving within the state TTL of its original is dropped
+    * before the lake write. Requires the RocksDB state store
+    * provider. */
+  def curateNearDup(docs: DataFrame, evalFingerprints: DataFrame,
+      watermark: String = "10 seconds", threshold: Double = 0.5,
+      retentionMs: Long = 600000L): DataFrame =
+    NearDup.dedupNearDups(curate(docs, evalFingerprints, watermark),
+      threshold, retentionMs)
+
+  /** The batch replica of [[curateNearDup]] (the stream ≡ batch
+    * equivalence gate's oracle side). */
+  def curateNearDupBatch(docs: DataFrame, evalFingerprints: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    NearDup.dedupNearDupsBatch(curateBatch(docs, evalFingerprints),
+      threshold)
 }

@@ -27,6 +27,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("per-row minhashSignature ≡ bulk minhashSignatures (one hash family)") {
+    // The streaming near-dup stage derives signatures per row while
+    // the batch join uses the bulk explode+aggregate path — the
+    // stream ≡ batch gate only holds if both are the SAME family (a
+    // double-division digest prefix silently forked them once).
+    val bulk = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perRow = docs.select(col("doc_id"), Dedup.minhashSignature(
+        TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(perRow.keySet == bulk.keySet)
+    perRow.foreach { case (id, s) => assert(s == bulk(id), s"doc $id") }
+  }
+
   test("minhash signature is deterministic across runs") {
     val sig = docs.select(
       Dedup.minhashSignature(TextOps.shingles(TextOps.tokens(col("text")), 3)))

@@ -64,6 +64,83 @@ class CurateSpec extends SparkSpec {
     assert(streamed.filter(col("text").startsWith("alpha beta")).count() == 1)
   }
 
+  test("streaming near-dup dedup: kept set ≡ batch minhashPairs survivors on a replayed topic") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[DocMsg](spark)
+      val out = Curate.curateNearDup(ms.toDF(), evalFps, "10 seconds")
+      val name = s"neardup${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val aNear = "alpha beta gamma delta epsilon zeta eta theta iota"
+      val aNear2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+      val b = "one two three four five six seven eight nine ten eleven"
+      val bNear = "one two three four five six seven eight nine ten twelve"
+      val c = "completely different fresh content numbered thirteen fourteen fifteen"
+      val batch1 = Seq(
+        DocMsg(t(0), 1L, a),
+        DocMsg(t(1), 2L, aNear), // same-batch near-dup of 1 — dropped
+        DocMsg(t(2), 3L, b))
+      val batch2 = Seq(
+        DocMsg(t(4), 4L, bNear), // cross-batch near-dup of 3 — state drop
+        DocMsg(t(5), 5L, c),
+        DocMsg(t(6), 6L, aNear2)) // chain: near-dups 1 AND the dropped 2
+      try {
+        ms.addData(batch1); q.processAllAvailable()
+        ms.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.table(name).select("doc_id").as[Long].collect().toSet
+
+      // the near-dup stage really fired: only the three originals remain
+      assert(kept == Set(1L, 3L, 5L), s"kept $kept")
+
+      // stream ≡ batch: the batch replica derives its survivor set from
+      // Dedup.minhashPairs over the same curated rows
+      val batchKept = Curate.curateNearDupBatch((batch1 ++ batch2).toDF(), evalFps)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == batchKept, s"stream $kept != batch $batchKept")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("near-dup stage: sub-shingle docs bypass untouched; standalone operator parity") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[DocMsg](spark)
+      // raw NearDup stage (no quality filter), so < 3-token docs reach it
+      val out = NearDup.dedupNearDups(
+        ms.toDF().withWatermark("event_time", "10 seconds"))
+      val name = s"neardupraw${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        ms.addData(Seq(
+          DocMsg(t(0), 1L, "tiny doc"), // 2 tokens: no shingles, bypass
+          DocMsg(t(1), 2L, "north south east west up down left right"),
+          DocMsg(t(2), 3L, "north south east west up down left wrong")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.table(name).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L), s"kept $kept")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("scrub-before-fingerprint: docs differing only in PII spans dedup to one") {
     val ms = MemoryStream[DocMsg](spark)
     val out = Curate.curate(ms.toDF(), evalFps, "10 seconds")
