@@ -69,4 +69,76 @@ object NightlyEtl {
       s"verification failed: wrote $written rows, lake has $inLake")
     StageResult(sink.path, inLake)
   }
+
+  /** The flow × pipeline capstone (round 11): the nightly CURATION
+    * run. Probe the corpus source and the lake, build the 7-stage
+    * [[graft.ext.CorpusPipeline]], reconcile every stage's cardinality
+    * — the audit orchestration owes the pipeline: a stage that
+    * silently drops to zero, or fails to drop at all (plants guarantee
+    * each dropping stage real work at any SF), is caught BEFORE the
+    * write — then land the packed table partitioned by shard, all
+    * under the same retry machinery as [[runTable]]. Returns the
+    * per-stage counts plus the verified lake count, the flow's audit
+    * trail.
+    *
+    * The sink should partition by "shard" (the packed table's
+    * partition column — a training run reads one shard per worker).
+    */
+  def runCorpus(
+      spark: SparkSession,
+      source: Source,
+      sink: LakeSink,
+      retries: Int = 3,
+      delay: FiniteDuration = 10.seconds): Seq[StageResult] = {
+
+    retry(retries, delay) {
+      require(source.probe(spark), s"source probe failed: $source")
+    }
+    retry(retries, delay) {
+      require(sink.probe(spark), s"sink probe failed: $sink")
+    }
+    val counts = retry(retries, delay) {
+      val st = graft.ext.CorpusPipeline.build(source.read(spark))
+      val cs = Seq(
+        "base" -> st.base.count(),
+        "augmented" -> st.aug.count(),
+        "after_quality" -> st.afterQuality.count(),
+        "after_url_dedup" -> st.afterUrlDedup.count(),
+        "after_exact_dedup" -> st.afterExactDedup.count(),
+        "after_near_dedup" -> st.afterNearDedup.count(),
+        "after_decontam" -> st.afterDecontam.count(),
+        "after_mixture" -> st.afterMixture.count(),
+        "packed" -> st.packed.count())
+      val m = cs.toMap
+      require(m("augmented") == 6 * m("base"),
+        s"augmentation must plant 5 copies per doc: ${m("augmented")} != 6×${m("base")}")
+      // survivor chain: monotone, non-empty, and every dropping stage
+      // really dropped (the plants make that guaranteed work)
+      val chain = Seq("augmented", "after_quality", "after_url_dedup",
+        "after_exact_dedup", "after_near_dedup", "after_decontam",
+        "after_mixture")
+      chain.sliding(2).foreach { w =>
+        val (a, b) = (w.head, w.last)
+        require(m(b) <= m(a), s"stage $b grew: ${m(b)} > ${m(a)}")
+        require(m(b) > 0, s"stage $b emptied the corpus")
+      }
+      Seq("after_quality", "after_url_dedup", "after_exact_dedup",
+        "after_near_dedup", "after_decontam")
+        .zip(chain).foreach { case (b, a) =>
+          require(m(b) < m(a),
+            s"stage $b dropped nothing — its planted work went missing")
+        }
+      require(m("packed") == m("after_mixture"),
+        s"packing must cover every mixture survivor exactly once: " +
+          s"${m("packed")} != ${m("after_mixture")}")
+      sink.write(st.packed)
+      cs
+    }
+    val packedRows = counts.toMap.apply("packed")
+    val inLake = sink.read(spark).count()
+    require(inLake == packedRows,
+      s"verification failed: packed $packedRows rows, lake has $inLake")
+    counts.map { case (n, r) => StageResult(n, r) } :+
+      StageResult(sink.path, inLake)
+  }
 }

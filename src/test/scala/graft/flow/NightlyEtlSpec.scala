@@ -123,4 +123,57 @@ class NightlyEtlSpec extends SparkSpec {
         retries = 1, delay = 10.millis)
     }
   }
+
+  test("corpus-curation capstone: probe → 7-stage pipeline → reconcile → partitioned lake, with a mid-stage retry") {
+    val dir = tmp()
+    // a source whose FIRST read throws (transient corpus outage) —
+    // the flow must retry the whole job body to success
+    val flaky = new graft.io.Source {
+      @volatile var failures = 1
+      def read(spark: org.apache.spark.sql.SparkSession) = {
+        if (failures > 0) { failures -= 1; sys.error("transient corpus outage") }
+        spark.read.parquet(s"$sf/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+      }
+      def readStream(spark: org.apache.spark.sql.SparkSession) =
+        sys.error("batch-only test double")
+      def probe(spark: org.apache.spark.sql.SparkSession) = true
+    }
+    val sink = LakeSink(s"$dir/packed", partitionCols = Seq("shard"))
+    val res = NightlyEtl.runCorpus(spark, flaky, sink,
+      retries = 3, delay = 10.millis)
+    assert(flaky.failures == 0, "the transient failure really fired")
+    val m = res.map(r => r.name -> r.rows).toMap
+
+    // counts reconcile against an independent rebuild of the same
+    // pipeline over the same corpus (build is deterministic)
+    val st = graft.ext.CorpusPipeline.build(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source")))
+    val expected = Seq(
+      "base" -> st.base.count(), "augmented" -> st.aug.count(),
+      "after_quality" -> st.afterQuality.count(),
+      "after_url_dedup" -> st.afterUrlDedup.count(),
+      "after_exact_dedup" -> st.afterExactDedup.count(),
+      "after_near_dedup" -> st.afterNearDedup.count(),
+      "after_decontam" -> st.afterDecontam.count(),
+      "after_mixture" -> st.afterMixture.count(),
+      "packed" -> st.packed.count())
+    expected.foreach { case (n, c) => assert(m(n) == c, s"stage $n") }
+
+    // the lake holds the EXACT packed table, shard-partitioned
+    val lake = sink.read(spark)
+    assert(m(sink.path) == m("packed"))
+    val got = lake.select("doc_id", "n_tokens", "shard", "offset_toks",
+      "pack_seq").collect().map(_.toSeq).toSet
+    val want = st.packed.select("doc_id", "n_tokens", "shard",
+      "offset_toks", "pack_seq").collect().map(_.toSeq).toSet
+    assert(got == want, "lake content must equal the packed frame")
+    assert(new java.io.File(s"$dir/packed/shard=0").exists(), "shard partition layout")
+
+    // re-run is idempotent (K4 over the curation flow)
+    val res2 = NightlyEtl.runCorpus(spark, flaky, sink,
+      retries = 1, delay = 10.millis)
+    assert(res2.map(r => r.name -> r.rows).toMap == m)
+  }
 }
