@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{HeavyHitters, InvertedIndex, QualityFilter, TextOps}
-import graft.ops.{Drift, GapFill, Hierarchy, Incremental, Trend}
+import graft.ops.{Drift, Funnel, GapFill, Hierarchy, Incremental, Trend}
 
 /** Round-5 analytics + corpus-governance queries: time-series
   * densification, trend fitting, behavioral funnels/cohorts, a TPC-H Q8
@@ -900,6 +900,21 @@ object AnalyticsQueries {
           col("event_type"), Tables.tsUs, col("event_id"), col("value"))
         .withColumnRenamed("k", "event_type")
         .withColumnRenamed("cp_t", "cp_tus")
+    },
+
+    // Windowed conversion funnel (round 11) — the TIME-BOUNDED funnel
+    // beside funnel_stages' first-touch ordering (ClickHouse's
+    // windowFunnel shape): view → click → purchase must complete
+    // within 7 days of the view anchor, and the output carries the
+    // mean conversion lag per stage. Deterministic earliest-anchor
+    // semantics (every step a min — see ops.Funnel for the contrast
+    // with retrying windowFunnel). Shape: one filtered partial+final
+    // min-agg per stage; later stages join the previous stage's
+    // USER-sized frame — events never self-join.
+    "funnel_windowed" -> { (s, d) =>
+      Funnel.staged(Tables.events(s, d), col("user_id"), Tables.tsUs,
+        col("event_type"), Seq("view", "click", "purchase"),
+        windowUs = 7L * 86400L * 1000000L)
     }
   )
 
@@ -1454,6 +1469,31 @@ object AnalyticsQueries {
         |SELECT k AS event_type, n, CAST(-m.ne AS BIGINT) AS d_num,
         |       CAST(m.t AS BIGINT) AS cp_tus,
         |       CAST((2 * -m.ne + n) // (2 * n) AS BIGINT) AS d_x100
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // funnel_windowed: the same earliest-anchor chain — per-stage
+    // conditional mins, strict ordering, 7-day anchor window, HALF_UP
+    // mean lag.
+    "funnel_windowed" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.u, t1, min(t) AS tk FROM e JOIN s1 ON s1.u = e.u
+        |       WHERE et = 'click' AND t > t1 AND t <= t1 + 604800000000
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT e.u, s2.t1, min(t) AS tk FROM e JOIN s2 ON s2.u = e.u
+        |       WHERE et = 'purchase' AND t > s2.tk AND t <= s2.t1 + 604800000000
+        |       GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(0 AS BIGINT) AS avg_lag_us FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', CAST(count(*) AS BIGINT),
+        |       CAST((2 * sum(tk - t1) + count(*)) // (2 * count(*)) AS BIGINT)
+        |FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |       CAST((2 * sum(tk - t1) + count(*)) // (2 * count(*)) AS BIGINT)
+        |FROM s3""".stripMargin
   )
 }
