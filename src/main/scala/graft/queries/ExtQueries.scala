@@ -696,6 +696,39 @@ object ExtQueries {
             .as("fused_ok"))
     },
 
+    // Hard-negative mining (round 11) — the contrastive-retriever
+    // training primitive (DPR, Karpukhin et al. 2020): for each query,
+    // the nearest NON-positive corpus vectors make the hardest
+    // negatives. Positives here are the dense top-3 (the
+    // self-supervised nearest-neighbor convention); negatives are
+    // ranks 4..13 of the exact integer-L2 ranking over milli-quantized
+    // vectors — every distance and tie-break integer, so the mined
+    // pairs hash-oracle. 100 TB shape: queries broadcast against one
+    // map-side scoring pass over the quantized corpus, ending in
+    // TopKPerKey bounded heaps (swap the scan for the IVF bucket probe
+    // at scale — the mining logic only sees per-query top-k frames).
+    "hard_negatives" -> { (s, d) =>
+      val nQ = 3; val nPos = 3; val k = 13
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.quantize1000(
+          col("embedding").cast("array<double>")).as("q"))
+        .localCheckpoint(true)
+      val qs = vecs.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scored = vecs.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          VectorOps.idist2(col("q"), col("qq")).as("d2"))
+      graft.plans.TopKPerKey.perKey(scored, Seq(col("query_id")),
+          Seq(col("d2"), col("doc_id")), k)
+        .select(col("query_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy("d2", "doc_id"))
+            .cast("long").as("rank"),
+          col("doc_id"), col("d2"))
+        .filter(col("rank") > nPos)
+    },
+
     // Fuzzy entity resolution (round 6; capped round 9) — blocked
     // Levenshtein match, the record-linkage / entity-dedup primitive
     // (names, titles, addresses) that exact and shingle dedup both
@@ -2326,6 +2359,27 @@ object ExtQueries {
         |       CAST(6 AS BIGINT) AS lex_hits, CAST(6 AS BIGINT) AS dense_hits,
         |       CAST(9 AS BIGINT) AS fused_hits, TRUE AS fused_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // hard_negatives: exact integer-L2 ranking replayed with the
+    // 64-term literal distance sum (pq_topk's convention); positives =
+    // top-3, negatives = ranks 4..13.
+    "hard_negatives" -> {
+      val ed2 = (1 to 64).map(j =>
+        s"(c.q[$j] - qv.qq[$j]) * (c.q[$j] - qv.qq[$j])").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, q AS qq FROM q WHERE vec_id < 3),
+         |d AS (SELECT qv.query_id, c.vec_id AS doc_id, CAST($ed2 AS BIGINT) AS d2
+         |      FROM q c CROSS JOIN qv WHERE c.vec_id <> qv.query_id),
+         |r AS (SELECT query_id, doc_id, d2,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY d2, doc_id) AS rank
+         |      FROM d)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, d2 FROM r
+         |WHERE rank > 3 AND rank <= 13""".stripMargin
+    },
     "embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
