@@ -2017,6 +2017,52 @@ object ExtQueries {
     // 100 TB shape: the adjacency builds once map-side and
     // checkpoints; each round is two partial+final agg exchanges —
     // the link_rank envelope with the window eliminated.
+    // k-core decomposition (round 11) — Seidman (1983): the maximal
+    // subgraph where every vertex keeps degree ≥ k, THE density filter
+    // beside label_prop's communities and dedup_groups' connectivity
+    // (link-farm cores, tightly-quoted doc clusters). Peeling made
+    // deterministic and bounded: 6 unrolled rounds over link_rank's
+    // deterministic undirected graph, each round recomputing degrees
+    // within the surviving set and dropping vertices below k = 4
+    // (the graph's ~6-mean degree distribution gives k = 4 real
+    // peeling work AND a large surviving core; fixpoint lands at
+    // round 5 at sf0.1, measured); the
+    // output carries a `stable` cell (TRUE iff a further round would
+    // remove nobody — the fixpoint certificate, asserted in the spec)
+    // so bounded unrolling can never silently under-peel. 100 TB
+    // shape: the edge set builds map-side once and checkpoints; each
+    // round is two semi-joins against the (id)-sized survivor frame +
+    // one count agg — rounds ride vertex/edge cardinality, and real
+    // peels converge in few rounds (degrees only shrink).
+    "kcore_decomp" -> { (s, d) =>
+      val kk = 4; val rounds = 6
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
+      val dir = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(k =>
+            Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(s":$k")))
+              % col("n")): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val und = dir.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(dir.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      def degrees(surv: DataFrame): DataFrame =
+        und.join(surv.withColumnRenamed("v", "a"), "a")
+          .join(surv.select(col("v").as("b")), "b")
+          .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      var surv = docs.select(col("doc_id").as("v"))
+      for (_ <- 1 to rounds)
+        surv = degrees(surv).filter(col("deg") >= kk)
+          .select(col("a").as("v")).localCheckpoint(true)
+      val degF = degrees(surv).localCheckpoint(true)
+      degF.crossJoin(broadcast(degF.agg(
+          max(when(col("deg") < kk, 1L).otherwise(0L)).as("unstable"))))
+        .select(col("a").as("doc_id"), col("deg"),
+          (coalesce(col("unstable"), lit(0L)) === 0L).as("stable"))
+    },
+
     "label_prop" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n"))
@@ -4052,6 +4098,36 @@ object ExtQueries {
          |SELECT term, n11, n10, n01, n00, mi_num,
          |       (2 * greatest(mi_num, 0) + n) // (2 * n) AS mi_x1e6
          |FROM mi ORDER BY mi_num DESC, term LIMIT 50""".stripMargin,
+
+    // kcore_decomp: same deterministic graph, 4 unrolled peeling
+    // rounds, final degrees + the fixpoint certificate.
+    "kcore_decomp" -> {
+      val hash = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"
+      val roundsSql = (1 to 6).map { r =>
+        val p = r - 1
+        s"""d$r AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und
+           |        JOIN s$p x ON x.v = und.a JOIN s$p y ON y.v = und.b
+           |        GROUP BY 1),
+           |s$r AS (SELECT a AS v FROM d$r WHERE deg >= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |dir AS (SELECT doc_id AS src, $hash % n.n AS dst
+         |        FROM documents CROSS JOIN n
+         |        CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+         |und AS (SELECT DISTINCT a, b FROM (
+         |          SELECT src AS a, dst AS b FROM dir WHERE src <> dst
+         |          UNION ALL SELECT dst, src FROM dir WHERE src <> dst)),
+         |s0 AS (SELECT doc_id AS v FROM documents),
+         |$roundsSql,
+         |df AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und
+         |       JOIN s6 x ON x.v = und.a JOIN s6 y ON y.v = und.b
+         |       GROUP BY 1),
+         |u AS (SELECT CAST(coalesce(max(CASE WHEN deg < 4 THEN 1 ELSE 0 END), 0)
+         |             AS BIGINT) AS unstable FROM df)
+         |SELECT a AS doc_id, deg, (unstable = 0) AS stable
+         |FROM df CROSS JOIN u""".stripMargin
+    },
 
     // label_prop: same undirected edge set, three unrolled synchronous
     // LPA rounds, mode via row_number (count desc, label asc).

@@ -627,4 +627,39 @@ class ExtQueriesSpec extends SparkSpec {
     assert(sizes.size < ids.length)
     assert(sizes.values.max >= 3L)
   }
+
+  test("kcore_decomp equals an independent driver-side peel-to-FIXPOINT loop") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val ue = (for { id <- ids.toSeq; k <- 1 to 3; v = h60(s"$id:$k") % n
+      if v != id } yield (math.min(id, v), math.max(id, v))).toSet
+    // reference: peel UNTIL FIXPOINT (no round bound) — the unrolled
+    // query's `stable` certificate claims it reached the same place
+    var surv = ids.toSet
+    var changed = true
+    while (changed) {
+      val deg = ue.toSeq.filter { case (a, b) => surv(a) && surv(b) }
+        .flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+        .withDefaultValue(0)
+      val next = surv.filter(v => deg(v) >= 4)
+      changed = next != surv
+      surv = next
+    }
+    val degF = ue.toSeq.filter { case (a, b) => surv(a) && surv(b) }
+      .flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val out = ExtQueries.queries("kcore_decomp")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == surv, "4-core membership")
+    surv.foreach(v => assert(out(v) == ((degF(v), true)), s"vertex $v"))
+    // peeling did real work and the core is non-trivial
+    assert(surv.nonEmpty && surv.size < ids.length)
+  }
 }
