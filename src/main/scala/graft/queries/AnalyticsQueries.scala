@@ -902,6 +902,33 @@ object AnalyticsQueries {
         .withColumnRenamed("cp_t", "cp_tus")
     },
 
+    // First-order Markov transition matrix (round 11) — the behavioral
+    // sequence model beside funnel_stages/funnel_windowed's fixed
+    // chains: per user, consecutive event pairs in (ts, event_id)
+    // order; per (from, to) the transition count and the HALF_UP
+    // 1e6-scaled row-conditional probability. The classic session-
+    // modeling primitive (next-event prediction, anomaly paths).
+    // Shape: ONE per-user ordered window pass (the sessionize sort),
+    // then two tiny aggs on the |types|² pair frame — nothing
+    // event-sized crosses a second exchange.
+    "event_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsUs.as("tus"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n_trans")).as("n_from"))
+      pairs.join(totals, "from_type")
+        .selectExpr("from_type", "to_type", "n_trans", "n_from",
+          "(2 * 1000000 * n_trans + n_from) div (2 * n_from) AS p_x1e6")
+    },
+
     // Windowed conversion funnel (round 11) — the TIME-BOUNDED funnel
     // beside funnel_stages' first-touch ordering (ClickHouse's
     // windowFunnel shape): view → click → purchase must complete
@@ -1470,6 +1497,23 @@ object AnalyticsQueries {
         |       CAST(m.t AS BIGINT) AS cp_tus,
         |       CAST((2 * -m.ne + n) // (2 * n) AS BIGINT) AS d_x100
         |FROM p""".stripMargin,
+
+    // event_transitions: same per-user lead() pairing, HALF_UP
+    // conditional probabilities.
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |           FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY tus, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, to_type, n_trans, n_from,
+        |       (2 * 1000000 * n_trans + n_from) // (2 * n_from) AS p_x1e6
+        |FROM c JOIN t ON t.from_type = c.from_type""".stripMargin,
 
     // funnel_windowed: the same earliest-anchor chain — per-stage
     // conditional mins, strict ordering, 7-day anchor window, HALF_UP
