@@ -86,6 +86,103 @@ object ExtQueries {
   def messyUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(messyUrlSql("div")).as("url"))
 
+  /** The hybrid-retrieval plant construction and the three per-query
+    * rankings (lexical, dense, RRF-fused top-10 with rank) shared by
+    * `hybrid_rrf` and `retrieval_ndcg` — see `hybrid_rrf`'s comment
+    * for why every downstream cell is pinned at any SF. */
+  private def hybridRankings(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+      val nQ = 5
+      val qbase = Tables.embeddings(s, d).filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => (x + lit(0.01)).cast("float"))
+            .as("qv"))
+        .localCheckpoint(true)
+      val qt = concat_ws(" ", transform(sequence(lit(1), lit(20)),
+        i => concat(lit("hq"), col("qid"), lit("t"), i)))
+      val withJ = qbase.select(col("qid"), col("qv"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      // --- planted documents (text side) ---
+      val selfD = qbase.select((col("qid") + 9000000L).as("doc_id"),
+        qt.as("text"))
+      val lexD = withJ.select(
+        (lit(9100000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        concat(qt, lit(" zz"), col("qid"), lit("x"), col("j")).as("text"))
+      val denseD = withJ.select(
+        (lit(9200000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        concat(lit("dd"), col("qid"), lit("x"), col("j")).as("text"))
+      val bothD = withJ.select(
+        (lit(9300000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        qt.as("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(selfD).unionByName(lexD).unionByName(denseD)
+        .unionByName(bothD)
+      // --- planted vectors (dense side) ---
+      def perturb(base: Column, delta: Column) =
+        transform(base, x => (x + delta).cast("float"))
+      val selfV = qbase.select((col("qid") + 9000000L).as("vec_id"),
+        col("qv").as("v"))
+      val lexV = withJ.select(
+        (lit(9100000L) + col("qid") * 10 + col("j")).as("vec_id"),
+        transform(col("qv"), x => (-x).cast("float")).as("v"))
+      val denseV = withJ.select(
+        (lit(9200000L) + col("qid") * 10 + col("j")).as("vec_id"),
+        perturb(col("qv"), col("j") * lit(0.001)).as("v"))
+      val bothV = withJ.select(
+        (lit(9300000L) + col("qid") * 10 + col("j")).as("vec_id"),
+        perturb(col("qv"), col("j") * lit(0.002)).as("v"))
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .unionByName(selfV).unionByName(lexV).unionByName(denseV)
+        .unionByName(bothV)
+        .select(col("vec_id"),
+          VectorOps.quantize1000(col("v").cast("array<double>")).as("q"))
+        .localCheckpoint(true)
+      // --- lexical path: tf-idf of the query's terms, top-10 ---
+      val tf = Dedup.rebalance(docs)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = tf.groupBy(col("doc_id")).agg(lit(1).as("one"))
+        .agg(count(lit(1)).as("n_docs"))
+      val qterms = qbase.select(col("qid"),
+          explode(split(lower(qt), " ")).as("term"))
+      val lexScored = tf.join(broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .groupBy(col("qid").as("query_id"), col("doc_id"))
+        .agg(sum(col("tf") *
+          floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+            * 1e6 + 0.5).cast("long")).as("score_x1e6"))
+      val wq = Window.partitionBy("query_id")
+      val lexRank = graft.plans.TopKPerKey.perKey(lexScored,
+          keys = Seq(col("query_id")),
+          order = Seq(col("score_x1e6").desc, col("doc_id")), k = 10)
+        .select(col("query_id"), col("doc_id"),
+          row_number().over(wq.orderBy(col("score_x1e6").desc,
+            col("doc_id"))).as("rank"))
+      // --- dense path: exact integer L2 over quantized vectors ---
+      val qq = qbase.select(col("qid"),
+        VectorOps.quantize1000(col("qv").cast("array<double>")).as("qq"))
+      val denseScored = vecs.crossJoin(broadcast(qq))
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          VectorOps.idist2(col("q"), col("qq")).as("d2"))
+      val denseRank = graft.plans.TopKPerKey.perKey(denseScored,
+          keys = Seq(col("query_id")),
+          order = Seq(col("d2"), col("doc_id")), k = 10)
+        .select(col("query_id"), col("doc_id"),
+          row_number().over(wq.orderBy(col("d2"), col("doc_id")))
+            .as("rank"))
+      // --- fuse + recall cells over the planted relevant set ---
+      val fused = Retrieval.rrfFuse(Seq(lexRank, denseRank), k = 10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("rrf_x1e12").desc, col("doc_id"))))
+      (lexRank, denseRank, fused)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------
     "token_count" -> { (s, d) =>
@@ -598,91 +695,7 @@ object ExtQueries {
     // only sees per-query top-k frames either way); fusion itself is
     // output-sized (see ext.Retrieval).
     "hybrid_rrf" -> { (s, d) =>
-      val nQ = 5
-      val qbase = Tables.embeddings(s, d).filter(col("vec_id") < nQ)
-        .select(col("vec_id").as("qid"),
-          transform(col("embedding"), x => (x + lit(0.01)).cast("float"))
-            .as("qv"))
-        .localCheckpoint(true)
-      val qt = concat_ws(" ", transform(sequence(lit(1), lit(20)),
-        i => concat(lit("hq"), col("qid"), lit("t"), i)))
-      val withJ = qbase.select(col("qid"), col("qv"),
-        explode(sequence(lit(1), lit(3))).as("j"))
-      // --- planted documents (text side) ---
-      val selfD = qbase.select((col("qid") + 9000000L).as("doc_id"),
-        qt.as("text"))
-      val lexD = withJ.select(
-        (lit(9100000L) + col("qid") * 10 + col("j")).as("doc_id"),
-        concat(qt, lit(" zz"), col("qid"), lit("x"), col("j")).as("text"))
-      val denseD = withJ.select(
-        (lit(9200000L) + col("qid") * 10 + col("j")).as("doc_id"),
-        concat(lit("dd"), col("qid"), lit("x"), col("j")).as("text"))
-      val bothD = withJ.select(
-        (lit(9300000L) + col("qid") * 10 + col("j")).as("doc_id"),
-        qt.as("text"))
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .unionByName(selfD).unionByName(lexD).unionByName(denseD)
-        .unionByName(bothD)
-      // --- planted vectors (dense side) ---
-      def perturb(base: Column, delta: Column) =
-        transform(base, x => (x + delta).cast("float"))
-      val selfV = qbase.select((col("qid") + 9000000L).as("vec_id"),
-        col("qv").as("v"))
-      val lexV = withJ.select(
-        (lit(9100000L) + col("qid") * 10 + col("j")).as("vec_id"),
-        transform(col("qv"), x => (-x).cast("float")).as("v"))
-      val denseV = withJ.select(
-        (lit(9200000L) + col("qid") * 10 + col("j")).as("vec_id"),
-        perturb(col("qv"), col("j") * lit(0.001)).as("v"))
-      val bothV = withJ.select(
-        (lit(9300000L) + col("qid") * 10 + col("j")).as("vec_id"),
-        perturb(col("qv"), col("j") * lit(0.002)).as("v"))
-      val vecs = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("v"))
-        .unionByName(selfV).unionByName(lexV).unionByName(denseV)
-        .unionByName(bothV)
-        .select(col("vec_id"),
-          VectorOps.quantize1000(col("v").cast("array<double>")).as("q"))
-        .localCheckpoint(true)
-      // --- lexical path: tf-idf of the query's terms, top-10 ---
-      val tf = Dedup.rebalance(docs)
-        .select(col("doc_id"),
-          explode(TextOps.tokens(lower(col("text")))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val totals = tf.groupBy(col("doc_id")).agg(lit(1).as("one"))
-        .agg(count(lit(1)).as("n_docs"))
-      val qterms = qbase.select(col("qid"),
-          explode(split(lower(qt), " ")).as("term"))
-      val lexScored = tf.join(broadcast(qterms), "term")
-        .join(dfreq, "term")
-        .crossJoin(broadcast(totals))
-        .groupBy(col("qid").as("query_id"), col("doc_id"))
-        .agg(sum(col("tf") *
-          floor(log(col("n_docs").cast("double") / col("df").cast("double"))
-            * 1e6 + 0.5).cast("long")).as("score_x1e6"))
-      val wq = Window.partitionBy("query_id")
-      val lexRank = graft.plans.TopKPerKey.perKey(lexScored,
-          keys = Seq(col("query_id")),
-          order = Seq(col("score_x1e6").desc, col("doc_id")), k = 10)
-        .select(col("query_id"), col("doc_id"),
-          row_number().over(wq.orderBy(col("score_x1e6").desc,
-            col("doc_id"))).as("rank"))
-      // --- dense path: exact integer L2 over quantized vectors ---
-      val qq = qbase.select(col("qid"),
-        VectorOps.quantize1000(col("qv").cast("array<double>")).as("qq"))
-      val denseScored = vecs.crossJoin(broadcast(qq))
-        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
-          VectorOps.idist2(col("q"), col("qq")).as("d2"))
-      val denseRank = graft.plans.TopKPerKey.perKey(denseScored,
-          keys = Seq(col("query_id")),
-          order = Seq(col("d2"), col("doc_id")), k = 10)
-        .select(col("query_id"), col("doc_id"),
-          row_number().over(wq.orderBy(col("d2"), col("doc_id")))
-            .as("rank"))
-      // --- fuse + recall cells over the planted relevant set ---
-      val fused = Retrieval.rrfFuse(Seq(lexRank, denseRank), k = 10)
+      val (lexRank, denseRank, fused) = hybridRankings(s, d)
       val isRel = col("doc_id") >= 9100000L && col("doc_id") < 9400000L
       def hits(r: DataFrame) = r.groupBy(col("query_id"))
         .agg(sum(when(isRel, 1L).otherwise(0L)))
@@ -694,6 +707,40 @@ object ExtQueries {
           col("dense_hits"), col("fused_hits"),
           (col("fused_hits") >= greatest(col("lex_hits"), col("dense_hits")))
             .as("fused_ok"))
+    },
+
+    // Retrieval-quality metric (round 11) — nDCG@10 over the three
+    // hybrid paths: the standard graded-ranking metric (Järvelin &
+    // Kekäläinen 2002) the recall cells of hybrid_rrf can't express
+    // (nDCG rewards putting relevants EARLY, not just in the cutoff).
+    // Binary gains over the planted relevant set; discount weights
+    // floor(1e9·ln2/ln(r+1) + 0.5) — ten constants both engines
+    // derive identically — summed per query and HALF_UP-normalized by
+    // the ideal DCG of 9 relevants. The plant construction pins every
+    // value (relevants hold ranks 2-7 of each single path, 2-10 of
+    // the fused list — see hybrid_rrf), so the oracle asserts the
+    // exact nDCG cells; fused strictly beats both single paths.
+    "retrieval_ndcg" -> { (s, d) =>
+      val (lexRank, denseRank, fused) = hybridRankings(s, d)
+      val isRel = col("doc_id") >= 9100000L && col("doc_id") < 9400000L
+      val w = floor(lit(1e9) * log(lit(2.0)) / log(col("rank") + lit(1.0))
+        + lit(0.5)).cast("long")
+      def dcg(r: DataFrame) = r.groupBy(col("query_id"))
+        .agg(sum(when(isRel, w).otherwise(0L)))
+      val idcg = (1 to 9)
+        .map(r => math.floor(1e9 * math.log(2) / math.log(r + 1.0) + 0.5)
+          .toLong).sum
+      val l = dcg(lexRank).toDF("query_id", "lex_dcg")
+      val dn = dcg(denseRank).toDF("query_id", "dense_dcg")
+      val f = dcg(fused).toDF("query_id", "fused_dcg")
+      l.join(dn, "query_id").join(f, "query_id")
+        .selectExpr("query_id",
+          s"(2 * 1000000 * lex_dcg + $idcg) div (2 * $idcg) AS lex_ndcg_x1e6",
+          s"(2 * 1000000 * dense_dcg + $idcg) div (2 * $idcg) AS dense_ndcg_x1e6",
+          s"(2 * 1000000 * fused_dcg + $idcg) div (2 * $idcg) AS fused_ndcg_x1e6")
+        .withColumn("fused_best",
+          col("fused_ndcg_x1e6") >
+            greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
     },
 
     // Hard-negative mining (round 11) — the contrastive-retriever
@@ -2404,6 +2451,19 @@ object ExtQueries {
         |       CAST(9 AS BIGINT) AS n_rel,
         |       CAST(6 AS BIGINT) AS lex_hits, CAST(6 AS BIGINT) AS dense_hits,
         |       CAST(9 AS BIGINT) AS fused_hits, TRUE AS fused_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // retrieval_ndcg: the plant construction pins the cells — single
+    // paths hold relevants at ranks 2-7 (DCG = Σ w(2..7) =
+    // 2,637,999,639), the fused list at 2-10 (Σ w(2..10) =
+    // 3,543,559,338), ideal = Σ w(1..9) = 4,254,494,512; HALF_UP
+    // 1e6-normalization gives 620050 / 620050 / 832898.
+    "retrieval_ndcg" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |       CAST(620050 AS BIGINT) AS lex_ndcg_x1e6,
+        |       CAST(620050 AS BIGINT) AS dense_ndcg_x1e6,
+        |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
+        |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // hard_negatives: exact integer-L2 ranking replayed with the
