@@ -183,6 +183,39 @@ object ExtQueries {
       (lexRank, denseRank, fused)
   }
 
+  /** The 4-round BPE word encoder shared by `bpe_encode` and
+    * `tokenizer_fertility`: returns (per-doc word tf, per-word symbol
+    * count under the trained merges). */
+  private def bpeTfEnc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      val N = 4
+      val words = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val wc = tf.groupBy(col("w")).agg(sum(col("tf")).as("wn"))
+      var rep = wc.select(col("w"), col("wn"), TextOps.bpeInitRep(col("w")).as("rep"))
+        .localCheckpoint(true)
+      (1 to N).foreach { _ =>
+        val top1 = rep.select(col("wn"), TextOps.bpeSymbols(col("rep")).as("sy"))
+          .select(col("wn"), explode(when(size(col("sy")) >= 2,
+              transform(sequence(lit(1), size(col("sy")) - 1),
+                k => struct(element_at(col("sy"), k).as("p1"),
+                  element_at(col("sy"), k + 1).as("p2"))))
+            .otherwise(array().cast("array<struct<p1:string,p2:string>>")))
+            .as("pr"))
+          .select(col("wn"), col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .groupBy(col("p1"), col("p2")).agg(sum(col("wn")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
+        rep = rep.crossJoin(broadcast(top1))
+          .select(col("w"), col("wn"),
+            TextOps.bpeMerge(col("rep"), col("p1"), col("p2")).as("rep"))
+          .localCheckpoint(true)
+      }
+      val enc = rep.select(col("w"),
+        size(TextOps.bpeSymbols(col("rep"))).cast("long").as("n_sym"))
+      (tf, enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------
     "token_count" -> { (s, d) =>
@@ -1347,32 +1380,7 @@ object ExtQueries {
     // and encoding adds one map-side join. tpw_x100 (tokens per 100
     // words) is the compression diagnostic, HALF_UP exact-integer.
     "bpe_encode" -> { (s, d) =>
-      val N = 4
-      val words = Dedup.rebalance(Tables.documents(s, d))
-        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("w"))
-      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val wc = tf.groupBy(col("w")).agg(sum(col("tf")).as("wn"))
-      var rep = wc.select(col("w"), col("wn"), TextOps.bpeInitRep(col("w")).as("rep"))
-        .localCheckpoint(true)
-      (1 to N).foreach { _ =>
-        val top1 = rep.select(col("wn"), TextOps.bpeSymbols(col("rep")).as("sy"))
-          .select(col("wn"), explode(when(size(col("sy")) >= 2,
-              transform(sequence(lit(1), size(col("sy")) - 1),
-                k => struct(element_at(col("sy"), k).as("p1"),
-                  element_at(col("sy"), k + 1).as("p2"))))
-            .otherwise(array().cast("array<struct<p1:string,p2:string>>")))
-            .as("pr"))
-          .select(col("wn"), col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-          .groupBy(col("p1"), col("p2")).agg(sum(col("wn")).as("cnt"))
-          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
-        rep = rep.crossJoin(broadcast(top1))
-          .select(col("w"), col("wn"),
-            TextOps.bpeMerge(col("rep"), col("p1"), col("p2")).as("rep"))
-          .localCheckpoint(true)
-      }
-      val enc = rep.select(col("w"),
-        size(TextOps.bpeSymbols(col("rep"))).cast("long").as("n_sym"))
+      val (tf, enc) = bpeTfEnc(s, d)
       tf.join(enc, "w")
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_words"),
@@ -1381,6 +1389,28 @@ object ExtQueries {
         // whenever the doc has any word — n_sym >= 1 always)
         .selectExpr("doc_id", "n_words", "n_tokens",
           "(200 * n_tokens + n_words) div (2 * n_words) AS tpw_x100")
+    },
+
+    // Tokenizer fertility per language (round 11) — the multilingual-
+    // tokenizer-bias metric (fertility = subword tokens per word;
+    // Ács 2019, XLM-R analyses): languages the tokenizer serves badly
+    // pay more tokens per word and fewer chars per token, which
+    // directly inflates their training/serving cost. Computed under
+    // the SAME 4-merge BPE encoder as bpe_encode (shared helper), per
+    // lang: words, tokens, chars, HALF_UP fertility ×100 and
+    // chars-per-token ×100. Shape: bpe_encode's envelope (rounds ride
+    // the DISTINCT vocab) + one lang join on the doc-keyed tf frame.
+    "tokenizer_fertility" -> { (s, d) =>
+      val (tf, enc) = bpeTfEnc(s, d)
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      tf.join(enc, "w").join(langs, "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("tf")).as("n_words"),
+          sum(col("tf") * col("n_sym")).as("n_tokens"),
+          sum(col("tf") * length(col("w"))).as("n_chars"))
+        .selectExpr("lang", "n_words", "n_tokens", "n_chars",
+          "(200 * n_tokens + n_words) div (2 * n_words) AS fertility_x100",
+          "(200 * n_chars + n_tokens) div (2 * n_tokens) AS chars_per_tok_x100")
     },
 
     // N-gram novelty scoring (round 10) — per doc, the fraction of its
@@ -2426,6 +2456,38 @@ object ExtQueries {
        |JOIN qp ON a.bucket = qp.cid, q
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
 
+
+  /** bpe_encode's 4-merge encoder chain as shared CTEs (through `tf`
+    * and `enc`) — reused by tokenizer_fertility's per-lang rollup. */
+  private def bpeEncCtes: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""sy$i AS (SELECT wn, list_filter(string_split(rep, bb), x -> x <> '') AS sy
+         |         FROM rW${i - 1} CROSS JOIN sep),
+         |pc$i AS (SELECT p1, p2, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+         |           SELECT wn, sy[k] AS p1, sy[k + 1] AS p2
+         |           FROM (SELECT wn, sy, unnest(generate_series(1, len(sy) - 1)) AS k
+         |                 FROM sy$i))
+         |         GROUP BY 1, 2),
+         |t$i AS (SELECT p1, p2, cnt FROM pc$i ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         |rW$i AS (SELECT w, wn, replace(rep, s1 || p1 || bb || p2 || s1,
+         |                               s1 || p1 || p2 || s1) AS rep
+         |         FROM rW${i - 1} CROSS JOIN t$i CROSS JOIN sep)""".stripMargin
+    }.mkString(",\n")
+    s"""sep AS (SELECT chr(1) AS s1, chr(1) || chr(1) AS bb),
+       |tw AS (SELECT doc_id, unnest(list_transform($ToksSql, t -> lower(t))) AS w
+       |       FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tw GROUP BY 1, 2),
+       |wc0 AS (SELECT w, CAST(sum(tf) AS BIGINT) AS wn FROM tf GROUP BY 1),
+       |rW0 AS (SELECT w, wn, bb || array_to_string(
+       |          list_transform(generate_series(1, len(w)), j -> substr(w, j, 1)),
+       |          chr(1) || chr(1)) || bb AS rep
+       |        FROM wc0 CROSS JOIN sep),
+       |$rounds,
+       |enc AS (SELECT w, CAST(len(list_filter(string_split(rep, bb), x -> x <> ''))
+       |                  AS BIGINT) AS n_sym
+       |        FROM rW4 CROSS JOIN sep)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ivf_topk" -> ivfFlatOracle,
 
@@ -3245,40 +3307,29 @@ object ExtQueries {
     // bpe_encode: the same 4-round chain, but the rep table keeps its
     // word key (rW chain) so round 4 yields the word → symbol-count
     // encoder; per-doc totals are exact integer sums over the tf CTE.
-    "bpe_encode" -> {
-      val rounds = (1 to 4).map { i =>
-        s"""sy$i AS (SELECT wn, list_filter(string_split(rep, bb), x -> x <> '') AS sy
-           |         FROM rW${i - 1} CROSS JOIN sep),
-           |pc$i AS (SELECT p1, p2, CAST(sum(wn) AS BIGINT) AS cnt FROM (
-           |           SELECT wn, sy[k] AS p1, sy[k + 1] AS p2
-           |           FROM (SELECT wn, sy, unnest(generate_series(1, len(sy) - 1)) AS k
-           |                 FROM sy$i))
-           |         GROUP BY 1, 2),
-           |t$i AS (SELECT p1, p2, cnt FROM pc$i ORDER BY cnt DESC, p1, p2 LIMIT 1),
-           |rW$i AS (SELECT w, wn, replace(rep, s1 || p1 || bb || p2 || s1,
-           |                               s1 || p1 || p2 || s1) AS rep
-           |         FROM rW${i - 1} CROSS JOIN t$i CROSS JOIN sep)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH sep AS (SELECT chr(1) AS s1, chr(1) || chr(1) AS bb),
-         |tw AS (SELECT doc_id, unnest(list_transform($ToksSql, t -> lower(t))) AS w
-         |       FROM documents),
-         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tw GROUP BY 1, 2),
-         |wc0 AS (SELECT w, CAST(sum(tf) AS BIGINT) AS wn FROM tf GROUP BY 1),
-         |rW0 AS (SELECT w, wn, bb || array_to_string(
-         |          list_transform(generate_series(1, len(w)), j -> substr(w, j, 1)),
-         |          chr(1) || chr(1)) || bb AS rep
-         |        FROM wc0 CROSS JOIN sep),
-         |$rounds,
-         |enc AS (SELECT w, CAST(len(list_filter(string_split(rep, bb), x -> x <> ''))
-         |                  AS BIGINT) AS n_sym
-         |        FROM rW4 CROSS JOIN sep),
+    "bpe_encode" ->
+      s"""WITH $bpeEncCtes,
          |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
          |               CAST(sum(tf * n_sym) AS BIGINT) AS n_tokens
          |        FROM tf JOIN enc USING (w) GROUP BY 1)
          |SELECT doc_id, n_words, n_tokens,
          |       (200 * n_tokens + n_words) // (2 * n_words) AS tpw_x100
-         |FROM agg""".stripMargin
-    },
+         |FROM agg""".stripMargin,
+
+    // tokenizer_fertility: the same encoder chain, rolled up per lang
+    // with char counts.
+    "tokenizer_fertility" ->
+      s"""WITH $bpeEncCtes,
+         |lg AS (SELECT doc_id, lang FROM documents),
+         |agg AS (SELECT lang, CAST(sum(tf) AS BIGINT) AS n_words,
+         |               CAST(sum(tf * n_sym) AS BIGINT) AS n_tokens,
+         |               CAST(sum(tf * length(w)) AS BIGINT) AS n_chars
+         |        FROM tf JOIN enc USING (w) JOIN lg USING (doc_id)
+         |        GROUP BY 1)
+         |SELECT lang, n_words, n_tokens, n_chars,
+         |       (200 * n_tokens + n_words) // (2 * n_words) AS fertility_x100,
+         |       (200 * n_chars + n_tokens) // (2 * n_tokens) AS chars_per_tok_x100
+         |FROM agg""".stripMargin,
 
     // ngram_novelty: same 60-bit shingle hash as cms_freq, first
     // occurrence by min(doc_id), exact-integer HALF_UP percentage.
