@@ -776,6 +776,46 @@ object ExtQueries {
             greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
     },
 
+    // Truncated-dimension retrieval (round 11) — the Matryoshka
+    // serving question (Kusupati et al. 2022: MRL embeddings let you
+    // serve a PREFIX of the vector): how much recall does top-10
+    // retrieval keep when distances use only the first 16 / 32 of the
+    // 64 dims? Ground truth = the exact full-width integer-L2 top-10;
+    // candidates = the same ranking under prefix distances — all
+    // exact integers over milli-quantized vectors, so the whole
+    // comparison hash-oracles with no pinning. 100 TB shape: the
+    // three rankings share ONE map-side scoring pass (three idist2
+    // kernels per row) ending in bounded TopKPerKey heaps; at scale
+    // the prefix ranking is the cheap first pass and full-width the
+    // rerank — exactly the MRL serving layout.
+    "matryoshka_recall" -> { (s, d) =>
+      val nQ = 3; val k = 10
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.quantize1000(
+          col("embedding").cast("array<double>")).as("q"))
+        .localCheckpoint(true)
+      val qs = vecs.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scored = vecs.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          VectorOps.idist2(col("q"), col("qq")).as("d64"),
+          VectorOps.idist2(slice(col("q"), 1, 32), slice(col("qq"), 1, 32))
+            .as("d32"),
+          VectorOps.idist2(slice(col("q"), 1, 16), slice(col("qq"), 1, 16))
+            .as("d16"))
+        .localCheckpoint(true)
+      def top(dc: String) = graft.plans.TopKPerKey.perKey(scored,
+          Seq(col("query_id")), Seq(col(dc), col("doc_id")), k)
+        .select(col("query_id"), col("doc_id"))
+      val exact = top("d64")
+      def hits(t: DataFrame, name: String) =
+        exact.join(t, Seq("query_id", "doc_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      hits(top("d32"), "hits32").join(hits(top("d16"), "hits16"), "query_id")
+        .select(col("query_id"), lit(k.toLong).as("n_exact"),
+          col("hits32"), col("hits16"))
+    },
+
     // Hard-negative mining (round 11) — the contrastive-retriever
     // training primitive (DPR, Karpukhin et al. 2020): for each query,
     // the nearest NON-positive corpus vectors make the hardest
@@ -2527,6 +2567,36 @@ object ExtQueries {
         |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
         |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // matryoshka_recall: three literal-sum rankings (16/32/64-dim
+    // prefixes), semi-join overlap against the full-width truth.
+    "matryoshka_recall" -> {
+      def dsum(n: Int) = (1 to n).map(j =>
+        s"(c.q[$j] - qv.qq[$j]) * (c.q[$j] - qv.qq[$j])").mkString(" + ")
+      def rank(n: Int, nm: String) =
+        s"""$nm AS (SELECT query_id, doc_id FROM (
+           |  SELECT qv.query_id, c.vec_id AS doc_id,
+           |         row_number() OVER (PARTITION BY qv.query_id
+           |           ORDER BY CAST(${dsum(n)} AS BIGINT), c.vec_id) AS rn
+           |  FROM q c CROSS JOIN qv) WHERE rn <= 10)""".stripMargin
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, q AS qq FROM q WHERE vec_id < 3),
+         |${rank(64, "ex")},
+         |${rank(32, "t32")},
+         |${rank(16, "t16")}
+         |SELECT ex.query_id, CAST(10 AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN t32.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS hits32,
+         |  CAST(sum(CASE WHEN t16.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS hits16
+         |FROM ex
+         |LEFT JOIN t32 ON t32.query_id = ex.query_id AND t32.doc_id = ex.doc_id
+         |LEFT JOIN t16 ON t16.query_id = ex.query_id AND t16.doc_id = ex.doc_id
+         |GROUP BY 1""".stripMargin
+    },
 
     // hard_negatives: exact integer-L2 ranking replayed with the
     // 64-term literal distance sum (pq_topk's convention); positives =
