@@ -902,6 +902,51 @@ object AnalyticsQueries {
         .withColumnRenamed("cp_t", "cp_tus")
     },
 
+    // Winsorization (round 11) — the outlier-clipping REWRITE the
+    // histogram family only describes (equidepth_hist/approx_quantiles
+    // locate the tails; production feature pipelines then CLIP to
+    // them): per event_type, exact nearest-rank p5/p95 bounds over the
+    // centi-quantized value domain, rows outside clamp to the bounds,
+    // and the output reports the bounds, clip counts, and the
+    // winsorized mean — all exact integers (nearest-rank r =
+    // ceil(p·n) as (p·n + 99) div 100; signed HALF_UP mean). 100 TB
+    // shape: the equidepth_hist_scale two-level layout — raw rows
+    // collapse to the (type, quantum) histogram FIRST; the cumulative
+    // window and every bound/clip statistic ride distinct quanta.
+    "winsorize" -> { (s, d) =>
+      val hist = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("q"))
+        .groupBy(col("event_type"), col("q")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val byQ = Window.partitionBy("event_type").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byT = Window.partitionBy("event_type")
+      val bounds = hist
+        .withColumn("cum", sum(col("c")).over(byQ))
+        .withColumn("n", sum(col("c")).over(byT))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("q")))
+            .as("lo_c"),
+          min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("q")))
+            .as("hi_c"))
+      hist.join(bounds, "event_type")
+        .groupBy(col("event_type"), col("n"), col("lo_c"), col("hi_c"))
+        .agg(
+          sum(when(col("q") < col("lo_c"), col("c")).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("q") > col("hi_c"), col("c")).otherwise(0L))
+            .as("n_clip_hi"),
+          sum(greatest(least(col("q"), col("hi_c")), col("lo_c")) * col("c"))
+            .as("sw"))
+        .selectExpr("event_type", "n", "lo_c", "hi_c", "n_clip_lo",
+          "n_clip_hi",
+          """CASE WHEN sw >= 0 THEN (2 * sw + n) div (2 * n)
+            |     ELSE -((2 * -sw + n) div (2 * n)) END AS wmean_c"""
+            .stripMargin)
+    },
+
     // First-order Markov transition matrix (round 11) — the behavioral
     // sequence model beside funnel_stages/funnel_windowed's fixed
     // chains: per user, consecutive event pairs in (ts, event_id)
@@ -1497,6 +1542,35 @@ object AnalyticsQueries {
         |       CAST(m.t AS BIGINT) AS cp_tus,
         |       CAST((2 * -m.ne + n) // (2 * n) AS BIGINT) AS d_x100
         |FROM p""".stripMargin,
+
+    // winsorize: same compressed-histogram layout, nearest-rank
+    // bounds, clamp + clip counts + signed HALF_UP winsorized mean.
+    "winsorize" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS q,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, q, c,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY q
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(c) OVER (PARTITION BY event_type) AS n
+        |      FROM h),
+        |b AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |        min(CASE WHEN cum >= (5 * n + 99) // 100 THEN q END) AS lo_c,
+        |        min(CASE WHEN cum >= (95 * n + 99) // 100 THEN q END) AS hi_c
+        |      FROM w GROUP BY 1, 2),
+        |a AS (SELECT h.event_type, n, lo_c, hi_c,
+        |        CAST(sum(CASE WHEN q < lo_c THEN c ELSE 0 END) AS BIGINT)
+        |          AS n_clip_lo,
+        |        CAST(sum(CASE WHEN q > hi_c THEN c ELSE 0 END) AS BIGINT)
+        |          AS n_clip_hi,
+        |        CAST(sum(greatest(least(q, hi_c), lo_c) * c) AS BIGINT) AS sw
+        |      FROM h JOIN b ON b.event_type = h.event_type
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n, lo_c, hi_c, n_clip_lo, n_clip_hi,
+        |       CASE WHEN sw >= 0 THEN (2 * sw + n) // (2 * n)
+        |            ELSE -((2 * -sw + n) // (2 * n)) END AS wmean_c
+        |FROM a""".stripMargin,
 
     // event_transitions: same per-user lead() pairing, HALF_UP
     // conditional probabilities.
