@@ -902,6 +902,54 @@ object AnalyticsQueries {
         .withColumnRenamed("cp_t", "cp_tus")
     },
 
+    // k-anonymity generalization ladder (round 11) — the release-
+    // governance operator beside pii_scrub/gdpr Forget (Samarati &
+    // Sweeney 1998): quasi-identifier (geography, segment) classes
+    // must hold ≥ k = 10 individuals before release. Groups below k
+    // climb the generalization hierarchy nation → region; still-small
+    // region groups suppress to '*' entirely — every customer lands
+    // in exactly ONE released class (conservation spec-gated). Shape:
+    // dimension joins broadcast; each ladder level is one count agg +
+    // one left-semi against the previous level's SMALL-group list
+    // (class-cardinality-sized, broadcastable) — the base never
+    // shuffles twice.
+    "k_anonymity" -> { (s, d) =>
+      val K = 10
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment").as("segment"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"),
+          col("r_name").as("region"), col("segment"))
+        .localCheckpoint(true)
+      val g0 = base.groupBy(col("nation"), col("region"), col("segment"))
+        .agg(count(lit(1)).as("n"))
+      val keep0 = g0.filter(col("n") >= K)
+        .select(lit(0L).as("level"), col("nation").as("geo"),
+          col("segment"), col("n"))
+      val rest0 = base.join(broadcast(g0.filter(col("n") < K)
+          .select(col("nation"), col("segment"))),
+        Seq("nation", "segment"), "left_semi")
+      val g1 = rest0.groupBy(col("region"), col("segment"))
+        .agg(count(lit(1)).as("n"))
+      val keep1 = g1.filter(col("n") >= K)
+        .select(lit(1L).as("level"), col("region").as("geo"),
+          col("segment"), col("n"))
+      val rest1 = rest0.join(broadcast(g1.filter(col("n") < K)
+          .select(col("region"), col("segment"))),
+        Seq("region", "segment"), "left_semi")
+      val keep2 = rest1.agg(count(lit(1)).as("n"))
+        .select(lit(2L).as("level"), lit("*").as("geo"),
+          lit("*").as("segment"), col("n"))
+        .filter(col("n") > 0)
+      keep0.unionByName(keep1).unionByName(keep2)
+    },
+
     // Winsorization (round 11) — the outlier-clipping REWRITE the
     // histogram family only describes (equidepth_hist/approx_quantiles
     // locate the tails; production feature pipelines then CLIP to
@@ -1542,6 +1590,36 @@ object AnalyticsQueries {
         |       CAST(m.t AS BIGINT) AS cp_tus,
         |       CAST((2 * -m.ne + n) // (2 * n) AS BIGINT) AS d_x100
         |FROM p""".stripMargin,
+
+    // k_anonymity: the same two-level ladder — small (nation, segment)
+    // classes re-count at (region, segment), stragglers suppress.
+    "k_anonymity" ->
+      """WITH base AS (SELECT c_custkey, n_name AS nation, r_name AS region,
+        |                     c_mktsegment AS segment
+        |              FROM customer
+        |              JOIN nation ON n_nationkey = c_nationkey
+        |              JOIN region ON r_regionkey = n_regionkey),
+        |g0 AS (SELECT nation, region, segment, CAST(count(*) AS BIGINT) AS n
+        |       FROM base GROUP BY 1, 2, 3),
+        |k0 AS (SELECT CAST(0 AS BIGINT) AS level, nation AS geo, segment, n
+        |       FROM g0 WHERE n >= 10),
+        |r0 AS (SELECT base.* FROM base
+        |       JOIN g0 ON g0.nation = base.nation AND g0.segment = base.segment
+        |                AND g0.region = base.region
+        |       WHERE g0.n < 10),
+        |g1 AS (SELECT region, segment, CAST(count(*) AS BIGINT) AS n
+        |       FROM r0 GROUP BY 1, 2),
+        |k1 AS (SELECT CAST(1 AS BIGINT) AS level, region AS geo, segment, n
+        |       FROM g1 WHERE n >= 10),
+        |r1 AS (SELECT r0.* FROM r0
+        |       JOIN g1 ON g1.region = r0.region AND g1.segment = r0.segment
+        |       WHERE g1.n < 10),
+        |k2 AS (SELECT CAST(2 AS BIGINT) AS level, '*' AS geo, '*' AS segment,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM r1 HAVING count(*) > 0)
+        |SELECT level, geo, segment, n FROM k0
+        |UNION ALL SELECT level, geo, segment, n FROM k1
+        |UNION ALL SELECT level, geo, segment, n FROM k2""".stripMargin,
 
     // winsorize: same compressed-histogram layout, nearest-rank
     // bounds, clamp + clip counts + signed HALF_UP winsorized mean.

@@ -1,0 +1,23 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic gates for analytics queries whose oracle checks equality
+  * but not the operator's OWN invariants. */
+class AnalyticsQueriesSpec extends SparkSpec {
+
+  test("k_anonymity: every customer released exactly once, every class ≥ k or suppressed") {
+    val out = AnalyticsQueries.queries("k_anonymity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val total = graft.Tables.customer(spark, sf).count()
+    assert(out.map(_._4).sum == total, "released class sizes must conserve the population")
+    out.filter(_._1 < 2).foreach { case (lvl, geo, seg, n) =>
+      assert(n >= 10, s"level-$lvl class ($geo, $seg) below k: $n")
+    }
+    // the ladder itself is exercised (at the tiny spec SF every
+    // (nation, segment) class is below k, so everything climbs —
+    // level-0 coverage is gated by the sf0.01/sf0.1 oracle instead)
+    assert(out.nonEmpty, "some class is always released")
+    assert(out.count(_._1 == 2L) <= 1, "at most one suppressed bucket")
+  }
+}
