@@ -902,6 +902,28 @@ object AnalyticsQueries {
         .withColumnRenamed("cp_t", "cp_tus")
     },
 
+    // Daily burst detection (round 11) — the RATE-anomaly monitor
+    // beside cusum_shift's level shifts: per (event_type, day), the
+    // event count against its trailing 7-day baseline (a range window
+    // over DAY indices, so missing days shrink the baseline instead
+    // of silently sliding it); burst ratio = HALF_UP(100·c·base_days /
+    // base_sum), flagged at ≥ 2×. Exact integers throughout. Shape:
+    // raw rows collapse to the (type, day) frame in ONE partial+final
+    // agg; the range window rides ~30 rows per type.
+    "burst_detect" -> { (s, d) =>
+      val byDay = Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-7, -1)
+      Tables.events(s, d)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000 AS day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+        .withColumn("base_sum", sum(col("c")).over(byDay))
+        .withColumn("base_days", count(col("c")).over(byDay))
+        .filter(col("base_sum").isNotNull && col("base_sum") > 0)
+        .selectExpr("event_type", "day", "c", "base_sum", "base_days",
+          "(2 * 100 * c * base_days + base_sum) div (2 * base_sum) AS burst_x100")
+        .withColumn("is_burst", col("burst_x100") >= 200L)
+    },
+
     // k-anonymity generalization ladder (round 11) — the release-
     // governance operator beside pii_scrub/gdpr Forget (Samarati &
     // Sweeney 1998): quasi-identifier (geography, segment) classes
@@ -1590,6 +1612,27 @@ object AnalyticsQueries {
         |       CAST(m.t AS BIGINT) AS cp_tus,
         |       CAST((2 * -m.ne + n) // (2 * n) AS BIGINT) AS d_x100
         |FROM p""".stripMargin,
+
+    // burst_detect: same (type, day) collapse, RANGE window baseline,
+    // HALF_UP ratio.
+    "burst_detect" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, c,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_sum,
+        |        count(c) OVER (PARTITION BY event_type ORDER BY day
+        |          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_days
+        |      FROM c)
+        |SELECT event_type, day, c, CAST(base_sum AS BIGINT) AS base_sum,
+        |       CAST(base_days AS BIGINT) AS base_days,
+        |       CAST((2 * 100 * c * base_days + base_sum) // (2 * base_sum)
+        |            AS BIGINT) AS burst_x100,
+        |       ((2 * 100 * c * base_days + base_sum) // (2 * base_sum) >= 200)
+        |         AS is_burst
+        |FROM w WHERE base_sum IS NOT NULL AND base_sum > 0""".stripMargin,
 
     // k_anonymity: the same two-level ladder — small (nation, segment)
     // classes re-count at (region, segment), stragglers suppress.
