@@ -195,6 +195,143 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic 24-bit BMP (w×h, BITMAPINFOHEADER): pixel
+    * colors derive from splitmix64(seed, index), so the SAME seed
+    * always yields byte-identical images in any environment — the
+    * plant generator for the image near-dup gate. `tweakBlue` bumps
+    * the LAST pixel's blue channel by 1: a real but minimal pixel
+    * change (≤ 2 dHash bits can flip — the change touches one block's
+    * luminance sum, which feeds exactly two adjacent comparisons). */
+  def synthBmp(seed: Long, w: Int = 16, h: Int = 16,
+      tweakBlue: Boolean = false): Array[Byte] = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val b = new Array[Byte](size)
+    def le32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; le32(2, size); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    b(26) = 1; b(28) = 24 // one plane, 24 bpp
+    le32(34, rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = mix(seed * 1000003L + (y * w + x))
+      val o = 54 + y * rowBytes + x * 3
+      b(o) = (v & 0xff).toByte            // blue
+      b(o + 1) = ((v >> 8) & 0xff).toByte // green
+      b(o + 2) = ((v >> 16) & 0xff).toByte // red
+    }
+    if (tweakBlue) {
+      val o = 54 + (h - 1) * rowBytes + (w - 1) * 3
+      b(o) = (b(o) + 1).toByte
+    }
+    b
+  }
+
+  /** 64-bit difference hash (dHash) over the REALLY-decoded pixels:
+    * the image collapses to a 9×8 luminance grid by EXACT integer
+    * block sums (block (gx, gy) covers pixels [gx·W/9, (gx+1)·W/9) ×
+    * [gy·H/8, (gy+1)·H/8) — integer-floor boundaries, no resampling
+    * filter, so the hash is bit-identical in any environment, unlike
+    * Graphics2D interpolation), luminance = 299·R + 587·G + 114·B per
+    * pixel summed per block, and bit (gx, gy) = 1 iff block (gx, gy)
+    * outshines its right neighbor — compared as cross-multiplied
+    * integer sums (sumL·nR > sumR·nL) so uneven block sizes stay
+    * exact. None for undecodable payloads. */
+  def dHashKernel(bytes: Array[Byte]): Option[Long] =
+    decodePixelsKernel(bytes).map { case (w, h, px) =>
+      val gw = 9; val gh = 8
+      val sums = Array.ofDim[Long](gh, gw)
+      val cnts = Array.ofDim[Long](gh, gw)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * gw / w, gw - 1)
+          val p = px(y * w + x)
+          val lum = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) +
+            114L * (p & 0xff)
+          sums(gy)(gx) += lum
+          cnts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var bit = 0
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw - 1) {
+          val l = sums(gy)(gx) * cnts(gy)(gx + 1)
+          val r = sums(gy)(gx + 1) * cnts(gy)(gx)
+          if (l > r) hash |= (1L << bit)
+          bit += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
+  /** A hashed image row. */
+  case class ImageHash(doc_id: Long, decoded: Boolean, dhash: Long)
+
+  /** dHash for every payload — the [[decodePixelFeatures]] batch seam;
+    * only (id, 64-bit hash) ever leaves the task. */
+  def imageDHashes(spark: SparkSession, withPayloads: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    withPayloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          dHashKernel(bytes) match {
+            case Some(hv) => ImageHash(id, decoded = true, hv)
+            case None     => ImageHash(id, decoded = false, 0L)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
+    * over the dHashes — the pigeonhole-banded join (the MinHash-LSH
+    * shape on bit strings): any pair within Hamming ≤ 3 agrees on at
+    * least one of the four 16-bit quarters, so candidates come from
+    * quarter-equality joins (uniform 2⁻¹⁶ collision rate — never
+    * all-pairs) and the exact bit_count verify runs only on them.
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b, distinct */
+  def dhashNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 quarters guarantee recall only to Hamming 3")
+    val banded = hashes.filter(col("decoded"))
+      .select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(qq =>
+          struct(lit(qq).as("band"),
+            shiftrightunsigned(col("dhash"), qq * 16)
+              .bitwiseAND(lit(0xffffL)).as("bq"))): _*)).as("q"))
+      .select(col("doc_id"), col("dhash"),
+        col("q.band").as("band"), col("q.bq").as("bq"))
+    val cand = banded.select(col("doc_id").as("doc_a"),
+        col("dhash").as("ha"), col("band"), col("bq"))
+      .join(banded.select(col("doc_id").as("doc_b"),
+        col("dhash").as("hb"), col("band"), col("bq")),
+        Seq("band", "bq"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        Dedup.hamming(col("ha"), col("hb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling: every `stride`-th byte-window of the payload stands
     * in for a video frame (slice is a per-row built-in — no shuffle). */
   def sampleFrames(withPayloads: DataFrame, frameBytes: Int, stride: Int): DataFrame = {

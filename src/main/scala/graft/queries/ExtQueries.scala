@@ -776,6 +776,50 @@ object ExtQueries {
             greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
     },
 
+    // Image near-dup dedup (round 11) — the MULTIMODAL counterpart of
+    // the text MinHash family, on REALLY-decoded pixels: every doc
+    // gets a deterministic synthetic 16×16 BMP (Multimodal.synthBmp —
+    // byte-identical anywhere), every 3rd doc additionally a ONE-PIXEL
+    // -changed copy (a true perceptual near-dup: different bytes, same
+    // image to the eye; ≤ 1 dHash bit can differ). javax.imageio
+    // decodes for real, the 64-bit dHash collapses pixels to a 9×8
+    // exact-integer luminance grid, and pairs come from the
+    // pigeonhole-banded Hamming join (4 × 16-bit quarters — recall
+    // GUARANTEED to Hamming 3, never all-pairs). Output: one audit
+    // row; the plant construction pins it (every planted pair found,
+    // nothing else within Hamming 3 — random 64-bit hashes collide at
+    // ~C(64,3)/2⁶⁴). Decode isn't SQL-expressible, so the oracle pins
+    // the EXPRESSION-derived cells (counts from the documents table),
+    // the pinned-cell convention of ann_recall. 100 TB shape: decode +
+    // hash ride the mapPartitions batch seam (pixels never leave the
+    // task); the join shuffles (id, 64-bit hash) quarters only.
+    "image_neardup" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val basePay = docs.as[Long].mapPartitions(_.map(id =>
+        (id, Multimodal.synthBmp(id)))).toDF("doc_id", "payload")
+      val nearPay = docs.filter(col("doc_id") % 3 === 0).as[Long]
+        .mapPartitions(_.map(id =>
+          (id + 30000000L, Multimodal.synthBmp(id, tweakBlue = true))))
+        .toDF("doc_id", "payload")
+      val hashes = Multimodal.imageDHashes(s,
+        basePay.unionByName(nearPay)).toDF().localCheckpoint(true)
+      val pairs = Multimodal.dhashNearDups(hashes, maxHamming = 3)
+        .localCheckpoint(true)
+      val planted = pairs
+        .filter(col("doc_b") === col("doc_a") + 30000000L &&
+          pmod(col("doc_a"), lit(3L)) === 0)
+      hashes.agg(count(lit(1)).as("n_images"),
+          sum(when(col("decoded"), 0L).otherwise(1L)).as("n_undecoded"))
+        .crossJoin(broadcast(docs.filter(col("doc_id") % 3 === 0)
+          .agg(count(lit(1)).as("n_expected"))))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+        .select(col("n_images"), col("n_expected"), col("n_pairs"),
+          (col("n_undecoded") === 0L && col("n_pairs") === col("n_expected")
+            && col("n_planted") === col("n_expected")).as("only_planted"))
+    },
+
     // Truncated-dimension retrieval (round 11) — the Matryoshka
     // serving question (Kusupati et al. 2022: MRL embeddings let you
     // serve a PREFIX of the vector): how much recall does top-10
@@ -2567,6 +2611,17 @@ object ExtQueries {
         |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
         |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // image_neardup: decode isn't SQL-expressible — the deterministic
+    // plant construction pins the audit cells from the documents table
+    // (the ann_recall convention).
+    "image_neardup" ->
+      """WITH n3 AS (SELECT CAST(count(*) AS BIGINT) AS e FROM documents
+        |            WHERE doc_id % 3 = 0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT n + e AS n_images, e AS n_expected, e AS n_pairs,
+        |       TRUE AS only_planted
+        |FROM nn, n3""".stripMargin,
 
     // matryoshka_recall: three literal-sum rankings (16/32/64-dim
     // prefixes), semi-join overlap against the full-width truth.

@@ -121,4 +121,43 @@ class MultimodalSpec extends SparkSpec {
     assert(real.argb_crc === crc)
     assert(!out(2L).decoded && out(2L).n_pixels === 0L)
   }
+
+  test("dHash: deterministic on real decode; one-pixel tweak stays within Hamming 1") {
+    val a = Multimodal.dHashKernel(Multimodal.synthBmp(7L))
+    val a2 = Multimodal.dHashKernel(Multimodal.synthBmp(7L))
+    val aT = Multimodal.dHashKernel(Multimodal.synthBmp(7L, tweakBlue = true))
+    val b = Multimodal.dHashKernel(Multimodal.synthBmp(8L))
+    assert(a.isDefined && a == a2, "decode + hash deterministic")
+    // the tweak touches ONE block's luminance sum, feeding one
+    // comparison of the 9-column grid — at most 1 bit flips
+    assert(java.lang.Long.bitCount(a.get ^ aT.get) <= 1)
+    // unrelated random images are far apart
+    assert(java.lang.Long.bitCount(a.get ^ b.get) > 3)
+    assert(Multimodal.dHashKernel("not an image".getBytes).isEmpty)
+  }
+
+  test("dhashNearDups: finds exactly the planted pair; pigeonhole recall to Hamming 3") {
+    import spark.implicits._
+    val pay = Seq(
+      (1L, Multimodal.synthBmp(1L)),
+      (2L, Multimodal.synthBmp(1L, tweakBlue = true)), // near-dup of 1
+      (3L, Multimodal.synthBmp(2L)),
+      (4L, Multimodal.synthBmp(3L)),
+      (5L, "junk bytes".getBytes)) // undecodable — must not pair
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.dhashNearDups(
+        Multimodal.imageDHashes(spark, pay).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 <= 1L)
+
+    // pigeonhole recall: a synthetic hash pair at EXACTLY Hamming 3
+    // (all three flips inside one quarter, so three other quarters
+    // still agree) must surface through the banded join
+    val h = 0x123456789abcdef0L
+    val hashes = Seq((10L, true, h), (11L, true, h ^ 7L))
+      .toDF("doc_id", "decoded", "dhash")
+    val p2 = Multimodal.dhashNearDups(hashes, maxHamming = 3).collect()
+    assert(p2.length == 1 && p2.head.getLong(2) == 3L)
+  }
 }
