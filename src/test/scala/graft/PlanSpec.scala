@@ -587,4 +587,74 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"the per-node mode must not plan a window sort:\n$p")
   }
+
+  // ---- round 11 ------------------------------------------------------
+
+  test("winsorize / burst_detect / event_transitions: raw rows collapse before any window") {
+    // equidepth_hist_scale's two-level discipline: the ONLY pass over
+    // raw events is a partial+final count aggregate; windows then ride
+    // the compressed (key, quantum/day) frame. winsorize materializes
+    // its histogram at a checkpoint seam (two consumers), so its
+    // guard is the seam itself plus no cartesian; burst_detect's
+    // single-plan form must show the map-side combine directly.
+    // event_transitions' window legitimately runs on raw rows (it
+    // NEEDS per-event order) but must not multiply sorts.
+    val pw = plan("winsorize")
+    assert(pw.contains("Scan ExistingRDD"),
+      s"winsorize must read the checkpointed histogram seam:\n$pw")
+    assert(!pw.contains("CartesianProduct"), pw)
+    val pb = plan("burst_detect")
+    assert(pb.sliding("partial_count".length).count(_ == "partial_count") >= 1,
+      s"burst_detect must map-side combine the (type, day) frame:\n$pb")
+    assert(!pb.contains("CartesianProduct"), pb)
+    val pt = plan("event_transitions")
+    assert(pt.sliding("Sort ".length).count(_ == "Sort ") <= 2,
+      s"one per-user ordered pass (plus at most the agg sort):\n$pt")
+    assert(!pt.contains("CartesianProduct"), pt)
+  }
+
+  test("funnel_windowed: later stages join USER-sized frames — events never self-join") {
+    val p = plan("funnel_windowed")
+    // three filtered min-aggs over events; each later-stage join keys
+    // on the user frame. No stage may plan a cartesian product, and
+    // the per-stage rollups must map-side combine.
+    assert(p.sliding("partial_min".length).count(_ == "partial_min") >= 2,
+      s"per-stage earliest-anchor mins must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hard_negatives: broadcast query frame, bounded TopKPerKey heaps") {
+    val p = plan("hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the tiny query frame must broadcast:\n$p")
+    assert(p.contains("TopKPerKey") || p.contains("TakeOrdered"),
+      s"candidate cuts must be bounded heaps, not global sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // matryoshka_recall checkpoints its shared scoring pass (three
+    // consumers) — its final plan only shows the 10-row overlap joins;
+    // the no-cartesian guard still applies.
+    val pm = plan("matryoshka_recall")
+    assert(pm.contains("Scan ExistingRDD"),
+      s"matryoshka_recall must reuse the checkpointed scoring pass:\n$pm")
+    assert(!pm.contains("CartesianProduct"), pm)
+  }
+
+  test("substring_scrub: window rides only removed occurrences; reconstruction joins spans per doc") {
+    val p = plan("substring_scrub")
+    // the keep rule is one partial+final min-struct agg per hash
+    assert(p.sliding("partial_min".length).count(_ == "partial_min") >= 1,
+      s"first-occurrence rule must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kcore_decomp: rounds ride checkpointed survivor frames; no cartesian on data") {
+    // each peel round checkpoints its survivor frame, so the final
+    // plan reads the last round's seam; the 1-row `unstable` build is
+    // a legitimate broadcast cross — a CartesianProduct (non-broadcast)
+    // is not.
+    val p = plan("kcore_decomp")
+    assert(p.contains("Scan ExistingRDD"),
+      s"kcore must read the checkpointed survivor/degree seams:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
