@@ -776,6 +776,39 @@ object ExtQueries {
             greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
     },
 
+    // License-compliance filter (round 11) — the legal-curation stage
+    // real corpus pipelines run before training (The Stack / StarCoder
+    // keep permissive-licensed files only): classify each doc by
+    // license markers in its text, report the per-source license mix,
+    // and count the training-eligible survivors (permissive or
+    // unmarked; restrictive drops). The corpus carries no license
+    // text, so the plants synthesize the real-world mix from the
+    // read-only corpus (the withNearDups convention): every 5th doc
+    // gains a CC-BY marker, every 7th an all-rights-reserved marker
+    // (doc_id % 35 docs get BOTH — restrictive wins, the standard
+    // conservative rule). Pure map-side classification + one rollup.
+    "license_filter" -> { (s, d) =>
+      val marked = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              lit(" licensed under creative commons attribution 4.0"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit(" all rights reserved unauthorized copying prohibited"))
+              .otherwise(lit(""))).as("text"))
+      val lic = when(lower(col("text")).contains("all rights reserved"),
+          lit("restrictive"))
+        .when(lower(col("text")).contains("creative commons"),
+          lit("permissive"))
+        .otherwise(lit("unmarked"))
+      marked.withColumn("license", lic)
+        .groupBy(col("source"), col("license"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("license") =!= "restrictive", 1L).otherwise(0L))
+            .as("n_trainable"))
+    },
+
     // Image near-dup dedup (round 11) — the MULTIMODAL counterpart of
     // the text MinHash family, on REALLY-decoded pixels: every doc
     // gets a deterministic synthetic 16×16 BMP (Multimodal.synthBmp —
@@ -2611,6 +2644,30 @@ object ExtQueries {
         |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
         |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // license_filter: same plants, same conservative restrictive-wins
+    // classification.
+    "license_filter" ->
+      """WITH m AS (SELECT doc_id, source,
+        |             text ||
+        |             CASE WHEN doc_id % 5 = 0
+        |               THEN ' licensed under creative commons attribution 4.0'
+        |               ELSE '' END ||
+        |             CASE WHEN doc_id % 7 = 0
+        |               THEN ' all rights reserved unauthorized copying prohibited'
+        |               ELSE '' END AS text
+        |           FROM documents),
+        |c AS (SELECT source,
+        |        CASE WHEN lower(text) LIKE '%all rights reserved%'
+        |               THEN 'restrictive'
+        |             WHEN lower(text) LIKE '%creative commons%'
+        |               THEN 'permissive'
+        |             ELSE 'unmarked' END AS license
+        |      FROM m)
+        |SELECT source, license, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN license <> 'restrictive' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_trainable
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // image_neardup: decode isn't SQL-expressible — the deterministic
     // plant construction pins the audit cells from the documents table
