@@ -776,6 +776,37 @@ object ExtQueries {
             greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
     },
 
+    // Per-source corpus report (round 11) — the dataset-card rollup
+    // (Gebru et al. datasheets; every serious corpus release ships
+    // one): per source, volume (docs/tokens/mean chars), language
+    // spread, exact-duplicate exposure (docs whose normalized text
+    // recurs CORPUS-wide — cross-source copies count for both
+    // sides), and the sub-5-token junk fraction, with HALF_UP
+    // basis-point rates. One corpus scan into a checkpointed frame;
+    // the only other exchange is the text-key dup count it shares
+    // with the dedup family's shape.
+    "corpus_report" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          lower(trim(col("text"))).as("key"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .localCheckpoint(true)
+      val keyCounts = docs.groupBy(col("key")).agg(count(lit(1)).as("kc"))
+      docs.join(keyCounts, "key")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("kc") > 1, 1L).otherwise(0L)).as("n_exact_dups"),
+          sum(when(col("n_toks") < 5, 1L).otherwise(0L)).as("n_short"))
+        .selectExpr("source", "n_docs", "n_tokens", "n_langs",
+          "(2 * sum_chars + n_docs) div (2 * n_docs) AS avg_chars",
+          "n_exact_dups", "n_short",
+          "(2 * 10000 * n_exact_dups + n_docs) div (2 * n_docs) AS dup_x1e4",
+          "(2 * 10000 * n_short + n_docs) div (2 * n_docs) AS short_x1e4")
+    },
+
     // License-compliance filter (round 11) — the legal-curation stage
     // real corpus pipelines run before training (The Stack / StarCoder
     // keep permissive-licensed files only): classify each doc by
@@ -2644,6 +2675,30 @@ object ExtQueries {
         |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
         |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // corpus_report: same one-scan rollup + corpus-wide text-key dup
+    // counts.
+    "corpus_report" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+         |             lower(trim(text)) AS key,
+         |             CAST(len($ToksSql) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |kc AS (SELECT key, CAST(count(*) AS BIGINT) AS kc FROM d GROUP BY 1),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |        CAST(sum(CASE WHEN kc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_exact_dups,
+         |        CAST(sum(CASE WHEN n_toks < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_short
+         |      FROM d JOIN kc USING (key) GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, n_langs,
+         |       (2 * sum_chars + n_docs) // (2 * n_docs) AS avg_chars,
+         |       n_exact_dups, n_short,
+         |       (2 * 10000 * n_exact_dups + n_docs) // (2 * n_docs) AS dup_x1e4,
+         |       (2 * 10000 * n_short + n_docs) // (2 * n_docs) AS short_x1e4
+         |FROM a""".stripMargin,
 
     // license_filter: same plants, same conservative restrictive-wins
     // classification.
