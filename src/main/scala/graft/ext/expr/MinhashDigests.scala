@@ -74,7 +74,7 @@ object MinhashDigests {
   val NumHashes = 32
   val NumDigests = 8
 
-  private val prefixes: Array[Array[Byte]] =
+  private[expr] val prefixes: Array[Array[Byte]] =
     Array.tabulate(NumDigests)(i => s"$i:".getBytes("UTF-8"))
 
   private[expr] val digests: ThreadLocal[MessageDigest] =
@@ -83,6 +83,64 @@ object MinhashDigests {
   /** Column factory: 32 hash values (array<long>) of a shingle. */
   def hashes(s: Column): Column =
     ColumnBridge.column(MinhashDigests(ColumnBridge.expression(s)))
+}
+
+/** The WHOLE 32-long MinHash signature of a shingle array in one eval:
+  * per-component minima of [[MinhashDigests]] over every shingle,
+  * fused into a single tight loop. Identical values to both the bulk
+  * explode+aggregate path (`Dedup.minhashSignatures`) and the
+  * column-built per-row form (`Dedup.minhashSignature`) — DedupSpec
+  * pins all three to one hash family. This is the per-row STREAMING
+  * path (stream.NearDup): the column form's interpreted
+  * transform + 32 × array_min wrapper paid per-element lambda
+  * dispatch on every comparison; here the mins fold inside the digest
+  * loop. Null for an empty shingle array (no windows → no signature —
+  * callers route sub-shingle docs around the LSH stage). */
+case class MinhashSignature(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature_kernel"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(MinhashDigests.NumHashes)(Long.MaxValue)
+    val md = MinhashDigests.digests.get()
+    var r = 0
+    while (r < n) {
+      val s = arr.getUTF8String(r).getBytes
+      var i = 0
+      while (i < MinhashDigests.NumDigests) {
+        md.reset()
+        md.update(MinhashDigests.prefixes(i))
+        md.update(s)
+        val d = md.digest()
+        var j = 0
+        while (j < 4) {
+          val v = ((d(4 * j) & 0xffL) << 24) | ((d(4 * j + 1) & 0xffL) << 16) |
+            ((d(4 * j + 2) & 0xffL) << 8) | (d(4 * j + 3) & 0xffL)
+          val k = i * 4 + j
+          if (v < mins(k)) mins(k) = v
+          j += 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  /** Column factory: full signature (array<long>, null if no shingles). */
+  def of(shingles: Column): Column =
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(shingles)))
 }
 
 /** First 8 bytes of md5(s) as a big-endian long — the 16 hex nibbles

@@ -179,12 +179,10 @@ object NearDup {
     val base = curated.withColumn("__toks",
       TextOps.tokens(col("text")))
     // Per-row signature in the SAME hash family as the batch join's
-    // bulk path (DedupSpec pins the equivalence): one MinhashDigests
-    // kernel call per shingle (8 cached-digest md5s, no hex round
-    // trip), then 32 per-component minima — ~4× cheaper than the
-    // md5/substr/conv per-(shingle, k) formulation.
-    val sig = transform(sequence(lit(0), lit(Dedup.NumHashes - 1)),
-      k => array_min(transform(col("__hv"), a => element_at(a, k + 1))))
+    // bulk path (DedupSpec pins the equivalence), via the fused
+    // MinhashSignature kernel — one eval per doc, minima folded
+    // inside the digest loop (the interpreted HOF wrappers paid
+    // per-element lambda dispatch on every comparison).
     val hasShingles = size(col("__toks")) >= 3
     // Sub-shingle docs stay in the SAME plan (a union bypass branch
     // would re-scan the source and duplicate every upstream stateful
@@ -197,11 +195,10 @@ object NearDup {
         b => concat(lit("solo"), col("doc_id").cast("string"),
           lit("b"), b.cast("string"))))
     val bandRows = base
-      .withColumn("__hv", when(hasShingles,
-        transform(TextOps.shingles(col("__toks"), 3),
-          s => graft.ext.expr.MinhashDigests.hashes(s))))
       .withColumn("sig",
-        when(hasShingles, sig).otherwise(array().cast("array<long>")))
+        when(hasShingles, graft.ext.expr.MinhashSignature.of(
+          TextOps.shingles(col("__toks"), 3)))
+          .otherwise(array().cast("array<long>")))
       .select(col("doc_id"), col("event_time"), col("text"), col("sig"),
         posexplode(bands).as(Seq("band", "bh")))
       .select(concat_ws(":", col("band"), col("bh")).as("bucket"),

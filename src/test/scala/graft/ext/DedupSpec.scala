@@ -39,6 +39,11 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(perRow.keySet == bulk.keySet)
     perRow.foreach { case (id, s) => assert(s == bulk(id), s"doc $id") }
+    // ... and the fused streaming kernel is the same family too
+    val kernel = docs.select(col("doc_id"), graft.ext.expr.MinhashSignature.of(
+        TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel == bulk)
   }
 
   test("minhash signature is deterministic across runs") {
