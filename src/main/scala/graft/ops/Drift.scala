@@ -38,28 +38,38 @@ object Drift {
     * Trend/GapFill convention) so the 1e6 report scaling costs no
     * headroom against that envelope.
     */
-  def ks(df: DataFrame, key: Column, inA: Column, value: Column): DataFrame = {
-    val cc = df
+  def ks(df: DataFrame, key: Column, inA: Column, value: Column): DataFrame =
+    ksFromCounts(df
       .select(key.as("k"), inA.as("in_a"), value.as("value"))
       .groupBy(col("k"), col("value"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
-        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
-    val byKey = Window.partitionBy(col("k"))
-    val cum = Window.partitionBy(col("k")).orderBy(col("value"))
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb")),
+      Seq("k"))
+
+  /** KS from a pre-aggregated count frame: `cc` holds one row per
+    * (keyCols…, value) with A-side count `ca` and B-side count `cb`
+    * (zero on a side is natural — unlike PSI there is no smoothing;
+    * the cumulative gap handles one-sided values exactly). The seam
+    * the streaming monitor reuses on finalized window distributions
+    * (the [[psiFromCounts]] convention). */
+  def ksFromCounts(cc: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val kcols = keyCols.map(col)
+    val byKey = Window.partitionBy(kcols: _*)
+    val cum = Window.partitionBy(kcols: _*).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cc.withColumn("na", sum(col("ca")).over(byKey))
       .withColumn("nb", sum(col("cb")).over(byKey))
       .withColumn("gap",
         abs(col("nb") * sum(col("ca")).over(cum) -
             col("na") * sum(col("cb")).over(cum)))
-      .groupBy(col("k"), col("na"), col("nb"))
+      .groupBy(kcols ++ Seq(col("na"), col("nb")): _*)
       .agg(max(col("gap")).as("d_num"))
       .where(col("na") > 0 && col("nb") > 0)
-      .selectExpr("k", "na", "nb", "d_num",
+      .selectExpr(keyCols ++ Seq("na", "nb", "d_num",
         // d_num can reach na·nb, so 2e6·d_num would overflow BIGINT
         // once na·nb > ~4.6e12; DECIMAL(38,0) keeps the HALF_UP exact
         // through the full na·nb ≤ 2⁶³ envelope of the gap products.
-        "(2000000 * CAST(d_num AS DECIMAL(38,0)) + CAST(na AS DECIMAL(38,0)) * nb) div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS d_x1e6")
+        "(2000000 * CAST(d_num AS DECIMAL(38,0)) + CAST(na AS DECIMAL(38,0)) * nb) div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS d_x1e6"): _*)
   }
 
   /** PSI per key over fixed-width bins with add-1 smoothing on the

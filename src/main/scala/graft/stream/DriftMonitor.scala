@@ -72,4 +72,49 @@ object DriftMonitor {
       .agg(count(lit(1)).as("ca"))
     psiVsReference(hist, reference)
   }
+
+  // ---- exact KS variant (beside the banded PSI) -----------------------
+
+  /** Stage 1 for the KS monitor: watermarked tumbling-window VALUE
+    * distribution over the centi-quantized domain (quantization bounds
+    * per-window distinct values — the ks_drift scale move; the
+    * reference must be built on the same axis). State is
+    * O(types × distinct centi-values) per open window. */
+  def windowedValues(events: DataFrame, windowDur: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(col("event_type"),
+        window(col("event_time"), windowDur).as("w"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+      .agg(count(lit(1)).as("ca"))
+
+  /** Stage 2 (inside foreachBatch): exact two-sample KS of each
+    * finalized (type, window) distribution vs `reference`
+    * (event_type, vc, rc) — `Drift.ksFromCounts`, the byte-identical
+    * math the batch ks_drift query runs. Unlike PSI no smoothing is
+    * needed: one-sided values enter the cumulative gap exactly.
+    * Output: (event_type, window_start, na, nb, d_num, d_x1e6). */
+  def ksVsReference(vals: DataFrame, reference: DataFrame): DataFrame = {
+    val windows = vals.select(col("event_type"), col("w")).distinct()
+    val refVals = windows.join(reference, Seq("event_type"))
+      .select(col("event_type"), col("w"), col("vc"), col("rc"))
+    val cc = vals
+      .join(refVals, Seq("event_type", "w", "vc"), "full_outer")
+      .select(col("event_type"), col("w").getField("start").as("window_start"),
+        col("vc").as("value"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("rc"), lit(0L)).as("cb"))
+    Drift.ksFromCounts(cc, Seq("event_type", "window_start"))
+  }
+
+  /** Batch replica of the KS monitor (the spec's equivalence oracle). */
+  def monitorKsBatch(events: DataFrame, reference: DataFrame,
+      windowDur: String): DataFrame = {
+    val vals = events
+      .groupBy(col("event_type"),
+        window(col("event_time"), windowDur).as("w"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+      .agg(count(lit(1)).as("ca"))
+    ksVsReference(vals, reference)
+  }
 }

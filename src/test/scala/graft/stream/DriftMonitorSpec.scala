@@ -82,6 +82,45 @@ class DriftMonitorSpec extends SparkSpec {
     assert(streamed == Seq(r.getAs[Long]("psi_x1e6")))
   }
 
+  test("KS monitor: identical distribution scores D = 0; disjoint scores 1e6; stream ≡ batch") {
+    // reference on the centi-quantized axis: values 1.00 ×3, 2.00 ×2
+    val ksRef = Seq(("click", 100L, 3L), ("click", 200L, 2L))
+      .toDF("event_type", "vc", "rc")
+    val w1 = Seq(ev("2025-01-01 10:00:05", "click", 1.0),
+      ev("2025-01-01 10:00:10", "click", 1.0),
+      ev("2025-01-01 10:00:20", "click", 1.0),
+      ev("2025-01-01 10:00:30", "click", 2.0),
+      ev("2025-01-01 10:00:40", "click", 2.0))
+    val w2 = Seq.tabulate(4)(i => ev(s"2025-01-01 10:02:0$i", "click", 50.0 + i))
+    val flush = Seq(ev("2025-01-01 10:09:00", "click", 1.0))
+
+    val ms = MemoryStream[ValueEvent](spark)
+    val vals = DriftMonitor.windowedValues(ms.toDF(), "1 minute", "30 seconds")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = vals.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          acc ++= DriftMonitor.ksVsReference(b, ksRef)
+            .select(date_format(col("window_start"), "HH:mm").as("ws"),
+              col("d_x1e6"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    try Seq(w1, w2, flush).foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val out = acc.toMap
+    // exact match of the reference distribution → D = 0
+    assert(out("10:00") == 0L, s"matching window must score 0: $out")
+    // entirely above the reference's support → D = 1 exactly
+    assert(out("10:02") == 1000000L, s"disjoint window must score 1e6: $out")
+    // stream ≡ batch replica
+    val batch = DriftMonitor.monitorKsBatch((w1 ++ w2).toDF(), ksRef, "1 minute")
+      .select(date_format(col("window_start"), "HH:mm").as("ws"), col("d_x1e6"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == batch, s"stream $out != batch $batch")
+  }
+
   test("late rows past the watermark do not reopen a finalized window's histogram") {
     val w1 = Seq(ev("2025-01-01 10:00:05", "click", 1.0),
       ev("2025-01-01 10:00:10", "click", 2.0))
