@@ -776,6 +776,34 @@ object ExtQueries {
             greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
     },
 
+    // Entity-resolution clusters (round 11) — the composition
+    // fuzzy_match stops short of: blocked-Levenshtein candidate pairs
+    // → connected components → ONE canonical record per entity with
+    // its variant count (the master-data-management "golden record"
+    // rollup; Fellegi–Sunter lineage). Reuses fuzzy_match's synth
+    // corpus (typo copies at lev 1) so clusters really form. Shape:
+    // Fuzzy.blockedMatch is block-bounded (cap² per block); CC output
+    // is pair-member-sized (coordinator/Pregel two-regime); the name
+    // rollup joins the pool by id — nothing quadratic outside blocks.
+    "fuzzy_clusters" -> { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val synth = base.select((col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 10), lit("X"),
+          expr("substring(name, 12)")).as("name"))
+      val pool = base.unionByName(synth)
+        .withColumn("blk", expr("substring(name, length(name) - 3, 4)"))
+        .localCheckpoint(true)
+      val pairs = Fuzzy.blockedMatch(pool, maxLev = 2)
+      val groups = Dedup.dedupGroups(pairs, col("id_a"), col("id_b"))
+      groups.join(pool.select(col("id").as("node"), col("name")), "node")
+        .groupBy(col("group").as("entity_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min_by(col("name"), col("node")).as("canonical_name"),
+          countDistinct(col("name")).as("n_variants"))
+        .filter(col("cluster_size") >= 2)
+    },
+
     // Per-source corpus report (round 11) — the dataset-card rollup
     // (Gebru et al. datasheets; every serious corpus release ships
     // one): per source, volume (docs/tokens/mean chars), language
@@ -4190,6 +4218,43 @@ object ExtQueries {
         |            ON a.blk = b.blk AND a.sub = b.sub AND a.id < b.id)
         |SELECT id_a, id_b, name_a, name_b, lev
         |FROM pairs WHERE lev <= 2""".stripMargin,
+
+    // fuzzy_clusters: fuzzy_match's pair chain + the recursive-CTE CC
+    // replay (dedup_corpus convention) + arg_min canonical rollup.
+    "fuzzy_clusters" ->
+      s"""WITH RECURSIVE
+        |base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |synth AS (SELECT id + 1000000 AS id,
+        |                 substring(name, 1, 10) || 'X' || substring(name, 12) AS name
+        |          FROM base),
+        |pool AS (SELECT id, name,
+        |                substring(name, length(name) - 3, 4) AS blk
+        |         FROM (SELECT * FROM base UNION ALL SELECT * FROM synth)),
+        |sizes AS (SELECT blk, CAST(count(*) AS BIGINT) AS cn
+        |          FROM pool GROUP BY 1),
+        |sp AS (SELECT p.id, p.name, p.blk,
+        |              CAST('0x' || substr(md5(CAST(p.id AS VARCHAR)), 1, 15)
+        |                   AS BIGINT)
+        |              % CAST(floor((cn + ${Fuzzy.MaxBlock - 1}) /
+        |                           ${Fuzzy.MaxBlock}.0) AS BIGINT) AS sub
+        |       FROM pool p JOIN sizes USING (blk)),
+        |fpairs AS (SELECT a.id AS id_a, b.id AS id_b
+        |           FROM sp a JOIN sp b
+        |             ON a.blk = b.blk AND a.sub = b.sub AND a.id < b.id
+        |           WHERE levenshtein(a.name, b.name) <= 2),
+        |und AS (SELECT id_a AS s, id_b AS d FROM fpairs
+        |        UNION SELECT id_b, id_a FROM fpairs),
+        |reach(node, r) AS (
+        |  SELECT s, d FROM und
+        |  UNION
+        |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
+        |lbl AS (SELECT node, least(node, min(r)) AS grp FROM reach GROUP BY node),
+        |nm AS (SELECT lbl.grp AS entity_id, lbl.node, p.name
+        |       FROM lbl JOIN pool p ON p.id = lbl.node)
+        |SELECT entity_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        |       arg_min(name, node) AS canonical_name,
+        |       CAST(count(DISTINCT name) AS BIGINT) AS n_variants
+        |FROM nm GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     // pq_codes: the per-subspace squared distance is the explicit
     // 8-term integer sum (machine-generated below) — identical to the
