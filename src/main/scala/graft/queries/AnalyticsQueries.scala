@@ -902,6 +902,41 @@ object AnalyticsQueries {
         .withColumnRenamed("cp_t", "cp_tus")
     },
 
+    // Last-touch attribution (round 11) — the marketing-analytics
+    // closer beside the funnels: every purchase attributes to the
+    // LAST preceding non-purchase touch by the same user within a
+    // 7-day lookback (last-touch is the deterministic industry
+    // default; the first-touch variant is funnel_stages' shape).
+    // Exact: one per-user ordered window pass carrying the running
+    // last touch (ignoreNulls over the preceding frame — no self
+    // join), then a rollup per touch channel with HALF_UP mean lag;
+    // purchases with no in-window touch report as 'none'.
+    "conversion_attribution" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), Tables.tsUs.as("tus"), col("event_id"),
+          col("event_type"))
+      ev.withColumn("touch", last(
+          when(col("event_type") =!= "purchase",
+            struct(col("tus").as("t_tus"), col("event_type").as("t_type"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("touch").isNotNull &&
+              col("tus") - col("touch.t_tus") <= lit(7L * 86400L * 1000000L),
+            col("touch.t_type")).otherwise(lit("none")).as("touch_type"),
+          when(col("touch").isNotNull &&
+              col("tus") - col("touch.t_tus") <= lit(7L * 86400L * 1000000L),
+            col("tus") - col("touch.t_tus")).as("lag_us"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("lag_us")).as("sl"))
+        .selectExpr("touch_type", "n_purchases",
+          """CASE WHEN sl IS NULL THEN NULL
+            |     ELSE (2 * sl + n_purchases) div (2 * n_purchases) END
+            |  AS avg_lag_us""".stripMargin)
+    },
+
     // Daily burst detection (round 11) — the RATE-anomaly monitor
     // beside cusum_shift's level shifts: per (event_type, day), the
     // event count against its trailing 7-day baseline (a range window
@@ -1612,6 +1647,33 @@ object AnalyticsQueries {
         |       CAST(m.t AS BIGINT) AS cp_tus,
         |       CAST((2 * -m.ne + n) // (2 * n) AS BIGINT) AS d_x100
         |FROM p""".stripMargin,
+
+    // conversion_attribution: same running last-touch frame (IGNORE
+    // NULLS), 7-day lookback, HALF_UP mean lag.
+    "conversion_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |           FROM events),
+        |t AS (SELECT user_id, tus, event_id, event_type,
+        |        last_value(CASE WHEN event_type <> 'purchase'
+        |                        THEN struct_pack(t_tus := tus,
+        |                                         t_type := event_type) END
+        |                   IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS touch
+        |      FROM e),
+        |p AS (SELECT CASE WHEN touch IS NOT NULL
+        |                   AND tus - touch.t_tus <= 604800000000
+        |                  THEN touch.t_type ELSE 'none' END AS touch_type,
+        |             CASE WHEN touch IS NOT NULL
+        |                   AND tus - touch.t_tus <= 604800000000
+        |                  THEN tus - touch.t_tus END AS lag_us
+        |      FROM t WHERE event_type = 'purchase')
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CASE WHEN sum(lag_us) IS NULL THEN NULL
+        |            ELSE CAST((2 * sum(lag_us) + count(*)) // (2 * count(*))
+        |                 AS BIGINT) END AS avg_lag_us
+        |FROM p GROUP BY 1""".stripMargin,
 
     // burst_detect: same (type, day) collapse, RANGE window baseline,
     // HALF_UP ratio.
