@@ -776,6 +776,41 @@ object ExtQueries {
             greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
     },
 
+    // Percolation / reverse search (round 11) — the alerting
+    // primitive (Elastic's percolator): STORED queries match against
+    // the document stream instead of documents against a query. Ten
+    // stored conjunctive queries derive deterministically from the
+    // corpus (query q = the first 3 distinct tokens of doc 37·q); a
+    // doc matches iff it contains ALL the query's terms. Shape: the
+    // stored-query term table is tiny and BROADCAST into the one
+    // (doc, term) distinct frame; the match test is a count-equals
+    // rollup — the inverted-index-free form that rides any scan (at
+    // alert-rule scale you'd flip to InvertedIndex postings).
+    "percolate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .distinct()
+        .localCheckpoint(true)
+      val qdefs = terms
+        .filter(pmod(col("doc_id"), lit(37L)) === 0 && col("doc_id") < 370L)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("term")))
+        .filter(col("rn") <= 3)
+        .select((col("doc_id") / 37L).cast("long").as("query_id"),
+          col("term"))
+      val qsizes = qdefs.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_terms"))
+      terms.join(broadcast(qdefs), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("hit"))
+        .join(broadcast(qsizes), "query_id")
+        .filter(col("hit") === col("n_terms"))
+        .groupBy(col("query_id"), col("n_terms"))
+        .agg(count(lit(1)).as("n_matching_docs"),
+          min(col("doc_id")).as("first_match"))
+    },
+
     // Entity-resolution clusters (round 11) — the composition
     // fuzzy_match stops short of: blocked-Levenshtein candidate pairs
     // → connected components → ONE canonical record per entity with
@@ -4218,6 +4253,29 @@ object ExtQueries {
         |            ON a.blk = b.blk AND a.sub = b.sub AND a.id < b.id)
         |SELECT id_a, id_b, name_a, name_b, lev
         |FROM pairs WHERE lev <= 2""".stripMargin,
+
+    // percolate: same derived stored queries, ALL-terms conjunctive
+    // match via count-equals.
+    "percolate" ->
+      s"""WITH t AS (SELECT DISTINCT doc_id,
+         |             unnest(list_transform($ToksSql, x -> lower(x))) AS term
+         |           FROM documents),
+         |qd AS (SELECT CAST(doc_id / 37 AS BIGINT) AS query_id, term FROM (
+         |         SELECT doc_id, term,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY term) AS rn
+         |         FROM t WHERE doc_id % 37 = 0 AND doc_id < 370)
+         |       WHERE rn <= 3),
+         |qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM qd GROUP BY 1),
+         |m AS (SELECT qd.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS hit
+         |      FROM t JOIN qd USING (term) GROUP BY 1, 2)
+         |SELECT m.query_id, n_terms,
+         |       CAST(count(*) AS BIGINT) AS n_matching_docs,
+         |       min(doc_id) AS first_match
+         |FROM m JOIN qs ON qs.query_id = m.query_id
+         |WHERE hit = n_terms
+         |GROUP BY 1, 2""".stripMargin,
 
     // fuzzy_clusters: fuzzy_match's pair chain + the recursive-CTE CC
     // replay (dedup_corpus convention) + arg_min canonical rollup.
