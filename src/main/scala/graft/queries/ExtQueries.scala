@@ -216,6 +216,59 @@ object ExtQueries {
       (tf, enc)
   }
 
+  /** The NB quality classifier's full train→score chain (the
+    * quality_classifier construction), shared with `classifier_auc`:
+    * one row per doc with (is_train, actual_keep, score) where score
+    * is the exact-integer 1e6-scaled NB log-odds. */
+  private def nbScores(s: SparkSession, d: String): DataFrame = {
+      val K = 300
+      // one corpus materialization; labels, split, and token arrays
+      // derive map-side and feed every downstream consumer
+      val aug = Dedup.rebalance(perturbedCorpus(s, d))
+        .select(col("doc_id"),
+          QualityFilter.keep(col("text")).as("actual_keep"),
+          (pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(2L)) === 0L)
+            .as("is_train"),
+          TextOps.tokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(true)
+      val tf = aug
+        .select(col("doc_id"), col("actual_keep"), col("is_train"),
+          explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("actual_keep"), col("is_train"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val vocab = tf.filter(col("is_train"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("cc"),
+          sum(when(col("actual_keep"), col("tf")).otherwise(0L)).as("pos_c"))
+        .orderBy(col("cc").desc, col("term")).limit(K)
+        .withColumn("neg_c", col("cc") - col("pos_c"))
+        .localCheckpoint(true)
+      val totals = vocab.agg(sum("pos_c").as("pos_tot"),
+        sum("neg_c").as("neg_tot"), count(lit(1)).as("v"))
+      val classes = aug.agg(
+        sum(when(col("is_train") && col("actual_keep"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("is_train") && !col("actual_keep"), 1L).otherwise(0L)).as("n_neg"))
+      val w = vocab.crossJoin(broadcast(totals))
+        .select(col("term"),
+          (floor(log((col("pos_c") + 1).cast("double") /
+              (col("pos_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long") -
+           floor(log((col("neg_c") + 1).cast("double") /
+              (col("neg_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long"))
+            .as("w_x1e6"))
+      val docScore = tf.join(broadcast(w), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("w_x1e6")).as("sum_w"))
+      aug.select(col("doc_id"), col("actual_keep"), col("is_train"))
+        .join(docScore, Seq("doc_id"), "left")
+        .crossJoin(broadcast(classes))
+        .select(col("is_train"), col("actual_keep"),
+          (coalesce(col("sum_w"), lit(0L)) +
+            floor(log((col("n_pos") + 1).cast("double") /
+                (col("n_neg") + 1).cast("double")) * 1e6 + 0.5).cast("long"))
+            .as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------
     "token_count" -> { (s, d) =>
@@ -2130,55 +2183,42 @@ object ExtQueries {
     // model-sized and broadcast; everything between the (doc,term)
     // exchange and the 8-row output rides the capped vocab.
     "quality_classifier" -> { (s, d) =>
-      val K = 300
-      // one corpus materialization; labels, split, and token arrays
-      // derive map-side and feed every downstream consumer
-      val aug = Dedup.rebalance(perturbedCorpus(s, d))
-        .select(col("doc_id"),
-          QualityFilter.keep(col("text")).as("actual_keep"),
-          (pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(2L)) === 0L)
-            .as("is_train"),
-          TextOps.tokens(lower(col("text"))).as("toks"))
-        .localCheckpoint(true)
-      val tf = aug
-        .select(col("doc_id"), col("actual_keep"), col("is_train"),
-          explode(col("toks")).as("term"))
-        .groupBy(col("doc_id"), col("actual_keep"), col("is_train"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val vocab = tf.filter(col("is_train"))
-        .groupBy(col("term"))
-        .agg(sum(col("tf")).as("cc"),
-          sum(when(col("actual_keep"), col("tf")).otherwise(0L)).as("pos_c"))
-        .orderBy(col("cc").desc, col("term")).limit(K)
-        .withColumn("neg_c", col("cc") - col("pos_c"))
-        .localCheckpoint(true)
-      val totals = vocab.agg(sum("pos_c").as("pos_tot"),
-        sum("neg_c").as("neg_tot"), count(lit(1)).as("v"))
-      val classes = aug.agg(
-        sum(when(col("is_train") && col("actual_keep"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("is_train") && !col("actual_keep"), 1L).otherwise(0L)).as("n_neg"))
-      val w = vocab.crossJoin(broadcast(totals))
-        .select(col("term"),
-          (floor(log((col("pos_c") + 1).cast("double") /
-              (col("pos_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long") -
-           floor(log((col("neg_c") + 1).cast("double") /
-              (col("neg_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long"))
-            .as("w_x1e6"))
-      val docScore = tf.join(broadcast(w), Seq("term"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf") * col("w_x1e6")).as("sum_w"))
-      aug.select(col("doc_id"), col("actual_keep"), col("is_train"))
-        .join(docScore, Seq("doc_id"), "left")
-        .crossJoin(broadcast(classes))
-        .select(col("is_train"), col("actual_keep"),
-          (coalesce(col("sum_w"), lit(0L)) +
-            floor(log((col("n_pos") + 1).cast("double") /
-                (col("n_neg") + 1).cast("double")) * 1e6 + 0.5).cast("long"))
-            .as("score"))
+      nbScores(s, d)
         .groupBy(col("is_train"), col("actual_keep"),
           (col("score") > 0L).as("predicted_keep"))
         .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score_x1e6"))
+    },
+
+    // Exact held-out AUC (round 11) — the threshold-free quality
+    // metric quality_classifier's confusion cells can't express
+    // (accuracy moves with the 0-threshold; AUC ranks the whole score
+    // axis). Midrank tie handling made exact-integer: per DISTINCT
+    // score, midrank×2 = 2·cumBelow + cnt + 1 (integers), so
+    // Σ_pos rank2 is a BIGINT and AUC = (Σ rank2 − P(P+1)) / (2PN)
+    // reports as one HALF_UP 1e6 cell — the Mann–Whitney identity, no
+    // floats anywhere. Shape: scores collapse to the DISTINCT-score
+    // frame first (one partial+final agg); the cumulative window runs
+    // over that compressed frame under an explicit single group (at
+    // corpus scale, quantize the score axis first — the winsorize
+    // move — to bound it; held-out test frames are small by design).
+    "classifier_auc" -> { (s, d) =>
+      val held = nbScores(s, d).filter(!col("is_train"))
+      val byScore = held.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("actual_keep"), 1L).otherwise(0L)).as("pos"))
+      val cum = Window.partitionBy(lit(0)).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("below", coalesce(sum(col("cnt")).over(cum), lit(0L)))
+        .agg(sum(col("pos")).as("n_pos"),
+          sum(col("cnt") - col("pos")).as("n_neg"),
+          sum(col("pos") * (lit(2L) * col("below") + col("cnt") + 1))
+            .as("sum_rank2_pos"))
+        .selectExpr("n_pos", "n_neg", "sum_rank2_pos",
+          """(2 * 1000000 * CAST(sum_rank2_pos - n_pos * (n_pos + 1) AS DECIMAL(38,0))
+            |   + 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+            | div (2 * 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS auc_x1e6"""
+            .stripMargin)
     },
 
     // Winnowing fingerprints (round 10) — the MOSS document
@@ -2698,6 +2738,73 @@ object ExtQueries {
        |                  AS BIGINT) AS n_sym
        |        FROM rW4 CROSS JOIN sep)""".stripMargin
   }
+
+  /** The NB classifier's train→score chain as shared oracle CTEs
+    * (through `sc`: one row per doc with is_train/actual_keep/score) —
+    * reused by quality_classifier and classifier_auc. */
+  private def nbScoreCtes: String =
+    s"""aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000,
+         |         array_to_string(($ToksSql)[1:2], ' ')
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000000,
+         |         text || ' ' || repeat('.', length(text) // 2)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 4000000000, replace(text, ' ', '') FROM documents),
+         |m AS (SELECT doc_id, text, $ToksSql AS rtoks,
+         |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+         |          AS n_punct
+         |      FROM aug),
+         |lab AS (SELECT doc_id,
+         |          NOT ((len(rtoks) < 5) OR (len(rtoks) > 50000)
+         |            OR (len(rtoks) > 0 AND
+         |                (CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) < 2.0
+         |                 OR CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) > 15.0))
+         |            OR (length(text) > 0 AND CAST(n_punct AS DOUBLE) / length(text) > 0.2))
+         |            AS actual_keep,
+         |          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |             % 2 = 0) AS is_train,
+         |          list_transform(rtoks, t -> lower(t)) AS toks
+         |        FROM m),
+         |tw AS (SELECT doc_id, actual_keep, is_train, unnest(toks) AS term FROM lab),
+         |tf AS (SELECT doc_id, actual_keep, is_train, term,
+         |              CAST(count(*) AS BIGINT) AS tf
+         |       FROM tw GROUP BY 1, 2, 3, 4),
+         |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cc,
+         |            CAST(sum(CASE WHEN actual_keep THEN tf ELSE 0 END) AS BIGINT)
+         |              AS pos_c
+         |          FROM tf WHERE is_train GROUP BY 1
+         |          ORDER BY cc DESC, term LIMIT 300),
+         |vc AS (SELECT term, cc, pos_c, cc - pos_c AS neg_c FROM vocab),
+         |tot AS (SELECT CAST(sum(pos_c) AS BIGINT) AS pos_tot,
+         |               CAST(sum(neg_c) AS BIGINT) AS neg_tot,
+         |               CAST(count(*) AS BIGINT) AS v
+         |        FROM vc),
+         |cls AS (SELECT
+         |          CAST(sum(CASE WHEN is_train AND actual_keep THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pos,
+         |          CAST(sum(CASE WHEN is_train AND NOT actual_keep THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_neg
+         |        FROM lab),
+         |w AS (SELECT term,
+         |        CAST(floor(ln(CAST(pos_c + 1 AS DOUBLE) /
+         |                      CAST(pos_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |        - CAST(floor(ln(CAST(neg_c + 1 AS DOUBLE) /
+         |                        CAST(neg_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |          AS w_x1e6
+         |      FROM vc CROSS JOIN tot),
+         |ds AS (SELECT doc_id, CAST(sum(tf * w_x1e6) AS BIGINT) AS sum_w
+         |       FROM tf JOIN w USING (term) GROUP BY 1),
+         |sc AS (SELECT is_train, actual_keep,
+         |         coalesce(sum_w, 0)
+         |           + CAST(floor(ln(CAST(n_pos + 1 AS DOUBLE) /
+         |                           CAST(n_neg + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |           AS score
+         |       FROM lab LEFT JOIN ds USING (doc_id) CROSS JOIN cls)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ivf_topk" -> ivfFlatOracle,
@@ -4158,72 +4265,36 @@ object ExtQueries {
     // train-term vocab, 1e6-floored NB log-odds + prior, confusion
     // cells with exact score sums.
     "quality_classifier" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 2000000000,
-         |         array_to_string(($ToksSql)[1:2], ' ')
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 3000000000,
-         |         text || ' ' || repeat('.', length(text) // 2)
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 4000000000, replace(text, ' ', '') FROM documents),
-         |m AS (SELECT doc_id, text, $ToksSql AS rtoks,
-         |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
-         |          AS n_punct
-         |      FROM aug),
-         |lab AS (SELECT doc_id,
-         |          NOT ((len(rtoks) < 5) OR (len(rtoks) > 50000)
-         |            OR (len(rtoks) > 0 AND
-         |                (CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) < 2.0
-         |                 OR CAST(length(array_to_string(rtoks, '')) AS DOUBLE) / len(rtoks) > 15.0))
-         |            OR (length(text) > 0 AND CAST(n_punct AS DOUBLE) / length(text) > 0.2))
-         |            AS actual_keep,
-         |          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-         |             % 2 = 0) AS is_train,
-         |          list_transform(rtoks, t -> lower(t)) AS toks
-         |        FROM m),
-         |tw AS (SELECT doc_id, actual_keep, is_train, unnest(toks) AS term FROM lab),
-         |tf AS (SELECT doc_id, actual_keep, is_train, term,
-         |              CAST(count(*) AS BIGINT) AS tf
-         |       FROM tw GROUP BY 1, 2, 3, 4),
-         |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cc,
-         |            CAST(sum(CASE WHEN actual_keep THEN tf ELSE 0 END) AS BIGINT)
-         |              AS pos_c
-         |          FROM tf WHERE is_train GROUP BY 1
-         |          ORDER BY cc DESC, term LIMIT 300),
-         |vc AS (SELECT term, cc, pos_c, cc - pos_c AS neg_c FROM vocab),
-         |tot AS (SELECT CAST(sum(pos_c) AS BIGINT) AS pos_tot,
-         |               CAST(sum(neg_c) AS BIGINT) AS neg_tot,
-         |               CAST(count(*) AS BIGINT) AS v
-         |        FROM vc),
-         |cls AS (SELECT
-         |          CAST(sum(CASE WHEN is_train AND actual_keep THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_pos,
-         |          CAST(sum(CASE WHEN is_train AND NOT actual_keep THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_neg
-         |        FROM lab),
-         |w AS (SELECT term,
-         |        CAST(floor(ln(CAST(pos_c + 1 AS DOUBLE) /
-         |                      CAST(pos_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
-         |        - CAST(floor(ln(CAST(neg_c + 1 AS DOUBLE) /
-         |                        CAST(neg_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
-         |          AS w_x1e6
-         |      FROM vc CROSS JOIN tot),
-         |ds AS (SELECT doc_id, CAST(sum(tf * w_x1e6) AS BIGINT) AS sum_w
-         |       FROM tf JOIN w USING (term) GROUP BY 1),
-         |sc AS (SELECT is_train, actual_keep,
-         |         coalesce(sum_w, 0)
-         |           + CAST(floor(ln(CAST(n_pos + 1 AS DOUBLE) /
-         |                           CAST(n_neg + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
-         |           AS score
-         |       FROM lab LEFT JOIN ds USING (doc_id) CROSS JOIN cls)
+      s"""WITH $nbScoreCtes
          |SELECT is_train, actual_keep, (score > 0) AS predicted_keep,
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(score) AS BIGINT) AS sum_score_x1e6
          |FROM sc GROUP BY 1, 2, 3""".stripMargin,
+
+    // classifier_auc: same chain, held-out split, midrank×2 cumulative
+    // over the distinct-score frame, Mann–Whitney HALF_UP cell.
+    "classifier_auc" ->
+      s"""WITH $nbScoreCtes,
+         |bysc AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         |           CAST(sum(CASE WHEN actual_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS pos
+         |         FROM sc WHERE NOT is_train GROUP BY 1),
+         |cw AS (SELECT score, cnt, pos,
+         |         coalesce(sum(cnt) OVER (ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |       FROM bysc),
+         |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |               CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+         |               CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT)
+         |                 AS sum_rank2_pos
+         |        FROM cw)
+         |SELECT n_pos, n_neg, sum_rank2_pos,
+         |       CAST((2 * 1000000 * CAST(sum_rank2_pos - n_pos * (n_pos + 1)
+         |                                AS HUGEINT)
+         |             + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |            // (2 * 2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+         |         AS auc_x1e6
+         |FROM agg""".stripMargin,
 
     // Mirrors Fuzzy.blockedMatch exactly: oversized blocks re-split
     // into ceil(cn/1000) sub-blocks keyed by md5Hash60(id) mod nsplit
