@@ -394,24 +394,34 @@ object StreamBench {
         // near-dup workload: every doc minus its last 3 tokens, every
         // 2nd doc minus its first 3, every 3rd doc minus its last 6
         // (a chain: near-dup of both the original and the first copy)
-        val nears1 = docs0
+        // Copies carry LATER event_times than originals (+1/+2/+3 s,
+        // chain order), so BandDedupProcessor's within-micro-batch
+        // (event_time, doc_id) sort puts every original before its
+        // copies by construction, not by the doc_id-offset accident.
+        def stamped(df: DataFrame, sec: Int): DataFrame =
+          df.withColumn("event_time",
+            lit(java.sql.Timestamp.valueOf(f"2026-01-01 10:00:0$sec")))
+        val nears1 = stamped(docs0
           .select((col("doc_id") + 50000000L).as("doc_id"),
             concat_ws(" ",
-              slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
-        val nears2 = docs0.filter(col("doc_id") % 2 === 0)
+              slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text")), 1)
+        val nears2 = stamped(docs0.filter(col("doc_id") % 2 === 0)
           .select((col("doc_id") + 100000000L).as("doc_id"),
             concat_ws(" ",
-              slice(toks, lit(4), greatest(size(toks) - 3, lit(1)))).as("text"))
-        val nears3 = docs0.filter(col("doc_id") % 3 === 0)
+              slice(toks, lit(4), greatest(size(toks) - 3, lit(1)))).as("text")), 2)
+        val nears3 = stamped(docs0.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 150000000L).as("doc_id"),
             concat_ws(" ",
-              slice(toks, lit(1), greatest(size(toks) - 6, lit(1)))).as("text"))
-        val input = docs0.unionByName(nears1).unionByName(nears2)
+              slice(toks, lit(1), greatest(size(toks) - 6, lit(1)))).as("text")), 3)
+        val input = stamped(docs0, 0).unionByName(nears1).unionByName(nears2)
           .unionByName(nears3)
-          .withColumn("event_time",
-            lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
         val topic = s"$work/topic_neardup"
-        input.write.mode("overwrite").parquet(topic)
+        // ONE parquet file: the stream ≡ batch require below assumes
+        // arrival order follows (event_time, doc_id), which the
+        // processor's sort only guarantees WITHIN a micro-batch — a
+        // multi-file topic could split a copy into an earlier
+        // micro-batch than its original and flip which doc survives.
+        input.coalesce(1).write.mode("overwrite").parquet(topic)
         val evalFps = docs0.filter(lit(false))
           .select(graft.ext.TextOps.contentFingerprint(col("text")).as("fp"))
         val n = spark.read.parquet(topic).count()
@@ -436,6 +446,87 @@ object StreamBench {
         System.err.println(
           f"[stream-bench] neardup_curate@${n / 1000}k  $n rows  $tI%.1fs  " +
             f"${n / tI}%.0f rows/s  kept=${sIds.size}")
+      } finally {
+        spark.conf.set(partKey, prevPart)
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None    => spark.conf.unset(provKey)
+        }
+      }
+    }
+
+    // Mode I2: HOT-BUCKET probe for the per-bucket retention cap
+    // (NearDup.BandDedupProcessor maxPerBucket — the streaming analog
+    // of Dedup.MaxBandBucket). Topic = a boilerplate STORM: 8,000
+    // near-dup variants of ONE base doc (base + a distinct tail
+    // token, J ≈ 28/30 vs base AND vs each other), so the base doc's
+    // band buckets each receive thousands of entries inside the TTL —
+    // the exact degenerate shape the cap exists for. With cap=64 the
+    // per-arrival comparison and the RocksDB list per bucket stay
+    // O(cap); the probe records rows/s AND the state-store row count
+    // from the query's progress so a state blowup fails loudly here
+    // instead of OOMing a production job.
+    locally {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevPart = spark.conf.get(partKey)
+      spark.conf.set(partKey, "8")
+      try {
+        val nStorm = 8000
+        val base = "the quick brown fox jumps over the lazy dog while " +
+          "seventeen boilerplate navigation links repeat across every " +
+          "page footer header sidebar copyright notice terms privacy"
+        val storm = spark.range(nStorm)
+          .select(col("id").as("doc_id"),
+            concat(lit(base), lit(" tail"), col("id").cast("string")).as("text"),
+            // later ids get later event_times (all inside the TTL) so
+            // arrival order is construction-pinned, as in mode I
+            timestamp_millis(lit(1767261600000L) + col("id")).as("event_time"))
+        val topic = s"$work/topic_storm"
+        storm.coalesce(1).write.mode("overwrite").parquet(topic)
+        // numRowsTotal counts state-store KEYS (ListState entries are
+        // RocksDB-merged under one key per bucket), so it bounds the
+        // BUCKET population — the TTL's job — identically for both
+        // runs; the cap's own engagement shows up as the per-arrival
+        // comparison cost, i.e. rows/s (and is spec-gated
+        // deterministically in CurateSpec's cap=2 eviction test).
+        // Record BOTH runs so the artifact carries the win.
+        def runStorm(cap: Int, tag: String): Unit = {
+          val sink = s"$work/i2_out_$tag"
+          var stateRows = -1L
+          val tI2 = time {
+            val q = graft.stream.NearDup.dedupNearDups(
+                spark.readStream.schema(storm.schema).parquet(topic)
+                  .withWatermark("event_time", "10 seconds"),
+                threshold = 0.5, maxPerBucket = cap)
+              .writeStream.format("parquet").option("path", sink)
+              .option("checkpointLocation", s"$work/i2_ckpt_$tag")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+            stateRows = q.recentProgress.reverse
+              .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+              .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+          }
+          val kept = spark.read.parquet(sink).count()
+          // every variant near-dups the first arrival → exactly 1 doc
+          // survives; bucket count is ~8 pure-base buckets + one
+          // singleton per tail-influenced (variant, band) ≈ 1.05/doc —
+          // 2×nStorm fails loudly if bucket population ever blows up
+          require(kept == 1, s"storm must collapse to 1 survivor, kept=$kept")
+          require(stateRows >= 0 && stateRows <= 2L * nStorm,
+            s"hot-bucket state keys must stay TTL/population-bounded: " +
+              s"$stateRows > ${2L * nStorm}")
+          results(s"neardup_hotbucket_$tag@${nStorm / 1000}k") = nStorm / tI2
+          System.err.println(
+            f"[stream-bench] neardup_hotbucket_$tag@${nStorm / 1000}k  " +
+              f"$nStorm rows  $tI2%.1fs  ${nStorm / tI2}%.0f rows/s  " +
+              f"stateKeys=$stateRows cap=$cap")
+        }
+        runStorm(Int.MaxValue, "uncapped")
+        runStorm(64, "cap64")
       } finally {
         spark.conf.set(partKey, prevPart)
         prevProv match {

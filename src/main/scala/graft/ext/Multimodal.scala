@@ -199,9 +199,12 @@ object Multimodal {
     * colors derive from splitmix64(seed, index), so the SAME seed
     * always yields byte-identical images in any environment — the
     * plant generator for the image near-dup gate. `tweakBlue` bumps
-    * the LAST pixel's blue channel by 1: a real but minimal pixel
-    * change (≤ 2 dHash bits can flip — the change touches one block's
-    * luminance sum, which feeds exactly two adjacent comparisons). */
+    * the LAST pixel's blue channel by 1 — wrapping 0xff→0x00, so the
+    * luminance swing can be −255, not just +1, but it stays confined
+    * to one 9×8-grid block: pixel (w−1, h−1) of a 16×16 image lands
+    * in grid column gx=8, the RIGHTMOST column, which feeds exactly
+    * ONE adjacent comparison, so ≤ 1 dHash bit can flip
+    * (MultimodalSpec asserts Hamming ≤ 1 accordingly). */
   def synthBmp(seed: Long, w: Int = 16, h: Int = 16,
       tweakBlue: Boolean = false): Array[Byte] = {
     def mix(x0: Long): Long = {
@@ -330,6 +333,156 @@ object Multimodal {
     cand.select(col("doc_a"), col("doc_b"),
         Dedup.hamming(col("ha"), col("hb")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** A parsed PCM WAV payload: header fields + decoded samples. */
+  case class AudioPcm(channels: Int, sampleRate: Int, bits: Int,
+      samples: Array[Int])
+
+  /** Codec-free WAV (RIFF) parse — REAL container walking, not a stub:
+    * "RIFF"+size+"WAVE", then a chunk walk (ids are 4 ASCII bytes,
+    * sizes little-endian uint32, odd-sized chunks pad to word
+    * boundaries per the RIFF spec) until "fmt " (PCM format tag 1,
+    * channels, sample rate, bits) and "data" (LE int16 samples) are
+    * both seen. Unknown chunks (LIST, cue, bext, ...) skip cleanly —
+    * a lake-scale audio sweep must not die on a broadcast-WAV's
+    * metadata chunk. None for anything that isn't 16-bit PCM WAV. */
+  def parseWav(bytes: Array[Byte]): Option[AudioPcm] = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def le16(o: Int): Int = u(o) | (u(o + 1) << 8)
+    def le32(o: Int): Long =
+      (u(o) | (u(o + 1) << 8) | (u(o + 2) << 16) | (u(o + 3).toLong << 24)) & 0xffffffffL
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (o + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(o)
+      val sz = le32(o + 4)
+      if (o + 8 + sz > bytes.length) return None // truncated chunk
+      if (id == "fmt " && sz >= 16) {
+        if (le16(o + 8) != 1) return None // PCM only
+        fmt = Some((le16(o + 10), le32(o + 12).toInt, le16(o + 22)))
+      } else if (id == "data") {
+        data = Some((o + 8, sz.toInt))
+      }
+      o += 8 + sz.toInt + (sz.toInt & 1) // word-align odd chunks
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((off, len)))
+          if bits == 16 && ch >= 1 && len % 2 == 0 =>
+        val n = len / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (le16(off + 2 * i) << 16) >> 16 // sign-extend
+          i += 1
+        }
+        Some(AudioPcm(ch, rate, bits, samples))
+      case _ => None
+    }
+  }
+
+  /** Exact-integer PCM features of a decoded audio payload. `peak` is
+    * max |sample|; `sum_sq` the BIGINT energy; `n_clipped` counts
+    * full-scale samples (±32767/−32768 — what a clipped recording
+    * pins at). All integers, so the whole row hash-oracles. */
+  case class AudioFeatures(
+      doc_id: Long,
+      decoded: Boolean,
+      channels: Int,
+      sample_rate: Int,
+      n_samples: Long,
+      peak: Long,
+      sum_sq: Long,
+      n_clipped: Long)
+
+  /** Audio features for every payload through the same batched
+    * mapPartitions seam as [[decodePixelFeatures]] — sample arrays
+    * never leave the task; only fixed-width integer features cross
+    * the shuffle, so output is O(rows) however long the clips are. */
+  def audioStats(spark: SparkSession, withPayloads: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    withPayloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWav(bytes) match {
+          case Some(AudioPcm(ch, rate, _, samples)) =>
+            var peak = 0L; var sq = 0L; var clipped = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toLong
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sq += v * v
+              if (v == 32767L || v == -32768L) clipped += 1
+              i += 1
+            }
+            AudioFeatures(id, decoded = true, ch, rate,
+              samples.length.toLong, peak, sq, clipped)
+          case None =>
+            AudioFeatures(id, decoded = false, 0, 0, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** The synthBmp of audio: a deterministic 16-bit PCM WAV whose
+    * samples derive from the repo's md5Hash60 convention — sample i
+    * of doc `seed` is clamp(md5Hash60("<seed>:<i>") % 70001 − 35000),
+    * so DuckDB re-derives the exact byte-identical sample stream with
+    * generate_series + md5 (full hash oracle, stronger than
+    * image_neardup's pinned cells) and ~6.4% of samples land outside
+    * [−32768, 32767] and clip to full scale — the clip-fraction plant.
+    * `junkChunk` prepends an ODD-sized unknown chunk before "data" to
+    * force the parser's skip + word-align path. */
+  def synthWav(seed: Long, nSamples: Int, channels: Int = 1,
+      sampleRate: Int = 8000, junkChunk: Boolean = false): Array[Byte] = {
+    require(nSamples % channels == 0, "whole frames only")
+    val junk = if (junkChunk) 8 + 3 + 1 else 0 // odd size 3 + pad
+    val dataSize = nSamples * 2
+    val size = 44 + junk + dataSize
+    val b = new Array[Byte](size)
+    def le16(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    }
+    def le32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(b, o)
+    tag(0, "RIFF"); le32(4, size - 8); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * 2 * channels)
+    le16(32, 2 * channels); le16(34, 16)
+    var o = 36
+    if (junkChunk) {
+      tag(o, "LIST"); le32(o + 4, 3)
+      b(o + 8) = 'j'; b(o + 9) = 'n'; b(o + 10) = 'k' // pad byte stays 0
+      o += 12
+    }
+    tag(o, "data"); le32(o + 4, dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val raw = md5Long60(s"$seed:$i") % 70001L - 35000L
+      val v = math.max(-32768L, math.min(32767L, raw)).toInt
+      le16(o + 8 + 2 * i, v)
+      i += 1
+    }
+    b
+  }
+
+  /** First 60 bits of md5 as a nonnegative long — the plain-JVM twin
+    * of Dedup.md5Hash60 (`CAST('0x' || substr(md5(s), 1, 15) AS
+    * BIGINT)`): big-endian first 8 digest bytes, top 60 kept. */
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** Frame sampling: every `stride`-th byte-window of the payload stands

@@ -26,6 +26,12 @@ object ExtQueries {
     * the disjointness (ExtQueriesSpec). */
   val NearDupOffset: Long = 1000000000L
 
+  /** classifier_auc score-axis quantization width: the cumulative
+    * midrank window rides at most this many rows regardless of
+    * corpus size (the winsorize move — raw NB integer scores have
+    * near-doc-cardinality distinct values at scale). */
+  val AucBuckets: Int = 4096
+
   /** documents ∪ a perturbed copy (last 3 tokens dropped,
     * doc_id + [[NearDupOffset]]) — gives the near-dup detectors true
     * positives to find while still deriving every byte from the
@@ -220,7 +226,7 @@ object ExtQueries {
     * quality_classifier construction), shared with `classifier_auc`:
     * one row per doc with (is_train, actual_keep, score) where score
     * is the exact-integer 1e6-scaled NB log-odds. */
-  private def nbScores(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nbScores(s: SparkSession, d: String): DataFrame = {
       val K = 300
       // one corpus materialization; labels, split, and token arrays
       // derive map-side and feed every downstream consumer
@@ -998,6 +1004,46 @@ object ExtQueries {
         .select(col("n_images"), col("n_expected"), col("n_pairs"),
           (col("n_undecoded") === 0L && col("n_pairs") === col("n_expected")
             && col("n_planted") === col("n_expected")).as("only_planted"))
+    },
+
+    // Audio multimodal column (round 12) — the WAV leg of SURVEY §7.5
+    // next to the image leg: per-doc deterministic 16-bit PCM WAVs
+    // (synthWav — samples derive from md5Hash60("doc:i"), varied
+    // channel counts / sample rates / an odd-sized junk chunk forcing
+    // the RIFF walker's skip+pad path), every 7th doc carrying
+    // UNDECODABLE text bytes (the corrupt-blob path), parsed by the
+    // codec-free parseWav through the mapPartitions batch seam into
+    // exact-integer PCM stats: peak, BIGINT energy, full-scale clip
+    // count, HALF_UP clip fraction. Unlike image_neardup's pinned
+    // cells, the WHOLE row hash-oracles: DuckDB re-derives the exact
+    // sample stream with generate_series + md5 and must match every
+    // doc's peak/sum_sq/n_clipped bit-for-bit. 100 TB shape: payloads
+    // ride their own parquet column (pruned unless selected), sample
+    // arrays never leave the task — only fixed-width integers cross
+    // the exchange, and there is no shuffle at all before the sink.
+    "audio_stats" -> { (s, d) =>
+      import s.implicits._
+      val pay = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val bytes =
+            if (id % 7 == 0) text.getBytes("UTF-8")
+            else Multimodal.synthWav(id,
+              nSamples = 300 + 2 * (id % 50).toInt,
+              channels = 1 + (id % 2).toInt,
+              sampleRate = 8000 + (id % 8).toInt * 1000,
+              junkChunk = id % 5 == 0)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      Multimodal.audioStats(s, pay).toDF()
+        .select(col("doc_id"), col("decoded"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("peak"), col("sum_sq"), col("n_clipped"),
+          when(col("n_samples") === 0L, 0L)
+            .otherwise(expr(
+              "(2 * 1000000 * n_clipped + n_samples) div (2 * n_samples)"))
+            .as("clip_x1e6"))
     },
 
     // Truncated-dimension retrieval (round 11) — the Matryoshka
@@ -2189,32 +2235,51 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score_x1e6"))
     },
 
-    // Exact held-out AUC (round 11) — the threshold-free quality
-    // metric quality_classifier's confusion cells can't express
-    // (accuracy moves with the 0-threshold; AUC ranks the whole score
-    // axis). Midrank tie handling made exact-integer: per DISTINCT
-    // score, midrank×2 = 2·cumBelow + cnt + 1 (integers), so
-    // Σ_pos rank2 is a BIGINT and AUC = (Σ rank2 − P(P+1)) / (2PN)
-    // reports as one HALF_UP 1e6 cell — the Mann–Whitney identity, no
-    // floats anywhere. Shape: scores collapse to the DISTINCT-score
-    // frame first (one partial+final agg); the cumulative window runs
-    // over that compressed frame under an explicit single group (at
-    // corpus scale, quantize the score axis first — the winsorize
-    // move — to bound it; held-out test frames are small by design).
+    // Held-out AUC on a QUANTIZED score axis (round 11, quantization
+    // round 12) — the threshold-free quality metric
+    // quality_classifier's confusion cells can't express (accuracy
+    // moves with the 0-threshold; AUC ranks the whole score axis).
+    // The cumulative midrank window must ride a BOUNDED frame: raw NB
+    // scores are exact integer sums, so their distinct cardinality
+    // approaches held-out-doc cardinality at corpus scale — a
+    // single-partition window over that is the winsorize failure
+    // mode. So the score axis is first quantized into AucBuckets
+    // equal-width integer buckets over [lo, hi] (the winsorize move;
+    // exact integers: bucket = (score−lo)·B div (hi−lo+1), the
+    // (score−lo) term cast DECIMAL(38,0) so the product can't
+    // overflow at any corpus score range), and the Mann–Whitney
+    // midrank identity runs per DISTINCT BUCKET: midrank×2 =
+    // 2·cumBelow + cnt + 1, Σ_pos rank2 BIGINT-exact, AUC =
+    // (Σ rank2 − P(P+1)) / (2PN) as one HALF_UP 1e6 cell — no floats
+    // anywhere. Ties within a bucket coarsen AUC toward 1/2 by at
+    // most the bucket mass (standard binned-AUC bias); the axis
+    // bound is what buys the 100 TB shape: one (lo, hi) agg
+    // broadcasts back, one partial+final agg onto ≤ B rows, and the
+    // explicit single-group window runs over ≤ B = 4096 rows by
+    // construction (PlanSpec holds the window input to the
+    // bucket-keyed aggregate).
     "classifier_auc" -> { (s, d) =>
       val held = nbScores(s, d).filter(!col("is_train"))
-      val byScore = held.groupBy(col("score"))
+      val bounds = held.agg(min(col("score")).as("lo"),
+        max(col("score")).as("hi"))
+      val bucketed = held.crossJoin(broadcast(bounds))
+        .selectExpr(
+          s"CAST((CAST(score - lo AS DECIMAL(38,0)) * $AucBuckets) " +
+            "div (hi - lo + 1) AS BIGINT) AS bucket",
+          "actual_keep")
+      val byBucket = bucketed.groupBy(col("bucket"))
         .agg(count(lit(1)).as("cnt"),
           sum(when(col("actual_keep"), 1L).otherwise(0L)).as("pos"))
-      val cum = Window.partitionBy(lit(0)).orderBy(col("score"))
+      val cum = Window.partitionBy(lit(0)).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      byScore
+      byBucket
         .withColumn("below", coalesce(sum(col("cnt")).over(cum), lit(0L)))
-        .agg(sum(col("pos")).as("n_pos"),
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("pos")).as("n_pos"),
           sum(col("cnt") - col("pos")).as("n_neg"),
           sum(col("pos") * (lit(2L) * col("below") + col("cnt") + 1))
             .as("sum_rank2_pos"))
-        .selectExpr("n_pos", "n_neg", "sum_rank2_pos",
+        .selectExpr("n_buckets", "n_pos", "n_neg", "sum_rank2_pos",
           """(2 * 1000000 * CAST(sum_rank2_pos - n_pos * (n_pos + 1) AS DECIMAL(38,0))
             |   + 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
             | div (2 * 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS auc_x1e6"""
@@ -2904,6 +2969,50 @@ object ExtQueries {
         |SELECT n + e AS n_images, e AS n_expected, e AS n_pairs,
         |       TRUE AS only_planted
         |FROM nn, n3""".stripMargin,
+
+    // audio_stats: the full hash oracle — DuckDB regenerates the
+    // md5-derived sample stream per doc (generate_series lateral) and
+    // recomputes peak/energy/clip cells; undecodable %7 docs are the
+    // all-zero rows.
+    "audio_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         1 + doc_id % 2 AS channels,
+        |         8000 + (doc_id % 8) * 1000 AS sample_rate,
+        |         300 + 2 * (doc_id % 50) AS n
+        |  FROM documents),
+        |samp AS (
+        |  -- fixed series + filter: DuckDB's generate_series takes no
+        |  -- lateral column bound; max n is 300 + 2·49 = 398
+        |  SELECT b.doc_id,
+        |         CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || ':' ||
+        |              CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 70001 - 35000 AS raw
+        |  FROM base b JOIN generate_series(0, 397) t(i) ON t.i < b.n
+        |  WHERE b.doc_id % 7 <> 0),
+        |cl AS (SELECT doc_id, greatest(-32768, least(32767, raw)) AS v
+        |       FROM samp),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(max(abs(v)) AS BIGINT) AS peak,
+        |         CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |         CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_clipped
+        |  FROM cl GROUP BY 1)
+        |SELECT b.doc_id,
+        |       (b.doc_id % 7 <> 0) AS decoded,
+        |       CAST(CASE WHEN b.doc_id % 7 = 0 THEN 0 ELSE b.channels END
+        |            AS BIGINT) AS channels,
+        |       CAST(CASE WHEN b.doc_id % 7 = 0 THEN 0 ELSE b.sample_rate END
+        |            AS BIGINT) AS sample_rate,
+        |       coalesce(a.n_samples, 0) AS n_samples,
+        |       coalesce(a.peak, 0) AS peak,
+        |       coalesce(a.sum_sq, 0) AS sum_sq,
+        |       coalesce(a.n_clipped, 0) AS n_clipped,
+        |       CASE WHEN b.doc_id % 7 = 0 THEN 0
+        |            ELSE (2 * 1000000 * a.n_clipped + a.n_samples)
+        |                 // (2 * a.n_samples) END AS clip_x1e6
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // matryoshka_recall: three literal-sum rankings (16/32/64-dim
     // prefixes), semi-join overlap against the full-width truth.
@@ -4271,24 +4380,31 @@ object ExtQueries {
          |       CAST(sum(score) AS BIGINT) AS sum_score_x1e6
          |FROM sc GROUP BY 1, 2, 3""".stripMargin,
 
-    // classifier_auc: same chain, held-out split, midrank×2 cumulative
-    // over the distinct-score frame, Mann–Whitney HALF_UP cell.
+    // classifier_auc: same chain, held-out split, score axis
+    // quantized into AucBuckets equal-width integer buckets (HUGEINT
+    // product ≡ Spark's DECIMAL(38,0)), midrank×2 cumulative over the
+    // ≤-4096-row bucket frame, Mann–Whitney HALF_UP cell.
     "classifier_auc" ->
       s"""WITH $nbScoreCtes,
-         |bysc AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         |held AS (SELECT score, actual_keep FROM sc WHERE NOT is_train),
+         |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM held),
+         |bysc AS (SELECT CAST(CAST(score - lo AS HUGEINT) * $AucBuckets
+         |                     // (hi - lo + 1) AS BIGINT) AS bucket,
+         |           CAST(count(*) AS BIGINT) AS cnt,
          |           CAST(sum(CASE WHEN actual_keep THEN 1 ELSE 0 END) AS BIGINT)
          |             AS pos
-         |         FROM sc WHERE NOT is_train GROUP BY 1),
-         |cw AS (SELECT score, cnt, pos,
-         |         coalesce(sum(cnt) OVER (ORDER BY score
+         |         FROM held CROSS JOIN bounds GROUP BY 1),
+         |cw AS (SELECT bucket, cnt, pos,
+         |         coalesce(sum(cnt) OVER (ORDER BY bucket
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
          |       FROM bysc),
-         |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |               CAST(sum(pos) AS BIGINT) AS n_pos,
          |               CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
          |               CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT)
          |                 AS sum_rank2_pos
          |        FROM cw)
-         |SELECT n_pos, n_neg, sum_rank2_pos,
+         |SELECT n_buckets, n_pos, n_neg, sum_rank2_pos,
          |       CAST((2 * 1000000 * CAST(sum_rank2_pos - n_pos * (n_pos + 1)
          |                                AS HUGEINT)
          |             + 2 * CAST(n_pos AS HUGEINT) * n_neg)
@@ -4641,8 +4757,9 @@ object ExtQueries {
          |       (2 * greatest(mi_num, 0) + n) // (2 * n) AS mi_x1e6
          |FROM mi ORDER BY mi_num DESC, term LIMIT 50""".stripMargin,
 
-    // kcore_decomp: same deterministic graph, 4 unrolled peeling
-    // rounds, final degrees + the fixpoint certificate.
+    // kcore_decomp: same deterministic graph, 6 unrolled peeling
+    // rounds (matching the Spark side's rounds = 6), final degrees +
+    // the fixpoint certificate.
     "kcore_decomp" -> {
       val hash = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
         "CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"

@@ -77,9 +77,10 @@ object Curate {
     * provider. */
   def curateNearDup(docs: DataFrame, evalFingerprints: DataFrame,
       watermark: String = "10 seconds", threshold: Double = 0.5,
-      retentionMs: Long = 600000L): DataFrame =
+      retentionMs: Long = 600000L,
+      maxPerBucket: Int = graft.ext.Dedup.MaxBandBucket): DataFrame =
     NearDup.dedupNearDups(curate(docs, evalFingerprints, watermark),
-      threshold, retentionMs)
+      threshold, retentionMs, maxPerBucket)
 
   /** The batch replica of [[curateNearDup]] (the stream ≡ batch
     * equivalence gate's oracle side). */

@@ -45,9 +45,11 @@ import graft.ext.{Dedup, TextOps}
   * so no key is hot. The per-row signature derivation is the
   * documented per-row `Dedup.minhashSignature` expression (map-side;
   * the bulk explode+aggregate path is a batch shape). Differences vs
-  * the batch join, both deliberate: no MaxBandBucket cap (state is
-  * TTL-bounded instead — an over-full bucket self-limits in time, not
-  * cardinality), and the comparison window is the TTL, not the corpus.
+  * the batch join: the comparison window is the TTL, not the corpus
+  * (deliberate), and the per-bucket cap keeps the NEWEST
+  * `maxPerBucket` entries rather than skipping the whole bucket the
+  * way `Dedup.MaxBandBucket` does — in a stream the newest entries
+  * are the ones late-arriving dups will compare against.
   */
 object NearDup {
 
@@ -83,7 +85,8 @@ object NearDup {
     * against (watermark − retention) on every visit, and one re-armed
     * event-time timer per live bucket sweeps idle buckets empty — the
     * watermark itself bounds the state. */
-  class BandDedupProcessor(threshold: Double, retentionMs: Long)
+  class BandDedupProcessor(threshold: Double, retentionMs: Long,
+      maxPerBucket: Int = Dedup.MaxBandBucket)
       extends StatefulProcessor[String, BandRow, Verdict] {
     @transient private var retained: ListState[Retained] = _
 
@@ -94,22 +97,40 @@ object NearDup {
     private def prune(wmMs: Long): Seq[Retained] =
       retained.get().toSeq.filter(_.tusMs >= wmMs - retentionMs)
 
+    // +1: an entry with tusMs = T is comparable through wm = T +
+    // retentionMs INCLUSIVE (prune keeps tusMs >= wm - retentionMs),
+    // so a timer at exactly T + retentionMs would fire while the
+    // newest entry still satisfies the keep condition and re-arm a
+    // no-op timer at the same already-reached expiry every
+    // micro-batch. Arming one tick past the boundary makes the
+    // expired timer actually clear the entry it was armed for.
     private def rearm(entries: Seq[Retained]): Unit = {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (entries.nonEmpty)
-        getHandle.registerTimer(entries.map(_.tusMs).max + retentionMs)
+        getHandle.registerTimer(entries.map(_.tusMs).max + retentionMs + 1)
     }
 
     override def handleInputRows(key: String, rows: Iterator[BandRow],
         timerValues: TimerValues): Iterator[Verdict] = {
       // arrival order within the micro-batch: (event_time, doc_id)
       val sorted = rows.toSeq.sortBy(r => (r.event_time.getTime, r.doc_id))
+      // prune preserves put order, which is ascending (tusMs, doc_id);
+      // appends below keep it sorted, so head = oldest retained entry.
       var cur = prune(timerValues.getCurrentWatermarkInMs())
       val out = Seq.newBuilder[Verdict]
       sorted.foreach { r =>
         val m = cur.exists(ret => estJ(ret.sig, r.sig) >= threshold)
         out += Verdict(r.doc_id, r.event_time, m, r.text)
         cur :+= Retained(r.doc_id, r.sig, r.event_time.getTime)
+        // Per-bucket retention cap (the streaming analog of the batch
+        // join's MaxBandBucket, Dedup.MaxBandBucket): a boilerplate
+        // storm inside the TTL would otherwise grow one RocksDB key's
+        // list — and the per-arrival comparison — without bound. Keep
+        // the NEWEST maxPerBucket entries; recall degrades gracefully
+        // (an evicted original can no longer catch its late dups in
+        // THIS band, but true near-dups collide in several of the 8
+        // bands, the same recovery argument as batch).
+        if (cur.length > maxPerBucket) cur = cur.drop(cur.length - maxPerBucket)
       }
       retained.put(cur.toArray)
       rearm(cur)
@@ -173,7 +194,8 @@ object NearDup {
     * event-time comparison window: a near-dup arriving within it of
     * its original is dropped; the watermark sweeps older state. */
   def dedupNearDups(curated: DataFrame, threshold: Double = 0.5,
-      retentionMs: Long = 600000L): DataFrame = {
+      retentionMs: Long = 600000L,
+      maxPerBucket: Int = Dedup.MaxBandBucket): DataFrame = {
     val spark = curated.sparkSession
     import spark.implicits._
     val base = curated.withColumn("__toks",
@@ -207,7 +229,8 @@ object NearDup {
           .as("text"))
       .as[BandRow]
     val verdicts = bandRows.groupByKey(_.bucket)
-      .transformWithState(new BandDedupProcessor(threshold, retentionMs),
+      .transformWithState(
+        new BandDedupProcessor(threshold, retentionMs, maxPerBucket),
         "event_time", OutputMode.Append())
     verdicts.groupByKey(_.doc_id)
       .transformWithState(new DocAssembleProcessor(Dedup.NumBands, retentionMs),

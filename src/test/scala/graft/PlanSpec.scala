@@ -275,6 +275,21 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ExistingRDD"), p)
     }
 
+  test("classifier_auc: the cumulative window rides the bucket-keyed aggregate") {
+    val p = plan("classifier_auc")
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    // the window's input subtree (printed below it) must be the
+    // bucket-grouped aggregate — ≤ AucBuckets rows by construction —
+    // never the raw held-out score frame
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate(keys=[bucket#") ||
+        l.contains("SortAggregate(key=[bucket#"), winIdx)
+    assert(aggIdx > winIdx,
+      s"no bucket-keyed aggregate feeds the cumulative window:\n$p")
+  }
+
   test("quality_classifier: the NB model reaches scoring via broadcast only") {
     val p = plan("quality_classifier")
     // the capped-vocab weight table and the totals/prior are the

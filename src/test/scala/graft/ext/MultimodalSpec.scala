@@ -160,4 +160,73 @@ class MultimodalSpec extends SparkSpec {
     val p2 = Multimodal.dhashNearDups(hashes, maxHamming = 3).collect()
     assert(p2.length == 1 && p2.head.getLong(2) == 3L)
   }
+
+  test("parseWav decodes a hand-built WAV byte-exactly; rejects non-PCM and truncation") {
+    // 44-byte header + 4 LE int16 samples: 0, 1000, -32768, 32767 —
+    // every byte written by hand, no generator in the loop
+    def wav(samples: Seq[Int], fmtTag: Int = 1): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmtTag.toShort).putShort(1) // PCM?, mono
+        .putInt(44100).putInt(44100 * 2).putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(v => b.putShort(v.toShort))
+      b.array()
+    }
+    val parsed = Multimodal.parseWav(wav(Seq(0, 1000, -32768, 32767)))
+    assert(parsed.nonEmpty)
+    val p = parsed.get
+    assert(p.channels == 1 && p.sampleRate == 44100 && p.bits == 16)
+    assert(p.samples.toSeq == Seq(0, 1000, -32768, 32767)) // sign-extension exact
+    // non-PCM format tag (3 = IEEE float) rejected
+    assert(Multimodal.parseWav(wav(Seq(0, 1), fmtTag = 3)).isEmpty)
+    // truncated data chunk rejected, not mis-read
+    assert(Multimodal.parseWav(wav(Seq(0, 1000, -32768, 32767)).dropRight(2)).isEmpty)
+    assert(Multimodal.parseWav("not audio at all, just text".getBytes).isEmpty)
+  }
+
+  test("synthWav round-trips through parseWav; junk chunk + odd padding skipped") {
+    for (junk <- Seq(false, true)) {
+      val bytes = Multimodal.synthWav(42L, nSamples = 10, channels = 2,
+        sampleRate = 16000, junkChunk = junk)
+      val p = Multimodal.parseWav(bytes).get
+      assert(p.channels == 2 && p.sampleRate == 16000)
+      // samples must equal the md5Hash60-derived clamped stream —
+      // the exact formula the DuckDB oracle regenerates
+      val expected = (0 until 10).map { i =>
+        val raw = Multimodal.md5Long60(s"42:$i") % 70001L - 35000L
+        math.max(-32768L, math.min(32767L, raw)).toInt
+      }
+      assert(p.samples.toSeq == expected, s"junk=$junk")
+    }
+    // md5Long60 really is Dedup.md5Hash60 (the oracle's hash family)
+    import spark.implicits._
+    val sqlSide = Seq("42:0", "42:7", "x").toDF("s")
+      .select(Dedup.md5Hash60(col("s"))).as[Long].collect().toSeq
+    assert(sqlSide == Seq("42:0", "42:7", "x").map(Multimodal.md5Long60))
+  }
+
+  test("audioStats: exact-integer features, total over undecodable payloads") {
+    import spark.implicits._
+    // hand-computable fixture: doc 1 = synthWav(1, 6); doc 2 = junk
+    val pay = Seq(
+      (1L, Multimodal.synthWav(1L, nSamples = 6)),
+      (2L, "definitely not a wav".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.audioStats(spark, pay).collect()
+      .map(f => f.doc_id -> f).toMap
+    val samples = (0 until 6).map { i =>
+      val raw = Multimodal.md5Long60(s"1:$i") % 70001L - 35000L
+      math.max(-32768L, math.min(32767L, raw))
+    }
+    val f1 = rows(1L)
+    assert(f1.decoded && f1.n_samples == 6L)
+    assert(f1.peak == samples.map(math.abs).max)
+    assert(f1.sum_sq == samples.map(v => v * v).sum)
+    assert(f1.n_clipped == samples.count(v => v == 32767L || v == -32768L))
+    val f2 = rows(2L)
+    assert(!f2.decoded && f2.n_samples == 0L && f2.sum_sq == 0L)
+  }
 }

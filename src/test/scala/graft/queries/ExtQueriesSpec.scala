@@ -518,6 +518,26 @@ class ExtQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("classifier_auc: bucket frame bounded, quantization engaged, ranking signal real") {
+    val row = ExtQueries.queries("classifier_auc")(spark, sf).collect().head
+    val nBuckets = row.getAs[Long]("n_buckets")
+    val nPos = row.getAs[Long]("n_pos")
+    val nNeg = row.getAs[Long]("n_neg")
+    val auc = row.getAs[Long]("auc_x1e6")
+    // the axis bound is the whole point: the cumulative window input
+    // can never exceed AucBuckets rows
+    assert(nBuckets >= 2L && nBuckets <= ExtQueries.AucBuckets.toLong,
+      s"bucket frame $nBuckets outside (2, ${ExtQueries.AucBuckets}]")
+    // quantization really ENGAGES at this SF: strictly more distinct
+    // raw held-out scores than buckets, so ties are being created
+    val rawDistinct = ExtQueries.nbScores(spark, sf)
+      .filter(!col("is_train")).select("score").distinct().count()
+    assert(rawDistinct > nBuckets,
+      s"quantization inert: $rawDistinct distinct raw scores in $nBuckets buckets")
+    // binned AUC keeps the ranking signal: far above coin-flip, legal
+    assert(auc > 800000L && auc <= 1000000L, s"auc_x1e6 $auc")
+  }
+
   test("bpe_pairs: pair counts are word-frequency-weighted (hand check)") {
     // corpus: "aaa bb" ×2 docs + "aaa" ×1 → word counts: aaa=3, bb=2
     // pairs: aa appears 2× in "aaa" → 2·3=6; bb 1× in "bb" → 2

@@ -141,6 +141,97 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("near-dup bucket cap force-engagement: cap=2 evicts an original, recall degrades gracefully") {
+    // The per-bucket retention cap (NearDup.BandDedupProcessor,
+    // streaming analog of Dedup.MaxBandBucket): flood every band
+    // bucket the original A occupies with ≥ 2 LATER sub-threshold
+    // variants (estJ < threshold, so they never MATCH A or its exact
+    // copy — but retention is verdict-independent, so they still
+    // evict). Under cap=2 the late exact copy D then finds no A in
+    // any shared bucket and is wrongly KEPT (graceful recall
+    // degradation, the documented trade); under the default cap D is
+    // dropped. The evictor set is derived from the real md5 minhash
+    // family in-spec, so the construction self-validates instead of
+    // depending on hand-frozen hash luck.
+    val threshold = 0.9
+    val baseToks = Seq("quartz", "ember", "willow", "granite", "sable",
+      "meadow", "cinder", "harbor", "juniper", "basalt", "onyx", "fable",
+      "tundra", "grove", "lantern", "mica", "reef", "saffron", "timber",
+      "vale")
+    val baseText = baseToks.mkString(" ")
+    val candTexts = (0 until baseToks.length).flatMap { p =>
+      Seq(baseToks.updated(p, s"zz$p").mkString(" "),
+        baseToks.updated(p, s"yy$p").mkString(" "))
+    }
+    val candDf = (Seq(baseText) ++ candTexts).zipWithIndex
+      .map { case (tx, i) => (i.toLong, tx) }.toDF("id", "text")
+    val sigRows = graft.ext.Dedup
+      .minhashSignatures(candDf, col("id"), col("text"))
+      .select(col("doc"), col("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    val bandRows = graft.ext.Dedup
+      .minhashSignatures(candDf, col("id"), col("text"))
+      .select(col("doc"),
+        posexplode(graft.ext.Dedup.bandHashes(col("sig")))
+          .as(Seq("band", "bh")))
+      .as[(Long, Int, String)].collect()
+    val aBands = bandRows.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    def estJ(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    val aSig = sigRows(0L)
+    // per band of A: candidates sharing that bucket AND safely below
+    // the match threshold (margin so a retained evictor never catches D)
+    val coverers = (0 until graft.ext.Dedup.NumBands).map { b =>
+      val ok = bandRows.filter(r => r._1 != 0L && r._2 == b &&
+        r._3 == aBands(b) && estJ(aSig, sigRows(r._1)) < threshold - 0.05)
+      assert(ok.nonEmpty, s"candidate pool never collides with A in band $b — " +
+        "widen the pool (hash-family precondition)")
+      ok.head._1
+    }.distinct
+    val evictorTexts = coverers.map(id => candTexts((id - 1).toInt))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(cap: Int): Set[Long] = {
+        val ms = MemoryStream[DocMsg](spark)
+        val out = NearDup.dedupNearDups(
+          ms.toDF().withWatermark("event_time", "10 seconds"),
+          threshold = threshold, maxPerBucket = cap)
+        val name = s"capneardup${System.nanoTime()}"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          ms.addData(Seq(DocMsg(t(0), 1L, baseText)))
+          q.processAllAvailable()
+          // each evictor text twice: ≥ 2 later entries per covered bucket
+          ms.addData(evictorTexts.zipWithIndex.flatMap { case (tx, i) =>
+            Seq(DocMsg(t(1), 100L + 2 * i, tx), DocMsg(t(1), 101L + 2 * i, tx))
+          })
+          q.processAllAvailable()
+          ms.addData(Seq(DocMsg(t(2), 999L, baseText))) // exact copy of A
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).select("doc_id").as[Long].collect().toSet
+      }
+      val uncapped = run(Int.MaxValue)
+      assert(uncapped.contains(1L) && !uncapped.contains(999L),
+        s"uncapped must drop the late copy: $uncapped")
+      val capped = run(2)
+      assert(capped.contains(1L), s"original must survive: $capped")
+      assert(capped.contains(999L),
+        s"cap=2 must have evicted A from every shared bucket, keeping the " +
+          s"late copy (graceful degradation): $capped")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("scrub-before-fingerprint: docs differing only in PII spans dedup to one") {
     val ms = MemoryStream[DocMsg](spark)
     val out = Curate.curate(ms.toDF(), evalFps, "10 seconds")

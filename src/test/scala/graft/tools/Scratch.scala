@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (see .claude/skills/verify) — transient. */
+/** Dev scratchpad for ad-hoc query timing — transient. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("graft-scratch")
