@@ -92,6 +92,14 @@ object ExtQueries {
   def messyUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(messyUrlSql("div")).as("url"))
 
+  /** nDCG@10 discount weights floor(1e9·ln2/ln(r+1)+0.5), r = 1..10 —
+    * computed ONCE here and injected as literals into both the
+    * `rag_pipeline` Spark plan and its DuckDB oracle (a full
+    * recompute, so runtime ln() on each side would gamble on
+    * cross-engine libm rounding; ten constants don't). */
+  private val RagNdcgWeights: Seq[Long] = (1 to 10)
+    .map(r => math.floor(1e9 * math.log(2) / math.log(r + 1.0) + 0.5).toLong)
+
   /** The hybrid-retrieval plant construction and the three per-query
     * rankings (lexical, dense, RRF-fused top-10 with rank) shared by
     * `hybrid_rrf` and `retrieval_ndcg` — see `hybrid_rrf`'s comment
@@ -590,6 +598,22 @@ object ExtQueries {
       graft.ext.CorpusPipeline.build(Tables.documents(s, d)).packed
     },
 
+    // Incremental corpus refresh (round 12) — the production shape:
+    // day N curates ONLY the increment (id tail + its plants + cross
+    // re-fetch plants) against day-N−1's PERSISTED state tables (URL/
+    // exact-key sets, signature table, CC labels, eval shingles,
+    // survivor id-frame); the base corpus text is never rescanned and
+    // never shuffled. The oracle is the FULL RECOMPUTE over base +
+    // increment — bit-equality is the mv_refresh-style gate that the
+    // incremental algebra (state probes, canonical-mapped cross CC,
+    // eval-set extension, packing over the combined id-frame) loses
+    // nothing. See CorpusPipeline.buildIncremental for the 100 TB
+    // shape argument and the documented non-monotonic-cascade
+    // fallback.
+    "corpus_pipeline_incremental" -> { (s, d) =>
+      graft.ext.CorpusPipeline.buildIncremental(Tables.documents(s, d))
+    },
+
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
     // highest-quality member of each duplicate group, not the smallest
     // id: pairs → CC → join the (tiny) label set to per-doc quality →
@@ -833,6 +857,152 @@ object ExtQueries {
         .withColumn("fused_best",
           col("fused_ndcg_x1e6") >
             greatest(col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6")))
+    },
+
+    // RAG serving capstone (round 12) — the retrieval family chained
+    // end-to-end the way corpus_pipeline chains curation: chunking
+    // (chunk_docs' 64/48 token windows) → per-chunk vectors (parent
+    // embedding quantized, chunk_idx offset IN INTEGER SPACE — no
+    // cross-engine float arithmetic anywhere past the shared
+    // quantize1000) → lexical tf-idf retrieval over chunk text (idf
+    // weight the exact-integer (1e6·n_chunks) div df — the log-free
+    // form, so the whole chain stays bit-exact) → dense exact
+    // integer-L2 retrieval over chunk vectors → RRF fusion
+    // (Retrieval.rrfFuse) → binary-gain nDCG@10 gate over the planted
+    // relevant set. Any interface drift between two stages (a stride
+    // change, a quantization change, a rank column off by one)
+    // shifts retrieved chunk keys or metric cells and hash-fails the
+    // full-recompute oracle. Plants per query (qid < 5, j 1..3):
+    // lexical-only docs (146 tokens → 3 chunks, the 20 query terms
+    // occupying exactly positions 97-116 so chunking placement is
+    // load-bearing; vector -qq), dense-only docs (junk text; vector
+    // qq + j), both (query terms + junk; vector qq + 2j). Relevance =
+    // parent doc in a plant id range — chunk-level retrieval scored
+    // doc-level, the standard RAG judgment. 100 TB shape: chunking
+    // and chunk vectors ride the corpus scan (one checkpointed seam);
+    // lexical is the (chunk, term) tf exchange with the 100-term
+    // query set broadcast; dense is one broadcast-query map-side pass
+    // (swap in the IVF probe at scale — fusion only sees per-query
+    // top-10 frames); TopKPerKey bounded heaps everywhere; the
+    // metric rides 10 rows per (query, path).
+    "rag_pipeline" -> { (s, d) =>
+      val nQ = 5; val k = 10
+      val emb = Tables.embeddings(s, d)
+      val qvec = VectorOps.quantize1000(col("embedding").cast("array<double>"))
+      val qbase = emb.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"),
+          transform(qvec, x => x + lit(10L)).as("qq"))
+        .localCheckpoint(true)
+      val qt = concat_ws(" ", transform(sequence(lit(1), lit(20)),
+        i => concat(lit("hq"), col("qid"), lit("t"), i)))
+      def junk(pfx: String, n: Int) = concat_ws(" ",
+        transform(sequence(lit(1), lit(n)),
+          kk => concat(lit(pfx), col("did"), lit("x"), kk)))
+      val withJ = qbase.select(col("qid"), col("qq"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      // --- planted docs (text side) ---
+      val lexD = withJ
+        .select(col("qid"), (lit(9100000L) + col("qid") * 10 + col("j")).as("did"))
+        .select(col("did").as("doc_id"),
+          concat(junk("zj", 96), lit(" "), qt, lit(" "), junk("zk", 30)).as("text"))
+      val denseD = withJ
+        .select(col("qid"), (lit(9200000L) + col("qid") * 10 + col("j")).as("did"))
+        .select(col("did").as("doc_id"), junk("zd", 10).as("text"))
+      val bothD = withJ
+        .select(col("qid"), (lit(9300000L) + col("qid") * 10 + col("j")).as("did"))
+        .select(col("did").as("doc_id"),
+          concat(qt, lit(" "), junk("zb", 5)).as("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(lexD).unionByName(denseD).unionByName(bothD)
+      // --- parent vectors (integer space) ---
+      val lexV = withJ.select(
+        (lit(9100000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        transform(col("qq"), x => -x).as("q"))
+      val denseV = withJ.select(
+        (lit(9200000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        transform(col("qq"), x => x + col("j")).as("q"))
+      val bothV = withJ.select(
+        (lit(9300000L) + col("qid") * 10 + col("j")).as("doc_id"),
+        transform(col("qq"), x => x + col("j") * 2).as("q"))
+      val pvecs = emb.select(col("vec_id").as("doc_id"), qvec.as("q"))
+        .unionByName(lexV).unionByName(denseV).unionByName(bothV)
+      // --- stage 1: chunking (the chunk_docs operator), ONE seam ---
+      val chunks = Packing.chunkTokens(docs, col("doc_id"),
+          TextOps.tokens(lower(col("text"))), chunkLen = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+        .localCheckpoint(true)
+      val ckey = (col("doc_id") * 1000 + col("chunk_idx")).as("ckey")
+      // --- stage 2: per-chunk vectors (parent q + chunk_idx) ---
+      val cvecs = chunks.join(pvecs, "doc_id")
+        .select(ckey, transform(col("q"), x => x + col("chunk_idx")).as("q"))
+      // --- stage 3a: lexical tf-idf over chunk text ---
+      val tf = chunks
+        .select(ckey, explode(TextOps.tokens(col("chunk_text"))).as("term"))
+        .groupBy(col("ckey"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = chunks.agg(count(lit(1)).as("n_chunks"))
+      val qterms = qbase.select(col("qid"),
+        explode(split(qt, " ")).as("term"))
+      val lexScored = tf.join(broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .groupBy(col("qid").as("query_id"), col("ckey"))
+        .agg(sum(col("tf") *
+          expr("(1000000 * n_chunks) div df")).as("score"))
+      val wq = Window.partitionBy("query_id")
+      val lexRank = graft.plans.TopKPerKey.perKey(lexScored,
+          keys = Seq(col("query_id")),
+          order = Seq(col("score").desc, col("ckey")), k = k)
+        .select(col("query_id"), col("ckey").as("doc_id"),
+          row_number().over(wq.orderBy(col("score").desc, col("ckey")))
+            .as("rank"))
+      // --- stage 3b: dense exact integer-L2 over chunk vectors ---
+      val denseScored = cvecs.crossJoin(
+          broadcast(qbase.select(col("qid"), col("qq"))))
+        .select(col("qid").as("query_id"), col("ckey").as("doc_id"),
+          VectorOps.idist2(col("q"), col("qq")).as("d2"))
+      val denseRank = graft.plans.TopKPerKey.perKey(denseScored,
+          keys = Seq(col("query_id")),
+          order = Seq(col("d2"), col("doc_id")), k = k)
+        .select(col("query_id"), col("doc_id"),
+          row_number().over(wq.orderBy(col("d2"), col("doc_id"))).as("rank"))
+      // --- stage 4: RRF fusion; stage 5: nDCG@10 gate ---
+      val fused = Retrieval.rrfFuse(Seq(lexRank, denseRank), k = k)
+        .withColumn("rank", row_number().over(
+          wq.orderBy(col("rrf_x1e12").desc, col("doc_id"))))
+        .localCheckpoint(true)
+      val isRel = col("doc_id") >= 9100000L * 1000 &&
+        col("doc_id") < 9400000L * 1000
+      // Discount weights floor(1e9·ln2/ln(r+1)+0.5) precomputed as ten
+      // literals (injected into BOTH engines from this one list — the
+      // oracle is a full recompute here, so runtime ln() on each side
+      // would gamble on cross-engine libm rounding).
+      val wArr = RagNdcgWeights
+      val w = element_at(typedLit(wArr), col("rank").cast("int"))
+      val idcg = wArr.sum
+      def ndcg(r: DataFrame, nm: String) = r.groupBy(col("query_id"))
+        .agg(sum(when(isRel, w).otherwise(0L)).as("dcg"))
+        .selectExpr("query_id",
+          s"(2 * 1000000 * dcg + $idcg) div (2 * $idcg) AS $nm")
+      val cells = ndcg(lexRank, "lex_ndcg_x1e6")
+        .join(ndcg(denseRank, "dense_ndcg_x1e6"), "query_id")
+        .join(ndcg(fused, "fused_ndcg_x1e6"), "query_id")
+      // split ckey back into (parent doc, chunk) BEFORE the renaming
+      // select — a one-step select would resolve the later col
+      // references to the fresh "doc_id" alias (the quote-plant
+      // lateral-alias lesson).
+      fused.join(broadcast(cells), "query_id")
+        .withColumn("parent_doc", expr("doc_id div 1000"))
+        .withColumn("cidx", pmod(col("doc_id"), lit(1000L)))
+        .withColumn("rel", isRel)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("parent_doc").as("doc_id"), col("cidx").as("chunk_idx"),
+          col("rrf_x1e12"), col("n_paths"), col("rel").as("is_rel"),
+          col("lex_ndcg_x1e6"), col("dense_ndcg_x1e6"),
+          col("fused_ndcg_x1e6"),
+          (col("fused_ndcg_x1e6") >= greatest(col("lex_ndcg_x1e6"),
+            col("dense_ndcg_x1e6"))).as("fused_ok"))
     },
 
     // Percolation / reverse search (round 11) — the alerting
@@ -2553,6 +2723,155 @@ object ExtQueries {
        |pairs AS (SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5)""".stripMargin
   }
 
+
+  /** The corpus_pipeline full-recompute CTE cascade — planted corpus,
+    * quality rules, URL canonicalization (url_dedup's regex chain),
+    * exact-text QUALIFY, the shared minhash machinery over the
+    * stage-3 survivors (minhashChainCtes + recursive CC),
+    * contamination split/threshold, mixture keep test, pack window.
+    * With `cross = true` the planted corpus also carries the four
+    * cross-boundary re-fetch families over the base slice (doc_id %
+    * 10 = 0, id ≤ ⌊4·max/5⌋) — making the SAME cascade the
+    * full-recompute EQUIVALENCE oracle for buildIncremental (the
+    * mv_refresh convention: the incremental Spark plan must equal the
+    * recompute bit-for-bit). The 12e9 messy-URL CASE branch is inert
+    * when cross = false (no such ids exist). */
+  private def corpusPipelineOracle(cross: Boolean): String = {
+    val cutSub = "(SELECT 4 * max(doc_id) // 5 FROM documents)"
+    val crossAug =
+      if (!cross) ""
+      else s"""
+         |  UNION ALL
+         |  SELECT doc_id + 8000000000, text, source FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id <= $cutSub
+         |  UNION ALL
+         |  SELECT doc_id + 9000000000,
+         |         array_to_string(list_slice(toks, 1, greatest(len(toks) - 4, 1)), ' '),
+         |         source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
+         |  WHERE doc_id % 10 = 0 AND doc_id <= $cutSub
+         |  UNION ALL
+         |  SELECT doc_id + 12000000000, text, source FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id <= $cutSub
+         |  UNION ALL
+         |  SELECT doc_id + 13000000000,
+         |         array_to_string(toks[1:20], ' ') || ' ' ||
+         |         array_to_string(list_transform(generate_series(1, 20),
+         |           k -> 'zr' || CAST(doc_id AS VARCHAR) || 'x' || CAST(k AS VARCHAR)), ' '),
+         |         source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
+         |  WHERE doc_id % 10 = 0 AND doc_id <= $cutSub""".stripMargin
+    // MATERIALIZED: DuckDB inlines plain CTEs into every reference, so
+    // the downstream cascade (minhash chain + recursive CC + shingle
+    // stages all reading `aug`-derived frames) would otherwise expand
+    // into hundreds of parallel `documents` parquet scans — with the
+    // cross plants that exhausted the checker process's fd limit
+    // (observed: "Too many open files" at 14 textual refs × inlining ×
+    // 32 threads). Materializing the planted corpus once is also what
+    // the Spark side does (localCheckpoint on base).
+    s"""WITH RECURSIVE
+         |aug AS MATERIALIZED (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000, array_to_string(toks[1:2], ' '), source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
+         |  UNION ALL
+         |  SELECT doc_id + 5000000000, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 6000000000, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000,
+         |         array_to_string(list_slice(toks, 1, greatest(len(toks) - 3, 1)), ' '),
+         |         source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
+         |  UNION ALL
+         |  SELECT doc_id + 7000000000,
+         |         array_to_string(toks[1:20], ' ') || ' ' ||
+         |         array_to_string(list_transform(generate_series(1, 20),
+         |           k -> 'zq' || CAST(doc_id AS VARCHAR) || 'x' || CAST(k AS VARCHAR)), ' '),
+         |         source
+         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)$crossAug),
+         |qr AS (SELECT doc_id, text, source,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(length(array_to_string(toks, '')) AS BIGINT) AS char_sum,
+         |         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) AS BIGINT) AS text_len
+         |       FROM (SELECT doc_id, text, source, $ToksSql AS toks FROM aug)),
+         |s1 AS (SELECT doc_id, text, source FROM qr
+         |       WHERE NOT ((n_words < 5) OR (n_words > 50000)
+         |         OR (n_words > 0 AND (CAST(char_sum AS DOUBLE) / n_words < 2.0
+         |                              OR CAST(char_sum AS DOUBLE) / n_words > 15.0))
+         |         OR (text_len > 0 AND CAST(n_punct AS DOUBLE) / text_len > 0.2))),
+         |s2u AS (SELECT doc_id, text, source,
+         |          CASE WHEN doc_id >= 5000000000 AND doc_id < 6000000000
+         |            THEN 'HTTPS://WWW.Site' || CAST((doc_id - 5000000000) % 7 AS VARCHAR)
+         |                 || '.COM:80/p/' || CAST(doc_id - 5000000000 AS VARCHAR)
+         |          WHEN doc_id >= 12000000000 AND doc_id < 13000000000
+         |            THEN 'HTTPS://WWW.Site' || CAST((doc_id - 12000000000) % 7 AS VARCHAR)
+         |                 || '.COM:80/p/' || CAST(doc_id - 12000000000 AS VARCHAR)
+         |            ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         |                 || '.com/p/' || CAST(doc_id AS VARCHAR) END AS url
+         |        FROM s1),
+         |s2n AS (SELECT doc_id, text, source,
+         |          regexp_replace(regexp_replace(
+         |            lower(regexp_extract(t, '^([^/]*)', 1)),
+         |            ':(80|443)$$', ''), '^www\\.', '') ||
+         |          regexp_replace(regexp_replace(t, '^[^/]*', ''), '/$$', '') AS canon
+         |        FROM (SELECT doc_id, text, source,
+         |                regexp_replace(regexp_replace(regexp_replace(url,
+         |                  '#.*$$', ''), '\\?.*$$', ''), '(?i)^https?://', '') AS t
+         |              FROM s2u)),
+         |s2 AS (SELECT doc_id, text, source FROM s2n
+         |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canon)),
+         |s3c AS MATERIALIZED (SELECT doc_id, text, source FROM s2
+         |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY lower(trim(text)))),
+         |corpus AS MATERIALIZED (SELECT doc_id, text FROM s3c),
+         |$minhashChainCtes,
+         |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, d FROM und
+         |  UNION
+         |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
+         |lbl AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node),
+         |losers AS (SELECT node FROM lbl WHERE node <> group_id),
+         |s4 AS (SELECT doc_id, text, source FROM s3c
+         |       WHERE doc_id NOT IN (SELECT node FROM losers)),
+         |u5 AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+         |       FROM (SELECT doc_id, $ToksSql AS toks FROM s4)),
+         |sh5 AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win5, lead(w,2) OVER win5) AS s,
+         |               lead(w,2) OVER win5 AS w2
+         |        FROM u5 WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos)),
+         |hv5 AS (SELECT doc_id,
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 AS shard,
+         |          CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+         |        FROM sh5 WHERE w2 IS NOT NULL),
+         |ev5 AS (SELECT DISTINCT h FROM hv5 WHERE shard < 2),
+         |tr5 AS (SELECT DISTINCT doc_id, h FROM hv5 WHERE shard >= 2),
+         |bad5 AS (SELECT tr5.doc_id FROM tr5 LEFT JOIN ev5 ON ev5.h = tr5.h
+         |         GROUP BY tr5.doc_id
+         |         HAVING 5 * sum(CASE WHEN ev5.h IS NOT NULL THEN 1 ELSE 0 END) >= count(*)),
+         |s5 AS (SELECT doc_id, text, source FROM s4
+         |       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 >= 2
+         |         AND doc_id NOT IN (SELECT doc_id FROM bad5)),
+         |w6 AS (SELECT source AS stratum,
+         |              (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 200 AS permille
+         |       FROM (SELECT DISTINCT source FROM s5)),
+         |s6 AS (SELECT doc_id, text FROM s5 JOIN w6 ON s5.source = w6.stratum
+         |       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |             < permille * 1152921504606846 + (permille * 976) // 1000),
+         |t7 AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |       FROM s6),
+         |w7 AS (SELECT doc_id, n_tokens, h % 8 AS shard,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_toks
+         |       FROM t7)
+         |SELECT doc_id, n_tokens, shard, offset_toks,
+         |       offset_toks // 256 AS pack_seq
+         |FROM w7""".stripMargin
+  }
+
   private def minhashOracle: String =
     s"WITH $minhashCtes\nSELECT doc_a, doc_b, est_jaccard FROM pairs"
 
@@ -2911,6 +3230,127 @@ object ExtQueries {
         |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
+    // rag_pipeline: the ORACLE IS THE FULL RECOMPUTE of the whole
+    // serving chain — chunking, integer chunk vectors, log-free
+    // integer tf-idf, 64-term literal L2 sums, exact-integer RRF,
+    // literal-weight nDCG (weights injected from the SAME Scala list
+    // the Spark plan uses). MATERIALIZED on the corpus-derived CTEs
+    // (the corpus_pipeline fd lesson).
+    "rag_pipeline" -> {
+      val ed2 = (1 to 64).map(j =>
+        s"(c.q[$j] - qv.qq[$j]) * (c.q[$j] - qv.qq[$j])").mkString(" + ")
+      val wl = RagNdcgWeights.mkString("list_value(", ", ", ")")
+      val idcg = RagNdcgWeights.sum
+      def junkSql(pfx: String, n: Int) =
+        s"""array_to_string(list_transform(generate_series(1, $n),
+           |      k -> '$pfx' || CAST(did AS VARCHAR) || 'x' || CAST(k AS VARCHAR)), ' ')""".stripMargin
+      s"""WITH
+         |qb AS MATERIALIZED (SELECT vec_id AS qid,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) + 10) AS qq
+         |  FROM embeddings WHERE vec_id < 5),
+         |qt AS (SELECT qid, array_to_string(list_transform(generate_series(1, 20),
+         |    i -> 'hq' || CAST(qid AS VARCHAR) || 't' || CAST(i AS VARCHAR)), ' ') AS qtext
+         |  FROM qb),
+         |wj AS (SELECT qb.qid, qb.qq, r.j FROM qb CROSS JOIN range(1, 4) r(j)),
+         |lexd AS (SELECT did AS doc_id,
+         |    ${junkSql("zj", 96)} || ' ' || qtext || ' ' || ${junkSql("zk", 30)} AS text
+         |  FROM (SELECT 9100000 + qid * 10 + j AS did, qtext
+         |        FROM wj JOIN qt USING (qid))),
+         |densed AS (SELECT did AS doc_id, ${junkSql("zd", 10)} AS text
+         |  FROM (SELECT 9200000 + qid * 10 + j AS did FROM wj)),
+         |bothd AS (SELECT did AS doc_id, qtext || ' ' || ${junkSql("zb", 5)} AS text
+         |  FROM (SELECT 9300000 + qid * 10 + j AS did, qtext
+         |        FROM wj JOIN qt USING (qid))),
+         |docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM lexd
+         |  UNION ALL SELECT doc_id, text FROM densed
+         |  UNION ALL SELECT doc_id, text FROM bothd),
+         |pv AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |    FROM embeddings
+         |  UNION ALL SELECT 9100000 + qid * 10 + j,
+         |      list_transform(qq, x -> -x) FROM wj
+         |  UNION ALL SELECT 9200000 + qid * 10 + j,
+         |      list_transform(qq, x -> x + j) FROM wj
+         |  UNION ALL SELECT 9300000 + qid * 10 + j,
+         |      list_transform(qq, x -> x + 2 * j) FROM wj),
+         |tok AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         |  FROM docs),
+         |sz AS (SELECT doc_id, toks,
+         |    CASE WHEN len(toks) <= 64 THEN 1
+         |         ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+         |  FROM tok),
+         |chunk AS MATERIALIZED (SELECT doc_id * 1000 + chunk_idx AS ckey,
+         |    doc_id, chunk_idx,
+         |    list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64) AS ctoks
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+         |        FROM sz)),
+         |cv AS MATERIALIZED (SELECT ckey,
+         |    list_transform(q, x -> x + chunk_idx) AS q
+         |  FROM chunk JOIN pv USING (doc_id)),
+         |tf AS MATERIALIZED (SELECT ckey, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT ckey, unnest(ctoks) AS term FROM chunk) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks FROM chunk),
+         |qterms AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM qt),
+         |lexsc AS (SELECT qid AS query_id, ckey,
+         |    CAST(sum(tf * ((1000000 * n_chunks) // df)) AS BIGINT) AS score
+         |  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term) CROSS JOIN tot
+         |  GROUP BY 1, 2),
+         |lexrank AS (SELECT query_id, ckey AS doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, ckey) AS rank
+         |  FROM lexsc QUALIFY rank <= 10),
+         |densesc AS (SELECT qv.qid AS query_id, c.ckey AS doc_id,
+         |    CAST($ed2 AS BIGINT) AS d2
+         |  FROM cv c CROSS JOIN qb qv),
+         |denserank AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY d2, doc_id) AS rank
+         |  FROM densesc QUALIFY rank <= 10),
+         |contrib AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c
+         |  FROM lexrank
+         |  UNION ALL SELECT query_id, doc_id, 1000000000000 // (60 + rank)
+         |  FROM denserank),
+         |fagg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_x1e12,
+         |    CAST(count(*) AS BIGINT) AS n_paths
+         |  FROM contrib GROUP BY 1, 2),
+         |fused AS (SELECT query_id, doc_id, rrf_x1e12, n_paths,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY rrf_x1e12 DESC, doc_id) AS rank
+         |  FROM fagg QUALIFY rank <= 10),
+         |lexdcg AS (SELECT query_id, CAST(sum(CASE
+         |    WHEN doc_id >= 9100000000 AND doc_id < 9400000000
+         |    THEN ($wl)[rank] ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM lexrank GROUP BY 1),
+         |densedcg AS (SELECT query_id, CAST(sum(CASE
+         |    WHEN doc_id >= 9100000000 AND doc_id < 9400000000
+         |    THEN ($wl)[rank] ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM denserank GROUP BY 1),
+         |fuseddcg AS (SELECT query_id, CAST(sum(CASE
+         |    WHEN doc_id >= 9100000000 AND doc_id < 9400000000
+         |    THEN ($wl)[rank] ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM fused GROUP BY 1),
+         |cells AS (SELECT l.query_id,
+         |    CAST((2 * 1000000 * l.dcg + $idcg) // (2 * $idcg) AS BIGINT) AS lex_ndcg_x1e6,
+         |    CAST((2 * 1000000 * d.dcg + $idcg) // (2 * $idcg) AS BIGINT) AS dense_ndcg_x1e6,
+         |    CAST((2 * 1000000 * f.dcg + $idcg) // (2 * $idcg) AS BIGINT) AS fused_ndcg_x1e6
+         |  FROM lexdcg l JOIN densedcg d ON d.query_id = l.query_id
+         |  JOIN fuseddcg f ON f.query_id = l.query_id)
+         |SELECT f.query_id, CAST(f.rank AS BIGINT) AS rank,
+         |  f.doc_id // 1000 AS doc_id, f.doc_id % 1000 AS chunk_idx,
+         |  f.rrf_x1e12, f.n_paths,
+         |  (f.doc_id >= 9100000000 AND f.doc_id < 9400000000) AS is_rel,
+         |  c.lex_ndcg_x1e6, c.dense_ndcg_x1e6, c.fused_ndcg_x1e6,
+         |  (c.fused_ndcg_x1e6 >= greatest(c.lex_ndcg_x1e6, c.dense_ndcg_x1e6))
+         |    AS fused_ok
+         |FROM fused f JOIN cells c ON c.query_id = f.query_id""".stripMargin
+    },
+
     // corpus_report: same one-scan rollup + corpus-wide text-key dup
     // counts.
     "corpus_report" ->
@@ -3222,110 +3662,12 @@ object ExtQueries {
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
 
-    // corpus_pipeline: the full chain replayed as one CTE cascade —
-    // planted corpus, quality rules, URL canonicalization (url_dedup's
-    // regex chain), exact-text QUALIFY, the shared minhash machinery
-    // over the stage-3 survivors (minhashChainCtes + recursive CC),
-    // contamination split/threshold, mixture keep test, pack window.
-    "corpus_pipeline" ->
-      s"""WITH RECURSIVE
-         |aug AS (
-         |  SELECT doc_id, text, source FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 2000000000, array_to_string(toks[1:2], ' '), source
-         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
-         |  UNION ALL
-         |  SELECT doc_id + 5000000000, text, source FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 6000000000, text, source FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000000,
-         |         array_to_string(list_slice(toks, 1, greatest(len(toks) - 3, 1)), ' '),
-         |         source
-         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)
-         |  UNION ALL
-         |  SELECT doc_id + 7000000000,
-         |         array_to_string(toks[1:20], ' ') || ' ' ||
-         |         array_to_string(list_transform(generate_series(1, 20),
-         |           k -> 'zq' || CAST(doc_id AS VARCHAR) || 'x' || CAST(k AS VARCHAR)), ' '),
-         |         source
-         |  FROM (SELECT doc_id, $ToksSql AS toks, source FROM documents)),
-         |qr AS (SELECT doc_id, text, source,
-         |         CAST(len(toks) AS BIGINT) AS n_words,
-         |         CAST(length(array_to_string(toks, '')) AS BIGINT) AS char_sum,
-         |         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
-         |         CAST(length(text) AS BIGINT) AS text_len
-         |       FROM (SELECT doc_id, text, source, $ToksSql AS toks FROM aug)),
-         |s1 AS (SELECT doc_id, text, source FROM qr
-         |       WHERE NOT ((n_words < 5) OR (n_words > 50000)
-         |         OR (n_words > 0 AND (CAST(char_sum AS DOUBLE) / n_words < 2.0
-         |                              OR CAST(char_sum AS DOUBLE) / n_words > 15.0))
-         |         OR (text_len > 0 AND CAST(n_punct AS DOUBLE) / text_len > 0.2))),
-         |s2u AS (SELECT doc_id, text, source,
-         |          CASE WHEN doc_id >= 5000000000 AND doc_id < 6000000000
-         |            THEN 'HTTPS://WWW.Site' || CAST((doc_id - 5000000000) % 7 AS VARCHAR)
-         |                 || '.COM:80/p/' || CAST(doc_id - 5000000000 AS VARCHAR)
-         |            ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
-         |                 || '.com/p/' || CAST(doc_id AS VARCHAR) END AS url
-         |        FROM s1),
-         |s2n AS (SELECT doc_id, text, source,
-         |          regexp_replace(regexp_replace(
-         |            lower(regexp_extract(t, '^([^/]*)', 1)),
-         |            ':(80|443)$$', ''), '^www\\.', '') ||
-         |          regexp_replace(regexp_replace(t, '^[^/]*', ''), '/$$', '') AS canon
-         |        FROM (SELECT doc_id, text, source,
-         |                regexp_replace(regexp_replace(regexp_replace(url,
-         |                  '#.*$$', ''), '\\?.*$$', ''), '(?i)^https?://', '') AS t
-         |              FROM s2u)),
-         |s2 AS (SELECT doc_id, text, source FROM s2n
-         |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canon)),
-         |s3c AS (SELECT doc_id, text, source FROM s2
-         |        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY lower(trim(text)))),
-         |corpus AS (SELECT doc_id, text FROM s3c),
-         |$minhashChainCtes,
-         |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |        UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT s, d FROM und
-         |  UNION
-         |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
-         |lbl AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node),
-         |losers AS (SELECT node FROM lbl WHERE node <> group_id),
-         |s4 AS (SELECT doc_id, text, source FROM s3c
-         |       WHERE doc_id NOT IN (SELECT node FROM losers)),
-         |u5 AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
-         |       FROM (SELECT doc_id, $ToksSql AS toks FROM s4)),
-         |sh5 AS (SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER win5, lead(w,2) OVER win5) AS s,
-         |               lead(w,2) OVER win5 AS w2
-         |        FROM u5 WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos)),
-         |hv5 AS (SELECT doc_id,
-         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 AS shard,
-         |          CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
-         |        FROM sh5 WHERE w2 IS NOT NULL),
-         |ev5 AS (SELECT DISTINCT h FROM hv5 WHERE shard < 2),
-         |tr5 AS (SELECT DISTINCT doc_id, h FROM hv5 WHERE shard >= 2),
-         |bad5 AS (SELECT tr5.doc_id FROM tr5 LEFT JOIN ev5 ON ev5.h = tr5.h
-         |         GROUP BY tr5.doc_id
-         |         HAVING 5 * sum(CASE WHEN ev5.h IS NOT NULL THEN 1 ELSE 0 END) >= count(*)),
-         |s5 AS (SELECT doc_id, text, source FROM s4
-         |       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 >= 2
-         |         AND doc_id NOT IN (SELECT doc_id FROM bad5)),
-         |w6 AS (SELECT source AS stratum,
-         |              (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 200 AS permille
-         |       FROM (SELECT DISTINCT source FROM s5)),
-         |s6 AS (SELECT doc_id, text FROM s5 JOIN w6 ON s5.source = w6.stratum
-         |       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-         |             < permille * 1152921504606846 + (permille * 976) // 1000),
-         |t7 AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
-         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         |       FROM s6),
-         |w7 AS (SELECT doc_id, n_tokens, h % 8 AS shard,
-         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_toks
-         |       FROM t7)
-         |SELECT doc_id, n_tokens, shard, offset_toks,
-         |       offset_toks // 256 AS pack_seq
-         |FROM w7""".stripMargin,
+    "corpus_pipeline" -> corpusPipelineOracle(cross = false),
+
+    // corpus_pipeline_incremental: the ORACLE IS THE FULL RECOMPUTE over
+    // base + increment + cross re-fetch plants — the equivalence gate for
+    // the never-rescan-the-base incremental plan (see corpusPipelineOracle).
+    "corpus_pipeline_incremental" -> corpusPipelineOracle(cross = true),
     "token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
