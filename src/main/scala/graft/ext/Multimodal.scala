@@ -473,6 +473,186 @@ object Multimodal {
     b
   }
 
+  /** A parsed AVI payload: header dims + raw 8-bit grayscale frames. */
+  case class VideoClip(width: Int, height: Int, nFrames: Int,
+      frames: Array[Array[Byte]])
+
+  /** Codec-free AVI (RIFF) parse — REAL container walking like
+    * [[parseWav]]: "RIFF"+size+"AVI ", then a top-level chunk walk;
+    * LIST "hdrl" is walked for the 56-byte "avih" main header
+    * (dwWidth/dwHeight at offsets 32/36, dwTotalFrames at 16); LIST
+    * "movi" yields the uncompressed frame chunks ("00db" = stream-0
+    * uncompressed DIB per the AVI spec; here 8-bit grayscale, one
+    * byte per pixel). Unknown chunks and LISTs skip cleanly with RIFF
+    * word alignment. None for anything that isn't this shape — a
+    * lake-scale video sweep must not die on a compressed clip. */
+  def parseAvi(bytes: Array[Byte]): Option[VideoClip] = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def le32(o: Int): Long =
+      (u(o) | (u(o + 1) << 8) | (u(o + 2) << 16) | (u(o + 3).toLong << 24)) & 0xffffffffL
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var w = 0; var h = 0; var declared = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = tag(o)
+      val sz = le32(o + 4).toInt
+      if (o + 8 + sz > bytes.length) return None // truncated chunk
+      if (id == "LIST" && sz >= 4) {
+        val form = tag(o + 8)
+        if (form == "hdrl") {
+          // walk the header list for avih
+          var p = o + 12
+          val end = o + 8 + sz
+          while (p + 8 <= end) {
+            val cid = tag(p)
+            val csz = le32(p + 4).toInt
+            if (cid == "avih" && csz >= 40) {
+              declared = le32(p + 8 + 16).toInt
+              w = le32(p + 8 + 32).toInt
+              h = le32(p + 8 + 36).toInt
+            }
+            p += 8 + csz + (csz & 1)
+          }
+        } else if (form == "movi") {
+          var p = o + 12
+          val end = o + 8 + sz
+          while (p + 8 <= end) {
+            val cid = tag(p)
+            val csz = le32(p + 4).toInt
+            if (cid == "00db" && p + 8 + csz <= bytes.length)
+              frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + csz)
+            p += 8 + csz + (csz & 1)
+          }
+        }
+      }
+      o += 8 + sz + (sz & 1)
+    }
+    if (w <= 0 || h <= 0 || frames.isEmpty) None
+    else if (frames.exists(_.length != w * h)) None
+    else if (declared != frames.length) None // index/header disagree
+    else Some(VideoClip(w, h, frames.length, frames.toArray))
+  }
+
+  /** Exact-integer features of one SAMPLED video frame: luminance sum
+    * and peak over the decoded bytes, plus a position-weighted content
+    * key Σ px(p)·(p+7)³ — commutative integer terms both engines can
+    * fold, discriminative enough that equal keys mean equal frames
+    * for matching purposes (max value ≈ 3e11, BIGINT-safe). */
+  case class VideoFrameFeatures(
+      doc_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      frame_idx: Long,
+      lum_sum: Long,
+      lum_peak: Long,
+      frame_key: Long)
+
+  /** Per-sampled-frame features through the same batched mapPartitions
+    * seam as [[audioStats]] — frame pixels never leave the task; every
+    * `stride`-th frame is sampled (the serving pattern: hash/stat a
+    * sparse frame subset, not the whole clip), so output is
+    * O(rows · frames/stride) fixed-width integers however large the
+    * frames are. Undecodable payloads surface as one decoded=false
+    * row. */
+  def videoFrameStats(spark: SparkSession, withPayloads: DataFrame,
+      stride: Int = 2): Dataset[VideoFrameFeatures] = {
+    import spark.implicits._
+    withPayloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseAvi(bytes) match {
+          case Some(VideoClip(w, h, n, frames)) =>
+            (0 until n by stride).iterator.map { f =>
+              val px = frames(f)
+              var sum = 0L; var peak = 0L; var key = 0L
+              var p = 0
+              while (p < px.length) {
+                val v = (px(p) & 0xff).toLong
+                sum += v
+                if (v > peak) peak = v
+                val q = (p + 7).toLong
+                key += v * q * q * q
+                p += 1
+              }
+              VideoFrameFeatures(id, decoded = true, w, h, n.toLong,
+                f.toLong, sum, peak, key)
+            }
+          case None =>
+            Iterator.single(VideoFrameFeatures(id, decoded = false,
+              0, 0, 0L, 0L, 0L, 0L, 0L))
+        }
+      })
+  }
+
+  /** The synthWav of video: a deterministic RIFF AVI whose 16×16
+    * 8-bit grayscale frames derive from md5Long60 in 7-byte groups —
+    * pixel p of ABSOLUTE frame f is byte (p mod 7) of
+    * md5Long60("av:<seed>:<f>:<p/7>"), so DuckDB re-derives every
+    * sampled frame's exact stats with generate_series + md5 (the
+    * audio_stats convention). `frameOffset` shifts which absolute
+    * frames the clip carries: a trimmed re-upload of clip `seed`
+    * regenerates the SAME pixel content for the shared frames —
+    * content-key matching then finds the copy from decoded bytes
+    * alone. `junkList` prepends an odd-sized unknown LIST to force
+    * the walker's skip + word-align path. */
+  def synthAvi(seed: Long, nFrames: Int, frameOffset: Int = 0,
+      junkList: Boolean = false): Array[Byte] = {
+    val w = 16; val h = 16
+    val frameBytes = w * h
+    val hdrlSz = 4 + 8 + 56 // "hdrl" + avih header + payload
+    val junk = if (junkList) 8 + 4 + 3 + 1 else 0 // LIST + form + odd + pad
+    val moviSz = 4 + nFrames * (8 + frameBytes)
+    val size = 12 + (8 + hdrlSz) + junk + (8 + moviSz)
+    val b = new Array[Byte](size)
+    def le16(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    }
+    def le32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(b, o)
+    tag(0, "RIFF"); le32(4, size - 8); tag(8, "AVI ")
+    var o = 12
+    tag(o, "LIST"); le32(o + 4, hdrlSz); tag(o + 8, "hdrl")
+    tag(o + 12, "avih"); le32(o + 16, 56)
+    val a = o + 20
+    le32(a, 33333) // dwMicroSecPerFrame (~30 fps)
+    le32(a + 16, nFrames) // dwTotalFrames
+    le32(a + 24, 1) // dwStreams
+    le32(a + 28, frameBytes) // dwSuggestedBufferSize
+    le32(a + 32, w); le32(a + 36, h)
+    o += 8 + hdrlSz
+    if (junkList) {
+      // declared size 7 (form + 3 data bytes) is ODD — the walker must
+      // add the RIFF pad byte to land on the movi LIST
+      tag(o, "LIST"); le32(o + 4, 4 + 3)
+      tag(o + 8, "jnk "); b(o + 12) = 1; b(o + 13) = 2; b(o + 14) = 3
+      o += junk
+    }
+    tag(o, "LIST"); le32(o + 4, moviSz); tag(o + 8, "movi")
+    o += 12
+    var fl = 0
+    while (fl < nFrames) {
+      tag(o, "00db"); le32(o + 4, frameBytes)
+      val f = fl + frameOffset
+      var p = 0
+      while (p < frameBytes) {
+        val grp = md5Long60(s"av:$seed:$f:${p / 7}")
+        b(o + 8 + p) = ((grp >> (8 * (p % 7))) & 0xffL).toByte
+        p += 1
+      }
+      o += 8 + frameBytes
+      fl += 1
+    }
+    b
+  }
+
   /** First 60 bits of md5 as a nonnegative long — the plain-JVM twin
     * of Dedup.md5Hash60 (`CAST('0x' || substr(md5(s), 1, 15) AS
     * BIGINT)`): big-endian first 8 digest bytes, top 60 kept. */

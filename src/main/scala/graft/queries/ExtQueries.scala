@@ -1216,6 +1216,76 @@ object ExtQueries {
             .as("clip_x1e6"))
     },
 
+    // Video multimodal column (round 12) — the third modality: a REAL
+    // RIFF AVI container walk (LIST hdrl → avih dims, LIST movi →
+    // uncompressed 00db frames — Multimodal.parseAvi, the parseWav
+    // twin) over deterministic synthetic clips whose 16×16 grayscale
+    // frames derive from md5Long60 in 7-byte groups, so the oracle
+    // regenerates every sampled frame's exact stats (the audio_stats
+    // convention — full hash oracle on really-decoded bytes). Every
+    // stride=2-th frame is sampled (the serving pattern); docs % 3
+    // carry text bytes and surface as decoded=false rows (the sweep
+    // must not die on a compressed clip). 100 TB shape: decode +
+    // stats ride the mapPartitions batch seam — pixels never leave
+    // the task; output is fixed-width integers per sampled frame.
+    "video_framestats" -> { (s, d) =>
+      import s.implicits._
+      val pay = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(11L)) === 0)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val bytes =
+            if (id % 3 == 0) text.getBytes("UTF-8")
+            else Multimodal.synthAvi(id, nFrames = 6 + (id % 5).toInt,
+              junkList = id % 4 == 0)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      Multimodal.videoFrameStats(s, pay, stride = 2).toDF()
+        .select(col("doc_id"), col("decoded"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames"), col("frame_idx"), col("lum_sum"),
+          col("lum_peak"), col("frame_key"))
+    },
+
+    // Video near-dup / trimmed-re-upload detection (round 12) — the
+    // image_neardup counterpart one modality up: half the clips get a
+    // re-upload with the first two frames trimmed (same pixel
+    // content, new container, new id), and matching runs on CONTENT
+    // keys computed from the decoded bytes of the sampled frames —
+    // an equality join on the frame key (the inverted-index shape:
+    // at scale the key join is a hash shuffle on fixed-width longs,
+    // never pixels), ≥ 2 shared sampled frames ⇒ a pair. The oracle
+    // regenerates both sides' frame keys and replays the same join.
+    "video_neardup" -> { (s, d) =>
+      import s.implicits._
+      val pay = Tables.documents(s, d).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(11L)) === 0 &&
+          pmod(col("doc_id"), lit(3L)) =!= 0)
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val n = 6 + (id % 5).toInt
+          val orig = (id, Multimodal.synthAvi(id, n))
+          if (id % 2 == 0)
+            Iterator(orig,
+              (id + 14000000000L,
+                Multimodal.synthAvi(id, n - 2, frameOffset = 2)))
+          else Iterator(orig)
+        }).toDF("doc_id", "payload")
+      val fs = Multimodal.videoFrameStats(s, pay, stride = 2).toDF()
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("frame_key"))
+        .localCheckpoint(true)
+      val copies = fs.filter(col("doc_id") >= 14000000000L)
+        .withColumnRenamed("doc_id", "copy_doc")
+      val origs = fs.filter(col("doc_id") < 14000000000L)
+        .withColumnRenamed("doc_id", "orig_doc")
+      copies.join(origs, "frame_key")
+        .groupBy(col("copy_doc"), col("orig_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    },
+
     // Truncated-dimension retrieval (round 11) — the Matryoshka
     // serving question (Kusupati et al. 2022: MRL embeddings let you
     // serve a PREFIX of the vector): how much recall does top-10
@@ -3453,6 +3523,72 @@ object ExtQueries {
         |            ELSE (2 * 1000000 * a.n_clipped + a.n_samples)
         |                 // (2 * a.n_samples) END AS clip_x1e6
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // video_framestats / video_neardup: regenerate every sampled
+    // frame's pixel bytes from the shared md5 formula (7-byte groups,
+    // the synthAvi generator) and fold the same exact-integer stats /
+    // content keys — full hash oracles over really-decoded frames.
+    "video_framestats" -> {
+      // byte bi of group gg is (v >> 8·bi) & 255, valid while the pixel
+      // index gg·7+bi < 256; weight for the content key is (p+7)³
+      def b(bi: Int) = s"CASE WHEN gg * 7 + $bi < 256 THEN (v >> ${8 * bi}) & 255 ELSE 0 END"
+      def wk(bi: Int) =
+        s"CASE WHEN gg * 7 + $bi < 256 THEN ((v >> ${8 * bi}) & 255) * " +
+          s"(gg * 7 + $bi + 7) * (gg * 7 + $bi + 7) * (gg * 7 + $bi + 7) ELSE 0 END"
+      val sumT = (0 to 6).map(b).mkString(" + ")
+      val peakT = (0 to 6).map(b).mkString("greatest(", ", ", ")")
+      val keyT = (0 to 6).map(wk).mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, doc_id % 3 <> 0 AS dec,
+         |    6 + doc_id % 5 AS n
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |fr AS (SELECT b.doc_id, b.n, f.f
+         |  FROM base b JOIN generate_series(0, 9) f(f)
+         |    ON f.f < b.n AND f.f % 2 = 0
+         |  WHERE b.dec),
+         |gv AS (SELECT fr.doc_id, fr.n, fr.f, g.g AS gg,
+         |    CAST('0x' || substr(md5('av:' || CAST(fr.doc_id AS VARCHAR) ||
+         |      ':' || CAST(fr.f AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)),
+         |      1, 15) AS BIGINT) AS v
+         |  FROM fr CROSS JOIN generate_series(0, 36) g(g)),
+         |agg AS (SELECT doc_id, n, f,
+         |    CAST(sum($sumT) AS BIGINT) AS lum_sum,
+         |    CAST(max($peakT) AS BIGINT) AS lum_peak,
+         |    CAST(sum($keyT) AS BIGINT) AS frame_key
+         |  FROM gv GROUP BY 1, 2, 3)
+         |SELECT doc_id, TRUE AS decoded, CAST(16 AS BIGINT) AS width,
+         |  CAST(16 AS BIGINT) AS height, CAST(n AS BIGINT) AS n_frames,
+         |  CAST(f AS BIGINT) AS frame_idx, lum_sum, lum_peak, frame_key
+         |FROM agg
+         |UNION ALL
+         |SELECT doc_id, FALSE, 0, 0, 0, 0, 0, 0, 0
+         |FROM base WHERE NOT dec""".stripMargin
+    },
+
+    "video_neardup" -> {
+      def wk(bi: Int) =
+        s"CASE WHEN g.g * 7 + $bi < 256 THEN ((v >> ${8 * bi}) & 255) * " +
+          s"(g.g * 7 + $bi + 7) * (g.g * 7 + $bi + 7) * (g.g * 7 + $bi + 7) ELSE 0 END"
+      val keyT = (0 to 6).map(wk).mkString(" + ")
+      def keys(name: String, frameCond: String, doc: String) =
+        s"""$name AS (SELECT $doc AS doc, f.f,
+           |    CAST(sum($keyT) AS BIGINT) AS frame_key
+           |  FROM vids b JOIN generate_series(0, 9) f(f) ON $frameCond
+           |  CROSS JOIN generate_series(0, 36) g(g),
+           |  LATERAL (SELECT CAST('0x' || substr(md5('av:' ||
+           |    CAST(b.doc_id AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) ||
+           |    ':' || CAST(g.g AS VARCHAR)), 1, 15) AS BIGINT) AS v) x
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH vids AS (SELECT doc_id, 6 + doc_id % 5 AS n FROM documents
+         |  WHERE doc_id % 11 = 0 AND doc_id % 3 <> 0),
+         |${keys("okeys", "f.f < b.n AND f.f % 2 = 0", "b.doc_id")},
+         |${keys("ckeys",
+            "f.f >= 2 AND f.f < b.n AND f.f % 2 = 0 AND b.doc_id % 2 = 0",
+            "b.doc_id + 14000000000")}
+         |SELECT c.doc AS copy_doc, o.doc AS orig_doc,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ckeys c JOIN okeys o ON o.frame_key = c.frame_key
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    },
 
     // matryoshka_recall: three literal-sum rankings (16/32/64-dim
     // prefixes), semi-join overlap against the full-width truth.

@@ -229,4 +229,61 @@ class MultimodalSpec extends SparkSpec {
     val f2 = rows(2L)
     assert(!f2.decoded && f2.n_samples == 0L && f2.sum_sq == 0L)
   }
+
+  test("parseAvi walks a hand-built container; rejects truncation and header/frame mismatch") {
+    val bytes = Multimodal.synthAvi(7L, nFrames = 4, junkList = true)
+    // container anchors, checked at raw byte offsets: RIFF form,
+    // hdrl LIST, the avih dims
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    assert(tag(0) == "RIFF" && tag(8) == "AVI " && tag(12) == "LIST")
+    assert(tag(20) == "hdrl" && tag(24) == "avih")
+    val v = Multimodal.parseAvi(bytes).get
+    assert(v.width == 16 && v.height == 16 && v.nFrames == 4)
+    // frame pixels equal the md5Long60 7-byte-group stream — the exact
+    // formula the DuckDB oracle regenerates
+    val f2 = (0 until 256).map { pIdx =>
+      ((Multimodal.md5Long60(s"av:7:2:${pIdx / 7}") >> (8 * (pIdx % 7))) & 0xffL).toByte
+    }
+    assert(v.frames(2).toSeq == f2)
+    // truncation rejected, not mis-read
+    assert(Multimodal.parseAvi(bytes.dropRight(3)).isEmpty)
+    // declared dwTotalFrames must match the movi frame count
+    val lying = bytes.clone()
+    lying(48) = 9 // dwTotalFrames LSB (avih payload 32 + offset 16)
+    assert(Multimodal.parseAvi(lying).isEmpty)
+    assert(Multimodal.parseAvi("not a video".getBytes).isEmpty)
+  }
+
+  test("videoFrameStats: sampled-frame stats + trim-copy content keys line up") {
+    import spark.implicits._
+    val n = 7
+    val pay = Seq(
+      (1L, Multimodal.synthAvi(1L, n)),
+      (2L, Multimodal.synthAvi(1L, n - 2, frameOffset = 2)), // trimmed copy
+      (3L, "not a video at all".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.videoFrameStats(spark, pay, stride = 2).collect()
+    val orig = rows.filter(r => r.doc_id == 1L && r.decoded)
+    val copy = rows.filter(r => r.doc_id == 2L && r.decoded)
+    // orig samples local frames 0,2,4,6; copy 0,2,4 = absolute 2,4,6
+    assert(orig.map(_.frame_idx).sorted.toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(copy.map(_.frame_idx).sorted.toSeq == Seq(0L, 2L, 4L))
+    // the copy's every sampled frame key appears among the original's
+    // (content equality from decoded bytes — the video_neardup join)
+    val okeys = orig.map(_.frame_key).toSet
+    assert(copy.forall(c => okeys.contains(c.frame_key)))
+    // keys of DIFFERENT absolute frames never collide here
+    assert(okeys.size == 4)
+    // exact stats vs a driver-side fold of the generator formula
+    val px0 = (0 until 256).map { pIdx =>
+      (Multimodal.md5Long60(s"av:1:0:${pIdx / 7}") >> (8 * (pIdx % 7))) & 0xffL
+    }
+    val r0 = orig.find(_.frame_idx == 0L).get
+    assert(r0.lum_sum == px0.sum)
+    assert(r0.lum_peak == px0.max)
+    assert(r0.frame_key == px0.zipWithIndex.map { case (vv, pIdx) =>
+      vv * (pIdx + 7).toLong * (pIdx + 7) * (pIdx + 7) }.sum)
+    // undecodable payload: one total decoded=false row
+    val junk = rows.filter(_.doc_id == 3L)
+    assert(junk.length == 1 && !junk.head.decoded && junk.head.n_frames == 0L)
+  }
 }
