@@ -716,6 +716,40 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
+    // Incremental ANN serving (round 12) — the index-side counterpart
+    // of corpus_pipeline_incremental: day N's new vectors (the id
+    // tail) are assigned to the day-N−1 PERSISTED routing table
+    // (IVF-Flat centroids sampled from the BASE corpus only — frozen,
+    // never retrained), and queries serve over base ∪ increment
+    // through that same table. This is how a production vector index
+    // absorbs a daily embedding drop: assignment is one map-side
+    // expression per new vector (at 100 TB the increment writes into
+    // the same bucket partitioning the base uses — no rebuild, no
+    // base rescan); the probe path is unchanged. The oracle replays
+    // the whole construction — base-only centroid sample, full-corpus
+    // assignment against the frozen centroids, per-query 4-probe
+    // routing, bucket-pruned cosine rerank.
+    "ann_ivf_incremental" -> { (s, d) =>
+      val k = 10; val nQ = 3
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+      val cut = emb.agg((max(col("vec_id")) * 4L).as("m"))
+        .head().getLong(0) / 5L
+      val base = emb.filter(col("vec_id") <= cut).localCheckpoint(true)
+      val inc = emb.filter(col("vec_id") > cut).localCheckpoint(true)
+      // day-N−1 state: the routing table, built from base only
+      val cents = VectorOps.ivfFlatRouting(base)
+      val full = base.unionByName(inc)
+      (0 until nQ).map { qid =>
+        val qv = base.filter(col("vec_id") === qid)
+          .select(col("v").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        VectorOps.ivfFlatTopKRouted(full, cents, qv, k)
+          .select(lit(qid.toLong).as("query_id"), col("vec_id"),
+            col("cos_sim"))
+      }.reduce(_ unionByName _)
+    },
+
     // ANN retrieval-quality gate (round 10) — recall@k of BOTH
     // approximate search paths (IVF-Flat sampled-centroid, IVF-PQ ADC
     // + exact rerank) against the exact CosineSim top-k, as an
@@ -3262,6 +3296,46 @@ object ExtQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ivf_topk" -> ivfFlatOracle,
+
+    // ann_ivf_incremental: full recompute — base-only centroid sample
+    // (the frozen day-N−1 routing table), whole-corpus assignment
+    // against it, per-query probe routing, bucket-pruned rerank.
+    "ann_ivf_incremental" ->
+      s"""WITH cut AS (SELECT 4 * max(vec_id) // 5 AS c FROM embeddings),
+         |c AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings, cut WHERE vec_id <= cut.c
+         |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+         |  LIMIT ${VectorOps.IvfFlatCentroids}),
+         |dist AS (
+         |  SELECT e.vec_id, c.cid,
+         |         list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+         |                  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, cid AS bucket FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |qp AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM dist WHERE vec_id < 3) WHERE rn <= ${VectorOps.IvfFlatProbes}),
+         |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT qv.query_id, e.vec_id,
+         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv), 4) AS cos_sim
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN qp ON a.bucket = qp.cid
+         |  JOIN qv ON qv.query_id = qp.query_id)
+         |SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
 
     // ann_recall: the bound-boolean pattern — query ids and the exact
     // branch's row count replay relationally; the recall cells are

@@ -100,4 +100,41 @@ class CorpusPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental refresh: cross re-fetch plants die against state; the retro-contam sweep engages") {
+    val docs = graft.Tables.documents(spark, sf)
+    val inc = CorpusPipeline.buildIncrementalStages(docs)
+    val cut = docs.agg((max(col("doc_id")) * 4L).as("m"))
+      .head().getLong(0) / 5L
+    val packedIds = ids(inc.packed)
+    // the exact-text (+8e9) and messy-URL (+12e9) re-fetches of base
+    // pages must ALL die against the persisted key state — one
+    // surviving means a state probe silently stopped engaging
+    assert(inBand(packedIds, 8000000000L).isEmpty,
+      "an exact re-fetch of a base page survived the text-key state")
+    assert(inBand(packedIds, 12000000000L).isEmpty,
+      "a messy-URL re-fetch of a base page survived the URL-key state")
+    // near-dup re-fetches (+9e9) whose base original's signature is in
+    // the persisted table die too; allow only copies whose original
+    // never reached the signature state (dropped before near-dedup)
+    val sigDocs = ids(CorpusPipeline.build(
+      docs.filter(col("doc_id") <= cut)).afterExactDedup)
+    val nearSurvivors = inBand(packedIds, 9000000000L)
+    assert(nearSurvivors.forall(id => !sigDocs.contains(id - 9000000000L)),
+      s"near-dup re-fetches of signature-state docs survived: " +
+        s"${nearSurvivors.take(5)}")
+    // the RETRO-contamination sweep engages on this corpus: new eval
+    // shingles arriving with the increment really do retract base
+    // survivors (a vacuous sweep would pass the oracle trivially)
+    val retro = ids(inc.retroContam)
+    assert(retro.nonEmpty, "retro-contamination sweep never engaged")
+    // and it only ever retracts BASE-side ids — increment docs are
+    // handled by the increment's own contamination stage
+    assert(retro.forall(id =>
+        id <= cut || (id >= 1000000000L && id % 1000000000L <= cut)),
+      s"retro sweep retracted non-base ids: ${retro.take(5)}")
+    // retracted docs really leave the packed survivor set
+    assert(retro.intersect(packedIds).isEmpty,
+      "a retro-retracted doc still appears in the packed output")
+  }
 }
