@@ -141,4 +141,77 @@ object NightlyEtl {
     counts.map { case (n, r) => StageResult(n, r) } :+
       StageResult(sink.path, inLake)
   }
+
+  /** The nightly INCREMENTAL curation run (round 12) — the production
+    * cadence [[runCorpus]] is the bootstrap for: day N curates only
+    * the increment against day-N−1 persisted state
+    * ([[graft.ext.CorpusPipeline.buildIncremental]]) under the same
+    * retry machinery, with flow-level audits that the state probes
+    * actually ENGAGED — the counts a full recompute would use for
+    * reconciliation don't exist here (that's the point: the base is
+    * never rescanned), so the audit checks the invariants the plants
+    * guarantee instead: every exact/messy-URL re-fetch of a base page
+    * must be absent from the packed output (their keys are in the
+    * persisted state by construction), the retro-contamination sweep
+    * must retract a base-only id set that is disjoint from the packed
+    * survivors, and the packed table must be non-empty with every
+    * shard present. */
+  def runCorpusIncremental(
+      spark: SparkSession,
+      source: Source,
+      sink: LakeSink,
+      retries: Int = 3,
+      delay: FiniteDuration = 10.seconds): Seq[StageResult] = {
+
+    retry(retries, delay) {
+      require(source.probe(spark), s"source probe failed: $source")
+    }
+    retry(retries, delay) {
+      require(sink.probe(spark), s"sink probe failed: $sink")
+    }
+    val counts = retry(retries, delay) {
+      val st = graft.ext.CorpusPipeline
+        .buildIncrementalStages(source.read(spark))
+      val packed = st.packed.localCheckpoint(true)
+      val retro = st.retroContam.localCheckpoint(true)
+      val cs = Seq(
+        "inc_after_url_dedup" -> st.afterUrlDedup.count(),
+        "inc_after_exact_dedup" -> st.afterExactDedup.count(),
+        "inc_after_near_dedup" -> st.afterNearDedup.count(),
+        "inc_after_decontam" -> st.afterDecontam.count(),
+        "base_retracted" -> st.baseDrops.count(),
+        "retro_retracted" -> retro.count(),
+        "packed" -> packed.count())
+      val m = cs.toMap
+      // increment chain: monotone and non-empty
+      val chain = Seq("inc_after_url_dedup", "inc_after_exact_dedup",
+        "inc_after_near_dedup", "inc_after_decontam")
+      chain.sliding(2).foreach { w =>
+        require(m(w.last) <= m(w.head), s"stage ${w.last} grew")
+        require(m(w.last) > 0, s"stage ${w.last} emptied the increment")
+      }
+      require(m("packed") > 0, "packed output emptied")
+      // state-probe engagement: re-fetch plants of base pages carry
+      // keys that ARE in the persisted state — one surviving means a
+      // probe silently stopped engaging
+      val refetch = packed.filter(
+        (col("doc_id") >= 8000000000L && col("doc_id") < 9000000000L) ||
+          (col("doc_id") >= 12000000000L && col("doc_id") < 13000000000L))
+        .count()
+      require(refetch == 0,
+        s"$refetch re-fetch plants survived the persisted key state")
+      // the retro sweep's retractions really left the survivor set
+      val leaked = packed.join(retro, Seq("doc_id"), "left_semi").count()
+      require(leaked == 0,
+        s"$leaked retro-retracted docs still in the packed output")
+      sink.write(packed)
+      cs
+    }
+    val packedRows = counts.toMap.apply("packed")
+    val inLake = sink.read(spark).count()
+    require(inLake == packedRows,
+      s"verification failed: packed $packedRows rows, lake has $inLake")
+    counts.map { case (n, r) => StageResult(n, r) } :+
+      StageResult(sink.path, inLake)
+  }
 }

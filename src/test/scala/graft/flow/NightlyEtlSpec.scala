@@ -176,4 +176,38 @@ class NightlyEtlSpec extends SparkSpec {
       retries = 1, delay = 10.millis)
     assert(res2.map(r => r.name -> r.rows).toMap == m)
   }
+
+  test("incremental curation flow: state-probe audits + retry + partitioned lake") {
+    val dir = tmp()
+    val flaky = new graft.io.Source {
+      @volatile var failures = 1
+      def read(spark: org.apache.spark.sql.SparkSession) = {
+        if (failures > 0) { failures -= 1; sys.error("transient corpus outage") }
+        spark.read.parquet(s"$sf/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+      }
+      def readStream(spark: org.apache.spark.sql.SparkSession) =
+        sys.error("batch-only test double")
+      def probe(spark: org.apache.spark.sql.SparkSession) = true
+    }
+    val sink = LakeSink(s"$dir/packed_inc", partitionCols = Seq("shard"))
+    val res = NightlyEtl.runCorpusIncremental(spark, flaky, sink,
+      retries = 3, delay = 10.millis)
+    assert(flaky.failures == 0, "the transient failure really fired")
+    val m = res.map(r => r.name -> r.rows).toMap
+    // counts reconcile against an independent rebuild (deterministic)
+    val st = graft.ext.CorpusPipeline.buildIncrementalStages(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source")))
+    assert(m("packed") == st.packed.count())
+    assert(m("retro_retracted") == st.retroContam.count())
+    assert(m("retro_retracted") > 0, "the retro sweep must engage here")
+    // lake holds the exact packed table, shard-partitioned
+    assert(m(sink.path) == m("packed"))
+    assert(new java.io.File(s"$dir/packed_inc/shard=0").exists())
+    // idempotent re-run (K4 over the incremental flow)
+    val res2 = NightlyEtl.runCorpusIncremental(spark, flaky, sink,
+      retries = 1, delay = 10.millis)
+    assert(res2.map(r => r.name -> r.rows).toMap == m)
+  }
 }
