@@ -1039,6 +1039,80 @@ object ExtQueries {
             col("dense_ndcg_x1e6"))).as("fused_ok"))
     },
 
+    // Late-interaction retrieval (round 12) — ColBERT's MaxSim
+    // scoring (Khattab & Zaharia, SIGIR 2020): instead of one vector
+    // per document, every TOKEN carries a vector, and
+    // score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d} ⟨v(qt), v(dt)⟩ — each
+    // query token finds its best-matching document token. The missing
+    // retrieval family between pure-lexical (term equality) and
+    // pure-dense (one doc vector): soft term matching with per-token
+    // granularity. Token vectors here are md5-derived 8-dim integers
+    // (dim k of token t = md5Hash60(t':'k) % 201 − 100), so every dot
+    // product and the whole ranking is exact-integer and the oracle
+    // replays it fully. Plants per query (3 queries × j 1..3): docs
+    // carrying the query's 4 tokens verbatim, whose per-token best is
+    // ≥ the self-dot |v(qt)|² by construction — a deterministic FLOOR
+    // anchoring the score scale (with unnormalized random vectors a
+    // large vocabulary's best soft match can legitimately exceed the
+    // self-dot — real ColBERT normalizes; the ranking either way is
+    // exact and fully oracled, and is_planted records the outcome
+    // rather than assuming it). 100 TB shape:
+    // the expensive pass (token-vector dot products) rides the
+    // DISTINCT vocabulary with the 12-token query set broadcast —
+    // O(vocab · |q|) — never the corpus; the (doc, term) incidence
+    // frame joins the scored vocab and two hash aggs (max per
+    // (query, doc, qt), sum per (query, doc)) feed TopKPerKey bounded
+    // heaps. A real deployment swaps the md5 vectors for learned ones
+    // stored by token id — the plan shape is identical.
+    "colbert_maxsim" -> { (s, d) =>
+      val nQ = 3; val k = 5
+      def tokVec(t: Column): Column = transform(sequence(lit(0), lit(7)),
+        kk => pmod(Dedup.md5Hash60(concat(t, lit(":"), kk)), lit(201L))
+          - 100L)
+      // planted docs: the query's 4 tokens + 6 junk tokens
+      val qids = Tables.embeddings(s, d).filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"))
+      val qt = transform(sequence(lit(1), lit(4)),
+        i => concat(lit("cq"), col("qid"), lit("t"), i))
+      val withJ = qids.select(col("qid"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      val plantD = withJ
+        .select(col("qid"), (lit(9500000L) + col("qid") * 10 + col("j"))
+          .as("did"))
+        .select(col("did").as("doc_id"),
+          concat(concat_ws(" ", qt), lit(" "),
+            concat_ws(" ", transform(sequence(lit(1), lit(6)),
+              kk => concat(lit("cx"), col("did"), lit("x"), kk))))
+            .as("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(plantD)
+      // (doc, term) incidence — distinct, since MaxSim is max-per-qt
+      val inc = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .distinct()
+        .localCheckpoint(true)
+      // score the DISTINCT vocabulary against the 12 query tokens
+      val vocab = inc.select(col("term")).distinct()
+        .withColumn("tv", tokVec(col("term")))
+      val qterms = qids
+        .select(col("qid"), explode(qt).as("qterm"))
+        .withColumn("qv", tokVec(col("qterm")))
+      val dots = vocab.join(broadcast(qterms))
+        .select(col("qid"), col("qterm"), col("term"),
+          VectorOps.idot(col("tv"), col("qv")).as("dot"))
+      // max over the doc's tokens per query token, then sum over qts
+      val perQt = inc.join(dots, "term")
+        .groupBy(col("qid"), col("doc_id"), col("qterm"))
+        .agg(max(col("dot")).as("best"))
+      val scored = perQt.groupBy(col("qid").as("query_id"), col("doc_id"))
+        .agg(sum(col("best")).as("maxsim"))
+      graft.plans.TopKPerKey.perKey(scored, Seq(col("query_id")),
+          Seq(col("maxsim").desc, col("doc_id")), k)
+        .select(col("query_id"), col("doc_id"), col("maxsim"),
+          (col("doc_id") >= 9500000L && col("doc_id") < 9600000L)
+            .as("is_planted"))
+    },
+
     // Percolation / reverse search (round 11) — the alerting
     // primitive (Elastic's percolator): STORED queries match against
     // the document stream instead of documents against a query. Ten
@@ -3373,6 +3447,53 @@ object ExtQueries {
         |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
         |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // colbert_maxsim: full recompute — md5-derived 8-dim integer token
+    // vectors, vocab × query-token dot products, max per (query, doc,
+    // qt), sum, top-5.
+    "colbert_maxsim" ->
+      """WITH qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 3),
+        |qt AS (SELECT qid, 'cq' || CAST(qid AS VARCHAR) || 't' || CAST(i.i AS VARCHAR) AS qterm
+        |       FROM qids CROSS JOIN range(1, 5) i(i)),
+        |plant AS (SELECT did AS doc_id,
+        |    array_to_string(list_transform(generate_series(1, 4),
+        |      i -> 'cq' || CAST(qid AS VARCHAR) || 't' || CAST(i AS VARCHAR)), ' ')
+        |    || ' ' ||
+        |    array_to_string(list_transform(generate_series(1, 6),
+        |      kk -> 'cx' || CAST(did AS VARCHAR) || 'x' || CAST(kk AS VARCHAR)), ' ')
+        |      AS text
+        |  FROM (SELECT qid, 9500000 + qid * 10 + j.j AS did
+        |        FROM qids CROSS JOIN range(1, 4) j(j))),
+        |docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM plant),
+        |inc AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '')) AS term
+        |  FROM docs)),
+        |vocab AS (SELECT DISTINCT term FROM inc),
+        |qv AS (SELECT qid, qterm, k.k,
+        |    CAST('0x' || substr(md5(qterm || ':' || CAST(k.k AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 201 - 100 AS v
+        |  FROM qt CROSS JOIN range(0, 8) k(k)),
+        |tvv AS MATERIALIZED (SELECT term, k.k,
+        |    CAST('0x' || substr(md5(term || ':' || CAST(k.k AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 201 - 100 AS v
+        |  FROM vocab CROSS JOIN range(0, 8) k(k)),
+        |dots AS (SELECT q.qid, q.qterm, t.term,
+        |    CAST(sum(q.v * t.v) AS BIGINT) AS dot
+        |  FROM qv q JOIN tvv t ON t.k = q.k GROUP BY 1, 2, 3),
+        |perqt AS (SELECT d.qid, i.doc_id, d.qterm, max(d.dot) AS best
+        |  FROM inc i JOIN dots d ON d.term = i.term GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid AS query_id, doc_id,
+        |    CAST(sum(best) AS BIGINT) AS maxsim
+        |  FROM perqt GROUP BY 1, 2)
+        |SELECT query_id, doc_id, maxsim,
+        |  (doc_id >= 9500000 AND doc_id < 9600000) AS is_planted
+        |FROM (SELECT query_id, doc_id, maxsim,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY maxsim DESC, doc_id) AS rn
+        |      FROM sc) WHERE rn <= 5""".stripMargin,
 
     // rag_pipeline: the ORACLE IS THE FULL RECOMPUTE of the whole
     // serving chain — chunking, integer chunk vectors, log-free
