@@ -1633,6 +1633,55 @@ object ExtQueries {
             |  / 1000000.0 AS centroid_q""".stripMargin)
     },
 
+    // Top principal direction by power iteration (round 12) — the
+    // embedding-space diagnostic before ANN/whitening: three unrolled
+    // rounds of x ← C·x over the mean-centered quantized vectors,
+    // WITHOUT materializing the 64×64 covariance — each round is one
+    // distributed pass computing y_d = Σ_i c_i[d]·(c_i·x) (the
+    // matrix-free form; at 100 TB one map-side dot per row + one
+    // (dim)-keyed partial+final agg, the only state a 64-long model
+    // vector). Everything is exact-integer: vectors milli-quantized,
+    // the mean centered on the HALF_UP integer grid, and each round
+    // renormalizes x to scale 1000 by signed HALF_UP division by
+    // max|y| — so all three rounds and the output are bit-identical
+    // in any engine (the kmeans_train discipline: per-round model
+    // collect is 64 longs, never data). Output: (dim, comp_x1000)
+    // after round 3 — the dominant eigenvector of the centered
+    // second-moment matrix at fixed point.
+    "embed_pca_power" -> { (s, d) =>
+      val dims = 64; val rounds = 3
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorOps.quantize1000(col("embedding").cast("array<double>"))
+            .as("q"))
+        .localCheckpoint(true)
+      def sHalf(num: Long, den: Long): Long =
+        if (num >= 0) (2 * num + den) / (2 * den)
+        else -((2 * -num + den) / (2 * den))
+      // integer-grid mean per dim (model-sized collect)
+      val n = q.count()
+      val mu = q.select(posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("d")).agg(sum(col("v")).as("s"))
+        .collect().map(r => r.getInt(0) -> sHalf(r.getLong(1), n)).toMap
+      val muLit = typedLit((0 until dims).map(mu(_)))
+      val c = q.select(col("vec_id"),
+        zip_with(col("q"), muLit, (a, b) => a - b).as("c"))
+      var x: Seq[Long] = Seq.fill(dims)(1000L)
+      (1 to rounds).foreach { _ =>
+        val xLit = typedLit(x)
+        val y = c
+          .select(posexplode(col("c")).as(Seq("d", "v")),
+            VectorOps.idot(col("c"), xLit).as("dot"))
+          .groupBy(col("d")).agg(sum(col("v") * col("dot")).as("y"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val m = (0 until dims).map(d => math.abs(y(d))).max
+        x = (0 until dims).map(d => sHalf(1000L * y(d), m))
+      }
+      import s.implicits._
+      (0 until dims).map(d => ((d + 1).toLong, x(d)))
+        .toDF("dim", "comp_x1000")
+    },
+
     // Sequence packing (round 5) — every doc's shard / token offset /
     // fixed-length-sequence index in the deterministic concatenation
     // order a training loader consumes (ext.Packing: per-shard running
@@ -3447,6 +3496,42 @@ object ExtQueries {
         |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
         |       TRUE AS fused_best
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // embed_pca_power: three unrolled matrix-free power-iteration
+    // rounds over the centered quantized vectors — every round's dot,
+    // dim-sum, and signed-HALF_UP renormalization replayed exactly.
+    "embed_pca_power" -> {
+      def round(i: Int, prev: String) =
+        s"""dot$i AS (SELECT cr.vec_id, CAST(sum(cr.cv * $prev.xv) AS BIGINT) AS dot
+           |  FROM cr JOIN $prev ON $prev.d = cr.d GROUP BY 1),
+           |y$i AS (SELECT cr.d, CAST(sum(cr.cv * dot$i.dot) AS BIGINT) AS y
+           |  FROM cr JOIN dot$i USING (vec_id) GROUP BY 1),
+           |m$i AS (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y$i),
+           |x$i AS (SELECT d, CAST(CASE WHEN y >= 0
+           |    THEN (2 * 1000 * y + m) // (2 * m)
+           |    ELSE -((2 * 1000 * (-y) + m) // (2 * m)) END AS BIGINT) AS xv
+           |  FROM y$i, m$i)""".stripMargin
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |muS AS (SELECT d, CAST(sum(v) AS BIGINT) AS s FROM (
+         |    SELECT unnest(q) AS v, generate_subscripts(q, 1) AS d FROM q)
+         |  GROUP BY 1),
+         |mu AS (SELECT d, CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+         |    ELSE -((2 * (-s) + n) // (2 * n)) END AS BIGINT) AS m
+         |  FROM muS, n),
+         |cr AS MATERIALIZED (SELECT t.vec_id, t.d, t.v - mu.m AS cv FROM (
+         |    SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS d
+         |    FROM q) t JOIN mu ON mu.d = t.d),
+         |x0 AS (SELECT g.d, CAST(1000 AS BIGINT) AS xv
+         |  FROM generate_series(1, 64) g(d)),
+         |${round(1, "x0")},
+         |${round(2, "x1")},
+         |${round(3, "x2")}
+         |SELECT CAST(d AS BIGINT) AS dim, xv AS comp_x1000 FROM x3""".stripMargin
+    },
 
     // colbert_maxsim: full recompute — md5-derived 8-dim integer token
     // vectors, vocab × query-token dot products, max per (query, doc,
