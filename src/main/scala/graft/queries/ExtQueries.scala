@@ -100,6 +100,47 @@ object ExtQueries {
   private val RagNdcgWeights: Seq[Long] = (1 to 10)
     .map(r => math.floor(1e9 * math.log(2) / math.log(r + 1.0) + 0.5).toLong)
 
+  /** Three matrix-free power-iteration rounds over the mean-centered
+    * milli-quantized embeddings — shared by `embed_pca_power` (which
+    * outputs the direction) and `embed_detop` (which projects it
+    * out). Returns (centered frame (vec_id, c), the round-3 direction
+    * at scale 1000). Per-round state is 64 longs on the driver (the
+    * kmeans_train model-collect discipline); the 64×64 covariance
+    * never materializes. */
+  private def pcaPower(s: SparkSession, d: String)
+      : (DataFrame, Seq[Long]) = {
+      val dims = 64; val rounds = 3
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorOps.quantize1000(col("embedding").cast("array<double>"))
+            .as("q"))
+        .localCheckpoint(true)
+      def sHalf(num: Long, den: Long): Long =
+        if (num >= 0) (2 * num + den) / (2 * den)
+        else -((2 * -num + den) / (2 * den))
+      // integer-grid mean per dim (model-sized collect)
+      val n = q.count()
+      val mu = q.select(posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("d")).agg(sum(col("v")).as("s"))
+        .collect().map(r => r.getInt(0) -> sHalf(r.getLong(1), n)).toMap
+      val muLit = typedLit((0 until dims).map(mu(_)))
+      val c = q.select(col("vec_id"),
+        zip_with(col("q"), muLit, (a, b) => a - b).as("c"))
+        .localCheckpoint(true)
+      var x: Seq[Long] = Seq.fill(dims)(1000L)
+      (1 to rounds).foreach { _ =>
+        val xLit = typedLit(x)
+        val y = c
+          .select(posexplode(col("c")).as(Seq("d", "v")),
+            VectorOps.idot(col("c"), xLit).as("dot"))
+          .groupBy(col("d")).agg(sum(col("v") * col("dot")).as("y"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val m = (0 until dims).map(d => math.abs(y(d))).max
+        x = (0 until dims).map(d => sHalf(1000L * y(d), m))
+      }
+      (c, x)
+  }
+
   /** The hybrid-retrieval plant construction and the three per-query
     * rankings (lexical, dense, RRF-fused top-10 with rank) shared by
     * `hybrid_rrf` and `retrieval_ndcg` — see `hybrid_rrf`'s comment
@@ -1649,37 +1690,46 @@ object ExtQueries {
     // after round 3 — the dominant eigenvector of the centered
     // second-moment matrix at fixed point.
     "embed_pca_power" -> { (s, d) =>
-      val dims = 64; val rounds = 3
-      val q = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          VectorOps.quantize1000(col("embedding").cast("array<double>"))
-            .as("q"))
-        .localCheckpoint(true)
-      def sHalf(num: Long, den: Long): Long =
-        if (num >= 0) (2 * num + den) / (2 * den)
-        else -((2 * -num + den) / (2 * den))
-      // integer-grid mean per dim (model-sized collect)
-      val n = q.count()
-      val mu = q.select(posexplode(col("q")).as(Seq("d", "v")))
-        .groupBy(col("d")).agg(sum(col("v")).as("s"))
-        .collect().map(r => r.getInt(0) -> sHalf(r.getLong(1), n)).toMap
-      val muLit = typedLit((0 until dims).map(mu(_)))
-      val c = q.select(col("vec_id"),
-        zip_with(col("q"), muLit, (a, b) => a - b).as("c"))
-      var x: Seq[Long] = Seq.fill(dims)(1000L)
-      (1 to rounds).foreach { _ =>
-        val xLit = typedLit(x)
-        val y = c
-          .select(posexplode(col("c")).as(Seq("d", "v")),
-            VectorOps.idot(col("c"), xLit).as("dot"))
-          .groupBy(col("d")).agg(sum(col("v") * col("dot")).as("y"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val m = (0 until dims).map(d => math.abs(y(d))).max
-        x = (0 until dims).map(d => sHalf(1000L * y(d), m))
-      }
+      val (_, x) = pcaPower(s, d)
       import s.implicits._
-      (0 until dims).map(d => ((d + 1).toLong, x(d)))
+      x.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
         .toDF("dim", "comp_x1000")
+    },
+
+    // All-but-the-top postprocessing (round 12) — Mu & Viswanath
+    // (ICLR 2018): embedding spaces share a large common direction
+    // that hurts retrieval; remove the top principal component and
+    // serve the residual. Composes embed_pca_power's direction x:
+    // per vector the projection coefficient and the residual energy,
+    // all exact-integer — N_d = c_d·S − x_d·D (with S = x·x, D = c·x)
+    // is the residual numerator at scale S, squared into
+    // DECIMAL(38,0)/HUGEINT (the ks_drift overflow discipline) for
+    // the energy sum. One map-side pass over the corpus with x
+    // broadcast as a 64-long literal; output one row per vector.
+    "embed_detop" -> { (s, d) =>
+      val (c, x) = pcaPower(s, d)
+      val xLit = typedLit(x)
+      val sNorm = x.map(v => v * v).sum // x·x ≤ 64e6
+      val withD = c.select(col("vec_id"), col("c"),
+        VectorOps.idot(col("c"), xLit).as("dd"))
+      withD
+        .select(col("vec_id"), col("dd"),
+          posexplode(col("c")).as(Seq("d", "cd")))
+        .withColumn("nd",
+          col("cd") * lit(sNorm) - element_at(xLit, col("d") + 1) * col("dd"))
+        .groupBy(col("vec_id"), col("dd"))
+        .agg(sum(col("nd").cast("decimal(38,0)") * col("nd")).as("nd2"))
+        .selectExpr("vec_id",
+          // proj_x1e6 = signed HALF_UP(1e6·D / S)
+          s"""CAST(CASE WHEN dd >= 0
+             |  THEN (2 * 1000000 * dd + $sNorm) div (2 * $sNorm)
+             |  ELSE -((2 * 1000000 * -dd + $sNorm) div (2 * $sNorm))
+             |  END AS BIGINT) AS proj_x1e6""".stripMargin,
+          // resid2_x1e6 = HALF_UP(1e6·Σnd² / S²), decimal-routed
+          s"""CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * nd2
+             |  + CAST($sNorm AS DECIMAL(38,0)) * $sNorm)
+             |  div (2 * CAST($sNorm AS DECIMAL(38,0)) * $sNorm)
+             |  AS BIGINT) AS resid2_x1e6""".stripMargin)
     },
 
     // Sequence packing (round 5) — every doc's shard / token offset /
@@ -3290,6 +3340,40 @@ object ExtQueries {
        |$rounds""".stripMargin
   }
 
+  /** The embed_pca_power CTE chain (through `cr` and `x3`) — shared
+    * with embed_detop's oracle. Mirrors [[pcaPower]] exactly. */
+  private def pcaPowerCtes: String = {
+    def round(i: Int, prev: String) =
+      s"""dot$i AS (SELECT cr.vec_id, CAST(sum(cr.cv * $prev.xv) AS BIGINT) AS dot
+         |  FROM cr JOIN $prev ON $prev.d = cr.d GROUP BY 1),
+         |y$i AS (SELECT cr.d, CAST(sum(cr.cv * dot$i.dot) AS BIGINT) AS y
+         |  FROM cr JOIN dot$i USING (vec_id) GROUP BY 1),
+         |m$i AS (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y$i),
+         |x$i AS (SELECT d, CAST(CASE WHEN y >= 0
+         |    THEN (2 * 1000 * y + m) // (2 * m)
+         |    ELSE -((2 * 1000 * (-y) + m) // (2 * m)) END AS BIGINT) AS xv
+         |  FROM y$i, m$i)""".stripMargin
+    s"""q AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |muS AS (SELECT d, CAST(sum(v) AS BIGINT) AS s FROM (
+       |    SELECT unnest(q) AS v, generate_subscripts(q, 1) AS d FROM q)
+       |  GROUP BY 1),
+       |mu AS (SELECT d, CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+       |    ELSE -((2 * (-s) + n) // (2 * n)) END AS BIGINT) AS m
+       |  FROM muS, n),
+       |cr AS MATERIALIZED (SELECT t.vec_id, t.d, t.v - mu.m AS cv FROM (
+       |    SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS d
+       |    FROM q) t JOIN mu ON mu.d = t.d),
+       |x0 AS (SELECT g.d, CAST(1000 AS BIGINT) AS xv
+       |  FROM generate_series(1, 64) g(d)),
+       |${round(1, "x0")},
+       |${round(2, "x1")},
+       |${round(3, "x2")}""".stripMargin
+  }
+
   private def ivfFlatOracle: String =
     s"""WITH c AS (
        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -3500,38 +3584,33 @@ object ExtQueries {
     // embed_pca_power: three unrolled matrix-free power-iteration
     // rounds over the centered quantized vectors — every round's dot,
     // dim-sum, and signed-HALF_UP renormalization replayed exactly.
-    "embed_pca_power" -> {
-      def round(i: Int, prev: String) =
-        s"""dot$i AS (SELECT cr.vec_id, CAST(sum(cr.cv * $prev.xv) AS BIGINT) AS dot
-           |  FROM cr JOIN $prev ON $prev.d = cr.d GROUP BY 1),
-           |y$i AS (SELECT cr.d, CAST(sum(cr.cv * dot$i.dot) AS BIGINT) AS y
-           |  FROM cr JOIN dot$i USING (vec_id) GROUP BY 1),
-           |m$i AS (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y$i),
-           |x$i AS (SELECT d, CAST(CASE WHEN y >= 0
-           |    THEN (2 * 1000 * y + m) // (2 * m)
-           |    ELSE -((2 * 1000 * (-y) + m) // (2 * m)) END AS BIGINT) AS xv
-           |  FROM y$i, m$i)""".stripMargin
-      s"""WITH q AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
-         |muS AS (SELECT d, CAST(sum(v) AS BIGINT) AS s FROM (
-         |    SELECT unnest(q) AS v, generate_subscripts(q, 1) AS d FROM q)
-         |  GROUP BY 1),
-         |mu AS (SELECT d, CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
-         |    ELSE -((2 * (-s) + n) // (2 * n)) END AS BIGINT) AS m
-         |  FROM muS, n),
-         |cr AS MATERIALIZED (SELECT t.vec_id, t.d, t.v - mu.m AS cv FROM (
-         |    SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS d
-         |    FROM q) t JOIN mu ON mu.d = t.d),
-         |x0 AS (SELECT g.d, CAST(1000 AS BIGINT) AS xv
-         |  FROM generate_series(1, 64) g(d)),
-         |${round(1, "x0")},
-         |${round(2, "x1")},
-         |${round(3, "x2")}
-         |SELECT CAST(d AS BIGINT) AS dim, xv AS comp_x1000 FROM x3""".stripMargin
-    },
+    "embed_pca_power" ->
+      s"""WITH $pcaPowerCtes
+         |SELECT CAST(d AS BIGINT) AS dim, xv AS comp_x1000 FROM x3""".stripMargin,
+
+    // embed_detop: the same power-iteration chain, then per vector the
+    // projection coefficient and residual energy — the N_d² sum rides
+    // HUGEINT (Spark: DECIMAL(38,0)).
+    "embed_detop" ->
+      s"""WITH $pcaPowerCtes,
+         |sn AS (SELECT CAST(sum(xv * xv) AS BIGINT) AS s FROM x3),
+         |dd AS (SELECT cr.vec_id, CAST(sum(cr.cv * x3.xv) AS BIGINT) AS dd
+         |  FROM cr JOIN x3 ON x3.d = cr.d GROUP BY 1),
+         |nd AS (SELECT cr.vec_id, dd.dd,
+         |    cr.cv * sn.s - x3.xv * dd.dd AS nd
+         |  FROM cr JOIN dd USING (vec_id) JOIN x3 ON x3.d = cr.d, sn),
+         |en AS (SELECT vec_id, dd,
+         |    sum(CAST(nd AS HUGEINT) * nd) AS nd2
+         |  FROM nd GROUP BY 1, 2)
+         |SELECT en.vec_id,
+         |  CAST(CASE WHEN dd >= 0
+         |    THEN (2 * 1000000 * dd + sn.s) // (2 * sn.s)
+         |    ELSE -((2 * 1000000 * (-dd) + sn.s) // (2 * sn.s))
+         |    END AS BIGINT) AS proj_x1e6,
+         |  CAST((2 * CAST(1000000 AS HUGEINT) * nd2
+         |    + CAST(sn.s AS HUGEINT) * sn.s)
+         |    // (2 * CAST(sn.s AS HUGEINT) * sn.s) AS BIGINT) AS resid2_x1e6
+         |FROM en, sn""".stripMargin,
 
     // colbert_maxsim: full recompute — md5-derived 8-dim integer token
     // vectors, vocab × query-token dot products, max per (query, doc,
