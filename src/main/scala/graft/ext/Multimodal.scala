@@ -427,6 +427,49 @@ object Multimodal {
       })
   }
 
+  /** One content fingerprint per non-overlapping `window`-sample
+    * slice of a decoded clip. */
+  case class AudioWindowKey(doc_id: Long, decoded: Boolean,
+      win_idx: Long, win_key: Long)
+
+  /** Acoustic-fingerprint windows over REALLY-decoded PCM (the
+    * Chromaprint idea — Wang 2003 / acoustid.org — reduced to exact
+    * integers): the sample stream slices into non-overlapping
+    * `window`-sample pieces and each piece folds to one 64-bit
+    * content key, a position-weighted sum Σ (j+13)²·vⱼ over the
+    * window's samples. Two clips that carry the SAME audio at a
+    * window-aligned offset (a leading-silence trim, a re-encode of a
+    * tail segment) share the keys of their overlapping windows, so
+    * near-dup detection becomes an equality JOIN on (win_key) —
+    * the inverted-index shape: at 100 TB the join shuffles
+    * fixed-width (doc_id, long) rows only; samples never leave the
+    * mapPartitions task. A trailing partial window is dropped (its
+    * key would depend on clip length, breaking trim alignment).
+    * Undecodable payloads surface as one decoded=false row. */
+  def audioFingerprints(spark: SparkSession, withPayloads: DataFrame,
+      window: Int = 64): Dataset[AudioWindowKey] = {
+    import spark.implicits._
+    withPayloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWav(bytes) match {
+          case Some(AudioPcm(_, _, _, samples)) =>
+            (0 until samples.length / window).iterator.map { w =>
+              var key = 0L
+              var j = 0
+              while (j < window) {
+                val q = (j + 13).toLong
+                key += q * q * samples(w * window + j)
+                j += 1
+              }
+              AudioWindowKey(id, decoded = true, w.toLong, key)
+            }
+          case None =>
+            Iterator.single(AudioWindowKey(id, decoded = false, 0L, 0L))
+        }
+      })
+  }
+
   /** The synthBmp of audio: a deterministic 16-bit PCM WAV whose
     * samples derive from the repo's md5Hash60 convention — sample i
     * of doc `seed` is clamp(md5Hash60("<seed>:<i>") % 70001 − 35000),
@@ -435,9 +478,14 @@ object Multimodal {
     * image_neardup's pinned cells) and ~6.4% of samples land outside
     * [−32768, 32767] and clip to full scale — the clip-fraction plant.
     * `junkChunk` prepends an ODD-sized unknown chunk before "data" to
-    * force the parser's skip + word-align path. */
+    * force the parser's skip + word-align path. `sampleOffset` shifts
+    * which ABSOLUTE sample indices the clip carries (the synthAvi
+    * frameOffset convention): a leading-silence-trimmed re-upload of
+    * clip `seed` regenerates the SAME later samples, so content-key
+    * matching finds the copy from decoded bytes alone. */
   def synthWav(seed: Long, nSamples: Int, channels: Int = 1,
-      sampleRate: Int = 8000, junkChunk: Boolean = false): Array[Byte] = {
+      sampleRate: Int = 8000, junkChunk: Boolean = false,
+      sampleOffset: Int = 0): Array[Byte] = {
     require(nSamples % channels == 0, "whole frames only")
     val junk = if (junkChunk) 8 + 3 + 1 else 0 // odd size 3 + pad
     val dataSize = nSamples * 2
@@ -465,7 +513,7 @@ object Multimodal {
     tag(o, "data"); le32(o + 4, dataSize)
     var i = 0
     while (i < nSamples) {
-      val raw = md5Long60(s"$seed:$i") % 70001L - 35000L
+      val raw = md5Long60(s"$seed:${i + sampleOffset}") % 70001L - 35000L
       val v = math.max(-32768L, math.min(32767L, raw)).toInt
       le16(o + 8 + 2 * i, v)
       i += 1

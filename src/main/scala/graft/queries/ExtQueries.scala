@@ -1365,6 +1365,54 @@ object ExtQueries {
             .as("clip_x1e6"))
     },
 
+    // Audio near-dup / trimmed-re-upload detection (round 12) — the
+    // missing cell of the modality matrix (image_neardup ↔
+    // video_neardup ↔ THIS): every even non-%7 doc gets a re-upload
+    // with the first two 64-sample windows trimmed (same PCM content
+    // at a window-aligned offset, new container, new id), and
+    // matching runs on acoustic-fingerprint keys computed from the
+    // DECODED sample stream (Multimodal.audioFingerprints — the
+    // Chromaprint idea in exact integers): an equality join on the
+    // window key, ≥ 3 shared windows ⇒ a pair. %7 docs carry
+    // undecodable text bytes and flow through as decoded=false rows
+    // the join never sees (the sweep survives corrupt blobs). 100 TB
+    // shape: decode + fingerprint ride the mapPartitions batch seam
+    // (samples never leave the task); the join is a hash shuffle on
+    // fixed-width (doc, long-key) rows — the inverted-index shape.
+    // Full hash oracle: DuckDB re-derives the exact sample stream
+    // (generate_series + md5) and replays the same keys and join.
+    "audio_neardup" -> { (s, d) =>
+      import s.implicits._
+      val W = 64
+      val pay = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(13L)) === 0)
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (id % 7 == 0) Iterator((id, text.getBytes("UTF-8")))
+          else {
+            val k = 6 + (id % 4).toInt
+            val orig = (id, Multimodal.synthWav(id, nSamples = W * k))
+            if (id % 2 == 0)
+              Iterator(orig, (id + 15000000000L,
+                Multimodal.synthWav(id, nSamples = W * (k - 2),
+                  sampleOffset = 2 * W)))
+            else Iterator(orig)
+          }
+        }).toDF("doc_id", "payload")
+      val fps = Multimodal.audioFingerprints(s, pay, window = W).toDF()
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("win_key"))
+        .localCheckpoint(true)
+      val copies = fps.filter(col("doc_id") >= 15000000000L)
+        .withColumnRenamed("doc_id", "copy_doc")
+      val origs = fps.filter(col("doc_id") < 15000000000L)
+        .withColumnRenamed("doc_id", "orig_doc")
+      copies.join(origs, "win_key")
+        .groupBy(col("copy_doc"), col("orig_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    },
+
     // Video multimodal column (round 12) — the third modality: a REAL
     // RIFF AVI container walk (LIST hdrl → avih dims, LIST movi →
     // uncompressed 00db frames — Multimodal.parseAvi, the parseWav
@@ -2733,6 +2781,45 @@ object ExtQueries {
             .stripMargin)
     },
 
+    // Classifier calibration curve (round 12) — the reliability
+    // diagram next to classifier_auc's ranking metric (DeGroot &
+    // Fienberg 1983; Niculescu-Mizil & Caruana 2005): held-out NB
+    // scores bucket into 10 equal-width bins (the same exact-integer
+    // DECIMAL(38,0) bin formula as the AUC quantizer, so no corpus
+    // score range can overflow it) and each bin reports its doc
+    // count, positive count, and HALF_UP empirical positive rate —
+    // plus a running-max monotonicity certificate (a well-calibrated
+    // score's positive rate is non-decreasing in the bin; the flag
+    // pins WHERE it first inverts instead of averaging it away). The
+    // certificate window is explicitly single-group but rides ≤ 10
+    // post-aggregate rows by construction — the classifier_auc
+    // bounded-axis discipline. 100 TB shape: one (lo, hi) agg
+    // broadcasts back; one partial+final agg onto ≤ 10 rows.
+    "classifier_calibration" -> { (s, d) =>
+      val B = 10
+      val held = nbScores(s, d).filter(!col("is_train"))
+      val bounds = held.agg(min(col("score")).as("lo"),
+        max(col("score")).as("hi"))
+      val binned = held.crossJoin(broadcast(bounds))
+        .selectExpr(
+          s"CAST((CAST(score - lo AS DECIMAL(38,0)) * $B) " +
+            "div (hi - lo + 1) AS BIGINT) AS bin",
+          "actual_keep")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("actual_keep"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("pos_rate_x1e6",
+          expr("(2 * 1000000 * n_pos + n_docs) div (2 * n_docs)"))
+      val prev = Window.partitionBy(lit(0)).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      binned
+        .withColumn("prev_max", max(col("pos_rate_x1e6")).over(prev))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          col("pos_rate_x1e6"),
+          (col("prev_max").isNull ||
+            col("pos_rate_x1e6") >= col("prev_max")).as("monotone_so_far"))
+    },
+
     // Winnowing fingerprints (round 10) — the MOSS document
     // fingerprint (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     // guarantee-backed sampling of the k-gram hash stream. Every
@@ -3882,6 +3969,33 @@ object ExtQueries {
         |            ELSE (2 * 1000000 * a.n_clipped + a.n_samples)
         |                 // (2 * a.n_samples) END AS clip_x1e6
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // audio_neardup: full hash oracle — regenerate the exact sample
+    // stream per doc (the audio_stats md5 formula), fold the same
+    // (j+13)² position-weighted 64-sample window keys, and replay the
+    // copy-side (windows ≥ 2 of even docs, id + 15e9) vs original
+    // key join. max samples = 64·(6 + 3) = 576.
+    "audio_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, 6 + doc_id % 4 AS k
+        |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0),
+        |samp AS (
+        |  SELECT b.doc_id, t.i // 64 AS w, t.i % 64 AS j,
+        |         greatest(-32768, least(32767,
+        |           CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || ':' ||
+        |             CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT)
+        |             % 70001 - 35000)) AS v
+        |  FROM base b JOIN generate_series(0, 575) t(i) ON t.i < 64 * b.k),
+        |keys AS (
+        |  SELECT doc_id, w,
+        |         CAST(sum((j + 13) * (j + 13) * v) AS BIGINT) AS win_key
+        |  FROM samp GROUP BY 1, 2),
+        |orig AS (SELECT doc_id AS orig_doc, win_key FROM keys),
+        |cop AS (SELECT doc_id + 15000000000 AS copy_doc, win_key
+        |        FROM keys WHERE doc_id % 2 = 0 AND w >= 2)
+        |SELECT c.copy_doc, o.orig_doc, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cop c JOIN orig o USING (win_key)
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     // video_framestats / video_neardup: regenerate every sampled
     // frame's pixel bytes from the shared md5 formula (7-byte groups,
@@ -5248,6 +5362,29 @@ object ExtQueries {
          |            // (2 * 2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
          |         AS auc_x1e6
          |FROM agg""".stripMargin,
+
+    // classifier_calibration: same held-out frame, 10 equal-width
+    // bins, running-max monotonicity over the ≤ 10 bin rows.
+    "classifier_calibration" ->
+      s"""WITH $nbScoreCtes,
+         |held AS (SELECT score, actual_keep FROM sc WHERE NOT is_train),
+         |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM held),
+         |bins AS (SELECT CAST(CAST(score - lo AS HUGEINT) * 10
+         |                     // (hi - lo + 1) AS BIGINT) AS bin,
+         |           CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(CASE WHEN actual_keep THEN 1 ELSE 0 END)
+         |                AS BIGINT) AS n_pos
+         |         FROM held CROSS JOIN bounds GROUP BY 1),
+         |rt AS (SELECT bin, n_docs, n_pos,
+         |         CAST((2 * 1000000 * n_pos + n_docs) // (2 * n_docs)
+         |              AS BIGINT) AS pos_rate_x1e6
+         |       FROM bins)
+         |SELECT bin, n_docs, n_pos, pos_rate_x1e6,
+         |       coalesce(pos_rate_x1e6 >= max(pos_rate_x1e6) OVER (
+         |         ORDER BY bin
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+         |         AS monotone_so_far
+         |FROM rt""".stripMargin,
 
     // Mirrors Fuzzy.blockedMatch exactly: oversized blocks re-split
     // into ceil(cn/1000) sub-blocks keyed by md5Hash60(id) mod nsplit

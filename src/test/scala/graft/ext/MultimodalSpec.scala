@@ -230,6 +230,41 @@ class MultimodalSpec extends SparkSpec {
     assert(!f2.decoded && f2.n_samples == 0L && f2.sum_sq == 0L)
   }
 
+  test("audioFingerprints: window keys line up across a window-aligned trim") {
+    import spark.implicits._
+    val W = 64
+    // original = 4 windows; copy = the same audio with the first two
+    // windows trimmed (sampleOffset = 2·W) — its windows 0..1 must
+    // carry the ORIGINAL's window-2..3 keys, byte-derived on both sides
+    val pay = Seq(
+      (1L, Multimodal.synthWav(9L, nSamples = 4 * W)),
+      (2L, Multimodal.synthWav(9L, nSamples = 2 * W, sampleOffset = 2 * W)),
+      (3L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.audioFingerprints(spark, pay, window = W)
+      .collect().groupBy(_.doc_id)
+    val orig = rows(1L).sortBy(_.win_idx)
+    val copy = rows(2L).sortBy(_.win_idx)
+    assert(orig.length == 4 && copy.length == 2)
+    assert(copy.map(_.win_key).toSeq == orig.drop(2).map(_.win_key).toSeq)
+    // and the trimmed-away windows do NOT match
+    assert(!copy.map(_.win_key).toSet.exists(
+      orig.take(2).map(_.win_key).toSet))
+    // hand-fold window 0's key from the generator formula itself
+    val expected = (0 until W).map { j =>
+      val raw = Multimodal.md5Long60(s"9:$j") % 70001L - 35000L
+      val v = math.max(-32768L, math.min(32767L, raw))
+      (j + 13).toLong * (j + 13) * v
+    }.sum
+    assert(orig.head.win_key == expected)
+    // undecodable payload surfaces as one decoded=false row
+    assert(rows(3L).toSeq.map(r => (r.decoded, r.win_idx)) == Seq((false, 0L)))
+    // a trailing PARTIAL window is dropped, not key-folded
+    val part = Seq((4L, Multimodal.synthWav(9L, nSamples = W + 10)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.audioFingerprints(spark, part, window = W)
+      .collect().length == 1)
+  }
+
   test("parseAvi walks a hand-built container; rejects truncation and header/frame mismatch") {
     val bytes = Multimodal.synthAvi(7L, nFrames = 4, junkList = true)
     // container anchors, checked at raw byte offsets: RIFF form,
