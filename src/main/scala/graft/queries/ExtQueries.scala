@@ -625,6 +625,55 @@ object ExtQueries {
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
     },
 
+    // Group-aware train/val/test split + leakage audit (round 12) —
+    // the eval-hygiene op every training pipeline needs between dedup
+    // and packing (the contamination literature's sibling problem:
+    // Lee et al. 2022 §6 show near-dups straddling a split inflate
+    // held-out metrics): every doc's SPLIT KEY is its near-dup group
+    // canonical (itself when ungrouped), and the 8-bucket md5 split
+    // (6/1/1 train/val/test) hashes the KEY — so a whole near-dup
+    // group lands in one split BY CONSTRUCTION. The audit does not
+    // assume it: per-split doc/group counts cross-join two COMPUTED
+    // leak cells — groups straddling splits under this keyed
+    // assignment (must be 0) and under the naive doc-id hash split
+    // (must be > 0 on the planted near-dup corpus: a group's copy
+    // and original hash independently, so ~7/8 of multi-doc groups
+    // straddle — the cell proves the audit ENGAGES, the retrieval_ndcg
+    // pinned-comparison convention). 100 TB shape: the CC output
+    // covers only paired nodes (loser-sized), so the key join
+    // broadcasts; assignment is one map-side md5; the audit rides
+    // the group-keyed frame, never raw text.
+    "split_leakage" -> { (s, d) =>
+      val docs = withNearDups(Tables.documents(s, d))
+      val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5)
+      val groups = Dedup.dedupGroups(pairs, col("doc_a"), col("doc_b"))
+      val keyed = docs.select(col("doc_id"))
+        .join(broadcast(groups.withColumnRenamed("node", "doc_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group"), col("doc_id")).as("split_key"))
+        .localCheckpoint(true)
+      def splitOf(bucket: Column): Column =
+        when(bucket <= 5, "train").when(bucket === 6, "val")
+          .otherwise("test")
+      val assigned = keyed
+        .withColumn("split", splitOf(pmod(Dedup.md5Hash60(
+          concat(lit("split:"), col("split_key"))), lit(8L))))
+        .withColumn("naive", splitOf(pmod(Dedup.md5Hash60(
+          concat(lit("split:"), col("doc_id"))), lit(8L))))
+      val perKey = assigned.groupBy(col("split_key"))
+        .agg(countDistinct(col("split")).as("ns"),
+          countDistinct(col("naive")).as("nn"))
+      val leaks = perKey.agg(
+        sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_leaky_grouped"),
+        sum(when(col("nn") > 1, 1L).otherwise(0L)).as("n_leaky_naive"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_key")).as("n_groups"))
+        .crossJoin(broadcast(leaks))
+    },
+
     // End-to-end corpus-pipeline capstone (round 10) — the COMPOSITION
     // of the individually-gated stages in training-run order: quality
     // filter → URL dedup → exact-text dedup → MinHash near dedup (LSH
@@ -2608,6 +2657,58 @@ object ExtQueries {
         .orderBy(col("pmi_x1e6").desc, col("bigram")).limit(50)
     },
 
+    // TextRank keyword extraction (round 12) — Mihalcea & Tarau
+    // (EMNLP 2004): PageRank over the token CO-OCCURRENCE graph
+    // instead of a link graph — the unsupervised keyword/topic
+    // extractor curation reports use next to phrase_detect's PMI
+    // collocations (PMI finds PAIRS; TextRank ranks WORDS by graph
+    // centrality). Vertices are ≥ 4-char lowercase tokens (the
+    // content-word proxy for the paper's POS filter), undirected
+    // edges are DISTINCT adjacent co-occurrences in the filtered
+    // sequence (window 2), and 4 unrolled link_rank-style exact-
+    // integer PR rounds (1e6-scaled ranks, r div deg contributions,
+    // 85/100 damping — every division a truncating BIGINT div on
+    // non-negative operands) make both engines bit-identical; top-20
+    // by (rank, word) is a total order so the cut can't diverge.
+    // 100 TB shape: one map-side zip_with pair derivation; the graph
+    // is DISTINCT-edge-sized (vocabulary², bounded, never
+    // corpus-sized); each round is one join+agg exchange pair over
+    // (word, long) rows; the cut is a bounded TakeOrdered.
+    "textrank_keywords" -> { (s, d) =>
+      val toks = TextOps.tokens(lower(col("text")))
+      val pairs = Dedup.rebalance(Tables.documents(s, d))
+        .select(filter(toks, t => length(t) >= 4).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => struct(least(a, b).as("wa"), greatest(a, b).as("wb"))))
+          .as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .filter(col("wa") =!= col("wb"))
+        .distinct()
+      val und = pairs.select(col("wa").as("src"), col("wb").as("dst"))
+        .unionByName(pairs.select(col("wb").as("src"), col("wa").as("dst")))
+        .localCheckpoint(true)
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val nV = deg.agg(count(lit(1)).cast("long").as("n"))
+      val ed = und.join(deg, "src")
+      var ranks = deg.crossJoin(broadcast(nV))
+        .selectExpr("src AS w", "1000000 div n AS r")
+      for (_ <- 1 to 4) {
+        val contrib = ed.join(ranks, ed("src") === ranks("w"))
+          .groupBy(col("dst")).agg(sum(expr("r div deg")).as("cs"))
+        ranks = deg.select(col("src").as("w")).crossJoin(broadcast(nV))
+          .join(contrib, col("w") === col("dst"), "left")
+          .selectExpr("w", "150000 div n + (85 * coalesce(cs, 0)) div 100 AS r")
+      }
+      ranks.join(deg.select(col("src").as("w"), col("deg")), "w")
+        .select(col("w").as("word"), col("deg").as("degree"),
+          col("r").as("rank_x1e6"))
+        .orderBy(col("rank_x1e6").desc, col("word")).limit(20)
+    },
+
     // Held-out LM scoring (round 10) — bigram_logprob as DEPLOYED
     // (CCNet/Wenzek et al. 2020 filter by the perplexity of a FIXED
     // LM over incoming data; scoring your own training counts, as
@@ -4268,6 +4369,47 @@ object ExtQueries {
          |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS text_len
          |FROM corpus c
          |WHERE c.doc_id NOT IN (SELECT node FROM losers)""".stripMargin,
+
+    // split_leakage: groupsOracle's closure → split key → the same
+    // 8-bucket md5 assignment (keyed + naive) → per-split counts
+    // cross-joined with the two computed leak cells.
+    "split_leakage" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, d FROM und
+         |  UNION
+         |  SELECT u.s, re.r FROM und u JOIN reach re ON re.node = u.d),
+         |lbl AS (SELECT node, least(node, min(r)) AS group_id
+         |        FROM reach GROUP BY node),
+         |keyed AS (SELECT c.doc_id, coalesce(l.group_id, c.doc_id) AS split_key
+         |          FROM corpus c LEFT JOIN lbl l ON l.node = c.doc_id),
+         |a AS (SELECT doc_id, split_key,
+         |        CAST('0x' || substr(md5('split:' ||
+         |          CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS bs,
+         |        CAST('0x' || substr(md5('split:' ||
+         |          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS bn
+         |      FROM keyed),
+         |sp AS (SELECT doc_id, split_key,
+         |        CASE WHEN bs <= 5 THEN 'train' WHEN bs = 6 THEN 'val'
+         |             ELSE 'test' END AS split,
+         |        CASE WHEN bn <= 5 THEN 'train' WHEN bn = 6 THEN 'val'
+         |             ELSE 'test' END AS naive
+         |      FROM a),
+         |pk AS (SELECT split_key, count(DISTINCT split) AS ns,
+         |              count(DISTINCT naive) AS nn
+         |       FROM sp GROUP BY 1),
+         |lk AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+         |                AS BIGINT) AS n_leaky_grouped,
+         |              CAST(sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END)
+         |                AS BIGINT) AS n_leaky_naive
+         |       FROM pk)
+         |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT s.split_key) AS BIGINT) AS n_groups,
+         |       lk.n_leaky_grouped, lk.n_leaky_naive
+         |FROM sp s CROSS JOIN lk
+         |GROUP BY 1, 4, 5""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
 
@@ -5319,6 +5461,43 @@ object ExtQueries {
          |       CROSS JOIN tu CROSS JOIN tb)
          |SELECT bigram, c12, c1, c2, pmi_x1e6 FROM sc
          |ORDER BY pmi_x1e6 DESC, bigram LIMIT 50""".stripMargin,
+
+    // textrank_keywords: same filtered-token co-occurrence graph,
+    // 4 unrolled exact-integer PR rounds (link_rank's constants),
+    // top-20 under the (rank desc, word) total order.
+    "textrank_keywords" -> {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT u.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS cs
+           |  FROM und u JOIN deg d ON d.src = u.src
+           |       JOIN $prev r ON r.w = u.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT d.src AS w,
+           |          150000 // n + (85 * coalesce(c.cs, 0)) // 100 AS r
+           |        FROM deg d CROSS JOIN nv LEFT JOIN c$i c ON c.dst = d.src)"""
+          .stripMargin
+      }
+      s"""WITH tk AS (
+         |  SELECT list_filter(list_transform($ToksSql, t -> lower(t)),
+         |                     t -> length(t) >= 4) AS ws
+         |  FROM documents),
+         |bg AS (SELECT least(ws[k], ws[k + 1]) AS wa,
+         |              greatest(ws[k], ws[k + 1]) AS wb
+         |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS k
+         |             FROM tk WHERE len(ws) >= 2)),
+         |ed AS (SELECT DISTINCT wa, wb FROM bg WHERE wa <> wb),
+         |und AS (SELECT wa AS src, wb AS dst FROM ed
+         |        UNION ALL SELECT wb, wa FROM ed),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT src AS w, 1000000 // n AS r FROM deg CROSS JOIN nv),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT r4.w AS word, deg.deg AS degree,
+         |       CAST(r4.r AS BIGINT) AS rank_x1e6
+         |FROM r4 JOIN deg ON deg.src = r4.w
+         |ORDER BY rank_x1e6 DESC, word LIMIT 20""".stripMargin
+    },
 
     // quality_classifier: the full supervised loop replayed — same
     // perturbed corpus as quality_filter, md5 train split, top-300
