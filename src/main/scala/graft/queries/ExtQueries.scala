@@ -1532,6 +1532,95 @@ object ExtQueries {
         .filter(col("n_shared") >= 2)
     },
 
+    // Multimodal curation capstone (round 12) — the corpus_pipeline
+    // shape for the OTHER modalities: ONE manifest (every %9 doc
+    // carries an image + an audio clip + a video clip; planted
+    // corrupt blobs per modality, planted trimmed audio re-uploads)
+    // flows through sequential gates exactly the way a multimodal
+    // training-data pipeline curates: (s1) image decode, (s2) audio
+    // decode + clip-fraction quality (< 7% full-scale samples),
+    // (s3) video decode + ≥ 2 sampled frames + a DECODED-pixel
+    // content gate (some clip must hit peak luminance 255 — ~13.5%
+    // of md5-random clips genuinely fail, so the gate engages),
+    // (s4) audio near-dup removal against the s3-surviving pool
+    // (win_key join, ≥ 3 shared windows). Interface drift between
+    // any two stages shifts the reconciliation counts or the
+    // survivor checksum and hash-fails. Oracle honesty: audio, video
+    // and dedup gates are FULL decode replays (DuckDB regenerates
+    // the exact sample/pixel streams); the image gate alone mirrors
+    // the plant construction (dHash decode isn't SQL-expressible —
+    // the image_neardup pinned convention). 100 TB shape: payloads
+    // ride ONE checkpointed manifest (documents scanned once);
+    // every stage output is an id-frame; the dedup join shuffles
+    // (id, long) rows only; the report is seven broadcast aggs.
+    "multimodal_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val W = 64
+      val CopyOff = 16000000000L
+      val manifest = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(9L)) === 0)
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (m, text) =>
+          val corrupt = text.getBytes("UTF-8")
+          val base = (m,
+            if (m % 6 == 0) corrupt else Multimodal.synthBmp(m),
+            if (m % 5 == 0) corrupt
+            else Multimodal.synthWav(m, nSamples = W * (6 + (m % 4).toInt)),
+            if (m % 4 == 0) corrupt
+            else Multimodal.synthAvi(m, nFrames = 2 + (m % 7).toInt))
+          if (m % 3 == 0 && m % 5 != 0) {
+            val c = m + CopyOff
+            Iterator(base, (c, Multimodal.synthBmp(c),
+              Multimodal.synthWav(m, nSamples = W * (4 + (m % 4).toInt),
+                sampleOffset = 2 * W),
+              Multimodal.synthAvi(c, nFrames = 4)))
+          } else Iterator(base)
+        }).toDF("doc_id", "img", "aud", "vid")
+        .localCheckpoint(true)
+      val s1 = Multimodal.imageDHashes(s,
+          manifest.select(col("doc_id"), col("img").as("payload")))
+        .toDF().filter(col("decoded")).select("doc_id")
+        .localCheckpoint(true)
+      val audOk = Multimodal.audioStats(s,
+          manifest.select(col("doc_id"), col("aud").as("payload")))
+        .toDF().filter(col("decoded") && expr(
+          "(2 * 1000000 * n_clipped + n_samples) div (2 * n_samples) < 70000"))
+        .select("doc_id")
+      val s2 = s1.join(audOk, "doc_id").localCheckpoint(true)
+      val vidOk = Multimodal.videoFrameStats(s,
+          manifest.select(col("doc_id"), col("vid").as("payload")), stride = 2)
+        .toDF().filter(col("decoded"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("lum_peak")).as("mp"))
+        .filter(col("n_sampled") >= 2L && col("mp") === 255L)
+        .select("doc_id")
+      val s3 = s2.join(vidOk, "doc_id").localCheckpoint(true)
+      val fps = Multimodal.audioFingerprints(s,
+          manifest.join(s3, "doc_id")
+            .select(col("doc_id"), col("aud").as("payload")), window = W)
+        .toDF().filter(col("decoded"))
+        .localCheckpoint(true)
+      val dupCopies = fps.filter(col("doc_id") >= CopyOff)
+          .select(col("doc_id").as("copy_doc"), col("win_key"))
+        .join(fps.filter(col("doc_id") < CopyOff)
+          .select(col("doc_id").as("orig_doc"), col("win_key")), "win_key")
+        .groupBy(col("copy_doc"), col("orig_doc"))
+        .agg(count(lit(1)).as("nsh"))
+        .filter(col("nsh") >= 3L)
+        .select(col("copy_doc").as("doc_id")).distinct()
+        .localCheckpoint(true)
+      val survivors = s3.join(dupCopies, Seq("doc_id"), "left_anti")
+      manifest.agg(count(lit(1)).as("n_manifest"))
+        .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_img_ok"))))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_aud_ok"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_vid_ok"))))
+        .crossJoin(broadcast(
+          dupCopies.agg(count(lit(1)).as("n_dedup_removed"))))
+        .crossJoin(broadcast(survivors.agg(
+          count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).as("sum_survivor_ids"))))
+    },
+
     // Truncated-dimension retrieval (round 11) — the Matryoshka
     // serving question (Kusupati et al. 2022: MRL embeddings let you
     // serve a PREFIX of the vector): how much recall does top-10
@@ -4162,6 +4251,83 @@ object ExtQueries {
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM ckeys c JOIN okeys o ON o.frame_key = c.frame_key
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    },
+
+    // multimodal_pipeline: the manifest (base + copy rows with their
+    // per-modality decodability/size parameters) is one constructed
+    // CTE; the audio clip gate, the video sampled-frame peak gate and
+    // the near-dup window-key join are FULL md5 decode replays; the
+    // image gate mirrors the %6 plant construction (dHash decode
+    // isn't SQL-expressible). Seven scalar-subquery report cells.
+    "multimodal_pipeline" -> {
+      def pb(bi: Int) =
+        s"CASE WHEN gg * 7 + $bi < 256 THEN (v >> ${8 * bi}) & 255 ELSE 0 END"
+      val peakT = (0 to 6).map(pb).mkString("greatest(", ", ", ")")
+      s"""WITH m0 AS (SELECT doc_id AS m FROM documents WHERE doc_id % 9 = 0),
+         |rows_ AS (
+         |  SELECT m AS id, m AS seed,
+         |         (m % 6 <> 0) AS img_ok0,
+         |         (m % 5 <> 0) AS aud_dec,
+         |         64 * (6 + m % 4) AS n_aud, 0 AS aoff,
+         |         (m % 4 <> 0) AS vid_dec,
+         |         2 + m % 7 AS n_vid, m AS vseed
+         |  FROM m0
+         |  UNION ALL
+         |  SELECT m + 16000000000 AS id, m AS seed,
+         |         TRUE, TRUE,
+         |         64 * (4 + m % 4), 128,
+         |         TRUE, 4, m + 16000000000
+         |  FROM m0 WHERE m % 3 = 0 AND m % 5 <> 0),
+         |asamp AS (
+         |  SELECT r.id, t.i // 64 AS w, t.i % 64 AS j,
+         |         greatest(-32768, least(32767,
+         |           CAST('0x' || substr(md5(CAST(r.seed AS VARCHAR) || ':' ||
+         |             CAST(t.i + r.aoff AS VARCHAR)), 1, 15) AS BIGINT)
+         |             % 70001 - 35000)) AS v
+         |  FROM rows_ r JOIN generate_series(0, 575) t(i) ON t.i < r.n_aud
+         |  WHERE r.aud_dec),
+         |aagg AS (SELECT id, count(*) AS ns,
+         |           sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+         |             AS ncl
+         |         FROM asamp GROUP BY 1),
+         |aok AS (SELECT id FROM aagg
+         |        WHERE (2 * 1000000 * ncl + ns) // (2 * ns) < 70000),
+         |vb AS (
+         |  SELECT r.id, f.f, g.g AS gg,
+         |    CAST('0x' || substr(md5('av:' || CAST(r.vseed AS VARCHAR) || ':' ||
+         |      CAST(f.f AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS v
+         |  FROM rows_ r
+         |  JOIN generate_series(0, 7) f(f) ON f.f < r.n_vid AND f.f % 2 = 0
+         |  CROSS JOIN generate_series(0, 36) g(g)
+         |  WHERE r.vid_dec),
+         |vpk AS (SELECT id, f, max($peakT) AS peak FROM vb GROUP BY 1, 2),
+         |vok AS (SELECT id FROM vpk GROUP BY id
+         |        HAVING count(*) >= 2 AND max(peak) = 255),
+         |s1 AS (SELECT id FROM rows_ WHERE img_ok0),
+         |s2 AS (SELECT id FROM s1 WHERE id IN (SELECT id FROM aok)),
+         |s3 AS (SELECT id FROM s2 WHERE id IN (SELECT id FROM vok)),
+         |akeys AS (SELECT a.id, a.w,
+         |            CAST(sum((j + 13) * (j + 13) * v) AS BIGINT) AS win_key
+         |          FROM asamp a JOIN s3 ON s3.id = a.id GROUP BY 1, 2),
+         |dup AS (SELECT DISTINCT c.id AS cid
+         |        FROM (SELECT id, win_key FROM akeys
+         |              WHERE id >= 16000000000) c
+         |        JOIN (SELECT id, win_key FROM akeys
+         |              WHERE id < 16000000000) o
+         |          ON c.win_key = o.win_key
+         |        GROUP BY c.id, o.id HAVING count(*) >= 3),
+         |surv AS (SELECT id FROM s3
+         |         WHERE id NOT IN (SELECT cid FROM dup))
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_manifest,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_img_ok,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_aud_ok,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_vid_ok,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dup) AS n_dedup_removed,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_survivors,
+         |  (SELECT CAST(sum(id) AS BIGINT) FROM surv) AS sum_survivor_ids"""
+        .stripMargin
     },
 
     // matryoshka_recall: three literal-sum rankings (16/32/64-dim

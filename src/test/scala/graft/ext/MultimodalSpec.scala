@@ -265,6 +265,21 @@ class MultimodalSpec extends SparkSpec {
       .collect().length == 1)
   }
 
+  test("multimodal_pipeline: every gate engages and the chain reconciles") {
+    val r = graft.SparkEntry.queries("multimodal_pipeline")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val nm = r.getLong(0); val ni = r.getLong(1); val na = r.getLong(2)
+    val nv = r.getLong(3); val nd = r.getLong(4); val ns = r.getLong(5)
+    // each sequential gate must remove SOMEONE (the plants engage) …
+    assert(nm > ni && ni > na && na > nv,
+      s"gates must all engage: $nm > $ni > $na > $nv")
+    // … the dedup stage must catch planted copies …
+    assert(nd > 0, "near-dup removal must engage")
+    // … and the chain reconciles exactly: dedup removes FROM s3 only
+    assert(ns == nv - nd, s"survivors $ns != s3 $nv - removed $nd")
+    assert(r.getLong(6) > 0L)
+  }
+
   test("parseAvi walks a hand-built container; rejects truncation and header/frame mismatch") {
     val bytes = Multimodal.synthAvi(7L, nFrames = 4, junkList = true)
     // container anchors, checked at raw byte offsets: RIFF form,
