@@ -1007,6 +1007,102 @@ object AnalyticsQueries {
       keep0.unionByName(keep1).unionByName(keep2)
     },
 
+    // Distinct l-diversity (round 12) — Machanavajjhala et al. (ICDE
+    // 2006): k-anonymity bounds CLASS SIZE but a class whose members
+    // all share one sensitive value still leaks it (the homogeneity
+    // attack); distinct l-diversity additionally requires ≥ L distinct
+    // sensitive values per published equivalence class. Classes are
+    // k_anonymity's level-0 QI pairs (nation, segment) at K=10; the
+    // sensitive attribute is the 3-band account standing (negative /
+    // 0–5000 / 5000+, exact-cents thresholds) — the skewed small
+    // band (negative, ~9% of customers) is what makes the audit
+    // ENGAGE: small classes genuinely miss it and flag diverse=false.
+    // 100 TB shape: one (QI, band) partial+final agg; the class list
+    // is QI-cardinality-sized and broadcasts.
+    "l_diversity" -> { (s, d) =>
+      val K = 10; val L = 3
+      val base = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment").as("segment"),
+          expr("""CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                |            AS BIGINT) < 0 THEN 0
+                |       WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                |            AS BIGINT) < 500000 THEN 1
+                |       ELSE 2 END""".stripMargin).as("band"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("segment"), col("band"))
+        .localCheckpoint(true)
+      val classes = base.groupBy(col("nation"), col("segment"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= K)
+      val divr = base.join(broadcast(classes.select("nation", "segment")),
+          Seq("nation", "segment"), "left_semi")
+        .groupBy(col("nation"), col("segment"))
+        .agg(countDistinct(col("band")).as("n_bands"))
+      classes.join(divr, Seq("nation", "segment"))
+        .select(col("nation"), col("segment"), col("n"), col("n_bands"),
+          (col("n_bands") >= L).as("diverse"))
+    },
+
+    // t-closeness (round 12) — Li, Li & Venkatasubramanian (ICDE
+    // 2007): l-diversity counts values but ignores their
+    // DISTRIBUTION (a class can be 3-diverse yet 90% negative-balance
+    // — the skewness attack); t-closeness bounds the earth-mover's
+    // distance between each class's sensitive distribution and the
+    // global one. For an ORDERED attribute EMD reduces to the mean
+    // |cumulative difference| (the paper's ordered-distance formula),
+    // which is EXACT in integers after clearing denominators: cum_i =
+    // Σ_{j≤i} (c_j·N − g_j·n), emd = Σ|cum_i| / ((B−1)·n·N), emitted
+    // as one HALF_UP 1e6 cell with the Σ routed through
+    // DECIMAL(38,0)/HUGEINT (the ks_drift overflow envelope — n·N
+    // crosses 2⁶³ at corpus scale). Same K=10 classes and 3-band
+    // sensitive attribute as l_diversity; gate t ≤ 0.2. 100 TB
+    // shape: the grid is classes × bands (QI-cardinality-bounded);
+    // the cumulative window partitions BY CLASS over ≤ B rows.
+    "t_closeness" -> { (s, d) =>
+      val K = 10
+      val base = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment").as("segment"),
+          expr("""CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                |            AS BIGINT) < 0 THEN 0
+                |       WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                |            AS BIGINT) < 500000 THEN 1
+                |       ELSE 2 END""".stripMargin).as("band"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("segment"), col("band"))
+        .localCheckpoint(true)
+      val classes = base.groupBy(col("nation"), col("segment"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= K)
+      val gb = base.groupBy(col("band")).agg(count(lit(1)).as("g"))
+        .localCheckpoint(true)
+      val tot = gb.agg(sum(col("g")).as("nn"),
+        count(lit(1)).cast("long").as("nb"))
+      val cb = base.join(broadcast(classes.select("nation", "segment")),
+          Seq("nation", "segment"), "left_semi")
+        .groupBy(col("nation"), col("segment"), col("band"))
+        .agg(count(lit(1)).as("c"))
+      val grid = classes.crossJoin(broadcast(gb))
+        .join(cb, Seq("nation", "segment", "band"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val w = Window.partitionBy(col("nation"), col("segment"))
+        .orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.crossJoin(broadcast(tot))
+        .withColumn("cum",
+          sum(col("c") * col("nn") - col("g") * col("n")).over(w))
+        .groupBy(col("nation"), col("segment"), col("n"), col("nn"),
+          col("nb"))
+        .agg(sum(abs(col("cum"))).as("dsum"))
+        .selectExpr("nation", "segment", "n",
+          "CAST((2 * 1000000 * CAST(dsum AS DECIMAL(38,0)) + " +
+            "(nb - 1) * CAST(n AS DECIMAL(38,0)) * nn) div " +
+            "(2 * (nb - 1) * CAST(n AS DECIMAL(38,0)) * nn) AS BIGINT) " +
+            "AS emd_x1e6")
+        .withColumn("t_close", col("emd_x1e6") <= 200000L)
+    },
+
     // Winsorization (round 11) — the outlier-clipping REWRITE the
     // histogram family only describes (equidepth_hist/approx_quantiles
     // locate the tails; production feature pipelines then CLIP to
@@ -1725,6 +1821,72 @@ object AnalyticsQueries {
         |SELECT level, geo, segment, n FROM k0
         |UNION ALL SELECT level, geo, segment, n FROM k1
         |UNION ALL SELECT level, geo, segment, n FROM k2""".stripMargin,
+
+    // l_diversity: same K=10 classes, 3-band exact-cents sensitive
+    // attribute, count-distinct per class.
+    "l_diversity" ->
+      """WITH base AS (
+        |  SELECT n_name AS nation, c_mktsegment AS segment,
+        |         CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |                   AS BIGINT) < 0 THEN 0
+        |              WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |                   AS BIGINT) < 500000 THEN 1
+        |              ELSE 2 END AS band
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |cls AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n
+        |        FROM base GROUP BY 1, 2 HAVING count(*) >= 10),
+        |dv AS (SELECT b.nation, b.segment,
+        |              CAST(count(DISTINCT b.band) AS BIGINT) AS n_bands
+        |       FROM base b JOIN cls USING (nation, segment)
+        |       GROUP BY 1, 2)
+        |SELECT cls.nation, cls.segment, cls.n, dv.n_bands,
+        |       (dv.n_bands >= 3) AS diverse
+        |FROM cls JOIN dv USING (nation, segment)""".stripMargin,
+
+    // t_closeness: same classes/bands; ordered-attribute EMD as mean
+    // |cumulative difference| with cleared denominators, HUGEINT-routed.
+    "t_closeness" ->
+      """WITH base AS (
+        |  SELECT n_name AS nation, c_mktsegment AS segment,
+        |         CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |                   AS BIGINT) < 0 THEN 0
+        |              WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |                   AS BIGINT) < 500000 THEN 1
+        |              ELSE 2 END AS band
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |cls AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n
+        |        FROM base GROUP BY 1, 2 HAVING count(*) >= 10),
+        |gb AS (SELECT band, CAST(count(*) AS BIGINT) AS g
+        |       FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+        |               CAST(count(*) AS BIGINT) AS nb FROM gb),
+        |cb AS (SELECT b.nation, b.segment, b.band,
+        |              CAST(count(*) AS BIGINT) AS c
+        |       FROM base b JOIN cls USING (nation, segment)
+        |       GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.nation, cls.segment, cls.n, gb.band, gb.g,
+        |                coalesce(cb.c, 0) AS c
+        |         FROM cls CROSS JOIN gb
+        |         LEFT JOIN cb ON cb.nation = cls.nation
+        |           AND cb.segment = cls.segment AND cb.band = gb.band),
+        |cum AS (SELECT nation, segment, n,
+        |          sum(c * nn - g * n) OVER (PARTITION BY nation, segment
+        |            ORDER BY band
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cumv
+        |        FROM grid CROSS JOIN tot),
+        |ag AS (SELECT nation, segment, n,
+        |              CAST(sum(abs(cumv)) AS HUGEINT) AS dsum
+        |       FROM cum GROUP BY 1, 2, 3),
+        |e AS (SELECT a.nation, a.segment, a.n,
+        |        CAST((2 * 1000000 * a.dsum +
+        |              (t.nb - 1) * CAST(a.n AS HUGEINT) * t.nn) //
+        |             (2 * (t.nb - 1) * CAST(a.n AS HUGEINT) * t.nn)
+        |             AS BIGINT) AS emd_x1e6
+        |      FROM ag a CROSS JOIN tot t)
+        |SELECT nation, segment, n, emd_x1e6,
+        |       (emd_x1e6 <= 200000) AS t_close
+        |FROM e""".stripMargin,
 
     // winsorize: same compressed-histogram layout, nearest-rank
     // bounds, clamp + clip counts + signed HALF_UP winsorized mean.
