@@ -326,6 +326,52 @@ object AnalyticsQueries {
         .select(col("event_id"), col("event_type"), col("value"))
     },
 
+    // Median/MAD robust outliers (round 12) — the breakdown-resistant
+    // twin of zscore_outliers (Hampel 1974; Leys et al. 2013: a
+    // single wild value inflates mean AND stddev, masking real
+    // outliers — median and MAD have 50% breakdown). EXACT medians,
+    // no percentile_approx: on the centi-quantized compressed
+    // histogram, median×2 is selected by rank arithmetic (the two
+    // middle order statistics k₁=(n+1)div2, k₂=(n+2)div2 fall in a
+    // value's cumulative span [cum−c+1, cum]; summing the hits gives
+    // 2·median exactly, odd or even n — so the ".5 between two
+    // values" case never touches floats). MAD runs the same selection
+    // over |2y − med2| deviations, and the flag is the all-integer
+    // 2·dev > 3·mad2 (≡ |y−med| > 3·MAD). 100 TB shape: the
+    // winsorize/equidepth two-level layout — raw rows collapse to
+    // per-(type, centi-value) cells BEFORE any window; the cumulative
+    // rides the compressed per-type frame; medians broadcast back.
+    "mad_outliers" -> { (s, d) =>
+      val y = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), y.as("y"))
+        .localCheckpoint(true)
+      val nT = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      def median2(hist: DataFrame): DataFrame = {
+        val cw = Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist.withColumn("cum", sum(col("c")).over(cw))
+          .join(broadcast(nT), "event_type")
+          .withColumn("lo", col("cum") - col("c") + 1)
+          .select(col("event_type"),
+            (when(expr("(n + 1) div 2").between(col("lo"), col("cum")),
+              col("v")).otherwise(lit(0L)) +
+             when(expr("(n + 2) div 2").between(col("lo"), col("cum")),
+               col("v")).otherwise(lit(0L))).as("part"))
+          .groupBy(col("event_type")).agg(sum(col("part")).as("m2"))
+      }
+      val med = median2(e.groupBy(col("event_type"), col("y").as("v"))
+        .agg(count(lit(1)).as("c")))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dv", abs(lit(2L) * col("y") - col("m2")))
+      val mad = median2(dev.groupBy(col("event_type"), col("dv").as("v"))
+          .agg(count(lit(1)).as("c")))
+        .withColumnRenamed("m2", "mad2")
+      dev.join(broadcast(mad), "event_type")
+        .filter(lit(2L) * col("dv") > lit(3L) * col("mad2"))
+        .select(col("event_id"), col("event_type"), col("value"))
+    },
+
     // Text normalization — the canonical pre-dedup/pre-tokenize stage:
     // lowercase, strip non-alphanumerics to spaces, collapse whitespace
     // runs, trim; emits the normalized text + its md5 (the join key a
@@ -1465,6 +1511,47 @@ object AnalyticsQueries {
         |FROM e JOIN st ON e.event_type = st.event_type
         |WHERE (CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)
         |      > 9 * (CAST(n AS HUGEINT) * q - s * s)""".stripMargin,
+
+    // mad_outliers: the same compressed-histogram rank selection —
+    // 2·median via the two middle order statistics — run twice
+    // (values, then |2y − med2| deviations), then the integer
+    // 2·dev > 3·mad2 flag.
+    "mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |           FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1),
+        |h AS (SELECT event_type, y AS v, CAST(count(*) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |hc AS (SELECT event_type, v, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM h),
+        |med AS (SELECT hc.event_type, CAST(sum(
+        |          CASE WHEN (n.n + 1) // 2 BETWEEN cum - c + 1 AND cum
+        |               THEN v ELSE 0 END +
+        |          CASE WHEN (n.n + 2) // 2 BETWEEN cum - c + 1 AND cum
+        |               THEN v ELSE 0 END) AS BIGINT) AS m2
+        |        FROM hc JOIN n USING (event_type) GROUP BY 1),
+        |dv AS (SELECT e.event_id, e.event_type, e.value,
+        |              abs(2 * e.y - med.m2) AS dvv
+        |       FROM e JOIN med USING (event_type)),
+        |dh AS (SELECT event_type, dvv AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM dv GROUP BY 1, 2),
+        |dhc AS (SELECT event_type, v, c,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM dh),
+        |mad AS (SELECT dhc.event_type, CAST(sum(
+        |          CASE WHEN (n.n + 1) // 2 BETWEEN cum - c + 1 AND cum
+        |               THEN v ELSE 0 END +
+        |          CASE WHEN (n.n + 2) // 2 BETWEEN cum - c + 1 AND cum
+        |               THEN v ELSE 0 END) AS BIGINT) AS mad2
+        |        FROM dhc JOIN n USING (event_type) GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value
+        |FROM dv d JOIN mad USING (event_type)
+        |WHERE 2 * d.dvv > 3 * mad.mad2""".stripMargin,
 
     "text_normalize" ->
       """WITH t AS (SELECT doc_id,

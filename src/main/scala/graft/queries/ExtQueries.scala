@@ -359,6 +359,40 @@ object ExtQueries {
         TextOps.langId(col("text")).as("lang_pred"))
     },
 
+    // Readability scoring (round 12) — Flesch–Kincaid grade level
+    // (Kincaid et al. 1975), the document-difficulty signal curation
+    // recipes bin on next to text_quality's ratio features. The three
+    // counts are regex-exact in both engines (words = whitespace
+    // tokens; sentences = [.!?]+ runs, floored at 1; syllables =
+    // vowel-group runs, +1 for each vowel-less word — the standard
+    // heuristic), and the grade is the FK formula with exact-integer
+    // coefficients (0.39 = 390000/1e6, 11.8 = 11800000/1e6) and
+    // truncating divs on non-negative operands, so the per-doc score
+    // and the band cut are bit-identical cross-engine. Output is the
+    // per-band rollup (count + exact score sum). 100 TB shape:
+    // entirely map-side per doc; one 3-row partial+final agg.
+    "readability_score" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Dedup.rebalance(Tables.documents(s, d))
+        .select(
+          size(toks).cast("long").as("w"),
+          greatest(lit(1L),
+            regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("sct"),
+          (regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long") +
+            (size(toks) - size(filter(toks,
+              t => t.rlike("[aeiouyAEIOUY]")))).cast("long")).as("sy"))
+        .filter(col("w") >= 1L)
+        .withColumn("fk_x1e6", expr(
+          "(390000 * w) div sct + (11800000 * sy) div w - 15590000"))
+        .withColumn("band",
+          when(col("fk_x1e6") <= 6000000L, "easy")
+            .when(col("fk_x1e6") <= 10000000L, "standard")
+            .otherwise("difficult"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("fk_x1e6")).as("sum_fk_x1e6"))
+    },
+
     "doc_fingerprint" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -4633,6 +4667,29 @@ object ExtQueries {
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // readability_score: the same three regex-exact counts, the same
+    // integer FK formula, 3-row band rollup.
+    "readability_score" ->
+      s"""WITH t AS (SELECT $ToksSql AS toks, text FROM documents),
+         |c AS (SELECT CAST(len(toks) AS BIGINT) AS w,
+         |        greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |                         AS BIGINT)) AS sct,
+         |        CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+         |             AS BIGINT)
+         |          + CAST(len(toks) - len(list_filter(toks,
+         |              x -> regexp_matches(x, '[aeiouyAEIOUY]')))
+         |              AS BIGINT) AS sy
+         |      FROM t WHERE len(toks) >= 1),
+         |f AS (SELECT (390000 * w) // sct + (11800000 * sy) // w
+         |             - 15590000 AS fk
+         |      FROM c)
+         |SELECT CASE WHEN fk <= 6000000 THEN 'easy'
+         |            WHEN fk <= 10000000 THEN 'standard'
+         |            ELSE 'difficult' END AS band,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(fk) AS BIGINT) AS sum_fk_x1e6
+         |FROM f GROUP BY 1""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,
