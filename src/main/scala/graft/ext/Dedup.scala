@@ -485,6 +485,27 @@ object Dedup {
     verifyJaccard(ds, cand, thrNum, thrDen)
   }
 
+  /** [[similarityJoin]] with the exact intersection/union CARDINALITIES
+    * kept on each pair instead of the rounded ratio — the frame a
+    * threshold SWEEP re-cuts without re-running the join (any
+    * threshold ≥ thrNum/thrDen is `ni·den ≥ nu·num` over this
+    * output, exact integers). */
+  def similarityJoinCounts(docs: DataFrame, id: Column, text: Column,
+                           thrNum: Int, thrDen: Int,
+                           n: Int = 3): DataFrame = {
+    val ds = hashedShingleSets(docs, id, text, n)
+    similarityCandidates(ds, thrNum, thrDen)
+      .join(ds.select(col("doc").as("doc_a"), col("sh").as("sh_a"),
+        col("len").as("na")), Seq("doc_a"))
+      .join(ds.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
+        col("len").as("nb")), Seq("doc_b"))
+      .withColumn("ni",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("nu", col("na") + col("nb") - col("ni"))
+      .filter(col("ni") * thrDen >= col("nu") * thrNum)
+      .select(col("doc_a"), col("doc_b"), col("ni"), col("nu"))
+  }
+
   /** Candidate pairs (post prefix/size/positional filter, pre-verify)
     * — exposed so SCALE.md's worst-case probes can record candidate
     * volume against true output size (the joins' degradation claim is

@@ -527,6 +527,41 @@ object ExtQueries {
           "10 * n_hit >= 9 * n_lsh AS precision_ok")
     },
 
+    // LSH threshold-sweep tuning curve (round 12) — dedup_recall
+    // answers "is the 0.5-designed index good enough?"; THIS answers
+    // the tuning question behind it: how does the SAME banded index's
+    // recall move as the true-duplicate bar rises (J ≥ 0.5 / 0.6 /
+    // 0.7 / 0.8 — the curve Leskovec et al. ch.3 derive from the
+    // band S-curve, measured here against the EXACT join instead of
+    // the theory). One exact join at the loosest threshold keeps the
+    // per-pair (ni, nu) cardinalities (similarityJoinCounts), so
+    // every stricter cut is a map-side integer re-filter — the sweep
+    // costs ONE join however many thresholds it reports. Recall per
+    // threshold as a HALF_UP 1e6 cell. 100 TB shape: dedup_recall's
+    // envelope (prefix-filtered exact join + banded LSH), plus four
+    // broadcast-sized aggs off one checkpointed pair frame.
+    "dedup_threshold_sweep" -> { (s, d) =>
+      val corpus = withNearDups(Tables.documents(s, d))
+      val exact = Dedup.similarityJoinCounts(corpus, col("doc_id"),
+          col("text"), thrNum = 1, thrDen = 2)
+        .localCheckpoint(true)
+      val lsh = Dedup.minhashPairs(corpus, col("doc_id"), col("text"), 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+        .localCheckpoint(true)
+      val marked = exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .localCheckpoint(true)
+      Seq((50L, 1, 2), (60L, 3, 5), (70L, 7, 10), (80L, 4, 5))
+        .map { case (pct, num, den) =>
+          marked.filter(col("ni") * den >= col("nu") * num)
+            .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
+            .select(lit(pct).as("thr_x100"), col("n_exact"), col("n_hit"))
+        }
+        .reduce(_ unionByName _)
+        .selectExpr("thr_x100", "n_exact", "n_hit",
+          "(2 * 1000000 * n_hit + n_exact) div (2 * n_exact) AS recall_x1e6")
+    },
+
     // EXACT containment join (round 9) — pairs where the smaller
     // shingle set is ≥ 9/10 inside the larger: the quote/excerpt
     // detector Jaccard thresholds cannot see (a 50-shingle excerpt in
@@ -4493,6 +4528,49 @@ object ExtQueries {
          |       10 * n_hit >= 9 * n_exact AS recall_ok,
          |       10 * n_hit >= 9 * n_lsh AS precision_ok
          |FROM ne CROSS JOIN nl CROSS JOIN hit""".stripMargin,
+
+    // dedup_threshold_sweep: dedup_recall's brute-force exact-pair
+    // chain keeping (ni, nu), re-cut at four thresholds from a
+    // VALUES list against the same banded pair set.
+    "dedup_threshold_sweep" ->
+      s"""WITH $CorpusCte,
+         |$minhashChainCtes,
+         |ect AS (SELECT doc_id, $ToksSql AS toks FROM corpus),
+         |epos AS (SELECT doc_id, toks,
+         |           unnest(generate_series(1, len(toks) - 2)) AS p
+         |         FROM ect),
+         |eds AS (SELECT DISTINCT doc_id,
+         |          CAST('0x' || substr(md5(
+         |            array_to_string(list_slice(toks, p, p + 2), ' ')), 1, 15)
+         |            AS BIGINT) AS s
+         |        FROM epos),
+         |esizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM eds GROUP BY 1),
+         |einter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                  CAST(count(*) AS BIGINT) AS ni
+         |           FROM eds x JOIN eds y ON y.s = x.s AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2),
+         |ex AS (SELECT i.doc_a, i.doc_b, i.ni,
+         |              sa.n + sb.n - i.ni AS nu
+         |       FROM einter i
+         |       JOIN esizes sa ON sa.doc_id = i.doc_a
+         |       JOIN esizes sb ON sb.doc_id = i.doc_b
+         |       WHERE 2 * ni >= 1 * (sa.n + sb.n - ni)),
+         |mk AS (SELECT e.ni, e.nu,
+         |         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM ex e LEFT JOIN pairs l
+         |         ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b),
+         |t(thr_x100, num, den) AS (
+         |  VALUES (50, 1, 2), (60, 3, 5), (70, 7, 10), (80, 4, 5)),
+         |ag AS (SELECT t.thr_x100,
+         |              CAST(count(*) AS BIGINT) AS n_exact,
+         |              CAST(sum(mk.hit) AS BIGINT) AS n_hit
+         |       FROM t JOIN mk ON mk.ni * t.den >= mk.nu * t.num
+         |       GROUP BY 1)
+         |SELECT CAST(thr_x100 AS BIGINT) AS thr_x100, n_exact, n_hit,
+         |       (2 * 1000000 * n_hit + n_exact) // (2 * n_exact)
+         |         AS recall_x1e6
+         |FROM ag""".stripMargin,
 
     "simjoin_ngram" ->
       s"""WITH $CorpusCte,
