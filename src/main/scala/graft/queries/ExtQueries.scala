@@ -527,6 +527,46 @@ object ExtQueries {
           "10 * n_hit >= 9 * n_lsh AS precision_ok")
     },
 
+    // Rendezvous-hash shard rebalance (round 12) — Thaler &
+    // Ravishankar (IEEE ToN 1998), the consistent-placement move a
+    // 100 TB lake needs when the shard count grows: each doc's shard
+    // is argmax_j md5("hrw:doc:j") (highest random weight), so going
+    // 16 → 17 shards relocates ONLY the docs whose new shard's hash
+    // wins — an expected 1/17 of the corpus, all landing on the new
+    // shard — where the naive mod-S rehash scrambles ~16/17 of it.
+    // Both fractions are COMPUTED and gated (≤ 8% / ≥ 80%, the
+    // split_leakage prove-the-technique convention). The Spark
+    // argmax is a single map-side greatest() over 17 (hash, j)
+    // structs — no explode, no shuffle before the 1-row agg; ties
+    // break to the larger j, mirrored exactly in the oracle's
+    // ORDER BY h DESC, j DESC. The oracle replays via unnest +
+    // row_number (different plan, same answer — the point of the
+    // cross-engine gate).
+    "shard_rebalance" -> { (s, d) =>
+      def hj(j: Int): Column = struct(
+        Dedup.md5Hash60(concat(lit("hrw:"), col("doc_id"), lit(s":$j")))
+          .as("h"),
+        lit(j.toLong).as("j"))
+      def assign(nShards: Int): Column =
+        greatest((0 until nShards).map(hj): _*).getField("j")
+      val flags = Tables.documents(s, d).select(
+        (assign(16) =!= assign(17)).as("mh"),
+        (pmod(Dedup.md5Hash60(concat(lit("sh:"), col("doc_id"))),
+          lit(16L)) =!=
+         pmod(Dedup.md5Hash60(concat(lit("sh:"), col("doc_id"))),
+           lit(17L))).as("mn"))
+      flags.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mh"), 1L).otherwise(0L)).as("moved_hrw"),
+          sum(when(col("mn"), 1L).otherwise(0L)).as("moved_naive"))
+        .selectExpr("n_docs", "moved_hrw", "moved_naive",
+          "(2 * 1000000 * moved_hrw + n_docs) div (2 * n_docs)" +
+            " AS moved_hrw_x1e6",
+          "(2 * 1000000 * moved_naive + n_docs) div (2 * n_docs)" +
+            " AS moved_naive_x1e6")
+        .selectExpr("*", "moved_hrw_x1e6 <= 80000 AS hrw_bound_ok",
+          "moved_naive_x1e6 >= 800000 AS naive_excess_ok")
+    },
+
     // LSH threshold-sweep tuning curve (round 12) — dedup_recall
     // answers "is the 0.5-designed index good enough?"; THIS answers
     // the tuning question behind it: how does the SAME banded index's
@@ -560,6 +600,77 @@ object ExtQueries {
         .reduce(_ unionByName _)
         .selectExpr("thr_x100", "n_exact", "n_hit",
           "(2 * 1000000 * n_hit + n_exact) div (2 * n_exact) AS recall_x1e6")
+    },
+
+    // Content-defined chunking (round 12) — the STORAGE-dedup
+    // complement to shingle near-dup (LBFS, Muthitacharoen et al.
+    // SOSP 2001; FastCDC, Xia et al. ATC 2016): a chunk boundary
+    // falls AFTER char p wherever the rolling 8-char window hashes
+    // to 0 mod 64 (expected ~64-char chunks), so boundaries derive
+    // from CONTENT — an insertion shifts every fixed-width chunk but
+    // CDC boundaries realign at the first post-edit cut. The query
+    // PROVES that: every even doc gets a copy with a 22-char
+    // preamble inserted, and both chunkings' shared-chunk counts are
+    // computed — CDC recovers nearly all chunks, fixed-64 recovers
+    // ~none (gate: cdc_shared > 10·fixed_shared). Dedup accounting
+    // (distinct-hash chunk count + bytes) rides the same frame.
+    // 100 TB shape: the only text-bearing exchange is the one cut-
+    // array join back to the corpus (at scale the whole cut+slice
+    // runs map-side per doc in one pass — the relational form here
+    // keeps every stage oracle-replayable); chunk frames are
+    // (doc, md5, len) fixed-width rows.
+    "cdc_chunks" -> { (s, d) =>
+      val CopyOff = 17000000000L
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = base.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select((col("doc_id") + CopyOff).as("doc_id"),
+          concat(lit("preamble insert block "), col("text")).as("text"))
+      val corpus = base.unionByName(copies)
+        .withColumn("len", length(col("text")).cast("long"))
+        .filter(col("len") >= 8L)
+        .localCheckpoint(true)
+      val cuts = corpus
+        .select(col("doc_id"), col("text"), col("len"),
+          explode(expr("sequence(8L, len)")).as("p"))
+        .filter(pmod(Dedup.md5Hash60(
+            expr("substr(text, CAST(p AS INT) - 7, 8)")), lit(64L)) === 0L ||
+          col("p") === col("len"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("p"))).as("cps"))
+      val cdc = corpus.join(cuts, "doc_id")
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(cps)), i -> substr(text,
+            |  CAST((CASE WHEN i = 1 THEN 0L
+            |        ELSE element_at(cps, i - 1) END) + 1 AS INT),
+            |  CAST(element_at(cps, i) -
+            |    (CASE WHEN i = 1 THEN 0L
+            |     ELSE element_at(cps, i - 1) END) AS INT)))"""
+            .stripMargin)).as("ct"))
+        .select(col("doc_id"), md5(col("ct").cast("binary")).as("h"),
+          length(col("ct")).cast("long").as("clen"))
+        .localCheckpoint(true)
+      val fixed = corpus
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0L, (len - 1) div 64), " +
+            "k -> substr(text, CAST(64 * k + 1 AS INT), 64))")).as("ct"))
+        .select(col("doc_id"), md5(col("ct").cast("binary")).as("h"))
+      def shared(ch: DataFrame, nm: String): DataFrame = {
+        val cop = ch.filter(col("doc_id") >= CopyOff)
+          .select((col("doc_id") - CopyOff).as("od"), col("h")).distinct()
+        val org = ch.filter(col("doc_id") < CopyOff)
+          .select(col("doc_id").as("od"), col("h")).distinct()
+        cop.join(org, Seq("od", "h")).agg(count(lit(1)).as(nm))
+      }
+      val uniq = cdc.groupBy(col("h")).agg(max(col("clen")).as("clen"))
+      corpus.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cdc.agg(count(lit(1)).as("n_chunks_cdc"),
+          sum(col("clen")).as("total_chars"))))
+        .crossJoin(broadcast(uniq.agg(count(lit(1)).as("n_unique_cdc"),
+          sum(col("clen")).as("unique_chars"))))
+        .crossJoin(broadcast(shared(cdc, "cdc_shared")))
+        .crossJoin(broadcast(shared(fixed, "fixed_shared")))
+        .withColumn("cdc_resilient",
+          col("cdc_shared") > col("fixed_shared") * 10)
     },
 
     // EXACT containment join (round 9) — pairs where the smaller
@@ -4528,6 +4639,108 @@ object ExtQueries {
          |       10 * n_hit >= 9 * n_exact AS recall_ok,
          |       10 * n_hit >= 9 * n_lsh AS precision_ok
          |FROM ne CROSS JOIN nl CROSS JOIN hit""".stripMargin,
+
+    // cdc_chunks: same rolling-window cut rule, cut positions lagged
+    // per doc, chunk md5s + lengths; both shared counts replayed.
+    "cdc_chunks" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |cpy AS (SELECT doc_id + 17000000000 AS doc_id,
+        |               'preamble insert block ' || text AS text
+        |        FROM base WHERE doc_id % 2 = 0),
+        |corpus AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |           FROM (SELECT * FROM base UNION ALL SELECT * FROM cpy)
+        |           WHERE length(text) >= 8),
+        |cut AS (SELECT doc_id, p FROM (
+        |          SELECT c.doc_id, t.p, c.len, c.text
+        |          FROM corpus c
+        |          JOIN generate_series(8, 2000) t(p) ON t.p <= c.len)
+        |        WHERE CAST('0x' || substr(md5(
+        |                substr(text, CAST(p AS INT) - 7, 8)), 1, 15)
+        |                AS BIGINT) % 64 = 0
+        |           OR p = len),
+        |cua AS (SELECT doc_id, list_sort(list(DISTINCT p)) AS cps
+        |        FROM cut GROUP BY 1),
+        |cpos AS (SELECT doc_id, generate_subscripts(cps, 1) AS i,
+        |                unnest(cps) AS p
+        |         FROM cua),
+        |cseg AS (SELECT doc_id, p,
+        |           coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY i),
+        |                    0) AS prev
+        |         FROM cpos),
+        |ch AS (SELECT s.doc_id,
+        |         substr(c.text, CAST(s.prev + 1 AS INT),
+        |                CAST(s.p - s.prev AS INT)) AS ct
+        |       FROM cseg s JOIN corpus c USING (doc_id)),
+        |chh AS (SELECT doc_id, md5(ct) AS h,
+        |               CAST(length(ct) AS BIGINT) AS clen
+        |        FROM ch),
+        |fx AS (SELECT c.doc_id,
+        |         md5(substr(c.text, CAST(64 * k.k + 1 AS INT), 64)) AS h
+        |       FROM corpus c
+        |       JOIN generate_series(0, 40) k(k) ON k.k <= (c.len - 1) // 64),
+        |uq AS (SELECT h, max(clen) AS clen FROM chh GROUP BY 1),
+        |shc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+        |          (SELECT DISTINCT doc_id - 17000000000 AS od, h
+        |           FROM chh WHERE doc_id >= 17000000000) x
+        |        JOIN (SELECT DISTINCT doc_id AS od, h
+        |              FROM chh WHERE doc_id < 17000000000) y
+        |          USING (od, h)),
+        |shf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+        |          (SELECT DISTINCT doc_id - 17000000000 AS od, h
+        |           FROM fx WHERE doc_id >= 17000000000) x
+        |        JOIN (SELECT DISTINCT doc_id AS od, h
+        |              FROM fx WHERE doc_id < 17000000000) y
+        |          USING (od, h))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM chh) AS n_chunks_cdc,
+        |  (SELECT CAST(sum(clen) AS BIGINT) FROM chh) AS total_chars,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM uq) AS n_unique_cdc,
+        |  (SELECT CAST(sum(clen) AS BIGINT) FROM uq) AS unique_chars,
+        |  (SELECT n FROM shc) AS cdc_shared,
+        |  (SELECT n FROM shf) AS fixed_shared,
+        |  ((SELECT n FROM shc) > 10 * (SELECT n FROM shf))
+        |    AS cdc_resilient""".stripMargin,
+
+    // shard_rebalance: the same HRW argmax replayed via unnest +
+    // row_number (ties ORDER BY h DESC, j DESC = Spark's struct max).
+    "shard_rebalance" ->
+      """WITH dd AS (SELECT doc_id FROM documents),
+        |hj AS (SELECT doc_id, t.j,
+        |         CAST('0x' || substr(md5('hrw:' || CAST(doc_id AS VARCHAR)
+        |           || ':' || CAST(t.j AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |       FROM dd CROSS JOIN generate_series(0, 16) t(j)),
+        |a17 AS (SELECT doc_id, j AS s17 FROM (
+        |          SELECT doc_id, j, row_number() OVER (
+        |            PARTITION BY doc_id ORDER BY h DESC, j DESC) AS rn
+        |          FROM hj) WHERE rn = 1),
+        |a16 AS (SELECT doc_id, j AS s16 FROM (
+        |          SELECT doc_id, j, row_number() OVER (
+        |            PARTITION BY doc_id ORDER BY h DESC, j DESC) AS rn
+        |          FROM hj WHERE j <= 15) WHERE rn = 1),
+        |nv AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)),
+        |           1, 15) AS BIGINT) % 16 AS n16,
+        |         CAST('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)),
+        |           1, 15) AS BIGINT) % 17 AS n17
+        |       FROM dd),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS moved_hrw,
+        |         CAST(sum(CASE WHEN n16 <> n17 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS moved_naive
+        |       FROM a16 JOIN a17 USING (doc_id) JOIN nv USING (doc_id)),
+        |pp AS (SELECT n_docs, moved_hrw, moved_naive,
+        |         (2 * 1000000 * moved_hrw + n_docs) // (2 * n_docs)
+        |           AS moved_hrw_x1e6,
+        |         (2 * 1000000 * moved_naive + n_docs) // (2 * n_docs)
+        |           AS moved_naive_x1e6
+        |       FROM ag)
+        |SELECT n_docs, moved_hrw, moved_naive, moved_hrw_x1e6,
+        |       moved_naive_x1e6,
+        |       (moved_hrw_x1e6 <= 80000) AS hrw_bound_ok,
+        |       (moved_naive_x1e6 >= 800000) AS naive_excess_ok
+        |FROM pp""".stripMargin,
 
     // dedup_threshold_sweep: dedup_recall's brute-force exact-pair
     // chain keeping (ni, nu), re-cut at four thresholds from a
