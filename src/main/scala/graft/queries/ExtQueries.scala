@@ -1383,6 +1383,132 @@ object ExtQueries {
             .as("is_planted"))
     },
 
+    // Retrieve-then-rerank (round 12) — the two-stage serving shape
+    // every production retrieval stack converges on (Nogueira & Cho
+    // 2019; ColBERT §1): a CHEAP recall stage (raw tf overlap with
+    // the query terms, top-20) feeds an EXPENSIVE precision stage
+    // (colbert_maxsim's late-interaction MaxSim) that rescores ONLY
+    // the candidates — the rerank cost is O(k·|q|·vocab_cand), never
+    // corpus-sized. The plants make the improvement COMPUTABLE, not
+    // assumed: tf-inflated decoys (one query token repeated 12×)
+    // out-score the true relevants (all 4 query tokens once) in
+    // stage 1, and MaxSim — which maxes per DISTINCT query token —
+    // demotes them, so rerank nDCG@5 > stage-1 nDCG@5 on the same
+    // relevant set (rerank_ok records it, the retrieval_ndcg
+    // convention). The candidate pool is graded three ways per
+    // query: full-match relevants (all 4 query tokens once + junk,
+    // tf 4), partial-match competitors (2 of 4 tokens ×3, tf 6) and
+    // tf-inflated decoys (one token ×12) — stage 1 ranks them
+    // decoys > partials > relevants, the reranker exactly inverts
+    // that, and the margins are construction-deterministic (the
+    // corpus vocabulary is deliberately disjoint from the synthetic
+    // query tokens, so real docs flow through the same frames
+    // without perturbing the graded cells — this corpus's tiny
+    // shared vocabulary makes any corpus-anchored query degenerate).
+    // Fully exact-integer; full-recompute oracle.
+    "rag_rerank" -> { (s, d) =>
+      val k = 5; val kCand = 20
+      def tokVec(t: Column): Column = transform(sequence(lit(0), lit(7)),
+        kk => pmod(Dedup.md5Hash60(concat(t, lit(":"), kk)), lit(201L))
+          - 100L)
+      val docsBase = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val qids = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"))
+      val qterms = qids
+        .select(col("qid"), explode(sequence(lit(1), lit(4))).as("i"))
+        .select(col("qid"),
+          concat(lit("rq"), col("qid"), lit("t"), col("i")).as("term"))
+        .localCheckpoint(true)
+      val qtext = qterms.groupBy(col("qid"))
+        .agg(concat_ws(" ", sort_array(collect_list(col("term"))))
+          .as("qtext"))
+        .localCheckpoint(true)
+      val plants = qtext
+        .select(col("qid"), col("qtext"),
+          explode(sequence(lit(1), lit(3))).as("j"))
+        .select(col("qtext"),
+          (lit(9700000L) + col("qid") * 10 + col("j")).as("did"))
+        .select(col("did").as("doc_id"),
+          concat(col("qtext"), lit(" "), concat_ws(" ",
+            transform(sequence(lit(1), lit(6)),
+              kk => concat(lit("rx"), col("did"), lit("x"), kk))))
+            .as("text"))
+      val partials = qtext
+        .select(col("qid"), explode(sequence(lit(1), lit(2))).as("j"))
+        .select((lit(9750000L) + col("qid") * 10 + col("j")).as("doc_id"),
+          concat_ws(" ", concat(
+            array_repeat(concat(lit("rq"), col("qid"), lit("t1")), 3),
+            array_repeat(concat(lit("rq"), col("qid"), lit("t2")), 3)))
+            .as("text"))
+      val decoys = qtext
+        .select(col("qid"), explode(sequence(lit(1), lit(2))).as("j"))
+        .select((lit(9800000L) + col("qid") * 10 + col("j")).as("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("rq"), col("qid"), lit("t1")), 12)).as("text"))
+      val docs = docsBase.unionByName(plants).unionByName(partials)
+        .unionByName(decoys)
+      val tf = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val s1 = tf.join(broadcast(qterms), "term")
+        .groupBy(col("qid").as("query_id"), col("doc_id"))
+        .agg(sum(col("tf")).as("score1"))
+      val wq = Window.partitionBy(col("query_id"))
+      val cand = graft.plans.TopKPerKey.perKey(s1, Seq(col("query_id")),
+          Seq(col("score1").desc, col("doc_id")), kCand)
+        .withColumn("rank1", row_number().over(
+          wq.orderBy(col("score1").desc, col("doc_id"))))
+        .localCheckpoint(true)
+      val candInc = tf.join(cand.select(col("doc_id")).distinct(), "doc_id")
+        .select(col("doc_id"), col("term")).distinct()
+        .localCheckpoint(true)
+      val vocab = candInc.select(col("term")).distinct()
+        .withColumn("tv", tokVec(col("term")))
+      val qtv = qterms.select(col("qid"), col("term").as("qterm"))
+        .withColumn("qv", tokVec(col("qterm")))
+      // Normalization surrogate: real ColBERT scores cosine, where a
+      // term's self-similarity is the attainable MAXIMUM; with
+      // unnormalized md5 vectors a big candidate vocabulary's best
+      // cross-dot can legitimately beat a self-dot (colbert_maxsim
+      // records exactly that), which would let broad real docs bury
+      // the true matches. So an EXACT term match pins to 8·100² =
+      // 80000, the max any integer dot can reach — the cosine
+      // self-max emulated in exact integers.
+      val dots = vocab.join(broadcast(qtv))
+        .select(col("qid"), col("qterm"), col("term"),
+          when(col("term") === col("qterm"), lit(80000L))
+            .otherwise(VectorOps.idot(col("tv"), col("qv"))).as("dot"))
+      val perQt = candInc.join(dots, "term")
+        .groupBy(col("qid"), col("doc_id"), col("qterm"))
+        .agg(max(col("dot")).as("best"))
+      val rr = perQt.groupBy(col("qid").as("query_id"), col("doc_id"))
+        .agg(sum(col("best")).as("maxsim"))
+        .join(cand.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"))
+      val rerank = rr.withColumn("rank", row_number().over(
+          wq.orderBy(col("maxsim").desc, col("doc_id"))))
+        .filter(col("rank") <= k).localCheckpoint(true)
+      val isRel = col("doc_id") >= 9700000L && col("doc_id") < 9750000L
+      val wArr = RagNdcgWeights.take(k)
+      val idcg = wArr.sum
+      def ndcg(r: DataFrame, rankCol: String, nm: String) =
+        r.filter(col(rankCol) <= k).groupBy(col("query_id"))
+          .agg(sum(when(isRel,
+            element_at(typedLit(wArr), col(rankCol).cast("int")))
+            .otherwise(0L)).as("dcg"))
+          .selectExpr("query_id",
+            s"(2 * 1000000 * dcg + $idcg) div (2 * $idcg) AS $nm")
+      val cells = ndcg(cand, "rank1", "stage1_ndcg_x1e6")
+        .join(ndcg(rerank, "rank", "rerank_ndcg_x1e6"), "query_id")
+      rerank.join(broadcast(cells), "query_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("maxsim"), isRel.as("is_rel"),
+          col("stage1_ndcg_x1e6"), col("rerank_ndcg_x1e6"),
+          (col("rerank_ndcg_x1e6") >= col("stage1_ndcg_x1e6"))
+            .as("rerank_ok"))
+    },
+
     // Percolation / reverse search (round 11) — the alerting
     // primitive (Elastic's percolator): STORED queries match against
     // the document stream instead of documents against a query. Ten
@@ -4115,6 +4241,106 @@ object ExtQueries {
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY maxsim DESC, doc_id) AS rn
         |      FROM sc) WHERE rn <= 5""".stripMargin,
+
+    // rag_rerank: full recompute — anchor derivation, plant/decoy
+    // construction, tf-overlap stage 1, candidate-restricted MaxSim,
+    // literal-weight nDCG@5 cells from the same Scala list.
+    "rag_rerank" -> {
+      val w5 = RagNdcgWeights.take(5)
+      val wVals = w5.zipWithIndex
+        .map { case (wt, i) => s"(${i + 1}, ${wt})" }.mkString(", ")
+      val idcg = w5.sum
+      s"""WITH qids AS (SELECT vec_id AS qid FROM embeddings
+         |              WHERE vec_id < 3),
+         |qterms AS (SELECT qid, 'rq' || CAST(qid AS VARCHAR) || 't' ||
+         |             CAST(i.i AS VARCHAR) AS term
+         |           FROM qids CROSS JOIN range(1, 5) i(i)),
+         |qtext AS (SELECT qid,
+         |            array_to_string(list_sort(list(term)), ' ') AS qtext
+         |          FROM qterms GROUP BY 1),
+         |plant AS (SELECT did AS doc_id, qtext || ' ' ||
+         |            array_to_string(list_transform(generate_series(1, 6),
+         |              kk -> 'rx' || CAST(did AS VARCHAR) || 'x' ||
+         |                CAST(kk AS VARCHAR)), ' ') AS text
+         |          FROM (SELECT qid, qtext, 9700000 + qid * 10 + j.j AS did
+         |                FROM qtext CROSS JOIN range(1, 4) j(j))),
+         |part AS (SELECT 9750000 + qid * 10 + j.j AS doc_id,
+         |           array_to_string(list_transform(generate_series(1, 3),
+         |             x -> 'rq' || CAST(qid AS VARCHAR) || 't1'), ' ')
+         |           || ' ' ||
+         |           array_to_string(list_transform(generate_series(1, 3),
+         |             x -> 'rq' || CAST(qid AS VARCHAR) || 't2'), ' ')
+         |             AS text
+         |         FROM qtext CROSS JOIN range(1, 3) j(j)),
+         |decoy AS (SELECT 9800000 + qid * 10 + j.j AS doc_id,
+         |            array_to_string(list_transform(generate_series(1, 12),
+         |              x -> 'rq' || CAST(qid AS VARCHAR) || 't1'), ' ')
+         |              AS text
+         |          FROM qtext CROSS JOIN range(1, 3) j(j)),
+         |docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM plant
+         |  UNION ALL SELECT doc_id, text FROM part
+         |  UNION ALL SELECT doc_id, text FROM decoy),
+         |tf AS MATERIALIZED (SELECT doc_id, term,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |          string_split_regex(trim(lower(text)), '\\s+'),
+         |          x -> x <> '')) AS term
+         |        FROM docs) GROUP BY 1, 2),
+         |s1 AS (SELECT q.qid AS query_id, t.doc_id,
+         |         CAST(sum(t.tf) AS BIGINT) AS score1
+         |       FROM tf t JOIN qterms q ON q.term = t.term GROUP BY 1, 2),
+         |cand AS (SELECT query_id, doc_id, score1, rank1 FROM (
+         |    SELECT query_id, doc_id, score1, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score1 DESC, doc_id) AS rank1
+         |    FROM s1) WHERE rank1 <= 20),
+         |cinc AS (SELECT DISTINCT t.doc_id, t.term
+         |         FROM tf t JOIN (SELECT DISTINCT doc_id FROM cand) c
+         |           USING (doc_id)),
+         |vocab AS (SELECT DISTINCT term FROM cinc),
+         |tvv AS MATERIALIZED (SELECT term, k.k,
+         |    CAST('0x' || substr(md5(term || ':' || CAST(k.k AS VARCHAR)),
+         |      1, 15) AS BIGINT) % 201 - 100 AS v
+         |  FROM vocab CROSS JOIN range(0, 8) k(k)),
+         |qv AS (SELECT qid, term AS qterm, k.k,
+         |    CAST('0x' || substr(md5(term || ':' || CAST(k.k AS VARCHAR)),
+         |      1, 15) AS BIGINT) % 201 - 100 AS v
+         |  FROM qterms CROSS JOIN range(0, 8) k(k)),
+         |dots AS (SELECT q.qid, q.qterm, t.term,
+         |    CASE WHEN t.term = q.qterm THEN 80000
+         |         ELSE CAST(sum(q.v * t.v) AS BIGINT) END AS dot
+         |  FROM qv q JOIN tvv t ON t.k = q.k GROUP BY 1, 2, 3),
+         |perqt AS (SELECT d.qid, i.doc_id, d.qterm, max(d.dot) AS best
+         |  FROM cinc i JOIN dots d ON d.term = i.term GROUP BY 1, 2, 3),
+         |rrs AS (SELECT p.qid AS query_id, p.doc_id,
+         |          CAST(sum(p.best) AS BIGINT) AS maxsim
+         |        FROM perqt p JOIN cand c
+         |          ON c.query_id = p.qid AND c.doc_id = p.doc_id
+         |        GROUP BY 1, 2),
+         |rtop AS (SELECT query_id, doc_id, maxsim, rank FROM (
+         |    SELECT query_id, doc_id, maxsim, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS rank
+         |    FROM rrs) WHERE rank <= 5),
+         |w(r, wt) AS (VALUES $wVals),
+         |nd1 AS (SELECT query_id, (2 * 1000000 * CAST(sum(
+         |          CASE WHEN doc_id >= 9700000 AND doc_id < 9750000
+         |               THEN wt ELSE 0 END) AS BIGINT) + $idcg)
+         |          // (2 * $idcg) AS stage1_ndcg_x1e6
+         |        FROM cand JOIN w ON w.r = cand.rank1
+         |        WHERE rank1 <= 5 GROUP BY 1),
+         |nd2 AS (SELECT query_id, (2 * 1000000 * CAST(sum(
+         |          CASE WHEN doc_id >= 9700000 AND doc_id < 9750000
+         |               THEN wt ELSE 0 END) AS BIGINT) + $idcg)
+         |          // (2 * $idcg) AS rerank_ndcg_x1e6
+         |        FROM rtop JOIN w ON w.r = rtop.rank GROUP BY 1)
+         |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+         |  r.maxsim,
+         |  (r.doc_id >= 9700000 AND r.doc_id < 9750000) AS is_rel,
+         |  nd1.stage1_ndcg_x1e6, nd2.rerank_ndcg_x1e6,
+         |  (nd2.rerank_ndcg_x1e6 >= nd1.stage1_ndcg_x1e6) AS rerank_ok
+         |FROM rtop r JOIN nd1 USING (query_id) JOIN nd2 USING (query_id)"""
+        .stripMargin
+    },
 
     // rag_pipeline: the ORACLE IS THE FULL RECOMPUTE of the whole
     // serving chain — chunking, integer chunk vectors, log-free
