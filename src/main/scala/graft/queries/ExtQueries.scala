@@ -1509,6 +1509,102 @@ object ExtQueries {
             .as("rerank_ok"))
     },
 
+    // Pseudo-relevance-feedback query expansion (round 12) — RM3
+    // (Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004), the classic
+    // fix for VOCABULARY MISMATCH: documents relevant to a query may
+    // share none of its words. Stage 1 retrieves top-10 by tf
+    // overlap; the top-3 feedback docs' highest-mass non-query terms
+    // (top-2 by summed tf, term tiebreak) expand the query; stage 2
+    // re-retrieves with the expanded term set. The plant construction
+    // makes the recall gain computable: per query, 3 BRIDGE docs
+    // carry the query terms plus two expansion terms, and 3 HIDDEN
+    // relevants carry ONLY the expansion terms — stage 1 cannot reach
+    // them (recall 3/6), stage 2 retrieves all six (recall 6/6), and
+    // expansion_ok records recall2 > recall1. Synthetic tokens keep
+    // the construction corpus-independent (rag_rerank's lesson);
+    // corpus docs flow through every frame. 100 TB shape: both
+    // retrieval passes are the (doc, term) tf exchange with ≤ 5
+    // query terms broadcast + TopKPerKey; the feedback term-mass agg
+    // rides 3 docs' terms.
+    "query_expansion" -> { (s, d) =>
+      val k = 10
+      val qids = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"))
+      val qterms = qids
+        .select(col("qid"), explode(sequence(lit(1), lit(3))).as("i"))
+        .select(col("qid"),
+          concat(lit("pe"), col("qid"), lit("t"), col("i")).as("term"))
+        .localCheckpoint(true)
+      val qtoks = transform(sequence(lit(1), lit(3)),
+        i => concat(lit("pe"), col("qid"), lit("t"), i))
+      val etoks2 = flatten(transform(sequence(lit(1), lit(2)),
+        e => array_repeat(concat(lit("pe"), col("qid"), lit("e"), e), 2)))
+      val bridge = qids
+        .select(col("qid"), explode(sequence(lit(1), lit(3))).as("j"))
+        .select((lit(9850000L) + col("qid") * 10 + col("j")).as("doc_id"),
+          concat_ws(" ", concat(qtoks, etoks2)).as("text"))
+      val hidden = qids
+        .select(col("qid"), explode(sequence(lit(1), lit(3))).as("j"))
+        .select(col("qid"),
+          (lit(9860000L) + col("qid") * 10 + col("j")).as("did"))
+        .select(col("did").as("doc_id"),
+          concat_ws(" ", concat(
+            flatten(transform(sequence(lit(1), lit(2)),
+              e => array_repeat(concat(lit("pe"),
+                expr("(did - 9860000) div 10"), lit("e"), e), 2))),
+            transform(sequence(lit(1), lit(4)),
+              kk => concat(lit("px"), col("did"), lit("x"), kk))))
+            .as("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(bridge).unionByName(hidden)
+      val tf = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val wq = Window.partitionBy(col("query_id"))
+      def retrieve(terms: DataFrame): DataFrame =
+        graft.plans.TopKPerKey.perKey(
+          tf.join(broadcast(terms), "term")
+            .groupBy(col("qid").as("query_id"), col("doc_id"))
+            .agg(sum(col("tf")).as("score")),
+          Seq(col("query_id")), Seq(col("score").desc, col("doc_id")), k)
+          .withColumn("rank", row_number().over(
+            wq.orderBy(col("score").desc, col("doc_id"))))
+      val cand1 = retrieve(qterms).localCheckpoint(true)
+      val fb = cand1.filter(col("rank") <= 3)
+        .select(col("query_id").as("qid"), col("doc_id"))
+      val eterms = tf.join(fb, "doc_id")
+        .join(broadcast(qterms.select(col("term")).distinct()),
+          Seq("term"), "left_anti")
+        .groupBy(col("qid"), col("term")).agg(sum(col("tf")).as("mass"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("mass").desc, col("term"))))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("term"))
+      val cand2 = retrieve(qterms.unionByName(eterms)).localCheckpoint(true)
+      val rel = bridge.unionByName(hidden)
+        .select(col("doc_id"),
+          expr("""CASE WHEN doc_id >= 9860000 THEN (doc_id - 9860000) div 10
+                |     ELSE (doc_id - 9850000) div 10 END""".stripMargin)
+            .as("query_id"))
+        .localCheckpoint(true)
+      val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      def recall(cand: DataFrame, nm: String): DataFrame =
+        cand.join(rel, Seq("query_id", "doc_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hit"))
+          .join(nRel, "query_id")
+          .selectExpr("query_id",
+            s"(2 * 1000000 * hit + n_rel) div (2 * n_rel) AS $nm")
+      recall(cand1, "recall1_x1e6")
+        .join(recall(cand2, "recall2_x1e6"), "query_id")
+        .join(nRel, "query_id")
+        .join(eterms.groupBy(col("qid").as("query_id"))
+          .agg(count(lit(1)).as("n_expansion")), "query_id")
+        .select(col("query_id"), col("n_rel"), col("n_expansion"),
+          col("recall1_x1e6"), col("recall2_x1e6"),
+          (col("recall2_x1e6") > col("recall1_x1e6")).as("expansion_ok"))
+    },
+
     // Percolation / reverse search (round 11) — the alerting
     // primitive (Elastic's percolator): STORED queries match against
     // the document stream instead of documents against a query. Ten
@@ -4241,6 +4337,96 @@ object ExtQueries {
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY maxsim DESC, doc_id) AS rn
         |      FROM sc) WHERE rn <= 5""".stripMargin,
+
+    // query_expansion: full recompute — bridge/hidden construction,
+    // two tf-overlap retrieval passes, feedback term-mass top-2,
+    // HALF_UP recall cells.
+    "query_expansion" ->
+      """WITH qids AS (SELECT vec_id AS qid FROM embeddings
+        |              WHERE vec_id < 3),
+        |qterms AS (SELECT qid, 'pe' || CAST(qid AS VARCHAR) || 't' ||
+        |             CAST(i.i AS VARCHAR) AS term
+        |           FROM qids CROSS JOIN range(1, 4) i(i)),
+        |bridge AS (SELECT 9850000 + qid * 10 + j.j AS doc_id,
+        |    array_to_string(list_transform(generate_series(1, 3),
+        |      i -> 'pe' || CAST(qid AS VARCHAR) || 't' ||
+        |        CAST(i AS VARCHAR)), ' ')
+        |    || ' ' || concat_ws(' ',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e1',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e1',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e2',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e2') AS text
+        |  FROM qids CROSS JOIN range(1, 4) j(j)),
+        |hidden AS (SELECT did AS doc_id,
+        |    concat_ws(' ',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e1',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e1',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e2',
+        |      'pe' || CAST(qid AS VARCHAR) || 'e2')
+        |    || ' ' ||
+        |    array_to_string(list_transform(generate_series(1, 4),
+        |      kk -> 'px' || CAST(did AS VARCHAR) || 'x' ||
+        |        CAST(kk AS VARCHAR)), ' ') AS text
+        |  FROM (SELECT qid, 9860000 + qid * 10 + j.j AS did
+        |        FROM qids CROSS JOIN range(1, 4) j(j))),
+        |docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM bridge
+        |  UNION ALL SELECT doc_id, text FROM hidden),
+        |tf AS MATERIALIZED (SELECT doc_id, term,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |          string_split_regex(trim(lower(text)), '\s+'),
+        |          x -> x <> '')) AS term
+        |        FROM docs) GROUP BY 1, 2),
+        |s1 AS (SELECT q.qid AS query_id, t.doc_id,
+        |         CAST(sum(t.tf) AS BIGINT) AS score
+        |       FROM tf t JOIN qterms q USING (term) GROUP BY 1, 2),
+        |c1 AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |    FROM s1) WHERE rank <= 10),
+        |fb AS (SELECT query_id AS qid, doc_id FROM c1 WHERE rank <= 3),
+        |et AS (SELECT qid, term FROM (
+        |    SELECT qid, term, row_number() OVER (
+        |      PARTITION BY qid ORDER BY mass DESC, term) AS rn
+        |    FROM (SELECT f.qid, t.term, CAST(sum(t.tf) AS BIGINT) AS mass
+        |          FROM tf t JOIN fb f USING (doc_id)
+        |          WHERE t.term NOT IN (SELECT term FROM qterms)
+        |          GROUP BY 1, 2)) WHERE rn <= 2),
+        |q2 AS (SELECT qid, term FROM qterms
+        |       UNION ALL SELECT qid, term FROM et),
+        |s2 AS (SELECT q.qid AS query_id, t.doc_id,
+        |         CAST(sum(t.tf) AS BIGINT) AS score
+        |       FROM tf t JOIN q2 q USING (term) GROUP BY 1, 2),
+        |c2 AS (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |    FROM s2) WHERE rank <= 10),
+        |rel AS (SELECT doc_id,
+        |          CASE WHEN doc_id >= 9860000
+        |               THEN (doc_id - 9860000) // 10
+        |               ELSE (doc_id - 9850000) // 10 END AS query_id
+        |        FROM (SELECT doc_id FROM bridge
+        |              UNION ALL SELECT doc_id FROM hidden)),
+        |nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |       FROM rel GROUP BY 1),
+        |ne AS (SELECT qid AS query_id, CAST(count(*) AS BIGINT)
+        |         AS n_expansion
+        |       FROM et GROUP BY 1),
+        |r1 AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS hit
+        |       FROM c1 c JOIN rel USING (query_id, doc_id) GROUP BY 1),
+        |r2 AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS hit
+        |       FROM c2 c JOIN rel USING (query_id, doc_id) GROUP BY 1)
+        |SELECT n.query_id, n.n_rel, ne.n_expansion,
+        |  (2 * 1000000 * r1.hit + n.n_rel) // (2 * n.n_rel)
+        |    AS recall1_x1e6,
+        |  (2 * 1000000 * r2.hit + n.n_rel) // (2 * n.n_rel)
+        |    AS recall2_x1e6,
+        |  ((2 * 1000000 * r2.hit + n.n_rel) // (2 * n.n_rel) >
+        |   (2 * 1000000 * r1.hit + n.n_rel) // (2 * n.n_rel))
+        |    AS expansion_ok
+        |FROM nr n JOIN ne USING (query_id) JOIN r1 USING (query_id)
+        |JOIN r2 USING (query_id)""".stripMargin,
 
     // rag_rerank: full recompute — anchor derivation, plant/decoy
     // construction, tf-overlap stage 1, candidate-restricted MaxSim,
