@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{HeavyHitters, InvertedIndex, QualityFilter, TextOps}
+import graft.ext.{Dedup, HeavyHitters, InvertedIndex, QualityFilter, TextOps}
 import graft.ops.{Drift, Funnel, GapFill, Hierarchy, Incremental, Trend}
 
 /** Round-5 analytics + corpus-governance queries: time-series
@@ -324,6 +324,138 @@ object AnalyticsQueries {
       e.join(broadcast(stats), "event_type")
         .filter(dev * dev > lit(9) * (col("n").cast(dec) * col("q") - col("s") * col("s")))
         .select(col("event_id"), col("event_type"), col("value"))
+    },
+
+    // Zone-map pruning audit (round 12) — the data-skipping argument
+    // behind every lake layout decision (parquet row-group min/max,
+    // ORC stripe stats; Moerkotte's small materialized aggregates,
+    // VLDB 1998): per-shard min/max "zone maps" let a selective scan
+    // SKIP whole files. The audit COMPUTES the benefit of clustering
+    // instead of asserting it: the same 64-shard corpus is laid out
+    // twice — arrival order (round-robin on event_id: every shard
+    // holds a value mix, so the selective predicate prunes almost
+    // nothing) vs value-clustered (equal-MASS equi-depth buckets on
+    // the compressed centi-value histogram — equal-WIDTH buckets
+    // fail on this corpus's long tail, which is itself the lesson:
+    // cluster by rank mass, not by range) — and both prune fractions
+    // are reported with a computed clustered_wins cell (the
+    // split_leakage convention). The predicate is the exact
+    // nearest-rank p90 (winsorize's formula), so ~10% of rows match
+    // by construction. All exact integers. 100 TB shape: the
+    // cumulative rides the DISTINCT-centi-value compressed histogram
+    // (the equidepth_hist layout; its _scale variant shows the
+    // two-level form); zone maps are one (shard, max) agg; the
+    // prune decision is a 64-row broadcast — exactly how a planner
+    // consults file stats without touching data.
+    "zonemap_prune" -> { (s, d) =>
+      val S = 64
+      val y = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val e = Tables.events(s, d).select(col("event_id"), y.as("y"))
+        .localCheckpoint(true)
+      val nTot = e.agg(count(lit(1)).as("n"))
+      val wv = Window.orderBy(col("y"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val hb = e.groupBy(col("y")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(nTot))
+        .select(col("y"),
+          least(lit((S - 1).toLong),
+            expr(s"((cum - 1) * $S) div n")).as("shard_clu"),
+          col("cum"), col("n"))
+        .localCheckpoint(true)
+      val p90 = hb.filter(col("cum") >= expr("(9 * n + 9) div 10"))
+        .agg(min(col("y")).as("p"))
+      val laid = e.join(hb.select(col("y"), col("shard_clu")), "y")
+        .crossJoin(broadcast(p90))
+        .select(col("y"), col("p"),
+          pmod(col("event_id"), lit(S.toLong)).as("shard_nat"),
+          col("shard_clu"))
+        .localCheckpoint(true)
+      def audit(shardCol: String, nm: String): DataFrame = {
+        val zones = laid.groupBy(col(shardCol).as("shard"))
+          .agg(count(lit(1)).as("rows"), max(col("y")).as("zmax"),
+            max(col("p")).as("p"))
+        zones.agg(
+          lit(nm).as("layout"),
+          count(lit(1)).as("n_shards"),
+          sum(when(col("zmax") < col("p"), 1L).otherwise(0L))
+            .as("n_pruned"),
+          sum(col("rows")).as("rows_total"),
+          sum(when(col("zmax") >= col("p"), col("rows")).otherwise(0L))
+            .as("rows_scanned"))
+      }
+      val nat = audit("shard_nat", "natural")
+      val clu = audit("shard_clu", "clustered")
+      val winner = clu.select(col("n_pruned").as("cp"))
+        .crossJoin(nat.select(col("n_pruned").as("np")))
+        .select((col("cp") > col("np")).as("clustered_wins"))
+      nat.unionByName(clu).crossJoin(broadcast(winner))
+        .selectExpr("layout", "n_shards", "n_pruned", "rows_total",
+          "rows_scanned",
+          "(2 * 1000000 * n_pruned + n_shards) div (2 * n_shards)" +
+            " AS pruned_frac_x1e6",
+          "clustered_wins")
+    },
+
+    // A/B-test significance, exact-integer Pearson χ² (round 12) —
+    // the experimentation primitive (Pearson 1900; Kohavi et al.,
+    // Trustworthy Online Controlled Experiments): conversion =
+    // exceeding the exact nearest-rank p90 of the value axis; arms
+    // split by md5. TWO tests ship together, the platform
+    // calibration pair: an A/A test (same hash arms, unbiased
+    // metric — must NOT reach significance; a significant A/A means
+    // the assignment or the stat is broken) and a PLANTED-lift test
+    // (arm B's conversions get a deterministic md5-selected +10%
+    // lift — must reach significance). χ² = N(ad−bc)²/Π(margins)
+    // compared against 3.8415 (α=0.05, df=1) with denominators
+    // CLEARED — the significance decision is an exact integer
+    // comparison (10000·N·(ad−bc)² > 38415·Π), DECIMAL(38,0)/
+    // HUGEINT-routed since (ad−bc)² alone crosses 2⁶³ at 100k rows;
+    // chisq_x100 is reported for reading, the decision never
+    // touches it. 100 TB shape: two global aggs over map-side flags;
+    // the contingency table is 4 numbers.
+    "ab_chisq" -> { (s, d) =>
+      val y = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val e = Tables.events(s, d).select(col("event_id"), y.as("y"))
+        .localCheckpoint(true)
+      val nTot = e.agg(count(lit(1)).as("n"))
+      val wv = Window.orderBy(col("y"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p90 = e.groupBy(col("y")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(nTot))
+        .filter(col("cum") >= expr("(9 * n + 9) div 10"))
+        .agg(min(col("y")).as("p"))
+      val base = e.crossJoin(broadcast(p90))
+        .select(
+          pmod(Dedup.md5Hash60(concat(lit("ab:"), col("event_id"))),
+            lit(2L)).as("arm"),
+          (col("y") >= col("p")).as("conv1"),
+          (pmod(Dedup.md5Hash60(concat(lit("lift:"), col("event_id"))),
+            lit(10L)) === 0L).as("lifted"))
+        .withColumn("conv2",
+          col("conv1") || (col("arm") === 1L && col("lifted")))
+        .localCheckpoint(true)
+      def test(nm: String, convCol: String): DataFrame =
+        base.agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 0L && col(convCol), 1L).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("arm") === 1L && col(convCol), 1L).otherwise(0L))
+            .as("conv_b"))
+        .selectExpr("n_a", "n_b", "conv_a", "conv_b",
+          "CAST(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b " +
+            "AS DECIMAL(38,0)) AS dif",
+          "CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b) * " +
+            "(n_a + n_b - conv_a - conv_b) AS den")
+        .selectExpr(s"'$nm' AS test", "n_a", "n_b", "conv_a", "conv_b",
+          "CAST((100 * (n_a + n_b) * dif * dif) div den AS BIGINT)" +
+            " AS chisq_x100",
+          "10000 * (n_a + n_b) * dif * dif > " +
+            "CAST(38415 AS DECIMAL(38,0)) * den AS significant")
+      test("aa_calibration", "conv1")
+        .unionByName(test("ab_planted_lift", "conv2"))
     },
 
     // Median/MAD robust outliers (round 12) — the breakdown-resistant
@@ -1552,6 +1684,105 @@ object AnalyticsQueries {
         |SELECT d.event_id, d.event_type, d.value
         |FROM dv d JOIN mad USING (event_type)
         |WHERE 2 * d.dvv > 3 * mad.mad2""".stripMargin,
+
+    // ab_chisq: same p90 conversion metric, md5 arms + planted lift,
+    // cleared-denominator χ² decision in HUGEINT.
+    "ab_chisq" ->
+      """WITH e AS (SELECT event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |           FROM events),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |hb AS (SELECT y, sum(CAST(c AS BIGINT)) OVER (ORDER BY y
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM (SELECT y, count(*) AS c FROM e GROUP BY 1)),
+        |p90 AS (SELECT min(y) AS p FROM hb CROSS JOIN nt
+        |        WHERE cum >= (9 * nt.n + 9) // 10),
+        |base AS (SELECT
+        |    CAST('0x' || substr(md5('ab:' || CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 2 AS arm,
+        |    (y >= p) AS conv1,
+        |    (CAST('0x' || substr(md5('lift:' ||
+        |       CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0)
+        |      AS lifted
+        |  FROM e CROSS JOIN p90),
+        |b2 AS (SELECT arm, conv1,
+        |         (conv1 OR (arm = 1 AND lifted)) AS conv2
+        |       FROM base),
+        |t1 AS (SELECT 'aa_calibration' AS test,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 AND conv1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(sum(CASE WHEN arm = 1 AND conv1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |       FROM b2),
+        |t2 AS (SELECT 'ab_planted_lift' AS test,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 AND conv2 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(sum(CASE WHEN arm = 1 AND conv2 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |       FROM b2),
+        |u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+        |f AS (SELECT test, n_a, n_b, conv_a, conv_b,
+        |        CAST(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+        |             AS HUGEINT) AS dif,
+        |        CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b) *
+        |          (n_a + n_b - conv_a - conv_b) AS den
+        |      FROM u)
+        |SELECT test, n_a, n_b, conv_a, conv_b,
+        |  CAST((100 * (n_a + n_b) * dif * dif) // den AS BIGINT)
+        |    AS chisq_x100,
+        |  (10000 * (n_a + n_b) * dif * dif >
+        |   CAST(38415 AS HUGEINT) * den) AS significant
+        |FROM f""".stripMargin,
+
+    // zonemap_prune: same two layouts (round-robin vs equi-depth on
+    // the compressed histogram), exact nearest-rank p90 predicate,
+    // per-shard max zone maps, prune fractions + computed winner.
+    "zonemap_prune" ->
+      """WITH e AS (SELECT event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |           FROM events),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |hb AS (SELECT y, sum(CAST(c AS BIGINT)) OVER (ORDER BY y
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM (SELECT y, count(*) AS c FROM e GROUP BY 1)),
+        |hb2 AS (SELECT y, least(63, ((cum - 1) * 64) // nt.n)
+        |          AS shard_clu, cum
+        |        FROM hb CROSS JOIN nt),
+        |p90 AS (SELECT min(y) AS p FROM hb2 CROSS JOIN nt
+        |        WHERE cum >= (9 * nt.n + 9) // 10),
+        |laid AS (SELECT e.y, p90.p,
+        |           e.event_id % 64 AS shard_nat, h.shard_clu
+        |         FROM e JOIN hb2 h USING (y) CROSS JOIN p90),
+        |zn AS (SELECT shard_nat AS shard, CAST(count(*) AS BIGINT) AS nr,
+        |              max(y) AS zmax, max(p) AS p
+        |       FROM laid GROUP BY 1),
+        |zc AS (SELECT shard_clu AS shard, CAST(count(*) AS BIGINT) AS nr,
+        |              max(y) AS zmax, max(p) AS p
+        |       FROM laid GROUP BY 1),
+        |an AS (SELECT 'natural' AS layout,
+        |         CAST(count(*) AS BIGINT) AS n_shards,
+        |         CAST(sum(CASE WHEN zmax < p THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_pruned,
+        |         CAST(sum(nr) AS BIGINT) AS rows_total,
+        |         CAST(sum(CASE WHEN zmax >= p THEN nr ELSE 0 END)
+        |              AS BIGINT) AS rows_scanned
+        |       FROM zn),
+        |ac AS (SELECT 'clustered' AS layout,
+        |         CAST(count(*) AS BIGINT) AS n_shards,
+        |         CAST(sum(CASE WHEN zmax < p THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_pruned,
+        |         CAST(sum(nr) AS BIGINT) AS rows_total,
+        |         CAST(sum(CASE WHEN zmax >= p THEN nr ELSE 0 END)
+        |              AS BIGINT) AS rows_scanned
+        |       FROM zc),
+        |w AS (SELECT (ac.n_pruned > an.n_pruned) AS clustered_wins
+        |      FROM ac, an)
+        |SELECT layout, n_shards, n_pruned, rows_total, rows_scanned,
+        |  (2 * 1000000 * n_pruned + n_shards) // (2 * n_shards)
+        |    AS pruned_frac_x1e6,
+        |  w.clustered_wins
+        |FROM (SELECT * FROM an UNION ALL SELECT * FROM ac) u
+        |CROSS JOIN w""".stripMargin,
 
     "text_normalize" ->
       """WITH t AS (SELECT doc_id,

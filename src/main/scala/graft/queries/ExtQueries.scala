@@ -317,7 +317,7 @@ object ExtQueries {
       aug.select(col("doc_id"), col("actual_keep"), col("is_train"))
         .join(docScore, Seq("doc_id"), "left")
         .crossJoin(broadcast(classes))
-        .select(col("is_train"), col("actual_keep"),
+        .select(col("doc_id"), col("is_train"), col("actual_keep"),
           (coalesce(col("sum_w"), lit(0L)) +
             floor(log((col("n_pos") + 1).cast("double") /
                 (col("n_neg") + 1).cast("double")) * 1e6 + 0.5).cast("long"))
@@ -3412,6 +3412,24 @@ object ExtQueries {
             col("pos_rate_x1e6") >= col("prev_max")).as("monotone_so_far"))
     },
 
+    // Uncertainty sampling for active learning (round 12) — Lewis &
+    // Gale (SIGIR 1994): the labeling budget goes to the docs the
+    // classifier is LEAST SURE about — smallest |score| (the NB
+    // log-odds margin; 0 is the decision boundary), not random docs.
+    // The annotation-queue builder every label-then-distill loop
+    // (quality_classifier's deployment shape) runs between training
+    // rounds. Held-out docs only (querying the model about its own
+    // training set is wasted budget). Exact integers end-to-end;
+    // deterministic (margin, doc_id) total order. 100 TB shape: the
+    // NB chain's envelope + one bounded TakeOrdered cut — no global
+    // sort materializes.
+    "active_learning" -> { (s, d) =>
+      nbScores(s, d).filter(!col("is_train"))
+        .select(col("doc_id"), col("score"),
+          abs(col("score")).as("margin"), col("actual_keep"))
+        .orderBy(col("margin"), col("doc_id")).limit(20)
+    },
+
     // Winnowing fingerprints (round 10) — the MOSS document
     // fingerprint (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     // guarantee-backed sampling of the k-gram hash stream. Every
@@ -4173,7 +4191,7 @@ object ExtQueries {
          |      FROM vc CROSS JOIN tot),
          |ds AS (SELECT doc_id, CAST(sum(tf * w_x1e6) AS BIGINT) AS sum_w
          |       FROM tf JOIN w USING (term) GROUP BY 1),
-         |sc AS (SELECT is_train, actual_keep,
+         |sc AS (SELECT lab.doc_id, is_train, actual_keep,
          |         coalesce(sum_w, 0)
          |           + CAST(floor(ln(CAST(n_pos + 1 AS DOUBLE) /
          |                           CAST(n_neg + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
@@ -6467,6 +6485,13 @@ object ExtQueries {
          |            // (2 * 2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
          |         AS auc_x1e6
          |FROM agg""".stripMargin,
+
+    // active_learning: same held-out frame, smallest-|score| top-20.
+    "active_learning" ->
+      s"""WITH $nbScoreCtes
+         |SELECT doc_id, score, abs(score) AS margin, actual_keep
+         |FROM sc WHERE NOT is_train
+         |ORDER BY margin, doc_id LIMIT 20""".stripMargin,
 
     // classifier_calibration: same held-out frame, 10 equal-width
     // bins, running-max monotonicity over the ≤ 10 bin rows.
