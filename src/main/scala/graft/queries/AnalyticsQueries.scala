@@ -397,6 +397,105 @@ object AnalyticsQueries {
           "clustered_wins")
     },
 
+    // Simpson's-paradox audit (round 12) — the confounding failure
+    // ab_chisq's randomized arms are DESIGNED to prevent (Simpson
+    // 1951; Bickel et al., Science 1975 — the Berkeley admissions
+    // case): when assignment correlates with a segment that also
+    // drives the outcome, the AGGREGATE comparison inverts the
+    // within-every-segment truth. The plant wires exactly that with
+    // three md5 draws per event: segment z (50/50), arm 1 assigned
+    // 80% in z=1 vs 20% in z=0 (the confound), conversion 60%/20% by
+    // segment MINUS 5pp for arm 1 (arm 1 is truly WORSE everywhere).
+    // The audit computes rate comparisons with cleared denominators
+    // (c₁·n₀ > c₀·n₁ — no division) per scope {all, seg0, seg1} and
+    // a paradox cell: aggregate says arm 1 wins while BOTH segments
+    // say it loses — the reason experimentation platforms stratify.
+    // 100 TB shape: map-side flags, three 4-number aggs, one 3-row
+    // rollup.
+    "simpson_audit" -> { (s, d) =>
+      def h(p: String) = pmod(Dedup.md5Hash60(
+        concat(lit(p), col("event_id"))), lit(100L))
+      val base = Tables.events(s, d).select(col("event_id"))
+        .select(pmod(Dedup.md5Hash60(
+            concat(lit("seg:"), col("event_id"))), lit(2L)).as("seg"),
+          h("arm:").as("ha"), h("cv:").as("hc"))
+        .select(col("seg"), col("hc"),
+          (col("ha") < when(col("seg") === 1L, 80L).otherwise(20L))
+            .as("arm1"))
+        .select(col("seg"), col("arm1"),
+          (col("hc") < when(col("seg") === 1L, 60L).otherwise(20L) -
+            when(col("arm1"), 5L).otherwise(0L)).as("conv"))
+        .localCheckpoint(true)
+      def cells(scope: String, f: Column): DataFrame =
+        base.filter(f).agg(
+          sum(when(!col("arm1"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("arm1") && col("conv"), 1L).otherwise(0L))
+            .as("c0"),
+          sum(when(col("arm1") && col("conv"), 1L).otherwise(0L))
+            .as("c1"))
+        .select(lit(scope).as("scope"), col("n0"), col("n1"),
+          col("c0"), col("c1"),
+          (col("c1") * col("n0") > col("c0") * col("n1")).as("arm1_wins"))
+      val rows = cells("all", lit(true))
+        .unionByName(cells("seg0", col("seg") === 0L))
+        .unionByName(cells("seg1", col("seg") === 1L))
+        .localCheckpoint(true)
+      rows.crossJoin(broadcast(rows.agg(
+        max(when(col("scope") === "all" && col("arm1_wins"), 1L)
+          .otherwise(0L)).as("aw"),
+        max(when(col("scope") =!= "all" && col("arm1_wins"), 1L)
+          .otherwise(0L)).as("sw"))
+        .select((col("aw") === 1L && col("sw") === 0L).as("paradox"))))
+    },
+
+    // Bot detection by timing regularity (round 12) — the behavioral
+    // abuse signal (Tan & Kumar 2002 robot-session detection; every
+    // anti-fraud stack's first heuristic): human inter-event gaps are
+    // bursty, scripted clients fire on a timer, so a LOW coefficient
+    // of variation over a user's gap stream flags automation. Exact
+    // integers with denominators cleared: CV² < 0.05 ⇔ 20·(m·Q − S²)
+    // < S² over micros gaps (Q = Σg² routed DECIMAL(38,0)/HUGEINT —
+    // a single day-long gap squared crosses 2⁶³). Three planted bot
+    // users fire at exactly 60 s × 50 events (CV² = 0, the flag's
+    // floor) — real users' bursty gaps stay unflagged, so the output
+    // IS the planted set unless the corpus genuinely contains a
+    // metronome. 100 TB shape: one per-user ordered window pass
+    // (natural user partitioning), then a per-user 3-number agg —
+    // the sessionize envelope, no event self-joins.
+    "session_bot_detect" -> { (s, d) =>
+      val base = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"))
+      val plants = s.range(3)
+        .select((col("id") + 9000001L).as("user_id"),
+          explode(sequence(lit(0L), lit(49L))).as("i"))
+        .select(col("user_id"),
+          (lit(1704067200000000L) + col("i") * 60000000L).as("tus"),
+          (col("user_id") * 1000 + col("i")).as("event_id"))
+      val wg = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val stats = base.unionByName(plants)
+        .withColumn("ptus", lag(col("tus"), 1).over(wg))
+        .filter(col("ptus").isNotNull)
+        .select(col("user_id"), (col("tus") - col("ptus")).as("g"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("m"), sum(col("g")).as("sg"),
+          sum(col("g").cast("decimal(38,0)") * col("g")).as("q"))
+      stats.filter(col("m") >= 19L &&
+          expr("""20 * (CAST(m AS DECIMAL(38,0)) * q -
+                |       CAST(sg AS DECIMAL(38,0)) * sg)
+                | < CAST(sg AS DECIMAL(38,0)) * sg""".stripMargin))
+        .selectExpr("user_id", "m + 1 AS n_events",
+          "(2 * sg + m) div (2 * m) AS mean_gap_us",
+          """CAST((2 * 1000000 * (CAST(m AS DECIMAL(38,0)) * q -
+            |        CAST(sg AS DECIMAL(38,0)) * sg)
+            |      + CAST(sg AS DECIMAL(38,0)) * sg)
+            | div (2 * CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)
+            | AS cv2_x1e6""".stripMargin,
+          "user_id >= 9000000 AS is_planted")
+    },
+
     // A/B-test significance, exact-integer Pearson χ² (round 12) —
     // the experimentation primitive (Pearson 1900; Kohavi et al.,
     // Trustworthy Online Controlled Experiments): conversion =
@@ -1684,6 +1783,87 @@ object AnalyticsQueries {
         |SELECT d.event_id, d.event_type, d.value
         |FROM dv d JOIN mad USING (event_type)
         |WHERE 2 * d.dvv > 3 * mad.mad2""".stripMargin,
+
+    // simpson_audit: same three md5 draws, cleared-denominator rate
+    // comparisons per scope, the computed paradox cell.
+    "simpson_audit" ->
+      """WITH base AS (SELECT
+        |    CAST('0x' || substr(md5('seg:' || CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 2 AS seg,
+        |    CAST('0x' || substr(md5('arm:' || CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 100 AS ha,
+        |    CAST('0x' || substr(md5('cv:' || CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 100 AS hc
+        |  FROM events),
+        |b2 AS (SELECT seg, hc,
+        |         (ha < CASE WHEN seg = 1 THEN 80 ELSE 20 END) AS arm1
+        |       FROM base),
+        |b3 AS (SELECT seg, arm1,
+        |         (hc < CASE WHEN seg = 1 THEN 60 ELSE 20 END
+        |               - CASE WHEN arm1 THEN 5 ELSE 0 END) AS conv
+        |       FROM b2),
+        |sc AS (
+        |  SELECT 'all' AS scope,
+        |    CAST(sum(CASE WHEN NOT arm1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT arm1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM b3
+        |  UNION ALL
+        |  SELECT 'seg0',
+        |    CAST(sum(CASE WHEN NOT arm1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN arm1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN NOT arm1 AND conv THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN arm1 AND conv THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM b3 WHERE seg = 0
+        |  UNION ALL
+        |  SELECT 'seg1',
+        |    CAST(sum(CASE WHEN NOT arm1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN arm1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN NOT arm1 AND conv THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN arm1 AND conv THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM b3 WHERE seg = 1),
+        |w AS (SELECT scope, n0, n1, c0, c1,
+        |        (c1 * n0 > c0 * n1) AS arm1_wins
+        |      FROM sc),
+        |px AS (SELECT (max(CASE WHEN scope = 'all' AND arm1_wins
+        |                        THEN 1 ELSE 0 END) = 1
+        |          AND max(CASE WHEN scope <> 'all' AND arm1_wins
+        |                       THEN 1 ELSE 0 END) = 0) AS paradox
+        |       FROM w)
+        |SELECT w.scope, w.n0, w.n1, w.c0, w.c1, w.arm1_wins, px.paradox
+        |FROM w CROSS JOIN px""".stripMargin,
+
+    // session_bot_detect: same planted metronome users, lag-window
+    // gaps, cleared-denominator CV² flag in HUGEINT.
+    "session_bot_detect" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+        |  UNION ALL
+        |  SELECT 9000001 + b.b AS user_id,
+        |         1704067200000000 + i.i * 60000000 AS tus,
+        |         (9000001 + b.b) * 1000 + i.i AS event_id
+        |  FROM range(0, 3) b(b) CROSS JOIN range(0, 50) i(i)),
+        |g AS (SELECT user_id,
+        |        tus - lag(tus) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS g
+        |      FROM base),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(g) AS BIGINT) AS sg,
+        |         CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS q
+        |       FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |f AS (SELECT * FROM st WHERE m >= 19
+        |        AND 20 * (CAST(m AS HUGEINT) * q
+        |                  - CAST(sg AS HUGEINT) * sg)
+        |            < CAST(sg AS HUGEINT) * sg)
+        |SELECT user_id, m + 1 AS n_events,
+        |  (2 * sg + m) // (2 * m) AS mean_gap_us,
+        |  CAST((2 * 1000000 * (CAST(m AS HUGEINT) * q
+        |          - CAST(sg AS HUGEINT) * sg)
+        |        + CAST(sg AS HUGEINT) * sg)
+        |       // (2 * CAST(sg AS HUGEINT) * sg) AS BIGINT) AS cv2_x1e6,
+        |  (user_id >= 9000000) AS is_planted
+        |FROM f""".stripMargin,
 
     // ab_chisq: same p90 conversion metric, md5 arms + planted lift,
     // cleared-denominator χ² decision in HUGEINT.

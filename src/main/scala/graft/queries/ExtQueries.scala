@@ -2023,6 +2023,50 @@ object ExtQueries {
           sum(col("doc_id")).as("sum_survivor_ids"))))
     },
 
+    // Embedding outlier detection (round 12) — the vector-space
+    // data-quality gate before ANN index build (corrupt encoders,
+    // wrong-modality rows and scale bugs all land FAR from the
+    // centroid): exact integer distance²-to-centroid with a
+    // Chebyshev-style cleared-denominator flag n·d² > 4·Σd² (no
+    // percentile sort — one broadcast agg decides). The centroid is
+    // the per-dim floored mean on the milli-quantized grid, shifted
+    // (+2000·n) so the div never sees a negative operand (the
+    // embed_pca_power sign discipline). Five planted ×3-scaled
+    // copies (d² ≈ 9×mean) prove engagement — a healthy Gaussian
+    // cloud's own d² concentrates too tightly to trip 4×mean, which
+    // is the point: flags mean BUGS, not tail luck. 100 TB shape:
+    // centroid is one dim-keyed agg (64 rows) broadcast back as an
+    // array; scoring is one map-side idist2 kernel pass; the flag
+    // needs one more 1-row agg.
+    "embed_outliers" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.quantize1000(
+          col("embedding").cast("array<double>")).as("q"))
+      val planted = vecs.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 8000000L).as("vec_id"),
+          transform(col("q"), x => x * 3L).as("q"))
+      val all = vecs.unionByName(planted).localCheckpoint(true)
+      val n = all.agg(count(lit(1)).as("n"))
+      val cent = all.select(posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy(col("dim")).agg(sum(col("v")).as("sv"))
+        .crossJoin(broadcast(n))
+        .select(col("dim"),
+          (expr("(sv + 2000 * n) div n") - 2000L).as("c"))
+      val carr = cent
+        .agg(sort_array(collect_list(struct(col("dim"), col("c"))))
+          .as("scs"))
+        .select(transform(col("scs"), x => x.getField("c")).as("carr"))
+      val scored = all.crossJoin(broadcast(carr))
+        .select(col("vec_id"),
+          VectorOps.idist2(col("q"), col("carr")).as("d2"))
+        .localCheckpoint(true)
+      val tot = scored.agg(count(lit(1)).as("nv"), sum(col("d2")).as("sd"))
+      scored.crossJoin(broadcast(tot))
+        .filter(col("nv") * col("d2") > lit(4L) * col("sd"))
+        .select(col("vec_id"), col("d2"),
+          (col("vec_id") >= 8000000L).as("is_planted"))
+    },
+
     // Truncated-dimension retrieval (round 11) — the Matryoshka
     // serving question (Kusupati et al. 2022: MRL embeddings let you
     // serve a PREFIX of the vector): how much recall does top-10
@@ -4355,6 +4399,34 @@ object ExtQueries {
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY maxsim DESC, doc_id) AS rn
         |      FROM sc) WHERE rn <= 5""".stripMargin,
+
+    // embed_outliers: same quantized grid, ×3-scaled plants, shifted
+    // floored per-dim centroid, exact d², cleared-denominator flag.
+    "embed_outliers" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |    AS q
+        |  FROM embeddings),
+        |pl AS (SELECT vec_id + 8000000 AS vec_id,
+        |         list_transform(q, x -> x * 3) AS q
+        |       FROM v0 WHERE vec_id < 5),
+        |al AS (SELECT * FROM v0 UNION ALL SELECT * FROM pl),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM al),
+        |ex AS (SELECT vec_id, generate_subscripts(q, 1) AS dim,
+        |              unnest(q) AS v
+        |       FROM al),
+        |cent AS (SELECT dim,
+        |           CAST(((sum(v) + 2000 * nn.n) // nn.n) - 2000
+        |                AS BIGINT) AS c
+        |         FROM ex CROSS JOIN nn GROUP BY dim, nn.n),
+        |sc AS (SELECT e.vec_id,
+        |         CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
+        |       FROM ex e JOIN cent c USING (dim) GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+        |               CAST(sum(d2) AS BIGINT) AS sd
+        |        FROM sc)
+        |SELECT vec_id, d2, (vec_id >= 8000000) AS is_planted
+        |FROM sc CROSS JOIN tot WHERE nv * d2 > 4 * sd""".stripMargin,
 
     // query_expansion: full recompute — bridge/hidden construction,
     // two tf-overlap retrieval passes, feedback term-mass top-2,
