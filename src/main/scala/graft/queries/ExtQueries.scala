@@ -118,6 +118,9 @@ object ExtQueries {
       def sHalf(num: Long, den: Long): Long =
         if (num >= 0) (2 * num + den) / (2 * den)
         else -((2 * -num + den) / (2 * den))
+      def sHalfBig(num: BigInt, den: BigInt): BigInt =
+        if (num.signum >= 0) (2 * num + den) / (2 * den)
+        else -((2 * -num + den) / (2 * den))
       // integer-grid mean per dim (model-sized collect)
       val n = q.count()
       val mu = q.select(posexplode(col("q")).as(Seq("d", "v")))
@@ -130,13 +133,24 @@ object ExtQueries {
       var x: Seq[Long] = Seq.fill(dims)(1000L)
       (1 to rounds).foreach { _ =>
         val xLit = typedLit(x)
+        // Per-row v·dot has magnitude up to ~2.6e11 (long-safe), but the
+        // SUM would exceed Int64 at ~3–4e7 vectors — and Spark's
+        // non-ANSI long sum wraps silently while DuckDB's HUGEINT sum
+        // stays exact, so the two sides would fail DIFFERENTLY at
+        // scale. Route the aggregation through DECIMAL(38,0) (the
+        // embed_detop nd² convention) and keep the 64-long driver-side
+        // normalization in BigInt; the round-3 direction is re-scaled
+        // to ±1000 so the broadcast literal stays a Long vector.
         val y = c
           .select(posexplode(col("c")).as(Seq("d", "v")),
             VectorOps.idot(col("c"), xLit).as("dot"))
-          .groupBy(col("d")).agg(sum(col("v") * col("dot")).as("y"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val m = (0 until dims).map(d => math.abs(y(d))).max
-        x = (0 until dims).map(d => sHalf(1000L * y(d), m))
+          .groupBy(col("d"))
+          .agg(sum((col("v") * col("dot")).cast("decimal(38,0)")).as("y"))
+          .collect()
+          .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+          .toMap
+        val m = (0 until dims).map(d => y(d).abs).max
+        x = (0 until dims).map(d => sHalfBig(1000 * y(d), m).toLong)
       }
       (c, x)
   }
@@ -591,15 +605,24 @@ object ExtQueries {
       val marked = exact.join(lsh, Seq("doc_a", "doc_b"), "left")
         .withColumn("hit", coalesce(col("hit"), lit(0L)))
         .localCheckpoint(true)
+      // Zero-pair guard (round-13 advice): a threshold level with no
+      // exact pairs (a thin corpus) must surface as a VISIBLE
+      // (thr, 0, 0, 0) row on both sides, not as a Spark null-recall
+      // row the oracle's join silently drops (a row-count mismatch
+      // that reads like an oracle bug). coalesce pins n_hit over the
+      // empty agg; the recall cell is defined 0 when n_exact = 0.
       Seq((50L, 1, 2), (60L, 3, 5), (70L, 7, 10), (80L, 4, 5))
         .map { case (pct, num, den) =>
           marked.filter(col("ni") * den >= col("nu") * num)
-            .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
+            .agg(count(lit(1)).as("n_exact"),
+              coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
             .select(lit(pct).as("thr_x100"), col("n_exact"), col("n_hit"))
         }
         .reduce(_ unionByName _)
         .selectExpr("thr_x100", "n_exact", "n_hit",
-          "(2 * 1000000 * n_hit + n_exact) div (2 * n_exact) AS recall_x1e6")
+          "CASE WHEN n_exact > 0 THEN " +
+            "(2 * 1000000 * n_hit + n_exact) div (2 * n_exact) " +
+            "ELSE 0L END AS recall_x1e6")
     },
 
     // Content-defined chunking (round 12) — the STORAGE-dedup
@@ -5153,9 +5176,9 @@ object ExtQueries {
         |           FROM (SELECT * FROM base UNION ALL SELECT * FROM cpy)
         |           WHERE length(text) >= 8),
         |cut AS (SELECT doc_id, p FROM (
-        |          SELECT c.doc_id, t.p, c.len, c.text
-        |          FROM corpus c
-        |          JOIN generate_series(8, 2000) t(p) ON t.p <= c.len)
+        |          SELECT doc_id, len, text,
+        |                 unnest(generate_series(8, len)) AS p
+        |          FROM corpus)
         |        WHERE CAST('0x' || substr(md5(
         |                substr(text, CAST(p AS INT) - 7, 8)), 1, 15)
         |                AS BIGINT) % 64 = 0
@@ -5176,10 +5199,11 @@ object ExtQueries {
         |chh AS (SELECT doc_id, md5(ct) AS h,
         |               CAST(length(ct) AS BIGINT) AS clen
         |        FROM ch),
-        |fx AS (SELECT c.doc_id,
-        |         md5(substr(c.text, CAST(64 * k.k + 1 AS INT), 64)) AS h
-        |       FROM corpus c
-        |       JOIN generate_series(0, 40) k(k) ON k.k <= (c.len - 1) // 64),
+        |fx AS (SELECT doc_id,
+        |         md5(substr(text, CAST(64 * k + 1 AS INT), 64)) AS h
+        |       FROM (SELECT doc_id, text,
+        |               unnest(generate_series(0, (len - 1) // 64)) AS k
+        |             FROM corpus)),
         |uq AS (SELECT h, max(clen) AS clen FROM chh GROUP BY 1),
         |shc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
         |          (SELECT DISTINCT doc_id - 17000000000 AS od, h
@@ -5278,13 +5302,14 @@ object ExtQueries {
          |t(thr_x100, num, den) AS (
          |  VALUES (50, 1, 2), (60, 3, 5), (70, 7, 10), (80, 4, 5)),
          |ag AS (SELECT t.thr_x100,
-         |              CAST(count(*) AS BIGINT) AS n_exact,
-         |              CAST(sum(mk.hit) AS BIGINT) AS n_hit
-         |       FROM t JOIN mk ON mk.ni * t.den >= mk.nu * t.num
+         |              CAST(count(mk.hit) AS BIGINT) AS n_exact,
+         |              CAST(coalesce(sum(mk.hit), 0) AS BIGINT) AS n_hit
+         |       FROM t LEFT JOIN mk ON mk.ni * t.den >= mk.nu * t.num
          |       GROUP BY 1)
          |SELECT CAST(thr_x100 AS BIGINT) AS thr_x100, n_exact, n_hit,
-         |       (2 * 1000000 * n_hit + n_exact) // (2 * n_exact)
-         |         AS recall_x1e6
+         |       CASE WHEN n_exact > 0
+         |            THEN (2 * 1000000 * n_hit + n_exact) // (2 * n_exact)
+         |            ELSE 0 END AS recall_x1e6
          |FROM ag""".stripMargin,
 
     "simjoin_ngram" ->

@@ -114,14 +114,23 @@ object NearDup {
         timerValues: TimerValues): Iterator[Verdict] = {
       // arrival order within the micro-batch: (event_time, doc_id)
       val sorted = rows.toSeq.sortBy(r => (r.event_time.getTime, r.doc_id))
-      // prune preserves put order, which is ascending (tusMs, doc_id);
-      // appends below keep it sorted, so head = oldest retained entry.
+      // The retained list is kept sorted ascending (tusMs, doc_id) —
+      // NOT put order: a late in-watermark arrival in a LATER batch
+      // would append out of event-time order, and the cap below must
+      // evict oldest-by-EVENT-time, not oldest-by-arrival (round-13
+      // advice). Stored order is sorted already (put below preserves
+      // it); each new entry inserts at its sorted position — O(cap)
+      // worst case, and a plain append on the in-order fast path.
       var cur = prune(timerValues.getCurrentWatermarkInMs())
       val out = Seq.newBuilder[Verdict]
       sorted.foreach { r =>
         val m = cur.exists(ret => estJ(ret.sig, r.sig) >= threshold)
         out += Verdict(r.doc_id, r.event_time, m, r.text)
-        cur :+= Retained(r.doc_id, r.sig, r.event_time.getTime)
+        val nr = Retained(r.doc_id, r.sig, r.event_time.getTime)
+        val at = cur.indexWhere(x =>
+          x.tusMs > nr.tusMs || (x.tusMs == nr.tusMs && x.doc_id > nr.doc_id))
+        cur = if (at < 0) cur :+ nr
+              else (cur.take(at) :+ nr) ++ cur.drop(at)
         // Per-bucket retention cap (the streaming analog of the batch
         // join's MaxBandBucket, Dedup.MaxBandBucket): a boilerplate
         // storm inside the TTL would otherwise grow one RocksDB key's
