@@ -637,11 +637,13 @@ object ExtQueries {
     // computed — CDC recovers nearly all chunks, fixed-64 recovers
     // ~none (gate: cdc_shared > 10·fixed_shared). Dedup accounting
     // (distinct-hash chunk count + bytes) rides the same frame.
-    // 100 TB shape: the only text-bearing exchange is the one cut-
-    // array join back to the corpus (at scale the whole cut+slice
-    // runs map-side per doc in one pass — the relational form here
-    // keeps every stage oracle-replayable); chunk frames are
-    // (doc, md5, len) fixed-width rows.
+    // 100 TB shape (round 14): cut positions come from the CdcCuts
+    // codegen kernel — the whole cut array in ONE eval per doc, so
+    // cut+slice run map-side on the scan and the corpus text never
+    // crosses an exchange (the earlier relational derivation exploded
+    // one row PER CHARACTER through a groupBy — the DuckDB oracle
+    // still replays exactly that form, and CdcCutsSpec pins kernel ≡
+    // relational); chunk frames are (doc, md5, len) fixed-width rows.
     "cdc_chunks" -> { (s, d) =>
       val CopyOff = 17000000000L
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -652,15 +654,9 @@ object ExtQueries {
         .withColumn("len", length(col("text")).cast("long"))
         .filter(col("len") >= 8L)
         .localCheckpoint(true)
-      val cuts = corpus
-        .select(col("doc_id"), col("text"), col("len"),
-          explode(expr("sequence(8L, len)")).as("p"))
-        .filter(pmod(Dedup.md5Hash60(
-            expr("substr(text, CAST(p AS INT) - 7, 8)")), lit(64L)) === 0L ||
-          col("p") === col("len"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("p"))).as("cps"))
-      val cdc = corpus.join(cuts, "doc_id")
+      val cdc = corpus
+        .select(col("doc_id"), col("text"),
+          graft.ext.expr.CdcCuts.cdcCuts(col("text"), 8, 64L).as("cps"))
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(cps)), i -> substr(text,
             |  CAST((CASE WHEN i = 1 THEN 0L
