@@ -4103,12 +4103,17 @@ object ExtQueries {
   /** The embed_pca_power CTE chain (through `cr` and `x3`) — shared
     * with embed_detop's oracle. Mirrors [[pcaPower]] exactly. */
   private def pcaPowerCtes: String = {
+    // dot/y/m intermediates stay HUGEINT (no BIGINT narrowing): the
+    // Spark side routes the per-dim y sum through DECIMAL(38,0)
+    // precisely because it wraps Int64 past ~3e7 vectors, and the
+    // oracle must survive the same regime (round-13 advice). Only the
+    // final ±1000-scaled x narrows — exact by construction.
     def round(i: Int, prev: String) =
-      s"""dot$i AS (SELECT cr.vec_id, CAST(sum(cr.cv * $prev.xv) AS BIGINT) AS dot
+      s"""dot$i AS (SELECT cr.vec_id, sum(cr.cv * $prev.xv) AS dot
          |  FROM cr JOIN $prev ON $prev.d = cr.d GROUP BY 1),
-         |y$i AS (SELECT cr.d, CAST(sum(cr.cv * dot$i.dot) AS BIGINT) AS y
+         |y$i AS (SELECT cr.d, sum(cr.cv * dot$i.dot) AS y
          |  FROM cr JOIN dot$i USING (vec_id) GROUP BY 1),
-         |m$i AS (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y$i),
+         |m$i AS (SELECT max(abs(y)) AS m FROM y$i),
          |x$i AS (SELECT d, CAST(CASE WHEN y >= 0
          |    THEN (2 * 1000 * y + m) // (2 * m)
          |    ELSE -((2 * 1000 * (-y) + m) // (2 * m)) END AS BIGINT) AS xv

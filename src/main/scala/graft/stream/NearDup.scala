@@ -118,19 +118,31 @@ object NearDup {
       // NOT put order: a late in-watermark arrival in a LATER batch
       // would append out of event-time order, and the cap below must
       // evict oldest-by-EVENT-time, not oldest-by-arrival (round-13
-      // advice). Stored order is sorted already (put below preserves
-      // it); each new entry inserts at its sorted position — O(cap)
-      // worst case, and a plain append on the in-order fast path.
+      // advice). The post-prune sort re-establishes the invariant
+      // rather than trusting stored order, so restarting from a
+      // checkpoint written by the pre-sort (arrival-ordered) version
+      // is safe — a no-op whenever state is already sorted. Each new
+      // entry inserts at its sorted position — O(cap) worst case; the
+      // in-order fast path (new entry ≥ the current tail, the common
+      // live-stream case) short-circuits to a plain append without
+      // scanning the list.
       var cur = prune(timerValues.getCurrentWatermarkInMs())
+        .sortBy(r => (r.tusMs, r.doc_id))
       val out = Seq.newBuilder[Verdict]
       sorted.foreach { r =>
         val m = cur.exists(ret => estJ(ret.sig, r.sig) >= threshold)
         out += Verdict(r.doc_id, r.event_time, m, r.text)
         val nr = Retained(r.doc_id, r.sig, r.event_time.getTime)
-        val at = cur.indexWhere(x =>
-          x.tusMs > nr.tusMs || (x.tusMs == nr.tusMs && x.doc_id > nr.doc_id))
-        cur = if (at < 0) cur :+ nr
-              else (cur.take(at) :+ nr) ++ cur.drop(at)
+        val tailInOrder = cur.isEmpty || {
+          val t = cur.last
+          t.tusMs < nr.tusMs || (t.tusMs == nr.tusMs && t.doc_id <= nr.doc_id)
+        }
+        cur = if (tailInOrder) cur :+ nr
+        else {
+          val at = cur.indexWhere(x =>
+            x.tusMs > nr.tusMs || (x.tusMs == nr.tusMs && x.doc_id > nr.doc_id))
+          (cur.take(at) :+ nr) ++ cur.drop(at)
+        }
         // Per-bucket retention cap (the streaming analog of the batch
         // join's MaxBandBucket, Dedup.MaxBandBucket): a boilerplate
         // storm inside the TTL would otherwise grow one RocksDB key's
