@@ -118,7 +118,7 @@ object Bench {
       }
       waited
     }
-    (1 to runs).foreach { pass =>
+    def runPass(pass: Int): Unit = {
       passWaits += (if (pass == 1) quietWaitSec else quietWaitBetweenPasses())
       passLoads += loadavg()
       val p0 = System.nanoTime()
@@ -133,6 +133,32 @@ object Bench {
         System.err.println(f"[bench] pass $pass $name%-22s $sec%8.2fs  ${if (status == "ok") "" else status}")
       }
       passTotals += (System.nanoTime() - p0) / 1e9
+    }
+    (1 to runs).foreach(runPass)
+    // Converged-pass guard (round 14): min-of-round-robin protects
+    // per-query minima, but an artifact whose pass totals disagree
+    // >1.3× reads as contended even when the minima are clean — the
+    // r12/r13 signature was pass_waits [.., 0, 0] with totals 1.35×
+    // apart, decaying external load invisible to the 1-min average at
+    // probe time. If no two passes agree within 1.3× of the best, run
+    // up to SPARK_GRAFT_BENCH_EXTRA_PASSES (default 2) additional
+    // full passes, each behind the same bounded quiet wait, until two
+    // do. Extra samples only improve minima; `converged` + the pass
+    // arrays self-report the outcome either way.
+    val extraBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2").toInt.max(0)
+    def converged: Boolean = {
+      val sorted = passTotals.sorted
+      sorted.size >= 2 && sorted(1) <= sorted(0) * 1.3
+    }
+    var extraPasses = 0
+    while (runs >= 2 && !converged && extraPasses < extraBudget) {
+      extraPasses += 1
+      System.err.println(
+        f"[bench] pass totals ${passTotals.map(t => f"$t%.1f").mkString("/")} " +
+          s"not converged (no two within 1.3x of best) — extra pass " +
+          s"$extraPasses/$extraBudget")
+      runPass(runs + extraPasses)
     }
     clearAllState(spark)
     val results = samples.toSeq.map { case (name, timed) =>
@@ -173,6 +199,7 @@ object Bench {
         s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
         s""""pass_waits_sec":[${passWaits.mkString(",")}],""" +
         s""""loadavg_passes":[${passLoads.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""converged":$converged,"extra_passes":$extraPasses,""" +
         s""""runs_per_query":$runs,"wall_sec":${r3(wallSec)},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     }
@@ -187,6 +214,7 @@ object Bench {
         s""""stat":"min_of_round_robin_passes","runs_per_query":$runs,""" +
         s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
         s""""quiet_wait_sec":$quietWaitSec,""" +
+        s""""converged":$converged,"extra_passes":$extraPasses,""" +
         s""""pass_waits_sec":[${passWaits.mkString(",")}],""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     if (line.length > 1000)
