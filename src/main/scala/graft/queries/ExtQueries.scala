@@ -3366,6 +3366,74 @@ object ExtQueries {
           sum(col("tf") * col("dlp_x1e6")).as("weight_x1e6"))
     },
 
+    // DoReMi-style domain reweighting (round 14; Xie et al. 2023 —
+    // DoReMi tunes the training mixture by upweighting domains with
+    // EXCESS LOSS, the gap between the proxy model's loss on a domain
+    // and a reference capacity). Here the per-domain reference
+    // capacity is the domain's OWN add-1 unigram LM and the proxy is
+    // the GLOBAL corpus LM: a domain the corpus mixture models much
+    // worse than its own capacity allows is under-served and gains
+    // weight. The weight iteration is multiplicative weights in its
+    // LINEARIZED exact-integer form (Arora–Hazan–Kale:
+    // w ← w·(1 + η·excess), η = 1 at 1e6 scale), renormalized HALF_UP
+    // to Σ ≈ 1e6 each round, 4 unrolled rounds — the link_rank
+    // unrolled-exact-integer convention. The one double op per
+    // (source, term) is ln of exact-integer ratios floored at 1e6
+    // BEFORE aggregation (the dsir_weights discipline); per-domain
+    // loss sums and every MWU product route through DECIMAL(38,0)
+    // (HUGEINT in the oracle) so nothing wraps Int64 at any corpus
+    // size. 100 TB shape: ONE (source, term) tf exchange; both LMs
+    // ride distinct-vocab cardinality; the MWU rounds run on the
+    // D-row domain frame (D = mixture-config cardinality, bounded)
+    // under an unpartitioned window — the winsorize bounded-frame
+    // convention.
+    "domain_reweight" -> { (s, d) =>
+      val tf = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val cc = tf.groupBy(col("term")).agg(sum(col("tf")).as("cc"))
+      val totals = cc.agg(sum(col("cc")).as("c_tot"), count(lit(1)).as("v"))
+      val dTot = tf.groupBy(col("source")).agg(sum(col("tf")).as("d_tot"))
+      val scored = tf.join(cc, "term").join(dTot, "source")
+        .crossJoin(broadcast(totals))
+        .select(col("source"), col("tf"),
+          floor(log((col("cc") + 1).cast("double") /
+              (col("c_tot") + col("v")).cast("double")) * 1e6 + 0.5)
+            .cast("long").as("lp_g_x1e6"),
+          floor(log((col("tf") + 1).cast("double") /
+              (col("d_tot") + col("v")).cast("double")) * 1e6 + 0.5)
+            .cast("long").as("lp_d_x1e6"))
+      val losses = scored.groupBy(col("source"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(expr("-CAST(tf * lp_g_x1e6 AS DECIMAL(38,0))")).as("ng"),
+          sum(expr("-CAST(tf * lp_d_x1e6 AS DECIMAL(38,0))")).as("nd"))
+        .selectExpr("source", "n_tokens",
+          "CAST((2 * ng + n_tokens) div (2 * n_tokens) AS BIGINT)" +
+            " AS loss_global_x1e6",
+          "CAST((2 * nd + n_tokens) div (2 * n_tokens) AS BIGINT)" +
+            " AS loss_own_x1e6")
+        .withColumn("excess_x1e6",
+          greatest(col("loss_global_x1e6") - col("loss_own_x1e6"), lit(0L)))
+      val all = Window.partitionBy(lit(0))
+      var cur = losses
+        .withColumn("ndom", count(lit(1)).over(all))
+        .withColumn("w", expr("(2 * 1000000 + ndom) div (2 * ndom)"))
+      (1 to 4).foreach { _ =>
+        cur = cur
+          .withColumn("u",
+            expr("CAST(w AS DECIMAL(38,0)) * (1000000 + excess_x1e6)"))
+          .withColumn("su", sum(col("u")).over(all))
+          .withColumn("w",
+            expr("CAST((2 * u * 1000000 + su) div (2 * su) AS BIGINT)"))
+          .drop("u", "su")
+      }
+      cur.select(col("source"), col("n_tokens"), col("loss_global_x1e6"),
+        col("loss_own_x1e6"), col("excess_x1e6"),
+        col("w").as("weight_x1e6"))
+    },
+
     // Supervised quality classifier (round 10) — the fastText-style
     // distillation step real curation pipelines run (Joulin et al.
     // 2016; CCNet, GPT-3 appendix A): take cheap rule labels
@@ -6367,6 +6435,58 @@ object ExtQueries {
          |       CAST(sum(tf * dlp_x1e6) AS BIGINT) AS weight_x1e6
          |FROM tf JOIN dlp USING (term)
          |GROUP BY 1""".stripMargin,
+
+    // domain_reweight: global vs own-domain unigram LM losses, excess,
+    // and 4 linearized-MWU rounds replayed with HUGEINT intermediates.
+    "domain_reweight" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""r$r AS (SELECT * EXCLUDE (w, u, su),
+           |          CAST((2 * u * 1000000 + su) // (2 * su) AS BIGINT) AS w
+           |        FROM (SELECT *, sum(u) OVER () AS su FROM (
+           |          SELECT *, CAST(w AS HUGEINT) * (1000000 + excess_x1e6) AS u
+           |          FROM r${r - 1})))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT source,
+         |                unnest(list_transform($ToksSql, t -> lower(t))) AS term
+         |              FROM documents),
+         |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |cc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cc FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS c_tot,
+         |               CAST(count(*) AS BIGINT) AS v
+         |        FROM cc),
+         |dt AS (SELECT source, CAST(sum(tf) AS BIGINT) AS d_tot
+         |       FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.source, tf.tf,
+         |         CAST(floor(ln(CAST(cc.cc + 1 AS DOUBLE) /
+         |               CAST(c_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |           AS lp_g,
+         |         CAST(floor(ln(CAST(tf.tf + 1 AS DOUBLE) /
+         |               CAST(d_tot + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |           AS lp_d
+         |       FROM tf JOIN cc USING (term) JOIN dt USING (source)
+         |       CROSS JOIN tot),
+         |ls AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         sum(-CAST(tf * lp_g AS HUGEINT)) AS ng,
+         |         sum(-CAST(tf * lp_d AS HUGEINT)) AS nd
+         |       FROM sc GROUP BY 1),
+         |ex AS (SELECT source, n_tokens,
+         |         CAST((2 * ng + n_tokens) // (2 * n_tokens) AS BIGINT)
+         |           AS loss_global_x1e6,
+         |         CAST((2 * nd + n_tokens) // (2 * n_tokens) AS BIGINT)
+         |           AS loss_own_x1e6
+         |       FROM ls),
+         |r0 AS (SELECT *, CAST((2 * 1000000 + ndom) // (2 * ndom) AS BIGINT)
+         |           AS w
+         |       FROM (SELECT *,
+         |               greatest(loss_global_x1e6 - loss_own_x1e6, 0)
+         |                 AS excess_x1e6,
+         |               CAST(count(*) OVER () AS BIGINT) AS ndom
+         |             FROM ex)),
+         |$rounds
+         |SELECT source, n_tokens, loss_global_x1e6, loss_own_x1e6,
+         |       excess_x1e6, w AS weight_x1e6
+         |FROM r4""".stripMargin
+    },
 
     // kmeans_train: the 2 Lloyd rounds replayed (shared lloydCtes) —
     // same quantization, (dist, cid) argmin, signed HALF_UP per-dim

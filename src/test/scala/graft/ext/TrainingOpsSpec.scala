@@ -188,4 +188,27 @@ class TrainingOpsSpec extends SparkSpec {
       assert(again(id) == (((nt - nr), 0L, txt)), s"doc $id not idempotent")
     }
   }
+
+
+  test("domain_reweight: weights shift toward high-excess-loss domains") {
+    val rows = graft.SparkEntry.queries("domain_reweight")(spark, sf)
+      .select("source", "excess_x1e6", "weight_x1e6")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d = rows.length
+    assert(d > 1, "needs several domains")
+    val uniform = 1000000L / d
+    // The MWU update is monotone in excess: sorting by excess and by
+    // final weight must agree (ties in excess may tie in weight).
+    val byExcess = rows.sortBy(r => (r._2, r._1)).map(_._3)
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b },
+      s"weights not monotone in excess: ${rows.sortBy(_._2).mkString(", ")}")
+    // And the shift engages: the max-excess domain ends above uniform,
+    // the min-excess domain below (excesses differ in this corpus).
+    val maxE = rows.maxBy(_._2)
+    val minE = rows.minBy(_._2)
+    assert(maxE._2 > minE._2, "corpus must spread excess loss")
+    assert(maxE._3 > uniform, s"max-excess ${maxE} should exceed uniform $uniform")
+    assert(minE._3 < uniform, s"min-excess ${minE} should sit below uniform $uniform")
+  }
 }
