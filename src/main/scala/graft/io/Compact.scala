@@ -79,4 +79,28 @@ object Compact {
     }
     Stats(dirs, before, after)
   }
+
+  /** ClusterBy-aware compaction over a [[Snapshot.Lake]] (round 14 —
+    * zonemap_prune's lesson wired into the sink): rewrite the live
+    * data as ONE overwrite commit whose `nFiles` files are laid in
+    * `column` range order (repartitionByRange's sampled equi-depth
+    * bounds + an in-file sort), so the commit's per-file zone maps
+    * become near-DISJOINT ranges and [[Snapshot.Lake.pruneFiles]]
+    * answers a range predicate with ~selectivity × nFiles files —
+    * against a round-robin layout where every file intersects every
+    * range (CompactSpec's pruning experiment, the ZOrderSpec 16-file
+    * sweep shape). The rewrite rides the snapshot commit protocol, so
+    * readers time-traveling to pre-compact versions still see the old
+    * layout, and a crash mid-compact publishes nothing.
+    *
+    * At 100 TB: ONE range exchange over the table — the same cost
+    * OPTIMIZE ... ZORDER pays — bought back by every later range scan;
+    * run it per partition-leaf in production (the binPack granularity
+    * argument) rather than table-wide. */
+  def clusterBy(lake: Snapshot.Lake, column: String, nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    lake.overwrite(
+      lake.read().repartitionByRange(nFiles, col(column))
+        .sortWithinPartitions(column))
+  }
 }

@@ -1,0 +1,245 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot lake: a minimal commit-log layer over the parquet seam —
+  * the one Delta semantic (`timescale_to_deltalake.py:33-37`'s
+  * format) the LakeFormat seam lacked (VERDICT r13 "What's missing"
+  * #2): read-as-of-snapshot-N time travel and the snapshot-to-
+  * snapshot FILE DELTA (the incremental-read primitive the
+  * incremental capstones previously emulated through checkpoint
+  * seams).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/c<version>-<uuid>/part-*.parquet   immutable, never
+  *                                                  rewritten in place
+  *   <root>/_log/<version 8-digit>.commit           one file per commit
+  * }}}
+  *
+  * A commit file is line-oriented (dependency-free parse):
+  * {{{
+  *   v<TAB>3
+  *   add<TAB><path>\t<rows>\t<col>=<lo>:<hi>\t...   per added file
+  *   rm<TAB><path>                                  per removed file
+  * }}}
+  * `add` lines carry per-file zone maps (min/max per configured LONG
+  * stats column) — the manifest [[pruneFiles]] and the clusterBy-aware
+  * [[Compact]] feed on. Zone stats are computed in ONE Spark job per
+  * commit over just the new files (at production scale they come for
+  * free from the parquet footers; the job reads only the commit's own
+  * increment either way — never the table).
+  *
+  * Crash-safe commit protocol (single-writer, the Delta §3.1 shape on
+  * a filesystem with atomic rename):
+  *  1. write data files under a fresh uuid directory — invisible to
+  *     readers, who only ever list paths named by the log;
+  *  2. write the commit record to `_log/.tmp-<uuid>`;
+  *  3. `rename` it to `_log/<N>.commit` — the atomic publish point.
+  * A crash before (3) leaves orphan data files and/or a stale tmp —
+  * both invisible to readers and harmless to later commits (the next
+  * commit picks version max+1; orphans are vacuum fodder). A rename
+  * onto an existing version fails ⇒ the slower of two racing writers
+  * loses cleanly instead of clobbering (optimistic concurrency's
+  * conflict signal).
+  */
+object Snapshot {
+
+  /** One data file + its commit-time stats (zone map). */
+  final case class FileStat(path: String, rows: Long,
+      lo: Map[String, Long], hi: Map[String, Long])
+
+  final case class Commit(version: Int, added: Seq[FileStat],
+      removed: Seq[String])
+
+  /** Open (or initialize on first commit) a snapshot lake at `root`.
+    * `statsCols` are LONG-typed columns to zone-map per file. */
+  final case class Lake(spark: SparkSession, root: String,
+      statsCols: Seq[String] = Nil) {
+
+    private val rootPath = new Path(root)
+    private val logPath = new Path(rootPath, "_log")
+    private def fs: FileSystem =
+      rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // ---- log read side --------------------------------------------
+
+    private def commitFiles(): Seq[(Int, Path)] = {
+      if (!fs.exists(logPath)) return Nil
+      fs.listStatus(logPath).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".commit"))
+        .map(p => (p.getName.stripSuffix(".commit").toInt, p))
+        .sortBy(_._1)
+    }
+
+    /** -1 when the lake has no commits yet. */
+    def latestVersion: Int = commitFiles().lastOption.map(_._1).getOrElse(-1)
+
+    def commits: Seq[Commit] = commitFiles().map { case (v, p) =>
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+      val adds = Seq.newBuilder[FileStat]
+      val rms = Seq.newBuilder[String]
+      lines.foreach { line =>
+        line.split('\t') match {
+          case Array("v", ver) =>
+            require(ver.toInt == v, s"log ${p.getName} claims version $ver")
+          case arr if arr.head == "add" =>
+            val stats = arr.drop(3).map { kv =>
+              val Array(c, range) = kv.split("=", 2)
+              val Array(l, h) = range.split(":", 2)
+              (c, l.toLong, h.toLong)
+            }
+            adds += FileStat(arr(1), arr(2).toLong,
+              stats.map(s => s._1 -> s._2).toMap,
+              stats.map(s => s._1 -> s._3).toMap)
+          case arr if arr.head == "rm" => rms += arr(1)
+          case other => sys.error(s"corrupt log line in ${p.getName}: " +
+            other.mkString("\t"))
+        }
+      }
+      Commit(v, adds.result(), rms.result())
+    }
+
+    /** The live file set as of snapshot `v` (log replay). */
+    def liveFiles(asOf: Int): Seq[FileStat] = {
+      val upTo = commits.takeWhile(_.version <= asOf)
+      require(upTo.nonEmpty || asOf < 0, s"no snapshot <= $asOf at $root")
+      val live = scala.collection.mutable.LinkedHashMap.empty[String, FileStat]
+      upTo.foreach { c =>
+        c.removed.foreach(live.remove)
+        c.added.foreach(f => live(f.path) = f)
+      }
+      live.values.toSeq
+    }
+
+    /** Time travel: the table exactly as snapshot `v` saw it. */
+    def readAsOf(v: Int): DataFrame = readFiles(liveFiles(v))
+
+    /** The latest snapshot. */
+    def read(): DataFrame = readAsOf(latestVersion)
+
+    /** Files added in (v0, v1] and still live at v1 — the snapshot-to-
+      * snapshot incremental read: rows arriving between two snapshots
+      * without rescanning the base (files a later commit in the window
+      * removed again never surface). */
+    def deltaFiles(v0: Int, v1: Int): Seq[FileStat] = {
+      require(v0 <= v1, s"delta($v0, $v1): v0 must precede v1")
+      val window = commits.filter(c => c.version > v0 && c.version <= v1)
+      val added = scala.collection.mutable.LinkedHashMap.empty[String, FileStat]
+      window.foreach { c =>
+        c.removed.foreach(added.remove)
+        c.added.foreach(f => added(f.path) = f)
+      }
+      added.values.toSeq
+    }
+
+    def readDelta(v0: Int, v1: Int): DataFrame = readFiles(deltaFiles(v0, v1))
+
+    /** Zone-map pruning over the live manifest: the files of snapshot
+      * `v` whose [lo, hi] for `col` intersects [qLo, qHi] — the scan
+      * set a range predicate needs. With [[Compact.clusterBy]]-laid
+      * files the survivor count approaches ceil(selectivity · files)
+      * (CompactSpec's pruning experiment). */
+    def pruneFiles(v: Int, col: String, qLo: Long, qHi: Long): Seq[FileStat] =
+      liveFiles(v).filter { f =>
+        (f.lo.get(col), f.hi.get(col)) match {
+          case (Some(l), Some(h)) => h >= qLo && l <= qHi
+          case _ => true // no stats for col ⇒ cannot prune, must scan
+        }
+      }
+
+    private def readFiles(files: Seq[FileStat]): DataFrame =
+      if (files.isEmpty)
+        spark.emptyDataFrame
+      else
+        spark.read.parquet(files.map(f =>
+          new Path(rootPath, f.path).toString): _*)
+
+    // ---- write side -----------------------------------------------
+
+    /** Append `df` as a new snapshot; returns the committed version. */
+    def append(df: DataFrame): Int = commit(df, removed = Nil)
+
+    /** Replace the table contents with `df` (the rewrite shape:
+      * overwrite, GDPR forget, compaction) as a new snapshot. */
+    def overwrite(df: DataFrame): Int = {
+      val lv = latestVersion
+      commit(df, removed =
+        if (lv < 0) Nil else liveFiles(lv).map(_.path))
+    }
+
+    private def commit(df: DataFrame, removed: Seq[String]): Int = {
+      val version = latestVersion + 1
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = s"data/c$version-$uuid"
+      val dataPath = new Path(rootPath, dataDir)
+      // (1) data files first — unreferenced until the log publishes.
+      df.write.mode("errorifexists").parquet(dataPath.toString)
+      val files = fs.listStatus(dataPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+        .sortBy(_.getName)
+      // One job over just the new files: per-file rows + zone stats.
+      val aggs = count(lit(1)).as("__rows") +:
+        statsCols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
+          max(col(c)).as(s"__hi_$c")))
+      val statRows =
+        if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else spark.read.parquet(files.map(_.toString): _*)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+      val byName = statRows.map(r =>
+        new Path(new java.net.URI(r.getString(0)).getPath).getName -> r).toMap
+      val addLines = files.map { f =>
+        val rel = s"$dataDir/${f.getName}"
+        byName.get(f.getName) match {
+          case Some(r) =>
+            // all-null column in this file ⇒ no stat line for it
+            // (pruneFiles then treats the file as must-scan for that
+            // column rather than parsing a bogus range).
+            val stats = statsCols.flatMap { c =>
+              (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c")) match {
+                case (l: java.lang.Number, h: java.lang.Number) =>
+                  Some(s"\t$c=${l.longValue()}:${h.longValue()}")
+                case _ => None
+              }
+            }.mkString
+            s"add\t$rel\t${r.getAs[Long]("__rows")}$stats"
+          case None => s"add\t$rel\t0" // all-null/empty file: no stats
+        }
+      }
+      val record = (s"v\t$version" +: addLines) ++
+        removed.map(p => s"rm\t$p")
+      publish(record, version)
+      version
+    }
+
+    /** The atomic publish point — (2) tmp record, (3) rename to the
+      * versioned name. Exposed private[io] so the conflict path is
+      * spec-testable without interleaving two writers. The existence
+      * pre-check matters on LocalFileSystem, whose rename REPLACES an
+      * existing destination (POSIX rename(2)) — on HDFS-like stores
+      * the rename itself refuses and the check is a fast path. */
+    private[io] def publish(record: Seq[String], version: Int): Unit = {
+      fs.mkdirs(logPath)
+      val tmp = new Path(logPath,
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write((record.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val target = new Path(logPath, f"$version%08d.commit")
+      if (fs.exists(target) || !fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        sys.error(s"commit conflict: version $version already published " +
+          s"at $root (concurrent writer won)")
+      }
+    }
+  }
+}

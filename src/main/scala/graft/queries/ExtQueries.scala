@@ -32,6 +32,32 @@ object ExtQueries {
     * near-doc-cardinality distinct values at scale). */
   val AucBuckets: Int = 4096
 
+  // ---- snapshot-lake fixture (round 14) ---------------------------
+  // A 3-commit graft.io.Snapshot lake built from orders, once per JVM
+  // per sf dir (the cachedPriorState convention): commit 0 = the base
+  // (o_orderkey % 10 < 7), commit 1 = the increment append (% 10 in
+  // (7, 8)), commit 2 = a GDPR-forget OVERWRITE dropping
+  // o_custkey % 97 = 0 from the union. Deterministic membership ⇒ the
+  // lake_time_travel oracle replays every snapshot relationally.
+  private val lakeLock = new Object
+  private val lakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def ordersLake(s: SparkSession, d: String): graft.io.Snapshot.Lake =
+    lakeLock.synchronized {
+      val root = lakeDirs.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("graft-lake-")
+          .toString
+        val lake = graft.io.Snapshot.Lake(s, dir, statsCols = Seq("o_orderkey"))
+        val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        lake.append(o.filter(pmod(col("o_orderkey"), lit(10L)) < 7))
+        lake.append(o.filter(pmod(col("o_orderkey"), lit(10L)).isin(7L, 8L)))
+        lake.overwrite(o.filter(pmod(col("o_orderkey"), lit(10L)) < 9)
+          .filter(pmod(col("o_custkey"), lit(97L)) =!= 0))
+        dir
+      })
+      graft.io.Snapshot.Lake(s, root, statsCols = Seq("o_orderkey"))
+    }
+
   /** documents ∪ a perturbed copy (last 3 tokens dropped,
     * doc_id + [[NearDupOffset]]) — gives the near-dup detectors true
     * positives to find while still deriving every byte from the
@@ -910,6 +936,39 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       graft.ext.CorpusPipeline.buildIncrementalStages(docs,
         graft.ext.CorpusPipeline.cachedPriorState(docs, d)).packed
+    },
+
+    // Lake snapshot time travel + incremental read (round 14) — the
+    // one Delta semantic (timescale_to_deltalake.py:33-37's format)
+    // the LakeFormat seam lacked: graft.io.Snapshot keeps a
+    // commit-log manifest over immutable parquet files, giving
+    // read-as-of-snapshot-N and the snapshot-to-snapshot FILE DELTA.
+    // The query drives a 3-commit lake built from orders (append base
+    // → append increment → GDPR-forget overwrite) and reports, per
+    // snapshot, the as-of aggregates AND the delta-read aggregates vs
+    // the prior snapshot — the oracle replays each snapshot's
+    // membership relationally from the same deterministic splits, so
+    // a log-replay bug (wrong live set, delta including removed
+    // files) hash-fails. Money rides exact integer cents (the
+    // established centi convention; o_totalprice is DOUBLE on disk).
+    // 100 TB shape: time travel and delta reads are LOG operations —
+    // the manifest is file-count-sized, reads scan only the named
+    // files, and a delta read scans only the increment's files (the
+    // incremental-read primitive corpus_pipeline_incremental's state
+    // seams emulate).
+    "lake_time_travel" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      (0 to 2).map { v =>
+        val asOf = lake.readAsOf(v)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        val delta = lake.readDelta(v - 1, v)
+          .agg(count(lit(1)).as("delta_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("delta_cents"))
+        asOf.crossJoin(broadcast(delta))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_cents"), col("delta_rows"), col("delta_cents"))
+      }.reduce(_ unionByName _)
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -5515,6 +5574,36 @@ object ExtQueries {
     // base + increment + cross re-fetch plants — the equivalence gate for
     // the never-rescan-the-base incremental plan (see corpusPipelineOracle).
     "corpus_pipeline_incremental" -> corpusPipelineOracle(cross = true),
+
+    // lake_time_travel: each snapshot's membership replayed from the
+    // deterministic commit splits; deltas are the commit increments
+    // (v2's delta = the full overwrite contents — an overwrite's
+    // added files ARE the new table).
+    "lake_time_travel" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE o_orderkey % 10 < 7),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |v2 AS (SELECT * FROM v1 WHERE o_custkey % 97 <> 0),
+        |d1 AS (SELECT * FROM o WHERE o_orderkey % 10 IN (7, 8))
+        |SELECT CAST(0 AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+        |       CAST(count(*) AS BIGINT) AS delta_rows,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS delta_cents
+        |FROM v0
+        |UNION ALL
+        |SELECT 1, (SELECT count(*) FROM v1),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v1),
+        |       (SELECT count(*) FROM d1),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d1)
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM v2),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v2),
+        |       (SELECT count(*) FROM v2),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v2)"""
+        .stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,

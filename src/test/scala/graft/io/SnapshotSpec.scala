@@ -1,0 +1,138 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Snapshot-lake contract: as-of reads replay the log exactly, delta
+  * reads surface only the inter-snapshot increment, the commit
+  * protocol is crash-safe (orphan data + stale tmp are invisible;
+  * version conflicts lose cleanly), and the zone-map manifest +
+  * clusterBy compact turn range predicates into file pruning.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshLake(statsCols: Seq[String] = Seq("k")) =
+    Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-spec-").toString, statsCols)
+
+  private def kv(lo: Long, hi: Long) = {
+    import spark.implicits._
+    (lo until hi).map(k => (k, s"row$k")).toDF("k", "v")
+  }
+
+  test("as-of reads: every snapshot replays exactly, overwrite included") {
+    val lake = freshLake()
+    assert(lake.latestVersion === -1)
+    val v0 = lake.append(kv(0, 100))
+    val v1 = lake.append(kv(100, 130))
+    val v2 = lake.overwrite(kv(0, 130).filter(col("k") % 7 =!= 0))
+    assert(Seq(v0, v1, v2) === Seq(0, 1, 2))
+    assert(lake.readAsOf(0).count() === 100)
+    assert(lake.readAsOf(1).count() === 130)
+    val expected2 = (0L until 130L).filter(_ % 7 != 0)
+    val got2 = lake.readAsOf(2).select("k").collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq === expected2)
+    // latest == as-of latest
+    assert(lake.read().count() === expected2.size)
+    // time travel is STABLE after later commits
+    assert(lake.readAsOf(0).count() === 100)
+  }
+
+  test("delta reads: only the inter-snapshot increment, removed files excluded") {
+    val lake = freshLake()
+    lake.append(kv(0, 100))
+    lake.append(kv(100, 130))
+    lake.overwrite(kv(500, 510))
+    // v-1 → v0: the whole base
+    assert(lake.readDelta(-1, 0).count() === 100)
+    // v0 → v1: exactly the appended rows
+    val d01 = lake.readDelta(0, 1).select("k").collect().map(_.getLong(0)).sorted
+    assert(d01.toSeq === (100L until 130L))
+    // v1 → v2: the overwrite's new files only
+    val d12 = lake.readDelta(1, 2).select("k").collect().map(_.getLong(0)).sorted
+    assert(d12.toSeq === (500L until 510L))
+    // v-1 → v2 spans the overwrite: files added then removed inside the
+    // window never surface — only v2's live files remain
+    val dAll = lake.readDelta(-1, 2).select("k").collect().map(_.getLong(0)).sorted
+    assert(dAll.toSeq === (500L until 510L))
+    // empty window
+    assert(lake.readDelta(1, 1).count() === 0)
+  }
+
+  test("crash-safe commit: orphan data and stale tmp are invisible; conflicts lose") {
+    val lake = freshLake()
+    lake.append(kv(0, 50))
+    val root = new org.apache.hadoop.fs.Path(
+      lake.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Simulate a crash between data write and publish: orphan data dir…
+    kv(900, 950).write.parquet(s"${lake.root}/data/c99-deadbeef")
+    // …and a stale tmp commit record.
+    val tmp = new org.apache.hadoop.fs.Path(s"${lake.root}/_log/.tmp-dead")
+    val out = fs.create(tmp, false)
+    out.write("v\t99\nadd\tdata/c99-deadbeef/nothing.parquet\t50\n".getBytes("UTF-8"))
+    out.close()
+    // Readers see none of it.
+    assert(lake.latestVersion === 0)
+    assert(lake.read().count() === 50)
+    // The next commit is unaffected and picks the next version.
+    assert(lake.append(kv(50, 60)) === 1)
+    assert(lake.read().count() === 60)
+    // A racing writer that loses the publish gets a conflict error and
+    // the log keeps the winner's record: both contend for version 2
+    // via the publish primitive (two interleaved writers both read
+    // latestVersion = 1).
+    lake.publish(Seq("v\t2"), 2)
+    val err = intercept[RuntimeException] { lake.publish(Seq("v\t2"), 2) }
+    assert(err.getMessage.contains("commit conflict"))
+    assert(lake.latestVersion === 2)
+    // Single-writer operation simply continues past the winner.
+    assert(lake.append(kv(60, 70)) === 3)
+  }
+
+  test("zone-map pruning: manifest ranges answer range predicates; clusterBy compact makes them disjoint") {
+    val lake = freshLake()
+    // Round-robin layout: 16 files each spanning ~the whole k range.
+    lake.append(kv(0, 1600).repartition(16))
+    val before = lake.pruneFiles(lake.latestVersion, "k", 100, 199)
+    val allBefore = lake.liveFiles(lake.latestVersion)
+    assert(allBefore.size === 16)
+    // Hash-round-robin files each span nearly the full range — pruning
+    // cannot drop (almost) anything.
+    assert(before.size >= 14, s"round-robin should barely prune, got ${before.size}")
+    // ClusterBy compact: same rows, 16 range-ordered files.
+    val v = Compact.clusterBy(lake, "k", 16)
+    val files = lake.liveFiles(v)
+    assert(files.size === 16)
+    assert(lake.read().count() === 1600)
+    // Per-file [lo, hi] are pairwise disjoint after the compact.
+    val ranges = files.map(f => (f.lo("k"), f.hi("k"))).sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, h1), (l2, _)) =>
+      assert(h1 < l2, s"overlapping post-compact ranges: $ranges")
+    }
+    // The pruning experiment: a 1/16-selectivity range now touches ~1
+    // file (±1 for a boundary straddle) instead of ~16.
+    val after = lake.pruneFiles(v, "k", 100, 199)
+    assert(after.size <= 2, s"clustered layout should prune to ~1 file, got ${after.size}")
+    // And the pruned read is correct: scanning just the survivor files
+    // yields every qualifying row.
+    val scanned = spark.read.parquet(after.map(f => s"${lake.root}/${f.path}"): _*)
+      .filter(col("k").between(100, 199)).count()
+    assert(scanned === 100)
+    // Pre-compact snapshots still read the old layout (time travel
+    // across a compact).
+    assert(lake.readAsOf(0).count() === 1600)
+  }
+
+  test("stats columns with nulls: file stays must-scan rather than mis-pruned") {
+    import spark.implicits._
+    val lake = freshLake()
+    val df = Seq[(java.lang.Long, String)]((null, "a"), (null, "b"))
+      .toDF("k", "v")
+    lake.append(df)
+    // No k stats on an all-null file ⇒ pruneFiles must keep it.
+    assert(lake.pruneFiles(0, "k", 5, 10).size === lake.liveFiles(0).size)
+  }
+}
