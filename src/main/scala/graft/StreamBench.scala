@@ -536,6 +536,93 @@ object StreamBench {
       }
     }
 
+    // Mode J: STREAMING incremental curation (round 14) — the day-N
+    // increment of the corpus capstone driven as a multi-micro-batch
+    // stream against the PERSISTED day-N−1 state tables
+    // (stream.IncCurate: the incrementalPairs broadcast-probe shape in
+    // foreachBatch, with per-batch state extension and an IVM change
+    // stream of keeps + retractions). The drain REQUIREs the folded
+    // survivor set ≡ the batch capstone's packed id set on the same
+    // increment — across REAL micro-batch boundaries (3 ascending-id
+    // files, maxFilesPerTrigger = 1), so cross-batch state probes,
+    // canonical merges, and retro-contamination retractions all
+    // engage.
+    locally {
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevPart = spark.conf.get(partKey)
+      spark.conf.set(partKey, "8")
+      try {
+        val sfDir = "/root/testdata/sf0.1"
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val prior = graft.ext.CorpusPipeline.cachedPriorState(docs, sfDir)
+        val inc = graft.ext.CorpusPipeline.dayNIncrement(docs, prior)
+          .select("doc_id", "text", "source").localCheckpoint(true)
+        val n = inc.count()
+        // Topic = 3 ascending doc_id ranges as separately-named files
+        // (rename pins path order; sequential writes pin mtime order —
+        // whichever the file source uses, arrival is id-ascending,
+        // the IncCurate keep-first ≡ keep-min contract).
+        val ids = inc.select("doc_id").orderBy("doc_id").collect()
+          .map(_.getLong(0))
+        val cuts = Seq(ids((ids.length / 3).toInt), ids((2 * ids.length / 3).toInt))
+        val topic = s"$work/topic_inccurate"
+        val fs = new org.apache.hadoop.fs.Path(topic)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(topic))
+        val ranges = Seq(
+          inc.filter(col("doc_id") < cuts(0)),
+          inc.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+          inc.filter(col("doc_id") >= cuts(1)))
+        ranges.zipWithIndex.foreach { case (r, i) =>
+          val tmp = s"$work/inccurate_tmp_$i"
+          r.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(f, new org.apache.hadoop.fs.Path(topic, f"inc-$i%02d.parquet"))
+          Thread.sleep(1100) // distinct mtimes at 1s granularity
+        }
+        val sink = s"$work/j_out"
+        val state = graft.stream.IncCurate.seed(prior)
+        var nBatches = 0
+        val tJ = time {
+          val q = spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1).parquet(topic)
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$work/j_ckpt")
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              nBatches += 1
+              LakeSink(sink, partitionCols = Nil)
+                .append(graft.stream.IncCurate.processBatch(b, state))
+            }
+            .start()
+          q.awaitTermination()
+        }
+        require(nBatches >= 3, s"mode J must drain multi-batch, got $nBatches")
+        val changes = spark.read.parquet(sink)
+        val keeps = changes.filter(col("op") === "keep").select("doc_id")
+        val retracts = changes.filter(col("op") === "retract").select("doc_id")
+        val streamed = prior.survivors.select("doc_id").unionByName(keeps)
+          .except(retracts)
+        val batchPacked = graft.ext.CorpusPipeline
+          .buildIncrementalStages(docs, prior).packed.select("doc_id")
+        val onlyStream = streamed.except(batchPacked).count()
+        val onlyBatch = batchPacked.except(streamed).count()
+        val nStream = streamed.count()
+        require(onlyStream == 0 && onlyBatch == 0 && nStream > 0,
+          s"mode J survivor set must equal the batch capstone's packed " +
+            s"ids: stream-only=$onlyStream batch-only=$onlyBatch n=$nStream")
+        val stateRows = state.stateRows
+        results(s"inc_curate@${n / 1000}k") = n / tJ
+        System.err.println(
+          f"[stream-bench] inc_curate@${n / 1000}k  $n rows  $tJ%.1fs  " +
+            f"${n / tJ}%.0f rows/s  survivors=$nStream stateRows=$stateRows " +
+            f"batches=$nBatches")
+      } finally {
+        spark.conf.set(partKey, prevPart)
+      }
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

@@ -110,7 +110,7 @@ object CorpusPipeline {
   }
 
   /** Canonical page key (url_dedup's normalization over [[pageUrl]]). */
-  private[ext] def pageCanon: Column = UrlOps.normalize(pageUrl)
+  private[graft] def pageCanon: Column = UrlOps.normalize(pageUrl)
 
   def build(docs: DataFrame): Stages = {
     // ONE corpus scan; every branch below reads these blocks.
@@ -372,20 +372,14 @@ object CorpusPipeline {
   /** The day-N incremental run against an already-persisted day-N−1
     * state — all text work increment-sized; the base corpus is never
     * rescanned (PlanSpec-asserted). */
-  def buildIncrementalStages(docs: DataFrame, st: PriorState): IncStages = {
+  /** The day-N increment topic (test-input construction): the id-tail
+    * naturals with their standard plant families PLUS the four
+    * cross-boundary re-fetch families derived from a 10% slice of the
+    * base — extracted (round 14) so StreamBench mode J can drive the
+    * SAME increment as a stream against the same persisted state. */
+  private[graft] def dayNIncrement(docs: DataFrame, st: PriorState): DataFrame = {
     val ids = docs.select(col("doc_id"), col("text"), col("source"))
     val cut = ids.agg((max(col("doc_id")) * 4L).as("m")).head().getLong(0) / 5L
-    val textKey = md5(lower(trim(col("text"))))
-    val urlKeyState = st.urlKeys
-    val textKeyState = st.textKeys
-    val sigState = st.sigs
-    val groupState = st.groups
-    val evalShState = st.evalSh
-    val shIndexState = st.shIndex
-    val contamCountState = st.contamCounts
-    val survivorState = st.survivors
-
-    // ---- day N: the increment topic (test-input construction) -----
     val incNat = ckpt("incNat", ids.filter(col("doc_id") > cut))
     val crossSrc = st.base.filter(pmod(col("doc_id"), lit(10L)) === 0)
     val toks = TextOps.tokens(col("text"))
@@ -404,8 +398,24 @@ object CorpusPipeline {
           concat_ws(" ", transform(sequence(lit(1), lit(20)),
             k => concat(lit("zr"), col("base_id").cast("string"), lit("x"),
               k.cast("string"))))).as("text"), col("source"))
-    val incAug = augment(incNat).unionByName(crossExact)
+    augment(incNat).unionByName(crossExact)
       .unionByName(crossNear).unionByName(crossUrl).unionByName(crossQuote)
+  }
+
+  /** The day-N incremental run against an already-persisted day-N−1
+    * state — all text work increment-sized; the base corpus is never
+    * rescanned (PlanSpec-asserted). */
+  def buildIncrementalStages(docs: DataFrame, st: PriorState): IncStages = {
+    val textKey = md5(lower(trim(col("text"))))
+    val urlKeyState = st.urlKeys
+    val textKeyState = st.textKeys
+    val sigState = st.sigs
+    val groupState = st.groups
+    val evalShState = st.evalSh
+    val shIndexState = st.shIndex
+    val contamCountState = st.contamCounts
+    val survivorState = st.survivors
+    val incAug = dayNIncrement(docs, st)
 
     // ---- the incremental pipeline (all text work increment-sized) --
     // 1. quality: map-side, per-doc.

@@ -731,4 +731,26 @@ class PlanSpec extends SparkSpec {
       s"kcore must read the checkpointed survivor/degree seams:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+
+  test("CdcCuts cut derivation is one map-side projection on the scan") {
+    // The round-14 kernel computes each doc's whole cut array in ONE
+    // eval riding the scan; the pre-kernel shape exploded one row per
+    // character and reassembled with groupBy+collect_set through an
+    // exchange. (The registry query's own plan hides this stage behind
+    // its checkpoint seams, so the guard inspects the derivation
+    // directly — same frame shape as cdc_chunks' cut stage.)
+    import org.apache.spark.sql.functions._
+    val p = graft.Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        graft.ext.expr.CdcCuts.cdcCuts(col("text"), 8, 64L).as("cps"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cdc_cuts"), "CdcCuts kernel missing from plan")
+    assert(!p.contains("Exchange") && !p.contains("collect_set") &&
+      !p.contains("Generate"),
+      s"cut derivation must stay map-side, got:\n$p")
+    // the "*(n)" prefix is toString's whole-stage-codegen marker
+    assert(p.contains("*(1) Project"), "kernel must inline into codegen")
+  }
 }
