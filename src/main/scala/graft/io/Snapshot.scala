@@ -161,6 +161,38 @@ object Snapshot {
         spark.read.parquet(files.map(f =>
           new Path(rootPath, f.path).toString): _*)
 
+    /** VACUUM: delete data files no snapshot in the retention horizon
+      * references — overwritten/compacted-away files past their
+      * time-travel window AND orphans from crashed commits (files a
+      * crash wrote but never published). Keeps every file referenced
+      * by the last `keepSnapshots` commits' live sets; the log itself
+      * stays (cheap, and the audit trail). Time travel to snapshots
+      * older than the horizon stops resolving — the standard Delta
+      * VACUUM trade. Returns the number of deleted files. */
+    def vacuum(keepSnapshots: Int = 1): Int = {
+      require(keepSnapshots >= 1, "must retain at least the latest snapshot")
+      val lv = latestVersion
+      if (lv < 0) return 0
+      val referenced = (math.max(0, lv - keepSnapshots + 1) to lv)
+        .flatMap(v => liveFiles(v).map(_.path)).toSet
+      val dataRoot = new Path(rootPath, "data")
+      if (!fs.exists(dataRoot)) return 0
+      var deleted = 0
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+        val dir = d.getPath
+        fs.listStatus(dir).filter(_.isFile).foreach { f =>
+          val rel = s"data/${dir.getName}/${f.getPath.getName}"
+          val keep = referenced.contains(rel) ||
+            f.getPath.getName.startsWith("_") // parquet _SUCCESS markers
+          if (!keep) { fs.delete(f.getPath, false); deleted += 1 }
+        }
+        if (fs.listStatus(dir).forall(s =>
+            s.isFile && s.getPath.getName.startsWith("_")))
+          fs.delete(dir, true) // only markers left — drop the commit dir
+      }
+      deleted
+    }
+
     // ---- write side -----------------------------------------------
 
     /** Append `df` as a new snapshot; returns the committed version. */

@@ -126,6 +126,28 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.readAsOf(0).count() === 1600)
   }
 
+  test("vacuum: unreferenced + orphan files go, retained snapshots still read") {
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.overwrite(kv(200, 250)) // v1 — v0's files now unreferenced at v1
+    lake.append(kv(250, 260)) // v2
+    // Orphan from a crashed commit: data written, never published.
+    kv(900, 950).write.parquet(s"${lake.root}/data/c99-orphan")
+    val deleted = lake.vacuum(keepSnapshots = 2) // keep v1..v2
+    assert(deleted > 0, "must delete v0's files and the orphan")
+    // Retained snapshots read fully.
+    assert(lake.readAsOf(1).count() === 50)
+    assert(lake.readAsOf(2).count() === 60)
+    // The horizon is real: v0's data is gone (log remains, data doesn't).
+    val v0Live = lake.liveFiles(0)
+    val fs = new org.apache.hadoop.fs.Path(lake.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(v0Live.forall(f => !fs.exists(
+      new org.apache.hadoop.fs.Path(s"${lake.root}/${f.path}"))))
+    // Idempotent: nothing else to delete.
+    assert(lake.vacuum(keepSnapshots = 2) === 0)
+  }
+
   test("stats columns with nulls: file stays must-scan rather than mis-pruned") {
     import spark.implicits._
     val lake = freshLake()
