@@ -154,6 +154,20 @@ object Snapshot {
         }
       }
 
+    /** Range scan through the zone-map manifest: open only the files
+      * [[pruneFiles]] keeps, then apply the row predicate — after a
+      * [[Compact.clusterBy]] the file set is ~selectivity × nFiles.
+      * This is the consumer API the manifest exists for: at 100 TB a
+      * 1% range predicate over a clustered table opens ~1% of files
+      * without any footer reads on the other 99%. */
+    def readRange(v: Int, column: String, qLo: Long, qHi: Long): DataFrame = {
+      val files = pruneFiles(v, column, qLo, qHi)
+      // every file pruned: an empty frame WITH the table schema (plan
+      // over the live set, zero rows scanned at runtime)
+      if (files.isEmpty) readAsOf(v).filter(lit(false))
+      else readFiles(files).filter(col(column).between(qLo, qHi))
+    }
+
     private def readFiles(files: Seq[FileStat]): DataFrame =
       if (files.isEmpty)
         spark.emptyDataFrame

@@ -116,11 +116,13 @@ class SnapshotSpec extends SparkSpec {
     // file (±1 for a boundary straddle) instead of ~16.
     val after = lake.pruneFiles(v, "k", 100, 199)
     assert(after.size <= 2, s"clustered layout should prune to ~1 file, got ${after.size}")
-    // And the pruned read is correct: scanning just the survivor files
-    // yields every qualifying row.
-    val scanned = spark.read.parquet(after.map(f => s"${lake.root}/${f.path}"): _*)
-      .filter(col("k").between(100, 199)).count()
-    assert(scanned === 100)
+    // And the pruned read is correct: the readRange API yields every
+    // qualifying row from just the survivor files.
+    assert(lake.readRange(v, "k", 100, 199).count() === 100)
+    // Boundary straddle + fully-out-of-range: exact rows / empty-with-schema.
+    assert(lake.readRange(v, "k", 1590, 9999).count() === 10)
+    val out = lake.readRange(v, "k", 100000, 200000)
+    assert(out.count() === 0 && out.columns.toSeq === Seq("k", "v"))
     // Pre-compact snapshots still read the old layout (time travel
     // across a compact).
     assert(lake.readAsOf(0).count() === 1600)
