@@ -128,6 +128,40 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.readAsOf(0).count() === 1600)
   }
 
+  test("upsert/delete: copy-on-write rewrites only zone-intersecting files") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 1600).repartition(16))
+    val v1 = Compact.clusterBy(lake, "k", 16) // disjoint ~100-wide ranges
+    val before = lake.liveFiles(v1).map(_.path).toSet
+    assert(before.size === 16)
+    // Update two keys inside ONE file's range; insert two brand-new keys.
+    val up = Seq((150L, "updated150"), (155L, "updated155"),
+      (5000L, "new5000"), (5001L, "new5001")).toDF("k", "v")
+    val v2 = lake.upsert(up, "k")
+    val after = lake.liveFiles(v2).map(_.path).toSet
+    assert((before intersect after).size === 15,
+      "exactly one file (the 100-199 range) is rewritten; 15 keep identity")
+    val r = lake.read()
+    assert(r.count() === 1602)
+    assert(r.filter(col("k") === 150L).select("v").head().getString(0)
+      === "updated150")
+    assert(r.filter(col("k") === 151L).select("v").head().getString(0)
+      === "row151", "non-matched rows of the rewritten file survive")
+    // Copy-on-write DELETE by key.
+    val v3 = lake.deleteKeys(Seq(150L, 5000L).toDF("k"), "k")
+    assert(lake.read().count() === 1600)
+    assert(lake.read().filter(col("k").isin(150L, 5000L)).count() === 0)
+    // Time travel across the merge: pre-upsert values intact.
+    assert(lake.readAsOf(v1).filter(col("k") === 150L)
+      .select("v").head().getString(0) === "row150")
+    // A delete matching no zone map publishes an explicit no-op version.
+    val v4 = lake.deleteKeys(Seq(99999L).toDF("k"), "k")
+    assert(v4 === v3 + 1)
+    assert(lake.liveFiles(v4).map(_.path).toSet
+      === lake.liveFiles(v3).map(_.path).toSet)
+  }
+
   test("vacuum: unreferenced + orphan files go, retained snapshots still read") {
     val lake = freshLake()
     lake.append(kv(0, 100)) // v0
