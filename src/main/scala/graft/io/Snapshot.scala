@@ -259,7 +259,7 @@ object Snapshot {
           .join(broadcast(keys),
             col(keyCol).between(col("__lo"), col("__hi")), "left_semi")
           .select("__path").collect().map(_.getString(0)).toSeq
-      val touched = touchedStatted ++ noStats.map(_.path)
+      val touched = (touchedStatted ++ noStats.map(_.path)).toSet
       if (touched.isEmpty && insert.isEmpty) {
         // nothing matched, nothing to add — publish an explicit no-op
         // version (callers get a version per request, the audit trail
@@ -275,7 +275,7 @@ object Snapshot {
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           insert.map(surv.unionByName(_)).getOrElse(surv)
         }
-      commit(rewritten, removed = touched)
+      commit(rewritten, removed = touched.toSeq.sorted)
     }
 
     private def commit(df: DataFrame, removed: Seq[String]): Int = {
