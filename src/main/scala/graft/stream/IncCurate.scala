@@ -35,6 +35,18 @@ import graft.ext.{Contamination, CorpusPipeline, Dedup, QualityFilter, Sampling}
   * tally-sized, never text. Retractions make the published survivor
   * set eventually consistent with the full recompute — the standard
   * IVM trade.
+  *
+  * Documented non-chased cascade (the batch capstone's own IVM
+  * fallback, CorpusPipeline.buildIncremental): if a later batch
+  * dethrones an EVAL-shard doc that already contributed eval shingles
+  * (a cross-boundary near-dup merge of an eval canonical), those
+  * shingles are not retracted from the eval state, so a train doc
+  * they contaminated stays retracted where the full recompute would
+  * keep it. The batch path's full-recompute oracle (and mode J's
+  * equality REQUIRE) fail loudly if a corpus ever trips it — none of
+  * the driver corpora do (eval membership is id-hash-sharded;
+  * dethroning requires a later-id near-dup BRIDGE to a smaller
+  * canonical, which the plant families never aim at eval docs).
   */
 object IncCurate {
 
