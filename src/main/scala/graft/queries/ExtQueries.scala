@@ -53,6 +53,18 @@ object ExtQueries {
         lake.append(o.filter(pmod(col("o_orderkey"), lit(10L)).isin(7L, 8L)))
         lake.overwrite(o.filter(pmod(col("o_orderkey"), lit(10L)) < 9)
           .filter(pmod(col("o_custkey"), lit(97L)) =!= 0))
+        // commit 3: copy-on-write MERGE — re-fetched rows (% 10 = 0,
+        // price bumped 7 cents) update in place, % 10 = 9 rows insert;
+        // commit 4: copy-on-write DELETE by key (% 100 = 50). Both are
+        // file-granular rewrites through the zone-map manifest; the
+        // lake_merge oracle replays their row algebra relationally
+        // (as-of contents are file-layout-independent even though the
+        // touched-file set is not).
+        lake.upsert(o.filter(pmod(col("o_orderkey"), lit(10L)).isin(0L, 9L))
+          .withColumn("cents", col("cents") + 7), "o_orderkey")
+        lake.deleteKeys(
+          o.filter(pmod(col("o_orderkey"), lit(100L)) === 50)
+            .select(col("o_orderkey")), "o_orderkey")
         dir
       })
       graft.io.Snapshot.Lake(s, root, statsCols = Seq("o_orderkey"))
@@ -968,6 +980,28 @@ object ExtQueries {
         asOf.crossJoin(broadcast(delta))
           .select(lit(v.toLong).as("version"), col("n_rows"),
             col("sum_cents"), col("delta_rows"), col("delta_cents"))
+      }.reduce(_ unionByName _)
+    },
+
+    // Copy-on-write MERGE + DELETE on the snapshot lake (round 14) —
+    // commits 3 (upsert: % 10 = 0 rows update with +7 cents, % 10 = 9
+    // rows insert) and 4 (deleteKeys: % 100 = 50) of the same fixture
+    // lake, each rewriting ONLY the files whose o_orderkey zone map
+    // admits an incoming key. The oracle replays the row algebra of
+    // both commits relationally; as-of aggregates are independent of
+    // the (layout-dependent) touched-file set, so a merge bug that
+    // loses unmatched rows of a rewritten file, resurrects deleted
+    // rows, or double-applies an update hash-fails. File-granularity
+    // itself (untouched files keep manifest identity) is
+    // SnapshotSpec's assertion.
+    "lake_merge" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      Seq(3, 4).map { v =>
+        lake.readAsOf(v)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_cents"))
       }.reduce(_ unionByName _)
     },
 
@@ -5603,6 +5637,28 @@ object ExtQueries {
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v2),
         |       (SELECT count(*) FROM v2),
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v2)"""
+        .stripMargin,
+
+    // lake_merge: the MERGE (update + insert) and DELETE commits'
+    // row algebra replayed relationally.
+    "lake_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |v2 AS (SELECT * FROM v1 WHERE o_custkey % 97 <> 0),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 7 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (0, 9)),
+        |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 10 NOT IN (0, 9)
+        |       UNION ALL SELECT * FROM up),
+        |v4 AS (SELECT * FROM v3 WHERE o_orderkey % 100 <> 50)
+        |SELECT CAST(3 AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents
+        |FROM v3
+        |UNION ALL
+        |SELECT 4, (SELECT count(*) FROM v4),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v4)"""
         .stripMargin,
     "token_count" ->
       """SELECT doc_id,
