@@ -1052,6 +1052,41 @@ object ExtQueries {
         emb.filter(col("vec_id") === 0), col("embedding"), k = 10)
     },
 
+    // Binary-quantization ANN (round 14) — the 1-bit-per-dim
+    // compression production vector stores serve from (32× smaller
+    // than int8; Hamming distance on packed words): each vector packs
+    // to two 32-bit halves (bit d set iff the milli-quantized
+    // coordinate is > 0), candidates shortlist by EXACT integer
+    // Hamming distance (bit_count over XOR — two codegen'd words per
+    // comparison), and the top-64 shortlist reranks with exact cosine.
+    // The retrieve-then-rerank discipline of rag_rerank applied to the
+    // vector index itself. 100 TB shape: the scan ships 16 bytes per
+    // vector (not 256), the shortlist is a TakeOrdered heap cut, and
+    // only 64 candidates ever touch full-precision vectors.
+    "ann_binary" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      def half(off: Int) = (0 until 32).map { j =>
+        when(coalesce(element_at(col("q"), off + j + 1), lit(0L)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val codes = emb
+        .select(col("vec_id"), col("embedding").as("v"),
+          VectorOps.quantize1000(col("embedding")).as("q"))
+        .select(col("vec_id"), col("v"), half(0).as("lo"), half(32).as("hi"))
+        .localCheckpoint(true)
+      val qc = codes.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val short = codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qc))
+        .select(col("vec_id"), col("v"), col("qv"),
+          (bit_count(expr("lo ^ qlo")) + bit_count(expr("hi ^ qhi")))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id")).limit(64)
+      short.select(col("vec_id"), col("hamming"),
+          round(VectorOps.cosineFast(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    },
+
     "embed_neardup" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
@@ -5789,6 +5824,35 @@ object ExtQueries {
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos_sim
         |FROM embeddings, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // ann_binary: the same bit packing (32 machine-generated CASE
+    // terms per half over the shared milli quantization), exact
+    // Hamming shortlist, cosine rerank.
+    "ann_binary" -> {
+      def half(off: Int) = (0 until 32).map { j =>
+        s"(CASE WHEN coalesce(q[${off + j + 1}], 0) > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH qz AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |              list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+         |                          AS BIGINT)) AS q
+         |            FROM embeddings),
+         |codes AS (SELECT vec_id, e, CAST(${half(0)} AS BIGINT) AS lo,
+         |                 CAST(${half(32)} AS BIGINT) AS hi
+         |          FROM qz),
+         |qc AS (SELECT e AS qe, lo AS qlo, hi AS qhi
+         |       FROM codes WHERE vec_id = 0),
+         |short AS (SELECT vec_id, e, qe,
+         |            CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi))
+         |                 AS BIGINT) AS hamming
+         |          FROM codes, qc WHERE vec_id <> 0
+         |          ORDER BY hamming, vec_id LIMIT 64)
+         |SELECT vec_id, hamming,
+         |       round(list_cosine_similarity(e, qe), 4) AS cos_sim
+         |FROM short
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     // Every similarity decision in exact integers (see the query's
     // comment); the only floats are the +0.1 perturbation and the
