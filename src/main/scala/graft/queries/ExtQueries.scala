@@ -1060,9 +1060,12 @@ object ExtQueries {
     // Hamming distance (bit_count over XOR — two codegen'd words per
     // comparison), and the top-64 shortlist reranks with exact cosine.
     // The retrieve-then-rerank discipline of rag_rerank applied to the
-    // vector index itself. 100 TB shape: the scan ships 16 bytes per
-    // vector (not 256), the shortlist is a TakeOrdered heap cut, and
-    // only 64 candidates ever touch full-precision vectors.
+    // vector index itself. Codes cover the first 64 dims — exactly the
+    // corpus's embedding width; a wider model would raise the word
+    // count (not a silent cap: coalesce only pads SHORTER vectors).
+    // 100 TB shape: the scan ships 16 bytes per vector (not 256), the
+    // shortlist is a TakeOrdered heap cut, and only 64 candidates ever
+    // touch full-precision vectors.
     "ann_binary" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       def half(off: Int) = (0 until 32).map { j =>
