@@ -51,8 +51,12 @@ object Snapshot {
   final case class FileStat(path: String, rows: Long,
       lo: Map[String, Long], hi: Map[String, Long])
 
+  /** `txn` is the Delta-style transaction marker — (writerId, batchId)
+    * — a streaming writer stamps on each commit so a replayed
+    * micro-batch can be recognized and skipped (exactly-once appends
+    * over at-least-once delivery). */
   final case class Commit(version: Int, added: Seq[FileStat],
-      removed: Seq[String])
+      removed: Seq[String], txn: Option[(String, Long)] = None)
 
   /** Open (or initialize on first commit) a snapshot lake at `root`.
     * `statsCols` are LONG-typed columns to zone-map per file. */
@@ -85,6 +89,7 @@ object Snapshot {
       val lines = text.linesIterator.filter(_.nonEmpty).toSeq
       val adds = Seq.newBuilder[FileStat]
       val rms = Seq.newBuilder[String]
+      var txn = Option.empty[(String, Long)]
       lines.foreach { line =>
         line.split('\t') match {
           case Array("v", ver) =>
@@ -99,11 +104,12 @@ object Snapshot {
               stats.map(s => s._1 -> s._2).toMap,
               stats.map(s => s._1 -> s._3).toMap)
           case arr if arr.head == "rm" => rms += arr(1)
+          case Array("txn", w, b) => txn = Some((w, b.toLong))
           case other => sys.error(s"corrupt log line in ${p.getName}: " +
             other.mkString("\t"))
         }
       }
-      Commit(v, adds.result(), rms.result())
+      Commit(v, adds.result(), rms.result(), txn)
     }
 
     /** The live file set as of snapshot `v` (log replay). */
@@ -140,6 +146,41 @@ object Snapshot {
     }
 
     def readDelta(v0: Int, v1: Int): DataFrame = readFiles(deltaFiles(v0, v1))
+
+    /** Row-level CDC feed over (v0, v1] — the Delta "change data feed"
+      * semantic on the commit log: every row the window added to or
+      * removed from the table, tagged `_op` ('insert' | 'delete'); an
+      * in-place update surfaces as its delete + insert pair. Computed
+      * as a multiset diff over ONLY the files whose membership changed
+      * between the two snapshots: files live at both ends cannot
+      * contribute a change and are never opened, and a copy-on-write
+      * rewrite's carried-over rows (old file → rewritten file) cancel
+      * in the diff. At 100 TB a CDC read of an increment-sized commit
+      * therefore scans ~|touched files|, never the table — and the
+      * exceptAll shuffle rides that same bounded row set. */
+    def changes(v0: Int, v1: Int): DataFrame = {
+      require(v0 <= v1, s"changes($v0, $v1): v0 must precede v1")
+      val before = if (v0 < 0) Nil else liveFiles(v0)
+      val after = liveFiles(v1)
+      val beforePaths = before.map(_.path).toSet
+      val afterPaths = after.map(_.path).toSet
+      val dropped = before.filterNot(f => afterPaths(f.path))
+      val added = after.filterNot(f => beforePaths(f.path))
+      if (dropped.isEmpty && added.isEmpty) {
+        // No file membership change in the window ⇒ empty feed, with
+        // the table schema whenever one is resolvable.
+        val base = if (after.nonEmpty) readFiles(after)
+                   else if (before.nonEmpty) readFiles(before)
+                   else spark.emptyDataFrame
+        return base.filter(lit(false)).withColumn("_op", lit(""))
+      }
+      val schemaSrc = readFiles(if (added.nonEmpty) added else dropped)
+      val empty = schemaSrc.filter(lit(false))
+      val oldRows = if (dropped.isEmpty) empty else readFiles(dropped)
+      val newRows = if (added.isEmpty) empty else readFiles(added)
+      newRows.exceptAll(oldRows).withColumn("_op", lit("insert"))
+        .unionByName(oldRows.exceptAll(newRows).withColumn("_op", lit("delete")))
+    }
 
     /** Zone-map pruning over the live manifest: the files of snapshot
       * `v` whose [lo, hi] for `col` intersects [qLo, qHi] — the scan
@@ -212,6 +253,27 @@ object Snapshot {
     /** Append `df` as a new snapshot; returns the committed version. */
     def append(df: DataFrame): Int = commit(df, removed = Nil)
 
+    /** The highest batchId `writerId` has committed, -1 when none —
+      * the read side of the Delta `txn` action. Max (not last) so a
+      * log with interleaved writers answers each independently. */
+    def lastTxn(writerId: String): Long =
+      commits.flatMap(_.txn).collect {
+        case (w, b) if w == writerId => b
+      }.foldLeft(-1L)(math.max)
+
+    /** Exactly-once streaming append: commit `df` stamped with
+      * (writerId, batchId) UNLESS a commit with this writer's batchId
+      * (or a later one) is already in the log — the foreachBatch
+      * replay contract. Structured Streaming re-delivers the last
+      * micro-batch after a restart; the txn stamp turns that
+      * at-least-once delivery into an exactly-once table. Returns the
+      * committed version, or None when the replay was skipped.
+      * BatchIds must be monotone per writer (Spark's batchId is). */
+    def appendIdempotent(df: DataFrame, writerId: String,
+        batchId: Long): Option[Int] =
+      if (batchId <= lastTxn(writerId)) None
+      else Some(commit(df, removed = Nil, txn = Some((writerId, batchId))))
+
     /** Replace the table contents with `df` (the rewrite shape:
       * overwrite, GDPR forget, compaction) as a new snapshot. */
     def overwrite(df: DataFrame): Int = {
@@ -278,7 +340,8 @@ object Snapshot {
       commit(rewritten, removed = touched.toSeq.sorted)
     }
 
-    private def commit(df: DataFrame, removed: Seq[String]): Int = {
+    private def commit(df: DataFrame, removed: Seq[String],
+        txn: Option[(String, Long)] = None): Int = {
       val version = latestVersion + 1
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = s"data/c$version-$uuid"
@@ -320,7 +383,8 @@ object Snapshot {
         }
       }
       val record = (s"v\t$version" +: addLines) ++
-        removed.map(p => s"rm\t$p")
+        removed.map(p => s"rm\t$p") ++
+        txn.map { case (w, b) => s"txn\t$w\t$b" }
       publish(record, version)
       version
     }

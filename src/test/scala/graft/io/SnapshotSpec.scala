@@ -162,6 +162,53 @@ class SnapshotSpec extends SparkSpec {
       === lake.liveFiles(v3).map(_.path).toSet)
   }
 
+  test("changes: row-level CDC feed reads only touched files; update = delete+insert") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.append(kv(100, 130)) // v1
+    val v2 = lake.upsert(
+      Seq((5L, "upd5"), (500L, "new500")).toDF("k", "v"), "k")
+    // v0: the whole base surfaces as inserts.
+    val c0 = lake.changes(-1, 0)
+    assert(c0.filter(col("_op") === "insert").count() === 100)
+    assert(c0.filter(col("_op") === "delete").count() === 0)
+    // v1 append: exactly the increment, no deletes.
+    val c1 = lake.changes(0, 1)
+    assert(c1.filter(col("_op") === "insert").select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === (100L until 130L))
+    assert(c1.filter(col("_op") === "delete").count() === 0)
+    // v2 upsert: the rewrite's carried-over rows cancel in the diff;
+    // the in-place update surfaces as its delete + insert pair.
+    val c2 = lake.changes(1, v2)
+    val ins = c2.filter(col("_op") === "insert").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val del = c2.filter(col("_op") === "delete").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(ins === Seq((5L, "upd5"), (500L, "new500")))
+    assert(del === Seq((5L, "row5")))
+    // Semantic gate independent of the file algebra: the feed equals
+    // the as-of multiset diff in both directions.
+    assert(lake.readAsOf(v2).exceptAll(lake.readAsOf(1)).count()
+      === ins.size)
+    assert(lake.readAsOf(1).exceptAll(lake.readAsOf(v2)).count()
+      === del.size)
+    // Incremental-scan gate: files live at BOTH ends never enter the
+    // feed's scan set.
+    val untouched = (lake.liveFiles(1).map(_.path).toSet
+      intersect lake.liveFiles(v2).map(_.path).toSet)
+    assert(untouched.nonEmpty, "fixture must have carried files")
+    val scanned = c2.inputFiles.toSet
+    untouched.foreach { p =>
+      assert(!scanned.exists(_.endsWith(p)), s"untouched $p was scanned")
+    }
+    // A no-op commit (delete matching no zone map) yields an empty feed.
+    val v3 = lake.deleteKeys(Seq(99999L).toDF("k"), "k")
+    assert(lake.changes(v2, v3).count() === 0)
+    // Empty window on the same version.
+    assert(lake.changes(1, 1).count() === 0)
+  }
+
   test("vacuum: unreferenced + orphan files go, retained snapshots still read") {
     val lake = freshLake()
     lake.append(kv(0, 100)) // v0
