@@ -326,6 +326,35 @@ object AnalyticsQueries {
         .select(col("event_id"), col("event_type"), col("value"))
     },
 
+    // Pareto skyline (round 14) — the classic two-criteria frontier
+    // (Börzsönyi/Kossmann/Stocker, ICDE 2001): parts no other part
+    // both undercuts-or-ties on price AND matches-or-beats on size,
+    // strict in at least one dimension (min retail cents, max p_size).
+    // Computed WITHOUT the O(n²) dominance self-join: collapse to one
+    // (price_cents → max size) row per distinct price, run ONE
+    // running-max window over that VALUE-BOUNDED frame (distinct
+    // retail cents is price-range-bounded ≤ ~120k regardless of SF —
+    // the compressed-frame convention), and re-join the bounded group
+    // table broadcast onto the scan. A part is on the frontier iff its
+    // size equals its price group's max (same-price domination must be
+    // strict in size) and that max strictly exceeds every cheaper
+    // group's running max (cheaper is already strict in price). Exact
+    // integers end to end; both engines run the same algebra.
+    "skyline_frontier" -> { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+          .as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+      val g = p.groupBy("price_cents").agg(max(col("p_size")).as("gmax"))
+      val w = Window.orderBy(col("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g2 = g.withColumn("prevmax", max(col("gmax")).over(w))
+      p.join(broadcast(g2), Seq("price_cents"))
+        .filter(col("p_size") === col("gmax") &&
+          (col("prevmax").isNull || col("gmax") > col("prevmax")))
+        .select(col("p_partkey"), col("price_cents"), col("p_size"))
+    },
+
     // Zone-map pruning audit (round 12) — the data-skipping argument
     // behind every lake layout decision (parquet row-group min/max,
     // ORC stripe stats; Moerkotte's small materialized aggregates,
@@ -1742,6 +1771,26 @@ object AnalyticsQueries {
         |FROM e JOIN st ON e.event_type = st.event_type
         |WHERE (CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)
         |      > 9 * (CAST(n AS HUGEINT) * q - s * s)""".stripMargin,
+
+    // skyline_frontier: the same value-bounded group + running-max
+    // algebra — one row per distinct price, ROWS-framed running max,
+    // frontier = group max that strictly clears every cheaper group.
+    "skyline_frontier" ->
+      """WITH p AS (SELECT p_partkey,
+        |             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |               AS price_cents,
+        |             CAST(p_size AS BIGINT) AS p_size
+        |           FROM part),
+        |g AS (SELECT price_cents, max(p_size) AS gmax FROM p GROUP BY 1),
+        |g2 AS (SELECT price_cents, gmax,
+        |         max(gmax) OVER (ORDER BY price_cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prevmax
+        |       FROM g)
+        |SELECT p.p_partkey, p.price_cents, p.p_size
+        |FROM p JOIN g2 USING (price_cents)
+        |WHERE p.p_size = g2.gmax
+        |  AND (g2.prevmax IS NULL OR g2.gmax > g2.prevmax)""".stripMargin,
 
     // mad_outliers: the same compressed-histogram rank selection —
     // 2·median via the two middle order statistics — run twice

@@ -1005,6 +1005,33 @@ object ExtQueries {
       }.reduce(_ unionByName _)
     },
 
+    // Row-level CDC feed (round 14) — Delta's change-data-feed semantic
+    // on the snapshot log: for every commit 0..4 of the fixture lake,
+    // Lake.changes(v-1, v) opens ONLY the files the commit touched and
+    // emits the multiset row diff tagged insert/delete (an in-place
+    // update = its delete + insert pair; a COW rewrite's carried-over
+    // rows cancel). The oracle replays each transition as EXCEPT ALL
+    // row algebra over the deterministic snapshot memberships, so a
+    // feed that leaks carried rewrite rows, misses a resurrected key,
+    // or mis-signs a delete hash-fails on both counts and cent sums.
+    // 100 TB shape: the diff scans ~|touched files| per commit — an
+    // increment-sized CDC read never rescans the table — and the
+    // exceptAll shuffle rides that same bounded row set.
+    "lake_cdc_feed" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      (0 to 4).map { v =>
+        lake.changes(v - 1, v).agg(
+          count(when(col("_op") === "insert", 1)).as("n_inserts"),
+          count(when(col("_op") === "delete", 1)).as("n_deletes"),
+          coalesce(sum(when(col("_op") === "insert", col("cents"))), lit(0L))
+            .as("insert_cents"),
+          coalesce(sum(when(col("_op") === "delete", col("cents"))), lit(0L))
+            .as("delete_cents"))
+          .select(lit(v.toLong).as("version"), col("n_inserts"),
+            col("n_deletes"), col("insert_cents"), col("delete_cents"))
+      }.reduce(_ unionByName _)
+    },
+
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
     // highest-quality member of each duplicate group, not the smallest
     // id: pairs → CC → join the (tiny) label set to per-doc quality →
@@ -2935,6 +2962,71 @@ object ExtQueries {
           sum(col("tf") * col("n_sym")).as("n_tokens"))
         // tokens per 100 words, HALF_UP exact-integer (both counts > 0
         // whenever the doc has any word — n_sym >= 1 always)
+        .selectExpr("doc_id", "n_words", "n_tokens",
+          "(200 * n_tokens + n_words) div (2 * n_words) AS tpw_x100")
+    },
+
+    // WORDPIECE ENCODING (round 14) — the tokenizer family's other
+    // canonical algorithm (Schuster & Nakajima 2012; Wu et al. 2016):
+    // greedy longest-match-first segmentation of each word against a
+    // learned piece vocabulary, vs BPE's merge replay. Vocab = the
+    // top-256 length-2..4 substrings of the distinct-word table by
+    // corpus-weighted frequency under the (cnt DESC, piece) TOTAL
+    // order (deterministic at the cut, the bpe top1 convention);
+    // single chars are implicit fallback pieces. Segmentation is ONE
+    // `aggregate` fold per DISTINCT WORD over its positions — try 4,
+    // then 3, then 2, else 1 char, vocab membership via a broadcast
+    // ≤256-entry map literal (`map_contains_key`) — so the corpus is
+    // touched exactly twice (tokenize→tf agg; tf⋈encoder join) and
+    // the greedy loop rides the DISTINCT vocab, corpus-independent.
+    // A truncated end-of-word probe (substr(pos, 4) with < 4 chars
+    // left) may match a shorter piece and overshoot pos — harmless
+    // (the word is finished either way) and replayed bit-for-bit by
+    // the oracle's identical CASE ladder. The DuckDB oracle segments
+    // by recursive CTE over the same vocab.
+    "wordpiece_encode" -> { (s, d) =>
+      val K = 256
+      val words = Dedup.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint(true)
+      val wc = tf.groupBy(col("w")).agg(sum(col("tf")).as("wn"))
+        .localCheckpoint(true)
+      val pieces = wc.select(col("wn"), explode(flatten(
+          transform(sequence(lit(2), lit(4)), l =>
+            when(length(col("w")) >= l,
+              transform(sequence(lit(1), length(col("w")) - l + 1),
+                i => col("w").substr(i, l)))
+              .otherwise(array().cast("array<string>")))))
+          .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wn")).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(K)
+      // model-sized collect (≤ K pieces) → broadcast map literal
+      val vocab = pieces.collect().map(_.getString(0)).toSet
+      val V = typedlit(vocab.map(p => p -> true).toMap)
+      def hit(pos: org.apache.spark.sql.Column, l: Int) =
+        map_contains_key(V, col("w").substr(pos, lit(l)))
+      val nPieces = aggregate(
+        sequence(lit(1), length(col("w"))),
+        struct(lit(1).as("pos"), lit(0).as("n")),
+        (st, i) => {
+          val pos = st.getField("pos")
+          val n = st.getField("n")
+          def nxt(adv: Int) =
+            struct((pos + adv).as("pos"), (n + 1).as("n"))
+          when(i < pos, st)
+            .when(hit(pos, 4), nxt(4))
+            .when(hit(pos, 3), nxt(3))
+            .when(hit(pos, 2), nxt(2))
+            .otherwise(nxt(1))
+        },
+        st => st.getField("n").cast("long"))
+      val enc = wc.select(col("w"), nPieces.as("n_pieces"))
+      tf.join(enc, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_words"),
+          sum(col("tf") * col("n_pieces")).as("n_tokens"))
         .selectExpr("doc_id", "n_words", "n_tokens",
           "(200 * n_tokens + n_words) div (2 * n_words) AS tpw_x100")
     },
@@ -5698,6 +5790,54 @@ object ExtQueries {
         |SELECT 4, (SELECT count(*) FROM v4),
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v4)"""
         .stripMargin,
+
+    // lake_cdc_feed: every snapshot transition's row-level change set
+    // replayed as EXCEPT ALL algebra over the deterministic commit
+    // memberships (inserts = sN \ sN-1, deletes = sN-1 \ sN).
+    "lake_cdc_feed" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |s0 AS (SELECT * FROM o WHERE o_orderkey % 10 < 7),
+        |s1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |s2 AS (SELECT * FROM s1 WHERE o_custkey % 97 <> 0),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 7 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (0, 9)),
+        |s3 AS (SELECT * FROM s2 WHERE o_orderkey % 10 NOT IN (0, 9)
+        |       UNION ALL SELECT * FROM up),
+        |s4 AS (SELECT * FROM s3 WHERE o_orderkey % 100 <> 50),
+        |i1 AS (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s0),
+        |d1 AS (SELECT * FROM s0 EXCEPT ALL SELECT * FROM s1),
+        |i2 AS (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1),
+        |d2 AS (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2),
+        |i3 AS (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2),
+        |d3 AS (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s3),
+        |i4 AS (SELECT * FROM s4 EXCEPT ALL SELECT * FROM s3),
+        |d4 AS (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s4)
+        |SELECT CAST(0 AS BIGINT) AS version,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_inserts,
+        |       CAST(0 AS BIGINT) AS n_deletes,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM s0)
+        |         AS insert_cents,
+        |       CAST(0 AS BIGINT) AS delete_cents
+        |UNION ALL
+        |SELECT 1, (SELECT count(*) FROM i1), (SELECT count(*) FROM d1),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM i1),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d1)
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM i2), (SELECT count(*) FROM d2),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM i2),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d2)
+        |UNION ALL
+        |SELECT 3, (SELECT count(*) FROM i3), (SELECT count(*) FROM d3),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM i3),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d3)
+        |UNION ALL
+        |SELECT 4, (SELECT count(*) FROM i4), (SELECT count(*) FROM d4),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM i4),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d4)"""
+        .stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
@@ -6251,6 +6391,44 @@ object ExtQueries {
       s"""WITH $bpeEncCtes,
          |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
          |               CAST(sum(tf * n_sym) AS BIGINT) AS n_tokens
+         |        FROM tf JOIN enc USING (w) GROUP BY 1)
+         |SELECT doc_id, n_words, n_tokens,
+         |       (200 * n_tokens + n_words) // (2 * n_words) AS tpw_x100
+         |FROM agg""".stripMargin,
+
+    // wordpiece_encode: same vocab derivation (top-256 weighted 2..4
+    // substrings, (cnt DESC, piece) total order), greedy segmentation
+    // replayed by recursive CTE with the identical 4/3/2/else-1 CASE
+    // ladder (incl. the truncated end-of-word probe semantics).
+    "wordpiece_encode" ->
+      s"""WITH RECURSIVE
+         |wx AS (SELECT doc_id,
+         |         unnest(list_transform($ToksSql, t -> lower(t))) AS w
+         |       FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM wx GROUP BY 1, 2),
+         |wc AS (SELECT w, CAST(sum(tf) AS BIGINT) AS wn FROM tf GROUP BY 1),
+         |wl AS (SELECT w, wn, unnest([2, 3, 4]) AS l FROM wc),
+         |wi AS (SELECT w, wn, l,
+         |         unnest(generate_series(1, length(w) - l + 1)) AS i
+         |       FROM wl),
+         |pieces AS (SELECT substr(w, i, l) AS piece, sum(wn) AS cnt
+         |           FROM wi GROUP BY 1),
+         |vocab AS (SELECT piece FROM pieces ORDER BY cnt DESC, piece LIMIT 256),
+         |seg AS (SELECT w, 1 AS pos, 0 AS n FROM wc
+         |        UNION ALL
+         |        SELECT w,
+         |          pos + CASE
+         |            WHEN substr(w, pos, 4) IN (SELECT piece FROM vocab) THEN 4
+         |            WHEN substr(w, pos, 3) IN (SELECT piece FROM vocab) THEN 3
+         |            WHEN substr(w, pos, 2) IN (SELECT piece FROM vocab) THEN 2
+         |            ELSE 1 END,
+         |          n + 1
+         |        FROM seg WHERE pos <= length(w)),
+         |enc AS (SELECT w, CAST(max(n) AS BIGINT) AS n_pieces
+         |        FROM seg GROUP BY 1),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |               CAST(sum(tf * n_pieces) AS BIGINT) AS n_tokens
          |        FROM tf JOIN enc USING (w) GROUP BY 1)
          |SELECT doc_id, n_words, n_tokens,
          |       (200 * n_tokens + n_words) // (2 * n_words) AS tpw_x100

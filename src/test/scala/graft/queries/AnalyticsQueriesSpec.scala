@@ -6,6 +6,25 @@ import graft.SparkSpec
   * but not the operator's OWN invariants. */
 class AnalyticsQueriesSpec extends SparkSpec {
 
+  test("skyline_frontier: window algebra ≡ brute-force dominance") {
+    val out = AnalyticsQueries.queries("skyline_frontier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "cheapest price group's max size is always on the frontier")
+    // Brute-force oracle on the spec SF: a part is on the skyline iff
+    // no other part is ≤ on price, ≥ on size, and strict in one.
+    val parts = graft.Tables.part(spark, sf)
+      .selectExpr("p_partkey",
+        "CAST(floor(p_retailprice * 100 + 0.5) AS LONG) AS cents",
+        "CAST(p_size AS LONG) AS sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = parts.filter { case (k, c, z) =>
+      !parts.exists { case (k2, c2, z2) =>
+        k2 != k && c2 <= c && z2 >= z && (c2 < c || z2 > z)
+      }
+    }.map(t => (t._1, t._2, t._3)).sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq === expected.toSeq)
+  }
+
   test("k_anonymity: every customer released exactly once, every class ≥ k or suppressed") {
     val out = AnalyticsQueries.queries("k_anonymity")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
