@@ -23,7 +23,7 @@ import graft.io.Snapshot
   * no data scan); each micro-batch commit writes only its own files and
   * one log record, so sink cost rides the increment, never the table.
   */
-object LakeSink {
+object SnapshotSink {
 
   /** Attach `stream` to `lake` as an exactly-once append sink. Empty
     * micro-batches commit nothing (no empty table versions); skipping

@@ -11,7 +11,7 @@ import graft.io.Snapshot
   * lands as one txn-stamped commit, a re-delivered batch is a no-op,
   * and the CDC feed over the sink's commits reads back exactly the
   * per-batch increments. */
-class LakeSinkSpec extends SparkSpec {
+class SnapshotSinkSpec extends SparkSpec {
   import spark.implicits._
 
   test("micro-batches commit once; replayed batch is skipped; CDC reads the increments") {
@@ -19,7 +19,7 @@ class LakeSinkSpec extends SparkSpec {
       Files.createTempDirectory("lake-sink-").toString, statsCols = Seq("k"))
     val ms = MemoryStream[Long](spark)
     val ckpt = Files.createTempDirectory("lake-sink-ckpt-").toString
-    val q = LakeSink.attach(ms.toDF().withColumnRenamed("value", "k"),
+    val q = SnapshotSink.attach(ms.toDF().withColumnRenamed("value", "k"),
       lake, writerId = "sensor-writer", checkpointDir = ckpt)
     try {
       ms.addData(0L until 50L: _*); q.processAllAvailable()
