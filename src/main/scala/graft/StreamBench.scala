@@ -623,6 +623,49 @@ object StreamBench {
       }
     }
 
+    // Mode K: exactly-once snapshot-lake streaming sink (SnapshotSink
+    // + Lake.appendIdempotent) — each micro-batch lands as ONE
+    // txn-stamped lake commit; after the drain, a re-delivered final
+    // batch (the at-least-once shape a restart produces) must be a
+    // no-op against the log. rows/s = input messages / wall seconds
+    // to drain multi-batch (maxFilesPerTrigger splits the topic).
+    {
+      val topic = s"$work/topic_100k"
+      val n = spark.read.text(topic).count()
+      val nFiles = new java.io.File(topic).listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val lake = graft.io.Snapshot.Lake(spark, s"$work/k_lake")
+      val tK = time {
+        val src = Ingest.decode(
+          spark.readStream.option("maxFilesPerTrigger",
+              math.max(1, nFiles / 4))
+            .text(topic).withColumnRenamed("value", "raw"), col("raw"))
+        val q = graft.stream.SnapshotSink.attach(
+          Pipeline.rawRows(Pipeline.prepare(src)), lake, "bench-writer",
+          s"$work/k_ckpt", trigger = Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+      }
+      val commits = lake.commits
+      require(lake.read().count() == n,
+        s"mode K lake must hold every streamed row: " +
+          s"${lake.read().count()} of $n")
+      require(commits.size >= 2 &&
+        commits.forall(_.txn.exists(_._1 == "bench-writer")),
+        s"mode K must drain multi-batch with txn-stamped commits, " +
+          s"got ${commits.size}")
+      // The restart replay: re-delivering the last committed batch id
+      // must be recognized and skipped, leaving the table unchanged.
+      val lastId = lake.lastTxn("bench-writer")
+      require(lake.appendIdempotent(
+          lake.read().limit(1), "bench-writer", lastId).isEmpty &&
+        lake.read().count() == n,
+        "mode K replayed batch must be a no-op")
+      results("snapshot_sink@100k") = n / tK
+      System.err.println(
+        f"[stream-bench] snapshot_sink@100k  $n rows  $tK%.1fs  " +
+          f"${n / tK}%.0f rows/s  commits=${commits.size}")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

@@ -103,4 +103,28 @@ object Compact {
       lake.read().repartitionByRange(nFiles, col(column))
         .sortWithinPartitions(column))
   }
+
+  /** Z-ORDER compact over a [[Snapshot.Lake]] (the 2-D half of
+    * OPTIMIZE — Delta/Iceberg ZORDER BY): rewrite the live data as ONE
+    * overwrite commit laid in Morton-key range order over (x, y), so
+    * every file's zone map is a tight bounding BOX on BOTH columns and
+    * [[Snapshot.Lake.pruneFiles]] answers range predicates on EITHER
+    * dimension with a small file subset — where [[clusterBy]] prunes
+    * its one column perfectly and the other not at all (SnapshotSpec's
+    * two-dimension experiment). Inputs are masked to 16 bits by the
+    * Morton key ([[graft.ext.ZOrder.interleave16]]'s contract);
+    * normalize wider domains first (rank-bucket or pmod). Same cost
+    * shape as clusterBy: one range exchange over the table, bought
+    * back by every later selective scan on either dimension. */
+  def zOrderBy(lake: Snapshot.Lake, x: String, y: String,
+      nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    lake.overwrite(
+      lake.read()
+        .withColumn("__zkey",
+          graft.ext.ZOrder.interleave16(col(x), col(y)))
+        .repartitionByRange(nFiles, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.io.Snapshot
 
@@ -30,10 +30,12 @@ object SnapshotSink {
     * them is replay-safe because batchIds are monotone per writer and
     * the replay probe compares against the MAX stamped id. */
   def attach(stream: DataFrame, lake: Snapshot.Lake, writerId: String,
-      checkpointDir: String): StreamingQuery =
-    stream.writeStream
+      checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val base = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
+    trigger.fold(base)(base.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           lake.appendIdempotent(batch, writerId, batchId)
@@ -41,4 +43,5 @@ object SnapshotSink {
         }
       }
       .start()
+  }
 }

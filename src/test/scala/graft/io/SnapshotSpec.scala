@@ -128,6 +128,36 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.readAsOf(0).count() === 1600)
   }
 
+  test("z-order compact: range predicates prune on BOTH dimensions") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-z-").toString, statsCols = Seq("x", "y"))
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)
+    lake.append(grid.toDF("x", "y").repartition(16))
+    val v0 = lake.latestVersion
+    // Round-robin layout: slices on either dimension touch ~every file.
+    assert(lake.pruneFiles(v0, "x", 8, 23).size >= 14)
+    assert(lake.pruneFiles(v0, "y", 8, 23).size >= 14)
+    // 1-D clusterBy on x: x prunes hard, y not at all.
+    val v1 = Compact.clusterBy(lake, "x", 16)
+    assert(lake.pruneFiles(v1, "x", 8, 23).size <= 6)
+    assert(lake.pruneFiles(v1, "y", 8, 23).size >= 15,
+      "x-clustered files all span the full y range")
+    // Z-order: BOTH dimensions prune (files are ~16×16 Morton tiles;
+    // a 16-wide slice crosses ~2 of 4 tile columns/rows ⇒ ~8 files).
+    val v2 = Compact.zOrderBy(lake, "x", "y", 16)
+    assert(lake.read().count() === 64 * 64)
+    val px = lake.pruneFiles(v2, "x", 8, 23).size
+    val py = lake.pruneFiles(v2, "y", 8, 23).size
+    assert(px <= 10 && py <= 10,
+      s"z-order must prune both dimensions: x=$px y=$py of 16")
+    // The pruned read is still exact.
+    assert(lake.readRange(v2, "x", 8, 23).count() === 16 * 64)
+    assert(lake.readRange(v2, "y", 8, 23).count() === 16 * 64)
+    // Time travel across the z-order compact reads the old layouts.
+    assert(lake.readAsOf(v0).count() === 64 * 64)
+  }
+
   test("upsert/delete: copy-on-write rewrites only zone-intersecting files") {
     import spark.implicits._
     val lake = freshLake()
