@@ -630,15 +630,17 @@ object StreamBench {
     // no-op against the log. rows/s = input messages / wall seconds
     // to drain multi-batch (maxFilesPerTrigger splits the topic).
     {
-      val topic = s"$work/topic_100k"
+      // An 8-file copy of the 100k topic: maxFilesPerTrigger=2 then
+      // yields a deterministic 4-batch drain however the producer laid
+      // out the original files.
+      val topic = s"$work/topic_k"
+      spark.read.text(s"$work/topic_100k").repartition(8)
+        .write.text(topic)
       val n = spark.read.text(topic).count()
-      val nFiles = new java.io.File(topic).listFiles().count(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       val lake = graft.io.Snapshot.Lake(spark, s"$work/k_lake")
       val tK = time {
         val src = Ingest.decode(
-          spark.readStream.option("maxFilesPerTrigger",
-              math.max(1, nFiles / 4))
+          spark.readStream.option("maxFilesPerTrigger", 2)
             .text(topic).withColumnRenamed("value", "raw"), col("raw"))
         val q = graft.stream.SnapshotSink.attach(
           Pipeline.rawRows(Pipeline.prepare(src)), lake, "bench-writer",

@@ -1032,6 +1032,35 @@ object ExtQueries {
       }.reduce(_ unionByName _)
     },
 
+    // CDC-driven incremental view (round 14) — the reason a CDC feed
+    // exists: maintain an aggregate view by FOLDING the per-commit
+    // change stream (insert rows add, delete rows subtract — an
+    // update's pair nets its own delta) instead of recomputing from
+    // the table. The query folds ALL five commits' feeds into a
+    // per-customer-bucket (count, cent-sum) view and the oracle
+    // computes the DIRECT aggregate of the final snapshot membership —
+    // so any CDC error that survives cancellation (lost delete,
+    // double-applied update, leaked carried row) breaks the fold ≡
+    // direct equality and hash-fails. 100 TB shape: each commit's
+    // delta aggregation rides that commit's touched files; the view
+    // update shuffles delta-sized frames, never the table (the
+    // mv_refresh argument, driven from the lake log instead of a
+    // checkpoint seam).
+    "lake_cdc_mv" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      (0 to 4).map { v =>
+        lake.changes(v - 1, v)
+          .groupBy(pmod(col("o_custkey"), lit(100L)).as("bucket"))
+          .agg(
+            sum(when(col("_op") === "insert", 1L).otherwise(-1L)).as("dn"),
+            sum(when(col("_op") === "insert", col("cents"))
+              .otherwise(-col("cents"))).as("dc"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("bucket"))
+        .agg(sum(col("dn")).as("n_rows"), sum(col("dc")).as("sum_cents"))
+        .filter(col("n_rows") > 0)
+    },
+
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
     // highest-quality member of each duplicate group, not the smallest
     // id: pairs → CC → join the (tiny) label set to per-doc quality →
@@ -5790,6 +5819,25 @@ object ExtQueries {
         |SELECT 4, (SELECT count(*) FROM v4),
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v4)"""
         .stripMargin,
+
+    // lake_cdc_mv: the folded CDC view must equal the DIRECT aggregate
+    // of the final snapshot's membership — the fold itself happens on
+    // the Spark side; the oracle states the invariant.
+    "lake_cdc_mv" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |s1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |s2 AS (SELECT * FROM s1 WHERE o_custkey % 97 <> 0),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 7 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (0, 9)),
+        |s3 AS (SELECT * FROM s2 WHERE o_orderkey % 10 NOT IN (0, 9)
+        |       UNION ALL SELECT * FROM up),
+        |s4 AS (SELECT * FROM s3 WHERE o_orderkey % 100 <> 50)
+        |SELECT o_custkey % 100 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s4 GROUP BY 1""".stripMargin,
 
     // lake_cdc_feed: every snapshot transition's row-level change set
     // replayed as EXCEPT ALL algebra over the deterministic commit
