@@ -174,10 +174,18 @@ object Snapshot {
                    else spark.emptyDataFrame
         return base.filter(lit(false)).withColumn("_op", lit(""))
       }
-      val schemaSrc = readFiles(if (added.nonEmpty) added else dropped)
-      val empty = schemaSrc.filter(lit(false))
-      val oldRows = if (dropped.isEmpty) empty else readFiles(dropped)
-      val newRows = if (added.isEmpty) empty else readFiles(added)
+      // Both diff sides read under the UNION schema of every touched
+      // file (schema evolution inside the window: the narrow side
+      // null-fills), so the exceptAll row algebra always compares
+      // like against like.
+      val unified = readFiles(dropped ++ added)
+      val empty = unified.filter(lit(false))
+      def side(fs: Seq[FileStat]): DataFrame =
+        if (fs.isEmpty) empty
+        else spark.read.schema(unified.schema).parquet(fs.map(f =>
+          new Path(rootPath, f.path).toString): _*)
+      val oldRows = side(dropped)
+      val newRows = side(added)
       newRows.exceptAll(oldRows).withColumn("_op", lit("insert"))
         .unionByName(oldRows.exceptAll(newRows).withColumn("_op", lit("delete")))
     }
@@ -209,11 +217,20 @@ object Snapshot {
       else readFiles(files).filter(col(column).between(qLo, qHi))
     }
 
+    /** Schema evolution on the read side (Delta's mergeSchema
+      * semantic): a snapshot whose commits carry different schemas
+      * reads as the UNION of their fields, older files null-filling
+      * columns they predate — so an append that adds a column needs no
+      * table rewrite, and time travel to a pre-evolution snapshot
+      * still sees the narrow schema (SnapshotSpec). Cost: one footer
+      * read per file at planning; at production scale the log would
+      * carry the schema per commit and skip the footer pass — the
+      * read semantics are identical. */
     private def readFiles(files: Seq[FileStat]): DataFrame =
       if (files.isEmpty)
         spark.emptyDataFrame
       else
-        spark.read.parquet(files.map(f =>
+        spark.read.option("mergeSchema", "true").parquet(files.map(f =>
           new Path(rootPath, f.path).toString): _*)
 
     /** VACUUM: delete data files no snapshot in the retention horizon

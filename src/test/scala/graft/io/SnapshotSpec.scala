@@ -261,6 +261,27 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.vacuum(keepSnapshots = 2) === 0)
   }
 
+  test("schema evolution: added column reads as union, null-filled for old files") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 10)) // v0: (k, v)
+    lake.append(Seq((10L, "row10", "amber"), (11L, "row11", "basalt"))
+      .toDF("k", "v", "tag")) // v1 adds `tag`
+    val r = lake.read()
+    assert(r.columns.sorted.toSeq === Seq("k", "tag", "v"))
+    assert(r.count() === 12)
+    assert(r.filter(col("k") < 10 && col("tag").isNull).count() === 10,
+      "pre-evolution rows null-fill the new column")
+    assert(r.filter(col("k") === 10L).select("tag").head().getString(0)
+      === "amber")
+    // Time travel to the pre-evolution snapshot sees the narrow schema.
+    assert(lake.readAsOf(0).columns.sorted.toSeq === Seq("k", "v"))
+    // The CDC feed over the evolving window carries the union schema.
+    val c = lake.changes(0, 1)
+    assert(c.columns.contains("tag") &&
+      c.filter(col("_op") === "insert").count() === 2)
+  }
+
   test("stats columns with nulls: file stays must-scan rather than mis-pruned") {
     import spark.implicits._
     val lake = freshLake()
