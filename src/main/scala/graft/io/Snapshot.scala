@@ -58,6 +58,61 @@ object Snapshot {
   final case class Commit(version: Int, added: Seq[FileStat],
       removed: Seq[String], txn: Option[(String, Long)] = None)
 
+  /** SESSION-FREE log replay — shared by [[Lake]] and the V2 streaming
+    * source ([[graft.io.v2.SnapshotStreamSource]]), which must read the
+    * log on executors and at planning time where no SparkSession
+    * exists. Plain filesystem + line parsing, nothing Spark. */
+  def readCommits(fs: FileSystem, logPath: Path): Seq[Commit] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".commit"))
+      .map(p => (p.getName.stripSuffix(".commit").toInt, p))
+      .sortBy(_._1)
+      .map { case (v, p) =>
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+        val adds = Seq.newBuilder[FileStat]
+        val rms = Seq.newBuilder[String]
+        var txn = Option.empty[(String, Long)]
+        lines.foreach { line =>
+          line.split('\t') match {
+            case Array("v", ver) =>
+              require(ver.toInt == v, s"log ${p.getName} claims version $ver")
+            case arr if arr.head == "add" =>
+              val stats = arr.drop(3).map { kv =>
+                val Array(c, range) = kv.split("=", 2)
+                val Array(l, h) = range.split(":", 2)
+                (c, l.toLong, h.toLong)
+              }
+              adds += FileStat(arr(1), arr(2).toLong,
+                stats.map(s => s._1 -> s._2).toMap,
+                stats.map(s => s._1 -> s._3).toMap)
+            case arr if arr.head == "rm" => rms += arr(1)
+            case Array("txn", w, b) => txn = Some((w, b.toLong))
+            case other => sys.error(s"corrupt log line in ${p.getName}: " +
+              other.mkString("\t"))
+          }
+        }
+        Commit(v, adds.result(), rms.result(), txn)
+      }
+  }
+
+  /** Fold a commit window into its surviving file set: removals first,
+    * then adds, per commit — files added then removed inside the
+    * window never surface. Replays both the as-of live set (window =
+    * all commits ≤ v) and the delta set (window = (v0, v1]). */
+  def replayLive(window: Seq[Commit]): Seq[FileStat] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileStat]
+    window.foreach { c =>
+      c.removed.foreach(live.remove)
+      c.added.foreach(f => live(f.path) = f)
+    }
+    live.values.toSeq
+  }
+
   /** Open (or initialize on first commit) a snapshot lake at `root`.
     * `statsCols` are LONG-typed columns to zone-map per file. */
   final case class Lake(spark: SparkSession, root: String,
@@ -70,58 +125,18 @@ object Snapshot {
 
     // ---- log read side --------------------------------------------
 
-    private def commitFiles(): Seq[(Int, Path)] = {
-      if (!fs.exists(logPath)) return Nil
-      fs.listStatus(logPath).toSeq.map(_.getPath)
-        .filter(p => p.getName.endsWith(".commit"))
-        .map(p => (p.getName.stripSuffix(".commit").toInt, p))
-        .sortBy(_._1)
-    }
-
     /** -1 when the lake has no commits yet. */
-    def latestVersion: Int = commitFiles().lastOption.map(_._1).getOrElse(-1)
+    def latestVersion: Int =
+      Snapshot.readCommits(fs, logPath).lastOption
+        .map(_.version).getOrElse(-1)
 
-    def commits: Seq[Commit] = commitFiles().map { case (v, p) =>
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-      val adds = Seq.newBuilder[FileStat]
-      val rms = Seq.newBuilder[String]
-      var txn = Option.empty[(String, Long)]
-      lines.foreach { line =>
-        line.split('\t') match {
-          case Array("v", ver) =>
-            require(ver.toInt == v, s"log ${p.getName} claims version $ver")
-          case arr if arr.head == "add" =>
-            val stats = arr.drop(3).map { kv =>
-              val Array(c, range) = kv.split("=", 2)
-              val Array(l, h) = range.split(":", 2)
-              (c, l.toLong, h.toLong)
-            }
-            adds += FileStat(arr(1), arr(2).toLong,
-              stats.map(s => s._1 -> s._2).toMap,
-              stats.map(s => s._1 -> s._3).toMap)
-          case arr if arr.head == "rm" => rms += arr(1)
-          case Array("txn", w, b) => txn = Some((w, b.toLong))
-          case other => sys.error(s"corrupt log line in ${p.getName}: " +
-            other.mkString("\t"))
-        }
-      }
-      Commit(v, adds.result(), rms.result(), txn)
-    }
+    def commits: Seq[Commit] = Snapshot.readCommits(fs, logPath)
 
     /** The live file set as of snapshot `v` (log replay). */
     def liveFiles(asOf: Int): Seq[FileStat] = {
       val upTo = commits.takeWhile(_.version <= asOf)
       require(upTo.nonEmpty || asOf < 0, s"no snapshot <= $asOf at $root")
-      val live = scala.collection.mutable.LinkedHashMap.empty[String, FileStat]
-      upTo.foreach { c =>
-        c.removed.foreach(live.remove)
-        c.added.foreach(f => live(f.path) = f)
-      }
-      live.values.toSeq
+      Snapshot.replayLive(upTo)
     }
 
     /** Time travel: the table exactly as snapshot `v` saw it. */
@@ -136,13 +151,8 @@ object Snapshot {
       * removed again never surface). */
     def deltaFiles(v0: Int, v1: Int): Seq[FileStat] = {
       require(v0 <= v1, s"delta($v0, $v1): v0 must precede v1")
-      val window = commits.filter(c => c.version > v0 && c.version <= v1)
-      val added = scala.collection.mutable.LinkedHashMap.empty[String, FileStat]
-      window.foreach { c =>
-        c.removed.foreach(added.remove)
-        c.added.foreach(f => added(f.path) = f)
-      }
-      added.values.toSeq
+      Snapshot.replayLive(
+        commits.filter(c => c.version > v0 && c.version <= v1))
     }
 
     def readDelta(v0: Int, v1: Int): DataFrame = readFiles(deltaFiles(v0, v1))

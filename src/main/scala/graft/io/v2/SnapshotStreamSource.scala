@@ -1,0 +1,264 @@
+package graft.io.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Type}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType, IntegerType,
+  LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.Snapshot
+
+/** The snapshot lake as a REAL DataSourceV2 streaming source — Delta's
+  * `spark.readStream.format("delta")` semantic on graft's commit log:
+  *
+  * {{{
+  *   spark.readStream.format("graft.io.v2.SnapshotStreamSource")
+  *     .option("startingVersion", 0)   // default: from the beginning
+  *     .option("ignoreChanges", false) // default: append-only guard
+  *     .load(lakeRoot)
+  * }}}
+  *
+  * Spark-native capabilities implemented (not simulated):
+  *  - MICRO_BATCH_READ with VERSION-NUMBERED REPLAYABLE OFFSETS: an
+  *    offset is a commit version; batch (v0, v1] plans one
+  *    InputPartition per file the window's commits ADDED. Recovery
+  *    replans the identical batch from the checkpointed versions —
+  *    exactly-once into idempotent sinks (the log is immutable, so an
+  *    offset can never change meaning);
+  *  - APPEND-ONLY GUARD: a commit in the batch window that REMOVES
+  *    files (overwrite, COW merge/delete, compact) fails the stream
+  *    unless `ignoreChanges=true` — Delta's contract, because a
+  *    rewritten file's carried-over rows would re-emit (with the
+  *    option, they do, documented at-least-once for rewrites);
+  *  - BATCH_READ of the latest snapshot through the same scan;
+  *  - COLUMN PRUNING pushed to the parquet page level: each reader
+  *    builds its file's projection from (file schema ∩ required
+  *    columns), so a `select(k)` never decodes other columns' pages —
+  *    and a column added by schema evolution null-fills for files
+  *    that predate it (the Lake.readFiles mergeSchema semantic).
+  *
+  * Readers decode parquet through parquet-hadoop's Group API directly
+  * (no SparkSession on executors in a V2 reader) — flat primitive
+  * schemas (long/int/double/float/boolean/string), which is exactly
+  * what the lake's tables are. At 100 TB: planning reads the
+  * file-count-sized log, each micro-batch scans only its commits' own
+  * files, and partitions parallelize per file.
+  */
+class SnapshotStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotStreamSource.unionSchema(options.get("path"))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SnapshotLakeTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object SnapshotStreamSource {
+  private def conf = new Configuration()
+
+  def commits(root: String): Seq[Snapshot.Commit] = {
+    val logPath = new Path(root, "_log")
+    Snapshot.readCommits(logPath.getFileSystem(conf), logPath)
+  }
+
+  /** Union of the live files' footer schemas in first-appearance order
+    * (the mergeSchema semantic; at production scale the log would
+    * carry the schema per commit and skip the footer pass). */
+  def unionSchema(root: String): StructType = {
+    val live = Snapshot.replayLive(commits(root))
+    require(live.nonEmpty,
+      s"SnapshotStreamSource: no live files at $root — commit first")
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    live.foreach { f =>
+      footerSchema(new Path(root, f.path)).getFields.asScala.foreach { t =>
+        if (!fields.contains(t.getName)) fields(t.getName) = toStructField(t)
+      }
+    }
+    StructType(fields.values.toSeq)
+  }
+
+  def footerSchema(p: Path): MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  private def toStructField(t: Type): StructField = {
+    val dt = t.asPrimitiveType().getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => LongType
+      case PrimitiveTypeName.INT32 => IntegerType
+      case PrimitiveTypeName.DOUBLE => DoubleType
+      case PrimitiveTypeName.FLOAT => FloatType
+      case PrimitiveTypeName.BOOLEAN => BooleanType
+      case PrimitiveTypeName.BINARY => StringType
+      case other => sys.error("SnapshotStreamSource supports flat " +
+        s"primitive columns; got $other for ${t.getName}")
+    }
+    StructField(t.getName, dt)
+  }
+}
+
+class SnapshotLakeTable(root: String, schema0: StructType) extends Table
+    with SupportsRead {
+  override def name(): String = s"snapshot_lake($root)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(root, schema0, options)
+}
+
+class SnapshotScanBuilder(
+    root: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SnapshotScan(root, required,
+    startingVersion = options.getInt("startingVersion", 0),
+    ignoreChanges = options.getBoolean("ignoreChanges", false))
+}
+
+class SnapshotScan(root: String, required: StructType,
+    startingVersion: Int, ignoreChanges: Boolean) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Batch read = the latest snapshot's live set. */
+  override def planInputPartitions(): Array[InputPartition] =
+    Snapshot.replayLive(SnapshotStreamSource.commits(root))
+      .map(f => LakeFilePartition(
+        new Path(root, f.path).toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SnapshotMicroBatch(root, required, startingVersion, ignoreChanges)
+}
+
+/** Offset = commit VERSION ("-1" = before the first commit). Versions
+  * are assigned by the atomic log publish, immutable thereafter — a
+  * checkpointed offset's meaning can never shift. */
+case class VersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+class SnapshotMicroBatch(root: String, required: StructType,
+    startingVersion: Int, ignoreChanges: Boolean) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
+
+  override def latestOffset(): Offset =
+    VersionOffset(SnapshotStreamSource.commits(root).lastOption
+      .map(_.version).getOrElse(startingVersion - 1))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    val window = SnapshotStreamSource.commits(root)
+      .filter(c => c.version > s && c.version <= e)
+    window.find(c => c.removed.nonEmpty && !ignoreChanges).foreach { c =>
+      throw new IllegalStateException(
+        s"SnapshotStreamSource: commit ${c.version} at $root removes " +
+          "files (overwrite/merge/delete/compact). Streaming a " +
+          "non-append table re-emits rewritten files' carried rows; " +
+          "set ignoreChanges=true to accept that, or stream an " +
+          "append-only table (Delta's contract).")
+    }
+    window.flatMap(_.added)
+      .map(f => LakeFilePartition(
+        new Path(root, f.path).toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required)
+
+  override def commit(end: Offset): Unit = () // the log is immutable
+  override def stop(): Unit = ()
+}
+
+case class LakeFilePartition(file: String) extends InputPartition
+
+class SnapshotReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotParquetReader(
+      partition.asInstanceOf[LakeFilePartition].file, required)
+}
+
+/** Raw parquet → InternalRow for ONE lake file: projection = (file
+  * schema ∩ required columns) pushed to the page level via
+  * PARQUET_READ_SCHEMA; required columns the file predates (schema
+  * evolution) null-fill. */
+class SnapshotParquetReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val fileSchema = SnapshotStreamSource.footerSchema(path)
+  private val present: Map[String, PrimitiveType] =
+    fileSchema.getFields.asScala
+      .map(t => t.getName -> t.asPrimitiveType()).toMap
+  private val projected = required.fields.filter(f => present.contains(f.name))
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    if (projected.nonEmpty) {
+      val proj = new MessageType("projection",
+        projected.map(f => present(f.name): Type).toList.asJava)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+    }
+    ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val values: Array[Any] = required.fields.map { f =>
+      if (!present.contains(f.name) ||
+          current.getFieldRepetitionCount(f.name) == 0) null
+      else f.dataType match {
+        case LongType => current.getLong(f.name, 0)
+        case IntegerType => current.getInteger(f.name, 0)
+        case DoubleType => current.getDouble(f.name, 0)
+        case FloatType => current.getFloat(f.name, 0)
+        case BooleanType => current.getBoolean(f.name, 0)
+        case StringType => UTF8String.fromString(current.getString(f.name, 0))
+        case other => sys.error(s"unsupported type $other for ${f.name}")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,153 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The snapshot lake as a V2 streaming source: version offsets drive
+  * micro-batches, restart resumes exactly-once from the checkpoint,
+  * the append-only guard rejects rewrite commits unless ignoreChanges,
+  * batch reads see the latest snapshot, pruning + schema evolution
+  * behave like the Lake read path. */
+class SnapshotStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fmt = "graft.io.v2.SnapshotStreamSource"
+
+  private def freshLake() = Snapshot.Lake(spark,
+    Files.createTempDirectory("snap-stream-").toString, statsCols = Seq("k"))
+
+  private def kv(lo: Long, hi: Long) =
+    (lo until hi).map(k => (k, s"row$k")).toDF("k", "v")
+
+  test("commits become micro-batches; restart resumes from version offsets") {
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.append(kv(100, 130)) // v1
+    val ckpt = Files.createTempDirectory("snap-stream-ckpt").toString
+    val outDir = Files.createTempDirectory("snap-stream-out").toString + "/t"
+
+    def start() = spark.readStream.format(Fmt).load(lake.root)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    def outCount(): Long = spark.read.parquet(outDir).count()
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(outCount() === 130) // both initial commits
+      lake.append(kv(130, 140)) // producer commits while running
+      q.processAllAvailable()
+      assert(outCount() === 140)
+    } finally q.stop()
+
+    // Restart: committed versions are NOT re-emitted; the commit that
+    // landed while the query was down is picked up.
+    lake.append(kv(140, 145))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(outCount() === 145)
+      assert(spark.read.parquet(outDir).select("k").distinct().count() === 145)
+    } finally q2.stop()
+  }
+
+  test("append-only guard: a rewrite commit fails the stream; ignoreChanges accepts") {
+    val lake = freshLake()
+    lake.append(kv(0, 50))
+    lake.overwrite(kv(0, 50).filter(col("k") % 5 =!= 0)) // removes files
+    val name = s"snapstream${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt).load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-stream-g").toString).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(_.getMessage).map(String.valueOf)
+    assert(causes(err).exists(_.contains("removes")), err.getMessage)
+
+    // ignoreChanges: the rewrite's files are emitted (documented
+    // at-least-once for carried rows: 50 original + 40 rewritten).
+    val name2 = s"snapstream2${System.nanoTime()}"
+    val q2 = spark.readStream.format(Fmt).option("ignoreChanges", "true")
+      .load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-stream-g2").toString).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() === 90)
+    } finally q2.stop()
+  }
+
+  test("batch read sees the latest snapshot; startingVersion skips history") {
+    val lake = freshLake()
+    lake.append(kv(0, 20)) // v0
+    lake.append(kv(20, 30)) // v1
+    // Batch read ≡ Lake.read()
+    val batch = spark.read.format(Fmt).load(lake.root)
+    assert(batch.count() === 30)
+    assert(batch.agg(sum("k")).head().getLong(0)
+      === lake.read().agg(sum("k")).head().getLong(0))
+    // Column pruning survives the projection path.
+    assert(batch.select("k").as[Long].collect().sorted.toSeq === (0L until 30L))
+    // startingVersion=1 streams only v1's commit.
+    val name = s"snapstream3${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt)
+      .option("startingVersion", "1").load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-stream-s").toString).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).select("k").as[Long].collect().sorted.toSeq
+        === (20L until 30L))
+    } finally q.stop()
+  }
+
+  test("schema evolution: stream carries the union schema, old files null-fill") {
+    val lake = freshLake()
+    lake.append(kv(0, 5))
+    lake.append(Seq((5L, "row5", 7.5), (6L, "row6", 8.25))
+      .toDF("k", "v", "score"))
+    val name = s"snapstream4${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt).load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-stream-e").toString).start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table(name)
+      assert(t.columns.sorted.toSeq === Seq("k", "score", "v"))
+      assert(t.count() === 7)
+      assert(t.filter(col("k") < 5 && col("score").isNull).count() === 5)
+      assert(t.filter(col("k") === 6L).select("score").head().getDouble(0)
+        === 8.25)
+    } finally q.stop()
+  }
+
+  test("lake-to-lake hop: streaming source into SnapshotSink is exactly-once end to end") {
+    val bronze = freshLake()
+    bronze.append(kv(0, 40))
+    bronze.append(kv(40, 60))
+    val silver = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-silver-").toString)
+    val q = graft.stream.SnapshotSink.attach(
+      spark.readStream.format(Fmt).load(bronze.root),
+      silver, writerId = "hop",
+      checkpointDir = Files.createTempDirectory("snap-hop-ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(silver.read().count() === 60)
+    assert(silver.commits.forall(_.txn.exists(_._1 == "hop")))
+    // Replay of the hop's last batch is a no-op on the silver side.
+    assert(silver.appendIdempotent(kv(0, 1), "hop",
+      silver.lastTxn("hop")).isEmpty)
+    assert(silver.read().count() === 60)
+  }
+}
