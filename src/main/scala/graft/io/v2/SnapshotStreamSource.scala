@@ -84,16 +84,23 @@ object SnapshotStreamSource {
   }
 
   /** Union of the live files' footer schemas in first-appearance order
-    * (the mergeSchema semantic; at production scale the log would
-    * carry the schema per commit and skip the footer pass). */
+    * (the mergeSchema semantic). One footer read per COMMIT directory,
+    * not per file — a commit's files are written by one frame and
+    * share a schema — so planning cost is commit-count-sized; at
+    * production scale the log would carry the schema per commit and
+    * skip even that. */
   def unionSchema(root: String): StructType = {
     val live = Snapshot.replayLive(commits(root))
     require(live.nonEmpty,
       s"SnapshotStreamSource: no live files at $root — commit first")
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    val seenDirs = scala.collection.mutable.Set.empty[String]
     live.foreach { f =>
-      footerSchema(new Path(root, f.path)).getFields.asScala.foreach { t =>
-        if (!fields.contains(t.getName)) fields(t.getName) = toStructField(t)
+      val dir = f.path.split('/').dropRight(1).mkString("/")
+      if (seenDirs.add(dir)) {
+        footerSchema(new Path(root, f.path)).getFields.asScala.foreach { t =>
+          if (!fields.contains(t.getName)) fields(t.getName) = toStructField(t)
+        }
       }
     }
     StructType(fields.values.toSeq)
