@@ -280,6 +280,46 @@ object Snapshot {
     /** Append `df` as a new snapshot; returns the committed version. */
     def append(df: DataFrame): Int = commit(df, removed = Nil)
 
+    /** RESTORE to snapshot `v` (the Delta RESTORE semantic): publish a
+      * new commit whose live set is exactly snapshot v's. Metadata-only
+      * — data files are immutable, so re-listing v's files (with their
+      * recorded row counts and zone maps) re-admits them; nothing is
+      * read or rewritten, at any table size the commit costs
+      * O(manifest). History is KEPT: the rollback is itself a version,
+      * and every earlier snapshot (including the ones being rolled
+      * past) still time-travels. Fails when a file of snapshot v was
+      * vacuumed away — the standard Delta trade: RESTORE reaches only
+      * as far back as the retention horizon. Returns the new version. */
+    def restore(v: Int): Int = {
+      val lv = latestVersion
+      require(v >= 0 && v <= lv, s"restore($v): no such snapshot at $root")
+      val target = liveFiles(v)
+      val cur = liveFiles(lv).map(_.path).toSet
+      val adds = target.filterNot(f => cur(f.path))
+      val missing = adds.filterNot(f => fs.exists(new Path(rootPath, f.path)))
+      require(missing.isEmpty, s"restore($v): ${missing.size} file(s) of " +
+        s"snapshot $v vacuumed away (e.g. ${missing.headOption.map(_.path)
+          .getOrElse("")}) — past the retention horizon")
+      val targetPaths = target.map(_.path).toSet
+      val rms = cur.toSeq.filterNot(targetPaths.contains).sorted
+      val version = lv + 1
+      val record = (s"v\t$version" +: adds.map(addLine)) ++
+        rms.map(p => s"rm\t$p")
+      publish(record, version)
+      version
+    }
+
+    /** Re-serialize a replayed [[FileStat]] as a log `add` line —
+      * [[restore]]'s metadata-only re-admission (the inverse of
+      * [[readCommits]]'s parse; stats order: statsCols first, then any
+      * columns an earlier configuration statted, alphabetically). */
+    private def addLine(f: FileStat): String = {
+      val ordered = statsCols.filter(f.lo.contains) ++
+        (f.lo.keySet -- statsCols).toSeq.sorted
+      val stats = ordered.map(c => s"\t$c=${f.lo(c)}:${f.hi(c)}").mkString
+      s"add\t${f.path}\t${f.rows}$stats"
+    }
+
     /** The highest batchId `writerId` has committed, -1 when none —
       * the read side of the Delta `txn` action. Max (not last) so a
       * log with interleaved writers answers each independently. */

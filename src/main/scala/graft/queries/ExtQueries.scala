@@ -65,6 +65,10 @@ object ExtQueries {
         lake.deleteKeys(
           o.filter(pmod(col("o_orderkey"), lit(100L)) === 50)
             .select(col("o_orderkey")), "o_orderkey")
+        // commit 5: RESTORE to snapshot 2 — a metadata-only rollback of
+        // the merge + delete (lake_restore's subject; history is kept,
+        // so lake_merge's as-of-3/4 reads stay green across it).
+        lake.restore(2)
         dir
       })
       graft.io.Snapshot.Lake(s, root, statsCols = Seq("o_orderkey"))
@@ -1029,6 +1033,39 @@ object ExtQueries {
             .as("delete_cents"))
           .select(lit(v.toLong).as("version"), col("n_inserts"),
             col("n_deletes"), col("insert_cents"), col("delete_cents"))
+      }.reduce(_ unionByName _)
+    },
+
+    // RESTORE (round 14) — the Delta rollback semantic on the snapshot
+    // log: commit 5 restores the fixture lake to snapshot 2, undoing
+    // the MERGE (commit 3) and DELETE (commit 4) without reading or
+    // rewriting a byte — snapshot 2's immutable files are re-admitted
+    // by manifest entry alone. The query gates three invariants at
+    // once: (a) the restored head's contents equal snapshot 2's
+    // EXACTLY (n_rows + cent sum), (b) time travel BELOW the restore
+    // (as-of 4) still resolves — history is kept, rollback is itself a
+    // version — and (c) the CDC feed across the restore emits the
+    // INVERSE row algebra of what commits 3+4 did (deleted keys
+    // resurrect as inserts, the +7-cent updates reverse). The oracle
+    // replays all of it relationally from the deterministic splits.
+    // 100 TB shape: restore is an O(manifest) log write — zero data
+    // I/O — and the CDC read scans only the files the rollback
+    // touched (the COW-rewritten set), never the table.
+    "lake_restore" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      Seq(4, 5).map { v =>
+        val asOf = lake.readAsOf(v)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        val cdc = lake.changes(v - 1, v).agg(
+          count(when(col("_op") === "insert", 1)).as("n_inserts"),
+          count(when(col("_op") === "delete", 1)).as("n_deletes"),
+          coalesce(sum(when(col("_op") === "insert", col("cents"))
+            .otherwise(-col("cents"))), lit(0L)).as("net_cents"))
+        asOf.crossJoin(broadcast(cdc))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_cents"), col("n_inserts"), col("n_deletes"),
+            col("net_cents"))
       }.reduce(_ unionByName _)
     },
 
@@ -5818,6 +5855,45 @@ object ExtQueries {
         |UNION ALL
         |SELECT 4, (SELECT count(*) FROM v4),
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v4)"""
+        .stripMargin,
+
+    // lake_restore: snapshot 5 (the restore) must equal snapshot 2
+    // exactly; as-of 4 must still resolve below the rollback; and the
+    // CDC feed across the restore must be the INVERSE row algebra of
+    // commits 3+4 — all replayed relationally as EXCEPT ALL over the
+    // deterministic memberships.
+    "lake_restore" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |v2 AS (SELECT * FROM v1 WHERE o_custkey % 97 <> 0),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 7 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (0, 9)),
+        |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 10 NOT IN (0, 9)
+        |       UNION ALL SELECT * FROM up),
+        |v4 AS (SELECT * FROM v3 WHERE o_orderkey % 100 <> 50),
+        |i4 AS (SELECT * FROM v4 EXCEPT ALL SELECT * FROM v3),
+        |d4 AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v4),
+        |i5 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v4),
+        |d5 AS (SELECT * FROM v4 EXCEPT ALL SELECT * FROM v2)
+        |SELECT CAST(4 AS BIGINT) AS version,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v4) AS n_rows,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v4)
+        |         AS sum_cents,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM i4) AS n_inserts,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d4) AS n_deletes,
+        |       CAST((SELECT coalesce(sum(cents), 0) FROM i4) -
+        |            (SELECT coalesce(sum(cents), 0) FROM d4) AS BIGINT)
+        |         AS net_cents
+        |UNION ALL
+        |SELECT 5,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v2),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v2),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM i5),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d5),
+        |       CAST((SELECT coalesce(sum(cents), 0) FROM i5) -
+        |            (SELECT coalesce(sum(cents), 0) FROM d5) AS BIGINT)"""
         .stripMargin,
 
     // lake_cdc_mv: the folded CDC view must equal the DIRECT aggregate

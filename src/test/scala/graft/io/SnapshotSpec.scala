@@ -261,6 +261,50 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.vacuum(keepSnapshots = 2) === 0)
   }
 
+  test("restore: metadata-only rollback, history kept, inverse CDC, zone maps carried") {
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.append(kv(100, 130)) // v1
+    import spark.implicits._
+    lake.deleteKeys(Seq(5L, 50L, 105L).toDF("k"), "k") // v2
+    lake.upsert((0L until 10L).map(k => (k, "upd")).toDF("k", "v"), "k") // v3
+    val dataDirs = {
+      val fs = new org.apache.hadoop.fs.Path(lake.root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      () => fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"${lake.root}/data")).count(_.isDirectory)
+    }
+    val before = dataDirs()
+    val v4 = lake.restore(1)
+    assert(v4 === 4)
+    // Metadata-only: the rollback wrote NO data directory.
+    assert(dataDirs() === before)
+    // The restored head equals snapshot 1 exactly.
+    assert(lake.read().orderBy("k").collect().toSeq ===
+      lake.readAsOf(1).orderBy("k").collect().toSeq)
+    assert(lake.read().count() === 130)
+    // History kept: versions under the rollback still time-travel.
+    assert(lake.readAsOf(2).count() === 127)
+    assert(lake.readAsOf(3).filter(col("v") === "upd").count() === 10)
+    // CDC across the restore is the INVERSE of commits 2+3: the three
+    // deleted keys resurrect as inserts with their original rows, the
+    // ten updated rows flip back (delete "upd", insert "rowK").
+    val cdc = lake.changes(3, 4)
+    val ins = cdc.filter(col("_op") === "insert")
+    val del = cdc.filter(col("_op") === "delete")
+    assert(ins.filter(col("v") === "upd").count() === 0)
+    assert(del.filter(col("v") === "upd").count() === 10)
+    assert(ins.filter(col("k").isin(5L, 50L, 105L)).count() === 3)
+    // Zone maps survive the addLine round-trip: the restored manifest
+    // still prunes (k ranges were statted at the original commits).
+    val pruned = lake.pruneFiles(4, "k", 100, 105)
+    assert(pruned.nonEmpty && pruned.size < lake.liveFiles(4).size,
+      "restored head must keep per-file k stats and prune on them")
+    // Restore past the vacuum horizon fails loudly.
+    lake.vacuum(keepSnapshots = 1)
+    intercept[IllegalArgumentException](lake.restore(3))
+  }
+
   test("schema evolution: added column reads as union, null-filled for old files") {
     import spark.implicits._
     val lake = freshLake()
