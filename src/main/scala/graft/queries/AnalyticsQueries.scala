@@ -1481,6 +1481,55 @@ object AnalyticsQueries {
           "(2 * 1000000 * n_trans + n_from) div (2 * n_from) AS p_x1e6")
     },
 
+    // Hour-of-day seasonal decomposition (round 14) — the classical
+    // additive-seasonality extraction the time-series family lacked
+    // (trend_slope = trend, autocorr = serial dependence, THIS = the
+    // seasonal component; Cleveland et al.'s STL reduced to the
+    // single cyclic factor a fixed-period sensor feed has): per
+    // hour-of-day h, the deviation of the hour's mean centi-value
+    // from the global mean. Exact integers throughout: dev_num =
+    // sum_h·n_tot − sum_tot·n_h over the common denominator
+    // n_h·n_tot, DECIMAL(38,0)-routed (the product is ~1e16 at sf0.1
+    // and grows with corpus²), narrowed under the trend_slope
+    // raise_error guard; the 1e6 cell is sign-split HALF_UP with the
+    // 2e6-scaled numerator kept in decimal (2·1e6·dev_num overflows
+    // int64 two orders before dev_num itself does). Plan shape: ONE
+    // partial+final hash agg to ≤24 rows; the global totals
+    // re-aggregate THE 24-ROW FRAME (never a second scan) and
+    // broadcast back — at 100 TB this is one map-side-combined pass.
+    "seasonal_decompose" -> { (s, d) =>
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft seasonal_decompose: statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
+      val byHour = Tables.events(s, d)
+        .select(
+          expr(s"((ts div 1000 - $OriginUs) div 3600000000) % 24")
+            .as("hour"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("n_rows"),
+          longExact(sum(col("cents").cast("decimal(38,0)")))
+            .as("sum_cents"))
+      val tot = byHour.agg(sum(col("n_rows")).as("n_tot"),
+        longExact(sum(col("sum_cents").cast("decimal(38,0)")))
+          .as("sum_tot"))
+      byHour.crossJoin(broadcast(tot))
+        .withColumn("dev_num", longExact(
+          expr("CAST(sum_cents AS DECIMAL(38,0)) * n_tot" +
+            " - CAST(sum_tot AS DECIMAL(38,0)) * n_rows")))
+        .withColumn("den",
+          expr("CAST(n_rows AS DECIMAL(38,0)) * n_tot"))
+        .selectExpr("hour", "n_rows", "sum_cents", "dev_num",
+          "CAST(CASE WHEN dev_num >= 0 THEN" +
+            " (2 * 1000000 * CAST(dev_num AS DECIMAL(38,0)) + den)" +
+            " div (2 * den)" +
+            " ELSE -((2 * 1000000 * CAST(-dev_num AS DECIMAL(38,0)) + den)" +
+            " div (2 * den)) END AS BIGINT) AS seasonal_x1e6")
+    },
+
     // Windowed conversion funnel (round 11) — the TIME-BOUNDED funnel
     // beside funnel_stages' first-touch ordering (ClickHouse's
     // windowFunnel shape): view → click → purchase must complete
@@ -1632,6 +1681,31 @@ object AnalyticsQueries {
         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |       END AS r_lag1
         |FROM s""".stripMargin,
+
+    // seasonal_decompose: dev_num and the HALF_UP cell replay in
+    // HUGEINT (the decimal(38,0) mirror); the sign split keeps //
+    // truncation ≡ Spark div on non-negative operands.
+    "seasonal_decompose" ->
+      """WITH e AS (SELECT ((epoch_us(ts) - 1704067200000000)
+        |               // 3600000000) % 24 AS hour,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |h AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(sum(cents) AS BIGINT) AS sum_cents
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_tot,
+        |             CAST(sum(sum_cents) AS BIGINT) AS sum_tot FROM h),
+        |x AS (SELECT h.hour, h.n_rows, h.sum_cents,
+        |             CAST(h.sum_cents AS HUGEINT) * t.n_tot
+        |               - CAST(t.sum_tot AS HUGEINT) * h.n_rows AS dev_num,
+        |             CAST(h.n_rows AS HUGEINT) * t.n_tot AS den
+        |      FROM h CROSS JOIN t)
+        |SELECT hour, n_rows, sum_cents, CAST(dev_num AS BIGINT) AS dev_num,
+        |       CAST(CASE WHEN dev_num >= 0
+        |            THEN (2 * 1000000 * dev_num + den) // (2 * den)
+        |            ELSE -((2 * 1000000 * (-dev_num) + den) // (2 * den))
+        |            END AS BIGINT) AS seasonal_x1e6
+        |FROM x""".stripMargin,
 
     "assoc_rules" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS basket,

@@ -25,6 +25,23 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === expected.toSeq)
   }
 
+  test("seasonal_decompose: deviations conserve (Σ dev_num = 0), hours complete") {
+    val out = AnalyticsQueries.queries("seasonal_decompose")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // The 7-day hourly corpus populates every hour of day.
+    assert(out.map(_._1).sorted.toSeq === (0L until 24L))
+    // Additive decomposition conservation: Σ_h (sum_h·n_tot −
+    // sum_tot·n_h) telescopes to exactly zero — a mean-vs-global
+    // bookkeeping bug (dropped hour, double-counted total) breaks it.
+    assert(out.map(_._4).sum === 0L)
+    // The 1e6 cell carries dev_num's sign and is bounded by the
+    // centi-value range (HALF_UP of a mean deviation in cents × 1e6).
+    assert(out.forall { case (_, _, _, dev, cell) =>
+      (dev >= 0) == (cell >= 0) || cell == 0 })
+  }
+
   test("k_anonymity: every customer released exactly once, every class ≥ k or suppressed") {
     val out = AnalyticsQueries.queries("k_anonymity")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
