@@ -54,9 +54,18 @@ object Snapshot {
   /** `txn` is the Delta-style transaction marker — (writerId, batchId)
     * — a streaming writer stamps on each commit so a replayed
     * micro-batch can be recognized and skipped (exactly-once appends
-    * over at-least-once delivery). */
+    * over at-least-once delivery).
+    *
+    * `dvs` are deletion-vector pointers — (dataFilePath, dvPath) — the
+    * merge-on-read DELETE semantic (Delta deletion vectors / Iceberg
+    * position deletes): a `dv` line points a LIVE data file at a
+    * position-delete file holding (data_path, pos) rows; readers skip
+    * those row positions instead of the writer rewriting the file. A
+    * later dv line for the same file REPLACES the pointer (writers
+    * carry old positions forward); an `rm` of the file drops it. */
   final case class Commit(version: Int, added: Seq[FileStat],
-      removed: Seq[String], txn: Option[(String, Long)] = None)
+      removed: Seq[String], txn: Option[(String, Long)] = None,
+      dvs: Seq[(String, String)] = Nil)
 
   /** SESSION-FREE log replay — shared by [[Lake]] and the V2 streaming
     * source ([[graft.io.v2.SnapshotStreamSource]]), which must read the
@@ -76,6 +85,7 @@ object Snapshot {
         val lines = text.linesIterator.filter(_.nonEmpty).toSeq
         val adds = Seq.newBuilder[FileStat]
         val rms = Seq.newBuilder[String]
+        val dvs = Seq.newBuilder[(String, String)]
         var txn = Option.empty[(String, Long)]
         lines.foreach { line =>
           line.split('\t') match {
@@ -92,26 +102,42 @@ object Snapshot {
                 stats.map(s => s._1 -> s._3).toMap)
             case arr if arr.head == "rm" => rms += arr(1)
             case Array("txn", w, b) => txn = Some((w, b.toLong))
+            case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
             case other => sys.error(s"corrupt log line in ${p.getName}: " +
               other.mkString("\t"))
           }
         }
-        Commit(v, adds.result(), rms.result(), txn)
+        Commit(v, adds.result(), rms.result(), txn, dvs.result())
       }
   }
 
-  /** Fold a commit window into its surviving file set: removals first,
-    * then adds, per commit — files added then removed inside the
-    * window never surface. Replays both the as-of live set (window =
-    * all commits ≤ v) and the delta set (window = (v0, v1]). */
-  def replayLive(window: Seq[Commit]): Seq[FileStat] = {
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileStat]
+  /** Fold a commit window into its surviving (file, deletion-vector)
+    * state: per commit, removals first (dropping the file's DV with
+    * it), adds second (a re-added file starts DV-free), dv pointers
+    * last (replacing the file's current pointer). Replays both the
+    * as-of live state (window = all commits ≤ v) and the delta state
+    * (window = (v0, v1] — a dv line targeting a file added BEFORE the
+    * window is invisible here by construction, which is what delta
+    * reads want: the increment's rows, not the base's deletions). */
+  def replayState(window: Seq[Commit]): Seq[(FileStat, Option[String])] = {
+    val live = scala.collection.mutable
+      .LinkedHashMap.empty[String, (FileStat, Option[String])]
     window.foreach { c =>
       c.removed.foreach(live.remove)
-      c.added.foreach(f => live(f.path) = f)
+      c.added.foreach(f => live(f.path) = (f, None))
+      c.dvs.foreach { case (dp, dvp) =>
+        live.get(dp).foreach { case (f, _) => live(dp) = (f, Some(dvp)) }
+      }
     }
     live.values.toSeq
   }
+
+  /** The surviving file set alone — [[replayState]] without the DV
+    * column, for manifest-level consumers (pruning, vacuum, the V2
+    * stream's schema walk). Row-level readers MUST go through the
+    * state form or they resurrect MOR-deleted rows. */
+  def replayLive(window: Seq[Commit]): Seq[FileStat] =
+    replayState(window).map(_._1)
 
   /** Open (or initialize on first commit) a snapshot lake at `root`.
     * `statsCols` are LONG-typed columns to zone-map per file. */
@@ -132,15 +158,20 @@ object Snapshot {
 
     def commits: Seq[Commit] = Snapshot.readCommits(fs, logPath)
 
-    /** The live file set as of snapshot `v` (log replay). */
-    def liveFiles(asOf: Int): Seq[FileStat] = {
+    /** The live (file, deletion-vector) state as of snapshot `v`. */
+    def liveState(asOf: Int): Seq[(FileStat, Option[String])] = {
       val upTo = commits.takeWhile(_.version <= asOf)
       require(upTo.nonEmpty || asOf < 0, s"no snapshot <= $asOf at $root")
-      Snapshot.replayLive(upTo)
+      Snapshot.replayState(upTo)
     }
 
-    /** Time travel: the table exactly as snapshot `v` saw it. */
-    def readAsOf(v: Int): DataFrame = readFiles(liveFiles(v))
+    /** The live file set as of snapshot `v` (manifest level — row-level
+      * readers go through [[liveState]] so MOR deletes apply). */
+    def liveFiles(asOf: Int): Seq[FileStat] = liveState(asOf).map(_._1)
+
+    /** Time travel: the table exactly as snapshot `v` saw it —
+      * deletion vectors of that snapshot applied. */
+    def readAsOf(v: Int): DataFrame = readState(liveState(v))
 
     /** The latest snapshot. */
     def read(): DataFrame = readAsOf(latestVersion)
@@ -155,7 +186,15 @@ object Snapshot {
         commits.filter(c => c.version > v0 && c.version <= v1))
     }
 
-    def readDelta(v0: Int, v1: Int): DataFrame = readFiles(deltaFiles(v0, v1))
+    /** The incremental read: rows of files added in (v0, v1], minus
+      * any MOR deletions the window itself applied to them (a dv
+      * targeting a pre-window base file is the base's business, not
+      * the increment's — [[replayState]]'s window semantics). */
+    def readDelta(v0: Int, v1: Int): DataFrame = {
+      require(v0 <= v1, s"delta($v0, $v1): v0 must precede v1")
+      readState(Snapshot.replayState(
+        commits.filter(c => c.version > v0 && c.version <= v1)))
+    }
 
     /** Row-level CDC feed over (v0, v1] — the Delta "change data feed"
       * semantic on the commit log: every row the window added to or
@@ -170,17 +209,23 @@ object Snapshot {
       * exceptAll shuffle rides that same bounded row set. */
     def changes(v0: Int, v1: Int): DataFrame = {
       require(v0 <= v1, s"changes($v0, $v1): v0 must precede v1")
-      val before = if (v0 < 0) Nil else liveFiles(v0)
-      val after = liveFiles(v1)
-      val beforePaths = before.map(_.path).toSet
-      val afterPaths = after.map(_.path).toSet
-      val dropped = before.filterNot(f => afterPaths(f.path))
-      val added = after.filterNot(f => beforePaths(f.path))
+      val before = if (v0 < 0) Nil else liveState(v0)
+      val after = liveState(v1)
+      // The diff keys on (path, dv): a deletion-vector change touches
+      // the file exactly like a rewrite does — its old visible rows
+      // appear on the dropped side, its new visible rows on the added
+      // side, and the carried (undeleted) rows cancel in the exceptAll
+      // — so a MOR delete feeds CDC the same delete rows a COW delete
+      // would, still scanning only the touched files.
+      val beforeKeys = before.map { case (f, dv) => (f.path, dv) }.toSet
+      val afterKeys = after.map { case (f, dv) => (f.path, dv) }.toSet
+      val dropped = before.filterNot { case (f, dv) => afterKeys((f.path, dv)) }
+      val added = after.filterNot { case (f, dv) => beforeKeys((f.path, dv)) }
       if (dropped.isEmpty && added.isEmpty) {
         // No file membership change in the window ⇒ empty feed, with
         // the table schema whenever one is resolvable.
-        val base = if (after.nonEmpty) readFiles(after)
-                   else if (before.nonEmpty) readFiles(before)
+        val base = if (after.nonEmpty) readFiles(after.map(_._1))
+                   else if (before.nonEmpty) readFiles(before.map(_._1))
                    else spark.emptyDataFrame
         return base.filter(lit(false)).withColumn("_op", lit(""))
       }
@@ -188,12 +233,11 @@ object Snapshot {
       // file (schema evolution inside the window: the narrow side
       // null-fills), so the exceptAll row algebra always compares
       // like against like.
-      val unified = readFiles(dropped ++ added)
+      val unified = readFiles((dropped ++ added).map(_._1))
       val empty = unified.filter(lit(false))
-      def side(fs: Seq[FileStat]): DataFrame =
-        if (fs.isEmpty) empty
-        else spark.read.schema(unified.schema).parquet(fs.map(f =>
-          new Path(rootPath, f.path).toString): _*)
+      def side(entries: Seq[(FileStat, Option[String])]): DataFrame =
+        if (entries.isEmpty) empty
+        else readState(entries, Some(unified.schema))
       val oldRows = side(dropped)
       val newRows = side(added)
       newRows.exceptAll(oldRows).withColumn("_op", lit("insert"))
@@ -220,11 +264,12 @@ object Snapshot {
       * 1% range predicate over a clustered table opens ~1% of files
       * without any footer reads on the other 99%. */
     def readRange(v: Int, column: String, qLo: Long, qHi: Long): DataFrame = {
-      val files = pruneFiles(v, column, qLo, qHi)
+      val keep = pruneFiles(v, column, qLo, qHi).map(_.path).toSet
+      val entries = liveState(v).filter(e => keep(e._1.path))
       // every file pruned: an empty frame WITH the table schema (plan
       // over the live set, zero rows scanned at runtime)
-      if (files.isEmpty) readAsOf(v).filter(lit(false))
-      else readFiles(files).filter(col(column).between(qLo, qHi))
+      if (entries.isEmpty) readAsOf(v).filter(lit(false))
+      else readState(entries).filter(col(column).between(qLo, qHi))
     }
 
     /** Schema evolution on the read side (Delta's mergeSchema
@@ -243,6 +288,46 @@ object Snapshot {
         spark.read.option("mergeSchema", "true").parquet(files.map(f =>
           new Path(rootPath, f.path).toString): _*)
 
+    /** A row's source file as the log's rel path — derivable on the
+      * read side from `_metadata.file_path`, matching the
+      * `data/<commit dir>/<file>` keys DV files store. */
+    private def relKey =
+      regexp_extract(col("_metadata.file_path"),
+        "(data/[^/]+/[^/]+)$", 1)
+
+    /** Row-level read of a live state: files without a deletion vector
+      * scan plainly; files WITH one scan alongside their hidden
+      * `_metadata.row_index` and anti-join the DV's (data_path, pos)
+      * rows — positions skip, nothing rewrites. The DV frame is
+      * deletion-sized and broadcast, so at 100 TB a MOR-deleted table
+      * reads at scan speed plus one broadcast hash probe on exactly
+      * the dv'd files; the plain files pay nothing. */
+    private def readState(entries: Seq[(FileStat, Option[String])],
+        schema0: Option[org.apache.spark.sql.types.StructType] = None)
+        : DataFrame = {
+      if (entries.isEmpty) return spark.emptyDataFrame
+      val schema = schema0.getOrElse(readFiles(entries.map(_._1)).schema)
+      val outCols = schema.fields.map(f => col(f.name)).toSeq
+      def readWith(fs: Seq[FileStat]) =
+        spark.read.option("mergeSchema", "true").schema(schema)
+          .parquet(fs.map(f => new Path(rootPath, f.path).toString): _*)
+      val plain = entries.collect { case (f, None) => f }
+      val dvd = entries.collect { case (f, Some(dv)) => (f, dv) }
+      if (dvd.isEmpty) return readWith(plain)
+      val dvRows = spark.read.parquet(dvd.map(_._2).distinct.map(p =>
+          new Path(rootPath, p).toString): _*)
+        .select(col("data_path").as("__dv_path"), col("pos").as("__dv_pos"))
+      val visible = readWith(dvd.map(_._1))
+        .withColumn("__key", relKey)
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(dvRows),
+          col("__key") === col("__dv_path") && col("__pos") === col("__dv_pos"),
+          "left_anti")
+        .select(outCols: _*)
+      if (plain.isEmpty) visible
+      else readWith(plain).select(outCols: _*).unionByName(visible)
+    }
+
     /** VACUUM: delete data files no snapshot in the retention horizon
       * references — overwritten/compacted-away files past their
       * time-travel window AND orphans from crashed commits (files a
@@ -255,16 +340,23 @@ object Snapshot {
       require(keepSnapshots >= 1, "must retain at least the latest snapshot")
       val lv = latestVersion
       if (lv < 0) return 0
-      val referenced = (math.max(0, lv - keepSnapshots + 1) to lv)
-        .flatMap(v => liveFiles(v).map(_.path)).toSet
+      val horizon = (math.max(0, lv - keepSnapshots + 1) to lv)
+        .map(liveState)
+      val referenced = horizon.flatten.map(_._1.path).toSet
+      // Deletion-vector DIRECTORIES any horizon snapshot points at —
+      // their part files must survive or the pointing snapshot's reads
+      // break (a replaced/retired DV past the horizon is fodder).
+      val referencedDvDirs = horizon.flatten.flatMap(_._2).toSet
       val dataRoot = new Path(rootPath, "data")
       if (!fs.exists(dataRoot)) return 0
       var deleted = 0
       fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
         val dir = d.getPath
+        val dirRel = s"data/${dir.getName}"
         fs.listStatus(dir).filter(_.isFile).foreach { f =>
-          val rel = s"data/${dir.getName}/${f.getPath.getName}"
+          val rel = s"$dirRel/${f.getPath.getName}"
           val keep = referenced.contains(rel) ||
+            referencedDvDirs.contains(dirRel) ||
             f.getPath.getName.startsWith("_") // parquet _SUCCESS markers
           if (!keep) { fs.delete(f.getPath, false); deleted += 1 }
         }
@@ -293,18 +385,29 @@ object Snapshot {
     def restore(v: Int): Int = {
       val lv = latestVersion
       require(v >= 0 && v <= lv, s"restore($v): no such snapshot at $root")
-      val target = liveFiles(v)
-      val cur = liveFiles(lv).map(_.path).toSet
-      val adds = target.filterNot(f => cur(f.path))
-      val missing = adds.filterNot(f => fs.exists(new Path(rootPath, f.path)))
+      val target = liveState(v)
+      val cur = liveState(lv).map { case (f, dv) => f.path -> dv }.toMap
+      // A file survives untouched only when its (path, DV pointer) pair
+      // matches exactly; a file live under a DIFFERENT deletion vector
+      // is re-admitted (rm + add + optional dv — replay order inside
+      // one commit is removes, adds, dvs, so the triple round-trips).
+      val readmit = target.filterNot { case (f, dv) =>
+        cur.get(f.path).contains(dv) }
+      val missing = readmit.map(_._1)
+        .filterNot(f => fs.exists(new Path(rootPath, f.path))) ++
+        readmit.flatMap(_._2).distinct
+          .filterNot(p => fs.exists(new Path(rootPath, p)))
+          .map(p => FileStat(p, 0L, Map.empty, Map.empty))
       require(missing.isEmpty, s"restore($v): ${missing.size} file(s) of " +
         s"snapshot $v vacuumed away (e.g. ${missing.headOption.map(_.path)
           .getOrElse("")}) — past the retention horizon")
-      val targetPaths = target.map(_.path).toSet
-      val rms = cur.toSeq.filterNot(targetPaths.contains).sorted
+      val targetPaths = target.map(_._1.path).toSet
+      val rms = (cur.keys.toSeq.filterNot(targetPaths.contains) ++
+        readmit.map(_._1.path).filter(cur.contains)).sorted
       val version = lv + 1
-      val record = (s"v\t$version" +: adds.map(addLine)) ++
-        rms.map(p => s"rm\t$p")
+      val record = (s"v\t$version" +: rms.map(p => s"rm\t$p")) ++
+        readmit.map(e => addLine(e._1)) ++
+        readmit.collect { case (f, Some(dv)) => s"dv\t${f.path}\t$dv" }
       publish(record, version)
       version
     }
@@ -368,18 +471,13 @@ object Snapshot {
     def deleteKeys(keys: DataFrame, keyCol: String): Int =
       cowRewrite(keys.select(col(keyCol)).distinct(), keyCol, None)
 
-    private def cowRewrite(keys0: DataFrame, keyCol: String,
-        insert: Option[DataFrame]): Int = {
-      val lv = latestVersion
-      if (lv < 0) return insert.map(append)
-        .getOrElse(sys.error("deleteKeys on an empty lake"))
-      val live = liveFiles(lv)
-      val keys = keys0.localCheckpoint(true)
-      // Touched = any live file whose [lo, hi] admits an incoming key
-      // (manifest-sized work: one broadcast range frame vs the keys);
-      // files without keyCol stats are conservatively touched.
-      val statted = live.filter(f => f.lo.contains(keyCol))
-      val noStats = live.filterNot(f => f.lo.contains(keyCol))
+    /** Zone-intersecting live files for a broadcast key set — the
+      * manifest-sized touch probe COW and MOR deletes share; files
+      * without `keyCol` stats are conservatively touched. */
+    private def touchedPaths(state: Seq[(FileStat, Option[String])],
+        keys: DataFrame, keyCol: String): Set[String] = {
+      val statted = state.map(_._1).filter(f => f.lo.contains(keyCol))
+      val noStats = state.map(_._1).filterNot(f => f.lo.contains(keyCol))
       import spark.implicits._
       val touchedStatted =
         if (statted.isEmpty) Seq.empty[String]
@@ -388,7 +486,17 @@ object Snapshot {
           .join(broadcast(keys),
             col(keyCol).between(col("__lo"), col("__hi")), "left_semi")
           .select("__path").collect().map(_.getString(0)).toSeq
-      val touched = (touchedStatted ++ noStats.map(_.path)).toSet
+      (touchedStatted ++ noStats.map(_.path)).toSet
+    }
+
+    private def cowRewrite(keys0: DataFrame, keyCol: String,
+        insert: Option[DataFrame]): Int = {
+      val lv = latestVersion
+      if (lv < 0) return insert.map(append)
+        .getOrElse(sys.error("deleteKeys on an empty lake"))
+      val state = liveState(lv)
+      val keys = keys0.localCheckpoint(true)
+      val touched = touchedPaths(state, keys, keyCol)
       if (touched.isEmpty && insert.isEmpty) {
         // nothing matched, nothing to add — publish an explicit no-op
         // version (callers get a version per request, the audit trail
@@ -400,11 +508,77 @@ object Snapshot {
       val rewritten =
         if (touched.isEmpty) insert.get
         else {
-          val surv = readFiles(live.filter(f => touched.contains(f.path)))
+          // readState, not readFiles: a touched file's deletion vector
+          // must apply BEFORE the rewrite or the COW pass would
+          // resurrect its MOR-deleted rows (the rewrite then retires
+          // both the file and its DV pointer in one commit).
+          val surv = readState(state.filter(e => touched(e._1.path)))
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           insert.map(surv.unionByName(_)).getOrElse(surv)
         }
       commit(rewritten, removed = touched.toSeq.sorted)
+    }
+
+    /** Merge-on-read DELETE by key (Delta deletion vectors / Iceberg
+      * position deletes): instead of rewriting zone-intersecting files
+      * ([[deleteKeys]]'s copy-on-write), write ONE position-delete
+      * file holding (data_path, pos) for every matching row and point
+      * each touched data file at it with a `dv` log line. Readers
+      * anti-join the positions ([[readState]]); nothing rewrites, so a
+      * delete of k rows costs O(k + manifest) I/O at ANY table size —
+      * the write-amplification trade MOR exists for (reads pay the
+      * broadcast probe until a compact/overwrite purges the DVs).
+      * Existing positions of re-touched files carry forward (the new
+      * dv line replaces the old pointer). Returns the new version. */
+    def deleteKeysMor(keys0: DataFrame, keyCol: String): Int = {
+      val lv = latestVersion
+      require(lv >= 0, "deleteKeysMor on an empty lake")
+      val state = liveState(lv)
+      val keys = keys0.select(col(keyCol)).distinct().localCheckpoint(true)
+      val touched = touchedPaths(state, keys, keyCol)
+      val version = lv + 1
+      if (touched.isEmpty) { publish(Seq(s"v\t$version"), version); return version }
+      val tEntries = state.filter(e => touched(e._1.path))
+      // Matching row positions — scans ONLY the touched files. Rows a
+      // prior DV already deleted may re-hit here; the union with the
+      // carried positions below dedups them (`distinct`), so the new
+      // DV is the exact union either way.
+      val hits = readWithPos(tEntries.map(_._1))
+        .join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col("__key").as("data_path"), col("__pos").as("pos"))
+      // Carry forward the touched files' existing positions: the new
+      // dv line REPLACES the old pointer, so the new file is the union.
+      val oldDvPaths = tEntries.flatMap(_._2).distinct
+      val carried =
+        if (oldDvPaths.isEmpty) hits.filter(lit(false))
+        else spark.read.parquet(oldDvPaths.map(p =>
+            new Path(rootPath, p).toString): _*)
+          .filter(col("data_path").isin(touched.toSeq: _*))
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val dvRel = s"data/c$version-${uuid}dv"
+      hits.unionByName(carried).distinct()
+        .coalesce(1)
+        .write.mode("errorifexists")
+        .parquet(new Path(rootPath, dvRel).toString)
+      // Point only the files that actually carry positions (a touched
+      // file with no matching row and no prior DV stays pointer-free —
+      // its reads skip the anti-join entirely).
+      val dvFiles = spark.read
+        .parquet(new Path(rootPath, dvRel).toString)
+        .select("data_path").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      publish(s"v\t$version" +: dvFiles.map(p => s"dv\t$p\t$dvRel"), version)
+      version
+    }
+
+    /** Touched-file scan with (rel path, row position) alongside the
+      * data columns, current DVs applied — [[deleteKeysMor]]'s probe. */
+    private def readWithPos(files: Seq[FileStat]): DataFrame = {
+      val schema = readFiles(files).schema
+      spark.read.option("mergeSchema", "true").schema(schema)
+        .parquet(files.map(f => new Path(rootPath, f.path).toString): _*)
+        .withColumn("__key", relKey)
+        .withColumn("__pos", col("_metadata.row_index"))
     }
 
     private def commit(df: DataFrame, removed: Seq[String],

@@ -154,11 +154,23 @@ class SnapshotScan(root: String, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Batch read = the latest snapshot's live set. */
-  override def planInputPartitions(): Array[InputPartition] =
-    Snapshot.replayLive(SnapshotStreamSource.commits(root))
-      .map(f => LakeFilePartition(
-        new Path(root, f.path).toString): InputPartition).toArray
+  /** Batch read = the latest snapshot's live set. Tables carrying live
+    * deletion vectors are refused: the Group-API file readers here
+    * decode whole files, so serving a DV'd table would resurrect its
+    * MOR-deleted rows — purge first (any rewrite commit retires DVs:
+    * Compact.clusterBy / zOrderBy / overwrite), or read through
+    * `Snapshot.Lake.read()`, which applies them. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val state = Snapshot.replayState(SnapshotStreamSource.commits(root))
+    val dvd = state.collect { case (f, Some(_)) => f.path }
+    if (dvd.nonEmpty) throw new IllegalStateException(
+      s"SnapshotStreamSource batch read at $root: ${dvd.size} live " +
+        s"file(s) carry deletion vectors (e.g. ${dvd.head}); purge DVs " +
+        "with a rewrite commit (Compact.clusterBy/zOrderBy, overwrite) " +
+        "or read via Snapshot.Lake.read(), which applies them.")
+    state.map { case (f, _) => LakeFilePartition(
+      new Path(root, f.path).toString): InputPartition }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required)
@@ -191,12 +203,14 @@ class SnapshotMicroBatch(root: String, required: StructType,
     val e = end.asInstanceOf[VersionOffset].v
     val window = SnapshotStreamSource.commits(root)
       .filter(c => c.version > s && c.version <= e)
-    window.find(c => c.removed.nonEmpty && !ignoreChanges).foreach { c =>
+    window.find(c => (c.removed.nonEmpty || c.dvs.nonEmpty) &&
+        !ignoreChanges).foreach { c =>
       throw new IllegalStateException(
         s"SnapshotStreamSource: commit ${c.version} at $root removes " +
-          "files (overwrite/merge/delete/compact). Streaming a " +
-          "non-append table re-emits rewritten files' carried rows; " +
-          "set ignoreChanges=true to accept that, or stream an " +
+          "files or attaches deletion vectors (overwrite/merge/delete/" +
+          "compact/MOR delete). Streaming a non-append table re-emits " +
+          "rewritten files' carried rows and cannot retract MOR-deleted " +
+          "ones; set ignoreChanges=true to accept that, or stream an " +
           "append-only table (Delta's contract).")
     }
     window.flatMap(_.added)

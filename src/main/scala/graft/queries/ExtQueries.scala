@@ -69,6 +69,12 @@ object ExtQueries {
         // the merge + delete (lake_restore's subject; history is kept,
         // so lake_merge's as-of-3/4 reads stay green across it).
         lake.restore(2)
+        // commit 6: merge-on-read DELETE (% 100 = 51) — deletion
+        // vectors on the restored head, no file rewritten
+        // (lake_mor_delete's subject).
+        lake.deleteKeysMor(
+          o.filter(pmod(col("o_orderkey"), lit(100L)) === 51)
+            .select(col("o_orderkey")), "o_orderkey")
         dir
       })
       graft.io.Snapshot.Lake(s, root, statsCols = Seq("o_orderkey"))
@@ -1066,6 +1072,39 @@ object ExtQueries {
           .select(lit(v.toLong).as("version"), col("n_rows"),
             col("sum_cents"), col("n_inserts"), col("n_deletes"),
             col("net_cents"))
+      }.reduce(_ unionByName _)
+    },
+
+    // Merge-on-read DELETE (round 14) — Delta deletion vectors /
+    // Iceberg position deletes on the snapshot log: commit 6 deletes
+    // o_orderkey % 100 = 51 from the restored head WITHOUT rewriting a
+    // file — one position-delete file is written and the touched data
+    // files point at it with `dv` log lines; readers anti-join the
+    // (data_path, pos) rows. The query gates the read side (as-of 6 ≡
+    // snapshot 2 minus the keys — a DV that under- or over-skips
+    // hash-fails on count and cent sum), time travel BELOW the DV
+    // (as-of 5 still sees the rows), and the CDC feed across the MOR
+    // commit (exactly the deleted rows, as deletes — the (path, dv)
+    // diff treats a pointer change like a rewrite and the carried rows
+    // cancel). Oracle replays the row algebra relationally. 100 TB
+    // shape: the delete costs O(matches + manifest) — no
+    // write-amplification — and reads pay one broadcast anti-join on
+    // exactly the dv'd files until a rewrite commit purges the DVs.
+    "lake_mor_delete" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      Seq(5, 6).map { v =>
+        val asOf = lake.readAsOf(v)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        val cdc = lake.changes(v - 1, v).agg(
+          count(when(col("_op") === "insert", 1)).as("n_inserts"),
+          count(when(col("_op") === "delete", 1)).as("n_deletes"),
+          coalesce(sum(when(col("_op") === "delete", col("cents"))), lit(0L))
+            .as("delete_cents"))
+        asOf.crossJoin(broadcast(cdc))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_cents"), col("n_inserts"), col("n_deletes"),
+            col("delete_cents"))
       }.reduce(_ unionByName _)
     },
 
@@ -5894,6 +5933,42 @@ object ExtQueries {
         |       (SELECT CAST(count(*) AS BIGINT) FROM d5),
         |       CAST((SELECT coalesce(sum(cents), 0) FROM i5) -
         |            (SELECT coalesce(sum(cents), 0) FROM d5) AS BIGINT)"""
+        .stripMargin,
+
+    // lake_mor_delete: snapshot 6 = the restored head minus the
+    // MOR-deleted keys; the CDC across the DV commit is exactly those
+    // rows as deletes — replayed relationally (EXCEPT ALL where the
+    // membership algebra needs it).
+    "lake_mor_delete" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |v2 AS (SELECT * FROM v1 WHERE o_custkey % 97 <> 0),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 7 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (0, 9)),
+        |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 10 NOT IN (0, 9)
+        |       UNION ALL SELECT * FROM up),
+        |v4 AS (SELECT * FROM v3 WHERE o_orderkey % 100 <> 50),
+        |v6 AS (SELECT * FROM v2 WHERE o_orderkey % 100 <> 51),
+        |i5 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v4),
+        |d5 AS (SELECT * FROM v4 EXCEPT ALL SELECT * FROM v2),
+        |d6 AS (SELECT * FROM v2 WHERE o_orderkey % 100 = 51)
+        |SELECT CAST(5 AS BIGINT) AS version,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_rows,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v2)
+        |         AS sum_cents,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM i5) AS n_inserts,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d5) AS n_deletes,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d5)
+        |         AS delete_cents
+        |UNION ALL
+        |SELECT 6,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v6),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v6),
+        |       CAST(0 AS BIGINT),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d6),
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d6)"""
         .stripMargin,
 
     // lake_cdc_mv: the folded CDC view must equal the DIRECT aggregate

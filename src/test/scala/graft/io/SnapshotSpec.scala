@@ -261,6 +261,58 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.vacuum(keepSnapshots = 2) === 0)
   }
 
+  test("MOR delete: deletion vectors skip rows, nothing rewrites, CDC/COW/restore/vacuum compose") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.append(kv(100, 130)) // v1
+    val filesAt1 = lake.liveFiles(1).map(_.path)
+    val v2 = lake.deleteKeysMor(Seq(5L, 50L, 105L).toDF("k"), "k")
+    assert(v2 === 2)
+    // No data file rewritten: same live paths, rows now skip via DV.
+    assert(lake.liveFiles(2).map(_.path) === filesAt1)
+    assert(lake.read().count() === 127)
+    assert(lake.read().filter(col("k").isin(5L, 50L, 105L)).count() === 0)
+    // Time travel below the DV still sees the rows.
+    assert(lake.readAsOf(1).count() === 130)
+    // CDC across a MOR commit = exactly the deleted rows, as deletes.
+    val cdc2 = lake.changes(1, 2)
+    assert(cdc2.filter(col("_op") === "insert").count() === 0)
+    assert(cdc2.filter(col("_op") === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(5L, 50L, 105L))
+    // A second MOR delete carries the first's positions forward.
+    lake.deleteKeysMor(Seq(6L, 106L).toDF("k"), "k") // v3
+    assert(lake.read().count() === 125)
+    assert(lake.read().filter(col("k").isin(5L, 6L, 50L, 105L, 106L))
+      .count() === 0)
+    // Zone-pruned range reads apply the DV too.
+    assert(lake.readRange(3, "k", 0, 10).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 9L, 10L))
+    // COW upsert over DV'd files must not resurrect MOR-deleted rows.
+    lake.upsert(Seq((7L, "upd")).toDF("k", "v"), "k") // v4
+    assert(lake.read().count() === 125)
+    assert(lake.read().filter(col("k").isin(5L, 6L)).count() === 0)
+    assert(lake.read().filter(col("v") === "upd").count() === 1)
+    // No-match MOR delete publishes an audit no-op version.
+    val v5 = lake.deleteKeysMor(Seq(999999L).toDF("k"), "k")
+    assert(v5 === 5 && lake.read().count() === 125)
+    // Restore to a DV'd snapshot round-trips the pointers.
+    val v6 = lake.restore(3)
+    assert(lake.read().orderBy("k").collect().toSeq ===
+      lake.readAsOf(3).orderBy("k").collect().toSeq)
+    assert(v6 === 6 && lake.read().count() === 125)
+    // Vacuum keeps DV files the horizon references; reads stay whole.
+    lake.vacuum(keepSnapshots = 1)
+    assert(lake.read().count() === 125)
+    assert(lake.read().filter(col("k").isin(5L, 6L, 50L)).count() === 0)
+    // A rewrite commit purges DVs (the compact-retires-DVs contract).
+    Compact.clusterBy(lake, "k", 4)
+    assert(lake.liveState(lake.latestVersion).forall(_._2.isEmpty))
+    assert(lake.read().count() === 125)
+  }
+
   test("restore: metadata-only rollback, history kept, inverse CDC, zone maps carried") {
     val lake = freshLake()
     lake.append(kv(0, 100)) // v0
