@@ -537,7 +537,39 @@ object Snapshot {
       val keys = keys0.select(col(keyCol)).distinct().localCheckpoint(true)
       val touched = touchedPaths(state, keys, keyCol)
       val version = lv + 1
-      if (touched.isEmpty) { publish(Seq(s"v\t$version"), version); return version }
+      publish(s"v\t$version" +:
+        morDvLines(state, keys, keyCol, touched, version), version)
+      version
+    }
+
+    /** Merge-on-read MERGE (upsert by key): same-key old rows are
+      * masked by deletion vectors and the incoming rows append as new
+      * data files — ONE atomic commit, no data file rewritten. The
+      * MOR counterpart of [[upsert]]: an increment-sized merge costs
+      * O(increment + matches + manifest) at any table size, with the
+      * read-side DV probe as the trade ([[deleteKeysMor]]). The CDC
+      * feed across it emits each update as its delete + insert pair
+      * (the (path, dv) diff plus the new files). */
+    def upsertMor(df: DataFrame, keyCol: String): Int = {
+      val lv = latestVersion
+      if (lv < 0) return append(df)
+      val state = liveState(lv)
+      val keys = df.select(col(keyCol)).distinct().localCheckpoint(true)
+      val touched = touchedPaths(state, keys, keyCol)
+      val version = lv + 1
+      commit(df, removed = Nil,
+        dvLines = morDvLines(state, keys, keyCol, touched, version))
+    }
+
+    /** Write the position-delete file masking `keys`' rows in the
+      * touched files and render the `dv` pointer lines — the shared
+      * write half of [[deleteKeysMor]] and [[upsertMor]]. Empty when
+      * nothing matched (the caller's commit is then a no-op/pure-add
+      * version). */
+    private def morDvLines(state: Seq[(FileStat, Option[String])],
+        keys: DataFrame, keyCol: String, touched: Set[String],
+        version: Int): Seq[String] = {
+      if (touched.isEmpty) return Nil
       val tEntries = state.filter(e => touched(e._1.path))
       // Matching row positions — scans ONLY the touched files. Rows a
       // prior DV already deleted may re-hit here; the union with the
@@ -567,8 +599,7 @@ object Snapshot {
         .parquet(new Path(rootPath, dvRel).toString)
         .select("data_path").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      publish(s"v\t$version" +: dvFiles.map(p => s"dv\t$p\t$dvRel"), version)
-      version
+      dvFiles.map(p => s"dv\t$p\t$dvRel")
     }
 
     /** Touched-file scan with (rel path, row position) alongside the
@@ -582,7 +613,8 @@ object Snapshot {
     }
 
     private def commit(df: DataFrame, removed: Seq[String],
-        txn: Option[(String, Long)] = None): Int = {
+        txn: Option[(String, Long)] = None,
+        dvLines: Seq[String] = Nil): Int = {
       val version = latestVersion + 1
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = s"data/c$version-$uuid"
@@ -624,7 +656,7 @@ object Snapshot {
         }
       }
       val record = (s"v\t$version" +: addLines) ++
-        removed.map(p => s"rm\t$p") ++
+        removed.map(p => s"rm\t$p") ++ dvLines ++
         txn.map { case (w, b) => s"txn\t$w\t$b" }
       publish(record, version)
       version

@@ -75,6 +75,12 @@ object ExtQueries {
         lake.deleteKeysMor(
           o.filter(pmod(col("o_orderkey"), lit(100L)) === 51)
             .select(col("o_orderkey")), "o_orderkey")
+        // commit 7: merge-on-read MERGE — % 10 = 3 rows update (+11
+        // cents) via DV mask, % 10 = 9 rows insert as new files, one
+        // atomic commit (lake_mor_merge's subject).
+        lake.upsertMor(
+          o.filter(pmod(col("o_orderkey"), lit(10L)).isin(3L, 9L))
+            .withColumn("cents", col("cents") + 11), "o_orderkey")
         dir
       })
       graft.io.Snapshot.Lake(s, root, statsCols = Seq("o_orderkey"))
@@ -1106,6 +1112,35 @@ object ExtQueries {
             col("sum_cents"), col("n_inserts"), col("n_deletes"),
             col("delete_cents"))
       }.reduce(_ unionByName _)
+    },
+
+    // Merge-on-read MERGE (round 14) — deleteKeysMor's upsert
+    // counterpart: commit 7 updates % 10 = 3 rows (+11 cents) by
+    // masking their old versions with deletion vectors and appends the
+    // updated rows (plus the % 10 = 9 inserts, absent from the
+    // restored head) as new data files — ONE atomic commit, zero
+    // rewrite. Gated: as-of 7 row algebra (a mask that misses a file
+    // or double-applies hash-fails), and the CDC feed across the merge
+    // (each update = its delete + insert pair; fresh keys insert-only).
+    // 100 TB shape: an increment-sized merge costs O(increment +
+    // matches + manifest); reads pay the broadcast DV probe on exactly
+    // the masked files until a rewrite commit purges them.
+    "lake_mor_merge" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      val asOf = lake.readAsOf(7)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      val cdc = lake.changes(6, 7).agg(
+        count(when(col("_op") === "insert", 1)).as("n_inserts"),
+        count(when(col("_op") === "delete", 1)).as("n_deletes"),
+        coalesce(sum(when(col("_op") === "insert", col("cents"))), lit(0L))
+          .as("insert_cents"),
+        coalesce(sum(when(col("_op") === "delete", col("cents"))), lit(0L))
+          .as("delete_cents"))
+      asOf.crossJoin(broadcast(cdc))
+        .select(lit(7L).as("version"), col("n_rows"), col("sum_cents"),
+          col("n_inserts"), col("n_deletes"), col("insert_cents"),
+          col("delete_cents"))
     },
 
     // CDC-driven incremental view (round 14) — the reason a CDC feed
@@ -5970,6 +6005,32 @@ object ExtQueries {
         |       (SELECT CAST(count(*) AS BIGINT) FROM d6),
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d6)"""
         .stripMargin,
+
+    // lake_mor_merge: snapshot 7 = snapshot 6 with % 10 = 3 rows
+    // updated (+11 cents) and % 10 = 9 rows inserted; the cross-merge
+    // CDC is the update pairs plus the fresh inserts.
+    "lake_mor_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |v2 AS (SELECT * FROM v1 WHERE o_custkey % 97 <> 0),
+        |v6 AS (SELECT * FROM v2 WHERE o_orderkey % 100 <> 51),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 11 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (3, 9)),
+        |v7 AS (SELECT * FROM v6 WHERE o_orderkey % 10 NOT IN (3, 9)
+        |       UNION ALL SELECT * FROM up),
+        |d7 AS (SELECT * FROM v6 WHERE o_orderkey % 10 IN (3, 9))
+        |SELECT CAST(7 AS BIGINT) AS version,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v7) AS n_rows,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v7)
+        |         AS sum_cents,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM up) AS n_inserts,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d7) AS n_deletes,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM up)
+        |         AS insert_cents,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d7)
+        |         AS delete_cents""".stripMargin,
 
     // lake_cdc_mv: the folded CDC view must equal the DIRECT aggregate
     // of the final snapshot's membership — the fold itself happens on

@@ -313,6 +313,33 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.read().count() === 125)
   }
 
+  test("MOR upsert: DV-mask + append in one atomic commit; CDC emits the update pair") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    val v1 = lake.upsertMor(Seq((5L, "upd"), (200L, "new")).toDF("k", "v"), "k")
+    assert(v1 === 1)
+    // Old data files untouched (MOR: mask + append, never rewrite).
+    assert(lake.liveFiles(0).map(_.path).toSet
+      .subsetOf(lake.liveFiles(1).map(_.path).toSet))
+    assert(lake.read().count() === 101)
+    val got = lake.read().filter(col("k").isin(5L, 200L)).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((5L, "upd"), (200L, "new")))
+    // CDC across the merge: the update is its delete + insert pair,
+    // the fresh key is insert-only.
+    val cdc = lake.changes(0, 1)
+    assert(cdc.filter(col("_op") === "delete").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((5L, "row5")))
+    assert(cdc.filter(col("_op") === "insert").count() === 2)
+    // MOR ops chain: a later MOR delete masks the UPSERTED row too
+    // (the new file carries k stats and zone-touches like any other).
+    lake.deleteKeysMor(Seq(5L).toDF("k"), "k") // v2
+    assert(lake.read().filter(col("k") === 5L).count() === 0)
+    assert(lake.read().count() === 100)
+  }
+
   test("restore: metadata-only rollback, history kept, inverse CDC, zone maps carried") {
     val lake = freshLake()
     lake.append(kv(0, 100)) // v0
