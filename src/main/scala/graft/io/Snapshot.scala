@@ -47,9 +47,16 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** One data file + its commit-time stats (zone map). */
+  /** One data file + its commit-time stats: zone map (lo/hi per LONG
+    * stats column) and optional per-column Bloom filters — (k, packed
+    * words) over md5Hash60 of the value's string form — the
+    * POINT-LOOKUP file-skipping complement to zone ranges (Delta's
+    * bloom filter index): a hash-scattered column (every file's
+    * [lo, hi] spans the domain) prunes nothing by range but almost
+    * everything by Bloom. */
   final case class FileStat(path: String, rows: Long,
-      lo: Map[String, Long], hi: Map[String, Long])
+      lo: Map[String, Long], hi: Map[String, Long],
+      bloom: Map[String, (Int, Array[Long])] = Map.empty)
 
   /** `txn` is the Delta-style transaction marker — (writerId, batchId)
     * — a streaming writer stamps on each commit so a replayed
@@ -65,7 +72,8 @@ object Snapshot {
     * carry old positions forward); an `rm` of the file drops it. */
   final case class Commit(version: Int, added: Seq[FileStat],
       removed: Seq[String], txn: Option[(String, Long)] = None,
-      dvs: Seq[(String, String)] = Nil)
+      dvs: Seq[(String, String)] = Nil,
+      constraints: Seq[(String, String)] = Nil)
 
   /** SESSION-FREE log replay — shared by [[Lake]] and the V2 streaming
     * source ([[graft.io.v2.SnapshotStreamSource]]), which must read the
@@ -86,28 +94,45 @@ object Snapshot {
         val adds = Seq.newBuilder[FileStat]
         val rms = Seq.newBuilder[String]
         val dvs = Seq.newBuilder[(String, String)]
+        val cons = Seq.newBuilder[(String, String)]
         var txn = Option.empty[(String, Long)]
         lines.foreach { line =>
           line.split('\t') match {
             case Array("v", ver) =>
               require(ver.toInt == v, s"log ${p.getName} claims version $ver")
             case arr if arr.head == "add" =>
-              val stats = arr.drop(3).map { kv =>
-                val Array(c, range) = kv.split("=", 2)
-                val Array(l, h) = range.split(":", 2)
-                (c, l.toLong, h.toLong)
+              val stats = Seq.newBuilder[(String, Long, Long)]
+              val blooms = Map.newBuilder[String, (Int, Array[Long])]
+              arr.drop(3).foreach { kv =>
+                if (kv.startsWith("bloom:")) {
+                  val Array(c, payload) = kv.stripPrefix("bloom:")
+                    .split("=", 2)
+                  val Array(k, b64) = payload.split(":", 2)
+                  val bytes = java.util.Base64.getDecoder.decode(b64)
+                  val words = new Array[Long](bytes.length / 8)
+                  java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
+                  blooms += c -> (k.toInt, words)
+                } else {
+                  val Array(c, range) = kv.split("=", 2)
+                  val Array(l, h) = range.split(":", 2)
+                  stats += ((c, l.toLong, h.toLong))
+                }
               }
+              val st = stats.result()
               adds += FileStat(arr(1), arr(2).toLong,
-                stats.map(s => s._1 -> s._2).toMap,
-                stats.map(s => s._1 -> s._3).toMap)
+                st.map(s => s._1 -> s._2).toMap,
+                st.map(s => s._1 -> s._3).toMap,
+                blooms.result())
             case arr if arr.head == "rm" => rms += arr(1)
             case Array("txn", w, b) => txn = Some((w, b.toLong))
             case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
+            case Array("constraint", name, sql) => cons += ((name, sql))
             case other => sys.error(s"corrupt log line in ${p.getName}: " +
               other.mkString("\t"))
           }
         }
-        Commit(v, adds.result(), rms.result(), txn, dvs.result())
+        Commit(v, adds.result(), rms.result(), txn, dvs.result(),
+          cons.result())
       }
   }
 
@@ -139,10 +164,48 @@ object Snapshot {
   def replayLive(window: Seq[Commit]): Seq[FileStat] =
     replayState(window).map(_._1)
 
+  /** Manifest Bloom filter geometry — baked into every serialized
+    * filter (k rides each log segment; m is the word-array length), so
+    * changing the defaults never mis-probes existing files. 1024 bits
+    * / 3 hashes ≈ 1.7% false-positive rate at ~100 distinct keys per
+    * file; at production row counts, size m to the per-file distinct
+    * cardinality (the filter costs 172 base64 chars per file per
+    * column in the log either way). */
+  val BloomM: Int = 1024
+  val BloomK: Int = 3
+
+  /** JVM-side md5Hash60 — bit-identical to the column form
+    * (`conv(substring(md5(cast binary), 1, 15), 16, 10)`): strings
+    * cast to binary as UTF-8, so hashing the value's string form here
+    * matches hashing `col.cast("string")` there. */
+  def md5Hash60Jvm(s: String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        s.getBytes("UTF-8")).substring(0, 15), 16)
+
+  /** Membership probe against a packed manifest filter (m = word
+    * count × 64) — the driver-side mirror of [[graft.ext.Bloom
+    * .mightContain]]. */
+  def bloomMightContain(words: Array[Long], k: Int, h: Long): Boolean =
+    graft.ext.Bloom.positions(h, words.length * 64, k)
+      .forall(p => (words(p >>> 6) & (1L << (p & 63))) != 0L)
+
+  /** Log segment for one per-file Bloom: `bloom:<col>=<k>:<base64>`. */
+  private[io] def bloomSegment(c: String, k: Int,
+      words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    bb.asLongBuffer().put(words)
+    s"\tbloom:$c=$k:" +
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
   /** Open (or initialize on first commit) a snapshot lake at `root`.
-    * `statsCols` are LONG-typed columns to zone-map per file. */
+    * `statsCols` are LONG-typed columns to zone-map per file;
+    * `bloomCols` additionally get a per-file [[BloomM]]-bit Bloom
+    * filter in the manifest for point-lookup skipping
+    * ([[Lake.pruneFilesEq]]). */
   final case class Lake(spark: SparkSession, root: String,
-      statsCols: Seq[String] = Nil) {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil) {
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_log")
@@ -272,6 +335,36 @@ object Snapshot {
       else readState(entries).filter(col(column).between(qLo, qHi))
     }
 
+    /** Bloom pruning over the live manifest: the files of snapshot `v`
+      * whose per-file filter might contain `value` (string form — LONG
+      * columns probe with the number's decimal spelling, matching the
+      * `cast("string")` hash on the write side). Files without a
+      * filter for `column` stay must-scan. No false negatives ever
+      * (Bloom's contract), ~BloomM-tuned false positives — on a
+      * hash-scattered column where every zone map spans the domain,
+      * this is the only manifest-level skip a point lookup gets. */
+    def pruneFilesEq(v: Int, column: String, value: String): Seq[FileStat] = {
+      val h = Snapshot.md5Hash60Jvm(value)
+      liveFiles(v).filter { f =>
+        f.bloom.get(column) match {
+          case Some((k, words)) => Snapshot.bloomMightContain(words, k, h)
+          case None => true // no filter ⇒ cannot prune, must scan
+        }
+      }
+    }
+
+    /** Point lookup through the Bloom manifest: open only the files
+      * [[pruneFilesEq]] keeps (deletion vectors applied), then the row
+      * predicate. At 100 TB a point probe on a Bloom'd column opens
+      * ~fpp × nFiles files instead of all of them. */
+    def readEq(v: Int, column: String, value: String): DataFrame = {
+      val keep = pruneFilesEq(v, column, value).map(_.path).toSet
+      val entries = liveState(v).filter(e => keep(e._1.path))
+      if (entries.isEmpty) readAsOf(v).filter(lit(false))
+      else readState(entries)
+        .filter(col(column).cast("string") === value)
+    }
+
     /** Schema evolution on the read side (Delta's mergeSchema
       * semantic): a snapshot whose commits carry different schemas
       * reads as the UNION of their fields, older files null-filling
@@ -367,6 +460,62 @@ object Snapshot {
       deleted
     }
 
+    /** Active CHECK constraints — every `constraint` line up to the
+      * latest version (add-only, the Delta ALTER TABLE ADD CONSTRAINT
+      * shape). */
+    def constraints: Seq[(String, String)] =
+      commits.flatMap(_.constraints)
+
+    /** ADD CONSTRAINT (Delta's CHECK-constraint semantic): validate
+      * the CURRENT table against `sqlExpr` (one scan — rows where the
+      * expression is not TRUE fail the add, exactly Delta's contract),
+      * then publish a metadata-only commit carrying the constraint.
+      * Every later commit's incoming rows validate against it BEFORE
+      * the log publishes ([[commit]]'s validate-then-publish), so a
+      * violating write never becomes a version. NULL-valued
+      * expressions count as violations (stricter than SQL CHECK —
+      * deliberate: a constraint that silently passes NULLs hides the
+      * rows it exists to catch). Caveat shared with Delta: [[restore]]
+      * can resurrect pre-constraint data without re-validation. */
+    def addConstraint(name: String, sqlExpr: String): Int = {
+      require(!constraints.exists(_._1 == name),
+        s"constraint '$name' already exists at $root")
+      val lv = latestVersion
+      if (lv >= 0) {
+        val bad = read().filter(!coalesce(expr(sqlExpr), lit(false)))
+          .limit(1).count()
+        require(bad == 0, s"addConstraint('$name'): existing rows " +
+          s"violate ($sqlExpr) at $root")
+      }
+      val version = lv + 1
+      publish(Seq(s"v\t$version", s"constraint\t$name\t$sqlExpr"), version)
+      version
+    }
+
+    /** Validate `df`'s written files against the active constraints —
+      * ONE scan of just the increment, only when constraints exist.
+      * Throws (and the caller cleans the unpublished data) on the
+      * first violating row. */
+    private def validateAgainstConstraints(dataPath: Path): Unit = {
+      val active = constraints
+      if (active.isEmpty) return
+      val pred = active.map { case (_, sql) =>
+        coalesce(expr(sql), lit(false)) }.reduce(_ && _)
+      val bad = spark.read.parquet(dataPath.toString)
+        .filter(!pred).limit(1).collect()
+      if (bad.nonEmpty) {
+        val row = bad.head
+        val culprit = active.find { case (_, sql) =>
+          // re-evaluate per constraint on the one fetched row
+          spark.createDataFrame(
+            java.util.List.of(row), bad.head.schema)
+            .filter(!coalesce(expr(sql), lit(false))).count() > 0
+        }.map(_._1).getOrElse(active.head._1)
+        sys.error(s"commit rejected at $root: constraint '$culprit' " +
+          s"violated by row $row")
+      }
+    }
+
     // ---- write side -----------------------------------------------
 
     /** Append `df` as a new snapshot; returns the committed version. */
@@ -420,7 +569,13 @@ object Snapshot {
       val ordered = statsCols.filter(f.lo.contains) ++
         (f.lo.keySet -- statsCols).toSeq.sorted
       val stats = ordered.map(c => s"\t$c=${f.lo(c)}:${f.hi(c)}").mkString
-      s"add\t${f.path}\t${f.rows}$stats"
+      val bOrdered = bloomCols.filter(f.bloom.contains) ++
+        (f.bloom.keySet -- bloomCols).toSeq.sorted
+      val blooms = bOrdered.map { c =>
+        val (k, words) = f.bloom(c)
+        Snapshot.bloomSegment(c, k, words)
+      }.mkString
+      s"add\t${f.path}\t${f.rows}$stats$blooms"
     }
 
     /** The highest batchId `writerId` has committed, -1 when none —
@@ -621,14 +776,23 @@ object Snapshot {
       val dataPath = new Path(rootPath, dataDir)
       // (1) data files first — unreferenced until the log publishes.
       df.write.mode("errorifexists").parquet(dataPath.toString)
+      // (1b) validate-then-publish: a constraint-violating write is
+      // deleted before it can ever become a version.
+      try validateAgainstConstraints(dataPath)
+      catch { case e: Throwable => fs.delete(dataPath, true); throw e }
       val files = fs.listStatus(dataPath).map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") &&
           !p.getName.startsWith(".") && !p.getName.startsWith("_"))
         .sortBy(_.getName)
-      // One job over just the new files: per-file rows + zone stats.
-      val aggs = count(lit(1)).as("__rows") +:
+      // One job over just the new files: per-file rows + zone stats +
+      // Bloom bitsets (the bloom agg ships only BloomM/8-byte buffers
+      // through the partial/final split — never values).
+      val aggs = (count(lit(1)).as("__rows") +:
         statsCols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
-          max(col(c)).as(s"__hi_$c")))
+          max(col(c)).as(s"__hi_$c")))) ++
+        bloomCols.map(c => graft.ext.Bloom.agg(BloomM, BloomK)(
+          coalesce(graft.ext.Dedup.md5Hash60(col(c).cast("string")),
+            lit(0L))).as(s"__bf_$c"))
       val statRows =
         if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else spark.read.parquet(files.map(_.toString): _*)
@@ -651,7 +815,11 @@ object Snapshot {
                 case _ => None
               }
             }.mkString
-            s"add\t$rel\t${r.getAs[Long]("__rows")}$stats"
+            val blooms = bloomCols.flatMap { c =>
+              Option(r.getAs[scala.collection.Seq[Long]](s"__bf_$c"))
+                .map(w => Snapshot.bloomSegment(c, BloomK, w.toArray))
+            }.mkString
+            s"add\t$rel\t${r.getAs[Long]("__rows")}$stats$blooms"
           case None => s"add\t$rel\t0" // all-null/empty file: no stats
         }
       }

@@ -46,7 +46,8 @@ object ExtQueries {
       val root = lakeDirs.getOrElseUpdate(d, {
         val dir = java.nio.file.Files.createTempDirectory("graft-lake-")
           .toString
-        val lake = graft.io.Snapshot.Lake(s, dir, statsCols = Seq("o_orderkey"))
+        val lake = graft.io.Snapshot.Lake(s, dir,
+          statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"))
         val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
         lake.append(o.filter(pmod(col("o_orderkey"), lit(10L)) < 7))
@@ -83,7 +84,8 @@ object ExtQueries {
             .withColumn("cents", col("cents") + 11), "o_orderkey")
         dir
       })
-      graft.io.Snapshot.Lake(s, root, statsCols = Seq("o_orderkey"))
+      graft.io.Snapshot.Lake(s, root,
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"))
     }
 
   /** documents ∪ a perturbed copy (last 3 tokens dropped,
@@ -1141,6 +1143,30 @@ object ExtQueries {
         .select(lit(7L).as("version"), col("n_rows"), col("sum_cents"),
           col("n_inserts"), col("n_deletes"), col("insert_cents"),
           col("delete_cents"))
+    },
+
+    // Bloom-manifest point lookup (round 14) — the Delta bloom-filter-
+    // index semantic: the fixture lake carries a 1024-bit per-file
+    // Bloom on o_custkey (hash-SCATTERED across files — every file's
+    // zone map on it would span the domain, so range pruning gets
+    // nothing; the Bloom is the only manifest-level skip a point
+    // lookup has). Four probes through Lake.readEq — three present
+    // keys and one absent — each an as-of-7 aggregate, so the oracle
+    // (relational WHERE o_custkey = k over the replayed v7 membership)
+    // hash-fails on any false NEGATIVE (a lost file = lost rows) while
+    // the spec holds the pruning-effectiveness half (SnapshotSpec's
+    // 16-append experiment). 100 TB shape: each probe opens ~fpp ×
+    // nFiles files; the filters ride the manifest (172 base64 chars
+    // per file), never a data scan.
+    "lake_bloom_point" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      Seq(1L, 7L, 42L, 999999999L).map { k =>
+        lake.readEq(7, "o_custkey", k.toString)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(k).as("probe_custkey"), col("n_rows"),
+            col("sum_cents"))
+      }.reduce(_ unionByName _)
     },
 
     // CDC-driven incremental view (round 14) — the reason a CDC feed
@@ -6031,6 +6057,27 @@ object ExtQueries {
         |         AS insert_cents,
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d7)
         |         AS delete_cents""".stripMargin,
+
+    // lake_bloom_point: each probe replays v7's membership relationally
+    // restricted to the probed custkey — a Bloom false negative (a
+    // skipped file that held the key) loses rows and hash-fails.
+    "lake_bloom_point" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |v2 AS (SELECT * FROM v1 WHERE o_custkey % 97 <> 0),
+        |v6 AS (SELECT * FROM v2 WHERE o_orderkey % 100 <> 51),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 11 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (3, 9)),
+        |v7 AS (SELECT * FROM v6 WHERE o_orderkey % 10 NOT IN (3, 9)
+        |       UNION ALL SELECT * FROM up),
+        |probes AS (SELECT unnest([1, 7, 42, 999999999]) AS probe_custkey)
+        |SELECT CAST(p.probe_custkey AS BIGINT) AS probe_custkey,
+        |       CAST(count(v.o_custkey) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(v.cents), 0) AS BIGINT) AS sum_cents
+        |FROM probes p LEFT JOIN v7 v ON v.o_custkey = p.probe_custkey
+        |GROUP BY 1""".stripMargin,
 
     // lake_cdc_mv: the folded CDC view must equal the DIRECT aggregate
     // of the final snapshot's membership — the fold itself happens on

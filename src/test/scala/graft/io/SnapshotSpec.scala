@@ -384,6 +384,76 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](lake.restore(3))
   }
 
+  test("Bloom manifest: point lookups skip hash-scattered files zone maps can't") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-bloom-").toString,
+      statsCols = Seq("k"), bloomCols = Seq("tag"))
+    // 16 appends whose `tag` sets are disjoint by construction — a
+    // string column has no zone map, so range pruning gets nothing;
+    // the per-file Bloom is the only manifest-level skip available.
+    (0 until 16).foreach { i =>
+      lake.append((0 until 50).map(j => (i * 100L + j, s"tag-$i-$j"))
+        .toDF("k", "tag"))
+    }
+    val lv = lake.latestVersion
+    val total = lake.liveFiles(lv).size
+    val pruned = lake.pruneFilesEq(lv, "tag", "tag-7-13")
+    assert(pruned.nonEmpty && pruned.size < total / 2,
+      s"bloom must skip most of $total files, kept ${pruned.size}")
+    // No false negatives: the pruned read finds exactly the row.
+    assert(lake.readEq(lv, "tag", "tag-7-13").select("k")
+      .collect().map(_.getLong(0)).toSeq === Seq(713L))
+    // Absent value: zero rows, whatever the false-positive draw.
+    assert(lake.readEq(lv, "tag", "tag-99-99").count() === 0)
+    // Deletion vectors apply inside the pruned read.
+    lake.deleteKeysMor(Seq(713L).toDF("k"), "k")
+    assert(lake.readEq(lake.latestVersion, "tag", "tag-7-13").count() === 0)
+    // Restore round-trips the serialized filters bit-exactly.
+    val rv = lake.restore(lv)
+    assert(lake.pruneFilesEq(rv, "tag", "tag-7-13").map(_.path).sorted ===
+      pruned.map(_.path).sorted)
+    assert(lake.readEq(rv, "tag", "tag-7-13").count() === 1)
+  }
+
+  test("CHECK constraints: validate-then-publish, violating writes never become versions") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    // ADD CONSTRAINT validates the EXISTING table first (Delta's
+    // contract) — k reaches 99, so k < 50 must be refused.
+    intercept[IllegalArgumentException](
+      lake.addConstraint("k_small", "k < 50"))
+    val v1 = lake.addConstraint("k_nonneg", "k >= 0")
+    assert(v1 === 1)
+    assert(lake.constraints === Seq(("k_nonneg", "k >= 0")))
+    // Duplicate names refused; clean appends pass.
+    intercept[IllegalArgumentException](
+      lake.addConstraint("k_nonneg", "k >= 0"))
+    lake.append(kv(100, 110)) // v2
+    assert(lake.read().count() === 110)
+    // A violating append throws, publishes NO version, leaves no rows.
+    val before = lake.latestVersion
+    intercept[RuntimeException](
+      lake.append(Seq((-1L, "bad")).toDF("k", "v")))
+    assert(lake.latestVersion === before)
+    assert(lake.read().count() === 110)
+    // NULL counts as a violation (stricter than SQL CHECK, by design).
+    intercept[RuntimeException](
+      lake.append(Seq((Option.empty[Long], "n")).toDF("k", "v")))
+    assert(lake.latestVersion === before)
+    // The guard covers every data-writing path — MOR merge included.
+    intercept[RuntimeException](
+      lake.upsertMor(Seq((-5L, "bad")).toDF("k", "v"), "k"))
+    assert(lake.latestVersion === before)
+    assert(lake.read().count() === 110)
+    // Constraints replay from the log: a fresh handle sees them.
+    val reopened = Snapshot.Lake(spark, lake.root, Seq("k"))
+    assert(reopened.constraints === Seq(("k_nonneg", "k >= 0")))
+    intercept[RuntimeException](
+      reopened.append(Seq((-2L, "bad")).toDF("k", "v")))
+  }
+
   test("schema evolution: added column reads as union, null-filled for old files") {
     import spark.implicits._
     val lake = freshLake()
