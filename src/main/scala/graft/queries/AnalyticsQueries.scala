@@ -28,6 +28,14 @@ object AnalyticsQueries {
 
   private val WeekUs = 7L * Tables.MicrosPerDay
 
+  /** Benford expected first-digit probabilities floor(1e9·log10(1+1/d)
+    * + 0.5) — computed ONCE here and injected as literals into both
+    * the `benford_audit` Spark plan and its DuckDB oracle (runtime
+    * log10 on each side would gamble on cross-engine libm rounding;
+    * nine constants don't — the RagNdcgWeights convention). */
+  private[queries] val BenfordP9: Seq[(Long, Long)] = (1L to 9L)
+    .map(d => d -> math.floor(1e9 * math.log10(1.0 + 1.0 / d) + 0.5).toLong)
+
   /** assoc_rules basket-size cap: pair generation is O(size²) per
     * basket, so oversized baskets are excluded before the explode —
     * the MaxSemCluster / MaxBandBucket guard, mirrored in the oracle. */
@@ -1013,6 +1021,51 @@ object AnalyticsQueries {
     // non-zero path. Scale shapes: orphan check is a shuffle anti-join
     // on the fact key (count-only — no row payload survives the join);
     // dup check is a count>1 aggregate over the key frame.
+    // Benford first-digit audit (round 14) — the classic DQ/fraud
+    // screen beside dq_audit's structural checks (Benford 1938; Hill
+    // 1995: naturally-occurring multiplicative magnitudes put digit d
+    // first with probability log10(1+1/d) — fabricated or truncated
+    // data doesn't): per leading digit of the extended-price cents,
+    // the observed count, the expected count at 1e9 scale, and the
+    // per-digit chi-square term as a HALF_UP 1e4 cell — all exact
+    // integers over DECIMAL(38,0) (expected probabilities are
+    // driver-computed literals injected into BOTH engines, the
+    // RagNdcgWeights convention — runtime log10 on each side would
+    // gamble on libm rounding). 100 TB shape: one map-side digit
+    // projection + a 9-key partial+final agg; the digit table joins
+    // broadcast.
+    "benford_audit" -> { (s, d) =>
+      import s.implicits._
+      val digits = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100 + lit(0.5))
+          .cast("long").as("cents"))
+        .selectExpr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)" +
+          " AS digit")
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum(col("n_obs")).as("n"))
+      val pFrame = broadcast(BenfordP9.map { case (dg, p) => (dg, p) }
+        .toDF("digit", "p9"))
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft benford_audit: statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
+      digits.join(pFrame, "digit")
+        .crossJoin(broadcast(tot))
+        .withColumn("ed", expr("CAST(n AS DECIMAL(38,0)) * p9"))
+        .withColumn("dev",
+          expr("CAST(n_obs AS DECIMAL(38,0)) * 1000000000 - ed"))
+        .select(col("digit"), col("n_obs"),
+          longExact(col("ed")).as("expected_x1e9"),
+          longExact(expr(
+            "(2 * 10000 * dev * dev + " +
+              "CAST(1000000000 AS DECIMAL(38,0)) * ed) div " +
+              "(2 * CAST(1000000000 AS DECIMAL(38,0)) * ed)"))
+            .as("chi_term_x1e4"))
+        .orderBy("digit")
+    },
+
     "dq_audit" -> { (s, d) =>
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d).select(
@@ -1481,6 +1534,111 @@ object AnalyticsQueries {
           "(2 * 1000000 * n_trans + n_from) div (2 * n_from) AS p_x1e6")
     },
 
+    // Kaplan-Meier survival (round 14) — the right-censoring-aware
+    // time-to-event estimator the retention family lacked
+    // (cohort_retention counts presence; THIS estimates time-to-
+    // conversion under censoring, Kaplan & Meier 1958): duration =
+    // days from a user's first event to their first HIGH-VALUE
+    // purchase (cents > 9500 — ~17% of users never convert and are
+    // right-censored at the corpus horizon, so the naive "average
+    // conversion time over converters" is biased and KM is the
+    // correct tool). Per duration t: the risk set n_t (reverse
+    // cumulative), events d_t, censorings c_t — exact integers — and
+    // S(t) as the ITERATIVE HALF_UP product at 1e12 scale, computed
+    // driver-side in BigInt over the ≤31-row interval frame (the
+    // pcaPower model-collect discipline; a product is inherently
+    // sequential) and replayed by the oracle as a recursive CTE with
+    // the identical HUGEINT recurrence. 100 TB shape: one user-keyed
+    // agg (map-side combinable), then everything rides the
+    // day-bounded interval frame; the collect is model-sized.
+    "survival_km" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr(s"(ts div 1000 - $OriginUs) div ${Tables.MicrosPerDay}")
+          .as("day"),
+        (col("event_type") === "purchase" &&
+          floor(col("value") * 100 + lit(0.5)).cast("long") > 9500)
+          .as("hit"))
+      val life = ev.groupBy(col("user_id")).agg(
+        min(col("day")).as("d0"),
+        min(when(col("hit"), col("day"))).as("dp"))
+      val mx = ev.agg(max(col("day")).as("mx"))
+      val durs = life.crossJoin(broadcast(mx))
+        .select(
+          coalesce(col("dp") - col("d0") + 1,
+            col("mx") - col("d0") + 1).as("t"),
+          col("dp").isNull.as("censored"))
+      val byT = durs.groupBy(col("t")).agg(
+        count(lit(1)).as("ended"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censor"))
+        .withColumn("n_event", col("ended") - col("n_censor"))
+      val wrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val km = byT
+        .withColumn("n_risk", sum(col("ended")).over(wrev))
+        .select(col("t"), col("n_risk"), col("n_event"), col("n_censor"))
+        .localCheckpoint(true)
+      val rows = km.orderBy(col("t")).collect()
+      var sAcc = BigInt(1000000000000L)
+      val surv = rows.map { r =>
+        val n = BigInt(r.getLong(1)); val de = BigInt(r.getLong(2))
+        sAcc = (2 * sAcc * (n - de) + n) / (2 * n)
+        (r.getLong(0), sAcc.toLong)
+      }.toSeq
+      km.join(broadcast(surv.toDF("t", "surv_x1e12")), "t")
+        .select(col("t"), col("n_risk"), col("n_event"), col("n_censor"),
+          col("surv_x1e12"))
+    },
+
+    // Mann-Whitney U rank test (round 14) — the NONPARAMETRIC two-
+    // sample companion to ab_chisq (proportions) and ks_drift
+    // (distribution distance): does arm B's value distribution
+    // stochastically dominate arm A's? Arms split by the same
+    // md5Hash60 coin as ab_chisq (deterministic A/A here — the
+    // calibration read: U must sit near its null mean). Exact
+    // integers throughout the sufficient statistics: midranks ride
+    // the COMPRESSED per-value histogram (2·midrank = 2·cum_before +
+    // c + 1, so doubled rank sums are integers — ties never touch
+    // floats), R2/U2 are DECIMAL(38,0)-routed sums, and the tie
+    // correction Σ(c³−c) is exact; z is then one fixed IEEE tree over
+    // identical int64 inputs (the autocorr convention — both engines
+    // produce the same bits). 100 TB shape: ONE partial+final hash
+    // agg to the bounded centi-value histogram; the midrank window
+    // rides that compressed frame (mad_outliers precedent), never
+    // rows.
+    "mannwhitney_u" -> { (s, d) =>
+      val e = Tables.events(s, d).select(
+        pmod(Dedup.md5Hash60(concat(lit("mwu:"), col("event_id"))),
+          lit(2L)).as("arm"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      val hist = e.groupBy(col("y")).agg(
+        count(lit(1)).as("c"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"))
+      val wv = Window.orderBy(col("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = hist.withColumn("cumb",
+        coalesce(sum(col("c")).over(wv), lit(0L)))
+      ranked.agg(
+          sum(col("ca")).as("n_a"),
+          sum(col("c") - col("ca")).as("n_b"),
+          sum(expr("CAST(ca AS DECIMAL(38,0)) * (2 * cumb + c + 1)"))
+            .as("r2"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("t3"))
+        .selectExpr("CAST(n_a AS BIGINT) AS n_a",
+          "CAST(n_b AS BIGINT) AS n_b",
+          "CAST(r2 AS BIGINT) AS r2_a",
+          "CAST(r2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)" +
+            " AS u2_a",
+          "CAST(t3 AS BIGINT) AS tie_t3")
+        .selectExpr("n_a", "n_b", "r2_a", "u2_a", "tie_t3",
+          "CAST(u2_a - n_a * n_b AS DOUBLE) / (2.0 * sqrt(" +
+            "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (" +
+            "(CAST(n_a + n_b AS DOUBLE) + 1.0) - " +
+            "CAST(tie_t3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * " +
+            "(CAST(n_a + n_b AS DOUBLE) - 1.0))))) AS z")
+        .selectExpr("*", "abs(z) > 1.96 AS significant")
+    },
+
     // Hour-of-day seasonal decomposition (round 14) — the classical
     // additive-seasonality extraction the time-series family lacked
     // (trend_slope = trend, autocorr = serial dependence, THIS = the
@@ -1681,6 +1839,93 @@ object AnalyticsQueries {
         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |       END AS r_lag1
         |FROM s""".stripMargin,
+
+    // survival_km: the identical interval algebra; the sequential
+    // HALF_UP survival recurrence replays as a recursive CTE over the
+    // row-numbered interval frame (HUGEINT mirror of the driver-side
+    // BigInt fold).
+    "survival_km" ->
+      s"""WITH RECURSIVE e AS (SELECT user_id,
+         |    (epoch_us(ts) - $OriginUs) // ${Tables.MicrosPerDay} AS day,
+         |    (event_type = 'purchase' AND
+         |     CAST(floor(value * 100 + 0.5) AS BIGINT) > 9500) AS hit
+         |  FROM events),
+         |l AS (SELECT user_id, min(day) AS d0,
+         |        min(CASE WHEN hit THEN day END) AS dp
+         |      FROM e GROUP BY 1),
+         |m AS (SELECT max(day) AS mx FROM e),
+         |dur AS (SELECT coalesce(dp - d0 + 1, m.mx - d0 + 1) AS t,
+         |          (dp IS NULL) AS censored
+         |        FROM l CROSS JOIN m),
+         |bt AS (SELECT t, CAST(count(*) AS BIGINT) AS ended,
+         |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_censor
+         |       FROM dur GROUP BY 1),
+         |km AS (SELECT t,
+         |         CAST(sum(ended) OVER (ORDER BY t ROWS BETWEEN
+         |           CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         |           AS n_risk,
+         |         ended - n_censor AS n_event, n_censor
+         |       FROM bt),
+         |ord AS (SELECT t, n_risk, n_event, n_censor,
+         |          row_number() OVER (ORDER BY t) AS i FROM km),
+         |rec AS (
+         |  SELECT i, t, n_risk, n_event, n_censor,
+         |         (2 * CAST(1000000000000 AS HUGEINT) * (n_risk - n_event)
+         |           + n_risk) // (2 * CAST(n_risk AS HUGEINT)) AS sv
+         |  FROM ord WHERE i = 1
+         |  UNION ALL
+         |  SELECT o.i, o.t, o.n_risk, o.n_event, o.n_censor,
+         |         (2 * r.sv * (o.n_risk - o.n_event) + o.n_risk)
+         |           // (2 * CAST(o.n_risk AS HUGEINT))
+         |  FROM ord o JOIN rec r ON o.i = r.i + 1)
+         |SELECT t, n_risk, n_event, n_censor,
+         |       CAST(sv AS BIGINT) AS surv_x1e12
+         |FROM rec""".stripMargin,
+
+    // mannwhitney_u: doubled midranks on the compressed histogram keep
+    // every tie exact; z replays as the identical IEEE tree over the
+    // same int64 sufficient statistics.
+    "mannwhitney_u" ->
+      """WITH e AS (SELECT
+        |    CAST('0x' || substr(md5('mwu:' || CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |h AS (SELECT y, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ca
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT y, c, ca,
+        |        coalesce(sum(c) OVER (ORDER BY y
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cumb
+        |      FROM h),
+        |s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(c - ca) AS BIGINT) AS n_b,
+        |        CAST(sum(CAST(ca AS HUGEINT) * (2 * cumb + c + 1))
+        |          AS BIGINT) AS r2_a,
+        |        CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS BIGINT)
+        |          AS tie_t3
+        |      FROM r),
+        |u AS (SELECT n_a, n_b, r2_a,
+        |        CAST(CAST(r2_a AS HUGEINT)
+        |          - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+        |        tie_t3
+        |      FROM s)
+        |SELECT n_a, n_b, r2_a, u2_a, tie_t3,
+        |       CAST(u2_a - n_a * n_b AS DOUBLE) / (2.0 * sqrt(
+        |         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (
+        |         (CAST(n_a + n_b AS DOUBLE) + 1.0) -
+        |         CAST(tie_t3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |         (CAST(n_a + n_b AS DOUBLE) - 1.0))))) AS z,
+        |       abs(CAST(u2_a - n_a * n_b AS DOUBLE) / (2.0 * sqrt(
+        |         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (
+        |         (CAST(n_a + n_b AS DOUBLE) + 1.0) -
+        |         CAST(tie_t3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |         (CAST(n_a + n_b AS DOUBLE) - 1.0)))))) > 1.96
+        |         AS significant
+        |FROM u""".stripMargin,
 
     // seasonal_decompose: dev_num and the HALF_UP cell replay in
     // HUGEINT (the decimal(38,0) mirror); the sign split keeps //
@@ -2249,6 +2494,30 @@ object AnalyticsQueries {
         |       round(CAST(n_rows AS DOUBLE) / total, 9) AS row_share
         |FROM c, t
         |ORDER BY n_rows DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    // benford_audit: the same injected 1e9-scale digit probabilities;
+    // HUGEINT mirrors the DECIMAL(38,0) chi-term algebra.
+    "benford_audit" -> {
+      val vals = BenfordP9.map { case (dg, p) => s"($dg, $p)" }
+        .mkString(", ")
+      s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+         |             AS BIGINT) AS cents FROM lineitem),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+         |        AS BIGINT) AS digit FROM c),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g),
+         |p AS (SELECT * FROM (VALUES $vals) AS v(digit, p9)),
+         |x AS (SELECT g.digit, g.n_obs,
+         |        CAST(t.n AS HUGEINT) * p.p9 AS ed,
+         |        CAST(g.n_obs AS HUGEINT) * 1000000000
+         |          - CAST(t.n AS HUGEINT) * p.p9 AS dev
+         |      FROM g JOIN p ON g.digit = p.digit CROSS JOIN t)
+         |SELECT digit, n_obs, CAST(ed AS BIGINT) AS expected_x1e9,
+         |       CAST((2 * 10000 * dev * dev + 1000000000 * ed)
+         |         // (2 * 1000000000 * ed) AS BIGINT) AS chi_term_x1e4
+         |FROM x ORDER BY digit""".stripMargin
+    },
 
     "dq_audit" ->
       """WITH li AS (SELECT CASE WHEN l_orderkey % 13 = 0

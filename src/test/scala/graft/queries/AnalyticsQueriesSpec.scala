@@ -42,6 +42,53 @@ class AnalyticsQueriesSpec extends SparkSpec {
       (dev >= 0) == (cell >= 0) || cell == 0 })
   }
 
+  test("survival_km: risk sets telescope, survival monotone, censoring real") {
+    val out = AnalyticsQueries.queries("survival_km")(spark, sf)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(out.nonEmpty)
+    // n_risk(t) − (events + censorings at t) = n_risk(next t).
+    out.sliding(2).foreach {
+      case List((_, n1, d1, c1, _), (_, n2, _, _, _)) =>
+        assert(n1 - d1 - c1 === n2)
+      case _ =>
+    }
+    // The last interval exhausts its risk set.
+    val (_, nL, dL, cL, _) = out.last
+    assert(nL === dL + cL)
+    // S is a product of factors ≤ 1: monotone non-increasing from 1e12.
+    val svs = out.map(_._5)
+    assert(svs.head <= 1000000000000L)
+    svs.sliding(2).foreach { case List(a, b) => assert(b <= a); case _ => }
+    // Both deaths and right-censorings exist — the estimator's reason.
+    assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0)
+  }
+
+  test("mannwhitney_u: U identity holds; the A/A split calibrates to not-significant") {
+    val r = AnalyticsQueries.queries("mannwhitney_u")(spark, sf)
+      .collect().head
+    val (na, r2, u2) = (r.getLong(0), r.getLong(2), r.getLong(3))
+    assert(u2 === r2 - na * (na + 1))
+    // md5 coin = an A/A test: z must sit inside the null band.
+    assert(math.abs(r.getDouble(5)) < 3.0)
+    assert(!r.getBoolean(6))
+  }
+
+  test("benford_audit: digit domain, counts conserve, expected mass sums to ~1e9·n") {
+    val out = AnalyticsQueries.queries("benford_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).forall(dg => dg >= 1 && dg <= 9))
+    val n = out.map(_._2).sum
+    // expected_x1e9 = n·p9 exactly, so Σ expected over the observed
+    // digits is n·Σp9 exactly (Σ of the 9 rounded constants is
+    // 1e9 + 1, not 1e9 — the identity holds either way).
+    val expSum = out.map(t => BigInt(t._3)).sum
+    val p9 = AnalyticsQueries.BenfordP9.toMap
+    val want = out.map(t => BigInt(n) * p9(t._1)).sum
+    assert(expSum === want, s"expected mass $expSum vs $want")
+  }
+
   test("k_anonymity: every customer released exactly once, every class ≥ k or suppressed") {
     val out = AnalyticsQueries.queries("k_anonymity")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
