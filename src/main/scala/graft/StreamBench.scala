@@ -668,6 +668,77 @@ object StreamBench {
           f"${n / tK}%.0f rows/s  commits=${commits.size}")
     }
 
+    // Mode L: exactly-once streaming CDC apply (SnapshotSink.attachCdc
+    // + Lake.applyCdcMor) — the Delta "MERGE in foreachBatch" pattern,
+    // merge-on-read: a lake pre-seeded with 100k keyed rows takes a
+    // ~35k-change compacted stream (20k updates, 10k deletes, 5k fresh
+    // inserts; ONE row per key, so batching order cannot change the
+    // final state); each micro-batch lands as ONE txn-stamped commit
+    // that DV-masks its keys' old versions and appends its upserts —
+    // no data file ever rewrites. Gates: final table ≡ the
+    // batch-computed expected state (exceptAll both ways), multi-batch
+    // txn-stamped drain, deletion vectors actually engaged, and the
+    // restart replay is a no-op.
+    {
+      import spark.implicits._
+      val lake = graft.io.Snapshot.Lake(spark, s"$work/l_lake",
+        statsCols = Seq("k"))
+      lake.append(spark.range(100000L).select(col("id").as("k"),
+        col("id").as("v")))
+      val changes = spark.range(100000L)
+        .select(col("id").as("k"))
+        .withColumn("line",
+          when(pmod(col("k"), lit(10L)) === 3, concat_ws("\t",
+            lit("delete"), col("k"), lit(0L)))
+            .when(pmod(col("k"), lit(5L)) === 0, concat_ws("\t",
+              lit("upsert"), col("k"), col("k") + 1000000L)))
+        .filter(col("line").isNotNull)
+        .select(col("line").as("value"))
+        .unionByName(spark.range(100000L, 105000L).select(concat_ws("\t",
+          lit("upsert"), col("id"), col("id") + 1000000L).as("value")))
+      val topic = s"$work/topic_l"
+      changes.repartition(8).write.text(topic)
+      val nCh = spark.read.text(topic).count()
+      val tL = time {
+        val src = spark.readStream.option("maxFilesPerTrigger", 2)
+          .text(topic)
+          .select(split(col("value"), "\t").as("p"))
+          .select(col("p").getItem(0).as("_op"),
+            col("p").getItem(1).cast("long").as("k"),
+            col("p").getItem(2).cast("long").as("v"))
+        val q = graft.stream.SnapshotSink.attachCdc(src, lake, "k",
+          "cdc-writer", s"$work/l_ckpt",
+          trigger = Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+      }
+      val expected = spark.range(100000L)
+        .filter(pmod(col("id"), lit(10L)) =!= 3)
+        .select(col("id").as("k"),
+          when(pmod(col("id"), lit(5L)) === 0, col("id") + 1000000L)
+            .otherwise(col("id")).as("v"))
+        .unionByName(spark.range(100000L, 105000L)
+          .select(col("id").as("k"), (col("id") + 1000000L).as("v")))
+      require(lake.read().exceptAll(expected).isEmpty &&
+        expected.exceptAll(lake.read()).isEmpty,
+        "mode L final lake must equal the batch-computed state")
+      val txns = lake.commits.filter(_.txn.exists(_._1 == "cdc-writer"))
+      require(txns.size >= 2,
+        s"mode L must drain multi-batch, got ${txns.size}")
+      require(lake.liveState(lake.latestVersion).exists(_._2.nonEmpty),
+        "mode L must engage deletion vectors (masked old versions)")
+      val lastId = lake.lastTxn("cdc-writer")
+      val nBefore = lake.read().count()
+      require(lake.applyCdcMor(
+          Seq(("upsert", 0L, 123L)).toDF("_op", "k", "v"),
+          "k", "cdc-writer", lastId).isEmpty &&
+        lake.read().count() == nBefore,
+        "mode L replayed batch must be a no-op")
+      results(s"cdc_merge_stream@${nCh / 1000}k") = nCh / tL
+      System.err.println(
+        f"[stream-bench] cdc_merge_stream@${nCh / 1000}k  $nCh changes  " +
+          f"$tL%.1fs  ${nCh / tL}%.0f rows/s  commits=${txns.size}")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

@@ -716,11 +716,37 @@ object Snapshot {
         dvLines = morDvLines(state, keys, keyCol, touched, version))
     }
 
+    /** Exactly-once streaming CDC apply (the Delta "MERGE in
+      * foreachBatch" pattern made merge-on-read): one micro-batch of
+      * changes — rows tagged `_op` 'upsert' | 'delete', at most one
+      * row per key (the compacted-topic shape; a key carrying both
+      * ops in one batch is unspecified) — lands as ONE atomic commit:
+      * every incoming key's old version is DV-masked, upsert rows
+      * append as new files, and the commit is (writerId, batchId)
+      * txn-stamped so a re-delivered batch is recognized by
+      * `batchId <= lastTxn` and skipped (the [[appendIdempotent]]
+      * replay contract, extended to MERGE). Returns None on a replay
+      * skip. 100 TB shape: O(batch + matches + manifest) per batch —
+      * the streaming upsert never rewrites a data file. */
+    def applyCdcMor(changes: DataFrame, keyCol: String, writerId: String,
+        batchId: Long): Option[Int] = {
+      if (batchId <= lastTxn(writerId)) return None
+      val lv = latestVersion
+      val state = if (lv < 0) Nil else liveState(lv)
+      val ch = changes.localCheckpoint(true)
+      val ups = ch.filter(col("_op") === "upsert").drop("_op")
+      val keys = ch.select(col(keyCol)).distinct().localCheckpoint(true)
+      val touched = touchedPaths(state, keys, keyCol)
+      val version = lv + 1
+      Some(commit(ups, removed = Nil, txn = Some((writerId, batchId)),
+        dvLines = morDvLines(state, keys, keyCol, touched, version)))
+    }
+
     /** Write the position-delete file masking `keys`' rows in the
       * touched files and render the `dv` pointer lines — the shared
-      * write half of [[deleteKeysMor]] and [[upsertMor]]. Empty when
-      * nothing matched (the caller's commit is then a no-op/pure-add
-      * version). */
+      * write half of [[deleteKeysMor]], [[upsertMor]] and
+      * [[applyCdcMor]]. Empty when nothing matched (the caller's
+      * commit is then a no-op/pure-add version). */
     private def morDvLines(state: Seq[(FileStat, Option[String])],
         keys: DataFrame, keyCol: String, touched: Set[String],
         version: Int): Seq[String] = {

@@ -44,4 +44,28 @@ object SnapshotSink {
       }
       .start()
   }
+
+  /** Attach a CDC-shaped stream (rows tagged `_op` 'upsert' |
+    * 'delete') as an exactly-once MERGE sink — the Delta "MERGE in
+    * foreachBatch" pattern on [[Snapshot.Lake.applyCdcMor]]: each
+    * micro-batch DV-masks its keys' old versions and appends the
+    * upserts as one txn-stamped commit; a restart's re-delivered
+    * batch is skipped against the log. The streaming upsert never
+    * rewrites a data file (merge-on-read), so per-batch sink cost is
+    * O(batch + matches + manifest) at any table size. */
+  def attachCdc(stream: DataFrame, lake: Snapshot.Lake, keyCol: String,
+      writerId: String, checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val base = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+    trigger.fold(base)(base.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          lake.applyCdcMor(batch, keyCol, writerId, batchId)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -60,4 +60,45 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(c.filter("_op = 'insert'").select("k").as[Long].collect().sorted
       .toSeq === (50L until 80L))
   }
+
+  test("CDC merge sink: per-batch MOR apply, exactly-once under replay") {
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("lake-cdc-sink-").toString,
+      statsCols = Seq("k"))
+    lake.append((0L until 100L).map(k => (k, k)).toDF("k", "v"))
+    val filesBefore = lake.liveFiles(lake.latestVersion).map(_.path).toSet
+    val ms = MemoryStream[(String, Long, Long)](spark)
+    val ckpt = Files.createTempDirectory("lake-cdc-ckpt-").toString
+    val q = SnapshotSink.attachCdc(
+      ms.toDF().toDF("_op", "k", "v"), lake, "k",
+      writerId = "cdc-writer", checkpointDir = ckpt)
+    try {
+      // batch 0: update 5 → 1005, delete 7, insert 200
+      ms.addData(("upsert", 5L, 1005L), ("delete", 7L, 0L),
+        ("upsert", 200L, 1200L))
+      q.processAllAvailable()
+      // batch 1: update the batch-0 insert, delete a seeded key
+      ms.addData(("upsert", 200L, 1201L), ("delete", 9L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Merge semantics across batches: updates overwrite (incl. a
+    // key the STREAM itself inserted a batch earlier), deletes hide.
+    val got = lake.read().collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.size === 99) // 100 − 2 deletes + 1 insert
+    assert(got(5L) === 1005L && got(200L) === 1201L)
+    assert(!got.contains(7L) && !got.contains(9L))
+    // Merge-on-read: every seeded file is still live (masked, never
+    // rewritten) and deletion vectors are engaged.
+    assert(filesBefore.subsetOf(
+      lake.liveFiles(lake.latestVersion).map(_.path).toSet))
+    assert(lake.liveState(lake.latestVersion).exists(_._2.nonEmpty))
+    // The replay contract: re-delivering the last batch is a no-op.
+    val vBefore = lake.latestVersion
+    assert(lake.applyCdcMor(
+      Seq(("upsert", 200L, 9999L)).toDF("_op", "k", "v"),
+      "k", "cdc-writer", lake.lastTxn("cdc-writer")).isEmpty)
+    assert(lake.latestVersion === vBefore)
+    assert(lake.read().filter("k = 200").head().getLong(1) === 1201L)
+  }
 }
