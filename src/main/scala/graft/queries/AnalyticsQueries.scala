@@ -1534,6 +1534,49 @@ object AnalyticsQueries {
           "(2 * 1000000 * n_trans + n_from) div (2 * n_from) AS p_x1e6")
     },
 
+    // Holt double exponential smoothing (round 14) — the level+trend
+    // forecaster completing the family (trend_slope = global
+    // regression, ewma = level-only smoothing, seasonal_decompose =
+    // the cyclic factor; Holt 1957): over the ≤30-row daily cent-sum
+    // series, l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}), b_t =
+    // β(l_t − l_{t−1}) + (1−β)b_{t−1} with α = 3/10, β = 1/10 —
+    // every step an exact HALF_UP at 1e6 scale, folded driver-side in
+    // BigInt over the bounded day frame (the survival_km discipline —
+    // a smoothing recurrence is inherently sequential) and replayed
+    // by the oracle as the identical HUGEINT recursive CTE. Output
+    // carries the one-step-ahead forecast l+b per day. 100 TB shape:
+    // one day-keyed map-side-combinable agg; the fold is ≤31 rows.
+    "holt_linear" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select(expr(s"(ts div 1000 - $OriginUs) div ${Tables.MicrosPerDay}")
+          .as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("y_cents"))
+        .localCheckpoint(true)
+      val rows = daily.orderBy(col("day")).collect()
+      // HALF_UP(n/d) for signed n, positive d (trend can be negative).
+      def sHalf(n: BigInt, dd: BigInt): BigInt =
+        if (n.signum >= 0) (2 * n + dd) / (2 * dd)
+        else -((2 * -n + dd) / (2 * dd))
+      var lv = BigInt(rows.head.getLong(1)) * 1000000
+      var bv = BigInt(0)
+      val folded = rows.zipWithIndex.map { case (r, i) =>
+        if (i > 0) {
+          val y6 = BigInt(r.getLong(1)) * 1000000
+          val lPrev = lv
+          lv = sHalf(3 * y6 + 7 * (lPrev + bv), BigInt(10))
+          bv = sHalf((lv - lPrev) + 9 * bv, BigInt(10))
+        }
+        (r.getLong(0), lv.toLong, bv.toLong, (lv + bv).toLong)
+      }.toSeq
+      daily.join(broadcast(folded
+          .toDF("day", "level_x1e6", "trend_x1e6", "forecast_x1e6")),
+        "day")
+        .select(col("day"), col("y_cents"), col("level_x1e6"),
+          col("trend_x1e6"), col("forecast_x1e6"))
+    },
+
     // Kaplan-Meier survival (round 14) — the right-censoring-aware
     // time-to-event estimator the retention family lacked
     // (cohort_retention counts presence; THIS estimates time-to-
@@ -1839,6 +1882,44 @@ object AnalyticsQueries {
         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |       END AS r_lag1
         |FROM s""".stripMargin,
+
+    // holt_linear: the identical signed HALF_UP recurrence as a
+    // recursive CTE (l_t appears twice — once as the level, once
+    // inside b_t's delta — so the recursive arm nests one derivation).
+    "holt_linear" ->
+      s"""WITH RECURSIVE e AS (SELECT
+         |    (epoch_us(ts) - $OriginUs) // ${Tables.MicrosPerDay} AS day,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |dl AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y_cents
+         |       FROM e GROUP BY 1),
+         |ord AS (SELECT day, y_cents, row_number() OVER (ORDER BY day)
+         |          AS i FROM dl),
+         |rec AS (
+         |  SELECT i, day, y_cents,
+         |         CAST(y_cents AS HUGEINT) * 1000000 AS lv,
+         |         CAST(0 AS HUGEINT) AS bv
+         |  FROM ord WHERE i = 1
+         |  UNION ALL
+         |  SELECT i, day, y_cents, lv,
+         |    CASE WHEN (lv - lprev) + 9 * bprev >= 0
+         |         THEN (2 * ((lv - lprev) + 9 * bprev) + 10) // 20
+         |         ELSE -((2 * (-((lv - lprev) + 9 * bprev)) + 10) // 20)
+         |    END AS bv
+         |  FROM (
+         |    SELECT o.i, o.day, o.y_cents, r.lv AS lprev, r.bv AS bprev,
+         |      CASE WHEN 3 * CAST(o.y_cents AS HUGEINT) * 1000000
+         |                 + 7 * (r.lv + r.bv) >= 0
+         |           THEN (2 * (3 * CAST(o.y_cents AS HUGEINT) * 1000000
+         |                 + 7 * (r.lv + r.bv)) + 10) // 20
+         |           ELSE -((2 * (-(3 * CAST(o.y_cents AS HUGEINT) * 1000000
+         |                 + 7 * (r.lv + r.bv))) + 10) // 20)
+         |      END AS lv
+         |    FROM ord o JOIN rec r ON o.i = r.i + 1) t)
+         |SELECT day, y_cents, CAST(lv AS BIGINT) AS level_x1e6,
+         |       CAST(bv AS BIGINT) AS trend_x1e6,
+         |       CAST(lv + bv AS BIGINT) AS forecast_x1e6
+         |FROM rec""".stripMargin,
 
     // survival_km: the identical interval algebra; the sequential
     // HALF_UP survival recurrence replays as a recursive CTE over the

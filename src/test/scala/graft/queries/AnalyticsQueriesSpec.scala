@@ -65,6 +65,27 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0)
   }
 
+  test("holt_linear: initialization, forecast identity, level tracks the series") {
+    val out = AnalyticsQueries.queries("holt_linear")(spark, sf)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(out.size >= 3, "the corpus spans multiple days")
+    // Initialization: l_1 = y_1 (at 1e6), b_1 = 0; forecast = l + b.
+    val (_, y1, l1, b1, _) = out.head
+    assert(l1 === y1 * 1000000L && b1 === 0L)
+    out.foreach { case (_, _, l, b, f) => assert(f === l + b) }
+    // The level is a convex combination chain: it stays inside the
+    // running envelope of forecasts and observations.
+    out.sliding(2).foreach {
+      case List((_, _, lp, bp, _), (_, y, l, _, _)) =>
+        val lo = math.min(y * 1000000L, lp + bp)
+        val hi = math.max(y * 1000000L, lp + bp)
+        assert(l >= lo - 1 && l <= hi + 1) // ±1 for the HALF_UP step
+      case _ =>
+    }
+  }
+
   test("mannwhitney_u: U identity holds; the A/A split calibrates to not-significant") {
     val r = AnalyticsQueries.queries("mannwhitney_u")(spark, sf)
       .collect().head
