@@ -466,6 +466,40 @@ object Snapshot {
     def constraints: Seq[(String, String)] =
       commits.flatMap(_.constraints)
 
+    /** Total MOR-masked row positions at snapshot `v` — the table's
+      * deletion-vector debt ([[graft.io.Maintain]]'s trigger metric).
+      * Reads only the live DV files (deletion-sized, never data). */
+    def maskedPositions(v: Int): Long = {
+      val entries = liveState(v).collect { case (f, Some(dv)) => (f.path, dv) }
+      if (entries.isEmpty) return 0L
+      entries.groupBy(_._2).map { case (dv, es) =>
+        spark.read.parquet(new Path(rootPath, dv).toString)
+          .filter(col("data_path").isin(es.map(_._1): _*)).count()
+      }.sum
+    }
+
+    /** DESCRIBE HISTORY (the Delta semantic): one row per commit —
+      * version, an operation kind inferred from the log record's
+      * shape, files added/removed, manifest rows added, DV pointers,
+      * constraint adds, and the txn stamp. Pure log read. */
+    def describeHistory(): DataFrame = {
+      import spark.implicits._
+      commits.map { c =>
+        val op =
+          if (c.constraints.nonEmpty) "addConstraint"
+          else if (c.dvs.nonEmpty && c.added.nonEmpty) "morMerge"
+          else if (c.dvs.nonEmpty) "morDelete"
+          else if (c.removed.nonEmpty && c.added.nonEmpty) "rewrite"
+          else if (c.removed.nonEmpty) "remove"
+          else if (c.added.nonEmpty) "append"
+          else "noop"
+        (c.version, op, c.added.size, c.removed.size,
+          c.added.map(_.rows).sum, c.dvs.size,
+          c.txn.map(_._1).orNull, c.txn.map(_._2).getOrElse(-1L))
+      }.toDF("version", "operation", "n_added", "n_removed",
+        "rows_added", "n_dvs", "txn_writer", "txn_batch")
+    }
+
     /** ADD CONSTRAINT (Delta's CHECK-constraint semantic): validate
       * the CURRENT table against `sqlExpr` (one scan — rows where the
       * expression is not TRUE fail the add, exactly Delta's contract),

@@ -146,28 +146,40 @@ class SnapshotScanBuilder(
 
   override def build(): Scan = new SnapshotScan(root, required,
     startingVersion = options.getInt("startingVersion", 0),
-    ignoreChanges = options.getBoolean("ignoreChanges", false))
+    ignoreChanges = options.getBoolean("ignoreChanges", false),
+    versionAsOf = options.getInt("versionAsOf", -1))
 }
 
 class SnapshotScan(root: String, required: StructType,
-    startingVersion: Int, ignoreChanges: Boolean) extends Scan with Batch {
+    startingVersion: Int, ignoreChanges: Boolean,
+    versionAsOf: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Batch read = the latest snapshot's live set. Tables carrying live
-    * deletion vectors are refused: the Group-API file readers here
-    * decode whole files, so serving a DV'd table would resurrect its
-    * MOR-deleted rows — purge first (any rewrite commit retires DVs:
-    * Compact.clusterBy / zOrderBy / overwrite), or read through
-    * `Snapshot.Lake.read()`, which applies them. */
+  /** Batch read = the latest snapshot's live set, or — the Delta
+    * `versionAsOf` reader option — snapshot N's when the option is
+    * set (time travel through the connector). Tables carrying live
+    * deletion vectors AT THE READ VERSION are refused: the Group-API
+    * file readers here decode whole files, so serving a DV'd state
+    * would resurrect its MOR-deleted rows — purge first (any rewrite
+    * commit retires DVs: Compact.clusterBy / zOrderBy / overwrite),
+    * or read through `Snapshot.Lake.readAsOf`, which applies them. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val state = Snapshot.replayState(SnapshotStreamSource.commits(root))
+    val all = SnapshotStreamSource.commits(root)
+    val window =
+      if (versionAsOf < 0) all
+      else {
+        require(all.exists(_.version == versionAsOf),
+          s"versionAsOf=$versionAsOf: no such snapshot at $root")
+        all.takeWhile(_.version <= versionAsOf)
+      }
+    val state = Snapshot.replayState(window)
     val dvd = state.collect { case (f, Some(_)) => f.path }
     if (dvd.nonEmpty) throw new IllegalStateException(
       s"SnapshotStreamSource batch read at $root: ${dvd.size} live " +
         s"file(s) carry deletion vectors (e.g. ${dvd.head}); purge DVs " +
         "with a rewrite commit (Compact.clusterBy/zOrderBy, overwrite) " +
-        "or read via Snapshot.Lake.read(), which applies them.")
+        "or read via Snapshot.Lake.readAsOf, which applies them.")
     state.map { case (f, _) => LakeFilePartition(
       new Path(root, f.path).toString): InputPartition }.toArray
   }

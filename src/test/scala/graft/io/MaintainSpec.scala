@@ -1,0 +1,62 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The maintenance policy's contract: debts trigger exactly one
+  * rewrite commit (purging DV debt, collapsing small files), healthy
+  * tables are untouched, and the decision itself never scans data. */
+class MaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLake() = Snapshot.Lake(spark,
+    Files.createTempDirectory("maintain-").toString, statsCols = Seq("k"))
+
+  test("small-file debt compacts once; the result is healthy") {
+    val lake = freshLake()
+    // 20 tiny appends = 20+ small files for ~2000 rows.
+    (0 until 20).foreach { i =>
+      lake.append((i * 100L until i * 100L + 100L).toDF("k"))
+    }
+    val before = lake.liveFiles(lake.latestVersion).size
+    val r = Maintain.auto(lake, targetRowsPerFile = 1000L,
+      clusterCol = Some("k"))
+    assert(r.acted && r.reason.startsWith("small-files"))
+    assert(r.filesBefore === before && r.filesAfter < before / 2)
+    assert(lake.read().count() === 2000)
+    // Clustered rewrite: the zone maps prune again.
+    val pruned = lake.pruneFiles(lake.latestVersion, "k", 0, 99)
+    assert(pruned.size < r.filesAfter)
+    // Second run: healthy, no new version.
+    val v = lake.latestVersion
+    val r2 = Maintain.auto(lake, targetRowsPerFile = 1000L,
+      clusterCol = Some("k"))
+    assert(!r2.acted && r2.reason === "healthy")
+    assert(lake.latestVersion === v)
+  }
+
+  test("DV debt triggers a purge even when file counts are fine") {
+    val lake = freshLake()
+    lake.append((0L until 1000L).toDF("k").coalesce(2))
+    // Mask 30% of rows via MOR — manifest rows still say 1000.
+    lake.deleteKeysMor((0L until 300L).toDF("k"), "k")
+    assert(lake.maskedPositions(lake.latestVersion) === 300L)
+    val r = Maintain.auto(lake, targetRowsPerFile = 1000L)
+    assert(r.acted && r.reason === "dv-debt(300/1000)")
+    assert(r.maskedBefore === 300L)
+    // The rewrite purged the DVs and dropped the masked rows for real.
+    val lv = lake.latestVersion
+    assert(lake.liveState(lv).forall(_._2.isEmpty))
+    assert(lake.maskedPositions(lv) === 0L)
+    assert(lake.read().count() === 700)
+    assert(!Maintain.auto(lake, targetRowsPerFile = 1000L).acted)
+    // DESCRIBE HISTORY reads the whole story back from the log.
+    val hist = lake.describeHistory().orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(hist.toSeq === Seq((0, "append"), (1, "morDelete"),
+      (2, "rewrite")))
+  }
+}

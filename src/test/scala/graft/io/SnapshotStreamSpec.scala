@@ -111,6 +111,30 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versionAsOf: batch time travel through the connector; DV'd states refused") {
+    val lake = freshLake()
+    lake.append(kv(0, 20)) // v0
+    lake.overwrite(kv(100, 110)) // v1
+    lake.append(kv(110, 115)) // v2
+    // Time travel to each version ≡ Lake.readAsOf.
+    assert(spark.read.format(Fmt).option("versionAsOf", "0")
+      .load(lake.root).count() === 20)
+    assert(spark.read.format(Fmt).option("versionAsOf", "1")
+      .load(lake.root).select("k").as[Long].collect().sorted.toSeq ===
+      (100L until 110L))
+    assert(spark.read.format(Fmt).option("versionAsOf", "2")
+      .load(lake.root).count() === 15)
+    // Unknown versions refuse loudly.
+    intercept[Exception](spark.read.format(Fmt)
+      .option("versionAsOf", "9").load(lake.root).count())
+    // A DV'd read version is refused; an earlier clean one still serves.
+    lake.deleteKeysMor(Seq(100L).toDF("k"), "k") // v3
+    intercept[Exception](
+      spark.read.format(Fmt).load(lake.root).count())
+    assert(spark.read.format(Fmt).option("versionAsOf", "2")
+      .load(lake.root).count() === 15)
+  }
+
   test("schema evolution: stream carries the union schema, old files null-fill") {
     val lake = freshLake()
     lake.append(kv(0, 5))
