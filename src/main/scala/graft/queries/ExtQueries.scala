@@ -550,6 +550,61 @@ object ExtQueries {
         col("doc_id"), col("text"), threshold = 0.5)
     },
 
+    // ROUGE-1/2 F1 (round 14) — the summarization-eval metric as a
+    // corpus operator (Lin 2004): per document, candidate = the
+    // near-dup perturbation (last 3 tokens dropped — the withNearDups
+    // construction as a token slice) scored against the original as
+    // reference. CLIPPED multiset overlap (Σ min(count_ref,
+    // count_cand) per gram — the ROUGE/BLEU counting rule, unlike
+    // ngram_jaccard's set semantics), and F1 collapses to the exact
+    // rational 2m/(n_ref + n_cand), emitted as a HALF_UP 1e6 cell —
+    // no floats anywhere. Bigram arrays guard the size<2 case
+    // (sequence(1,0) would DESCEND in Spark). 100 TB shape: two
+    // (doc, gram)-keyed count aggs + one equi-join on that key per n
+    // — the doc_repetition exchange pattern; per-doc outputs. */
+    "rouge_n" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("tk"))
+        .localCheckpoint(true)
+      val cand = docs.select(col("doc_id"),
+        expr("slice(tk, 1, CAST(greatest(size(tk) - 3, 1) AS INT))")
+          .as("tk"))
+      def bigrams(c: Column): Column = expr(
+        s"""CASE WHEN size(${c.toString}) >= 2 THEN
+           |  transform(sequence(1, size(${c.toString}) - 1),
+           |    i -> concat(element_at(${c.toString}, CAST(i AS INT)), ' ',
+           |                element_at(${c.toString}, CAST(i + 1 AS INT))))
+           |ELSE array() END""".stripMargin)
+      def grams(side: DataFrame, uni: Boolean): DataFrame =
+        side.select(col("doc_id"),
+          explode(if (uni) col("tk") else bigrams(col("tk"))).as("g"))
+      def stats(nm: String, refG: DataFrame, candG: DataFrame): DataFrame = {
+        val rc = refG.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("cr"))
+        val cc = candG.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("cc"))
+        val m = rc.join(cc, Seq("doc_id", "g"))
+          .groupBy(col("doc_id"))
+          .agg(sum(least(col("cr"), col("cc"))).as("m"))
+        rc.groupBy(col("doc_id")).agg(sum(col("cr")).as("nr"))
+          .join(cc.groupBy(col("doc_id")).agg(sum(col("cc")).as("nc")),
+            Seq("doc_id"), "full")
+          .join(m, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nr"), lit(0L)).as(s"nref_$nm"),
+            coalesce(col("nc"), lit(0L)).as(s"ncand_$nm"),
+            coalesce(col("m"), lit(0L)).as(s"m_$nm"))
+          .withColumn(s"rouge${nm}_f_x1e6", expr(
+            s"CASE WHEN nref_$nm + ncand_$nm > 0 THEN " +
+              s"(2 * 1000000 * m_$nm + (nref_$nm + ncand_$nm)) div " +
+              s"(2 * (nref_$nm + ncand_$nm)) ELSE 0L END"))
+      }
+      stats("1", grams(docs, uni = true), grams(cand, uni = true))
+        .join(stats("2", grams(docs, uni = false),
+          grams(cand, uni = false)), Seq("doc_id"), "full")
+        .na.fill(0L)
+    },
+
     // EXACT set-similarity join (round 9) — every pair at 3-gram
     // Jaccard ≥ 3/5 via prefix filtering (AllPairs/PPJoin), the
     // zero-false-negative complement to dedup_minhash's probabilistic
@@ -6242,6 +6297,74 @@ object ExtQueries {
         |                x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // rouge_n: the same clipped-multiset counting and HALF_UP F cells,
+    // candidate built by the identical token slice.
+    "rouge_n" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |cnd AS (SELECT doc_id,
+        |    list_slice(tk, 1, greatest(len(tk) - 3, 1)) AS tk FROM t),
+        |ru AS (SELECT doc_id, unnest(tk) AS g FROM t),
+        |cu AS (SELECT doc_id, unnest(tk) AS g FROM cnd),
+        |rp AS (SELECT doc_id, unnest(tk) AS w,
+        |         generate_subscripts(tk, 1) AS pos FROM t),
+        |cp AS (SELECT doc_id, unnest(tk) AS w,
+        |         generate_subscripts(tk, 1) AS pos FROM cnd),
+        |rb AS (SELECT doc_id, concat_ws(' ', w, nx) AS g FROM (
+        |         SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id
+        |           ORDER BY pos) AS nx FROM rp) WHERE nx IS NOT NULL),
+        |cb AS (SELECT doc_id, concat_ws(' ', w, nx) AS g FROM (
+        |         SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id
+        |           ORDER BY pos) AS nx FROM cp) WHERE nx IS NOT NULL),
+        |r1c AS (SELECT doc_id, g, count(*) AS cr FROM ru GROUP BY 1, 2),
+        |c1c AS (SELECT doc_id, g, count(*) AS cc FROM cu GROUP BY 1, 2),
+        |r2c AS (SELECT doc_id, g, count(*) AS cr FROM rb GROUP BY 1, 2),
+        |c2c AS (SELECT doc_id, g, count(*) AS cc FROM cb GROUP BY 1, 2),
+        |m1 AS (SELECT doc_id, sum(least(cr, cc)) AS m
+        |       FROM r1c JOIN c1c USING (doc_id, g) GROUP BY 1),
+        |m2 AS (SELECT doc_id, sum(least(cr, cc)) AS m
+        |       FROM r2c JOIN c2c USING (doc_id, g) GROUP BY 1),
+        |s1 AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         CAST(coalesce(a.nr, 0) AS BIGINT) AS nref_1,
+        |         CAST(coalesce(b.nc, 0) AS BIGINT) AS ncand_1
+        |       FROM (SELECT doc_id, sum(cr) AS nr FROM r1c GROUP BY 1) a
+        |       FULL JOIN (SELECT doc_id, sum(cc) AS nc FROM c1c
+        |                  GROUP BY 1) b USING (doc_id)),
+        |s2 AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         CAST(coalesce(a.nr, 0) AS BIGINT) AS nref_2,
+        |         CAST(coalesce(b.nc, 0) AS BIGINT) AS ncand_2
+        |       FROM (SELECT doc_id, sum(cr) AS nr FROM r2c GROUP BY 1) a
+        |       FULL JOIN (SELECT doc_id, sum(cc) AS nc FROM c2c
+        |                  GROUP BY 1) b USING (doc_id)),
+        |f1 AS (SELECT s1.doc_id, nref_1, ncand_1,
+        |         CAST(coalesce(m1.m, 0) AS BIGINT) AS m_1,
+        |         CAST(CASE WHEN nref_1 + ncand_1 > 0
+        |           THEN (2 * 1000000 * coalesce(m1.m, 0)
+        |                 + (nref_1 + ncand_1))
+        |                // (2 * (nref_1 + ncand_1)) ELSE 0 END AS BIGINT)
+        |           AS rouge1_f_x1e6
+        |       FROM s1 LEFT JOIN m1 USING (doc_id)),
+        |f2 AS (SELECT s2.doc_id, nref_2, ncand_2,
+        |         CAST(coalesce(m2.m, 0) AS BIGINT) AS m_2,
+        |         CAST(CASE WHEN nref_2 + ncand_2 > 0
+        |           THEN (2 * 1000000 * coalesce(m2.m, 0)
+        |                 + (nref_2 + ncand_2))
+        |                // (2 * (nref_2 + ncand_2)) ELSE 0 END AS BIGINT)
+        |           AS rouge2_f_x1e6
+        |       FROM s2 LEFT JOIN m2 USING (doc_id))
+        |SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
+        |       coalesce(nref_1, 0) AS nref_1,
+        |       coalesce(ncand_1, 0) AS ncand_1,
+        |       coalesce(m_1, 0) AS m_1,
+        |       coalesce(rouge1_f_x1e6, 0) AS rouge1_f_x1e6,
+        |       coalesce(nref_2, 0) AS nref_2,
+        |       coalesce(ncand_2, 0) AS ncand_2,
+        |       coalesce(m_2, 0) AS m_2,
+        |       coalesce(rouge2_f_x1e6, 0) AS rouge2_f_x1e6
+        |FROM f1 FULL JOIN f2 USING (doc_id)""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,

@@ -34,6 +34,26 @@ class ExtQueriesSpec extends SparkSpec {
     assert(both(7L + ExtQueries.NearDupOffset) == "one two three four five")
   }
 
+  test("rouge_n: prefix candidates score precision exactly 1; F cells bounded") {
+    val out = ExtQueries.queries("rouge_n")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, nr1, nc1, m1, f1, nr2, nc2, m2, f2) =>
+      // The candidate is an exact token PREFIX of the reference, so
+      // every candidate gram is matched clipped: m = n_cand exactly —
+      // ROUGE precision 1 for both orders, per document.
+      assert(m1 === nc1 && m2 === nc2)
+      assert(nc1 <= nr1 && nc2 <= nr2)
+      // F cells live in [0, 1e6]; the unigram F dominates the bigram F
+      // here because dropping 3 tokens removes 3 bigrams but 3 unigrams
+      // relative to one-smaller denominators.
+      assert(f1 >= 0 && f1 <= 1000000L && f2 >= 0 && f2 <= 1000000L)
+      if (nr1 > 0 && nc1 > 0) assert(f1 > 0)
+    }
+  }
+
   test("stratified_sample keeps exactly k per stratum, stable across runs") {
     val out = ExtQueries.queries("stratified_sample")(spark, sf)
     val perLang = out.groupBy("lang").count().collect()
