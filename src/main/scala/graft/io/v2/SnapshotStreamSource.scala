@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType, IntegerType,
   LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -138,21 +141,87 @@ class SnapshotLakeTable(root: String, schema0: StructType) extends Table
 
 class SnapshotScanBuilder(
     root: String, schema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Manifest-level FILE pruning (not row filtering): comparisons and
+    * equality on statted/Bloom'd LONG columns skip files whose zone
+    * map / Bloom filter cannot match — decided at planning from the
+    * log alone, zero footer reads on skipped files. EVERY filter is
+    * returned as residual (the readers decode whole files and do not
+    * evaluate predicates), so Spark re-applies them post-scan —
+    * pruning is purely an I/O win, semantics never depend on it. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(SnapshotScan.prunable)
+    filters // all residual: Spark still evaluates everything
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new SnapshotScan(root, required,
     startingVersion = options.getInt("startingVersion", 0),
     ignoreChanges = options.getBoolean("ignoreChanges", false),
-    versionAsOf = options.getInt("versionAsOf", -1))
+    versionAsOf = options.getInt("versionAsOf", -1),
+    pruneFilters = pushed)
+}
+
+object SnapshotScan {
+  /** Filters the manifest can act on. */
+  private[v2] def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v.isInstanceOf[java.lang.Number] ||
+      v.isInstanceOf[String]
+    case GreaterThan(_, v: java.lang.Number) => true
+    case GreaterThanOrEqual(_, v: java.lang.Number) => true
+    case LessThan(_, v: java.lang.Number) => true
+    case LessThanOrEqual(_, v: java.lang.Number) => true
+    case _ => false
+  }
+
+  /** Does `stat`'s manifest entry admit filter `f`? Missing stats ⇒
+    * must-scan (true). Zone maps answer ranges; Blooms answer
+    * equality (via the same string-form md5 the write side hashed). */
+  private[v2] def admits(stat: Snapshot.FileStat, f: Filter): Boolean = {
+    def lo(c: String) = stat.lo.get(c)
+    def hi(c: String) = stat.hi.get(c)
+    f match {
+      case EqualTo(c, v: java.lang.Number) =>
+        val x = v.longValue()
+        val zone = (lo(c), hi(c)) match {
+          case (Some(l), Some(h)) => l <= x && x <= h
+          case _ => true
+        }
+        zone && bloomAdmits(stat, c, v.toString)
+      case EqualTo(c, v: String) => bloomAdmits(stat, c, v)
+      case GreaterThan(c, v: java.lang.Number) =>
+        hi(c).forall(_ > v.longValue())
+      case GreaterThanOrEqual(c, v: java.lang.Number) =>
+        hi(c).forall(_ >= v.longValue())
+      case LessThan(c, v: java.lang.Number) =>
+        lo(c).forall(_ < v.longValue())
+      case LessThanOrEqual(c, v: java.lang.Number) =>
+        lo(c).forall(_ <= v.longValue())
+      case _ => true
+    }
+  }
+
+  private def bloomAdmits(stat: Snapshot.FileStat, c: String,
+      v: String): Boolean =
+    stat.bloom.get(c) match {
+      case Some((k, words)) =>
+        Snapshot.bloomMightContain(words, k, Snapshot.md5Hash60Jvm(v))
+      case None => true
+    }
 }
 
 class SnapshotScan(root: String, required: StructType,
     startingVersion: Int, ignoreChanges: Boolean,
-    versionAsOf: Int = -1) extends Scan with Batch {
+    versionAsOf: Int = -1,
+    pruneFilters: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -180,8 +249,11 @@ class SnapshotScan(root: String, required: StructType,
         s"file(s) carry deletion vectors (e.g. ${dvd.head}); purge DVs " +
         "with a rewrite commit (Compact.clusterBy/zOrderBy, overwrite) " +
         "or read via Snapshot.Lake.readAsOf, which applies them.")
-    state.map { case (f, _) => LakeFilePartition(
-      new Path(root, f.path).toString): InputPartition }.toArray
+    state
+      .filter { case (f, _) =>
+        pruneFilters.forall(SnapshotScan.admits(f, _)) }
+      .map { case (f, _) => LakeFilePartition(
+        new Path(root, f.path).toString): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

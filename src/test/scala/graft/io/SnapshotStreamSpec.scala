@@ -135,6 +135,33 @@ class SnapshotStreamSpec extends SparkSpec {
       .load(lake.root).count() === 15)
   }
 
+  test("batch filter pushdown: zone maps and Blooms prune FILES at planning") {
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-push-").toString,
+      statsCols = Seq("k"), bloomCols = Seq("v"))
+    lake.append(kv(0, 1600))
+    Compact.clusterBy(lake, "k", 16) // disjoint k ranges, fresh v Blooms
+    val all = spark.read.format(Fmt).load(lake.root).rdd.getNumPartitions
+    assert(all >= 8)
+    // Range predicate on the statted column: most files skip.
+    val ranged = spark.read.format(Fmt).load(lake.root)
+      .filter(col("k") >= 100L && col("k") < 200L)
+    assert(ranged.rdd.getNumPartitions < all / 2,
+      s"zone maps must prune: ${ranged.rdd.getNumPartitions} of $all")
+    // Residual evaluation keeps semantics exact regardless of pruning.
+    assert(ranged.select("k").as[Long].collect().sorted.toSeq ===
+      (100L until 200L))
+    // Point predicate on the Bloom'd string column.
+    val point = spark.read.format(Fmt).load(lake.root)
+      .filter(col("v") === "row777")
+    assert(point.rdd.getNumPartitions < all / 2,
+      s"bloom must prune: ${point.rdd.getNumPartitions} of $all")
+    assert(point.count() === 1)
+    // Absent value: zero rows whatever the false-positive draw.
+    assert(spark.read.format(Fmt).load(lake.root)
+      .filter(col("v") === "no-such-row").count() === 0)
+  }
+
   test("schema evolution: stream carries the union schema, old files null-fill") {
     val lake = freshLake()
     lake.append(kv(0, 5))
