@@ -53,11 +53,11 @@ object Maintain {
       if (dvDebt) Some(s"dv-debt($masked/$rows)") else None
     ).flatten.mkString("+")
     val df = lake.read()
+    val nOut = math.min(desired, Int.MaxValue.toLong).toInt
     val v = clusterCol match {
       case Some(c) => lake.overwrite(
-        df.repartitionByRange(desired.toInt, col(c))
-          .sortWithinPartitions(c))
-      case None => lake.overwrite(df.repartition(desired.toInt))
+        df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c))
+      case None => lake.overwrite(df.repartition(nOut))
     }
     Report(acted = true, reason, Some(v), files,
       lake.liveFiles(v).size, masked)

@@ -164,6 +164,13 @@ object Snapshot {
   def replayLive(window: Seq[Commit]): Seq[FileStat] =
     replayState(window).map(_._1)
 
+  /** Per-root publish locks — in-process multi-writer exclusion for
+    * the exists+rename critical section ([[Lake.tryPublish]]). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[io] def publishLock(root: String): Object =
+    publishLocks.computeIfAbsent(root, _ => new Object)
+
   /** Manifest Bloom filter geometry — baked into every serialized
     * filter (k rides each log segment; m is the word-array length), so
     * changing the defaults never mis-probes existing files. 1024 bits
@@ -883,11 +890,27 @@ object Snapshot {
           case None => s"add\t$rel\t0" // all-null/empty file: no stats
         }
       }
-      val record = (s"v\t$version" +: addLines) ++
+      def record(v: Int) = (s"v\t$v" +: addLines) ++
         removed.map(p => s"rm\t$p") ++ dvLines ++
         txn.map { case (w, b) => s"txn\t$w\t$b" }
-      publish(record, version)
-      version
+      // Optimistic concurrency (the Delta conflict-resolution rule):
+      // a PURE APPEND commutes with whatever the racing writer did —
+      // its new files reference nothing prior — so on a version
+      // conflict it simply re-reads the log and re-publishes at the
+      // next slot (the data files are already on disk and their rel
+      // paths are version-independent via the uuid; only the log
+      // record's version line moves). Anything that REMOVES or MASKS
+      // files was computed against a snapshot that no longer is the
+      // head — that must keep failing loudly (lost-update protection),
+      // as [[publish]] does.
+      if (removed.isEmpty && dvLines.isEmpty) {
+        var v = version
+        while (!tryPublish(record(v), v)) v = latestVersion + 1
+        v
+      } else {
+        publish(record(version), version)
+        version
+      }
     }
 
     /** The atomic publish point — (2) tmp record, (3) rename to the
@@ -896,7 +919,20 @@ object Snapshot {
       * pre-check matters on LocalFileSystem, whose rename REPLACES an
       * existing destination (POSIX rename(2)) — on HDFS-like stores
       * the rename itself refuses and the check is a fast path. */
-    private[io] def publish(record: Seq[String], version: Int): Unit = {
+    private[io] def publish(record: Seq[String], version: Int): Unit =
+      if (!tryPublish(record, version))
+        sys.error(s"commit conflict: version $version already published " +
+          s"at $root (concurrent writer won)")
+
+    /** The conflict-signalling publish: false when the version slot was
+      * taken by a racing writer ([[commit]]'s pure-append retry path).
+      * The exists+rename pair runs under a per-root JVM lock:
+      * LocalFileSystem's rename REPLACES an existing destination
+      * (POSIX rename(2)), so in-process racers need the critical
+      * section; on HDFS-like stores the rename itself refuses and the
+      * lock only de-noises the retry loop. Cross-PROCESS exclusion is
+      * the store's atomic-rename contract, as in Delta. */
+    private def tryPublish(record: Seq[String], version: Int): Boolean = {
       fs.mkdirs(logPath)
       val tmp = new Path(logPath,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -904,10 +940,11 @@ object Snapshot {
       try out.write((record.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       val target = new Path(logPath, f"$version%08d.commit")
-      if (fs.exists(target) || !fs.rename(tmp, target)) {
-        fs.delete(tmp, false)
-        sys.error(s"commit conflict: version $version already published " +
-          s"at $root (concurrent writer won)")
+      Snapshot.publishLock(root).synchronized {
+        if (fs.exists(target) || !fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          false
+        } else true
       }
     }
   }

@@ -261,6 +261,37 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.vacuum(keepSnapshots = 2) === 0)
   }
 
+  test("optimistic concurrency: racing pure appends all land; rewrites still lose loudly") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val lake = freshLake()
+    // 8 writers race 8 disjoint appends — appends commute (Delta's
+    // conflict rule), so every one must land, retrying through version
+    // conflicts rather than failing.
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 8).map { i =>
+        Future(lake.append(kv(i * 100L, i * 100L + 100L)))
+      }
+      val versions = Await.result(Future.sequence(futures), 120.seconds)
+      assert(versions.sorted === (0 until 8))
+      assert(lake.read().count() === 800)
+      assert(lake.read().select("k").distinct().count() === 800)
+    } finally pool.shutdown()
+    // A REMOVING commit computed against a stale head must not retry
+    // blindly: steal its version slot and watch it fail loudly.
+    val lv = lake.latestVersion
+    lake.publish(Seq(s"v\t${lv + 1}"), lv + 1) // the racing writer wins
+    // overwrite recomputes from the CURRENT head internally, so to
+    // pin the stale-slot failure we race at the publish layer again:
+    val thrown = intercept[RuntimeException] {
+      lake.publish(Seq(s"v\t${lv + 1}", "rm\tdata/nope"), lv + 1)
+    }
+    assert(thrown.getMessage.contains("commit conflict"))
+  }
+
   test("MOR delete: deletion vectors skip rows, nothing rewrites, CDC/COW/restore/vacuum compose") {
     import spark.implicits._
     val lake = freshLake()
