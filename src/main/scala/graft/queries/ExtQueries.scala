@@ -88,6 +88,32 @@ object ExtQueries {
         statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"))
     }
 
+  /** (reference, candidate) token frames for the eval-metric queries
+    * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
+    * a token slice (last 3 tokens dropped, min 1 kept). */
+  private def refCandTokens(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      TextOps.tokens(col("text")).as("tk"))
+      .localCheckpoint(true)
+    val cand = docs.select(col("doc_id"),
+      expr("slice(tk, 1, CAST(greatest(size(tk) - 3, 1) AS INT))")
+        .as("tk"))
+    (docs, cand)
+  }
+
+  /** `tk`-relative n-gram array SQL, size-guarded (Spark's
+    * sequence(1, 0) DESCENDS — short docs must yield array()). */
+  private def ngramSql(n: Int): String =
+    if (n == 1) "tk"
+    else {
+      val parts = (0 until n)
+        .map(j => s"element_at(tk, CAST(i + $j AS INT))").mkString(", ")
+      s"CASE WHEN size(tk) >= $n THEN " +
+        s"transform(sequence(1, size(tk) - ${n - 1}), " +
+        s"i -> concat_ws(' ', $parts)) ELSE array() END"
+    }
+
   /** documents ∪ a perturbed copy (last 3 tokens dropped,
     * doc_id + [[NearDupOffset]]) — gives the near-dup detectors true
     * positives to find while still deriving every byte from the
@@ -550,6 +576,50 @@ object ExtQueries {
         col("doc_id"), col("text"), threshold = 0.5)
     },
 
+    // Corpus-level BLEU components (round 14) — Papineni et al. 2002
+    // beside rouge_n's per-doc recall view: clipped n-gram PRECISION
+    // for n = 1..4 summed over the corpus (BLEU's counting rule:
+    // Σ_docs Σ_grams min(count_cand, count_ref) over Σ candidate
+    // grams), plus the brevity inputs (candidate/reference lengths,
+    // their HALF_UP 1e6 ratio, and whether the penalty regime
+    // applies). The geometric mean and exp(1−r/c) stay OUT of the
+    // contract — transcendentals would gamble on cross-engine libm;
+    // the emitted components reconstruct the score in one line
+    // downstream. Same tagged-gram plan as rouge_n, four orders in
+    // ONE (doc, n, g) exchange per side. */
+    "bleu_corpus" -> { (s, d) =>
+      val (docs, cand) = refCandTokens(s, d)
+      def grams(side: DataFrame): DataFrame =
+        (1 to 4).map(n => side.select(col("doc_id"),
+          lit(n.toLong).as("n"), explode(expr(ngramSql(n))).as("g")))
+          .reduce(_ unionByName _)
+      val rc = grams(docs).groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cr")).localCheckpoint(true)
+      val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cc")).localCheckpoint(true)
+      val m = rc.join(cc, Seq("doc_id", "n", "g"))
+        .groupBy(col("n")).agg(sum(least(col("cr"), col("cc"))).as("m"))
+      val tot = cc.groupBy(col("n")).agg(sum(col("cc")).as("tot"))
+      val rlen = rc.filter(col("n") === 1)
+        .agg(sum(col("cr")).as("r_len"))
+      val perN = tot.join(m, Seq("n"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+      val aggs = (1 to 4).flatMap(n => Seq(
+        sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"m_$n"),
+        sum(when(col("n") === n, col("tot")).otherwise(0L)).as(s"tot_$n")))
+      perN.agg(aggs.head, aggs.tail: _*)
+        .crossJoin(broadcast(rlen))
+        .selectExpr(Seq("r_len", "tot_1 AS c_len",
+          "CASE WHEN r_len > 0 THEN " +
+            "(2 * 1000000 * tot_1 + r_len) div (2 * r_len) " +
+            "ELSE 0L END AS len_ratio_x1e6",
+          "tot_1 < r_len AS brevity_applied") ++
+          (1 to 4).flatMap(n => Seq(s"m_$n", s"tot_$n",
+            s"CASE WHEN tot_$n > 0 THEN " +
+              s"(2 * 1000000 * m_$n + tot_$n) div (2 * tot_$n) " +
+              s"ELSE 0L END AS p${n}_x1e6")): _*)
+    },
+
     // ROUGE-1/2 F1 (round 14) — the summarization-eval metric as a
     // corpus operator (Lin 2004): per document, candidate = the
     // near-dup perturbation (last 3 tokens dropped — the withNearDups
@@ -563,46 +633,51 @@ object ExtQueries {
     // (doc, gram)-keyed count aggs + one equi-join on that key per n
     // — the doc_repetition exchange pattern; per-doc outputs. */
     "rouge_n" -> { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"),
-        TextOps.tokens(col("text")).as("tk"))
-        .localCheckpoint(true)
-      val cand = docs.select(col("doc_id"),
-        expr("slice(tk, 1, CAST(greatest(size(tk) - 3, 1) AS INT))")
-          .as("tk"))
-      def bigrams(c: Column): Column = expr(
-        s"""CASE WHEN size(${c.toString}) >= 2 THEN
-           |  transform(sequence(1, size(${c.toString}) - 1),
-           |    i -> concat(element_at(${c.toString}, CAST(i AS INT)), ' ',
-           |                element_at(${c.toString}, CAST(i + 1 AS INT))))
-           |ELSE array() END""".stripMargin)
-      def grams(side: DataFrame, uni: Boolean): DataFrame =
-        side.select(col("doc_id"),
-          explode(if (uni) col("tk") else bigrams(col("tk"))).as("g"))
-      def stats(nm: String, refG: DataFrame, candG: DataFrame): DataFrame = {
-        val rc = refG.groupBy(col("doc_id"), col("g"))
-          .agg(count(lit(1)).as("cr"))
-        val cc = candG.groupBy(col("doc_id"), col("g"))
-          .agg(count(lit(1)).as("cc"))
-        val m = rc.join(cc, Seq("doc_id", "g"))
-          .groupBy(col("doc_id"))
-          .agg(sum(least(col("cr"), col("cc"))).as("m"))
-        rc.groupBy(col("doc_id")).agg(sum(col("cr")).as("nr"))
-          .join(cc.groupBy(col("doc_id")).agg(sum(col("cc")).as("nc")),
-            Seq("doc_id"), "full")
-          .join(m, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("nr"), lit(0L)).as(s"nref_$nm"),
-            coalesce(col("nc"), lit(0L)).as(s"ncand_$nm"),
-            coalesce(col("m"), lit(0L)).as(s"m_$nm"))
-          .withColumn(s"rouge${nm}_f_x1e6", expr(
-            s"CASE WHEN nref_$nm + ncand_$nm > 0 THEN " +
-              s"(2 * 1000000 * m_$nm + (nref_$nm + ncand_$nm)) div " +
-              s"(2 * (nref_$nm + ncand_$nm)) ELSE 0L END"))
-      }
-      stats("1", grams(docs, uni = true), grams(cand, uni = true))
-        .join(stats("2", grams(docs, uni = false),
-          grams(cand, uni = false)), Seq("doc_id"), "full")
-        .na.fill(0L)
+      val (docs, cand) = refCandTokens(s, d)
+      // ONE tagged gram stream per side — unigrams and bigrams share
+      // the (doc, n, g) count exchange and the single clipped join;
+      // the per-n columns then pivot out with conditional sums on the
+      // doc-keyed frame (2 exchanges + 1 join total, not 4 + 2).
+      def grams(side: DataFrame): DataFrame =
+        side.select(col("doc_id"), lit(1L).as("n"),
+            explode(expr(ngramSql(1))).as("g"))
+          .unionByName(side.select(col("doc_id"), lit(2L).as("n"),
+            explode(expr(ngramSql(2))).as("g")))
+      val rc = grams(docs).groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cr")).localCheckpoint(true)
+      val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cc")).localCheckpoint(true)
+      val m = rc.join(cc, Seq("doc_id", "n", "g"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(least(col("cr"), col("cc"))).as("m"))
+      def side(cnts: DataFrame, c: String, out: String): DataFrame =
+        cnts.groupBy(col("doc_id"), col("n"))
+          .agg(sum(col(c)).as(out))
+      side(rc, "cr", "nr")
+        .join(side(cc, "cc", "nc"), Seq("doc_id", "n"), "full")
+        .join(m, Seq("doc_id", "n"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("n") === 1, coalesce(col("nr"), lit(0L)))
+            .otherwise(0L)).as("nref_1"),
+          sum(when(col("n") === 1, coalesce(col("nc"), lit(0L)))
+            .otherwise(0L)).as("ncand_1"),
+          sum(when(col("n") === 1, coalesce(col("m"), lit(0L)))
+            .otherwise(0L)).as("m_1"),
+          sum(when(col("n") === 2, coalesce(col("nr"), lit(0L)))
+            .otherwise(0L)).as("nref_2"),
+          sum(when(col("n") === 2, coalesce(col("nc"), lit(0L)))
+            .otherwise(0L)).as("ncand_2"),
+          sum(when(col("n") === 2, coalesce(col("m"), lit(0L)))
+            .otherwise(0L)).as("m_2"))
+        .selectExpr("doc_id", "nref_1", "ncand_1", "m_1",
+          "CASE WHEN nref_1 + ncand_1 > 0 THEN " +
+            "(2 * 1000000 * m_1 + (nref_1 + ncand_1)) div " +
+            "(2 * (nref_1 + ncand_1)) ELSE 0L END AS rouge1_f_x1e6",
+          "nref_2", "ncand_2", "m_2",
+          "CASE WHEN nref_2 + ncand_2 > 0 THEN " +
+            "(2 * 1000000 * m_2 + (nref_2 + ncand_2)) div " +
+            "(2 * (nref_2 + ncand_2)) ELSE 0L END AS rouge2_f_x1e6")
     },
 
     // EXACT set-similarity join (round 9) — every pair at 3-gram
@@ -6297,6 +6372,89 @@ object ExtQueries {
         |                x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // bleu_corpus: the same tagged-gram clipped counting, four orders
+    // via lead windows; the brevity inputs and HALF_UP precision cells
+    // replay exactly.
+    "bleu_corpus" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |cnd AS (SELECT doc_id,
+        |    list_slice(tk, 1, greatest(len(tk) - 3, 1)) AS tk FROM t),
+        |rp AS (SELECT doc_id, unnest(tk) AS w,
+        |         generate_subscripts(tk, 1) AS pos FROM t),
+        |cp AS (SELECT doc_id, unnest(tk) AS w,
+        |         generate_subscripts(tk, 1) AS pos FROM cnd),
+        |rg AS (
+        |  SELECT doc_id, 1 AS n, w AS g FROM rp
+        |  UNION ALL SELECT doc_id, 2, concat_ws(' ', w, w1) FROM (
+        |    SELECT doc_id, w, lead(w, 1) OVER win AS w1 FROM rp
+        |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |    WHERE w1 IS NOT NULL
+        |  UNION ALL SELECT doc_id, 3, concat_ws(' ', w, w1, w2) FROM (
+        |    SELECT doc_id, w, lead(w, 1) OVER win AS w1,
+        |           lead(w, 2) OVER win AS w2 FROM rp
+        |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |    WHERE w2 IS NOT NULL
+        |  UNION ALL SELECT doc_id, 4, concat_ws(' ', w, w1, w2, w3) FROM (
+        |    SELECT doc_id, w, lead(w, 1) OVER win AS w1,
+        |           lead(w, 2) OVER win AS w2,
+        |           lead(w, 3) OVER win AS w3 FROM rp
+        |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |    WHERE w3 IS NOT NULL),
+        |cg AS (
+        |  SELECT doc_id, 1 AS n, w AS g FROM cp
+        |  UNION ALL SELECT doc_id, 2, concat_ws(' ', w, w1) FROM (
+        |    SELECT doc_id, w, lead(w, 1) OVER win AS w1 FROM cp
+        |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |    WHERE w1 IS NOT NULL
+        |  UNION ALL SELECT doc_id, 3, concat_ws(' ', w, w1, w2) FROM (
+        |    SELECT doc_id, w, lead(w, 1) OVER win AS w1,
+        |           lead(w, 2) OVER win AS w2 FROM cp
+        |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |    WHERE w2 IS NOT NULL
+        |  UNION ALL SELECT doc_id, 4, concat_ws(' ', w, w1, w2, w3) FROM (
+        |    SELECT doc_id, w, lead(w, 1) OVER win AS w1,
+        |           lead(w, 2) OVER win AS w2,
+        |           lead(w, 3) OVER win AS w3 FROM cp
+        |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |    WHERE w3 IS NOT NULL),
+        |rcn AS (SELECT doc_id, n, g, count(*) AS cr FROM rg GROUP BY 1, 2, 3),
+        |ccn AS (SELECT doc_id, n, g, count(*) AS cc FROM cg GROUP BY 1, 2, 3),
+        |mm AS (SELECT n, CAST(sum(least(cr, cc)) AS BIGINT) AS m
+        |       FROM rcn JOIN ccn USING (doc_id, n, g) GROUP BY 1),
+        |tt AS (SELECT n, CAST(sum(cc) AS BIGINT) AS tot FROM ccn GROUP BY 1),
+        |agg AS (SELECT
+        |  (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rcn WHERE n = 1)
+        |    AS r_len,
+        |  (SELECT coalesce(tot, 0) FROM tt WHERE n = 1) AS tot_1,
+        |  (SELECT coalesce(m, 0) FROM mm WHERE n = 1) AS m_1,
+        |  (SELECT coalesce(tot, 0) FROM tt WHERE n = 2) AS tot_2,
+        |  (SELECT coalesce(m, 0) FROM mm WHERE n = 2) AS m_2,
+        |  (SELECT coalesce(tot, 0) FROM tt WHERE n = 3) AS tot_3,
+        |  (SELECT coalesce(m, 0) FROM mm WHERE n = 3) AS m_3,
+        |  (SELECT coalesce(tot, 0) FROM tt WHERE n = 4) AS tot_4,
+        |  (SELECT coalesce(m, 0) FROM mm WHERE n = 4) AS m_4)
+        |SELECT r_len, tot_1 AS c_len,
+        |  CAST(CASE WHEN r_len > 0 THEN
+        |    (2 * 1000000 * tot_1 + r_len) // (2 * r_len)
+        |    ELSE 0 END AS BIGINT) AS len_ratio_x1e6,
+        |  tot_1 < r_len AS brevity_applied,
+        |  m_1, tot_1, CAST(CASE WHEN tot_1 > 0 THEN
+        |    (2 * 1000000 * m_1 + tot_1) // (2 * tot_1) ELSE 0 END
+        |    AS BIGINT) AS p1_x1e6,
+        |  m_2, tot_2, CAST(CASE WHEN tot_2 > 0 THEN
+        |    (2 * 1000000 * m_2 + tot_2) // (2 * tot_2) ELSE 0 END
+        |    AS BIGINT) AS p2_x1e6,
+        |  m_3, tot_3, CAST(CASE WHEN tot_3 > 0 THEN
+        |    (2 * 1000000 * m_3 + tot_3) // (2 * tot_3) ELSE 0 END
+        |    AS BIGINT) AS p3_x1e6,
+        |  m_4, tot_4, CAST(CASE WHEN tot_4 > 0 THEN
+        |    (2 * 1000000 * m_4 + tot_4) // (2 * tot_4) ELSE 0 END
+        |    AS BIGINT) AS p4_x1e6
+        |FROM agg""".stripMargin,
 
     // rouge_n: the same clipped-multiset counting and HALF_UP F cells,
     // candidate built by the identical token slice.

@@ -54,6 +54,21 @@ class ExtQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bleu_corpus: prefix candidates give perfect clipped precision; brevity applies") {
+    val r = ExtQueries.queries("bleu_corpus")(spark, sf).collect().head
+    val rLen = r.getLong(0); val cLen = r.getLong(1)
+    // Candidates are strict token prefixes: shorter than references…
+    assert(cLen < rLen && r.getBoolean(3), "brevity regime must apply")
+    assert(r.getLong(2) < 1000000L) // len ratio below 1
+    // …and every candidate n-gram appears in its reference, so every
+    // clipped precision is exactly 1e6 (m_n = tot_n for n = 1..4).
+    Seq((4, 5, 6), (7, 8, 9), (10, 11, 12), (13, 14, 15)).foreach {
+      case (mi, ti, pi) =>
+        assert(r.getLong(mi) === r.getLong(ti))
+        assert(r.getLong(pi) === 1000000L)
+    }
+  }
+
   test("stratified_sample keeps exactly k per stratum, stable across runs") {
     val out = ExtQueries.queries("stratified_sample")(spark, sf)
     val perLang = out.groupBy("lang").count().collect()
