@@ -1633,6 +1633,37 @@ object AnalyticsQueries {
           col("surv_x1e12"))
     },
 
+    // Gini coefficient (round 14) — the inequality-of-concentration
+    // scalar beside value_concentration's threshold filter (Gini 1912;
+    // the classic spend/market-share concentration audit): over
+    // per-customer total spend cents, G = (2·Σ i·x_(i) − (n+1)·Σx) /
+    // (n·Σx) with ascending ranks i — computed EXACTLY on the
+    // compressed per-value histogram (ties contribute v·(c·C_before +
+    // c(c+1)/2), so no row-level rank sort exists; the mad_outliers
+    // compression move), DECIMAL(38,0)-routed, HALF_UP 1e6 cell.
+    // 100 TB shape: one custkey agg (map-side combinable), one hash
+    // agg to the distinct-spend histogram, one bounded window on it.
+    "gini_index" -> { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("x"))
+      val hist = spend.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .agg(sum(col("c")).as("n_customers"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * c")).as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * " +
+            "(c * cb + (c * (c + 1)) div 2)")).as("sxi"))
+        .selectExpr("n_customers",
+          "CAST(sx AS BIGINT) AS sum_cents",
+          "CAST(CASE WHEN n_customers > 0 AND sx > 0 THEN " +
+            "(2 * 1000000 * (2 * sxi - (n_customers + 1) * sx) " +
+            "+ n_customers * sx) div (2 * n_customers * sx) " +
+            "ELSE 0 END AS BIGINT) AS gini_x1e6")
+    },
+
     // Mann-Whitney U rank test (round 14) — the NONPARAMETRIC two-
     // sample companion to ab_chisq (proportions) and ks_drift
     // (distribution distance): does arm B's value distribution
@@ -1963,6 +1994,31 @@ object AnalyticsQueries {
          |SELECT t, n_risk, n_event, n_censor,
          |       CAST(sv AS BIGINT) AS surv_x1e12
          |FROM rec""".stripMargin,
+
+    // gini_index: the tie-compressed rank-sum identity replays in
+    // HUGEINT over the same histogram.
+    "gini_index" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1),
+        |r AS (SELECT x, c,
+        |        coalesce(sum(c) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cb
+        |      FROM h),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_customers,
+        |        sum(CAST(x AS HUGEINT) * c) AS sx,
+        |        sum(CAST(x AS HUGEINT) *
+        |            (c * cb + (c * (c + 1)) // 2)) AS sxi
+        |      FROM r)
+        |SELECT n_customers, CAST(sx AS BIGINT) AS sum_cents,
+        |       CAST(CASE WHEN n_customers > 0 AND sx > 0 THEN
+        |         (2 * 1000000 * (2 * sxi - (n_customers + 1) * sx)
+        |          + n_customers * sx) // (2 * n_customers * sx)
+        |         ELSE 0 END AS BIGINT) AS gini_x1e6
+        |FROM a""".stripMargin,
 
     // mannwhitney_u: doubled midranks on the compressed histogram keep
     // every tie exact; z replays as the identical IEEE tree over the

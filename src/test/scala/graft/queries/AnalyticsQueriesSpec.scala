@@ -65,6 +65,25 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0)
   }
 
+  test("gini_index: tie-compressed identity equals the brute-force sorted-rank Gini") {
+    val r = AnalyticsQueries.queries("gini_index")(spark, sf).collect().head
+    val (n, sum, cell) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(cell >= 0 && cell < 1000000L)
+    // Brute force on the spec SF: collect spends, sort, rank formula.
+    val xs = graft.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS LONG)) AS LONG)")
+        .as("x"))
+      .collect().map(_.getLong(1)).sorted
+    assert(xs.length.toLong === n && xs.map(BigInt(_)).sum === BigInt(sum))
+    val sxi = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val sx = xs.map(BigInt(_)).sum
+    val num = 2 * (2 * sxi - (BigInt(n) + 1) * sx) * 1000000 + BigInt(n) * sx
+    val want = num / (2 * BigInt(n) * sx)
+    assert(BigInt(cell) === want)
+  }
+
   test("holt_linear: initialization, forecast identity, level tracks the series") {
     val out = AnalyticsQueries.queries("holt_linear")(spark, sf)
       .orderBy("day").collect()
