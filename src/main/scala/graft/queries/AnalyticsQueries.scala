@@ -1745,6 +1745,10 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"),
           longExact(sum(col("cents").cast("decimal(38,0)")))
             .as("sum_cents"))
+        // seam: the ≤24-row frame feeds BOTH the output and the totals
+        // re-aggregate — without it Spark re-plans the corpus scan for
+        // the totals branch (PlanSpec's one-scan guard).
+        .localCheckpoint(true)
       val tot = byHour.agg(sum(col("n_rows")).as("n_tot"),
         longExact(sum(col("sum_cents").cast("decimal(38,0)")))
           .as("sum_tot"))

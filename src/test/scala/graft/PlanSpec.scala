@@ -753,4 +753,42 @@ class PlanSpec extends SparkSpec {
     // the "*(n)" prefix is toString's whole-stage-codegen marker
     assert(p.contains("*(1) Project"), "kernel must inline into codegen")
   }
+
+  test("seasonal_decompose: totals never rescan the corpus; no row-level window") {
+    val p = plan("seasonal_decompose")
+    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+    // The corpus scan lives behind the ≤24-row checkpoint seam; the
+    // visible plan (output + totals re-aggregate) reads NO parquet —
+    // a second FileScan here would mean the totals branch re-planned
+    // the corpus scan.
+    assert(n("FileScan parquet") == 0,
+      s"expected zero visible scans, got ${n("FileScan parquet")}:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("mannwhitney_u: the midrank window rides the compressed histogram") {
+    val p = plan("mannwhitney_u")
+    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+    // scan → (y) hash agg → single-partition window over ≤|distinct
+    // centi values| rows → final agg: exactly one events scan and the
+    // aggregate exchanges; the Window exists but ONLY above the
+    // compressed frame (its child contains the HashAggregate).
+    assert(n("FileScan parquet") == 1)
+    assert(p.contains("Window"), "midrank window expected")
+    val winIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", winIdx) > winIdx,
+      s"window must sit above the compressing aggregate:\n$p")
+  }
+
+  test("rouge_n: both gram orders share one tagged count exchange per side") {
+    val p = plan("rouge_n")
+    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+    // The checkpointed (doc, n, g) count frames hide their own stages;
+    // what remains is the clipped join + per-n pivots on doc-keyed
+    // frames — no gram-keyed exchange may reappear, and nothing may
+    // broadcast a corpus-sized side.
+    assert(n("Exchange hashpartitioning") <= 6,
+      s"expected the bounded doc-keyed exchanges only, got:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
