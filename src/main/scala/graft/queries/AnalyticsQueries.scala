@@ -1633,6 +1633,111 @@ object AnalyticsQueries {
           col("surv_x1e12"))
     },
 
+    // Kruskal-Wallis H (round 14) — the k-group RANK test beside
+    // anova_f's parametric means (Kruskal & Wallis 1952; the k-sample
+    // generalization of mannwhitney_u, same doubled-midrank machinery
+    // on the compressed histogram): with doubled rank sums R2_g the
+    // tie-corrected statistic collapses to the EXACT rational
+    // H = 3·(A − N(N+1)²)·(N−1) / ((N³−N) − T), where A = Σ_g
+    // HALF_UP(R2_g²/n_g) (the rounded-term contract — order-free
+    // integer summation), T = Σ(t³−t). Emitted as a HALF_UP 1e3 cell;
+    // significance is a PURE INTEGER cross-multiplied compare against
+    // the χ²(k−1) 5% critical value 9.488. 100 TB shape: one
+    // (y, type) hash agg, the midrank window on the compressed
+    // histogram, then k-row arithmetic.
+    "kruskal_wallis" -> { (s, d) =>
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft kruskal_wallis: statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
+      val e = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      val grp = e.groupBy(col("y"), col("event_type"))
+        .agg(count(lit(1)).as("cg")).localCheckpoint(true)
+      val tot = grp.groupBy(col("y")).agg(sum(col("cg")).as("c"))
+      val wv = Window.orderBy(col("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = tot.withColumn("cumb",
+        coalesce(sum(col("c")).over(wv), lit(0L)))
+      val r2 = grp.join(ranked, "y")
+        .groupBy(col("event_type"))
+        .agg(sum(col("cg")).as("ng"),
+          longExact(sum(expr(
+            "CAST(cg AS DECIMAL(38,0)) * (2 * cumb + c + 1)")))
+            .as("r2"))
+      val ties = ranked.agg(longExact(sum(expr(
+        "CAST(c AS DECIMAL(38,0)) * c * c - c"))).as("t3"))
+      r2.select(col("ng"), col("r2"),
+          longExact(expr(
+            "(2 * CAST(r2 AS DECIMAL(38,0)) * r2 + ng) div (2 * ng)"))
+            .as("ug"))
+        .agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+          longExact(sum(col("ug").cast("decimal(38,0)"))).as("a"))
+        .crossJoin(broadcast(ties))
+        .selectExpr("n", "k", "a", "t3",
+          "CAST(a AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0)) * (n + 1)" +
+            " * (n + 1) AS hnum0",
+          "CAST(n AS DECIMAL(38,0)) * n * n - n - t3 AS hden")
+        .selectExpr("n", "k", "a", "t3",
+          "CAST(CASE WHEN hnum0 >= 0 THEN " +
+            "(2 * 3000 * hnum0 * (n - 1) + hden) div (2 * hden) " +
+            "ELSE -((2 * 3000 * (-hnum0) * (n - 1) + hden) div (2 * hden))" +
+            " END AS BIGINT) AS h_x1e3",
+          "1000 * 3 * hnum0 * (n - 1) > 9488 * hden AS significant")
+    },
+
+    // One-way ANOVA (round 14) — the k-group mean test completing the
+    // family (ab_chisq = proportions, mannwhitney_u = two-sample
+    // ranks, THIS = k-sample means; Fisher 1925): does mean centi-
+    // value differ across the five event types? Sufficient statistics
+    // are exact (n_g, Σy, Σy² per group, DECIMAL(38,0)-routed); the
+    // per-group s_g²/n_g terms round HALF_UP at integer scale AS THE
+    // CONTRACT (a raw double Σ over groups would be summation-order-
+    // dependent; rounded integer terms sum exactly), giving exact SSB
+    // and SSW. Significance is a PURE INTEGER compare against the
+    // F(4, ∞) 5% critical value 2.372 (1000·SSB·(N−k) > 2372·SSW·
+    // (k−1)); the F value itself is one fixed IEEE tree over the same
+    // exact int64 inputs (autocorr convention). 100 TB shape: ONE
+    // partial+final hash agg to k=5 rows; everything after is
+    // driver-free arithmetic on that bounded frame.
+    "anova_f" -> { (s, d) =>
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft anova_f: statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
+      val e = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      val g = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("ng"),
+        longExact(sum(col("y").cast("decimal(38,0)"))).as("sg"),
+        longExact(sum(expr("CAST(y AS DECIMAL(38,0)) * y"))).as("qg"))
+        .localCheckpoint(true)
+      val terms = g.select(col("ng"), col("sg"), col("qg"),
+        longExact(expr(
+          "(2 * CAST(sg AS DECIMAL(38,0)) * sg + ng) div (2 * ng)"))
+          .as("tg"))
+      terms.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+          longExact(sum(col("sg").cast("decimal(38,0)"))).as("st"),
+          longExact(sum(col("qg").cast("decimal(38,0)"))).as("qt"),
+          longExact(sum(col("tg").cast("decimal(38,0)"))).as("a"))
+        .selectExpr("n", "k", "st", "qt",
+          "a - ((2 * CAST(st AS DECIMAL(38,0)) * st + n) div (2 * n))" +
+            " AS ssb",
+          "qt - a AS ssw")
+        .selectExpr("n", "k", "CAST(ssb AS BIGINT) AS ssb",
+          "CAST(ssw AS BIGINT) AS ssw",
+          "(CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) / " +
+            "(CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - " +
+            "CAST(k AS DOUBLE))) AS f",
+          "1000 * CAST(ssb AS DECIMAL(38,0)) * (n - k) > " +
+            "2372 * CAST(ssw AS DECIMAL(38,0)) * (k - 1)" +
+            " AS significant")
+    },
+
     // Gini coefficient (round 14) — the inequality-of-concentration
     // scalar beside value_concentration's threshold filter (Gini 1912;
     // the classic spend/market-share concentration audit): over
@@ -1998,6 +2103,79 @@ object AnalyticsQueries {
          |SELECT t, n_risk, n_event, n_censor,
          |       CAST(sv AS BIGINT) AS surv_x1e12
          |FROM rec""".stripMargin,
+
+    // kruskal_wallis: the exact rational H replayed in HUGEINT over
+    // the same midrank/rounded-term algebra.
+    "kruskal_wallis" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events),
+        |grp AS (SELECT y, event_type, CAST(count(*) AS BIGINT) AS cg
+        |        FROM e GROUP BY 1, 2),
+        |tot AS (SELECT y, CAST(sum(cg) AS BIGINT) AS c
+        |        FROM grp GROUP BY 1),
+        |rk AS (SELECT y, c,
+        |         coalesce(sum(c) OVER (ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cumb
+        |       FROM tot),
+        |r2 AS (SELECT g.event_type, CAST(sum(g.cg) AS BIGINT) AS ng,
+        |         CAST(sum(CAST(g.cg AS HUGEINT) * (2 * r.cumb + r.c + 1))
+        |           AS BIGINT) AS r2
+        |       FROM grp g JOIN rk r USING (y) GROUP BY 1),
+        |tie AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c)
+        |          AS BIGINT) AS t3 FROM rk),
+        |u AS (SELECT ng, r2,
+        |        CAST((2 * CAST(r2 AS HUGEINT) * r2 + ng) // (2 * ng)
+        |          AS BIGINT) AS ug
+        |      FROM r2),
+        |s AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ug) AS BIGINT) AS a
+        |      FROM u),
+        |x AS (SELECT n, k, a, t3,
+        |        CAST(a AS HUGEINT)
+        |          - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS hnum0,
+        |        CAST(n AS HUGEINT) * n * n - n - t3 AS hden
+        |      FROM s CROSS JOIN tie)
+        |SELECT n, k, a, t3,
+        |  CAST(CASE WHEN hnum0 >= 0 THEN
+        |    (2 * 3000 * hnum0 * (n - 1) + hden) // (2 * hden)
+        |    ELSE -((2 * 3000 * (-hnum0) * (n - 1) + hden) // (2 * hden))
+        |    END AS BIGINT) AS h_x1e3,
+        |  1000 * 3 * hnum0 * (n - 1) > 9488 * hden AS significant
+        |FROM x""".stripMargin,
+
+    // anova_f: the same rounded-term contract; f is the identical
+    // IEEE tree over identical int64 inputs.
+    "anova_f" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |        CAST(sum(y) AS BIGINT) AS sg,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS qg
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT ng, sg, qg,
+        |        CAST((2 * CAST(sg AS HUGEINT) * sg + ng) // (2 * ng)
+        |          AS BIGINT) AS tg
+        |      FROM g),
+        |s AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(sg) AS BIGINT) AS st,
+        |        CAST(sum(qg) AS BIGINT) AS qt,
+        |        CAST(sum(tg) AS BIGINT) AS sa
+        |      FROM t),
+        |x AS (SELECT n, k,
+        |        CAST(sa - ((2 * CAST(st AS HUGEINT) * st + n) // (2 * n))
+        |          AS BIGINT) AS ssb,
+        |        qt - sa AS ssw
+        |      FROM s)
+        |SELECT n, k, ssb, ssw,
+        |  (CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) /
+        |  (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    AS f,
+        |  1000 * CAST(ssb AS HUGEINT) * (n - k) >
+        |    2372 * CAST(ssw AS HUGEINT) * (k - 1) AS significant
+        |FROM x""".stripMargin,
 
     // gini_index: the tie-compressed rank-sum identity replays in
     // HUGEINT over the same histogram.

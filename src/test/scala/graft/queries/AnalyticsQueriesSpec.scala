@@ -65,6 +65,24 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0)
   }
 
+  test("anova_f and kruskal_wallis: identities, bounds, and cross-test agreement") {
+    val a = AnalyticsQueries.queries("anova_f")(spark, sf).collect().head
+    assert(a.getLong(1) === 5L) // five event types
+    assert(a.getLong(2) >= 0L && a.getLong(3) > 0L, "SSB ≥ 0 < SSW")
+    val f = a.getDouble(4)
+    assert(f >= 0.0 && !f.isNaN)
+    val kw = AnalyticsQueries.queries("kruskal_wallis")(spark, sf)
+      .collect().head
+    assert(kw.getLong(1) === 5L)
+    assert(kw.getLong(0) === a.getLong(0), "same N both tests")
+    // H is χ²(4)-distributed under the null: the 1e3 cell must be a
+    // plausible nonnegative statistic, and the two tests must agree on
+    // the (event-type ~ value) verdict — they test the same question.
+    assert(kw.getLong(4) >= 0L)
+    assert(kw.getBoolean(5) === a.getBoolean(5),
+      "parametric and rank tests must agree on this corpus")
+  }
+
   test("gini_index: tie-compressed identity equals the brute-force sorted-rank Gini") {
     val r = AnalyticsQueries.queries("gini_index")(spark, sf).collect().head
     val (n, sum, cell) = (r.getLong(0), r.getLong(1), r.getLong(2))
