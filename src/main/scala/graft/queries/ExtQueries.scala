@@ -1367,6 +1367,63 @@ object ExtQueries {
         .filter(col("hamming") <= 16)
     },
 
+    // MMR diversified re-ranking (round 14) — Carbonell & Goldstein
+    // 1998, the retrieval-diversification operator the rerank family
+    // lacked (rag_rerank re-scores, THIS trades relevance against
+    // redundancy): greedily pick k = 10 of the top-30 relevance
+    // candidates maximizing 7·rel − 3·maxsim (λ = 0.7 at denominator
+    // 10, dropped — integer compares), where maxsim is the picked
+    // set's best dot to the candidate. All similarity is the exact
+    // milli-quantized integer dot (LongDot kernel on the scan); the
+    // greedy runs DRIVER-SIDE on the 30-candidate model frame (the
+    // kmeans/colbert collect discipline — selection state is 30×64
+    // longs, never data), and the oracle replays it as TEN unrolled
+    // argmax CTEs over the 30×30 dot matrix (the link_rank unrolled-
+    // rounds convention — no recursion, both engines exact). Ties:
+    // higher score then smaller vec_id, total. 100 TB shape: one scan
+    // + TakeOrdered(30) is the only distributed work; MMR cost is
+    // O(k·C) on the driver at any corpus size.
+    "mmr_rerank" -> { (s, d) =>
+      import s.implicits._
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorOps.quantize1000(col("embedding").cast("array<double>"))
+            .as("qv"))
+        .localCheckpoint(true)
+      val qvec = q.filter(col("vec_id") === 0)
+        .select(col("qv")).head.getSeq[Long](0).toArray
+      val cands = q.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          graft.ext.expr.LongDot.longDot(col("qv"),
+            typedLit(qvec.toSeq)).as("rel"), col("qv"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(30)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toArray))
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var i = 0; var acc = 0L
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)] // rank, id, rel, ms, score
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      (1 to 10).foreach { rank =>
+        val scored = remaining.map { case (id, rel, v) =>
+          val ms = if (picked.isEmpty) 0L
+            else picked.map(p => dot(v,
+              cands.find(_._1 == p._2).get._3)).max
+          (id, rel, ms, 7L * rel - 3L * ms)
+        }
+        val best = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+        picked += ((rank.toLong, best._1, best._2, best._3, best._4))
+        remaining.remove(remaining.indexWhere(_._1 == best._1))
+      }
+      picked.toSeq
+        .toDF("rank", "vec_id", "rel_dot", "maxsim_dot", "mmr_score")
+    },
+
     // ---- similarity search --------------------------------------------
     "cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -6547,6 +6604,54 @@ object ExtQueries {
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin,
+
+    // mmr_rerank: ten unrolled argmax CTEs over the 30x30 exact dot
+    // matrix — machine-generated, no recursion, identical tie-break.
+    "mmr_rerank" -> {
+      val steps = (2 to 10).map { i =>
+        val p = i - 1
+        s"""cand$i AS MATERIALIZED (SELECT c.id, c.rel, max(d.dot) AS ms
+           |  FROM cand c JOIN dots d ON d.a = c.id
+           |    AND d.b IN (SELECT id FROM sel$p)
+           |  WHERE c.id NOT IN (SELECT id FROM sel$p)
+           |  GROUP BY 1, 2),
+           |s$i AS MATERIALIZED (SELECT id, rel, ms FROM cand$i
+           |  ORDER BY 7 * rel - 3 * ms DESC, id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT id FROM sel$p
+           |  UNION ALL SELECT id FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 10).map(i =>
+        s"UNION ALL SELECT $i, id, rel, ms, 7 * rel - 3 * ms FROM s$i")
+        .mkString("\n")
+      s"""WITH vecs AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qv AS (SELECT q FROM vecs WHERE vec_id = 0),
+         |rels AS (SELECT v.vec_id AS id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |      i -> v.q[i] * qv.q[i])) AS BIGINT) AS rel
+         |  FROM vecs v, qv WHERE v.vec_id <> 0),
+         |cand AS MATERIALIZED (SELECT r.id, r.rel, v.q
+         |         FROM rels r JOIN vecs v ON v.vec_id = r.id
+         |         ORDER BY r.rel DESC, r.id LIMIT 30),
+         |dims AS (SELECT id, unnest(q) AS val,
+         |           generate_subscripts(q, 1) AS dim FROM cand),
+         |dots AS MATERIALIZED (SELECT a.id AS a, b.id AS b,
+         |    CAST(sum(a.val * b.val) AS BIGINT) AS dot
+         |  FROM dims a JOIN dims b USING (dim) WHERE a.id <> b.id
+         |  GROUP BY 1, 2),
+         |s1 AS MATERIALIZED (SELECT id, rel FROM cand
+         |  ORDER BY rel DESC, id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT id FROM s1),
+         |$steps
+         |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id,
+         |       rel AS rel_dot, CAST(0 AS BIGINT) AS maxsim_dot,
+         |       7 * rel AS mmr_score
+         |FROM s1
+         |$unions""".stripMargin
+    },
 
     "cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

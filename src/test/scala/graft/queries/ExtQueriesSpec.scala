@@ -54,6 +54,34 @@ class ExtQueriesSpec extends SparkSpec {
     }
   }
 
+  test("mmr_rerank: rank 1 is pure relevance; picks diversify vs the relevance top-10") {
+    import org.apache.spark.sql.functions._
+    val out = ExtQueries.queries("mmr_rerank")(spark, sf)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length === 10 && out.map(_._2).distinct.length === 10)
+    assert(out.head._4 === 0L, "first pick pays no similarity penalty")
+    out.foreach { case (_, _, rel, ms, sc) => assert(sc === 7 * rel - 3 * ms) }
+    // Diversification: the MMR set's worst internal similarity is no
+    // worse than the pure-relevance top-10's (the operator's purpose).
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.ext.VectorOps.quantize1000(col("embedding")
+          .cast("array<double>")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def maxPair(ids: Seq[Long]): Long =
+      (for (a <- ids; b <- ids if a < b) yield
+        vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum).max
+    val qv = vecs(0L)
+    val relTop = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, v.zip(qv).map { case (x, y) => x * y }.sum) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(10).map(_._1)
+    assert(maxPair(out.map(_._2).toSeq) <= maxPair(relTop),
+      "MMR must not be LESS diverse than pure relevance ranking")
+  }
+
   test("bleu_corpus: prefix candidates give perfect clipped precision; brevity applies") {
     val r = ExtQueries.queries("bleu_corpus")(spark, sf).collect().head
     val rLen = r.getLong(0); val cLen = r.getLong(1)
