@@ -1633,6 +1633,65 @@ object AnalyticsQueries {
           col("surv_x1e12"))
     },
 
+    // Spearman rank correlation (round 14) — the robust CROSS-variable
+    // dependence measure the family lacked (autocorr = serial Pearson,
+    // feature_mi = discretized MI; Spearman 1904): does a user's event
+    // COUNT co-move with their total spend-cents? Both variables rank
+    // via doubled midranks on their own compressed value histograms
+    // (the mannwhitney machinery, applied per variable), so ties are
+    // exact and no row-level sort exists; ρ is then Pearson over the
+    // doubled ranks — six DECIMAL(38,0) sufficient statistics narrowed
+    // under the raise_error guard, closed by one fixed IEEE tree over
+    // identical int64 inputs (the shared 2× rank scale cancels in ρ).
+    // 100 TB shape: one user agg, two compressed-histogram windows,
+    // two broadcast-sized rank joins, one final agg.
+    "spearman_rho" -> { (s, d) =>
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft spearman_rho: statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
+      val users = Tables.events(s, d).groupBy(col("user_id")).agg(
+        count(lit(1)).as("xv"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("yv"))
+        .localCheckpoint(true)
+      def midranks(valCol: String): DataFrame = {
+        val h = users.groupBy(col(valCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val wv = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cumb", coalesce(sum(col("c")).over(wv), lit(0L)))
+          .select(col("v"), (lit(2L) * col("cumb") + col("c") + 1L)
+            .as(s"r_$valCol"))
+      }
+      users
+        .join(broadcast(midranks("xv")), users("xv") === col("v"))
+        .drop("v")
+        .join(broadcast(midranks("yv")), users("yv") === col("v"))
+        .drop("v")
+        .agg(count(lit(1)).as("n_users"),
+          longExact(sum(col("r_xv").cast("decimal(38,0)"))).as("sx"),
+          longExact(sum(col("r_yv").cast("decimal(38,0)"))).as("sy"),
+          longExact(sum(expr(
+            "CAST(r_xv AS DECIMAL(38,0)) * r_yv"))).as("sxy"),
+          longExact(sum(expr(
+            "CAST(r_xv AS DECIMAL(38,0)) * r_xv"))).as("sxx"),
+          longExact(sum(expr(
+            "CAST(r_yv AS DECIMAL(38,0)) * r_yv"))).as("syy"))
+        .selectExpr("n_users", "sx", "sy", "sxy", "sxx", "syy",
+          "CASE WHEN CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 AND" +
+            " CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0 THEN" +
+            " (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt(" +
+            "(CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "(CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho")
+    },
+
     // Kruskal-Wallis H (round 14) — the k-group RANK test beside
     // anova_f's parametric means (Kruskal & Wallis 1952; the k-sample
     // generalization of mannwhitney_u, same doubled-midrank machinery
@@ -2103,6 +2162,48 @@ object AnalyticsQueries {
          |SELECT t, n_risk, n_event, n_censor,
          |       CAST(sv AS BIGINT) AS surv_x1e12
          |FROM rec""".stripMargin,
+
+    // spearman_rho: both variables' doubled midranks replay on their
+    // compressed histograms; rho is the identical IEEE tree over the
+    // same int64 sufficient statistics.
+    "spearman_rho" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS xv,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS yv
+        |  FROM events GROUP BY 1),
+        |hx AS (SELECT xv AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM u GROUP BY 1),
+        |rx AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + c + 1 AS r
+        |       FROM hx),
+        |hy AS (SELECT yv AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM u GROUP BY 1),
+        |ry AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + c + 1 AS r
+        |       FROM hy),
+        |j AS (SELECT rx.r AS r_xv, ry.r AS r_yv
+        |      FROM u JOIN rx ON rx.v = u.xv JOIN ry ON ry.v = u.yv),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(r_xv) AS BIGINT) AS sx,
+        |        CAST(sum(r_yv) AS BIGINT) AS sy,
+        |        CAST(sum(CAST(r_xv AS HUGEINT) * r_yv) AS BIGINT) AS sxy,
+        |        CAST(sum(CAST(r_xv AS HUGEINT) * r_xv) AS BIGINT) AS sxx,
+        |        CAST(sum(CAST(r_yv AS HUGEINT) * r_yv) AS BIGINT) AS syy
+        |      FROM j)
+        |SELECT n_users, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 AND
+        |       CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0 THEN
+        |    (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt(
+        |    (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
+        |FROM s""".stripMargin,
 
     // kruskal_wallis: the exact rational H replayed in HUGEINT over
     // the same midrank/rounded-term algebra.

@@ -65,6 +65,41 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0)
   }
 
+  test("spearman_rho: rank-sum identity, bounds, brute-force equality") {
+    val r = AnalyticsQueries.queries("spearman_rho")(spark, sf)
+      .collect().head
+    val n = r.getLong(0)
+    // Doubled midranks sum to n(n+1) per variable, ties or not.
+    assert(r.getLong(1) === n * (n + 1) && r.getLong(2) === n * (n + 1))
+    val rho = r.getDouble(6)
+    assert(rho >= -1.0000001 && rho <= 1.0000001)
+    // Brute force: same doubled midranks in plain Scala, same tree.
+    val users = graft.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr("CAST(count(*) AS LONG)")
+        .as("x"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(sum(CAST(floor(value * 100 + 0.5) AS LONG)) AS LONG)")
+          .as("y"))
+      .collect().map(row => (row.getLong(1), row.getLong(2)))
+    def ranks(vs: Seq[Long]): Map[Long, Long] = {
+      val grouped = vs.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      grouped.map { case (v, c) =>
+        val mid = 2 * cum + c + 1; cum += c; v -> mid }.toMap
+    }
+    val rxm = ranks(users.map(_._1)); val rym = ranks(users.map(_._2))
+    val (rx, ry) = (users.map(u => rxm(u._1)), users.map(u => rym(u._2)))
+    def d(l: Long) = l.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val want = (d(n) * d(sxy) - d(sx) * d(sy)) / math.sqrt(
+      (d(n) * d(sxx) - d(sx) * d(sx)) * (d(n) * d(syy) - d(sy) * d(sy)))
+    assert(rho === want)
+  }
+
   test("anova_f and kruskal_wallis: identities, bounds, and cross-test agreement") {
     val a = AnalyticsQueries.queries("anova_f")(spark, sf).collect().head
     assert(a.getLong(1) === 5L) // five event types
