@@ -1633,6 +1633,30 @@ object AnalyticsQueries {
           col("surv_x1e12"))
     },
 
+    // Herfindahl-Hirschman index (round 14) — the market-concentration
+    // scalar beside gini_index's inequality curve (Herfindahl 1950,
+    // Hirschman 1945; THE antitrust screening statistic): HHI =
+    // Σ share_g² over per-nation revenue shares, as the exact rational
+    // Σ r_g² / (Σ r_g)² in DECIMAL(38,0), HALF_UP 1e6 cell (1e6/k =
+    // perfect equality, 1e6 = monopoly). One orders⋈customer shuffle
+    // with nation broadcast, then 25-row arithmetic.
+    "herfindahl_index" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("r"))
+      rev.agg(count(lit(1)).as("k"),
+          sum(col("r").cast("decimal(38,0)")).as("tot"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("sq"))
+        .selectExpr("k", "CAST(tot AS BIGINT) AS total_cents",
+          "CAST((2 * 1000000 * sq + tot * tot) div (2 * tot * tot)" +
+            " AS BIGINT) AS hhi_x1e6")
+    },
+
     // Spearman rank correlation (round 14) — the robust CROSS-variable
     // dependence measure the family lacked (autocorr = serial Pearson,
     // feature_mi = discretized MI; Spearman 1904): does a user's event
@@ -2162,6 +2186,24 @@ object AnalyticsQueries {
          |SELECT t, n_risk, n_event, n_censor,
          |       CAST(sv AS BIGINT) AS surv_x1e12
          |FROM rec""".stripMargin,
+
+    // herfindahl_index: the exact share-square rational in HUGEINT.
+    "herfindahl_index" ->
+      """WITH rev AS (SELECT n_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(r) AS BIGINT) AS tot,
+        |        sum(CAST(r AS HUGEINT) * r) AS sq
+        |      FROM rev)
+        |SELECT k, tot AS total_cents,
+        |  CAST((2 * 1000000 * sq + CAST(tot AS HUGEINT) * tot)
+        |    // (2 * CAST(tot AS HUGEINT) * tot) AS BIGINT) AS hhi_x1e6
+        |FROM a""".stripMargin,
 
     // spearman_rho: both variables' doubled midranks replay on their
     // compressed histograms; rho is the identical IEEE tree over the

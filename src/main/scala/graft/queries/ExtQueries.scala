@@ -1367,6 +1367,43 @@ object ExtQueries {
         .filter(col("hamming") <= 16)
     },
 
+    // Cohen's kappa (round 14) — chance-corrected agreement between
+    // two deterministic quality raters (Cohen 1960; the label-quality
+    // audit a multi-heuristic curation pipeline needs): rater A = the
+    // C4-style QualityFilter rule chain, rater B = an independent
+    // crisp integer rule (≥ 10 tokens AND punctuation ≤ 20% of
+    // chars), both over the perturbed corpus so both label classes
+    // and genuine disagreement exist. κ = (n·agree − Σ marginal
+    // products) / (n² − Σ marginal products) — exact integers end to
+    // end, sign-split HALF_UP 1e6 cell (κ < 0 = worse than chance).
+    // One map-side labeling pass + a 4-cell aggregate.
+    "cohens_kappa" -> { (s, d) =>
+      val docs = perturbedCorpus(s, d)
+      val toks = size(TextOps.tokens(col("text"))).cast("long")
+      val labeled = docs.select(
+        QualityFilter.keep(col("text")).as("a"),
+        (toks >= 10L &&
+          TextOps.punctCount(col("text")) * 5L <= length(col("text")))
+          .as("b"))
+      labeled.agg(count(lit(1)).as("n"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("a1"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("b1"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+        .selectExpr("n", "a1", "b1", "agree",
+          "CAST(a1 AS DECIMAL(38,0)) * b1 + " +
+            "CAST(n - a1 AS DECIMAL(38,0)) * (n - b1) AS pe2")
+        .selectExpr("n", "a1", "b1", "agree",
+          "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n - pe2 = 0 THEN 0" +
+            " WHEN CAST(n AS DECIMAL(38,0)) * agree - pe2 >= 0 THEN" +
+            " (2 * 1000000 * (CAST(n AS DECIMAL(38,0)) * agree - pe2)" +
+            " + (CAST(n AS DECIMAL(38,0)) * n - pe2)) div" +
+            " (2 * (CAST(n AS DECIMAL(38,0)) * n - pe2))" +
+            " ELSE -((2 * 1000000 * (pe2 - CAST(n AS DECIMAL(38,0)) * agree)" +
+            " + (CAST(n AS DECIMAL(38,0)) * n - pe2)) div" +
+            " (2 * (CAST(n AS DECIMAL(38,0)) * n - pe2)))" +
+            " END AS BIGINT) AS kappa_x1e6")
+    },
+
     // MMR diversified re-ranking (round 14) — Carbonell & Goldstein
     // 1998, the retrieval-diversification operator the rerank family
     // lacked (rag_rerank re-scores, THIS trades relevance against
@@ -6604,6 +6641,68 @@ object ExtQueries {
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin,
+
+    // cohens_kappa: rater A replays the quality_filter rule replica;
+    // rater B is the same crisp integer rule; the chance-corrected
+    // cell is exact HUGEINT algebra.
+    "cohens_kappa" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000,
+        |         array_to_string(
+        |           (list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> ''))[1:2], ' ')
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000,
+        |         text || ' ' || repeat('.', length(text) // 2)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, replace(text, ' ', '')
+        |  FROM documents),
+        |m AS (SELECT text,
+        |        list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x <> '') AS toks,
+        |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |          AS BIGINT) AS n_punct
+        |      FROM aug),
+        |r AS (SELECT CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(length(array_to_string(toks, '')) AS BIGINT)
+        |          AS char_sum,
+        |        n_punct,
+        |        CAST(length(text) AS BIGINT) AS text_len
+        |      FROM m),
+        |f AS (SELECT
+        |        NOT ((n_words < 5) OR (n_words > 50000) OR
+        |             (n_words > 0 AND
+        |              (CAST(char_sum AS DOUBLE) / n_words < 2.0 OR
+        |               CAST(char_sum AS DOUBLE) / n_words > 15.0)) OR
+        |             (text_len > 0 AND
+        |              CAST(n_punct AS DOUBLE) / text_len > 0.2)) AS a,
+        |        (n_words >= 10 AND n_punct * 5 <= text_len) AS b
+        |      FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |        CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |        CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS agree
+        |      FROM f),
+        |x AS (SELECT n, a1, b1, agree,
+        |        CAST(a1 AS HUGEINT) * b1
+        |          + CAST(n - a1 AS HUGEINT) * (n - b1) AS pe2
+        |      FROM s)
+        |SELECT n, a1, b1, agree,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe2 = 0 THEN 0
+        |    WHEN CAST(n AS HUGEINT) * agree - pe2 >= 0 THEN
+        |      (2 * 1000000 * (CAST(n AS HUGEINT) * agree - pe2)
+        |       + (CAST(n AS HUGEINT) * n - pe2))
+        |      // (2 * (CAST(n AS HUGEINT) * n - pe2))
+        |    ELSE -((2 * 1000000 * (pe2 - CAST(n AS HUGEINT) * agree)
+        |       + (CAST(n AS HUGEINT) * n - pe2))
+        |      // (2 * (CAST(n AS HUGEINT) * n - pe2)))
+        |    END AS BIGINT) AS kappa_x1e6
+        |FROM x""".stripMargin,
 
     // mmr_rerank: ten unrolled argmax CTEs over the 30x30 exact dot
     // matrix — machine-generated, no recursion, identical tie-break.

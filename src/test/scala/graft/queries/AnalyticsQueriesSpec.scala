@@ -65,6 +65,14 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0)
   }
 
+  test("herfindahl_index: bounded by [1e6/k, 1e6]") {
+    val r = AnalyticsQueries.queries("herfindahl_index")(spark, sf)
+      .collect().head
+    val (k, hhi) = (r.getLong(0), r.getLong(2))
+    assert(k >= 2)
+    assert(hhi >= 1000000L / k - 1 && hhi <= 1000000L)
+  }
+
   test("spearman_rho: rank-sum identity, bounds, brute-force equality") {
     val r = AnalyticsQueries.queries("spearman_rho")(spark, sf)
       .collect().head

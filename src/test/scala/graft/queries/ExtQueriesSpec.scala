@@ -54,6 +54,21 @@ class ExtQueriesSpec extends SparkSpec {
     }
   }
 
+  test("cohens_kappa: marginals bound agreement; kappa in [-1e6, 1e6]; raters disagree somewhere") {
+    val r = ExtQueries.queries("cohens_kappa")(spark, sf).collect().head
+    val (n, a1, b1, agree, kappa) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(agree <= n && a1 <= n && b1 <= n)
+    // agreement is at least the overlap the marginals force
+    assert(agree >= math.max(0L, a1 + b1 - n))
+    assert(kappa >= -1000000L && kappa <= 1000000L)
+    // the perturbed corpus guarantees both label CLASSES for each
+    // rater (disagreement itself is SF-dependent — at the spec SF the
+    // two rule sets may coincide on every doc, which is κ = 1e6).
+    assert(a1 > 0 && a1 < n && b1 > 0 && b1 < n)
+    if (agree == n) assert(kappa === 1000000L)
+  }
+
   test("mmr_rerank: rank 1 is pure relevance; picks diversify vs the relevance top-10") {
     import org.apache.spark.sql.functions._
     val out = ExtQueries.queries("mmr_rerank")(spark, sf)
