@@ -45,6 +45,41 @@ object AnalyticsQueries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Two-level "cumulative count strictly BEFORE each value" over a
+    * value histogram `(valCol: long, c: long, …)` whose cardinality is
+    * SF-PROPORTIONAL (per-customer/per-user sums are near-unique, so
+    * the histogram ≈ the entity count) — the scale-safe replacement
+    * for `Window.orderBy(v)` over such a frame, which funnels every
+    * entity through ONE sort task at 100 TB.
+    *
+    * Level 1: range-bucket v by `bucketWidth` (floor division — order-
+    * preserving, including negatives) and prefix-sum the per-bucket
+    * totals. That frame is VALUE-DOMAIN-bounded (≈ domain/width rows,
+    * flat in table size — the centi-value-histogram argument), so its
+    * unpartitioned window and the broadcast of the resulting offsets
+    * are both provably bounded. Level 2: the per-value cumulative sum
+    * runs PARTITIONED BY bucket — each bucket sorts ~1/buckets of the
+    * histogram, in parallel — and cb = bucket offset + local cum.
+    * Bit-identical to the single-window form, so oracles that keep the
+    * plain SQL window are unchanged. Appends column `cb`. */
+  private[queries] def bucketedCumBefore(
+      hist: DataFrame, valCol: String, bucketWidth: Long): DataFrame = {
+    val b = hist.withColumn("gbkt", expr(
+      s"CASE WHEN $valCol >= 0 THEN $valCol div $bucketWidth " +
+        s"ELSE -((-$valCol + ${bucketWidth - 1}) div $bucketWidth) END"))
+    val wb = Window.orderBy(col("gbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("gbkt")).agg(sum(col("c")).as("gbc"))
+      .withColumn("goff", coalesce(sum(col("gbc")).over(wb), lit(0L)))
+      .select(col("gbkt"), col("goff"))
+    val wl = Window.partitionBy(col("gbkt")).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("glcb", coalesce(sum(col("c")).over(wl), lit(0L)))
+      .join(broadcast(offsets), "gbkt")
+      .withColumn("cb", col("goff") + col("glcb"))
+      .drop("gbkt", "goff", "glcb")
+  }
+
   /** rich_customers runs the SAME SQL text in Spark and DuckDB — one
     * definition, two engines. Averages are decimal-sum/count (a plain
     * avg(double) is partition-order dependent in its last ulp, which
@@ -1667,8 +1702,15 @@ object AnalyticsQueries {
     // doubled ranks — six DECIMAL(38,0) sufficient statistics narrowed
     // under the raise_error guard, closed by one fixed IEEE tree over
     // identical int64 inputs (the shared 2× rank scale cancels in ρ).
-    // 100 TB shape: one user agg, two compressed-histogram windows,
-    // two broadcast-sized rank joins, one final agg.
+    // 100 TB shape: one user agg; each variable's rank map is the
+    // SF-PROPORTIONAL distinct-sums frame, so the midrank cumulative
+    // sums run through bucketedCumBefore's two-level bucket-offset
+    // form (partitioned local windows + a bounded broadcast offset
+    // frame — never one global sort task), and the rank maps attach
+    // by PLAIN shuffle joins: hinting broadcast on an SF-proportional
+    // frame would ship millions of rows to every executor at 100×
+    // (the round-8 hint discipline — hints only on provably-bounded
+    // frames; size-based planning may still broadcast at small SF).
     "spearman_rho" -> { (s, d) =>
       def longExact(c: Column): Column =
         when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
@@ -1680,19 +1722,19 @@ object AnalyticsQueries {
         count(lit(1)).as("xv"),
         sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("yv"))
         .localCheckpoint(true)
-      def midranks(valCol: String): DataFrame = {
+      // Bucket widths are value-DOMAIN constants (per-user event counts
+      // ~tens; per-user spend cents ~1e4-scale), not SF-dependent.
+      def midranks(valCol: String, width: Long): DataFrame = {
         val h = users.groupBy(col(valCol).as("v"))
           .agg(count(lit(1)).as("c"))
-        val wv = Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        h.withColumn("cumb", coalesce(sum(col("c")).over(wv), lit(0L)))
-          .select(col("v"), (lit(2L) * col("cumb") + col("c") + 1L)
+        bucketedCumBefore(h, "v", width)
+          .select(col("v"), (lit(2L) * col("cb") + col("c") + 1L)
             .as(s"r_$valCol"))
       }
       users
-        .join(broadcast(midranks("xv")), users("xv") === col("v"))
+        .join(midranks("xv", 16L), users("xv") === col("v"))
         .drop("v")
-        .join(broadcast(midranks("yv")), users("yv") === col("v"))
+        .join(midranks("yv", 10000L), users("yv") === col("v"))
         .drop("v")
         .agg(count(lit(1)).as("n_users"),
           longExact(sum(col("r_xv").cast("decimal(38,0)"))).as("sx"),
@@ -1830,16 +1872,22 @@ object AnalyticsQueries {
     // c(c+1)/2), so no row-level rank sort exists; the mad_outliers
     // compression move), DECIMAL(38,0)-routed, HALF_UP 1e6 cell.
     // 100 TB shape: one custkey agg (map-side combinable), one hash
-    // agg to the distinct-spend histogram, one bounded window on it.
+    // agg to the distinct-spend histogram — but that histogram is
+    // SF-PROPORTIONAL (per-customer cent sums are near-unique, so
+    // |hist| ≈ |customers|, unlike the domain-bounded centi-value
+    // histograms), so the cumulative ranks run through
+    // bucketedCumBefore's two-level bucket-offset form: partitioned
+    // per-bucket windows in parallel + a value-domain-bounded
+    // broadcast offset frame, never one global sort task. Bucket
+    // width $10k of spend (domain constant — TPC-H orders/customer is
+    // SF-independent).
     "gini_index" -> { (s, d) =>
       val spend = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
           .as("x"))
       val hist = spend.groupBy(col("x")).agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      hist.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      bucketedCumBefore(hist, "x", 1000000L)
         .agg(sum(col("c")).as("n_customers"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * c")).as("sx"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * " +
