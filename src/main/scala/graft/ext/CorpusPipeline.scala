@@ -369,9 +369,6 @@ object CorpusPipeline {
   def buildIncrementalStages(docs: DataFrame): IncStages =
     buildIncrementalStages(docs, priorState(docs))
 
-  /** The day-N incremental run against an already-persisted day-N−1
-    * state — all text work increment-sized; the base corpus is never
-    * rescanned (PlanSpec-asserted). */
   /** The day-N increment topic (test-input construction): the id-tail
     * naturals with their standard plant families PLUS the four
     * cross-boundary re-fetch families derived from a 10% slice of the

@@ -70,6 +70,53 @@ object NightlyEtl {
     StageResult(sink.path, inLake)
   }
 
+  /** The nightly append into the SNAPSHOT lake with the Delta
+    * auto-compact cadence (round 15): extract → atomic append commit →
+    * verify THIS commit's increment against the extract (a log-window
+    * read, never a table rescan) → run [[graft.io.Maintain.auto]] as
+    * an audited flow stage. N nightly appends each land a handful of
+    * files; the manifest-only maintenance decision collapses the
+    * accumulated small-file/DV debt with ONE clustered rewrite commit
+    * when — and only when — the debt thresholds trip, and the flow
+    * audits that maintenance changed LAYOUT, never content. Returns
+    * the audit trail: the append stage (rows written at its version)
+    * and the maintenance stage (reason, live file count after). */
+  def runSnapshotNightly(
+      spark: SparkSession,
+      source: Source,
+      lake: graft.io.Snapshot.Lake,
+      targetRowsPerFile: Long,
+      clusterCol: Option[String] = None,
+      retries: Int = 3,
+      delay: FiniteDuration = 10.seconds): Seq[StageResult] = {
+
+    retry(retries, delay) {
+      require(source.probe(spark), s"source probe failed: $source")
+    }
+    retry(retries, delay) {
+      require(lake.latestVersion >= -1, s"lake probe failed: ${lake.root}")
+    }
+    val (version, written) = retry(retries, delay) {
+      val df = source.read(spark)
+      val rows = df.count()
+      (lake.append(df), rows)
+    }
+    // post-write verification (L1 step 4), increment-sized: the commit
+    // window (version-1, version] must hold exactly the extract.
+    val inc = lake.readDelta(version - 1, version).count()
+    require(inc == written,
+      s"verification failed: appended $written rows, commit $version holds $inc")
+    val before = lake.read().count()
+    val rep = retry(retries, delay) {
+      graft.io.Maintain.auto(lake, targetRowsPerFile, clusterCol)
+    }
+    val after = lake.read().count()
+    require(after == before,
+      s"maintenance changed content: $before rows -> $after")
+    Seq(StageResult(s"append@v$version", written),
+      StageResult(s"maintain:${rep.reason}", rep.filesAfter.toLong))
+  }
+
   /** The flow × pipeline capstone (round 11): the nightly CURATION
     * run. Probe the corpus source and the lake, build the 7-stage
     * [[graft.ext.CorpusPipeline]], reconcile every stage's cardinality

@@ -3,6 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Snapshot lake: a minimal commit-log layer over the parquet seam —
   * the one Delta semantic (`timescale_to_deltalake.py:33-37`'s
@@ -56,7 +57,8 @@ object Snapshot {
     * everything by Bloom. */
   final case class FileStat(path: String, rows: Long,
       lo: Map[String, Long], hi: Map[String, Long],
-      bloom: Map[String, (Int, Array[Long])] = Map.empty)
+      bloom: Map[String, (Int, Array[Long])] = Map.empty,
+      parts: Map[String, String] = Map.empty)
 
   /** `txn` is the Delta-style transaction marker — (writerId, batchId)
     * — a streaming writer stamps on each commit so a replayed
@@ -73,67 +75,271 @@ object Snapshot {
   final case class Commit(version: Int, added: Seq[FileStat],
       removed: Seq[String], txn: Option[(String, Long)] = None,
       dvs: Seq[(String, String)] = Nil,
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      meta: Option[StructType] = None)
 
-  /** SESSION-FREE log replay — shared by [[Lake]] and the V2 streaming
-    * source ([[graft.io.v2.SnapshotStreamSource]]), which must read the
-    * log on executors and at planning time where no SparkSession
-    * exists. Plain filesystem + line parsing, nothing Spark. */
-  def readCommits(fs: FileSystem, logPath: Path): Seq[Commit] = {
+  /** Table-schema log line: `meta<TAB><base64(StructType.json)>` —
+    * base64 so the JSON can never collide with the tab/newline
+    * grammar. Written at table creation and by [[Lake.evolveSchema]];
+    * last meta line wins (the Delta metaData-action semantic). */
+  def metaLine(schema: StructType): String =
+    "meta\t" + java.util.Base64.getEncoder.encodeToString(
+      schema.json.getBytes("UTF-8"))
+
+  private def parseMetaPayload(b64: String): StructType =
+    DataType.fromJson(new String(
+      java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+      .asInstanceOf[StructType]
+
+  /** Log files parsed since JVM start — the read-amplification meter
+    * checkpointing exists to bound: every `.commit`/`.checkpoint` file
+    * actually opened and parsed increments it, so a spec can assert a
+    * post-checkpoint read touches O(suffix) files, not O(versions). */
+  val logFilesParsed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** All published commit versions at `logPath`, ascending — one
+    * directory listing, zero file opens. */
+  def listVersions(fs: FileSystem, logPath: Path): Seq[Int] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toInt).sorted
+  }
+
+  /** Latest published version, -1 when none — a listing, no parses. */
+  def latestVersion(fs: FileSystem, logPath: Path): Int =
+    listVersions(fs, logPath).lastOption.getOrElse(-1)
+
+  /** Parse ONE commit record (the shared line grammar). */
+  private def parseCommit(fs: FileSystem, p: Path, v: Int): Commit = {
+    logFilesParsed.incrementAndGet()
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val adds = Seq.newBuilder[FileStat]
+    val rms = Seq.newBuilder[String]
+    val dvs = Seq.newBuilder[(String, String)]
+    val cons = Seq.newBuilder[(String, String)]
+    var txn = Option.empty[(String, Long)]
+    var meta = Option.empty[StructType]
+    lines.foreach { line =>
+      line.split('\t') match {
+        case Array("meta", b64) => meta = Some(parseMetaPayload(b64))
+        case Array("v", ver) =>
+          require(ver.toInt == v, s"log ${p.getName} claims version $ver")
+        case arr if arr.head == "add" =>
+          val stats = Seq.newBuilder[(String, Long, Long)]
+          val blooms = Map.newBuilder[String, (Int, Array[Long])]
+          val parts = Map.newBuilder[String, String]
+          arr.drop(3).foreach { kv =>
+            if (kv.startsWith("bloom:")) {
+              val Array(c, payload) = kv.stripPrefix("bloom:")
+                .split("=", 2)
+              val Array(k, b64) = payload.split(":", 2)
+              val bytes = java.util.Base64.getDecoder.decode(b64)
+              val words = new Array[Long](bytes.length / 8)
+              java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
+              blooms += c -> (k.toInt, words)
+            } else if (kv.startsWith("part:")) {
+              val body = kv.stripPrefix("part:")
+              val i = body.indexOf('=')
+              parts += body.substring(0, i) -> body.substring(i + 1)
+            } else {
+              val Array(c, range) = kv.split("=", 2)
+              val Array(l, h) = range.split(":", 2)
+              stats += ((c, l.toLong, h.toLong))
+            }
+          }
+          val st = stats.result()
+          adds += FileStat(arr(1), arr(2).toLong,
+            st.map(s => s._1 -> s._2).toMap,
+            st.map(s => s._1 -> s._3).toMap,
+            blooms.result(), parts.result())
+        case arr if arr.head == "rm" => rms += arr(1)
+        case Array("txn", w, b) => txn = Some((w, b.toLong))
+        case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
+        case Array("constraint", name, sql) => cons += ((name, sql))
+        case other => sys.error(s"corrupt log line in ${p.getName}: " +
+          other.mkString("\t"))
+      }
+    }
+    Commit(v, adds.result(), rms.result(), txn, dvs.result(),
+      cons.result(), meta)
+  }
+
+  /** The commits with version in (fromExclusive, toInclusive] — parses
+    * ONLY those files (the checkpoint-suffix read primitive). */
+  def readCommitsRange(fs: FileSystem, logPath: Path,
+      fromExclusive: Int, toInclusive: Int): Seq[Commit] = {
     if (!fs.exists(logPath)) return Nil
     fs.listStatus(logPath).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".commit"))
       .map(p => (p.getName.stripSuffix(".commit").toInt, p))
+      .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
       .sortBy(_._1)
-      .map { case (v, p) =>
+      .map { case (v, p) => parseCommit(fs, p, v) }
+  }
+
+  /** SESSION-FREE log replay — shared by [[Lake]] and the V2 streaming
+    * source ([[graft.io.v2.SnapshotStreamSource]]), which must read the
+    * log on executors and at planning time where no SparkSession
+    * exists. Plain filesystem + line parsing, nothing Spark. Parses
+    * EVERY commit — history-shaped consumers (describeHistory) only;
+    * state-shaped reads go through [[checkpointAt]]/[[stateAt]], which
+    * consume the last checkpoint plus the commit suffix. */
+  def readCommits(fs: FileSystem, logPath: Path): Seq[Commit] =
+    readCommitsRange(fs, logPath, Int.MinValue, Int.MaxValue)
+
+  // ---- log checkpointing (the Delta _last_checkpoint semantic) -----
+
+  /** The fully-replayed table state as of one version — what a
+    * `.checkpoint` file holds, so reads parse it + the commit suffix
+    * instead of replaying every commit since version 0. `txns` is the
+    * per-writer batchId high-water; `constraints` is the full active
+    * set. */
+  final case class Checkpoint(version: Int,
+      state: Seq[(FileStat, Option[String])],
+      constraints: Seq[(String, String)],
+      txns: Map[String, Long],
+      schema: Option[StructType] = None)
+
+  /** Render a [[FileStat]] as a log `add` line (the inverse of the
+    * parse; `statsFirst`/`bloomFirst` only fix a cosmetic column
+    * order — parsing builds maps either way). */
+  def addLine(f: FileStat, statsFirst: Seq[String] = Nil,
+      bloomFirst: Seq[String] = Nil): String = {
+    val ordered = statsFirst.filter(f.lo.contains) ++
+      (f.lo.keySet -- statsFirst).toSeq.sorted
+    val stats = ordered.map(c => s"\t$c=${f.lo(c)}:${f.hi(c)}").mkString
+    val bOrdered = bloomFirst.filter(f.bloom.contains) ++
+      (f.bloom.keySet -- bloomFirst).toSeq.sorted
+    val blooms = bOrdered.map { c =>
+      val (k, words) = f.bloom(c)
+      bloomSegment(c, k, words)
+    }.mkString
+    val parts = f.parts.toSeq.sorted
+      .map { case (c, v) => s"\tpart:$c=$v" }.mkString
+    s"add\t${f.path}\t${f.rows}$stats$blooms$parts"
+  }
+
+  /** Serialize a checkpoint in the commit-line grammar: `v`, one `add`
+    * (+ trailing `dv`) per live file, every active `constraint`, one
+    * `txn` per writer at its high-water. Parsed back by the SAME
+    * [[parseCommit]] — a checkpoint IS a synthetic commit equal to the
+    * folded history. */
+  private def renderCheckpoint(ck: Checkpoint): Seq[String] =
+    (s"v\t${ck.version}" +: ck.schema.map(metaLine).toSeq) ++
+      ck.state.map(e => addLine(e._1)) ++
+      ck.state.collect { case (f, Some(dv)) => s"dv\t${f.path}\t$dv" } ++
+      ck.constraints.map { case (n, sql) => s"constraint\t$n\t$sql" } ++
+      ck.txns.toSeq.sortBy(_._1).map { case (w, b) => s"txn\t$w\t$b" }
+
+  /** The newest published checkpoint at or below `maxVersion` —
+    * `_last_checkpoint` pointer first (one tiny read), directory-scan
+    * fallback when the pointer is missing, stale, or ahead of
+    * `maxVersion` (time travel below the last checkpoint). */
+  def readCheckpointAtOrBelow(fs: FileSystem, logPath: Path,
+      maxVersion: Int): Option[Checkpoint] = {
+    if (!fs.exists(logPath)) return None
+    def load(v: Int): Option[Checkpoint] = {
+      val p = new Path(logPath, f"$v%08d.checkpoint")
+      if (!fs.exists(p)) None
+      else {
+        val c = parseCommit(fs, p, v)
+        // one txn line per writer in a checkpoint ⇒ re-parse them all
         val in = fs.open(p)
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-        val adds = Seq.newBuilder[FileStat]
-        val rms = Seq.newBuilder[String]
-        val dvs = Seq.newBuilder[(String, String)]
-        val cons = Seq.newBuilder[(String, String)]
-        var txn = Option.empty[(String, Long)]
-        lines.foreach { line =>
-          line.split('\t') match {
-            case Array("v", ver) =>
-              require(ver.toInt == v, s"log ${p.getName} claims version $ver")
-            case arr if arr.head == "add" =>
-              val stats = Seq.newBuilder[(String, Long, Long)]
-              val blooms = Map.newBuilder[String, (Int, Array[Long])]
-              arr.drop(3).foreach { kv =>
-                if (kv.startsWith("bloom:")) {
-                  val Array(c, payload) = kv.stripPrefix("bloom:")
-                    .split("=", 2)
-                  val Array(k, b64) = payload.split(":", 2)
-                  val bytes = java.util.Base64.getDecoder.decode(b64)
-                  val words = new Array[Long](bytes.length / 8)
-                  java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
-                  blooms += c -> (k.toInt, words)
-                } else {
-                  val Array(c, range) = kv.split("=", 2)
-                  val Array(l, h) = range.split(":", 2)
-                  stats += ((c, l.toLong, h.toLong))
-                }
-              }
-              val st = stats.result()
-              adds += FileStat(arr(1), arr(2).toLong,
-                st.map(s => s._1 -> s._2).toMap,
-                st.map(s => s._1 -> s._3).toMap,
-                blooms.result())
-            case arr if arr.head == "rm" => rms += arr(1)
-            case Array("txn", w, b) => txn = Some((w, b.toLong))
-            case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
-            case Array("constraint", name, sql) => cons += ((name, sql))
-            case other => sys.error(s"corrupt log line in ${p.getName}: " +
-              other.mkString("\t"))
-          }
-        }
-        Commit(v, adds.result(), rms.result(), txn, dvs.result(),
-          cons.result())
+        val txns = text.linesIterator.filter(_.startsWith("txn\t")).map {
+          l => val Array(_, w, b) = l.split('\t'); w -> b.toLong
+        }.toMap
+        val dvMap = c.dvs.toMap
+        Some(Checkpoint(v,
+          c.added.map(f => (f, dvMap.get(f.path))),
+          c.constraints, txns, c.meta))
       }
+    }
+    val pointer = {
+      val p = new Path(logPath, "_last_checkpoint")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        s.toIntOption
+      }
+    }
+    pointer.filter(_ <= maxVersion).flatMap(load).orElse {
+      // fallback: newest .checkpoint file ≤ maxVersion in the listing
+      fs.listStatus(logPath).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toInt)
+        .filter(_ <= maxVersion).sorted.reverse
+        .iterator.map(load).collectFirst { case Some(c) => c }
+    }
+  }
+
+  /** Fold `suffix` commits onto a checkpoint (or empty) base. */
+  def foldCheckpoint(base: Option[Checkpoint],
+      suffix: Seq[Commit]): Checkpoint = {
+    val state = replayState(
+      base.map(_.state).getOrElse(Nil), suffix)
+    val cons = base.map(_.constraints).getOrElse(Nil) ++
+      suffix.flatMap(_.constraints)
+    val txns = suffix.flatMap(_.txn)
+      .foldLeft(base.map(_.txns).getOrElse(Map.empty[String, Long])) {
+        case (m, (w, b)) => m.updated(w, math.max(b, m.getOrElse(w, -1L)))
+      }
+    val v = (base.map(_.version).toSeq ++ suffix.map(_.version))
+      .foldLeft(-1)(math.max)
+    val schema = suffix.flatMap(_.meta).lastOption
+      .orElse(base.flatMap(_.schema))
+    Checkpoint(v, state, cons, txns, schema)
+  }
+
+  /** The folded table state as of `asOf`: last checkpoint ≤ asOf plus
+    * the commit suffix — the O(suffix) read every state-shaped
+    * consumer uses. */
+  def checkpointAt(fs: FileSystem, logPath: Path, asOf: Int): Checkpoint = {
+    val base = readCheckpointAtOrBelow(fs, logPath, asOf)
+    val suffix = readCommitsRange(fs, logPath,
+      base.map(_.version).getOrElse(-1), asOf)
+    foldCheckpoint(base, suffix)
+  }
+
+  /** [[checkpointAt]]'s state alone. */
+  def stateAt(fs: FileSystem, logPath: Path, asOf: Int)
+      : Seq[(FileStat, Option[String])] =
+    checkpointAt(fs, logPath, asOf).state
+
+  /** Publish `<v>.checkpoint` + move the `_last_checkpoint` pointer —
+    * crash-safe in the commit-publish style (tmp + rename; a crash
+    * between the two leaves a pointer-less checkpoint the
+    * directory-scan fallback still finds). Idempotent per version. */
+  def writeCheckpoint(fs: FileSystem, logPath: Path, version: Int): Unit = {
+    val ck = checkpointAt(fs, logPath, version)
+    val target = new Path(logPath, f"$version%08d.checkpoint")
+    if (!fs.exists(target)) {
+      val tmp = new Path(logPath,
+        s".tmpck-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write((renderCheckpoint(ck).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    }
+    // pointer move: tmp + delete + rename (LocalFS rename replaces;
+    // HDFS refuses an existing destination, hence the delete)
+    val ptr = new Path(logPath, "_last_checkpoint")
+    val tmp = new Path(logPath,
+      s".tmpptr-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr)) fs.delete(tmp, false)
   }
 
   /** Fold a commit window into its surviving (file, deletion-vector)
@@ -144,9 +350,16 @@ object Snapshot {
     * (window = (v0, v1] — a dv line targeting a file added BEFORE the
     * window is invisible here by construction, which is what delta
     * reads want: the increment's rows, not the base's deletions). */
-  def replayState(window: Seq[Commit]): Seq[(FileStat, Option[String])] = {
+  def replayState(window: Seq[Commit]): Seq[(FileStat, Option[String])] =
+    replayState(Nil, window)
+
+  /** [[replayState]] seeded with a checkpoint's already-folded state —
+    * the suffix-only replay. */
+  def replayState(initial: Seq[(FileStat, Option[String])],
+      window: Seq[Commit]): Seq[(FileStat, Option[String])] = {
     val live = scala.collection.mutable
       .LinkedHashMap.empty[String, (FileStat, Option[String])]
+    initial.foreach { case (f, dv) => live(f.path) = (f, dv) }
     window.foreach { c =>
       c.removed.foreach(live.remove)
       c.added.foreach(f => live(f.path) = (f, None))
@@ -210,9 +423,21 @@ object Snapshot {
     * `statsCols` are LONG-typed columns to zone-map per file;
     * `bloomCols` additionally get a per-file [[BloomM]]-bit Bloom
     * filter in the manifest for point-lookup skipping
-    * ([[Lake.pruneFilesEq]]). */
+    * ([[Lake.pruneFilesEq]]).
+    *
+    * '''Supported-store contract''' (the Delta LogStore caveat):
+    * CROSS-PROCESS multi-writer safety requires a store whose rename
+    * REFUSES an existing destination (HDFS-like). On POSIX
+    * LocalFileSystem and most object stores, rename REPLACES the
+    * destination, so two writers in different JVMs can both "win" a
+    * version slot; in-process racers are covered by the per-root
+    * [[publishLock]], and [[Lake.tryPublish]] re-reads the published
+    * record after its rename to DETECT (not prevent) a cross-process
+    * clobber — treat detection as a conflict and retry/fail, but run
+    * multi-JVM writers only against a refusing-rename store. */
   final case class Lake(spark: SparkSession, root: String,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil) {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      checkpointInterval: Int = 10, partitionCols: Seq[String] = Nil) {
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_log")
@@ -221,18 +446,25 @@ object Snapshot {
 
     // ---- log read side --------------------------------------------
 
-    /** -1 when the lake has no commits yet. */
-    def latestVersion: Int =
-      Snapshot.readCommits(fs, logPath).lastOption
-        .map(_.version).getOrElse(-1)
+    /** -1 when the lake has no commits yet. One directory listing,
+      * zero log-file parses (the checkpointing discipline: no
+      * operation replays O(versions) commit files). */
+    def latestVersion: Int = Snapshot.latestVersion(fs, logPath)
 
+    /** FULL history parse — O(versions) by nature; history-shaped
+      * consumers ([[describeHistory]]) only. State-shaped reads go
+      * through the checkpoint + suffix path ([[liveState]]). */
     def commits: Seq[Commit] = Snapshot.readCommits(fs, logPath)
 
-    /** The live (file, deletion-vector) state as of snapshot `v`. */
+    /** The live (file, deletion-vector) state as of snapshot `v` —
+      * folded from the newest checkpoint ≤ v plus the commit suffix
+      * (O(interval) file parses once the log is checkpointed, at any
+      * history length). */
     def liveState(asOf: Int): Seq[(FileStat, Option[String])] = {
-      val upTo = commits.takeWhile(_.version <= asOf)
-      require(upTo.nonEmpty || asOf < 0, s"no snapshot <= $asOf at $root")
-      Snapshot.replayState(upTo)
+      if (asOf < 0) return Nil
+      val ck = Snapshot.checkpointAt(fs, logPath, asOf)
+      require(ck.version >= 0, s"no snapshot <= $asOf at $root")
+      ck.state
     }
 
     /** The live file set as of snapshot `v` (manifest level — row-level
@@ -253,7 +485,7 @@ object Snapshot {
     def deltaFiles(v0: Int, v1: Int): Seq[FileStat] = {
       require(v0 <= v1, s"delta($v0, $v1): v0 must precede v1")
       Snapshot.replayLive(
-        commits.filter(c => c.version > v0 && c.version <= v1))
+        Snapshot.readCommitsRange(fs, logPath, v0, v1))
     }
 
     /** The incremental read: rows of files added in (v0, v1], minus
@@ -263,7 +495,7 @@ object Snapshot {
     def readDelta(v0: Int, v1: Int): DataFrame = {
       require(v0 <= v1, s"delta($v0, $v1): v0 must precede v1")
       readState(Snapshot.replayState(
-        commits.filter(c => c.version > v0 && c.version <= v1)))
+        Snapshot.readCommitsRange(fs, logPath, v0, v1)))
     }
 
     /** Row-level CDC feed over (v0, v1] — the Delta "change data feed"
@@ -372,6 +604,30 @@ object Snapshot {
         .filter(col(column).cast("string") === value)
     }
 
+    /** Partition-tier pruning (Delta's FIRST pruning tier, consulted
+      * before zone maps or Blooms): the live files of snapshot `v`
+      * whose recorded partition value for `c` equals `value` (string
+      * form, as the path fragment spelled it). Files without a
+      * recorded value — unpartitioned commits of a mixed-history
+      * table — stay must-scan. Pure manifest filter: zero data or
+      * footer I/O, exact (a partition dir holds ONLY its value's
+      * rows, unlike a zone range). */
+    def pruneFilesPartition(v: Int, c: String, value: String): Seq[FileStat] =
+      liveFiles(v).filter(f => f.parts.get(c).forall(_ == value))
+
+    /** Partition-pruned read: open only [[pruneFilesPartition]]'s
+      * survivors (deletion vectors applied), then re-apply the row
+      * predicate — exact even when must-scan unpartitioned files
+      * contribute. At 100 TB a one-partition read of a
+      * year/month/day-laid table opens that partition's files only,
+      * decided entirely from the log. */
+    def readPartition(v: Int, c: String, value: String): DataFrame = {
+      val keep = pruneFilesPartition(v, c, value).map(_.path).toSet
+      val entries = liveState(v).filter(e => keep(e._1.path))
+      if (entries.isEmpty) readAsOf(v).filter(lit(false))
+      else readState(entries).filter(col(c).cast("string") === value)
+    }
+
     /** Schema evolution on the read side (Delta's mergeSchema
       * semantic): a snapshot whose commits carry different schemas
       * reads as the UNION of their fields, older files null-filling
@@ -390,10 +646,12 @@ object Snapshot {
 
     /** A row's source file as the log's rel path — derivable on the
       * read side from `_metadata.file_path`, matching the
-      * `data/<commit dir>/<file>` keys DV files store. */
+      * `data/<commit dir>/[partition dirs/]<file>` keys DV files
+      * store. Anchored on the commit-dir naming (`c<version>-<uuid>`)
+      * so partition subdirectories of any depth are captured. */
     private def relKey =
       regexp_extract(col("_metadata.file_path"),
-        "(data/[^/]+/[^/]+)$", 1)
+        "(data/c[0-9]+-[^/]+/.+)$", 1)
 
     /** Row-level read of a live state: files without a deletion vector
       * scan plainly; files WITH one scan alongside their hidden
@@ -453,25 +711,104 @@ object Snapshot {
       fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
         val dir = d.getPath
         val dirRel = s"data/${dir.getName}"
-        fs.listStatus(dir).filter(_.isFile).foreach { f =>
-          val rel = s"$dirRel/${f.getPath.getName}"
+        val base = dir.toUri.getPath
+        // recursive walk: partitioned commits nest files under
+        // __p_<col>=<v> subdirectories
+        val it = fs.listFiles(dir, true)
+        val all = Seq.newBuilder[Path]
+        while (it.hasNext) all += it.next().getPath
+        all.result().foreach { f =>
+          val rel = s"$dirRel/${f.toUri.getPath.stripPrefix(base)
+            .stripPrefix("/")}"
           val keep = referenced.contains(rel) ||
             referencedDvDirs.contains(dirRel) ||
-            f.getPath.getName.startsWith("_") // parquet _SUCCESS markers
-          if (!keep) { fs.delete(f.getPath, false); deleted += 1 }
+            f.getName.startsWith("_") // parquet _SUCCESS markers
+          if (!keep) { fs.delete(f, false); deleted += 1 }
         }
-        if (fs.listStatus(dir).forall(s =>
-            s.isFile && s.getPath.getName.startsWith("_")))
-          fs.delete(dir, true) // only markers left — drop the commit dir
+        // only markers left anywhere below — drop the commit dir
+        val rest = fs.listFiles(dir, true)
+        var liveLeft = false
+        while (rest.hasNext && !liveLeft)
+          liveLeft = !rest.next().getPath.getName.startsWith("_")
+        if (!liveLeft) fs.delete(dir, true)
       }
       deleted
     }
 
     /** Active CHECK constraints — every `constraint` line up to the
       * latest version (add-only, the Delta ALTER TABLE ADD CONSTRAINT
-      * shape). */
+      * shape). Checkpoint + suffix, like every state-shaped read. */
     def constraints: Seq[(String, String)] =
-      commits.flatMap(_.constraints)
+      Snapshot.checkpointAt(fs, logPath, Int.MaxValue).constraints
+
+    /** The recorded table schema (last `meta` line in the log) — None
+      * only before the first data commit or on a pre-meta legacy log
+      * (enforcement then stays off, the grandfather clause). */
+    def tableSchema: Option[StructType] =
+      Snapshot.checkpointAt(fs, logPath, Int.MaxValue).schema
+
+    /** Name → dataType, nullability and field order ignored — the
+      * write-compatibility key (appends bind columns by name;
+      * [[readState]] reads under an explicit schema either way). */
+    private def schemaKey(st: StructType): Map[String, DataType] =
+      st.fields.map(f => f.name -> f.dataType).toMap
+
+    /** Write-side schema enforcement (the Delta contract): a
+      * data-writing commit must carry EXACTLY the table's columns with
+      * identical types; anything else — a new column, a missing
+      * column, a type change — is refused with a pointer to
+      * [[evolveSchema]]. No-op when the log predates `meta` lines. */
+    private def validateWriteSchema(df: StructType): Unit =
+      tableSchema.foreach { ts =>
+        val want = schemaKey(ts)
+        val got = schemaKey(df)
+        if (want != got) {
+          val extra = (got.keySet -- want.keySet).toSeq.sorted
+          val missing = (want.keySet -- got.keySet).toSeq.sorted
+          val retyped = want.keySet.intersect(got.keySet)
+            .filter(c => want(c) != got(c)).toSeq.sorted
+            .map(c => s"$c: ${want(c).simpleString} -> ${got(c).simpleString}")
+          sys.error(s"schema mismatch at $root: " +
+            (if (extra.nonEmpty) s"new column(s) ${extra.mkString(", ")} " +
+              "(additive evolution needs an explicit evolveSchema commit); "
+             else "") +
+            (if (missing.nonEmpty) s"missing column(s) ${missing.mkString(", ")}; "
+             else "") +
+            (if (retyped.nonEmpty) s"type change(s) ${retyped.mkString(", ")} " +
+              "(type-changing evolution is not supported); "
+             else "") +
+            s"table schema is ${ts.simpleString}")
+        }
+      }
+
+    /** Additive schema evolution (Delta's explicit-evolution shape):
+      * publish a metadata-only commit carrying the widened schema.
+      * Every existing column must survive with its exact type — drops
+      * and type changes are refused — and at least one column must be
+      * added. Later appends must then carry the widened schema; files
+      * written before the evolution null-fill on read (the
+      * [[readFiles]] mergeSchema semantic, unchanged). */
+    def evolveSchema(newSchema: StructType): Int = {
+      val cur = tableSchema.getOrElse(sys.error(
+        s"evolveSchema at $root: no recorded schema (empty table? the " +
+          "first data commit records it)"))
+      val curKey = schemaKey(cur)
+      val newKey = schemaKey(newSchema)
+      val dropped = (curKey.keySet -- newKey.keySet).toSeq.sorted
+      require(dropped.isEmpty,
+        s"evolveSchema at $root: dropping column(s) ${dropped.mkString(", ")} " +
+          "is not additive")
+      val retyped = curKey.keySet.filter(c => curKey(c) != newKey(c))
+        .toSeq.sorted
+      require(retyped.isEmpty,
+        s"evolveSchema at $root: type change on ${retyped.mkString(", ")} " +
+          "is refused (additive-only, the Delta discipline)")
+      require(newKey.size > curKey.size,
+        s"evolveSchema at $root: no new columns — nothing to evolve")
+      val version = latestVersion + 1
+      publish(Seq(s"v\t$version", Snapshot.metaLine(newSchema)), version)
+      version
+    }
 
     /** Total MOR-masked row positions at snapshot `v` — the table's
       * deletion-vector debt ([[graft.io.Maintain]]'s trigger metric).
@@ -595,7 +932,14 @@ object Snapshot {
       val rms = (cur.keys.toSeq.filterNot(targetPaths.contains) ++
         readmit.map(_._1.path).filter(cur.contains)).sorted
       val version = lv + 1
-      val record = (s"v\t$version" +: rms.map(p => s"rm\t$p")) ++
+      // RESTORE rolls the TABLE SCHEMA back too (the Delta semantic):
+      // when snapshot v predates an evolution, re-emit its meta line so
+      // post-restore appends are validated against the restored shape.
+      val metaRollback = Snapshot.checkpointAt(fs, logPath, v).schema
+        .filter(s => tableSchema.exists(_.json != s.json))
+        .map(Snapshot.metaLine).toSeq
+      val record = (s"v\t$version" +: (metaRollback ++
+        rms.map(p => s"rm\t$p"))) ++
         readmit.map(e => addLine(e._1)) ++
         readmit.collect { case (f, Some(dv)) => s"dv\t${f.path}\t$dv" }
       publish(record, version)
@@ -603,29 +947,17 @@ object Snapshot {
     }
 
     /** Re-serialize a replayed [[FileStat]] as a log `add` line —
-      * [[restore]]'s metadata-only re-admission (the inverse of
-      * [[readCommits]]'s parse; stats order: statsCols first, then any
-      * columns an earlier configuration statted, alphabetically). */
-    private def addLine(f: FileStat): String = {
-      val ordered = statsCols.filter(f.lo.contains) ++
-        (f.lo.keySet -- statsCols).toSeq.sorted
-      val stats = ordered.map(c => s"\t$c=${f.lo(c)}:${f.hi(c)}").mkString
-      val bOrdered = bloomCols.filter(f.bloom.contains) ++
-        (f.bloom.keySet -- bloomCols).toSeq.sorted
-      val blooms = bOrdered.map { c =>
-        val (k, words) = f.bloom(c)
-        Snapshot.bloomSegment(c, k, words)
-      }.mkString
-      s"add\t${f.path}\t${f.rows}$stats$blooms"
-    }
+      * [[restore]]'s metadata-only re-admission ([[Snapshot.addLine]]
+      * with this lake's cosmetic column order). */
+    private def addLine(f: FileStat): String =
+      Snapshot.addLine(f, statsCols, bloomCols)
 
     /** The highest batchId `writerId` has committed, -1 when none —
       * the read side of the Delta `txn` action. Max (not last) so a
       * log with interleaved writers answers each independently. */
     def lastTxn(writerId: String): Long =
-      commits.flatMap(_.txn).collect {
-        case (w, b) if w == writerId => b
-      }.foldLeft(-1L)(math.max)
+      Snapshot.checkpointAt(fs, logPath, Int.MaxValue)
+        .txns.getOrElse(writerId, -1L)
 
     /** Exactly-once streaming append: commit `df` stamped with
       * (writerId, batchId) UNLESS a commit with this writer's batchId
@@ -838,19 +1170,56 @@ object Snapshot {
         txn: Option[(String, Long)] = None,
         dvLines: Seq[String] = Nil): Int = {
       val version = latestVersion + 1
+      // (0) schema gate BEFORE any data lands: the first data commit
+      // RECORDS the table schema (a meta line in this commit's
+      // record); every later one must match it exactly or be refused
+      // (additive changes go through evolveSchema).
+      val metaLines = tableSchema match {
+        case Some(_) => validateWriteSchema(df.schema); Nil
+        case None => Seq(Snapshot.metaLine(df.schema))
+      }
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = s"data/c$version-$uuid"
       val dataPath = new Path(rootPath, dataDir)
       // (1) data files first — unreferenced until the log publishes.
-      df.write.mode("errorifexists").parquet(dataPath.toString)
+      // Hive-style partition layout (the reference's own lake shape —
+      // timescale_to_deltalake.py:36-37 partitionBy(year, month, day))
+      // when partitionCols is set: the writer partitions on DUPLICATED
+      // `__p_<col>` columns so the ORIGINAL columns stay in the data
+      // files — parquet RLE makes the duplicate ~free, and explicit
+      // file-list reads ([[readState]]) then need no partition-value
+      // reconstruction; the manifest records each file's partition
+      // values (`part:` segments) as the pruning tier BEFORE zone maps
+      // (the Delta partition-pruning tier).
+      if (partitionCols.nonEmpty) {
+        require(partitionCols.forall(df.columns.contains),
+          s"partition column(s) ${partitionCols.filterNot(df.columns.contains)
+            .mkString(", ")} missing from the commit frame at $root")
+        partitionCols.foldLeft(df)((d, c) =>
+            d.withColumn(s"__p_$c", col(c)))
+          .write.mode("errorifexists")
+          .partitionBy(partitionCols.map("__p_" + _): _*)
+          .parquet(dataPath.toString)
+      } else df.write.mode("errorifexists").parquet(dataPath.toString)
+      val files = { // recursive: partitioned commits nest their files
+        val it = fs.listFiles(dataPath, true)
+        val buf = Seq.newBuilder[Path]
+        while (it.hasNext) buf += it.next().getPath
+        buf.result()
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+          .sortBy(_.toString)
+      }
       // (1b) validate-then-publish: a constraint-violating write is
-      // deleted before it can ever become a version.
-      try validateAgainstConstraints(dataPath)
-      catch { case e: Throwable => fs.delete(dataPath, true); throw e }
-      val files = fs.listStatus(dataPath).map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet") &&
-          !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-        .sortBy(_.getName)
+      // deleted before it can ever become a version. Skipped when the
+      // commit wrote NO data files (delete-only CDC batch, empty
+      // append, no-match upsertMor): zero rows cannot violate a
+      // constraint, and spark.read.parquet on a part-less directory
+      // throws "Unable to infer schema", which would wrongly abort the
+      // commit.
+      if (files.nonEmpty)
+        try validateAgainstConstraints(dataPath)
+        catch { case e: Throwable => fs.delete(dataPath, true); throw e }
       // One job over just the new files: per-file rows + zone stats +
       // Bloom bitsets (the bloom agg ships only BloomM/8-byte buffers
       // through the partial/final split — never values).
@@ -866,11 +1235,26 @@ object Snapshot {
           .groupBy(input_file_name().as("__file"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-      val byName = statRows.map(r =>
-        new Path(new java.net.URI(r.getString(0)).getPath).getName -> r).toMap
+      // keyed by FULL absolute path, never by file name: partitionBy
+      // writes the SAME part-file name into every partition directory,
+      // so a name key would cross-wire stats between partitions.
+      val byPath = statRows.map(r =>
+        new java.net.URI(r.getString(0)).getPath -> r).toMap
+      // Rel path below the lake root (partition dirs included) + the
+      // file's partition values parsed from its `__p_<col>=<v>` path
+      // fragments — what the manifest's partition-pruning tier records.
+      def relOf(p: Path): String = {
+        val base = dataPath.toUri.getPath
+        s"$dataDir/${p.toUri.getPath.stripPrefix(base).stripPrefix("/")}"
+      }
+      def partSegs(rel: String): String =
+        rel.split('/').iterator.filter(_.startsWith("__p_")).map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(4, i) -> seg.substring(i + 1)
+        }.toSeq.sorted.map { case (c, v) => s"\tpart:$c=$v" }.mkString
       val addLines = files.map { f =>
-        val rel = s"$dataDir/${f.getName}"
-        byName.get(f.getName) match {
+        val rel = relOf(f)
+        byPath.get(f.toUri.getPath) match {
           case Some(r) =>
             // all-null column in this file ⇒ no stat line for it
             // (pruneFiles then treats the file as must-scan for that
@@ -886,11 +1270,12 @@ object Snapshot {
               Option(r.getAs[scala.collection.Seq[Long]](s"__bf_$c"))
                 .map(w => Snapshot.bloomSegment(c, BloomK, w.toArray))
             }.mkString
-            s"add\t$rel\t${r.getAs[Long]("__rows")}$stats$blooms"
-          case None => s"add\t$rel\t0" // all-null/empty file: no stats
+            s"add\t$rel\t${r.getAs[Long]("__rows")}$stats$blooms${partSegs(rel)}"
+          case None => // all-null/empty file: no stats
+            s"add\t$rel\t0${partSegs(rel)}"
         }
       }
-      def record(v: Int) = (s"v\t$v" +: addLines) ++
+      def record(v: Int) = (s"v\t$v" +: (metaLines ++ addLines)) ++
         removed.map(p => s"rm\t$p") ++ dvLines ++
         txn.map { case (w, b) => s"txn\t$w\t$b" }
       // Optimistic concurrency (the Delta conflict-resolution rule):
@@ -904,8 +1289,26 @@ object Snapshot {
       // head — that must keep failing loudly (lost-update protection),
       // as [[publish]] does.
       if (removed.isEmpty && dvLines.isEmpty) {
+        var validated = constraints
         var v = version
-        while (!tryPublish(record(v), v)) v = latestVersion + 1
+        while (!tryPublish(record(v), v)) {
+          // A pure append commutes with the winner's DATA changes, but
+          // not with a concurrent ADD CONSTRAINT (Delta fails an
+          // append on a concurrent metadata change): when the active
+          // constraint set grew between our validation and this retry,
+          // re-validate the already-written files against the fresh
+          // set before taking the next version slot.
+          val active = constraints
+          if (active != validated) {
+            if (files.nonEmpty)
+              try validateAgainstConstraints(dataPath)
+              catch { case e: Throwable =>
+                fs.delete(dataPath, true); throw e }
+            validated = active
+          }
+          v = latestVersion + 1
+        }
+        maybeCheckpoint(v)
         v
       } else {
         publish(record(version), version)
@@ -923,6 +1326,18 @@ object Snapshot {
       if (!tryPublish(record, version))
         sys.error(s"commit conflict: version $version already published " +
           s"at $root (concurrent writer won)")
+      else maybeCheckpoint(version)
+
+    /** Every `checkpointInterval`-th version, fold the log into a
+      * `.checkpoint` + move `_last_checkpoint` — the Delta semantic
+      * that keeps EVERY lake operation at O(interval) log-file parses
+      * no matter how long the table lives (a week-long streaming sink
+      * writes thousands of commits; without this, each subsequent read
+      * replays all of them). 0 disables. */
+    private def maybeCheckpoint(version: Int): Unit =
+      if (checkpointInterval > 0 && version > 0 &&
+          version % checkpointInterval == 0)
+        Snapshot.writeCheckpoint(fs, logPath, version)
 
     /** The conflict-signalling publish: false when the version slot was
       * taken by a racing writer ([[commit]]'s pure-append retry path).
@@ -936,15 +1351,27 @@ object Snapshot {
       fs.mkdirs(logPath)
       val tmp = new Path(logPath,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val payload = record.mkString("\n") + "\n"
       val out = fs.create(tmp, false)
-      try out.write((record.mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write(payload.getBytes("UTF-8"))
       finally out.close()
       val target = new Path(logPath, f"$version%08d.commit")
       Snapshot.publishLock(root).synchronized {
         if (fs.exists(target) || !fs.rename(tmp, target)) {
           fs.delete(tmp, false)
           false
-        } else true
+        } else {
+          // Clobber DETECTION for replacing-rename stores (see the
+          // supported-store contract on [[Lake]]): re-read the
+          // published record — if another process's rename replaced
+          // ours between publish and read-back, the content differs
+          // and this writer must treat the slot as lost.
+          val in = fs.open(target)
+          val back =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          back == payload
+        }
       }
     }
   }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
+  ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType, IntegerType,
@@ -81,9 +82,35 @@ class SnapshotStreamSource extends TableProvider {
 object SnapshotStreamSource {
   private def conf = new Configuration()
 
+  private def logPathOf(root: String) = new Path(root, "_log")
+
   def commits(root: String): Seq[Snapshot.Commit] = {
-    val logPath = new Path(root, "_log")
+    val logPath = logPathOf(root)
     Snapshot.readCommits(logPath.getFileSystem(conf), logPath)
+  }
+
+  /** Commits in (fromExclusive, toInclusive] — parses only the window,
+    * never the whole log (the micro-batch planning read). */
+  def commitsRange(root: String, fromExclusive: Int,
+      toInclusive: Int): Seq[Snapshot.Commit] = {
+    val logPath = logPathOf(root)
+    Snapshot.readCommitsRange(logPath.getFileSystem(conf), logPath,
+      fromExclusive, toInclusive)
+  }
+
+  /** Latest published version at `root` — one listing, no parses. */
+  def latestVersion(root: String): Int = {
+    val logPath = logPathOf(root)
+    Snapshot.latestVersion(logPath.getFileSystem(conf), logPath)
+  }
+
+  /** Checkpoint-aware folded state as of `asOf` (Int.MaxValue =
+    * latest) — O(checkpoint interval) log parses at any history
+    * length. */
+  def stateAt(root: String, asOf: Int)
+      : Seq[(Snapshot.FileStat, Option[String])] = {
+    val logPath = logPathOf(root)
+    Snapshot.stateAt(logPath.getFileSystem(conf), logPath, asOf)
   }
 
   /** Union of the live files' footer schemas in first-appearance order
@@ -93,7 +120,7 @@ object SnapshotStreamSource {
     * production scale the log would carry the schema per commit and
     * skip even that. */
   def unionSchema(root: String): StructType = {
-    val live = Snapshot.replayLive(commits(root))
+    val live = stateAt(root, Int.MaxValue).map(_._1)
     require(live.nonEmpty,
       s"SnapshotStreamSource: no live files at $root — commit first")
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
@@ -167,7 +194,8 @@ class SnapshotScanBuilder(
     startingVersion = options.getInt("startingVersion", 0),
     ignoreChanges = options.getBoolean("ignoreChanges", false),
     versionAsOf = options.getInt("versionAsOf", -1),
-    pruneFilters = pushed)
+    pruneFilters = pushed,
+    maxCommitsPerTrigger = options.getInt("maxCommitsPerTrigger", 0))
 }
 
 object SnapshotScan {
@@ -221,7 +249,8 @@ object SnapshotScan {
 class SnapshotScan(root: String, required: StructType,
     startingVersion: Int, ignoreChanges: Boolean,
     versionAsOf: Int = -1,
-    pruneFilters: Array[Filter] = Array.empty) extends Scan with Batch {
+    pruneFilters: Array[Filter] = Array.empty,
+    maxCommitsPerTrigger: Int = 0) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -234,15 +263,16 @@ class SnapshotScan(root: String, required: StructType,
     * commit retires DVs: Compact.clusterBy / zOrderBy / overwrite),
     * or read through `Snapshot.Lake.readAsOf`, which applies them. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val all = SnapshotStreamSource.commits(root)
-    val window =
-      if (versionAsOf < 0) all
+    val state =
+      if (versionAsOf < 0)
+        SnapshotStreamSource.stateAt(root, Int.MaxValue)
       else {
-        require(all.exists(_.version == versionAsOf),
+        require(SnapshotStreamSource.latestVersion(root) >= versionAsOf &&
+          SnapshotStreamSource.commitsRange(root, versionAsOf - 1,
+            versionAsOf).nonEmpty,
           s"versionAsOf=$versionAsOf: no such snapshot at $root")
-        all.takeWhile(_.version <= versionAsOf)
+        SnapshotStreamSource.stateAt(root, versionAsOf)
       }
-    val state = Snapshot.replayState(window)
     val dvd = state.collect { case (f, Some(_)) => f.path }
     if (dvd.nonEmpty) throw new IllegalStateException(
       s"SnapshotStreamSource batch read at $root: ${dvd.size} live " +
@@ -260,7 +290,8 @@ class SnapshotScan(root: String, required: StructType,
     new SnapshotReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotMicroBatch(root, required, startingVersion, ignoreChanges)
+    new SnapshotMicroBatch(root, required, startingVersion, ignoreChanges,
+      maxCommitsPerTrigger)
 }
 
 /** Offset = commit VERSION ("-1" = before the first commit). Versions
@@ -270,14 +301,43 @@ case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
+/** `maxCommitsPerTrigger` (0 = unlimited) is the Delta
+  * `maxFilesPerTrigger` semantic on version-numbered offsets: a
+  * backlogged table drains in PACED micro-batches of at most that many
+  * commits instead of one giant catch-up batch — each batch stays
+  * increment-sized (state, shuffle and sink commit all bounded), and a
+  * restart resumes the pacing exactly-once from the checkpointed
+  * offset. Implemented through Spark's [[SupportsAdmissionControl]]
+  * seam, so the engine (not the source) drives when a batch is cut. */
 class SnapshotMicroBatch(root: String, required: StructType,
-    startingVersion: Int, ignoreChanges: Boolean) extends MicroBatchStream {
+    startingVersion: Int, ignoreChanges: Boolean,
+    maxCommitsPerTrigger: Int = 0) extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
 
-  override def latestOffset(): Offset =
-    VersionOffset(SnapshotStreamSource.commits(root).lastOption
-      .map(_.version).getOrElse(startingVersion - 1))
+  override def latestOffset(): Offset = {
+    val lv = SnapshotStreamSource.latestVersion(root)
+    VersionOffset(if (lv < 0) startingVersion - 1 else lv)
+  }
+
+  /** Admission control: cap this batch's end offset at start +
+    * maxCommitsPerTrigger commits; the engine keeps triggering until
+    * the backlog drains ([[reportLatestOffset]] tells it how far
+    * behind the batch stopped). */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VersionOffset].v
+    val lv = SnapshotStreamSource.latestVersion(root)
+    if (lv < 0) VersionOffset(startingVersion - 1)
+    else if (maxCommitsPerTrigger <= 0) VersionOffset(lv)
+    else VersionOffset(math.min(lv, start + maxCommitsPerTrigger))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The TRUE head, regardless of pacing — surfaces the backlog in
+    * streaming progress metrics. */
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toInt)
@@ -285,8 +345,7 @@ class SnapshotMicroBatch(root: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
-    val window = SnapshotStreamSource.commits(root)
-      .filter(c => c.version > s && c.version <= e)
+    val window = SnapshotStreamSource.commitsRange(root, s, e)
     window.find(c => (c.removed.nonEmpty || c.dvs.nonEmpty) &&
         !ignoreChanges).foreach { c =>
       throw new IllegalStateException(

@@ -46,8 +46,12 @@ object ExtQueries {
       val root = lakeDirs.getOrElseUpdate(d, {
         val dir = java.nio.file.Files.createTempDirectory("graft-lake-")
           .toString
+        // checkpointInterval = 4 so the 8-commit fixture crosses a
+        // checkpoint (v4): every lake_* oracle then gates the
+        // checkpoint + suffix read path, not just full replay.
         val lake = graft.io.Snapshot.Lake(s, dir,
-          statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"))
+          statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"),
+          checkpointInterval = 4)
         val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
         lake.append(o.filter(pmod(col("o_orderkey"), lit(10L)) < 7))
@@ -85,8 +89,39 @@ object ExtQueries {
         dir
       })
       graft.io.Snapshot.Lake(s, root,
-        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"))
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"),
+        checkpointInterval = 4)
     }
+
+  // Partitioned snapshot lake (round 15): orders keyed the same way
+  // but laid out hive-style by order YEAR (the reference's own lake
+  // shape — timescale_to_deltalake.py:36-37 partitionBy(year, month,
+  // day)). Commit 0 = % 10 < 8, commit 1 = the rest (so both span
+  // every year), commit 2 = a MOR delete (% 100 = 13) proving DVs
+  // apply inside partition-pruned reads. Deterministic membership ⇒
+  // the oracle replays it relationally.
+  private val partLakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def partitionedLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    def open(dir: String) = graft.io.Snapshot.Lake(s, dir,
+      statsCols = Seq("o_orderkey"), checkpointInterval = 4,
+      partitionCols = Seq("yr"))
+    val root = partLakeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-plake-")
+        .toString
+      val lake = open(dir)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      lake.append(o.filter(pmod(col("o_orderkey"), lit(10L)) < 8))
+      lake.append(o.filter(pmod(col("o_orderkey"), lit(10L)) >= 8))
+      lake.deleteKeysMor(
+        o.filter(pmod(col("o_orderkey"), lit(100L)) === 13)
+          .select(col("o_orderkey")), "o_orderkey")
+      dir
+    })
+    open(root)
+  }
 
   /** (reference, candidate) token frames for the eval-metric queries
     * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
@@ -1326,6 +1361,34 @@ object ExtQueries {
         .groupBy(col("bucket"))
         .agg(sum(col("dn")).as("n_rows"), sum(col("dc")).as("sum_cents"))
         .filter(col("n_rows") > 0)
+    },
+
+    // Partition-pruned reads (round 15) — Delta's FIRST pruning tier
+    // on the partitioned fixture lake: a one-partition read consults
+    // the manifest's recorded partition values (part: segments) and
+    // opens ONLY that year's files — decided from the log, zero footer
+    // reads — with the MOR deletion vectors applied inside the pruned
+    // read. The query also asserts the prune was STRICT (a non-empty
+    // proper subset, every survivor carrying the probed value) as a
+    // layout-independent boolean; the oracle replays membership
+    // relationally (commits 0+1 = all orders, minus the % 100 = 13 MOR
+    // delete). 100 TB shape: a year/month/day-partitioned table serves
+    // a one-partition query by opening that partition's files only —
+    // the scan set scales with the partition, never the table.
+    "lake_partition_prune" -> { (s, d) =>
+      val lake = partitionedLake(s, d)
+      val lv = lake.latestVersion
+      val all = lake.liveFiles(lv).size
+      Seq(1996L, 1999L).map { y =>
+        val kept = lake.pruneFilesPartition(lv, "yr", y.toString)
+        val strict = kept.nonEmpty && kept.size < all &&
+          kept.forall(_.parts.get("yr").contains(y.toString))
+        lake.readPartition(lv, "yr", y.toString)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(y).as("yr"), col("n_rows"), col("sum_cents"),
+            lit(strict).as("pruned"))
+      }.reduce(_ unionByName _)
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -6281,6 +6344,23 @@ object ExtQueries {
         |         AS insert_cents,
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d7)
         |         AS delete_cents""".stripMargin,
+
+    // lake_partition_prune: membership = all orders (commits 0+1)
+    // minus the MOR-deleted % 100 = 13 keys, restricted to the probed
+    // years; the strict-prune boolean is true by construction (every
+    // SF spans several order years, so one year's partition is always
+    // a proper subset of the live files).
+    "lake_partition_prune" ->
+      """WITH o AS (SELECT o_orderkey,
+        |             CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+        |       true AS pruned
+        |FROM o
+        |WHERE o_orderkey % 100 <> 13 AND yr IN (1996, 1999)
+        |GROUP BY yr""".stripMargin,
 
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a

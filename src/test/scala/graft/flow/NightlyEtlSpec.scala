@@ -45,6 +45,45 @@ class NightlyEtlSpec extends SparkSpec {
     assert(sink.read(spark).count() == 2)
   }
 
+  test("snapshot-lake nightly: Maintain.auto collapses accumulated small-file debt, content identical (auto-compact cadence)") {
+    val dir = tmp()
+    val lake = graft.io.Snapshot.Lake(spark, s"$dir/snap",
+      statsCols = Seq("k"))
+    // 6 "nights": each extract lands as its own append commit with
+    // 2 files (repartition(2)) — small-file debt accumulates because
+    // target 2000 rows/file bin-packs the rows into ONE ideal file
+    // (night 0 stays inside the 2× slack; later nights trip it).
+    val trails = (0 until 6).map { night =>
+      val src = s"$dir/src$night"
+      (night * 200L until night * 200L + 200L).map(k => (k, s"n$night-$k"))
+        .toDF("k", "v").repartition(2).write.parquet(src)
+      NightlyEtl.runSnapshotNightly(spark, ParquetSource(src), lake,
+        targetRowsPerFile = 2000L, clusterCol = Some("k"),
+        retries = 1, delay = 10.millis)
+    }
+    // Early nights: healthy (files <= slack × ideal), no rewrite.
+    assert(trails.head.exists(r => r.name == "maintain:healthy"))
+    // By night 6 the debt tripped at least once and the flow's
+    // maintenance stage collapsed it.
+    val acted = trails.flatMap(_.find(_.name.startsWith("maintain:small-files")))
+    assert(acted.nonEmpty, s"small-file debt never tripped: $trails")
+    // Post-flow: the live layout is bin-packed (≤ slack × ideal files)…
+    val files = lake.liveFiles(lake.latestVersion).size
+    assert(files <= 2, s"debt not collapsed: $files live files")
+    // …and the content is EXACTLY the union of the 6 extracts.
+    assert(lake.read().count() === 1200)
+    assert(lake.read().select("k").distinct().count() === 1200)
+    // The clustered rewrite preserved the zone-map discipline: a range
+    // predicate still prunes through the manifest.
+    val pruned = lake.pruneFiles(lake.latestVersion, "k", 0, 99)
+    assert(pruned.size <= files)
+    // Every night's append stage verified its own increment.
+    trails.zipWithIndex.foreach { case (t, i) =>
+      assert(t.exists(r => r.name.startsWith("append@v") && r.rows == 200L),
+        s"night $i audit trail: $t")
+    }
+  }
+
   test("retry recovers from transient failures (L2)") {
     var attempts = 0
     val out = NightlyEtl.retry(3, 10.millis) {

@@ -485,12 +485,41 @@ class SnapshotSpec extends SparkSpec {
       reopened.append(Seq((-2L, "bad")).toDF("k", "v")))
   }
 
+  test("CHECK constraints: a zero-data-file commit (delete-only CDC batch) is not aborted") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.addConstraint("k_nonneg", "k >= 0") // v1
+    // A delete-only CDC micro-batch writes NO data files; zero rows
+    // cannot violate a constraint, so the commit must land instead of
+    // aborting on schema inference over a part-less directory.
+    val delOnly = Seq((5L, "row5", "delete"), (50L, "row50", "delete"))
+      .toDF("k", "v", "_op")
+    val v = lake.applyCdcMor(delOnly, "k", "wA", 0L)
+    assert(v === Some(2))
+    assert(lake.read().count() === 98)
+    assert(lake.read().filter(col("k").isin(5L, 50L)).count() === 0)
+    // Same guard on a no-match MOR upsert whose frame is empty.
+    val v2 = lake.upsertMor(
+      Seq.empty[(Long, String)].toDF("k", "v"), "k")
+    assert(v2 === 3)
+    assert(lake.read().count() === 98)
+  }
+
   test("schema evolution: added column reads as union, null-filled for old files") {
     import spark.implicits._
     val lake = freshLake()
-    lake.append(kv(0, 10)) // v0: (k, v)
-    lake.append(Seq((10L, "row10", "amber"), (11L, "row11", "basalt"))
-      .toDF("k", "v", "tag")) // v1 adds `tag`
+    lake.append(kv(0, 10)) // v0: (k, v) — records the table schema
+    val wide = Seq((10L, "row10", "amber"), (11L, "row11", "basalt"))
+      .toDF("k", "v", "tag")
+    // Write-side enforcement (Delta's contract): the widened append is
+    // refused until an explicit additive evolution commit lands.
+    val e = intercept[RuntimeException](lake.append(wide))
+    assert(e.getMessage.contains("schema mismatch") &&
+      e.getMessage.contains("tag"))
+    assert(lake.latestVersion === 0, "refused write published no version")
+    lake.evolveSchema(wide.schema) // v1: metadata-only evolution commit
+    lake.append(wide) // v2 adds `tag` data
     val r = lake.read()
     assert(r.columns.sorted.toSeq === Seq("k", "tag", "v"))
     assert(r.count() === 12)
@@ -501,9 +530,73 @@ class SnapshotSpec extends SparkSpec {
     // Time travel to the pre-evolution snapshot sees the narrow schema.
     assert(lake.readAsOf(0).columns.sorted.toSeq === Seq("k", "v"))
     // The CDC feed over the evolving window carries the union schema.
-    val c = lake.changes(0, 1)
+    val c = lake.changes(0, 2)
     assert(c.columns.contains("tag") &&
       c.filter(col("_op") === "insert").count() === 2)
+    // Type-changing writes and evolutions are refused, not coerced.
+    val retyped = Seq((12L, "row12", 9L)).toDF("k", "v", "tag")
+    val e2 = intercept[RuntimeException](lake.append(retyped))
+    assert(e2.getMessage.contains("type change"))
+    intercept[IllegalArgumentException](lake.evolveSchema(retyped.schema))
+    // A missing column is refused too (appends carry the full schema).
+    val e3 = intercept[RuntimeException](
+      lake.append(Seq(13L).toDF("k")))
+    assert(e3.getMessage.contains("missing column"))
+    // Dropping a column is not additive.
+    intercept[IllegalArgumentException](
+      lake.evolveSchema(Seq((1L, "x")).toDF("k", "v").schema))
+    // The recorded schema replays from the log for a fresh handle.
+    val reopened = Snapshot.Lake(spark, lake.root, Seq("k"))
+    assert(reopened.tableSchema.map(_.fieldNames.sorted.toSeq)
+      === Some(Seq("k", "tag", "v")))
+    intercept[RuntimeException](reopened.append(retyped))
+  }
+
+  test("partition columns: hive layout, manifest partition tier prunes before zone maps, MOR/vacuum compose") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-part-").toString,
+      statsCols = Seq("k"), partitionCols = Seq("day"))
+    val df = (0L until 300L).map(k => (k, k % 3, s"row$k"))
+      .toDF("k", "day", "v")
+    lake.append(df.repartition(4)) // v0
+    // Hive-style layout on disk: __p_day=<v> dirs under the commit dir
+    // (duplicated partition column — the data files KEEP `day`).
+    val fs = new org.apache.hadoop.fs.Path(lake.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitDir = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${lake.root}/data"))
+      .filter(_.isDirectory).head.getPath
+    assert(fs.listStatus(commitDir).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__p_day=")))
+    // Manifest records each file's partition value + its k zone map.
+    val files = lake.liveFiles(0)
+    assert(files.nonEmpty && files.forall(_.parts.contains("day")))
+    assert(files.forall(_.lo.contains("k")))
+    // Partition tier prunes to exactly the probed value's files.
+    val pruned = lake.pruneFilesPartition(0, "day", "1")
+    assert(pruned.nonEmpty && pruned.size < files.size)
+    assert(pruned.forall(_.parts("day") === "1"))
+    // The pruned read is exact and opens only the survivors.
+    val r1 = lake.readPartition(0, "day", "1")
+    assert(r1.count() === 100)
+    assert(r1.select("k").collect().forall(_.getLong(0) % 3 === 1))
+    val scanned = r1.inputFiles.toSet
+    files.filterNot(f => f.parts("day") == "1").foreach { f =>
+      assert(!scanned.exists(_.endsWith(f.path)),
+        s"other-partition file ${f.path} was scanned")
+    }
+    // MOR delete composes: DVs apply inside the partition-pruned read.
+    lake.deleteKeysMor(Seq(1L, 4L).toDF("k"), "k") // v1; both day=1
+    assert(lake.readPartition(1, "day", "1").count() === 98)
+    // Overwrite re-partitions through the SAME layout; vacuum walks
+    // the nested dirs and drops v0's unreferenced files.
+    lake.overwrite(df.filter(col("k") < 150)) // v2
+    assert(lake.liveFiles(2).forall(_.parts.contains("day")))
+    val deleted = lake.vacuum(keepSnapshots = 1)
+    assert(deleted > 0)
+    assert(lake.read().count() === 150)
+    assert(lake.readPartition(2, "day", "2").count() === 50)
   }
 
   test("stats columns with nulls: file stays must-scan rather than mis-pruned") {

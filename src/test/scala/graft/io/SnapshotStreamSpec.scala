@@ -54,6 +54,33 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("admission control: maxCommitsPerTrigger paces a backlog into bounded batches, restart exactly-once") {
+    val lake = freshLake()
+    (0 until 6).foreach(i => lake.append(kv(i * 10L, i * 10L + 10L)))
+    val ckpt = Files.createTempDirectory("snap-ac-ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def start() = spark.readStream.format(Fmt)
+      .option("maxCommitsPerTrigger", 2).load(lake.root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, b.count())) }; ()
+      }.start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    // 6-commit backlog at 2 commits/trigger = EXACTLY 3 paced batches,
+    // each emitting its 2 commits' 20 rows — never one giant batch.
+    assert(batches.map(_._2).toSeq === Seq(20L, 20L, 20L),
+      s"expected 3 paced batches of 20, got $batches")
+    // Restart with new backlog: pacing resumes from the checkpointed
+    // offset, exactly-once (no batch re-emitted, 3 commits = 2 batches).
+    (6 until 9).foreach(i => lake.append(kv(i * 10L, i * 10L + 10L)))
+    batches.clear()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.map(_._2).toSeq === Seq(20L, 10L),
+      s"restart must drain only the 3 new commits paced 2+1, got $batches")
+  }
+
   test("append-only guard: a rewrite commit fails the stream; ignoreChanges accepts") {
     val lake = freshLake()
     lake.append(kv(0, 50))
@@ -165,8 +192,10 @@ class SnapshotStreamSpec extends SparkSpec {
   test("schema evolution: stream carries the union schema, old files null-fill") {
     val lake = freshLake()
     lake.append(kv(0, 5))
-    lake.append(Seq((5L, "row5", 7.5), (6L, "row6", 8.25))
-      .toDF("k", "v", "score"))
+    val wide = Seq((5L, "row5", 7.5), (6L, "row6", 8.25))
+      .toDF("k", "v", "score")
+    lake.evolveSchema(wide.schema) // write-side: evolution is explicit
+    lake.append(wide)
     val name = s"snapstream4${System.nanoTime()}"
     val q = spark.readStream.format(Fmt).load(lake.root)
       .writeStream.outputMode("append").format("memory").queryName(name)
