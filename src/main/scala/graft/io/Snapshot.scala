@@ -76,7 +76,8 @@ object Snapshot {
       removed: Seq[String], txn: Option[(String, Long)] = None,
       dvs: Seq[(String, String)] = Nil,
       constraints: Seq[(String, String)] = Nil,
-      meta: Option[StructType] = None)
+      meta: Option[StructType] = None,
+      ts: Option[Long] = None)
 
   /** Table-schema log line: `meta<TAB><base64(StructType.json)>` —
     * base64 so the JSON can never collide with the tab/newline
@@ -124,9 +125,11 @@ object Snapshot {
     val cons = Seq.newBuilder[(String, String)]
     var txn = Option.empty[(String, Long)]
     var meta = Option.empty[StructType]
+    var ts = Option.empty[Long]
     lines.foreach { line =>
       line.split('\t') match {
         case Array("meta", b64) => meta = Some(parseMetaPayload(b64))
+        case Array("ts", ms) => ts = Some(ms.toLong)
         case Array("v", ver) =>
           require(ver.toInt == v, s"log ${p.getName} claims version $ver")
         case arr if arr.head == "add" =>
@@ -166,7 +169,7 @@ object Snapshot {
       }
     }
     Commit(v, adds.result(), rms.result(), txn, dvs.result(),
-      cons.result(), meta)
+      cons.result(), meta, ts)
   }
 
   /** The commits with version in (fromExclusive, toInclusive] — parses
@@ -474,6 +477,37 @@ object Snapshot {
     /** Time travel: the table exactly as snapshot `v` saw it —
       * deletion vectors of that snapshot applied. */
     def readAsOf(v: Int): DataFrame = readState(liveState(v))
+
+    /** Timestamp-based time travel (Delta's `timestampAsOf`): the last
+      * version whose publish timestamp is ≤ `tsMillis`. Resolution is
+      * a BINARY SEARCH over the version listing — O(log versions)
+      * commit-file parses, no full replay — relying on publish
+      * timestamps being non-decreasing (single-writer wall clock; the
+      * Delta caveat about clock skew across writers applies
+      * unchanged). Commits from logs predating the `ts` line resolve
+      * as "infinitely old". Fails when `tsMillis` predates the first
+      * commit, exactly like Delta. */
+    def versionAtTimestamp(tsMillis: Long): Int = {
+      val versions = Snapshot.listVersions(fs, logPath)
+      require(versions.nonEmpty, s"no commits at $root")
+      def tsOf(v: Int): Long =
+        Snapshot.readCommitsRange(fs, logPath, v - 1, v)
+          .headOption.flatMap(_.ts).getOrElse(Long.MinValue)
+      require(tsOf(versions.head) <= tsMillis,
+        s"timestampAsOf($tsMillis) predates the first commit at $root")
+      // binary search: greatest version with ts <= tsMillis
+      var lo = 0
+      var hi = versions.size - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (tsOf(versions(mid)) <= tsMillis) lo = mid else hi = mid - 1
+      }
+      versions(lo)
+    }
+
+    /** [[readAsOf]] at [[versionAtTimestamp]]'s resolution. */
+    def readAsOfTimestamp(tsMillis: Long): DataFrame =
+      readAsOf(versionAtTimestamp(tsMillis))
 
     /** The latest snapshot. */
     def read(): DataFrame = readAsOf(latestVersion)
@@ -1351,7 +1385,11 @@ object Snapshot {
       fs.mkdirs(logPath)
       val tmp = new Path(logPath,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val payload = record.mkString("\n") + "\n"
+      // Every commit carries its publish wall-clock (the Delta
+      // commit-timestamp semantic) — the single choke point stamps it
+      // so timestampAsOf resolution covers every commit shape.
+      val payload = (record :+ s"ts\t${System.currentTimeMillis()}")
+        .mkString("\n") + "\n"
       val out = fs.create(tmp, false)
       try out.write(payload.getBytes("UTF-8"))
       finally out.close()

@@ -1949,6 +1949,160 @@ object AnalyticsQueries {
         .selectExpr("*", "abs(z) > 1.96 AS significant")
     },
 
+    // Welch two-sample t-test (round 15) — the UNEQUAL-VARIANCE mean
+    // comparison completing the testing family (ab_chisq =
+    // proportions, mannwhitney_u = 2-sample ranks, anova_f = k
+    // equal-variance means, THIS = 2-sample means without the pooled
+    // assumption; Welch 1947): arms split by the same md5 coin as
+    // ab_chisq/mannwhitney_u ("wtt:" salt — a deterministic A/A
+    // split, so t must sit near 0: the calibration read). Sufficient
+    // statistics exact per arm (n, Σy, Σy², DECIMAL(38,0)-routed
+    // under the raise_error guard); the anova_f rounded-term CONTRACT
+    // carries the division points: mean1e4 = HALF_UP(1e4·S/n) and the
+    // variance-over-n term w = HALF_UP(1e8·(nQ−S²)/(n²(n−1))) are
+    // exact integers (y ≥ 0 ⇒ all numerators non-negative, HALF_UP
+    // needs no sign split), t is ONE fixed IEEE tree over those int64s
+    // (the 1e4/√1e8 scales cancel — identical bits in both engines),
+    // and significance is a PURE-INTEGER cross-multiplied compare
+    // against z 1.96: 1e4·(Δmean1e4)² > 38416·(w1+w2). 100 TB shape:
+    // ONE partial+final hash agg to 2 rows; everything after is
+    // bounded-frame arithmetic.
+    "welch_ttest" -> { (s, d) =>
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft welch_ttest: statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
+      val e = Tables.events(s, d).select(
+        pmod(Dedup.md5Hash60(concat(lit("wtt:"), col("event_id"))),
+          lit(2L)).as("arm"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      val g = e.groupBy(col("arm")).agg(
+        count(lit(1)).as("n"),
+        longExact(sum(col("y").cast("decimal(38,0)"))).as("sy"),
+        longExact(sum(expr("CAST(y AS DECIMAL(38,0)) * y"))).as("qy"))
+      g.agg(
+          sum(when(col("arm") === 0L, col("n"))).as("n1"),
+          sum(when(col("arm") === 1L, col("n"))).as("n2"),
+          sum(when(col("arm") === 0L, col("sy"))).as("s1"),
+          sum(when(col("arm") === 1L, col("sy"))).as("s2"),
+          sum(when(col("arm") === 0L, col("qy"))).as("q1"),
+          sum(when(col("arm") === 1L, col("qy"))).as("q2"))
+        .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+          "CAST(s1 AS BIGINT) AS s1", "CAST(s2 AS BIGINT) AS s2",
+          "CAST(q1 AS BIGINT) AS q1", "CAST(q2 AS BIGINT) AS q2")
+        .selectExpr("n1", "n2", "s1", "s2", "q1", "q2",
+          "CAST((2 * 10000 * CAST(s1 AS DECIMAL(38,0)) + n1)" +
+            " div (2 * n1) AS BIGINT) AS mean1_x1e4",
+          "CAST((2 * 10000 * CAST(s2 AS DECIMAL(38,0)) + n2)" +
+            " div (2 * n2) AS BIGINT) AS mean2_x1e4",
+          "CAST((2 * 100000000 * (CAST(n1 AS DECIMAL(38,0)) * q1" +
+            " - CAST(s1 AS DECIMAL(38,0)) * s1)" +
+            " + CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1))" +
+            " div (2 * CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1))" +
+            " AS BIGINT) AS w1_x1e8",
+          "CAST((2 * 100000000 * (CAST(n2 AS DECIMAL(38,0)) * q2" +
+            " - CAST(s2 AS DECIMAL(38,0)) * s2)" +
+            " + CAST(n2 AS DECIMAL(38,0)) * n2 * (n2 - 1))" +
+            " div (2 * CAST(n2 AS DECIMAL(38,0)) * n2 * (n2 - 1))" +
+            " AS BIGINT) AS w2_x1e8")
+        .selectExpr("*",
+          "(CAST(mean1_x1e4 AS DOUBLE) - CAST(mean2_x1e4 AS DOUBLE)) / " +
+            "sqrt(CAST(w1_x1e8 AS DOUBLE) + CAST(w2_x1e8 AS DOUBLE))" +
+            " AS t",
+          "10000 * CAST(mean1_x1e4 - mean2_x1e4 AS DECIMAL(38,0)) * " +
+            "(mean1_x1e4 - mean2_x1e4) > " +
+            "38416 * (CAST(w1_x1e8 AS DECIMAL(38,0)) + w2_x1e8)" +
+            " AS significant")
+    },
+
+    // Mann-Kendall trend test (round 15) — the NONPARAMETRIC monotone-
+    // trend verdict completing the forecast/trend family (trend_slope
+    // = parametric OLS slope, ewma/holt = smoothing, cusum_shift =
+    // changepoint; Mann 1945, Kendall 1975): over the ≤31-row daily
+    // cent-sum series (the holt_linear frame), S = Σ_{i<j}
+    // sgn(y_j − y_i) — exact integers via when/otherwise, never a
+    // float sign — with the exact tie term Σ t(t−1)(2t+5) and
+    // 18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5) kept as the integer
+    // v18; z is one fixed IEEE tree over (S, v18) with the continuity
+    // correction, and the trend verdict is a PURE-INTEGER compare:
+    // 180000·(|S|−1)² > 38416·v18 (z² > 1.96² cross-multiplied
+    // through the /18). 100 TB shape: one day-keyed map-side-
+    // combinable agg to ≤31 rows; the O(n²) pairwise join runs on
+    // THAT bounded frame (≤465 pairs at any SF), never on rows.
+    "mann_kendall" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(expr(s"(ts div 1000 - $OriginUs) div ${Tables.MicrosPerDay}")
+          .as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+        .localCheckpoint(true)
+      val a = daily.select(col("day").as("di"), col("y").as("yi"))
+      val b = daily.select(col("day").as("dj"), col("y").as("yj"))
+      val sStat = a.join(b, col("di") < col("dj"))
+        .agg(coalesce(sum(when(col("yj") > col("yi"), 1L)
+          .when(col("yj") < col("yi"), -1L).otherwise(0L)), lit(0L))
+          .as("s_stat"))
+      val tie = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("t")).as("n_days"),
+          sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"))
+      sStat.crossJoin(broadcast(tie))
+        .selectExpr("n_days", "s_stat",
+          "n_days * (n_days - 1) * (2 * n_days + 5) - tsum AS v18")
+        .selectExpr("n_days", "s_stat", "v18",
+          "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / " +
+            "sqrt(CAST(v18 AS DOUBLE) / 18.0) " +
+            "WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / " +
+            "sqrt(CAST(v18 AS DOUBLE) / 18.0) ELSE 0.0 END AS z",
+          "CASE WHEN abs(s_stat) >= 1 THEN " +
+            "180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) > " +
+            "38416 * v18 ELSE false END AS trending",
+          "s_stat > 0 AS upward")
+    },
+
+    // Cramér's V (round 15) — the EFFECT-SIZE companion the
+    // chi-square family lacked (ab_chisq answers "is there an
+    // association", THIS answers "how strong"; Cramér 1946): the
+    // event_type × md5-coin contingency ("crv:" salt — an A/A-style
+    // independent split, so V must sit near 0: the calibration read).
+    // Per-cell chi term exactly rationalized: (O−E)²/E with E = RC/n
+    // collapses to (On − RC)²/(nRC), each term a HALF_UP 1e4 integer
+    // cell (the benford_audit rounded-term contract — a raw double Σ
+    // would be order-dependent), so chi2_x1e4 = Σ terms is exact;
+    // V² = χ²/(n·min(r−1,c−1)) with min = 1 (two arms) collapses to
+    // the exact HALF_UP 1e6 cell v2_x1e6 = HALF_UP(100·chi2_x1e4/n).
+    // 100 TB shape: ONE partial+final hash agg to the 10-cell
+    // contingency; margins re-aggregate the 10-row frame.
+    "cramers_v" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        pmod(Dedup.md5Hash60(concat(lit("crv:"), col("event_id"))),
+          lit(2L)).as("arm"))
+      val cells = e.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true)
+      val rows = cells.groupBy(col("event_type"))
+        .agg(sum(col("o")).as("r"))
+      val cols = cells.groupBy(col("arm")).agg(sum(col("o")).as("cc"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      cells.join(rows, "event_type").join(cols, "arm").crossJoin(n)
+        .selectExpr("n",
+          "CAST((2 * 10000 * (CAST(o AS DECIMAL(38,0)) * n" +
+            " - CAST(r AS DECIMAL(38,0)) * cc)" +
+            " * (CAST(o AS DECIMAL(38,0)) * n" +
+            " - CAST(r AS DECIMAL(38,0)) * cc)" +
+            " + CAST(n AS DECIMAL(38,0)) * r * cc)" +
+            " div (2 * CAST(n AS DECIMAL(38,0)) * r * cc)" +
+            " AS BIGINT) AS term_x1e4")
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("term_x1e4")).as("chi2_x1e4"))
+        .selectExpr("n", "n_cells", "chi2_x1e4",
+          "CAST((2 * 100 * CAST(chi2_x1e4 AS DECIMAL(38,0)) + n)" +
+            " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT) AS v2_x1e6")
+    },
+
     // Hour-of-day seasonal decomposition (round 14) — the classical
     // additive-seasonality extraction the time-series family lacked
     // (trend_slope = trend, autocorr = serial dependence, THIS = the
@@ -2436,6 +2590,113 @@ object AnalyticsQueries {
         |         (CAST(n_a + n_b AS DOUBLE) - 1.0)))))) > 1.96
         |         AS significant
         |FROM u""".stripMargin,
+
+    // welch_ttest: the rounded-term contract replays in HUGEINT (all
+    // numerators non-negative, so // ≡ Spark div); t is the identical
+    // IEEE tree over the identical int64 inputs.
+    "welch_ttest" ->
+      """WITH e AS (SELECT
+        |    CAST('0x' || substr(md5('wtt:' || CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS qy
+        |      FROM e GROUP BY 1),
+        |p AS (SELECT
+        |        CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN arm = 0 THEN sy END) AS BIGINT) AS s1,
+        |        CAST(sum(CASE WHEN arm = 1 THEN sy END) AS BIGINT) AS s2,
+        |        CAST(sum(CASE WHEN arm = 0 THEN qy END) AS BIGINT) AS q1,
+        |        CAST(sum(CASE WHEN arm = 1 THEN qy END) AS BIGINT) AS q2
+        |      FROM g),
+        |m AS (SELECT n1, n2, s1, s2, q1, q2,
+        |        CAST((2 * 10000 * CAST(s1 AS HUGEINT) + n1) // (2 * n1)
+        |          AS BIGINT) AS mean1_x1e4,
+        |        CAST((2 * 10000 * CAST(s2 AS HUGEINT) + n2) // (2 * n2)
+        |          AS BIGINT) AS mean2_x1e4,
+        |        CAST((2 * 100000000 * (CAST(n1 AS HUGEINT) * q1
+        |              - CAST(s1 AS HUGEINT) * s1)
+        |              + CAST(n1 AS HUGEINT) * n1 * (n1 - 1))
+        |             // (2 * CAST(n1 AS HUGEINT) * n1 * (n1 - 1))
+        |          AS BIGINT) AS w1_x1e8,
+        |        CAST((2 * 100000000 * (CAST(n2 AS HUGEINT) * q2
+        |              - CAST(s2 AS HUGEINT) * s2)
+        |              + CAST(n2 AS HUGEINT) * n2 * (n2 - 1))
+        |             // (2 * CAST(n2 AS HUGEINT) * n2 * (n2 - 1))
+        |          AS BIGINT) AS w2_x1e8
+        |      FROM p)
+        |SELECT n1, n2, s1, s2, q1, q2, mean1_x1e4, mean2_x1e4,
+        |  w1_x1e8, w2_x1e8,
+        |  (CAST(mean1_x1e4 AS DOUBLE) - CAST(mean2_x1e4 AS DOUBLE)) /
+        |    sqrt(CAST(w1_x1e8 AS DOUBLE) + CAST(w2_x1e8 AS DOUBLE)) AS t,
+        |  10000 * CAST(mean1_x1e4 - mean2_x1e4 AS HUGEINT)
+        |    * (mean1_x1e4 - mean2_x1e4) >
+        |    38416 * (CAST(w1_x1e8 AS HUGEINT) + w2_x1e8) AS significant
+        |FROM m""".stripMargin,
+
+    // mann_kendall: exact pairwise S and the tie-corrected v18 replay
+    // on the same ≤31-row daily frame; z is the identical IEEE tree.
+    "mann_kendall" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |             // 86400000000 AS day,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y
+        |          FROM e GROUP BY 1),
+        |s AS (SELECT CAST(coalesce(sum(CASE WHEN b.y > a.y THEN 1
+        |        WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS BIGINT)
+        |        AS s_stat
+        |      FROM daily a JOIN daily b ON a.day < b.day),
+        |t0 AS (SELECT y, CAST(count(*) AS BIGINT) AS t
+        |       FROM daily GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(t) AS BIGINT) AS n_days,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |       FROM t0),
+        |x AS (SELECT n_days, s_stat,
+        |        n_days * (n_days - 1) * (2 * n_days + 5) - tsum AS v18
+        |      FROM s CROSS JOIN t1)
+        |SELECT n_days, s_stat, v18,
+        |  CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) /
+        |    sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) /
+        |    sqrt(CAST(v18 AS DOUBLE) / 18.0) ELSE 0.0 END AS z,
+        |  CASE WHEN abs(s_stat) >= 1 THEN
+        |    180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) >
+        |    38416 * v18 ELSE false END AS trending,
+        |  s_stat > 0 AS upward
+        |FROM x""".stripMargin,
+
+    // cramers_v: the rationalized per-cell terms replay in HUGEINT
+    // (the squared numerator keeps every term non-negative, // ≡ div).
+    "cramers_v" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST('0x' || substr(md5('crv:' || CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 2 AS arm
+        |  FROM events),
+        |cells AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS o
+        |          FROM e GROUP BY 1, 2),
+        |rr AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY 1),
+        |c2 AS (SELECT arm, CAST(sum(o) AS BIGINT) AS cc
+        |       FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT n,
+        |    CAST((2 * 10000 * (CAST(o AS HUGEINT) * n
+        |          - CAST(r AS HUGEINT) * cc)
+        |          * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * cc)
+        |          + CAST(n AS HUGEINT) * r * cc)
+        |         // (2 * CAST(n AS HUGEINT) * r * cc) AS BIGINT)
+        |      AS term_x1e4
+        |  FROM cells JOIN rr USING (event_type) JOIN c2 USING (arm)
+        |  CROSS JOIN nn)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(sum(term_x1e4) AS BIGINT) AS chi2_x1e4,
+        |       CAST((2 * 100 * CAST(sum(term_x1e4) AS HUGEINT) + n)
+        |         // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS v2_x1e6
+        |FROM terms GROUP BY n""".stripMargin,
 
     // seasonal_decompose: dev_num and the HALF_UP cell replay in
     // HUGEINT (the decimal(38,0) mirror); the sign split keeps //

@@ -108,12 +108,17 @@ class PlanDisciplineSpec extends SparkSpec {
     "ks_drift" -> Seq("tmid"),
     "l_diversity" -> Seq("nation,segment"),
     "lake_bloom_point" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos"),
+    // deletion-sized DV frames (readState's MOR anti-join), one per
+    // partition-pruned year read — bounded by the delete volume
+    "lake_partition_prune" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos"),
     "lake_mor_delete" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,n_deletes,n_inserts", "delete_cents,n_deletes,n_inserts"),
     "lake_mor_merge" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,insert_cents,n_deletes,n_inserts"),
     "lake_restore" -> Seq("n_deletes,n_inserts,net_cents", "n_deletes,n_inserts,net_cents"),
     "lake_time_travel" -> Seq("delta_cents,delta_rows", "delta_cents,delta_rows", "delta_cents,delta_rows"),
     "link_rank" -> Seq("n", "n", "n", "n", "n", "n"),
     "mad_outliers" -> Seq("event_type,m2", "event_type,m2", "event_type,mad2", "event_type,n", "event_type,n", "event_type,n"),
+    // the 1-row tie/total aggregate of the ≤31-row daily frame
+    "mann_kendall" -> Seq("n_days,tsum"),
     "market_share" -> Seq("n_nationkey,n_regionkey", "r_regionkey", "sn_key,supp_nation"),
     "min_cost_supplier" -> Seq("n_name,n_nationkey", "r_regionkey"),
     "mixture_sample" -> Seq("permille,stratum"),

@@ -552,6 +552,36 @@ class SnapshotSpec extends SparkSpec {
     intercept[RuntimeException](reopened.append(retyped))
   }
 
+  test("timestampAsOf: publish-time stamps resolve to the last version at-or-before, binary-searched") {
+    val lake = freshLake()
+    val t0 = System.currentTimeMillis() - 1
+    lake.append(kv(0, 10)) // v0
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    lake.append(kv(10, 30)) // v1
+    Thread.sleep(5)
+    val t2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    lake.overwrite(kv(100, 105)) // v2
+    // Between v0 and v1 → v0; between v1 and v2 → v1; now → v2.
+    assert(lake.versionAtTimestamp(t1) === 0)
+    assert(lake.readAsOfTimestamp(t1).count() === 10)
+    assert(lake.versionAtTimestamp(t2) === 1)
+    assert(lake.readAsOfTimestamp(t2).count() === 30)
+    assert(lake.versionAtTimestamp(System.currentTimeMillis()) === 2)
+    // Exactly-at-a-commit-timestamp resolves to that commit (≤).
+    val v1Ts = lake.commits(1).ts.get
+    assert(lake.versionAtTimestamp(v1Ts) === 1)
+    // Before the first commit: refused, the Delta contract.
+    intercept[IllegalArgumentException](lake.versionAtTimestamp(t0))
+    // Resolution is O(log n) parses, not a full replay.
+    Snapshot.logFilesParsed.set(0L)
+    lake.versionAtTimestamp(t2)
+    assert(Snapshot.logFilesParsed.get() <= 4L,
+      "binary search must not parse the whole log")
+  }
+
   test("partition columns: hive layout, manifest partition tier prunes before zone maps, MOR/vacuum compose") {
     import spark.implicits._
     val lake = Snapshot.Lake(spark,

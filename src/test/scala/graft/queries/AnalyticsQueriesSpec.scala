@@ -176,6 +176,52 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(!r.getBoolean(6))
   }
 
+  test("welch_ttest: A/A calibration, variance terms positive, verdict agrees with mannwhitney") {
+    val r = AnalyticsQueries.queries("welch_ttest")(spark, sf)
+      .collect().head
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    assert(n1 > 0 && n2 > 0, "both arms populated")
+    // The per-arm variance-over-n terms must be strictly positive
+    // (values are not constant) and comparable in magnitude (same
+    // distribution, balanced coin).
+    val (w1, w2) = (r.getLong(8), r.getLong(9))
+    assert(w1 > 0 && w2 > 0)
+    assert(w1 < 4 * w2 && w2 < 4 * w1, s"A/A arms wildly unequal: $w1 $w2")
+    // md5 coin = an A/A split: t inside the null band, not significant.
+    assert(math.abs(r.getDouble(10)) < 3.0)
+    assert(!r.getBoolean(11))
+  }
+
+  test("mann_kendall: S bounds, v18 positive, z consistent with the verdict") {
+    val r = AnalyticsQueries.queries("mann_kendall")(spark, sf)
+      .collect().head
+    val (n, s, v18) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n >= 3, "the corpus spans multiple days")
+    val maxS = n * (n - 1) / 2
+    assert(math.abs(s) <= maxS, s"S=$s out of [-${maxS}, ${maxS}]")
+    assert(v18 > 0, "tie-corrected variance must be positive")
+    val z = r.getDouble(3)
+    assert(!z.isNaN)
+    // verdict replays from (s, v18) exactly
+    val wantTrend = math.abs(s) >= 1 &&
+      BigInt(180000) * BigInt(math.abs(s) - 1).pow(2) >
+        BigInt(38416) * BigInt(v18)
+    assert(r.getBoolean(4) === wantTrend)
+    assert(r.getBoolean(5) === (s > 0))
+  }
+
+  test("cramers_v: cell domain, chi nonnegative, A/A coin calibrates V to ~0") {
+    val r = AnalyticsQueries.queries("cramers_v")(spark, sf)
+      .collect().head
+    val (n, cells, chi, v2) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    assert(cells === 10L, "5 event types × 2 arms")
+    assert(chi >= 0L && v2 >= 0L)
+    // event_type ⟂ md5(event_id) coin: V² must sit near 0 (ppm scale)
+    assert(v2 < 10000L, s"independent split produced V²=$v2 ppm")
+    assert(n === graft.Tables.events(spark, sf).count())
+  }
+
   test("benford_audit: digit domain, counts conserve, expected mass sums to ~1e9·n") {
     val out = AnalyticsQueries.queries("benford_audit")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
