@@ -852,7 +852,8 @@ object Snapshot {
       if (entries.isEmpty) return 0L
       entries.groupBy(_._2).map { case (dv, es) =>
         spark.read.parquet(new Path(rootPath, dv).toString)
-          .filter(col("data_path").isin(es.map(_._1): _*)).count()
+          .filter(col("data_path")
+            .isin(es.map(e => relKeyOf(e._1)): _*)).count()
       }.sum
     }
 
@@ -876,6 +877,69 @@ object Snapshot {
           c.txn.map(_._1).orNull, c.txn.map(_._2).getOrElse(-1L))
       }.toDF("version", "operation", "n_added", "n_removed",
         "rows_added", "n_dvs", "txn_writer", "txn_batch")
+    }
+
+    /** DESCRIBE DETAIL (the Delta semantic): ONE summary row of the
+      * table's current shape — version, live file/row counts from the
+      * manifest, deletion-vector debt (pointer count, not positions —
+      * this stays a pure log read), partition/stats/bloom
+      * configuration, constraint count, recorded schema, and the last
+      * checkpoint version. Zero data I/O at any table size. */
+    def describeDetail(): DataFrame = {
+      import spark.implicits._
+      val lv = latestVersion
+      val state = if (lv < 0) Nil else liveState(lv)
+      val ckptV = Snapshot.readCheckpointAtOrBelow(fs, logPath,
+        Int.MaxValue).map(_.version).getOrElse(-1)
+      Seq((lv, state.size.toLong, state.map(_._1.rows).sum,
+        state.count(_._2.isDefined).toLong,
+        partitionCols.mkString(","), statsCols.mkString(","),
+        bloomCols.mkString(","), constraints.size.toLong,
+        tableSchema.map(_.simpleString).getOrElse(""), ckptV))
+        .toDF("version", "num_files", "manifest_rows", "num_dv_files",
+          "partition_columns", "stats_columns", "bloom_columns",
+          "num_constraints", "schema", "checkpoint_version")
+    }
+
+    /** SHALLOW CLONE (the Delta CLONE semantic): create a new lake at
+      * `targetRoot` whose v0 manifest references THIS table's data and
+      * deletion-vector files by ABSOLUTE path — zero data copied, zero
+      * data I/O, O(manifest) at any table size. Snapshot `versionAsOf`
+      * (default: latest) is cloned with its full read identity: zone
+      * maps, Blooms, partition values, DV pointers, the schema as of
+      * that snapshot, and the active constraints. The clone then
+      * diverges independently — its commits write under its own root
+      * (a COW rewrite or compaction re-materializes touched files
+      * locally, un-sharing them), and its vacuum can never delete
+      * source files (it only walks the clone's own `data/`, where
+      * external absolute references never live). The shared-fate
+      * caveat is exactly Delta's: vacuuming the SOURCE past the cloned
+      * snapshot breaks the clone's still-shared references. */
+    def cloneShallow(targetRoot: String, versionAsOf: Int = -1): Lake = {
+      val lv = latestVersion
+      require(lv >= 0, s"cloneShallow: nothing to clone at $root")
+      val v = if (versionAsOf < 0) lv else versionAsOf
+      val ck = Snapshot.checkpointAt(fs, logPath, v)
+      require(ck.version >= 0, s"cloneShallow: no snapshot <= $v at $root")
+      val target = Lake(spark, targetRoot, statsCols, bloomCols,
+        checkpointInterval, partitionCols)
+      require(target.latestVersion < 0,
+        s"cloneShallow: target $targetRoot already has commits")
+      // Absolute-path references: Hadoop Path resolution lets every
+      // reader's `new Path(root, path)` pass them through untouched,
+      // so the clone reads shared files with zero special-casing.
+      def abs(p: String): String =
+        if (new Path(p).isAbsolute) p
+        else new Path(rootPath, p).toString
+      val record = Seq("v\t0") ++
+        ck.schema.map(Snapshot.metaLine).toSeq ++
+        ck.state.map { case (f, _) =>
+          Snapshot.addLine(f.copy(path = abs(f.path)), statsCols, bloomCols) } ++
+        ck.state.collect { case (f, Some(dv)) =>
+          s"dv\t${abs(f.path)}\t${abs(dv)}" } ++
+        ck.constraints.map { case (n, sql) => s"constraint\t$n\t$sql" }
+      target.publish(record, 0)
+      target
     }
 
     /** ADD CONSTRAINT (Delta's CHECK-constraint semantic): validate
@@ -1159,6 +1223,13 @@ object Snapshot {
         version: Int): Seq[String] = {
       if (touched.isEmpty) return Nil
       val tEntries = state.filter(e => touched(e._1.path))
+      // DV parquets key rows by the REL form ([[relKey]]'s extraction
+      // from `_metadata.file_path`); the dv POINTER lines below must
+      // key by the file's MANIFEST path instead (absolute for
+      // shallow-cloned files) or [[Snapshot.replayState]] never
+      // attaches them.
+      val relToManifest = tEntries
+        .map(e => relKeyOf(e._1.path) -> e._1.path).toMap
       // Matching row positions — scans ONLY the touched files. Rows a
       // prior DV already deleted may re-hit here; the union with the
       // carried positions below dedups them (`distinct`), so the new
@@ -1173,7 +1244,7 @@ object Snapshot {
         if (oldDvPaths.isEmpty) hits.filter(lit(false))
         else spark.read.parquet(oldDvPaths.map(p =>
             new Path(rootPath, p).toString): _*)
-          .filter(col("data_path").isin(touched.toSeq: _*))
+          .filter(col("data_path").isin(relToManifest.keys.toSeq: _*))
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val dvRel = s"data/c$version-${uuid}dv"
       hits.unionByName(carried).distinct()
@@ -1187,8 +1258,15 @@ object Snapshot {
         .parquet(new Path(rootPath, dvRel).toString)
         .select("data_path").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      dvFiles.map(p => s"dv\t$p\t$dvRel")
+      dvFiles.map(p => s"dv\t${relToManifest.getOrElse(p, p)}\t$dvRel")
     }
+
+    /** A manifest path's rel form — what [[relKey]] extracts from
+      * `_metadata.file_path` and DV parquets store in `data_path`.
+      * Identity for native manifests (already `data/c...`); strips the
+      * source-root prefix off a shallow clone's absolute references. */
+    private def relKeyOf(p: String): String =
+      "(data/c[0-9]+-[^/]+/.+)$".r.findFirstIn(p).getOrElse(p)
 
     /** Touched-file scan with (rel path, row position) alongside the
       * data columns, current DVs applied — [[deleteKeysMor]]'s probe. */

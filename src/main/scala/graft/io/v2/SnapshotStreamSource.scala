@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
-  ReadLimit, SupportsAdmissionControl}
+  ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType, IntegerType,
@@ -67,8 +67,12 @@ import graft.io.Snapshot
   * files, and partitions parallelize per file.
   */
 class SnapshotStreamSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotStreamSource.unionSchema(options.get("path"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = SnapshotStreamSource.unionSchema(options.get("path"))
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields.toSeq ++ SnapshotStreamSource.CdfColumns)
+    else base
+  }
 
   override def getTable(
       schema: StructType,
@@ -81,6 +85,13 @@ class SnapshotStreamSource extends TableProvider {
 
 object SnapshotStreamSource {
   private def conf = new Configuration()
+
+  /** The change-feed metadata columns (Delta CDF's `_change_type` /
+    * `_commit_version`), appended to the table schema when
+    * `readChangeFeed=true`. */
+  val CdfColumns: Seq[StructField] = Seq(
+    StructField("_change_type", StringType),
+    StructField("_commit_version", LongType))
 
   private def logPathOf(root: String) = new Path(root, "_log")
 
@@ -195,7 +206,8 @@ class SnapshotScanBuilder(
     ignoreChanges = options.getBoolean("ignoreChanges", false),
     versionAsOf = options.getInt("versionAsOf", -1),
     pruneFilters = pushed,
-    maxCommitsPerTrigger = options.getInt("maxCommitsPerTrigger", 0))
+    maxCommitsPerTrigger = options.getInt("maxCommitsPerTrigger", 0),
+    readChangeFeed = options.getBoolean("readChangeFeed", false))
 }
 
 object SnapshotScan {
@@ -250,7 +262,8 @@ class SnapshotScan(root: String, required: StructType,
     startingVersion: Int, ignoreChanges: Boolean,
     versionAsOf: Int = -1,
     pruneFilters: Array[Filter] = Array.empty,
-    maxCommitsPerTrigger: Int = 0) extends Scan with Batch {
+    maxCommitsPerTrigger: Int = 0,
+    readChangeFeed: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -263,6 +276,10 @@ class SnapshotScan(root: String, required: StructType,
     * commit retires DVs: Compact.clusterBy / zOrderBy / overwrite),
     * or read through `Snapshot.Lake.readAsOf`, which applies them. */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (readChangeFeed) throw new IllegalStateException(
+      "readChangeFeed is a STREAMING option on this source; batch " +
+        "change feeds are served row-exactly by Snapshot.Lake.changes" +
+        "(v0, v1), which also retracts MOR deletes.")
     val state =
       if (versionAsOf < 0)
         SnapshotStreamSource.stateAt(root, Int.MaxValue)
@@ -291,7 +308,7 @@ class SnapshotScan(root: String, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatch(root, required, startingVersion, ignoreChanges,
-      maxCommitsPerTrigger)
+      maxCommitsPerTrigger, readChangeFeed)
 }
 
 /** Offset = commit VERSION ("-1" = before the first commit). Versions
@@ -311,8 +328,18 @@ case class VersionOffset(v: Int) extends Offset {
   * seam, so the engine (not the source) drives when a batch is cut. */
 class SnapshotMicroBatch(root: String, required: StructType,
     startingVersion: Int, ignoreChanges: Boolean,
-    maxCommitsPerTrigger: Int = 0) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    maxCommitsPerTrigger: Int = 0,
+    readChangeFeed: Boolean = false) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow (the Delta semantic): the head is FROZEN at
+    * query start — batches drain up to it (still paced by
+    * maxCommitsPerTrigger), then the query terminates; commits landing
+    * during the run wait for the next invocation. */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(SnapshotStreamSource.latestVersion(root))
 
   override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
 
@@ -322,12 +349,14 @@ class SnapshotMicroBatch(root: String, required: StructType,
   }
 
   /** Admission control: cap this batch's end offset at start +
-    * maxCommitsPerTrigger commits; the engine keeps triggering until
-    * the backlog drains ([[reportLatestOffset]] tells it how far
-    * behind the batch stopped). */
+    * maxCommitsPerTrigger commits (and at the AvailableNow freeze
+    * point when one is set); the engine keeps triggering until the
+    * backlog drains ([[reportLatestOffset]] tells it how far behind
+    * the batch stopped). */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[VersionOffset].v
-    val lv = SnapshotStreamSource.latestVersion(root)
+    val head = SnapshotStreamSource.latestVersion(root)
+    val lv = availableNowTarget.fold(head)(math.min(head, _))
     if (lv < 0) VersionOffset(startingVersion - 1)
     else if (maxCommitsPerTrigger <= 0) VersionOffset(lv)
     else VersionOffset(math.min(lv, start + maxCommitsPerTrigger))
@@ -356,9 +385,11 @@ class SnapshotMicroBatch(root: String, required: StructType,
           "ones; set ignoreChanges=true to accept that, or stream an " +
           "append-only table (Delta's contract).")
     }
-    window.flatMap(_.added)
-      .map(f => LakeFilePartition(
-        new Path(root, f.path).toString): InputPartition).toArray
+    window.flatMap(c => c.added.map(f => LakeFilePartition(
+      new Path(root, f.path).toString,
+      commitVersion = c.version.toLong,
+      changeType = if (readChangeFeed) "insert" else null)
+      : InputPartition)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -368,21 +399,37 @@ class SnapshotMicroBatch(root: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-case class LakeFilePartition(file: String) extends InputPartition
+/** `commitVersion`/`changeType` feed the change-feed metadata columns
+  * — per-partition CONSTANTS decided at planning (a commit's files
+  * all share its version), so the feed costs nothing at read time. */
+case class LakeFilePartition(file: String, commitVersion: Long = -1L,
+    changeType: String = null) extends InputPartition
 
 class SnapshotReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SnapshotParquetReader(
-      partition.asInstanceOf[LakeFilePartition].file, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakeFilePartition]
+    new SnapshotParquetReader(p.file, required, p.commitVersion,
+      p.changeType)
+  }
 }
 
 /** Raw parquet → InternalRow for ONE lake file: projection = (file
   * schema ∩ required columns) pushed to the page level via
   * PARQUET_READ_SCHEMA; required columns the file predates (schema
   * evolution) null-fill. */
-class SnapshotParquetReader(file: String, required: StructType)
+class SnapshotParquetReader(file: String, required: StructType,
+    commitVersion: Long = -1L, changeType: String = null)
     extends PartitionReader[InternalRow] {
+
+  /** Constant value for a change-feed metadata column, or None for a
+    * data column. */
+  private def cdfConst(name: String): Option[Any] = name match {
+    case "_change_type" if changeType != null =>
+      Some(UTF8String.fromString(changeType))
+    case "_commit_version" if changeType != null => Some(commitVersion)
+    case _ => None
+  }
   private val path = new Path(file)
   private val fileSchema = SnapshotStreamSource.footerSchema(path)
   private val present: Map[String, PrimitiveType] =
@@ -409,7 +456,8 @@ class SnapshotParquetReader(file: String, required: StructType)
 
   override def get(): InternalRow = {
     val values: Array[Any] = required.fields.map { f =>
-      if (!present.contains(f.name) ||
+      if (cdfConst(f.name).isDefined) cdfConst(f.name).get
+      else if (!present.contains(f.name) ||
           current.getFieldRepetitionCount(f.name) == 0) null
       else f.dataType match {
         case LongType => current.getLong(f.name, 0)

@@ -2103,6 +2103,52 @@ object AnalyticsQueries {
             " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT) AS v2_x1e6")
     },
 
+    // Theil–Sen slope estimator (round 15) — the ROBUST trend
+    // magnitude beside mann_kendall's monotone verdict and
+    // trend_slope's OLS fit (Theil 1950, Sen 1968): the median of all
+    // pairwise slopes (y_j−y_i)/(d_j−d_i) over the ≤31-row daily
+    // cent-sum frame (the holt_linear/mann_kendall frame — one
+    // outlier day bends an OLS slope but moves a median of 465 pair
+    // slopes by at most one rank). Exactness: each slope is a
+    // sign-split HALF_UP 1e6 integer cell (cent numerator
+    // DECIMAL(38,0)-routed, day-gap denominator strictly positive),
+    // the median a pure rank pick over the slope frame — odd pair
+    // count takes the middle rank, even count the sign-split HALF_UP
+    // mean of the two middles — so the output replays bit-exact.
+    // 100 TB shape: ONE map-side-combinable day agg to ≤31 rows; the
+    // O(n²) pair join, the rank window and the median pick all live
+    // on THAT bounded frame (≤465 rows at any SF), never on raw rows.
+    "theil_sen" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(expr(s"(ts div 1000 - $OriginUs) div ${Tables.MicrosPerDay}")
+          .as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+        .localCheckpoint(true)
+      val a = daily.select(col("day").as("di"), col("y").as("yi"))
+      val b = daily.select(col("day").as("dj"), col("y").as("yj"))
+      val slopes = a.join(b, col("di") < col("dj"))
+        .selectExpr("di", "dj",
+          "CASE WHEN yj >= yi THEN " +
+            "CAST((2 * 1000000 * CAST(yj - yi AS DECIMAL(38,0)) + (dj - di))" +
+            " div (2 * (dj - di)) AS BIGINT) " +
+            "ELSE -CAST((2 * 1000000 * CAST(yi - yj AS DECIMAL(38,0)) + (dj - di))" +
+            " div (2 * (dj - di)) AS BIGINT) END AS slope_x1e6")
+      val ranked = slopes.withColumn("rn", row_number()
+        .over(Window.orderBy(col("slope_x1e6"), col("di"), col("dj"))))
+      val n = slopes.agg(count(lit(1)).as("n_pairs"))
+      ranked.crossJoin(broadcast(n))
+        .filter(expr("rn = (n_pairs + 1) div 2 OR rn = (n_pairs + 2) div 2"))
+        .groupBy(col("n_pairs"))
+        .agg(sum(col("slope_x1e6")).as("msum"), count(lit(1)).as("n_mid"))
+        .selectExpr("n_pairs",
+          "CASE WHEN msum >= 0 THEN (2 * msum + n_mid) div (2 * n_mid) " +
+            "ELSE -((2 * (-msum) + n_mid) div (2 * n_mid)) END" +
+            " AS median_slope_x1e6")
+        .selectExpr("n_pairs", "median_slope_x1e6",
+          "median_slope_x1e6 > 0 AS upward")
+    },
+
     // Hour-of-day seasonal decomposition (round 14) — the classical
     // additive-seasonality extraction the time-series family lacked
     // (trend_slope = trend, autocorr = serial dependence, THIS = the
@@ -2697,6 +2743,43 @@ object AnalyticsQueries {
         |       CAST((2 * 100 * CAST(sum(term_x1e4) AS HUGEINT) + n)
         |         // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS v2_x1e6
         |FROM terms GROUP BY n""".stripMargin,
+
+    // theil_sen: the pairwise HALF_UP slope cells, the rank window and
+    // the median pick replay on the same ≤31-row daily frame; HUGEINT
+    // mirrors the DECIMAL(38,0) routing, sign splits keep // ≡ div.
+    "theil_sen" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |             // 86400000000 AS day,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y
+        |          FROM e GROUP BY 1),
+        |p AS (SELECT a.day AS di, b.day AS dj,
+        |        CASE WHEN b.y >= a.y
+        |          THEN CAST((2 * 1000000 * CAST(b.y - a.y AS HUGEINT)
+        |                 + (b.day - a.day))
+        |               // (2 * (b.day - a.day)) AS BIGINT)
+        |          ELSE -CAST((2 * 1000000 * CAST(a.y - b.y AS HUGEINT)
+        |                 + (b.day - a.day))
+        |               // (2 * (b.day - a.day)) AS BIGINT)
+        |        END AS slope_x1e6
+        |      FROM daily a JOIN daily b ON a.day < b.day),
+        |r AS (SELECT slope_x1e6,
+        |        row_number() OVER (ORDER BY slope_x1e6, di, dj) AS rn
+        |      FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |m AS (SELECT n_pairs, CAST(sum(slope_x1e6) AS BIGINT) AS msum,
+        |        CAST(count(*) AS BIGINT) AS n_mid
+        |      FROM r CROSS JOIN n
+        |      WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+        |      GROUP BY n_pairs),
+        |f AS (SELECT n_pairs,
+        |        CASE WHEN msum >= 0 THEN (2 * msum + n_mid) // (2 * n_mid)
+        |          ELSE -((2 * (-msum) + n_mid) // (2 * n_mid))
+        |        END AS median_slope_x1e6
+        |      FROM m)
+        |SELECT n_pairs, median_slope_x1e6, median_slope_x1e6 > 0 AS upward
+        |FROM f""".stripMargin,
 
     // seasonal_decompose: dev_num and the HALF_UP cell replay in
     // HUGEINT (the decimal(38,0) mirror); the sign split keeps //

@@ -1779,6 +1779,30 @@ object ExtQueries {
     // value (relevants hold ranks 2-7 of each single path, 2-10 of
     // the fused list — see hybrid_rrf), so the oracle asserts the
     // exact nDCG cells; fused strictly beats both single paths.
+    // MRR + precision@5 (round 15) — the rank-position retrieval
+    // metrics beside retrieval_ndcg's graded gain (MRR = where does
+    // the FIRST relevant hit land; P@5 = how much of the early window
+    // is relevant): over the same three per-query rankings (lexical,
+    // dense, RRF-fused) and the same planted relevance set, so every
+    // cell is pinned at any SF by the hybridRankings construction.
+    // RR = HALF_UP(1e6 / first_relevant_rank) exact (0 when no
+    // relevant doc ranks), P@5 an exact count. 100 TB shape: rides
+    // hybridRankings' existing top-10 frames — three ≤50-row model
+    // frames, map-side metric algebra.
+    "mrr_prec_at_k" -> { (s, d) =>
+      val (lexRank, denseRank, fused) = hybridRankings(s, d)
+      val isRel = col("doc_id") >= 9100000L && col("doc_id") < 9400000L
+      def stats(r: DataFrame, p: String) = r.groupBy(col("query_id"))
+        .agg(min(when(isRel, col("rank"))).as("fr"),
+          sum(when(isRel && col("rank") <= 5, 1L).otherwise(0L))
+            .as(s"${p}_p5"))
+        .selectExpr("query_id",
+          s"CAST(coalesce((2 * 1000000 + fr) div (2 * fr), 0) AS BIGINT)" +
+            s" AS ${p}_rr_x1e6", s"${p}_p5")
+      stats(lexRank, "lex").join(stats(denseRank, "dense"), "query_id")
+        .join(stats(fused, "fused"), "query_id")
+    },
+
     "retrieval_ndcg" -> { (s, d) =>
       val (lexRank, denseRank, fused) = hybridRankings(s, d)
       val isRel = col("doc_id") >= 9100000L && col("doc_id") < 9400000L
@@ -5097,6 +5121,22 @@ object ExtQueries {
         |       CAST(620050 AS BIGINT) AS dense_ndcg_x1e6,
         |       CAST(832898 AS BIGINT) AS fused_ndcg_x1e6,
         |       TRUE AS fused_best
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // mrr_prec_at_k: the plant construction pins the cells — each
+    // path's first relevant sits at rank 2 (rank 1 is the query doc
+    // itself), so RR = HALF_UP(1e6/2) = 500000 on all three paths,
+    // and ranks 2-5 of every list are relevant, so P@5 = 4. A ranking
+    // regression that displaces the plants shifts fr or the window
+    // count and hash-fails.
+    "mrr_prec_at_k" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |       CAST(500000 AS BIGINT) AS lex_rr_x1e6,
+        |       CAST(4 AS BIGINT) AS lex_p5,
+        |       CAST(500000 AS BIGINT) AS dense_rr_x1e6,
+        |       CAST(4 AS BIGINT) AS dense_p5,
+        |       CAST(500000 AS BIGINT) AS fused_rr_x1e6,
+        |       CAST(4 AS BIGINT) AS fused_p5
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // embed_pca_power: three unrolled matrix-free power-iteration

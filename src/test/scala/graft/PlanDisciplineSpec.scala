@@ -57,7 +57,9 @@ class PlanDisciplineSpec extends SparkSpec {
     "pq_topk" -> Seq("h,vec_id", "h,vec_id"),
     "share_of_total" -> Seq(""),
     "skyline_frontier" -> Seq("price_cents"),
-    "spearman_rho" -> Seq("gbkt", "gbkt")
+    "spearman_rho" -> Seq("gbkt", "gbkt"),
+    // the ≤465-row pairwise-slope frame of the ≤31-row daily series
+    "theil_sen" -> Seq("slope_x1e6,di,dj")
   )
 
   private val AllowedBroadcastHints: Map[String, Seq[String]] = Map(
@@ -123,6 +125,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "min_cost_supplier" -> Seq("n_name,n_nationkey", "r_regionkey"),
     "mixture_sample" -> Seq("permille,stratum"),
     "multimodal_pipeline" -> Seq("n_aud_ok", "n_dedup_removed", "n_img_ok", "n_survivors,sum_survivor_ids", "n_vid_ok"),
+    "mrr_prec_at_k" -> Seq("n_docs", "n_docs", "qid,qq", "qid,qq", "qid,term", "qid,term"),
     "mv_refresh" -> Seq("cutoff", "cutoff"),
     "mv_refresh_join" -> Seq("cutoff", "cutoff", "cutoff", "cutoff", "cutoff", "cutoff", "cutoff", "cutoff"),
     "nation_volume" -> Seq("cust_nation,n_nationkey", "n_nationkey,supp_nation"),
@@ -153,6 +156,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "split_leakage" -> Seq("n_leaky_grouped,n_leaky_naive"),
     "survival_km" -> Seq("surv_x1e12,t"),
     "t_closeness" -> Seq("band,g", "nation,segment", "nb,nn"),
+    // the 1-row pair-count aggregate of the ≤465-row slope frame
+    "theil_sen" -> Seq("n_pairs"),
     "temp_mixture" -> Seq("lang,n_docs,wl", "wmin"),
     "textrank_keywords" -> Seq("n", "n", "n", "n", "n"),
     "tfidf_topk" -> Seq("n_docs"),

@@ -552,6 +552,81 @@ class SnapshotSpec extends SparkSpec {
     intercept[RuntimeException](reopened.append(retyped))
   }
 
+  test("describeDetail: one manifest-level summary row, zero data I/O") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.addConstraint("k_nonneg", "k >= 0") // v1
+    lake.deleteKeysMor(Seq(5L).toDF("k"), "k") // v2
+    val r = lake.describeDetail().head()
+    assert(r.getAs[Int]("version") === 2)
+    assert(r.getAs[Long]("num_files") >= 1L)
+    assert(r.getAs[Long]("manifest_rows") === 100L,
+      "manifest rows are pre-DV (the log's counts, no data read)")
+    assert(r.getAs[Long]("num_dv_files") === 1L)
+    assert(r.getAs[String]("stats_columns") === "k")
+    assert(r.getAs[Long]("num_constraints") === 1L)
+    assert(r.getAs[String]("schema").contains("k"))
+    assert(r.getAs[Int]("checkpoint_version") === -1,
+      "3 commits at interval 10: not yet checkpointed")
+  }
+
+  test("cloneShallow: zero-copy clone reads the source snapshot, then diverges both ways") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.deleteKeysMor(Seq(3L, 7L).toDF("k"), "k") // v1: DV masks 2 rows
+    lake.addConstraint("k_nonneg", "k >= 0") // v2
+    val cloneRoot = Files.createTempDirectory("snap-clone-").toString
+    val clone = lake.cloneShallow(cloneRoot)
+    // the clone reads the source snapshot exactly — MOR deletes applied
+    // through the absolute DV pointer — with ZERO data files copied
+    assert(clone.read().select("k").collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 100L).filterNot(Set(3L, 7L)))
+    val cloneFs = new org.apache.hadoop.fs.Path(cloneRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!cloneFs.exists(new org.apache.hadoop.fs.Path(cloneRoot, "data")),
+      "shallow: no data directory of its own until it diverges")
+    // constraints carry over: a violating append is refused on the clone
+    intercept[RuntimeException](clone.append(Seq((-1L, "bad")).toDF("k", "v")))
+    // divergence is two-way isolated
+    clone.append(kv(1000, 1010))
+    lake.append(kv(2000, 2020))
+    assert(clone.read().count() === 108 && lake.read().count() === 118)
+    // a MOR delete ON the clone masks a SHARED (absolute-path) file via
+    // the rel→manifest dv mapping, and never touches the source
+    clone.deleteKeysMor(Seq(5L, 1005L).toDF("k"), "k")
+    assert(clone.read().filter(col("k").isin(5L, 1005L)).count() === 0)
+    assert(lake.read().filter(col("k") === 5L).count() === 1,
+      "source must not see the clone's deletes")
+    // clone vacuum walks only its own data/ — shared source files survive
+    clone.overwrite(kv(0, 10))
+    clone.vacuum(1)
+    assert(lake.readAsOf(1).count() === 98,
+      "source files must survive the clone's vacuum")
+    assert(clone.read().count() === 10)
+  }
+
+  test("cloneShallow: versionAsOf clones a historical snapshot with its schema") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 50)) // v0
+    lake.evolveSchema(org.apache.spark.sql.types.StructType(
+      kv(0, 1).schema.fields :+ org.apache.spark.sql.types
+        .StructField("extra", org.apache.spark.sql.types.LongType))) // v1
+    lake.append(kv(50, 60).withColumn("extra", col("k") * 2)) // v2
+    val clone = lake.cloneShallow(
+      Files.createTempDirectory("snap-clone-v-").toString, versionAsOf = 0)
+    assert(clone.read().count() === 50)
+    assert(clone.read().columns.toSeq === Seq("k", "v"),
+      "pre-evolution snapshot: the narrow schema")
+    // the clone's recorded schema is the AS-OF schema — a wide append
+    // is refused until the clone itself evolves
+    intercept[RuntimeException](
+      clone.append(kv(90, 91).withColumn("extra", lit(1L))))
+    assert(clone.append(kv(90, 91)) === 1)
+  }
+
   test("timestampAsOf: publish-time stamps resolve to the last version at-or-before, binary-searched") {
     val lake = freshLake()
     val t0 = System.currentTimeMillis() - 1

@@ -81,6 +81,71 @@ class SnapshotStreamSpec extends SparkSpec {
       s"restart must drain only the 3 new commits paced 2+1, got $batches")
   }
 
+  test("Trigger.AvailableNow: paced drain to the frozen head, then self-termination") {
+    val lake = freshLake()
+    (0 until 5).foreach(i => lake.append(kv(i * 10L, i * 10L + 10L)))
+    val ckpt = Files.createTempDirectory("snap-an-ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("maxCommitsPerTrigger", 2).load(lake.root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized { batches += b.count() }; ()
+        }.start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow query must terminate on its own")
+    }
+    run()
+    // 5-commit backlog, frozen head, 2 commits/trigger: 20+20+10 rows
+    // across exactly 3 paced batches, then the query STOPS.
+    assert(batches.filter(_ > 0).toSeq === Seq(20L, 20L, 10L),
+      s"expected paced 20/20/10, got $batches")
+    // A commit after the first run waits for the NEXT invocation and
+    // drains exactly-once from the checkpoint.
+    lake.append(kv(50, 60))
+    batches.clear()
+    run()
+    assert(batches.filter(_ > 0).toSeq === Seq(10L),
+      s"second invocation must drain only the new commit, got $batches")
+  }
+
+  test("readChangeFeed: streamed rows carry _change_type and their _commit_version") {
+    val lake = freshLake()
+    lake.append(kv(0, 10)) // v0
+    lake.append(kv(10, 30)) // v1
+    val name = s"snapcdf${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true").load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-cdf-ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table(name)
+      assert(t.columns.toSeq.takeRight(2) ===
+        Seq("_change_type", "_commit_version"))
+      assert(t.count() === 30)
+      assert(t.filter(col("_change_type") =!= "insert").count() === 0)
+      // every row is stamped with the commit that added it
+      assert(t.filter(col("k") < 10 && col("_commit_version") =!= 0L)
+        .count() === 0)
+      assert(t.filter(col("k") >= 10 && col("_commit_version") =!= 1L)
+        .count() === 0)
+    } finally q.stop()
+    // Batch reads refuse the option, pointing at the row-exact
+    // Lake.changes API (which also retracts MOR deletes).
+    val e = intercept[Exception] {
+      spark.read.format(Fmt).option("readChangeFeed", "true")
+        .load(lake.root).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(x => String.valueOf(x.getMessage))
+    assert(causes(e).exists(_.contains("Lake.changes")), e.getMessage)
+  }
+
   test("append-only guard: a rewrite commit fails the stream; ignoreChanges accepts") {
     val lake = freshLake()
     lake.append(kv(0, 50))
