@@ -2149,6 +2149,45 @@ object AnalyticsQueries {
           "median_slope_x1e6 > 0 AS upward")
     },
 
+    // Page–Hinkley test (round 15) — the SEQUENTIAL upward-drift
+    // detector completing the changepoint family (cusum_shift =
+    // fixed-reference two-sided CUSUM; Page 1954, Hinkley 1971; the
+    // Gama et al. 2014 drift-survey form): over the ≤31-row daily
+    // cent-sum frame, each day's deviation from the RUNNING mean —
+    // dev_x1e6 = sign-split HALF_UP(1e6·(t·y_t − S_t)/t), numerator
+    // DECIMAL(38,0)-routed — cumulates to m_t, and PH_t = m_t −
+    // min_{i≤t} m_i peaks where an upward level shift begins. The
+    // output pins (peak value, peak day, n_days) exactly; no fixed-λ
+    // verdict — λ is scale-dependent and the replayed ph_x1e6 cell IS
+    // the cross-engine gate. 100 TB shape: ONE map-side day agg to
+    // ≤31 rows; every window (rank, running sum/min) rides THAT
+    // bounded frame.
+    "page_hinkley" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(expr(s"(ts div 1000 - $OriginUs) div ${Tables.MicrosPerDay}")
+          .as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+        .localCheckpoint(true)
+      val w = Window.orderBy(col("day"))
+      val dev = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("s_t", sum(col("y")).over(w))
+        .selectExpr("day",
+          "CASE WHEN CAST(t AS DECIMAL(38,0)) * y - s_t >= 0 THEN " +
+            "CAST((2 * 1000000 * (CAST(t AS DECIMAL(38,0)) * y - s_t) + t)" +
+            " div (2 * t) AS BIGINT) " +
+            "ELSE -CAST((2 * 1000000 * (CAST(s_t AS DECIMAL(38,0)) - " +
+            "CAST(t AS DECIMAL(38,0)) * y) + t)" +
+            " div (2 * t) AS BIGINT) END AS dev_x1e6")
+      val ph = dev.withColumn("m_t", sum(col("dev_x1e6")).over(w))
+        .withColumn("ph_t", col("m_t") - min(col("m_t")).over(w))
+      val n = daily.agg(count(lit(1)).as("n_days"))
+      ph.orderBy(col("ph_t").desc, col("day")).limit(1)
+        .select(col("day").as("ph_day"), col("ph_t").as("ph_x1e6"))
+        .crossJoin(broadcast(n))
+    },
+
     // Hour-of-day seasonal decomposition (round 14) — the classical
     // additive-seasonality extraction the time-series family lacked
     // (trend_slope = trend, autocorr = serial dependence, THIS = the
@@ -2780,6 +2819,40 @@ object AnalyticsQueries {
         |      FROM m)
         |SELECT n_pairs, median_slope_x1e6, median_slope_x1e6 > 0 AS upward
         |FROM f""".stripMargin,
+
+    // page_hinkley: running-mean deviations, cumulative m_t and the
+    // PH peak replay on the same ≤31-row daily frame; HUGEINT mirrors
+    // the DECIMAL(38,0) routing, sign splits keep // ≡ div. Both
+    // engines' default cumulative window frame (RANGE UNBOUNDED
+    // PRECEDING) coincide because days are distinct.
+    "page_hinkley" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |             // 86400000000 AS day,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y
+        |          FROM e GROUP BY 1),
+        |c AS (SELECT day, y,
+        |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |        CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS s_t
+        |      FROM daily),
+        |dv AS (SELECT day,
+        |         CASE WHEN CAST(t AS HUGEINT) * y - s_t >= 0 THEN
+        |           CAST((2 * 1000000 * (CAST(t AS HUGEINT) * y - s_t) + t)
+        |                // (2 * t) AS BIGINT)
+        |         ELSE -CAST((2 * 1000000 * (CAST(s_t AS HUGEINT)
+        |                - CAST(t AS HUGEINT) * y) + t)
+        |                // (2 * t) AS BIGINT) END AS dev_x1e6
+        |       FROM c),
+        |mm AS (SELECT day,
+        |         CAST(sum(dev_x1e6) OVER (ORDER BY day) AS BIGINT) AS m_t
+        |       FROM dv),
+        |ph AS (SELECT day,
+        |         m_t - min(m_t) OVER (ORDER BY day) AS ph_t
+        |       FROM mm),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT day AS ph_day, ph_t AS ph_x1e6, n_days
+        |FROM ph CROSS JOIN n ORDER BY ph_t DESC, day LIMIT 1""".stripMargin,
 
     // seasonal_decompose: dev_num and the HALF_UP cell replay in
     // HUGEINT (the decimal(38,0) mirror); the sign split keeps //

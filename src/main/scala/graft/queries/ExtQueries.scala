@@ -4213,6 +4213,56 @@ object ExtQueries {
             .stripMargin)
     },
 
+    // Average precision / PR-AUC (round 15) — the class-imbalance
+    // ranking metric beside classifier_auc's ROC (Davis & Goadrich,
+    // ICML 2006: under heavy imbalance ROC flatters, PR doesn't): on
+    // the SAME quantized AucBuckets axis, walk buckets from best
+    // score down and sum each positive-carrying bucket's
+    // precision-at-cut weighted by its recall mass — term_x1e6 =
+    // HALF_UP(1e6·pos_i·cumPos_i / (n_pos·cumCnt_i)), every factor an
+    // exact integer and the products DECIMAL(38,0)-routed, so
+    // ap_x1e6 = Σ terms is exact (benford's rounded-term contract).
+    // The lift verdict compares AP against prevalence (a random
+    // ranker's AP) by pure-integer cross-multiplication. 100 TB
+    // shape: identical to classifier_auc — one (lo, hi) agg
+    // broadcasts back, one partial+final agg onto ≤ 4096 bucket rows,
+    // the cumulative window rides that bounded frame.
+    "auc_pr" -> { (s, d) =>
+      val held = nbScores(s, d).filter(!col("is_train"))
+      val bounds = held.agg(min(col("score")).as("lo"),
+        max(col("score")).as("hi"))
+      val byBucket = held.crossJoin(broadcast(bounds))
+        .selectExpr(
+          s"CAST((CAST(score - lo AS DECIMAL(38,0)) * $AucBuckets) " +
+            "div (hi - lo + 1) AS BIGINT) AS bucket",
+          "actual_keep")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("actual_keep"), 1L).otherwise(0L)).as("pos"))
+        .localCheckpoint(true)
+      val tot = byBucket.agg(sum(col("pos")).as("tot_pos"))
+      val cum = Window.partitionBy(lit(0)).orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byBucket
+        .withColumn("cum_pos", sum(col("pos")).over(cum))
+        .withColumn("cum_cnt", sum(col("cnt")).over(cum))
+        .crossJoin(broadcast(tot))
+        .withColumn("term_x1e6", expr(
+          "CASE WHEN pos > 0 THEN " +
+            "CAST((2 * 1000000 * CAST(pos AS DECIMAL(38,0)) * cum_pos" +
+            " + CAST(tot_pos AS DECIMAL(38,0)) * cum_cnt)" +
+            " div (2 * CAST(tot_pos AS DECIMAL(38,0)) * cum_cnt)" +
+            " AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("pos")).as("n_pos"),
+          sum(col("cnt") - col("pos")).as("n_neg"),
+          sum(col("term_x1e6")).as("ap_x1e6"))
+        .selectExpr("n_buckets", "n_pos", "n_neg", "ap_x1e6",
+          "(2 * 1000000 * n_pos + (n_pos + n_neg))" +
+            " div (2 * (n_pos + n_neg)) AS prevalence_x1e6")
+        .withColumn("lifts", col("ap_x1e6") > col("prevalence_x1e6"))
+    },
+
     // Classifier calibration curve (round 12) — the reliability
     // diagram next to classifier_auc's ranking metric (DeGroot &
     // Fienberg 1983; Niculescu-Mizil & Caruana 2005): held-out NB
@@ -4250,6 +4300,66 @@ object ExtQueries {
           col("pos_rate_x1e6"),
           (col("prev_max").isNull ||
             col("pos_rate_x1e6") >= col("prev_max")).as("monotone_so_far"))
+    },
+
+    // Brier score of the histogram-calibrated forecaster (round 15) —
+    // the PROPER scoring rule beside classifier_auc's ranking metric
+    // and classifier_calibration's reliability diagram (Brier 1950;
+    // Murphy 1973): raw NB log-odds can't feed Brier exactly (sigmoid
+    // is a libm transcendental — cross-engine drift), so the forecast
+    // IS the calibration table: the TRAIN half's 10-bin empirical
+    // positive rate (exact HALF_UP 1e6 cells), applied to HELD-OUT
+    // docs binned on the train bounds (clamped into [0, B−1]; a held
+    // bin the train half never populated falls back to the train base
+    // rate). brier_x1e12 = HALF_UP mean of (rate − 1e6·y)² — integer
+    // end-to-end — and the skill verdict compares it against the
+    // constant held-base-rate forecaster, whose error sum collapses
+    // algebraically to n_pos·(1e6−p̄)² + n_neg·p̄² (no per-doc pass).
+    // 100 TB shape: the NB chain's envelope + two (lo, hi)-style aggs;
+    // the rate table is ≤ 10 rows broadcast, the error sum one
+    // partial+final agg.
+    "brier_score" -> { (s, d) =>
+      val B = 10
+      val sc = nbScores(s, d).localCheckpoint(true)
+      val train = sc.filter(col("is_train"))
+      val bounds = train.agg(min(col("score")).as("lo"),
+        max(col("score")).as("hi"))
+      val binOf = s"least(CAST(${B - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+        s"CAST((CAST(score - lo AS DECIMAL(38,0)) * $B) " +
+        "div (hi - lo + 1) AS BIGINT))) AS bin"
+      val rates = train.crossJoin(broadcast(bounds))
+        .selectExpr(binOf, "actual_keep")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("actual_keep"), 1L).otherwise(0L)).as("n_pos"))
+        .selectExpr("bin",
+          "(2 * 1000000 * n_pos + n_docs) div (2 * n_docs) AS rate_x1e6")
+      val trainBase = train.agg(count(lit(1)).as("tn"),
+        sum(when(col("actual_keep"), 1L).otherwise(0L)).as("tpos"))
+        .selectExpr("(2 * 1000000 * tpos + tn) div (2 * tn) AS base_rate_x1e6")
+      sc.filter(!col("is_train")).crossJoin(broadcast(bounds))
+        .selectExpr(binOf, "actual_keep")
+        .join(broadcast(rates), Seq("bin"), "left")
+        .crossJoin(broadcast(trainBase))
+        .selectExpr("coalesce(rate_x1e6, base_rate_x1e6) AS p", "actual_keep")
+        .agg(count(lit(1)).as("n_held"),
+          sum(when(col("actual_keep"), 1L).otherwise(0L)).as("n_pos"),
+          sum((col("p") - when(col("actual_keep"), 1000000L).otherwise(0L))
+            .cast("decimal(38,0)") *
+            (col("p") - when(col("actual_keep"), 1000000L).otherwise(0L)))
+            .as("sq_sum"))
+        .selectExpr("n_held", "n_pos",
+          "CAST((2 * sq_sum + n_held) div (2 * CAST(n_held AS DECIMAL(38,0)))" +
+            " AS BIGINT) AS brier_x1e12",
+          "(2 * 1000000 * n_pos + n_held) div (2 * n_held) AS pbar_x1e6")
+        .selectExpr("n_held", "n_pos", "brier_x1e12",
+          "CAST((2 * (CAST(n_pos AS DECIMAL(38,0))" +
+            " * (1000000 - pbar_x1e6) * (1000000 - pbar_x1e6)" +
+            " + CAST(n_held - n_pos AS DECIMAL(38,0))" +
+            " * pbar_x1e6 * pbar_x1e6) + n_held)" +
+            " div (2 * CAST(n_held AS DECIMAL(38,0))) AS BIGINT)" +
+            " AS base_brier_x1e12")
+        .withColumn("skillful", col("brier_x1e12") < col("base_brier_x1e12"))
     },
 
     // Uncertainty sampling for active learning (round 12) — Lewis &
@@ -8044,6 +8154,108 @@ object ExtQueries {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
          |         AS monotone_so_far
          |FROM rt""".stripMargin,
+
+    // auc_pr: the same bucketed held-out axis walked from the best
+    // score down; per-bucket HALF_UP precision terms replay in
+    // HUGEINT, prevalence compare is pure-integer.
+    "auc_pr" ->
+      s"""WITH $nbScoreCtes,
+         |held AS (SELECT score, actual_keep FROM sc WHERE NOT is_train),
+         |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM held),
+         |bysc AS (SELECT CAST(CAST(score - lo AS HUGEINT) * ${AucBuckets}
+         |                     // (hi - lo + 1) AS BIGINT) AS bucket,
+         |           CAST(count(*) AS BIGINT) AS cnt,
+         |           CAST(sum(CASE WHEN actual_keep THEN 1 ELSE 0 END)
+         |                AS BIGINT) AS pos
+         |         FROM held CROSS JOIN bounds GROUP BY 1),
+         |ptot AS (SELECT CAST(sum(pos) AS BIGINT) AS tot_pos FROM bysc),
+         |cw AS (SELECT bucket, cnt, pos,
+         |         sum(pos) OVER (ORDER BY bucket DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_pos,
+         |         sum(cnt) OVER (ORDER BY bucket DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_cnt
+         |       FROM bysc),
+         |terms AS (SELECT cnt, pos,
+         |            CASE WHEN pos > 0 THEN
+         |              CAST((2 * 1000000 * CAST(pos AS HUGEINT) * cum_pos
+         |                    + CAST(tot_pos AS HUGEINT) * cum_cnt)
+         |                   // (2 * CAST(tot_pos AS HUGEINT) * cum_cnt)
+         |                AS BIGINT) ELSE 0 END AS term_x1e6
+         |          FROM cw CROSS JOIN ptot),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |          CAST(sum(pos) AS BIGINT) AS n_pos,
+         |          CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+         |          CAST(sum(term_x1e6) AS BIGINT) AS ap_x1e6
+         |        FROM terms)
+         |SELECT n_buckets, n_pos, n_neg, ap_x1e6,
+         |       CAST((2 * 1000000 * n_pos + (n_pos + n_neg))
+         |            // (2 * (n_pos + n_neg)) AS BIGINT) AS prevalence_x1e6,
+         |       ap_x1e6 > (2 * 1000000 * n_pos + (n_pos + n_neg))
+         |            // (2 * (n_pos + n_neg)) AS lifts
+         |FROM agg""".stripMargin,
+
+    // brier_score: the train-half calibration table applied to the
+    // held half, clamped bins, base-rate fallback; every cell replays
+    // in HUGEINT (// ≡ div on the non-negative operands).
+    "brier_score" ->
+      s"""WITH $nbScoreCtes,
+         |tr AS (SELECT score, actual_keep FROM sc WHERE is_train),
+         |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM tr),
+         |rates AS (SELECT least(9, greatest(0,
+         |            CAST(CAST(score - lo AS HUGEINT) * 10
+         |                 // (hi - lo + 1) AS BIGINT))) AS bin,
+         |            CAST(count(*) AS BIGINT) AS n_docs,
+         |            CAST(sum(CASE WHEN actual_keep THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS n_pos
+         |          FROM tr CROSS JOIN bounds GROUP BY 1),
+         |rt AS (SELECT bin,
+         |         CAST((2 * 1000000 * n_pos + n_docs) // (2 * n_docs)
+         |              AS BIGINT) AS rate_x1e6
+         |       FROM rates),
+         |tb AS (SELECT CAST((2 * 1000000
+         |           * sum(CASE WHEN actual_keep THEN 1 ELSE 0 END)
+         |           + count(*)) // (2 * count(*)) AS BIGINT)
+         |           AS base_rate_x1e6
+         |       FROM tr),
+         |hd AS (SELECT least(9, greatest(0,
+         |            CAST(CAST(score - lo AS HUGEINT) * 10
+         |                 // (hi - lo + 1) AS BIGINT))) AS bin,
+         |            actual_keep
+         |        FROM sc CROSS JOIN bounds WHERE NOT is_train),
+         |err AS (SELECT coalesce(rate_x1e6, base_rate_x1e6) AS p,
+         |          actual_keep
+         |        FROM hd LEFT JOIN rt USING (bin) CROSS JOIN tb),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_held,
+         |          CAST(sum(CASE WHEN actual_keep THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_pos,
+         |          sum(CAST(p - CASE WHEN actual_keep THEN 1000000
+         |                        ELSE 0 END AS HUGEINT)
+         |              * (p - CASE WHEN actual_keep THEN 1000000
+         |                      ELSE 0 END)) AS sq_sum
+         |        FROM err),
+         |c1 AS (SELECT n_held, n_pos,
+         |         CAST((2 * sq_sum + n_held)
+         |              // (2 * CAST(n_held AS HUGEINT)) AS BIGINT)
+         |           AS brier_x1e12,
+         |         CAST((2 * 1000000 * n_pos + n_held) // (2 * n_held)
+         |              AS BIGINT) AS pbar_x1e6
+         |       FROM agg)
+         |SELECT n_held, n_pos, brier_x1e12,
+         |       CAST((2 * (CAST(n_pos AS HUGEINT)
+         |              * (1000000 - pbar_x1e6) * (1000000 - pbar_x1e6)
+         |              + CAST(n_held - n_pos AS HUGEINT)
+         |              * pbar_x1e6 * pbar_x1e6) + n_held)
+         |            // (2 * CAST(n_held AS HUGEINT)) AS BIGINT)
+         |         AS base_brier_x1e12,
+         |       brier_x1e12 < CAST((2 * (CAST(n_pos AS HUGEINT)
+         |              * (1000000 - pbar_x1e6) * (1000000 - pbar_x1e6)
+         |              + CAST(n_held - n_pos AS HUGEINT)
+         |              * pbar_x1e6 * pbar_x1e6) + n_held)
+         |            // (2 * CAST(n_held AS HUGEINT)) AS BIGINT)
+         |         AS skillful
+         |FROM c1""".stripMargin,
 
     // Mirrors Fuzzy.blockedMatch exactly: oversized blocks re-split
     // into ceil(cn/1000) sub-blocks keyed by md5Hash60(id) mod nsplit

@@ -47,12 +47,15 @@ import graft.tools.PlanSigs
 class PlanDisciplineSpec extends SparkSpec {
 
   private val AllowedUnpartitionedWindows: Map[String, Seq[String]] = Map(
+    "auc_pr" -> Seq("bucket"),
     "classifier_auc" -> Seq("bucket"),
     "classifier_calibration" -> Seq("bin"),
     "domain_reweight" -> Seq("", "", "", "", ""),
     "gini_index" -> Seq("gbkt"),
     "kruskal_wallis" -> Seq("y"),
     "mannwhitney_u" -> Seq("y"),
+    // the ≤31-row daily frame: rank+running-sum, cum-sum, running-min
+    "page_hinkley" -> Seq("day", "day", "day"),
     "pq_codes" -> Seq("h,vec_id"),
     "pq_topk" -> Seq("h,vec_id", "h,vec_id"),
     "share_of_total" -> Seq(""),
@@ -68,11 +71,15 @@ class PlanDisciplineSpec extends SparkSpec {
     "ann_lsh" -> Seq("__qv,qbucket"),
     "ann_recall" -> Seq("__qv", "__qv", "__qv", "__qv", "__qv", "code_id,qd2,subspace", "code_id,qd2,subspace", "code_id,qd2,subspace", "code_id,qd2,subspace", "code_id,qd2,subspace", "vec_id", "vec_id", "vec_id", "vec_id", "vec_id"),
     "approx_quantiles" -> Seq("event_type,hi25,hi50,hi90,lo25,lo50,lo90"),
+    // the 1-row positive-total aggregate of the ≤4096-bucket frame
+    "auc_pr" -> Seq("tot_pos"),
     "assoc_rules" -> Seq("n_baskets"),
     "benford_audit" -> Seq("digit,p9", "n"),
     "bigram_logprob" -> Seq("v"),
     "bleu_corpus" -> Seq("r_len"),
     "bloom_contam" -> Seq("bloom", "hit,sh"),
+    // train (lo, hi) ×2, the ≤10-row rate table, the 1-row base rate
+    "brier_score" -> Seq("base_rate_x1e6", "bin,rate_x1e6", "hi,lo", "hi,lo"),
     "bm25_topk" -> Seq("n_docs,tot"),
     "cdc_chunks" -> Seq("cdc_shared", "fixed_shared", "n_chunks_cdc,total_chars", "n_unique_cdc,unique_chars"),
     "cdc_merge" -> Seq("__new_c_acctbal,__new_c_name,c_custkey,op"),
@@ -127,6 +134,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "multimodal_pipeline" -> Seq("n_aud_ok", "n_dedup_removed", "n_img_ok", "n_survivors,sum_survivor_ids", "n_vid_ok"),
     "mrr_prec_at_k" -> Seq("n_docs", "n_docs", "qid,qq", "qid,qq", "qid,term", "qid,term"),
     "mv_refresh" -> Seq("cutoff", "cutoff"),
+    // the 1-row day-count aggregate of the ≤31-row daily frame
+    "page_hinkley" -> Seq("n_days"),
     "mv_refresh_join" -> Seq("cutoff", "cutoff", "cutoff", "cutoff", "cutoff", "cutoff", "cutoff", "cutoff"),
     "nation_volume" -> Seq("cust_nation,n_nationkey", "n_nationkey,supp_nation"),
     "percolate" -> Seq("n_terms,query_id", "query_id,term"),
