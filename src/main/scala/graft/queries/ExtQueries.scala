@@ -93,6 +93,31 @@ object ExtQueries {
         checkpointInterval = 4)
     }
 
+  // Shallow clone of [[ordersLake]] at its head (round 15): built once
+  // per JVM per sf dir — cloneShallow (zero data copied, absolute-path
+  // v0 manifest) followed by ONE clone-side MOR delete (% 100 = 52),
+  // so the clone's reads exercise shared source files, carried source
+  // DVs AND a clone-local DV over absolute paths. The SOURCE is never
+  // mutated (the other lake_* fixtures read it).
+  private val cloneLakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def clonedOrdersLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    val src = ordersLake(s, d)
+    val root = cloneLakeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-clake-")
+        .toString
+      val clone = src.cloneShallow(dir)
+      clone.deleteKeysMor(
+        Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(100L)) === 52)
+          .select(col("o_orderkey")), "o_orderkey")
+      dir
+    })
+    graft.io.Snapshot.Lake(s, root,
+      statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"),
+      checkpointInterval = 4)
+  }
+
   // Partitioned snapshot lake (round 15): orders keyed the same way
   // but laid out hive-style by order YEAR (the reference's own lake
   // shape — timescale_to_deltalake.py:36-37 partitionBy(year, month,
@@ -1308,6 +1333,31 @@ object ExtQueries {
         .select(lit(7L).as("version"), col("n_rows"), col("sum_cents"),
           col("n_inserts"), col("n_deletes"), col("insert_cents"),
           col("delete_cents"))
+    },
+
+    // Shallow clone (round 15) — the Delta CLONE semantic on the
+    // correctness gate: the fixture clones the 8-commit lake's head
+    // (v7) with ZERO data copied (absolute-path v0 manifest) and MOR-
+    // deletes % 100 = 52 on the CLONE only. The query reads both
+    // sides: the source's as-of-7 aggregate must be byte-identical to
+    // the pre-clone membership (the clone's delete must never leak
+    // back), and the clone's read must be v7 minus the deleted keys —
+    // exercising shared source files, CARRIED source DVs and a
+    // clone-local DV that masks absolute-path files (the rel→manifest
+    // dv mapping). A clone that copied, leaked, or mis-attached a DV
+    // hash-fails the relational replay. 100 TB shape: the clone costs
+    // O(manifest) at any table size; both reads are scan + broadcast
+    // DV probes, exactly the source's own cost.
+    "lake_clone" -> { (s, d) =>
+      val src = ordersLake(s, d)
+      val clone = clonedOrdersLake(s, d)
+      val a = src.readAsOf(7)
+        .agg(count(lit(1)).as("n_src"),
+          coalesce(sum(col("cents")), lit(0L)).as("src_cents"))
+      val b = clone.read()
+        .agg(count(lit(1)).as("n_clone"),
+          coalesce(sum(col("cents")), lit(0L)).as("clone_cents"))
+      a.crossJoin(broadcast(b))
     },
 
     // Bloom-manifest point lookup (round 14) — the Delta bloom-filter-
@@ -6494,6 +6544,28 @@ object ExtQueries {
         |         AS insert_cents,
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d7)
         |         AS delete_cents""".stripMargin,
+
+    // lake_clone: the source side replays v7's membership untouched
+    // (the clone's delete must never leak back); the clone side is v7
+    // minus the % 100 = 52 keys.
+    "lake_clone" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |v2 AS (SELECT * FROM v1 WHERE o_custkey % 97 <> 0),
+        |v6 AS (SELECT * FROM v2 WHERE o_orderkey % 100 <> 51),
+        |up AS (SELECT o_orderkey, o_custkey, cents + 11 AS cents
+        |       FROM o WHERE o_orderkey % 10 IN (3, 9)),
+        |v7 AS (SELECT * FROM v6 WHERE o_orderkey % 10 NOT IN (3, 9)
+        |       UNION ALL SELECT * FROM up),
+        |c AS (SELECT * FROM v7 WHERE o_orderkey % 100 <> 52)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v7) AS n_src,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM v7)
+        |         AS src_cents,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clone,
+        |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM c)
+        |         AS clone_cents""".stripMargin,
 
     // lake_partition_prune: membership = all orders (commits 0+1)
     // minus the MOR-deleted % 100 = 13 keys, restricted to the probed

@@ -119,6 +119,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "lake_bloom_point" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos"),
     // deletion-sized DV frames (readState's MOR anti-join), one per
     // partition-pruned year read — bounded by the delete volume
+    // source + clone DV probes (deletion-sized) and the clone's 1-row agg
+    "lake_clone" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "clone_cents,n_clone"),
     "lake_partition_prune" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos"),
     "lake_mor_delete" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,n_deletes,n_inserts", "delete_cents,n_deletes,n_inserts"),
     "lake_mor_merge" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,insert_cents,n_deletes,n_inserts"),
