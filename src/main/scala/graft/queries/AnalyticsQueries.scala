@@ -2149,6 +2149,56 @@ object AnalyticsQueries {
           "median_slope_x1e6 > 0 AS upward")
     },
 
+    // One-pass bootstrap CI (round 15) — resampling uncertainty for
+    // the mean, the interval the point estimators (sensor_stats,
+    // welch_ttest's arms) never report (Efron 1979; the one-pass
+    // weighted form is Kleiner et al.'s scalable-bootstrap shape):
+    // B = 30 replicates, each row's replicate weight drawn from ONE
+    // md5 per row — bits (2b, 2b+1) of the 60-bit hash map to
+    // multinomial-ish weights {0→2, 3→0, else→1} (mean 1, variance
+    // ½) — so the whole resample is 60 partial-aggregable sums in a
+    // SINGLE scan: no explode, no per-replicate pass, no shuffle
+    // growth with B. Replicate means are exact HALF_UP 1e4 cells
+    // (values ≥ 0 — TESTDATA bounds — keeps HALF_UP sign-free; sums
+    // DECIMAL(38,0)-routed); the CI is a pure rank pick (2nd / 29th
+    // of the 30 sorted means ≈ central 90%) on the 30-row stacked
+    // frame, and `covered` pins that the full-data mean sits inside.
+    // 100 TB shape: ONE scan, 62 map-side-combinable aggregates to a
+    // 1-row frame; everything after rides 30 rows.
+    "bootstrap_ci" -> { (s, d) =>
+      val B = 30
+      val ev = Tables.events(s, d).select(
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        Dedup.md5Hash60(concat(lit("bs:"), col("event_id"))).as("h"))
+      def wSql(b: Int) =
+        s"(CASE WHEN shiftright(h, ${2 * b}) & 3 = 0 THEN 2L " +
+          s"WHEN shiftright(h, ${2 * b}) & 3 = 3 THEN 0L ELSE 1L END)"
+      val aggs = (0 until B).flatMap(b => Seq(
+        sum(expr(wSql(b))).as(s"n_$b"),
+        sum(expr(s"${wSql(b)} * cents")).as(s"s_$b"))) ++ Seq(
+        count(lit(1)).as("full_n"), sum(col("cents")).as("full_s"))
+      val one = ev.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val stackArgs = (0 until B).map(b => s"${b}L, n_$b, s_$b")
+        .mkString(", ")
+      val means = one
+        .selectExpr(s"stack($B, $stackArgs) AS (b, n_b, s_b)")
+        .selectExpr("b",
+          "CAST((2 * 10000 * CAST(s_b AS DECIMAL(38,0)) + n_b)" +
+            " div (2 * n_b) AS BIGINT) AS mean_x1e4")
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("mean_x1e4"), col("b"))))
+      val ci = means.agg(
+        count(lit(1)).as("n_reps"),
+        max(when(col("rn") === 2, col("mean_x1e4"))).as("ci_lo_x1e4"),
+        max(when(col("rn") === B - 1, col("mean_x1e4"))).as("ci_hi_x1e4"))
+      one.selectExpr(
+        "CAST((2 * 10000 * CAST(full_s AS DECIMAL(38,0)) + full_n)" +
+          " div (2 * full_n) AS BIGINT) AS full_mean_x1e4")
+        .crossJoin(broadcast(ci))
+        .selectExpr("n_reps", "full_mean_x1e4", "ci_lo_x1e4", "ci_hi_x1e4",
+          "full_mean_x1e4 BETWEEN ci_lo_x1e4 AND ci_hi_x1e4 AS covered")
+    },
+
     // Page–Hinkley test (round 15) — the SEQUENTIAL upward-drift
     // detector completing the changepoint family (cusum_shift =
     // fixed-reference two-sided CUSUM; Page 1954, Hinkley 1971; the
@@ -2819,6 +2869,44 @@ object AnalyticsQueries {
         |      FROM m)
         |SELECT n_pairs, median_slope_x1e6, median_slope_x1e6 > 0 AS upward
         |FROM f""".stripMargin,
+
+    // bootstrap_ci: the same single-hash weight derivation, 30
+    // replicate sums and the rank-picked CI replay exactly (HUGEINT
+    // mirrors the DECIMAL routing; >> and & agree on non-negative
+    // 60-bit hashes).
+    "bootstrap_ci" ->
+      """WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |             CAST('0x' || substr(md5('bs:' ||
+        |               CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |           FROM events),
+        |bb AS (SELECT CAST(i AS BIGINT) AS b FROM range(30) t(i)),
+        |reps AS (SELECT b,
+        |    CAST(sum(CASE WHEN (h >> CAST(2 * b AS INT)) & 3 = 0 THEN 2
+        |             WHEN (h >> CAST(2 * b AS INT)) & 3 = 3 THEN 0
+        |             ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum((CASE WHEN (h >> CAST(2 * b AS INT)) & 3 = 0 THEN 2
+        |              WHEN (h >> CAST(2 * b AS INT)) & 3 = 3 THEN 0
+        |              ELSE 1 END) * cents) AS BIGINT) AS s_b
+        |  FROM e CROSS JOIN bb GROUP BY b),
+        |m AS (SELECT b,
+        |        CAST((2 * 10000 * CAST(s_b AS HUGEINT) + n_b)
+        |             // (2 * n_b) AS BIGINT) AS mean_x1e4
+        |      FROM reps),
+        |r AS (SELECT mean_x1e4,
+        |        row_number() OVER (ORDER BY mean_x1e4, b) AS rn
+        |      FROM m),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS full_n,
+        |        CAST(sum(cents) AS BIGINT) AS full_s
+        |      FROM e),
+        |c AS (SELECT CAST(30 AS BIGINT) AS n_reps,
+        |        (SELECT mean_x1e4 FROM r WHERE rn = 2) AS ci_lo_x1e4,
+        |        (SELECT mean_x1e4 FROM r WHERE rn = 29) AS ci_hi_x1e4,
+        |        CAST((2 * 10000 * CAST(full_s AS HUGEINT) + full_n)
+        |             // (2 * full_n) AS BIGINT) AS full_mean_x1e4
+        |      FROM f)
+        |SELECT n_reps, full_mean_x1e4, ci_lo_x1e4, ci_hi_x1e4,
+        |       full_mean_x1e4 BETWEEN ci_lo_x1e4 AND ci_hi_x1e4 AS covered
+        |FROM c""".stripMargin,
 
     // page_hinkley: running-mean deviations, cumulative m_t and the
     // PH peak replay on the same ≤31-row daily frame; HUGEINT mirrors

@@ -50,6 +50,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "auc_pr" -> Seq("bucket"),
     "classifier_auc" -> Seq("bucket"),
     "classifier_calibration" -> Seq("bin"),
+    // the 30-row stacked replicate-mean frame
+    "bootstrap_ci" -> Seq("mean_x1e4,b"),
     "domain_reweight" -> Seq("", "", "", "", ""),
     "gini_index" -> Seq("gbkt"),
     "kruskal_wallis" -> Seq("y"),
@@ -81,6 +83,8 @@ class PlanDisciplineSpec extends SparkSpec {
     // train (lo, hi) ×2, the ≤10-row rate table, the 1-row base rate
     "brier_score" -> Seq("base_rate_x1e6", "bin,rate_x1e6", "hi,lo", "hi,lo"),
     "bm25_topk" -> Seq("n_docs,tot"),
+    // the 3-cell CI aggregate of the 30-row replicate frame
+    "bootstrap_ci" -> Seq("ci_hi_x1e4,ci_lo_x1e4,n_reps"),
     "cdc_chunks" -> Seq("cdc_shared", "fixed_shared", "n_chunks_cdc,total_chars", "n_unique_cdc,unique_chars"),
     "cdc_merge" -> Seq("__new_c_acctbal,__new_c_name,c_custkey,op"),
     "classifier_auc" -> Seq("hi,lo", "n_neg,n_pos", "n_neg,n_pos", "neg_tot,pos_tot,v", "neg_tot,pos_tot,v", "term,w_x1e6", "term,w_x1e6"),
