@@ -2062,6 +2062,63 @@ object AnalyticsQueries {
           "s_stat > 0 AS upward")
     },
 
+    // Difference-in-differences (round 15) — the CAUSAL-PANEL
+    // estimator completing the experimentation family (ab_chisq =
+    // proportions, welch_ttest = two-arm means; Card & Krueger 1994's
+    // 2×2 DiD): md5-coin treatment arms ("did:" salt — an A/A split)
+    // crossed with a pre/post period cut at the exact integer time
+    // midpoint, so the true DiD is 0 and the cell is a calibration
+    // read. Exact discipline is welch_ttest's, four cells wide: per
+    // (arm, post) the exact (n, Σy, Σy²) in DECIMAL(38,0), HALF_UP
+    // mean (1e4) and variance-of-the-mean (1e8) cells; did_x1e4 is
+    // pure subtraction of exact cells, t one fixed IEEE tree, and the
+    // significance verdict the pure-integer cross-multiplied z-1.96
+    // compare over the FOUR-cell variance sum. 100 TB shape: one
+    // (min, max) agg broadcasts the midpoint back; ONE partial+final
+    // hash agg to 4 rows; everything after is 4-row algebra.
+    "diff_in_diff" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(Tables.tsUs.as("tus"),
+        pmod(Dedup.md5Hash60(concat(lit("did:"), col("event_id"))),
+          lit(2L)).as("arm"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      val mid = ev.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+        .selectExpr("(lo + hi) div 2 AS tmid")
+      val cells = ev.crossJoin(broadcast(mid))
+        .select(col("arm"),
+          when(col("tus") >= col("tmid"), 1L).otherwise(0L).as("post"),
+          col("y"), (col("y") * col("y")).as("qy"))
+        .groupBy(col("arm"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("qy")).as("qq"))
+        .selectExpr("arm", "post", "n",
+          "CAST((2 * 10000 * CAST(sy AS DECIMAL(38,0)) + n)" +
+            " div (2 * n) AS BIGINT) AS m_x1e4",
+          "CAST((2 * 100000000 * (CAST(n AS DECIMAL(38,0)) * qq" +
+            " - CAST(sy AS DECIMAL(38,0)) * sy)" +
+            " + CAST(n AS DECIMAL(38,0)) * n * (n - 1))" +
+            " div (2 * CAST(n AS DECIMAL(38,0)) * n * (n - 1))" +
+            " AS BIGINT) AS w_x1e8")
+      def cell(c: String, a: Int, p: Int) =
+        max(when(col("arm") === a.toLong && col("post") === p.toLong,
+          col(c))).as(s"${c.take(1)}$a$p")
+      cells.agg(
+        cell("n", 0, 0), cell("n", 0, 1), cell("n", 1, 0), cell("n", 1, 1),
+        cell("m_x1e4", 0, 0), cell("m_x1e4", 0, 1),
+        cell("m_x1e4", 1, 0), cell("m_x1e4", 1, 1),
+        cell("w_x1e8", 0, 0), cell("w_x1e8", 0, 1),
+        cell("w_x1e8", 1, 0), cell("w_x1e8", 1, 1))
+        .selectExpr("n00", "n01", "n10", "n11",
+          "m00", "m01", "m10", "m11",
+          "(m11 - m10) - (m01 - m00) AS did_x1e4",
+          "w00 + w01 + w10 + w11 AS w_sum_x1e8")
+        .selectExpr("n00", "n01", "n10", "n11",
+          "m00", "m01", "m10", "m11", "did_x1e4",
+          "CAST(did_x1e4 AS DOUBLE) / sqrt(CAST(w_sum_x1e8 AS DOUBLE))" +
+            " AS t",
+          "10000 * CAST(did_x1e4 AS DECIMAL(38,0)) * did_x1e4 >" +
+            " 38416 * CAST(w_sum_x1e8 AS DECIMAL(38,0)) AS significant")
+    },
+
     // Cramér's V (round 15) — the EFFECT-SIZE companion the
     // chi-square family lacked (ab_chisq answers "is there an
     // association", THIS answers "how strong"; Cramér 1946): the
@@ -2803,6 +2860,55 @@ object AnalyticsQueries {
         |    38416 * v18 ELSE false END AS trending,
         |  s_stat > 0 AS upward
         |FROM x""".stripMargin,
+
+    // diff_in_diff: the four (arm, post) cells' exact sufficient
+    // statistics, HALF_UP mean/variance cells, the subtraction-only
+    // DiD and the cross-multiplied verdict replay in HUGEINT.
+    "diff_in_diff" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus,
+        |             CAST('0x' || substr(md5('did:' ||
+        |               CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+        |               AS arm,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |           FROM events),
+        |mid AS (SELECT (min(tus) + max(tus)) // 2 AS tmid FROM e),
+        |cells AS (SELECT arm,
+        |            CASE WHEN tus >= tmid THEN 1 ELSE 0 END AS post,
+        |            CAST(count(*) AS BIGINT) AS n,
+        |            CAST(sum(y) AS BIGINT) AS sy,
+        |            CAST(sum(y * y) AS BIGINT) AS qq
+        |          FROM e CROSS JOIN mid GROUP BY 1, 2),
+        |mw AS (SELECT arm, post, n,
+        |         CAST((2 * 10000 * CAST(sy AS HUGEINT) + n) // (2 * n)
+        |              AS BIGINT) AS m,
+        |         CAST((2 * 100000000 * (CAST(n AS HUGEINT) * qq
+        |               - CAST(sy AS HUGEINT) * sy)
+        |               + CAST(n AS HUGEINT) * n * (n - 1))
+        |              // (2 * CAST(n AS HUGEINT) * n * (n - 1))
+        |           AS BIGINT) AS w
+        |       FROM cells),
+        |p AS (SELECT
+        |        max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n00,
+        |        max(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n01,
+        |        max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n10,
+        |        max(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n11,
+        |        max(CASE WHEN arm = 0 AND post = 0 THEN m END) AS m00,
+        |        max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS m01,
+        |        max(CASE WHEN arm = 1 AND post = 0 THEN m END) AS m10,
+        |        max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS m11,
+        |        max(CASE WHEN arm = 0 AND post = 0 THEN w END) +
+        |        max(CASE WHEN arm = 0 AND post = 1 THEN w END) +
+        |        max(CASE WHEN arm = 1 AND post = 0 THEN w END) +
+        |        max(CASE WHEN arm = 1 AND post = 1 THEN w END) AS w_sum
+        |      FROM mw)
+        |SELECT n00, n01, n10, n11, m00, m01, m10, m11,
+        |       (m11 - m10) - (m01 - m00) AS did_x1e4,
+        |       CAST((m11 - m10) - (m01 - m00) AS DOUBLE)
+        |         / sqrt(CAST(w_sum AS DOUBLE)) AS t,
+        |       10000 * CAST((m11 - m10) - (m01 - m00) AS HUGEINT)
+        |         * ((m11 - m10) - (m01 - m00)) >
+        |         38416 * CAST(w_sum AS HUGEINT) AS significant
+        |FROM p""".stripMargin,
 
     // cramers_v: the rationalized per-cell terms replay in HUGEINT
     // (the squared numerator keeps every term non-negative, // ≡ div).

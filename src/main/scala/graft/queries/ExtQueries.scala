@@ -569,6 +569,60 @@ object ExtQueries {
         .limit(100)
     },
 
+    // Zipf's-law fit (round 15) — the rank-frequency diagnostic beside
+    // vocab_topk's raw list (Zipf 1949; a natural corpus's top-vocab
+    // log-log slope sits near −1, and a synthetic/boilerplate corpus
+    // shows up as a flagrantly non-Zipfian slope): OLS of ln f on ln r
+    // over the SAME deterministic top-100 cut. Exactness: both lns are
+    // floored 1e6-scaled cells of exact integers (the unigram_logprob
+    // convention), the five OLS sums are DECIMAL(38,0)-routed integer
+    // algebra, slope_x1e6 a sign-split HALF_UP cell, and r² uses
+    // div-1000-scaled factors — a DELIBERATE precision trade that
+    // keeps 2e6·num² inside DECIMAL(38,0)/HUGEINT at any corpus size
+    // while both engines replay the identical formula. 100 TB shape:
+    // one explode → partial+final count agg → TakeOrdered(100);
+    // the rank window and OLS ride the 100-row frame.
+    "zipf_fit" -> { (s, d) =>
+      val top = Dedup.rebalance(Tables.documents(s, d))
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)
+      val xy = top
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+        .selectExpr(
+          "CAST(floor(log(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x",
+          "CAST(floor(log(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y")
+      xy.agg(count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .selectExpr("k",
+          "CAST(k AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS num",
+          "CAST(k AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den",
+          "CAST(k AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS deny")
+        .selectExpr("k",
+          "CASE WHEN num >= 0 THEN " +
+            "CAST((2 * 1000000 * num + den) div (2 * den) AS BIGINT) " +
+            "ELSE -CAST((2 * 1000000 * (-num) + den) div (2 * den)" +
+            " AS BIGINT) END AS slope_x1e6",
+          // Spark's `div` yields BIGINT — every scaled factor goes back
+          // through DECIMAL(38,0) before multiplying or the r² products
+          // overflow int64.
+          "CAST((2 * 1000000 * CAST((CASE WHEN num >= 0 THEN num" +
+            " ELSE -num END) div 1000 AS DECIMAL(38,0))" +
+            " * CAST((CASE WHEN num >= 0 THEN num ELSE -num END)" +
+            " div 1000 AS DECIMAL(38,0))" +
+            " + CAST(den div 1000 AS DECIMAL(38,0))" +
+            " * CAST(deny div 1000 AS DECIMAL(38,0)))" +
+            " div (2 * CAST(den div 1000 AS DECIMAL(38,0))" +
+            " * CAST(deny div 1000 AS DECIMAL(38,0))) AS BIGINT)" +
+            " AS r2_x1e6")
+        .withColumn("zipfian",
+          col("slope_x1e6") < -500000L && col("slope_x1e6") > -2000000L)
+    },
+
     // Deterministic train/eval sharding: every row keyed to a shard of
     // [0,100) by the md5 hash of its own id (Sampling.shard) and the
     // 10% split kept — reproducible in any engine, idempotent under
@@ -6768,6 +6822,47 @@ object ExtQueries {
         |                x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // zipf_fit: the same top-100 cut, floored-ln cells and the
+    // DECIMAL-routed OLS algebra replay in HUGEINT (identical div-1000
+    // r² scaling; sign splits keep // ≡ div).
+    "zipf_fit" ->
+      """WITH top AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS token
+        |    FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 100),
+        |xy AS (SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, token)
+        |      AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS y
+        |  FROM top),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM xy),
+        |t AS (SELECT k,
+        |        CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |        CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+        |        CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        |      FROM s),
+        |f AS (SELECT k,
+        |        CASE WHEN num >= 0 THEN
+        |          CAST((2 * 1000000 * num + den) // (2 * den) AS BIGINT)
+        |        ELSE -CAST((2 * 1000000 * (-num) + den) // (2 * den)
+        |          AS BIGINT) END AS slope_x1e6,
+        |        CAST((2 * 1000000 * (abs(num) // 1000) * (abs(num) // 1000)
+        |              + (den // 1000) * (deny // 1000))
+        |             // (2 * (den // 1000) * (deny // 1000)) AS BIGINT)
+        |          AS r2_x1e6
+        |      FROM t)
+        |SELECT k, slope_x1e6, r2_x1e6,
+        |       slope_x1e6 < -500000 AND slope_x1e6 > -2000000 AS zipfian
+        |FROM f""".stripMargin,
 
     // bleu_corpus: the same tagged-gram clipped counting, four orders
     // via lead windows; the brevity inputs and HALF_UP precision cells

@@ -64,7 +64,9 @@ class PlanDisciplineSpec extends SparkSpec {
     "skyline_frontier" -> Seq("price_cents"),
     "spearman_rho" -> Seq("gbkt", "gbkt"),
     // the ≤465-row pairwise-slope frame of the ≤31-row daily series
-    "theil_sen" -> Seq("slope_x1e6,di,dj")
+    "theil_sen" -> Seq("slope_x1e6,di,dj"),
+    // the post-limit 100-row vocab cut (rank re-derivation)
+    "zipf_fit" -> Seq("n,token")
   )
 
   private val AllowedBroadcastHints: Map[String, Seq[String]] = Map(
@@ -98,6 +100,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "cube_agg" -> Seq("n_name,n_nationkey,n_regionkey", "r_name,r_regionkey"),
     "dedup_incremental" -> Seq("band,batch_doc,bh", "batch_doc,bsig,corpus_doc"),
     "dedup_keep_best" -> Seq("group,node"),
+    // the 1-row exact time midpoint (the ks_drift/psi_drift seam)
+    "diff_in_diff" -> Seq("tmid"),
     "dim_join" -> Seq("n_name,n_nationkey,n_regionkey", "r_name,r_regionkey"),
     "domain_reweight" -> Seq("c_tot,v"),
     "dsir_weights" -> Seq("c_tot,t_tot,v"),
