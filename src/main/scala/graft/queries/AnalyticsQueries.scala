@@ -1612,6 +1612,59 @@ object AnalyticsQueries {
           col("trend_x1e6"), col("forecast_x1e6"))
     },
 
+    // MASE forecast evaluation (round 15) — the scale-free accuracy
+    // metric closing the forecast family's loop (holt_linear FITS;
+    // nothing previously scored it; Hyndman & Koehler 2006): mean
+    // absolute one-step error of the Holt forecast over the daily
+    // series, scaled by the naive random-walk MAE on the same steps —
+    // MASE < 1 ⟺ the model beats "tomorrow = today". The Holt
+    // recursion is the identical BigInt driver fold as holt_linear
+    // (the survival_km discipline — inherently sequential, ≤31 rows);
+    // error sums stay BigInt/HUGEINT internally and report as HALF_UP
+    // cents cells (an x1e6 sum would overflow int64 at corpus-scale
+    // daily totals), mase_x1e6 from the raw sums, sn = 0 guarded to 0
+    // identically on both engines. 100 TB shape: one map-side day agg;
+    // the fold and every cell ride ≤31 rows.
+    "mase" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select(expr(s"(ts div 1000 - $OriginUs) div ${Tables.MicrosPerDay}")
+          .as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("y_cents"))
+        .localCheckpoint(true)
+      val rows = daily.orderBy(col("day")).collect()
+      def sHalf(n: BigInt, dd: BigInt): BigInt =
+        if (n.signum >= 0) (2 * n + dd) / (2 * dd)
+        else -((2 * -n + dd) / (2 * dd))
+      var lv = BigInt(rows.head.getLong(1)) * 1000000
+      var bv = BigInt(0)
+      var prevY = rows.head.getLong(1)
+      var sumH = BigInt(0)
+      var sumN = BigInt(0)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) {
+          val y = r.getLong(1)
+          val y6 = BigInt(y) * 1000000
+          sumH += (y6 - (lv + bv)).abs
+          sumN += (BigInt(y - prevY) * 1000000).abs
+          val lPrev = lv
+          lv = sHalf(3 * y6 + 7 * (lPrev + bv), BigInt(10))
+          bv = sHalf((lv - lPrev) + 9 * bv, BigInt(10))
+          prevY = y
+        }
+      }
+      val steps = BigInt(rows.length - 1).max(1)
+      val mase =
+        if (sumN == 0) BigInt(0) else sHalf(1000000 * sumH, sumN)
+      Seq((rows.length.toLong,
+        sHalf(sumH, 1000000 * steps).toLong,
+        sHalf(sumN, 1000000 * steps).toLong,
+        mase.toLong, mase < 1000000))
+        .toDF("n_days", "holt_mae_c", "naive_mae_c", "mase_x1e6",
+          "beats_naive")
+    },
+
     // Kaplan-Meier survival (round 14) — the right-censoring-aware
     // time-to-event estimator the retention family lacked
     // (cohort_retention counts presence; THIS estimates time-to-
@@ -2295,6 +2348,60 @@ object AnalyticsQueries {
         .crossJoin(broadcast(n))
     },
 
+    // KMV distinct sketch (round 15) — the k-minimum-values estimator
+    // (Bar-Yossef et al. 2002; the theta-sketch core) completing the
+    // sketch family with what HLL union / CMS / MG can't do: SET
+    // ALGEBRA on distinct counts (union by sketch merge, intersection
+    // by inclusion-exclusion). Two sets — customers ordering in 1995
+    // vs 1996 — hashed by md5Hash60 (uniform on [0, 2^60)); each
+    // sketch is the K = 256 smallest hashes (TakeOrdered — a bounded
+    // heap, never a global sort), est = (K−1)·2^60 div h_(K) routed
+    // through DECIMAL(38,0), degenerating to the EXACT count when the
+    // set is smaller than K; the union sketch is the K smallest of
+    // the two sketches' union (sketch-sized merge — the property that
+    // makes KMV shippable from 1000 executors). Exact distinct counts
+    // ride along as the calibration read (dropped at 100 TB — they
+    // are what the sketch replaces); ok-cells pin ±20% by pure-integer
+    // cross-multiplication, and every cell is md5-deterministic so
+    // the oracle replays the whole estimate. 100 TB shape: one
+    // distinct-key agg per set feeding a 256-row heap; merges and
+    // estimates ride 256-row frames.
+    "kmv_sketch" -> { (s, d) =>
+      val K = 256
+      val two60 = "1152921504606846976"
+      def hashes(yr: Int) = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+        .select(Dedup.md5Hash60(concat(lit("kmv:"), col("o_custkey")))
+          .as("h"))
+        .localCheckpoint(true)
+      val sa = hashes(1995)
+      val sb = hashes(1996)
+      def estSql(k: String, hk: String) =
+        s"CASE WHEN $k < $K THEN $k ELSE " +
+          s"CAST(CAST(${K - 1} AS DECIMAL(38,0)) * $two60 div $hk" +
+          " AS BIGINT) END"
+      def sketch(sx: DataFrame, p: String) =
+        sx.orderBy(col("h")).limit(K)
+          .agg(count(lit(1)).as(s"k_$p"), max(col("h")).as(s"hk_$p"))
+          .crossJoin(sx.agg(count(lit(1)).as(s"n_$p")))
+          .selectExpr(s"n_$p",
+            s"${estSql(s"k_$p", s"hk_$p")} AS est_$p")
+      val merged = sa.orderBy(col("h")).limit(K)
+        .unionByName(sb.orderBy(col("h")).limit(K))
+        .distinct().orderBy(col("h")).limit(K)
+        .agg(count(lit(1)).as("k_u"), max(col("h")).as("hk_u"))
+        .crossJoin(sa.unionByName(sb).distinct()
+          .agg(count(lit(1)).as("n_union")))
+        .selectExpr("n_union", s"${estSql("k_u", "hk_u")} AS est_union")
+      sketch(sa, "a").crossJoin(sketch(sb, "b")).crossJoin(merged)
+        .selectExpr("n_a", "est_a", "n_b", "est_b", "n_union",
+          "est_union", "est_a + est_b - est_union AS est_intersect",
+          "5 * abs(est_a - n_a) <= n_a AS a_ok",
+          "5 * abs(est_b - n_b) <= n_b AS b_ok",
+          "5 * abs(est_union - n_union) <= n_union AS union_ok")
+    },
+
     // Hour-of-day seasonal decomposition (round 14) — the classical
     // additive-seasonality extraction the time-series family lacked
     // (trend_slope = trend, autocorr = serial dependence, THIS = the
@@ -2537,6 +2644,63 @@ object AnalyticsQueries {
          |       CAST(bv AS BIGINT) AS trend_x1e6,
          |       CAST(lv + bv AS BIGINT) AS forecast_x1e6
          |FROM rec""".stripMargin,
+
+    // mase: holt_linear's recursive CTE plus one-step error algebra —
+    // eh joins each day to the PREVIOUS day's (l + b); sums stay
+    // HUGEINT, cells are the identical HALF_UP forms.
+    "mase" ->
+      s"""WITH RECURSIVE e AS (SELECT
+         |    (epoch_us(ts) - $OriginUs) // ${Tables.MicrosPerDay} AS day,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |dl AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y_cents
+         |       FROM e GROUP BY 1),
+         |ord AS (SELECT day, y_cents, row_number() OVER (ORDER BY day)
+         |          AS i FROM dl),
+         |rec AS (
+         |  SELECT i, day, y_cents,
+         |         CAST(y_cents AS HUGEINT) * 1000000 AS lv,
+         |         CAST(0 AS HUGEINT) AS bv
+         |  FROM ord WHERE i = 1
+         |  UNION ALL
+         |  SELECT i, day, y_cents, lv,
+         |    CASE WHEN (lv - lprev) + 9 * bprev >= 0
+         |         THEN (2 * ((lv - lprev) + 9 * bprev) + 10) // 20
+         |         ELSE -((2 * (-((lv - lprev) + 9 * bprev)) + 10) // 20)
+         |    END AS bv
+         |  FROM (
+         |    SELECT o.i, o.day, o.y_cents, r.lv AS lprev, r.bv AS bprev,
+         |      CASE WHEN 3 * CAST(o.y_cents AS HUGEINT) * 1000000
+         |                 + 7 * (r.lv + r.bv) >= 0
+         |           THEN (2 * (3 * CAST(o.y_cents AS HUGEINT) * 1000000
+         |                 + 7 * (r.lv + r.bv)) + 10) // 20
+         |           ELSE -((2 * (-(3 * CAST(o.y_cents AS HUGEINT) * 1000000
+         |                 + 7 * (r.lv + r.bv))) + 10) // 20)
+         |      END AS lv
+         |    FROM ord o JOIN rec r ON o.i = r.i + 1) t),
+         |err AS (SELECT c.i,
+         |          abs(CAST(c.y_cents AS HUGEINT) * 1000000
+         |              - (p.lv + p.bv)) AS eh,
+         |          abs(CAST(c.y_cents - p.y_cents AS HUGEINT) * 1000000)
+         |            AS en
+         |        FROM rec c JOIN rec p ON c.i = p.i + 1),
+         |s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_days,
+         |        CAST(greatest(count(*), 1) AS HUGEINT) AS steps,
+         |        CAST(coalesce(sum(eh), 0) AS HUGEINT) AS sh,
+         |        CAST(coalesce(sum(en), 0) AS HUGEINT) AS sn
+         |      FROM err)
+         |SELECT n_days,
+         |       CAST((2 * sh + 1000000 * steps) // (2 * 1000000 * steps)
+         |            AS BIGINT) AS holt_mae_c,
+         |       CAST((2 * sn + 1000000 * steps) // (2 * 1000000 * steps)
+         |            AS BIGINT) AS naive_mae_c,
+         |       CAST(CASE WHEN sn = 0 THEN 0
+         |            ELSE (2 * 1000000 * sh + sn) // (2 * sn) END
+         |         AS BIGINT) AS mase_x1e6,
+         |       CASE WHEN sn = 0 THEN 0
+         |            ELSE (2 * 1000000 * sh + sn) // (2 * sn) END
+         |         < 1000000 AS beats_naive
+         |FROM s""".stripMargin,
 
     // survival_km: the identical interval algebra; the sequential
     // HALF_UP survival recurrence replays as a recursive CTE over the
@@ -3047,6 +3211,57 @@ object AnalyticsQueries {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
         |SELECT day AS ph_day, ph_t AS ph_x1e6, n_days
         |FROM ph CROSS JOIN n ORDER BY ph_t DESC, day LIMIT 1""".stripMargin,
+
+    // kmv_sketch: the same md5 axis, 256-row ORDER BY h LIMIT heaps,
+    // HUGEINT estimate arithmetic and inclusion-exclusion replay
+    // exactly; // ≡ div on the non-negative operands.
+    "kmv_sketch" ->
+      """WITH ca AS (SELECT DISTINCT o_custkey FROM orders
+        |            WHERE date_part('year', o_orderdate) = 1995),
+        |cb AS (SELECT DISTINCT o_custkey FROM orders
+        |       WHERE date_part('year', o_orderdate) = 1996),
+        |ha AS (SELECT CAST('0x' || substr(md5('kmv:' ||
+        |         CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |       FROM ca),
+        |hb AS (SELECT CAST('0x' || substr(md5('kmv:' ||
+        |         CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |       FROM cb),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |ku AS (SELECT DISTINCT h FROM
+        |         (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |       ORDER BY h LIMIT 256),
+        |aa AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ha) AS n_a,
+        |         CAST(count(*) AS BIGINT) AS k_a,
+        |         max(h) AS hk_a FROM ka),
+        |bb AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_b,
+        |         CAST(count(*) AS BIGINT) AS k_b,
+        |         max(h) AS hk_b FROM kb),
+        |uu AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+        |           (SELECT DISTINCT h FROM
+        |             (SELECT h FROM ha UNION ALL SELECT h FROM hb)))
+        |           AS n_union,
+        |         CAST(count(*) AS BIGINT) AS k_u,
+        |         max(h) AS hk_u FROM ku),
+        |est AS (SELECT n_a,
+        |         CASE WHEN k_a < 256 THEN k_a ELSE
+        |           CAST(255 * CAST(1152921504606846976 AS HUGEINT)
+        |                // hk_a AS BIGINT) END AS est_a,
+        |         n_b,
+        |         CASE WHEN k_b < 256 THEN k_b ELSE
+        |           CAST(255 * CAST(1152921504606846976 AS HUGEINT)
+        |                // hk_b AS BIGINT) END AS est_b,
+        |         n_union,
+        |         CASE WHEN k_u < 256 THEN k_u ELSE
+        |           CAST(255 * CAST(1152921504606846976 AS HUGEINT)
+        |                // hk_u AS BIGINT) END AS est_union
+        |       FROM aa CROSS JOIN bb CROSS JOIN uu)
+        |SELECT n_a, est_a, n_b, est_b, n_union, est_union,
+        |       est_a + est_b - est_union AS est_intersect,
+        |       5 * abs(est_a - n_a) <= n_a AS a_ok,
+        |       5 * abs(est_b - n_b) <= n_b AS b_ok,
+        |       5 * abs(est_union - n_union) <= n_union AS union_ok
+        |FROM est""".stripMargin,
 
     // seasonal_decompose: dev_num and the HALF_UP cell replay in
     // HUGEINT (the decimal(38,0) mirror); the sign split keeps //
