@@ -58,7 +58,9 @@ object Snapshot {
   final case class FileStat(path: String, rows: Long,
       lo: Map[String, Long], hi: Map[String, Long],
       bloom: Map[String, (Int, Array[Long])] = Map.empty,
-      parts: Map[String, String] = Map.empty)
+      parts: Map[String, String] = Map.empty,
+      slo: Map[String, String] = Map.empty,
+      shi: Map[String, String] = Map.empty)
 
   /** `txn` is the Delta-style transaction marker — (writerId, batchId)
     * — a streaming writer stamps on each commit so a replayed
@@ -136,6 +138,7 @@ object Snapshot {
           val stats = Seq.newBuilder[(String, Long, Long)]
           val blooms = Map.newBuilder[String, (Int, Array[Long])]
           val parts = Map.newBuilder[String, String]
+          val sstats = Seq.newBuilder[(String, String, String)]
           arr.drop(3).foreach { kv =>
             if (kv.startsWith("bloom:")) {
               val Array(c, payload) = kv.stripPrefix("bloom:")
@@ -149,6 +152,16 @@ object Snapshot {
               val body = kv.stripPrefix("part:")
               val i = body.indexOf('=')
               parts += body.substring(0, i) -> body.substring(i + 1)
+            } else if (kv.startsWith("szone:")) {
+              // string zone map: szone:<col>=<b64 lo>:<b64 hi> — base64
+              // so arbitrary string values can never collide with the
+              // tab/colon grammar
+              val Array(c, payload) = kv.stripPrefix("szone:")
+                .split("=", 2)
+              val Array(l64, h64) = payload.split(":", 2)
+              def un(b: String) = new String(
+                java.util.Base64.getDecoder.decode(b), "UTF-8")
+              sstats += ((c, un(l64), un(h64)))
             } else {
               val Array(c, range) = kv.split("=", 2)
               val Array(l, h) = range.split(":", 2)
@@ -156,10 +169,13 @@ object Snapshot {
             }
           }
           val st = stats.result()
+          val sst = sstats.result()
           adds += FileStat(arr(1), arr(2).toLong,
             st.map(s => s._1 -> s._2).toMap,
             st.map(s => s._1 -> s._3).toMap,
-            blooms.result(), parts.result())
+            blooms.result(), parts.result(),
+            sst.map(s => s._1 -> s._2).toMap,
+            sst.map(s => s._1 -> s._3).toMap)
         case arr if arr.head == "rm" => rms += arr(1)
         case Array("txn", w, b) => txn = Some((w, b.toLong))
         case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
@@ -224,7 +240,11 @@ object Snapshot {
     }.mkString
     val parts = f.parts.toSeq.sorted
       .map { case (c, v) => s"\tpart:$c=$v" }.mkString
-    s"add\t${f.path}\t${f.rows}$stats$blooms$parts"
+    def b64(v: String) = java.util.Base64.getEncoder
+      .encodeToString(v.getBytes("UTF-8"))
+    val szones = f.slo.keySet.toSeq.sorted
+      .map(c => s"\tszone:$c=${b64(f.slo(c))}:${b64(f.shi(c))}").mkString
+    s"add\t${f.path}\t${f.rows}$stats$blooms$parts$szones"
   }
 
   /** Serialize a checkpoint in the commit-line grammar: `v`, one `add`
@@ -440,7 +460,8 @@ object Snapshot {
     * multi-JVM writers only against a refusing-rename store. */
   final case class Lake(spark: SparkSession, root: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      checkpointInterval: Int = 10, partitionCols: Seq[String] = Nil) {
+      checkpointInterval: Int = 10, partitionCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil) {
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_log")
@@ -606,6 +627,37 @@ object Snapshot {
       // over the live set, zero rows scanned at runtime)
       if (entries.isEmpty) readAsOf(v).filter(lit(false))
       else readState(entries).filter(col(column).between(qLo, qHi))
+    }
+
+    /** STRING zone-map pruning (Delta records min/max for string
+      * columns too — this is that tier for `strStatsCols`): the live
+      * files of snapshot `v` whose [slo, shi] for `c` intersects
+      * [qLo, qHi] under lexicographic compare. Stats are computed by
+      * Spark's UTF8 binary ordering and compared here with Java's
+      * compareTo — identical for ASCII and the BMP; supplementary-
+      * plane keys should use a binary-safe collation at both ends.
+      * Files without a recorded range stay must-scan. */
+    def pruneFilesStr(v: Int, c: String, qLo: String, qHi: String)
+        : Seq[FileStat] =
+      liveFiles(v).filter { f =>
+        (f.slo.get(c), f.shi.get(c)) match {
+          case (Some(l), Some(h)) => h >= qLo && l <= qHi
+          case _ => true
+        }
+      }
+
+    /** Range scan through the string zone maps — [[readRange]]'s
+      * lexicographic twin: open only [[pruneFilesStr]]'s survivors
+      * (deletion vectors applied), then the row predicate. After a
+      * string-keyed [[Compact.clusterBy]] the opened set approaches
+      * selectivity × nFiles, decided entirely from the log. */
+    def readRangeStr(v: Int, c: String, qLo: String, qHi: String)
+        : DataFrame = {
+      val keep = pruneFilesStr(v, c, qLo, qHi).map(_.path).toSet
+      val entries = liveState(v).filter(e => keep(e._1.path))
+      if (entries.isEmpty) readAsOf(v).filter(lit(false))
+      else readState(entries)
+        .filter(col(c).cast("string").between(qLo, qHi))
     }
 
     /** Bloom pruning over the live manifest: the files of snapshot `v`
@@ -922,7 +974,7 @@ object Snapshot {
       val ck = Snapshot.checkpointAt(fs, logPath, v)
       require(ck.version >= 0, s"cloneShallow: no snapshot <= $v at $root")
       val target = Lake(spark, targetRoot, statsCols, bloomCols,
-        checkpointInterval, partitionCols)
+        checkpointInterval, partitionCols, strStatsCols)
       require(target.latestVersion < 0,
         s"cloneShallow: target $targetRoot already has commits")
       // Absolute-path references: Hadoop Path resolution lets every
@@ -1338,6 +1390,9 @@ object Snapshot {
       val aggs = (count(lit(1)).as("__rows") +:
         statsCols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
           max(col(c)).as(s"__hi_$c")))) ++
+        strStatsCols.flatMap(c => Seq(
+          min(col(c).cast("string")).as(s"__slo_$c"),
+          max(col(c).cast("string")).as(s"__shi_$c"))) ++
         bloomCols.map(c => graft.ext.Bloom.agg(BloomM, BloomK)(
           coalesce(graft.ext.Dedup.md5Hash60(col(c).cast("string")),
             lit(0L))).as(s"__bf_$c"))
@@ -1382,7 +1437,18 @@ object Snapshot {
               Option(r.getAs[scala.collection.Seq[Long]](s"__bf_$c"))
                 .map(w => Snapshot.bloomSegment(c, BloomK, w.toArray))
             }.mkString
-            s"add\t$rel\t${r.getAs[Long]("__rows")}$stats$blooms${partSegs(rel)}"
+            def b64(v: String) = java.util.Base64.getEncoder
+              .encodeToString(v.getBytes("UTF-8"))
+            val szones = strStatsCols.flatMap { c =>
+              (Option(r.getAs[String](s"__slo_$c")),
+                Option(r.getAs[String](s"__shi_$c"))) match {
+                case (Some(l), Some(h)) =>
+                  Some(s"\tszone:$c=${b64(l)}:${b64(h)}")
+                case _ => None // all-null column ⇒ must-scan
+              }
+            }.mkString
+            s"add\t$rel\t${r.getAs[Long]("__rows")}$stats$blooms" +
+              s"${partSegs(rel)}$szones"
           case None => // all-null/empty file: no stats
             s"add\t$rel\t0${partSegs(rel)}"
         }

@@ -148,6 +148,30 @@ object ExtQueries {
     open(root)
   }
 
+  // String-zone-map lake (round 15): customers laid in c_name range
+  // order (repartitionByRange + in-file sort), so each file's
+  // [slo, shi] on c_name is a tight lexicographic box and a name-range
+  // read prunes files from the manifest alone. Built once per JVM per
+  // sf dir.
+  private val strLakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def nameLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    def open(dir: String) = graft.io.Snapshot.Lake(s, dir,
+      statsCols = Seq("c_custkey"), checkpointInterval = 4,
+      strStatsCols = Seq("c_name"))
+    val root = strLakeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-slake-")
+        .toString
+      val lake = open(dir)
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      lake.append(c.repartitionByRange(8, col("c_name"))
+        .sortWithinPartitions("c_name"))
+      dir
+    })
+    open(root)
+  }
+
   /** (reference, candidate) token frames for the eval-metric queries
     * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
     * a token slice (last 3 tokens dropped, min 1 kept). */
@@ -1387,6 +1411,30 @@ object ExtQueries {
         .select(lit(7L).as("version"), col("n_rows"), col("sum_cents"),
           col("n_inserts"), col("n_deletes"), col("insert_cents"),
           col("delete_cents"))
+    },
+
+    // String zone maps (round 15) — Delta records min/max for STRING
+    // columns too; this puts that manifest tier on the correctness
+    // gate: the fixture lake lays customers in c_name range order
+    // (each file a tight lexicographic box), and the query reads a
+    // name range through Lake.readRangeStr — files are pruned by the
+    // log's base64 szone segments before any footer or data I/O, the
+    // row predicate re-applied after. The `pruned` cell pins that the
+    // manifest DID drop files (range order makes a narrow name range a
+    // strict file subset at any SF); the row cells replay relationally
+    // (a lost file = lost rows = hash fail). 100 TB shape: prune is a
+    // manifest filter; the scan opens ~selectivity × nFiles.
+    "lake_str_prune" -> { (s, d) =>
+      val lake = nameLake(s, d)
+      val v = lake.latestVersion
+      val lo = "Customer#000000010"
+      val hi = "Customer#000000099"
+      val nAll = lake.liveFiles(v).size
+      val nKept = lake.pruneFilesStr(v, "c_name", lo, hi).size
+      lake.readRangeStr(v, "c_name", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        .withColumn("pruned", lit(nKept < nAll))
     },
 
     // Shallow clone (round 15) — the Delta CLONE semantic on the
@@ -6598,6 +6646,17 @@ object ExtQueries {
         |         AS insert_cents,
         |       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM d7)
         |         AS delete_cents""".stripMargin,
+
+    // lake_str_prune: membership = the name range relationally; the
+    // pruned cell is true by construction (range-ordered layout).
+    "lake_str_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(CAST(floor(c_acctbal * 100 + 0.5)
+        |         AS BIGINT)), 0) AS BIGINT) AS sum_cents,
+        |       true AS pruned
+        |FROM customer
+        |WHERE c_name BETWEEN 'Customer#000000010'
+        |  AND 'Customer#000000099'""".stripMargin,
 
     // lake_clone: the source side replays v7's membership untouched
     // (the clone's delete must never leak back); the clone side is v7

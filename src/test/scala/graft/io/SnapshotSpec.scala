@@ -571,6 +571,46 @@ class SnapshotSpec extends SparkSpec {
       "3 commits at interval 10: not yet checkpointed")
   }
 
+  test("string zone maps: recorded per file, checkpoint round-trip, lexicographic pruning engages") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-szone-").toString
+    def open() = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      checkpointInterval = 2, strStatsCols = Seq("name"))
+    val lake = open()
+    // 4 appends with DISJOINT name ranges — each file's [slo, shi] is a
+    // tight lexicographic box
+    (0 until 4).foreach { i =>
+      lake.append((0 until 50).map(j =>
+        (i * 50L + j, f"Customer#${i * 50 + j}%09d")).toDF("k", "name")
+        .coalesce(1))
+    }
+    // v3 crossed the interval-2 checkpoint: reopened state must carry
+    // the szone segments through the checkpoint render/parse round-trip
+    val re = open()
+    val files = re.liveFiles(re.latestVersion)
+    assert(files.forall(f => f.slo.contains("name") && f.shi.contains("name")))
+    // prune: the second append's range only
+    val pruned = re.pruneFilesStr(re.latestVersion, "name",
+      "Customer#000000050", "Customer#000000099")
+    assert(pruned.map(_.path).toSet ===
+      files.filter(_.slo("name") == "Customer#000000050").map(_.path).toSet)
+    assert(pruned.size === 1)
+    assert(pruned.size < files.size, "string pruning must drop files")
+    // the pruned read is exact
+    assert(re.readRangeStr(re.latestVersion, "name",
+      "Customer#000000050", "Customer#000000099").count() === 50)
+    // a file with an all-null string column stays must-scan
+    val nullish = (200L until 210L).map(k => (k, null: String)).toDF("k", "name")
+    re.append(nullish.coalesce(1))
+    val after = open()
+    val nullFile = after.liveFiles(after.latestVersion)
+      .filterNot(f => f.slo.contains("name"))
+    assert(nullFile.nonEmpty, "all-null file records no szone")
+    assert(after.pruneFilesStr(after.latestVersion, "name", "zzz", "zzzz")
+      .map(_.path).toSet === nullFile.map(_.path).toSet,
+      "out-of-range probe keeps ONLY the must-scan file")
+  }
+
   test("cloneShallow: zero-copy clone reads the source snapshot, then diverges both ways") {
     import spark.implicits._
     val lake = freshLake()
