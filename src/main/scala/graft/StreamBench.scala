@@ -739,6 +739,61 @@ object StreamBench {
           f"$tL%.1fs  ${nCh / tL}%.0f rows/s  commits=${txns.size}")
     }
 
+    // Mode M (round 15): streaming CHANGE-FEED consumption — the lake
+    // mode K just wrote is re-read through the V2 source with
+    // readChangeFeed=true, paced one commit per trigger under
+    // AvailableNow, maintaining a per-commit-version change summary
+    // downstream (the Delta CDF consumer pattern: version-tagged rows
+    // drive incremental view maintenance without Lake.changes' batch
+    // diff). Gates: the feed carries EVERY table row exactly once,
+    // each tagged 'insert' with the commit version that added it
+    // (per-version counts ≡ the log's per-commit manifest rows), and
+    // the drain is paced multi-batch. rows/s = feed rows / wall
+    // seconds.
+    {
+      // A 4-commit flat (k, v) lake — the V2 reader's primitive-column
+      // contract (mode K's lake carries an INT96 timestamp it refuses).
+      val lakeRoot = s"$work/m_lake"
+      val lake = graft.io.Snapshot.Lake(spark, lakeRoot)
+      (0 until 4).foreach(i => lake.append(
+        spark.range(i * 25000L, (i + 1) * 25000L)
+          .select(col("id").as("k"), (col("id") * 7).as("v"))))
+      val n = lake.read().count()
+      val perCommit = lake.commits
+        .filter(_.added.nonEmpty)
+        .map(c => c.version.toLong -> c.added.map(_.rows).sum).toMap
+      val tM = time {
+        val q = spark.readStream
+          .format("graft.io.v2.SnapshotStreamSource")
+          .option("readChangeFeed", "true")
+          .option("maxCommitsPerTrigger", 1)
+          .load(lakeRoot)
+          .groupBy(col("_commit_version"), col("_change_type"))
+          .agg(count(lit(1)).as("n_rows"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("m_cdf")
+          .option("checkpointLocation", s"$work/m_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val agg = spark.table("m_cdf").collect()
+      require(agg.map(_.getAs[Long]("n_rows")).sum == n,
+        s"mode M feed must carry every table row: " +
+          s"${agg.map(_.getAs[Long]("n_rows")).sum} of $n")
+      require(agg.forall(_.getAs[String]("_change_type") == "insert"),
+        "mode M append-only lake: every change is an insert")
+      val got = agg.map(r => r.getAs[Long]("_commit_version") ->
+        r.getAs[Long]("n_rows")).toMap
+      require(got == perCommit,
+        s"mode M per-version counts must match the log: $got vs $perCommit")
+      require(perCommit.size >= 2, "mode M must span multiple commits")
+      results("cdf_consume@100k") = n / tM
+      System.err.println(
+        f"[stream-bench] cdf_consume@100k  $n rows  $tM%.1fs  " +
+          f"${n / tM}%.0f rows/s  versions=${perCommit.size}")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +
