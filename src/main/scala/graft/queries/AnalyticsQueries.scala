@@ -2348,6 +2348,52 @@ object AnalyticsQueries {
         .crossJoin(broadcast(n))
     },
 
+    // RFM segmentation (round 15) — the classic customer-base
+    // partition (Hughes 1994) beside cohort_retention's time view:
+    // per user recency (days since last event, inverted so higher =
+    // fresher), frequency and monetary quintiles, crossed into
+    // segment cells with the standard labels. Quintiles are exact
+    // lower-rank buckets q = 5·cb div N over each metric's value
+    // histogram — and because per-user cent SUMS are near-unique
+    // (the histogram is SF-proportional), cb comes from
+    // bucketedCumBefore's two-level bucket-offset form, NOT an
+    // unpartitioned rank window (the gini_index/spearman_rho lesson);
+    // quintile maps attach back by plain UNHINTED joins. 100 TB
+    // shape: one user hash agg; three bounded bucket frames +
+    // parallel per-bucket windows; the only broadcasts are 1-row
+    // (max day, N) and the bounded bucket offsets.
+    "rfm_segments" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr(s"(ts div 1000 - $OriginUs) div ${Tables.MicrosPerDay}")
+          .as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val life = e.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+      val mx = e.agg(max(col("day")).as("mxd"))
+      val lf = life.crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("mxd") - col("last_day")).as("r"),
+          col("f"), col("m"))
+        .localCheckpoint(true)
+      val n = lf.agg(count(lit(1)).as("nu"))
+      def qmap(c: String, width: Long) = {
+        val hist = lf.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+        bucketedCumBefore(hist, "v", width)
+          .crossJoin(broadcast(n))
+          .selectExpr(s"v AS ${c}_v", s"(5 * cb) div nu AS ${c}_q")
+      }
+      lf.join(qmap("r", 8L), col("r") === col("r_v"))
+        .join(qmap("f", 4L), col("f") === col("f_v"))
+        .join(qmap("m", 10000L), col("m") === col("m_v"))
+        .selectExpr("4 - r_q AS rs", "f_q AS fs", "m_q AS ms", "m")
+        .groupBy(col("rs"), col("fs"), col("ms"))
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("sum_m_cents"))
+        .withColumn("segment", expr(
+          "CASE WHEN rs >= 3 AND fs >= 3 AND ms >= 3 THEN 'champions' " +
+            "WHEN rs <= 1 AND fs >= 2 THEN 'at_risk' " +
+            "WHEN rs <= 1 THEN 'hibernating' ELSE 'regular' END"))
+    },
+
     // KMV distinct sketch (round 15) — the k-minimum-values estimator
     // (Bar-Yossef et al. 2002; the theta-sketch core) completing the
     // sketch family with what HLL union / CMS / MG can't do: SET
@@ -3211,6 +3257,55 @@ object AnalyticsQueries {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
         |SELECT day AS ph_day, ph_t AS ph_x1e6, n_days
         |FROM ph CROSS JOIN n ORDER BY ph_t DESC, day LIMIT 1""".stripMargin,
+
+    // rfm_segments: the oracle keeps the PLAIN single-window
+    // cumulative (bucketedCumBefore is bit-identical to it by
+    // contract); quintiles, segment cells and labels replay exactly.
+    "rfm_segments" ->
+      """WITH e AS (SELECT user_id,
+        |             (epoch_us(ts) - 1704067200000000)
+        |               // 86400000000 AS day,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |life AS (SELECT user_id, max(day) AS last_day,
+        |           CAST(count(*) AS BIGINT) AS f,
+        |           CAST(sum(cents) AS BIGINT) AS m
+        |         FROM e GROUP BY 1),
+        |mx AS (SELECT max(day) AS mxd FROM e),
+        |lf AS (SELECT user_id, mxd - last_day AS r, f, m
+        |       FROM life CROSS JOIN mx),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM lf),
+        |rh AS (SELECT r AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM lf GROUP BY 1),
+        |rq AS (SELECT v, (5 * coalesce(sum(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |           // nu AS q
+        |       FROM rh CROSS JOIN n),
+        |fh AS (SELECT f AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM lf GROUP BY 1),
+        |fq AS (SELECT v, (5 * coalesce(sum(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |           // nu AS q
+        |       FROM fh CROSS JOIN n),
+        |mh AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM lf GROUP BY 1),
+        |mq AS (SELECT v, (5 * coalesce(sum(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |           // nu AS q
+        |       FROM mh CROSS JOIN n),
+        |seg AS (SELECT CAST(4 - rq.q AS BIGINT) AS rs,
+        |          CAST(fq.q AS BIGINT) AS fs, CAST(mq.q AS BIGINT) AS ms,
+        |          lf.m
+        |        FROM lf JOIN rq ON lf.r = rq.v
+        |        JOIN fq ON lf.f = fq.v
+        |        JOIN mq ON lf.m = mq.v)
+        |SELECT rs, fs, ms, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(m) AS BIGINT) AS sum_m_cents,
+        |       CASE WHEN rs >= 3 AND fs >= 3 AND ms >= 3 THEN 'champions'
+        |            WHEN rs <= 1 AND fs >= 2 THEN 'at_risk'
+        |            WHEN rs <= 1 THEN 'hibernating'
+        |            ELSE 'regular' END AS segment
+        |FROM seg GROUP BY 1, 2, 3""".stripMargin,
 
     // kmv_sketch: the same md5 axis, 256-row ORDER BY h LIMIT heaps,
     // HUGEINT estimate arithmetic and inclusion-exclusion replay

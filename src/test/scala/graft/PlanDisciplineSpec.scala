@@ -60,6 +60,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "page_hinkley" -> Seq("day", "day", "day"),
     "pq_codes" -> Seq("h,vec_id"),
     "pq_topk" -> Seq("h,vec_id", "h,vec_id"),
+    // three bucketedCumBefore level-1 bucket frames (r / f / m)
+    "rfm_segments" -> Seq("gbkt", "gbkt", "gbkt"),
     "share_of_total" -> Seq(""),
     "skyline_frontier" -> Seq("price_cents"),
     "spearman_rho" -> Seq("gbkt", "gbkt"),
@@ -161,6 +163,10 @@ class PlanDisciplineSpec extends SparkSpec {
     "rag_pipeline" -> Seq("dense_ndcg_x1e6,fused_ndcg_x1e6,lex_ndcg_x1e6,query_id", "n_chunks", "qid,qq", "qid,term"),
     "rag_rerank" -> Seq("query_id,rerank_ndcg_x1e6,stage1_ndcg_x1e6"),
     "retention_filter" -> Seq("cutoff"),
+    // 1-row N (×3) + bounded bucket offsets (×3); the 1-row max-day
+    // hint sits behind lf's localCheckpoint and never reaches the walk
+    "rfm_segments" -> Seq("gbkt,goff", "gbkt,goff", "gbkt,goff",
+      "nu", "nu", "nu"),
     "retrieval_ndcg" -> Seq("n_docs", "n_docs", "qid,qq", "qid,qq", "qid,term", "qid,term"),
     "returned_customers" -> Seq("n_name,n_nationkey"),
     "revenue_by_nation" -> Seq("n_name,n_nationkey,n_regionkey", "r_regionkey"),
