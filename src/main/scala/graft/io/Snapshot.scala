@@ -530,6 +530,12 @@ object Snapshot {
     def readAsOfTimestamp(tsMillis: Long): DataFrame =
       readAsOf(versionAtTimestamp(tsMillis))
 
+    /** RESTORE TO TIMESTAMP (Delta's second RESTORE form): roll back
+      * to the last snapshot published at or before `tsMillis` —
+      * [[restore]] at [[versionAtTimestamp]]'s resolution. */
+    def restoreToTimestamp(tsMillis: Long): Int =
+      restore(versionAtTimestamp(tsMillis))
+
     /** The latest snapshot. */
     def read(): DataFrame = readAsOf(latestVersion)
 

@@ -95,6 +95,43 @@ object SnapshotStreamSource {
 
   private def logPathOf(root: String) = new Path(root, "_log")
 
+  /** `startingTimestamp` (Delta's stream option): the FIRST version
+    * whose publish wall-clock is at or after `tsMillis` — binary
+    * search over the version listing (O(log versions) file parses,
+    * the versionAtTimestamp discipline). A timestamp past the head
+    * resolves to head + 1: the stream starts empty and picks up
+    * future commits only. Mutually exclusive with `startingVersion`. */
+  def versionAtOrAfter(root: String, tsMillis: Long): Int = {
+    val fs = logPathOf(root).getFileSystem(conf)
+    val logPath = logPathOf(root)
+    val versions = Snapshot.listVersions(fs, logPath)
+    if (versions.isEmpty) return 0
+    def tsOf(v: Int): Long =
+      Snapshot.readCommitsRange(fs, logPath, v - 1, v)
+        .headOption.flatMap(_.ts).getOrElse(Long.MinValue)
+    if (tsOf(versions.last) < tsMillis) return versions.last + 1
+    var lo = 0
+    var hi = versions.size - 1
+    while (lo < hi) { // smallest version with ts >= tsMillis
+      val mid = (lo + hi) / 2
+      if (tsOf(versions(mid)) >= tsMillis) hi = mid else lo = mid + 1
+    }
+    versions(lo)
+  }
+
+  /** The scan's starting version from the option pair. */
+  private[v2] def resolveStart(root: String,
+      options: CaseInsensitiveStringMap): Int = {
+    val st = options.get("startingTimestamp")
+    if (st == null) options.getInt("startingVersion", 0)
+    else {
+      require(options.get("startingVersion") == null,
+        "startingTimestamp and startingVersion are mutually exclusive " +
+          "(the Delta contract)")
+      versionAtOrAfter(root, st.toLong)
+    }
+  }
+
   def commits(root: String): Seq[Snapshot.Commit] = {
     val logPath = logPathOf(root)
     Snapshot.readCommits(logPath.getFileSystem(conf), logPath)
@@ -202,7 +239,7 @@ class SnapshotScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new SnapshotScan(root, required,
-    startingVersion = options.getInt("startingVersion", 0),
+    startingVersion = SnapshotStreamSource.resolveStart(root, options),
     ignoreChanges = options.getBoolean("ignoreChanges", false),
     versionAsOf = options.getInt("versionAsOf", -1),
     pruneFilters = pushed,

@@ -695,6 +695,19 @@ class SnapshotSpec extends SparkSpec {
     lake.versionAtTimestamp(t2)
     assert(Snapshot.logFilesParsed.get() <= 4L,
       "binary search must not parse the whole log")
+    // RESTORE TO TIMESTAMP: rolls back to the resolved snapshot as a
+    // NEW version; history is kept.
+    val rv = lake.restoreToTimestamp(t1)
+    assert(rv === 3)
+    assert(lake.read().count() === 10, "restored to v0's contents")
+    assert(lake.readAsOf(2).count() === 5, "pre-restore head still reads")
+    // The streaming startingTimestamp twin: first version AT-OR-AFTER.
+    import graft.io.v2.SnapshotStreamSource
+    assert(SnapshotStreamSource.versionAtOrAfter(lake.root, t1) === 1)
+    assert(SnapshotStreamSource.versionAtOrAfter(lake.root, t0) === 0)
+    assert(SnapshotStreamSource.versionAtOrAfter(lake.root,
+      System.currentTimeMillis() + 60000) === 4,
+      "timestamp past the head starts after it (future commits only)")
   }
 
   test("partition columns: hive layout, manifest partition tier prunes before zone maps, MOR/vacuum compose") {

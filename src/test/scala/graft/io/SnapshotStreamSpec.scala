@@ -54,6 +54,43 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("startingTimestamp: the stream begins at the first commit at-or-after the timestamp") {
+    val lake = freshLake()
+    lake.append(kv(0, 10)) // v0
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    lake.append(kv(10, 30)) // v1
+    lake.append(kv(30, 35)) // v2
+    val name = s"snapst${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt)
+      .option("startingTimestamp", t1.toString).load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-st-ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      // v0 predates t1 and is skipped; v1 + v2 drain
+      assert(spark.table(name).count() === 25)
+      assert(spark.table(name).agg(org.apache.spark.sql.functions
+        .min(col("k"))).head().getLong(0) === 10L)
+    } finally q.stop()
+    // both options together are refused (the Delta contract)
+    val e = intercept[Exception] {
+      spark.readStream.format(Fmt)
+        .option("startingTimestamp", t1.toString)
+        .option("startingVersion", 0).load(lake.root)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("snap-st2-ckpt").toString)
+        .start().processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(x => String.valueOf(x.getMessage))
+    assert(causes(e).exists(_.contains("mutually exclusive")), e.getMessage)
+  }
+
   test("admission control: maxCommitsPerTrigger paces a backlog into bounded batches, restart exactly-once") {
     val lake = freshLake()
     (0 until 6).foreach(i => lake.append(kv(i * 10L, i * 10L + 10L)))
