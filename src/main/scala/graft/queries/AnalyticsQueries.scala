@@ -36,6 +36,22 @@ object AnalyticsQueries {
   private[queries] val BenfordP9: Seq[(Long, Long)] = (1L to 9L)
     .map(d => d -> math.floor(1e9 * math.log10(1.0 + 1.0 / d) + 0.5).toLong)
 
+  /** dp_geometric_counts' noise thresholds: the truncated geometric
+    * (discrete Laplace) mechanism at ε = 1, noise k ∈ [−5, 5] with
+    * P(k) ∝ e^−|k|, as cumulative 2^60-scaled integer cut points over
+    * the md5 uniform — computed ONCE here and injected as literals
+    * into both engines (the BenfordP9 convention: runtime exp on each
+    * side would gamble on libm rounding; eleven constants don't). */
+  private[queries] val DpNoiseCuts: Seq[(Int, Long)] = {
+    val ks = -5 to 5
+    val ws = ks.map(k => math.exp(-math.abs(k).toDouble))
+    val z = ws.sum
+    val cum = ws.scanLeft(0.0)(_ + _).tail.map(_ / z)
+    ks.zip(cum).map { case (k, c) =>
+      k -> math.floor(c * math.pow(2.0, 60)).toLong
+    }
+  }
+
   /** assoc_rules basket-size cap: pair generation is O(size²) per
     * basket, so oversized baskets are excluded before the explode —
     * the MaxSemCluster / MaxBandBucket guard, mirrored in the oracle. */
@@ -2348,6 +2364,34 @@ object AnalyticsQueries {
         .crossJoin(broadcast(n))
     },
 
+    // Differentially-private counts (round 15) — the DISCLOSURE-
+    // CONTROL release the governance family lacked (k_anonymity/
+    // l_diversity/t_closeness SUPPRESS, THIS perturbs-and-publishes;
+    // Ghosh, Roughgarden & Sundararajan 2012's geometric mechanism,
+    // the discrete Laplace, at ε = 1 truncated to |k| ≤ 5 — truncation
+    // costs a δ≈2e-3 tail, documented, and buys integer-exact replay):
+    // per event_type, noise k drawn by inverse-CDF over the 2^60 md5
+    // uniform against the [[DpNoiseCuts]] literal thresholds — fully
+    // deterministic, so the oracle replays the released value. The
+    // true count rides along as the calibration read (a production
+    // release publishes only n_noisy). 100 TB shape: ONE partial+final
+    // hash agg to |types| rows; the noise is map-side literal algebra.
+    "dp_geometric_counts" -> { (s, d) =>
+      val cuts = DpNoiseCuts
+      val noiseSql = cuts.init.foldRight(s"${cuts.last._1}L") {
+        case ((k, cut), rest) => s"CASE WHEN u < ${cut}L THEN ${k}L " +
+          s"ELSE $rest END"
+      }
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("u",
+          Dedup.md5Hash60(concat(lit("dp:"), col("event_type"))))
+        .selectExpr("event_type", "n_true", s"$noiseSql AS noise")
+        .selectExpr("event_type", "n_true", "noise",
+          "n_true + noise AS n_noisy",
+          "CAST(1000000 AS BIGINT) AS epsilon_x1e6")
+    },
+
     // RFM segmentation (round 15) — the classic customer-base
     // partition (Hughes 1994) beside cohort_retention's time view:
     // per user recency (days since last event, inverted so higher =
@@ -3257,6 +3301,26 @@ object AnalyticsQueries {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
         |SELECT day AS ph_day, ph_t AS ph_x1e6, n_days
         |FROM ph CROSS JOIN n ORDER BY ph_t DESC, day LIMIT 1""".stripMargin,
+
+    // dp_geometric_counts: the identical literal threshold chain (one
+    // Scala constant feeds both engines), same md5 uniform.
+    "dp_geometric_counts" -> {
+      val cuts = DpNoiseCuts
+      val noiseSql = cuts.init.foldRight(s"${cuts.last._1}") {
+        case ((k, cut), rest) =>
+          s"CASE WHEN u < $cut THEN $k ELSE $rest END"
+      }
+      s"""WITH t AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST('0x' || substr(md5('dp:' || event_type), 1, 15)
+         |      AS BIGINT) AS u
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, n_true,
+         |  CAST($noiseSql AS BIGINT) AS noise,
+         |  n_true + CAST($noiseSql AS BIGINT) AS n_noisy,
+         |  CAST(1000000 AS BIGINT) AS epsilon_x1e6
+         |FROM t""".stripMargin
+    },
 
     // rfm_segments: the oracle keeps the PLAIN single-window
     // cumulative (bucketedCumBefore is bit-identical to it by
