@@ -607,6 +607,25 @@ object Snapshot {
         .unionByName(oldRows.exceptAll(newRows).withColumn("_op", lit("delete")))
     }
 
+    /** Batch CDF with per-commit attribution (the `_commit_version` /
+      * `_change_type` column pair the STREAMING feed carries, on the
+      * batch path): one [[changes]] diff per version in (v0, v1],
+      * tagged and unioned. Costs O(versions in window) bounded diffs —
+      * the increment-window consumer this exists for; a wide-window
+      * NET diff (updates collapsed) is [[changes]] itself. */
+    def changesByVersion(v0: Int, v1: Int): DataFrame = {
+      require(v0 <= v1, s"changesByVersion($v0, $v1): v0 must precede v1")
+      val frames = (math.max(v0 + 1, 0) to v1).map { v =>
+        changes(v - 1, v)
+          .withColumnRenamed("_op", "_change_type")
+          .withColumn("_commit_version", lit(v.toLong))
+      }
+      if (frames.isEmpty)
+        changes(v0, v1).withColumnRenamed("_op", "_change_type")
+          .withColumn("_commit_version", lit(-1L))
+      else frames.reduce(_ unionByName _)
+    }
+
     /** Zone-map pruning over the live manifest: the files of snapshot
       * `v` whose [lo, hi] for `col` intersects [qLo, qHi] — the scan
       * set a range predicate needs. With [[Compact.clusterBy]]-laid
@@ -786,10 +805,18 @@ object Snapshot {
       * stays (cheap, and the audit trail). Time travel to snapshots
       * older than the horizon stops resolving — the standard Delta
       * VACUUM trade. Returns the number of deleted files. */
-    def vacuum(keepSnapshots: Int = 1): Int = {
+    def vacuum(keepSnapshots: Int = 1): Int =
+      vacuumImpl(keepSnapshots, dryRun = false).size
+
+    /** VACUUM DRY RUN (the Delta semantic): the rel paths vacuum WOULD
+      * delete, nothing touched. */
+    def vacuumDryRun(keepSnapshots: Int = 1): Seq[String] =
+      vacuumImpl(keepSnapshots, dryRun = true)
+
+    private def vacuumImpl(keepSnapshots: Int, dryRun: Boolean): Seq[String] = {
       require(keepSnapshots >= 1, "must retain at least the latest snapshot")
       val lv = latestVersion
-      if (lv < 0) return 0
+      if (lv < 0) return Nil
       val horizon = (math.max(0, lv - keepSnapshots + 1) to lv)
         .map(liveState)
       val referenced = horizon.flatten.map(_._1.path).toSet
@@ -798,8 +825,8 @@ object Snapshot {
       // break (a replaced/retired DV past the horizon is fodder).
       val referencedDvDirs = horizon.flatten.flatMap(_._2).toSet
       val dataRoot = new Path(rootPath, "data")
-      if (!fs.exists(dataRoot)) return 0
-      var deleted = 0
+      if (!fs.exists(dataRoot)) return Nil
+      val deleted = Seq.newBuilder[String]
       fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
         val dir = d.getPath
         val dirRel = s"data/${dir.getName}"
@@ -815,16 +842,21 @@ object Snapshot {
           val keep = referenced.contains(rel) ||
             referencedDvDirs.contains(dirRel) ||
             f.getName.startsWith("_") // parquet _SUCCESS markers
-          if (!keep) { fs.delete(f, false); deleted += 1 }
+          if (!keep) {
+            if (!dryRun) fs.delete(f, false)
+            deleted += rel
+          }
         }
-        // only markers left anywhere below — drop the commit dir
-        val rest = fs.listFiles(dir, true)
-        var liveLeft = false
-        while (rest.hasNext && !liveLeft)
-          liveLeft = !rest.next().getPath.getName.startsWith("_")
-        if (!liveLeft) fs.delete(dir, true)
+        if (!dryRun) {
+          // only markers left anywhere below — drop the commit dir
+          val rest = fs.listFiles(dir, true)
+          var liveLeft = false
+          while (rest.hasNext && !liveLeft)
+            liveLeft = !rest.next().getPath.getName.startsWith("_")
+          if (!liveLeft) fs.delete(dir, true)
+        }
       }
-      deleted
+      deleted.result()
     }
 
     /** Active CHECK constraints — every `constraint` line up to the

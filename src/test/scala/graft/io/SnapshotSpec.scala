@@ -611,6 +611,39 @@ class SnapshotSpec extends SparkSpec {
       "out-of-range probe keeps ONLY the must-scan file")
   }
 
+  test("changesByVersion: the batch CDC feed with per-commit attribution") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 10)) // v0
+    lake.append(kv(10, 15)) // v1
+    lake.deleteKeysMor(Seq(3L).toDF("k"), "k") // v2
+    val ch = lake.changesByVersion(-1, 2)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(ch === Set((0L, "insert", 10L), (1L, "insert", 5L),
+      (2L, "delete", 1L)))
+    // a sub-window attributes only its own versions
+    assert(lake.changesByVersion(0, 1)
+      .select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("vacuumDryRun: lists exactly what vacuum would delete, touching nothing") {
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.overwrite(kv(0, 50)) // v1: v0's files become horizon fodder
+    val would = lake.vacuumDryRun(1)
+    assert(would.nonEmpty)
+    assert(lake.readAsOf(0).count() === 100,
+      "dry run must not delete anything")
+    val deleted = lake.vacuum(1)
+    assert(deleted === would.size,
+      "the real vacuum deletes exactly the dry-run listing")
+    intercept[Exception](lake.readAsOf(0).count())
+  }
+
   test("cloneShallow: zero-copy clone reads the source snapshot, then diverges both ways") {
     import spark.implicits._
     val lake = freshLake()
