@@ -1462,6 +1462,26 @@ object ExtQueries {
       a.crossJoin(broadcast(b))
     },
 
+    // Full-history CDF (round 15) — changesByVersion across EVERY
+    // commit shape the fixture lake holds (append, append, overwrite,
+    // COW merge, COW delete, RESTORE, MOR delete, MOR merge): one
+    // bounded (path, dv)-diff per version, each change row tagged with
+    // its commit version, summarized per (version, change type). The
+    // oracle replays the ENTIRE history's row algebra as cascaded
+    // EXCEPT ALLs over the deterministic memberships — any version's
+    // diff keying on the wrong files, resurrecting MOR-deleted rows,
+    // or mis-attributing a commit hash-fails. 100 TB shape: each
+    // version's diff opens only its membership-changed files (the
+    // changes() contract); the window is the table's own history
+    // length, the increment-consumer's shape.
+    "lake_cdf_history" -> { (s, d) =>
+      val lake = ordersLake(s, d)
+      lake.changesByVersion(-1, 7)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+    },
+
     // Bloom-manifest point lookup (round 14) — the Delta bloom-filter-
     // index semantic: the fixture lake carries a 1024-bit per-file
     // Bloom on o_custkey (hash-SCATTERED across files — every file's
@@ -6657,6 +6677,54 @@ object ExtQueries {
         |FROM customer
         |WHERE c_name BETWEEN 'Customer#000000010'
         |  AND 'Customer#000000099'""".stripMargin,
+
+    // lake_cdf_history: every version's change set as cascaded
+    // EXCEPT ALLs over the deterministic memberships; empty sides
+    // (the overwrite's insert half — s2 ⊂ s1) produce no group, as
+    // the engine's diff does.
+    "lake_cdf_history" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |s0 AS (SELECT * FROM o WHERE o_orderkey % 10 < 7),
+        |s1 AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+        |s2 AS (SELECT * FROM s1 WHERE o_custkey % 97 <> 0),
+        |up1 AS (SELECT o_orderkey, o_custkey, cents + 7 AS cents
+        |        FROM o WHERE o_orderkey % 10 IN (0, 9)),
+        |s3 AS (SELECT * FROM s2 WHERE o_orderkey % 10 NOT IN (0, 9)
+        |       UNION ALL SELECT * FROM up1),
+        |s4 AS (SELECT * FROM s3 WHERE o_orderkey % 100 <> 50),
+        |s6 AS (SELECT * FROM s2 WHERE o_orderkey % 100 <> 51),
+        |up2 AS (SELECT o_orderkey, o_custkey, cents + 11 AS cents
+        |        FROM o WHERE o_orderkey % 10 IN (3, 9)),
+        |s7 AS (SELECT * FROM s6 WHERE o_orderkey % 10 NOT IN (3, 9)
+        |       UNION ALL SELECT * FROM up2),
+        |ch AS (
+        |  SELECT 0 AS v, 'insert' AS t, * FROM s0
+        |  UNION ALL SELECT 1, 'insert', * FROM
+        |    (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s0)
+        |  UNION ALL SELECT 2, 'delete', * FROM
+        |    (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2)
+        |  UNION ALL SELECT 3, 'insert', * FROM
+        |    (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2)
+        |  UNION ALL SELECT 3, 'delete', * FROM
+        |    (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s3)
+        |  UNION ALL SELECT 4, 'delete', * FROM
+        |    (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s4)
+        |  UNION ALL SELECT 5, 'insert', * FROM
+        |    (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s4)
+        |  UNION ALL SELECT 5, 'delete', * FROM
+        |    (SELECT * FROM s4 EXCEPT ALL SELECT * FROM s2)
+        |  UNION ALL SELECT 6, 'delete', * FROM
+        |    (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s6)
+        |  UNION ALL SELECT 7, 'insert', * FROM
+        |    (SELECT * FROM s7 EXCEPT ALL SELECT * FROM s6)
+        |  UNION ALL SELECT 7, 'delete', * FROM
+        |    (SELECT * FROM s6 EXCEPT ALL SELECT * FROM s7))
+        |SELECT CAST(v AS BIGINT) AS _commit_version, t AS _change_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents
+        |FROM ch GROUP BY 1, 2""".stripMargin,
 
     // lake_clone: the source side replays v7's membership untouched
     // (the clone's delete must never leak back); the clone side is v7

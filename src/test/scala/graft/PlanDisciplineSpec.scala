@@ -129,6 +129,11 @@ class PlanDisciplineSpec extends SparkSpec {
     "lake_bloom_point" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos"),
     // deletion-sized DV frames (readState's MOR anti-join), one per
     // partition-pruned year read — bounded by the delete volume
+    // deletion-sized DV probes across the v6/v7 diff sides (readState's
+    // MOR anti-join, one per DV'd state read in the history walk)
+    "lake_cdf_history" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos",
+      "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos",
+      "__dv_path,__dv_pos"),
     // source + clone DV probes (deletion-sized) and the clone's 1-row agg
     "lake_clone" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "clone_cents,n_clone"),
     "lake_partition_prune" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos"),
