@@ -3141,6 +3141,46 @@ object ExtQueries {
             |  / 1000000.0 AS centroid_q""".stripMargin)
     },
 
+    // Embedding drift (round 15) — the ML-ops "did the embedding
+    // distribution move" check the vector family lacked (embed_
+    // outliers finds points, THIS compares POPULATIONS — the monitor
+    // a retrained encoder or upstream corpus shift trips): exact KS
+    // between the two vec_id-parity halves (an A/A split, so D ≈ 0 —
+    // the calibration read; production splits by time/model-version)
+    // over each vector's PROJECTION ONTO THE MEAN DIRECTION — the
+    // one-dimensional witness classic drift monitors use. Exactness:
+    // milli-quantized components, the mean at exact HALF_UP micro
+    // scale (embed_centroid's algebra, label-free, ≤64 rows
+    // broadcast), dot = Σ q·c6 an exact BIGINT BOUNDED BY THE
+    // GEOMETRY (≤ dims·1e3·1e6 regardless of corpus size), and the KS
+    // value axis is the dot div-1e6 bucket — value-DOMAIN-bounded
+    // (≤ ~1.3e5 distinct at ANY SF), so Drift.ks' cumulative window
+    // rides a bounded histogram (the ks_drift centi-value argument).
+    // 100 TB shape: one explode feeds both the 64-row mean agg and
+    // the map-side projection; everything after rides the histogram.
+    "embed_drift" -> { (s, d) =>
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("col").cast("double") * 1000.0 + 0.5).cast("long")
+            .as("q"))
+        .localCheckpoint(true)
+      val c6 = q.groupBy(col("dim"))
+        .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+        .selectExpr("dim",
+          "CASE WHEN sum_q >= 0 THEN (2 * sum_q * 1000 + n) div (2 * n) " +
+            "ELSE -((2 * -sum_q * 1000 + n) div (2 * n)) END AS c6")
+      val proj = q.join(broadcast(c6), "dim")
+        .groupBy(col("vec_id")).agg(sum(col("q") * col("c6")).as("dot"))
+        .selectExpr("vec_id",
+          "CASE WHEN dot >= 0 THEN dot div 1000000 " +
+            "ELSE -((-dot) div 1000000) END AS v")
+      graft.ops.Drift.ks(proj.select(lit("embedding").as("space"),
+          (pmod(col("vec_id"), lit(2L)) === 0L).as("in_a"), col("v")),
+        col("space"), col("in_a"), col("v"))
+        .withColumnRenamed("k", "space")
+    },
+
     // Top principal direction by power iteration (round 12) — the
     // embedding-space diagnostic before ANN/whitening: three unrolled
     // rounds of x ← C·x over the mean-centered quantized vectors,
@@ -7405,6 +7445,54 @@ object ExtQueries {
         |            ELSE -((2 * -num + n) // (2 * n)) END AS DOUBLE)
         |         / 1000000.0 AS centroid_q
         |FROM a""".stripMargin,
+
+    // embed_drift: the same quantize → micro-mean → projection →
+    // div-1e6 bucket chain, then the exact-KS algebra (the ks_drift
+    // oracle shape on the single 'embedding' key).
+    "embed_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             CAST(generate_subscripts(embedding, 1) AS BIGINT)
+        |               AS dim
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, dim,
+        |        CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS q FROM e),
+        |c AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_q,
+        |        count(*) AS n, sum(q) * 1000 AS num
+        |      FROM q GROUP BY 1),
+        |c6 AS (SELECT dim,
+        |         CAST(CASE WHEN num >= 0 THEN (2 * num + n) // (2 * n)
+        |              ELSE -((2 * -num + n) // (2 * n)) END AS BIGINT)
+        |           AS c6
+        |       FROM c),
+        |p AS (SELECT vec_id, CAST(sum(q * c6) AS BIGINT) AS dot
+        |      FROM q JOIN c6 USING (dim) GROUP BY 1),
+        |vv AS (SELECT vec_id,
+        |         CASE WHEN dot >= 0 THEN dot // 1000000
+        |              ELSE -((-dot) // 1000000) END AS v
+        |       FROM p),
+        |cc AS (SELECT v,
+        |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cb
+        |       FROM vv GROUP BY 1),
+        |w AS (SELECT sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+        |        abs(sum(cb) OVER ()
+        |              * sum(ca) OVER (ORDER BY v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - sum(ca) OVER ()
+        |              * sum(cb) OVER (ORDER BY v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |          AS gap
+        |      FROM cc),
+        |g AS (SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |        CAST(max(gap) AS BIGINT) AS d_num
+        |      FROM w GROUP BY 1, 2)
+        |SELECT 'embedding' AS space, na, nb, d_num,
+        |       CAST((2000000 * CAST(d_num AS HUGEINT)
+        |             + CAST(na AS HUGEINT) * nb)
+        |            // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_x1e6
+        |FROM g WHERE na > 0 AND nb > 0""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,

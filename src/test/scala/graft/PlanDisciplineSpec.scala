@@ -53,6 +53,10 @@ class PlanDisciplineSpec extends SparkSpec {
     // the 30-row stacked replicate-mean frame
     "bootstrap_ci" -> Seq("mean_x1e4,b"),
     "domain_reweight" -> Seq("", "", "", "", ""),
+    // the div-1e6 projection histogram — value-DOMAIN-bounded
+    // (≤ dims·1e3·1e6 / 1e6 ≈ 1.3e5 distinct at ANY SF); the constant
+    // 'space' key folds away, leaving Drift.ks' windows unpartitioned
+    "embed_drift" -> Seq("", "value"),
     "gini_index" -> Seq("gbkt"),
     "kruskal_wallis" -> Seq("y"),
     "mannwhitney_u" -> Seq("y"),
@@ -107,6 +111,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "dim_join" -> Seq("n_name,n_nationkey,n_regionkey", "r_name,r_regionkey"),
     "domain_reweight" -> Seq("c_tot,v"),
     "dsir_weights" -> Seq("c_tot,t_tot,v"),
+    // the ≤64-row micro-mean direction
+    "embed_drift" -> Seq("c6,dim"),
     "embed_outliers" -> Seq("nv,sd"),
     "excess_suppliers" -> Seq("n_nationkey"),
     "feature_mi" -> Seq("n,npos"),
