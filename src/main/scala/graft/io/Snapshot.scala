@@ -60,7 +60,8 @@ object Snapshot {
       bloom: Map[String, (Int, Array[Long])] = Map.empty,
       parts: Map[String, String] = Map.empty,
       slo: Map[String, String] = Map.empty,
-      shi: Map[String, String] = Map.empty)
+      shi: Map[String, String] = Map.empty,
+      nulls: Map[String, Long] = Map.empty)
 
   /** `txn` is the Delta-style transaction marker — (writerId, batchId)
     * — a streaming writer stamps on each commit so a replayed
@@ -139,8 +140,15 @@ object Snapshot {
           val blooms = Map.newBuilder[String, (Int, Array[Long])]
           val parts = Map.newBuilder[String, String]
           val sstats = Seq.newBuilder[(String, String, String)]
+          val ncnts = Map.newBuilder[String, Long]
           arr.drop(3).foreach { kv =>
-            if (kv.startsWith("bloom:")) {
+            if (kv.startsWith("nullcnt:")) {
+              // per-file null count: nullcnt:<col>=<n> — the Delta
+              // nullCount stats tier (IS NULL / IS NOT NULL skipping)
+              val body = kv.stripPrefix("nullcnt:")
+              val i = body.indexOf('=')
+              ncnts += body.substring(0, i) -> body.substring(i + 1).toLong
+            } else if (kv.startsWith("bloom:")) {
               val Array(c, payload) = kv.stripPrefix("bloom:")
                 .split("=", 2)
               val Array(k, b64) = payload.split(":", 2)
@@ -175,7 +183,8 @@ object Snapshot {
             st.map(s => s._1 -> s._3).toMap,
             blooms.result(), parts.result(),
             sst.map(s => s._1 -> s._2).toMap,
-            sst.map(s => s._1 -> s._3).toMap)
+            sst.map(s => s._1 -> s._3).toMap,
+            ncnts.result())
         case arr if arr.head == "rm" => rms += arr(1)
         case Array("txn", w, b) => txn = Some((w, b.toLong))
         case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
@@ -244,7 +253,9 @@ object Snapshot {
       .encodeToString(v.getBytes("UTF-8"))
     val szones = f.slo.keySet.toSeq.sorted
       .map(c => s"\tszone:$c=${b64(f.slo(c))}:${b64(f.shi(c))}").mkString
-    s"add\t${f.path}\t${f.rows}$stats$blooms$parts$szones"
+    val ncnts = f.nulls.toSeq.sorted
+      .map { case (c, n) => s"\tnullcnt:$c=$n" }.mkString
+    s"add\t${f.path}\t${f.rows}$stats$blooms$parts$szones$ncnts"
   }
 
   /** Serialize a checkpoint in the commit-line grammar: `v`, one `add`
@@ -417,6 +428,46 @@ object Snapshot {
   val BloomM: Int = 1024
   val BloomK: Int = 3
 
+  /** Hive/Spark's null-partition path sentinel — what partitionBy
+    * spells a null partition value as in the directory name, and
+    * therefore what the manifest's `part:` segment records for it. */
+  val NullPartitionName: String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+
+  /** A partition value's PATH-FRAGMENT spelling — the form partitionBy
+    * writes after `=` (percent-escaping space/=/:/%/control chars) and
+    * the manifest's `part:` segments record VERBATIM (the escaped form
+    * is also what keeps the tab-delimited log grammar safe: a raw
+    * value containing a tab would corrupt the line). Null spells as
+    * [[NullPartitionName]]. Pruning escapes the CALLER's raw value
+    * through this same function, so the manifest compare happens in
+    * fragment space and any escapable value matches exactly. */
+  def escapedPartValue(v: String): String =
+    if (v == null) NullPartitionName
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
+
+  /** Unsigned UTF-8 byte-order compare — the order Spark's min/max
+    * computed the szone stats under (UTF8String's binary ordering).
+    * Java's String.compareTo orders by UTF-16 code unit, which
+    * DISAGREES for supplementary-plane text (surrogates 0xD800-0xDFFF
+    * sort below 0xE000-0xFFFF in UTF-16 but their UTF-8 encodings —
+    * 4-byte 0xF0.. — sort above the 3-byte 0xEE../0xEF.. forms), so
+    * string-zone pruning must compare in the stats' own order or a
+    * file can be wrongly skipped. */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** JVM-side md5Hash60 — bit-identical to the column form
     * (`conv(substring(md5(cast binary), 1, 15), 16, 10)`): strings
     * cast to binary as UTF-8, so hashing the value's string form here
@@ -446,7 +497,10 @@ object Snapshot {
     * `statsCols` are LONG-typed columns to zone-map per file;
     * `bloomCols` additionally get a per-file [[BloomM]]-bit Bloom
     * filter in the manifest for point-lookup skipping
-    * ([[Lake.pruneFilesEq]]).
+    * ([[Lake.pruneFilesEq]]); `strStatsCols` get base64 string zone
+    * maps ([[Lake.pruneFilesStr]]); `nullStatsCols` get per-file null
+    * counts for IS NULL / IS NOT NULL skipping
+    * ([[Lake.pruneFilesNull]]).
     *
     * '''Supported-store contract''' (the Delta LogStore caveat):
     * CROSS-PROCESS multi-writer safety requires a store whose rename
@@ -461,7 +515,8 @@ object Snapshot {
   final case class Lake(spark: SparkSession, root: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       checkpointInterval: Int = 10, partitionCols: Seq[String] = Nil,
-      strStatsCols: Seq[String] = Nil) {
+      strStatsCols: Seq[String] = Nil,
+      nullStatsCols: Seq[String] = Nil) {
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_log")
@@ -657,16 +712,18 @@ object Snapshot {
     /** STRING zone-map pruning (Delta records min/max for string
       * columns too — this is that tier for `strStatsCols`): the live
       * files of snapshot `v` whose [slo, shi] for `c` intersects
-      * [qLo, qHi] under lexicographic compare. Stats are computed by
-      * Spark's UTF8 binary ordering and compared here with Java's
-      * compareTo — identical for ASCII and the BMP; supplementary-
-      * plane keys should use a binary-safe collation at both ends.
-      * Files without a recorded range stay must-scan. */
+      * [qLo, qHi] under UNSIGNED UTF-8 BYTE order ([[utf8Compare]]) —
+      * the exact order Spark's min/max computed the stats under, so
+      * pruning can never disagree with the stats (Java compareTo's
+      * UTF-16 order would, for supplementary-plane keys). Files
+      * without a recorded range stay must-scan. */
     def pruneFilesStr(v: Int, c: String, qLo: String, qHi: String)
         : Seq[FileStat] =
       liveFiles(v).filter { f =>
         (f.slo.get(c), f.shi.get(c)) match {
-          case (Some(l), Some(h)) => h >= qLo && l <= qHi
+          case (Some(l), Some(h)) =>
+            Snapshot.utf8Compare(h, qLo) >= 0 &&
+              Snapshot.utf8Compare(l, qHi) <= 0
           case _ => true
         }
       }
@@ -717,26 +774,68 @@ object Snapshot {
 
     /** Partition-tier pruning (Delta's FIRST pruning tier, consulted
       * before zone maps or Blooms): the live files of snapshot `v`
-      * whose recorded partition value for `c` equals `value` (string
-      * form, as the path fragment spelled it). Files without a
-      * recorded value — unpartitioned commits of a mixed-history
-      * table — stay must-scan. Pure manifest filter: zero data or
-      * footer I/O, exact (a partition dir holds ONLY its value's
-      * rows, unlike a zone range). */
-    def pruneFilesPartition(v: Int, c: String, value: String): Seq[FileStat] =
-      liveFiles(v).filter(f => f.parts.get(c).forall(_ == value))
+      * whose recorded partition value for `c` equals `value` — the
+      * caller passes the RAW value (its plain string form; `null` for
+      * the null partition) and the compare happens in manifest space:
+      * the manifest records partitionBy's ESCAPED path fragment
+      * verbatim (grammar-safe — see [[Snapshot.escapedPartValue]]), so
+      * the raw value is escaped through the SAME function before
+      * comparing, making values needing escaping (space, `=`, `:`,
+      * `%`, …) and null match exactly instead of silently pruning to
+      * nothing. Files without a recorded value — unpartitioned commits
+      * of a mixed-history table — stay must-scan. Pure manifest
+      * filter: zero data or footer I/O, exact (a partition dir holds
+      * ONLY its value's rows, unlike a zone range). */
+    def pruneFilesPartition(v: Int, c: String, value: String): Seq[FileStat] = {
+      val frag = Snapshot.escapedPartValue(value)
+      liveFiles(v).filter(f => f.parts.get(c).forall(_ == frag))
+    }
 
     /** Partition-pruned read: open only [[pruneFilesPartition]]'s
       * survivors (deletion vectors applied), then re-apply the row
-      * predicate — exact even when must-scan unpartitioned files
-      * contribute. At 100 TB a one-partition read of a
-      * year/month/day-laid table opens that partition's files only,
-      * decided entirely from the log. */
+      * predicate (IS NULL for the null partition) — exact even when
+      * must-scan unpartitioned files contribute. At 100 TB a
+      * one-partition read of a year/month/day-laid table opens that
+      * partition's files only, decided entirely from the log. */
     def readPartition(v: Int, c: String, value: String): DataFrame = {
       val keep = pruneFilesPartition(v, c, value).map(_.path).toSet
       val entries = liveState(v).filter(e => keep(e._1.path))
       if (entries.isEmpty) readAsOf(v).filter(lit(false))
-      else readState(entries).filter(col(c).cast("string") === value)
+      else readState(entries).filter(
+        if (value == null) col(c).isNull
+        else col(c).cast("string") === value)
+    }
+
+    /** Null-count pruning (Delta records per-file nullCount beside
+      * min/max — this is that tier for `nullStatsCols`): the live
+      * files of snapshot `v` that CAN hold a row matching `IS NULL`
+      * (`wantNull = true`: recorded null count > 0) or `IS NOT NULL`
+      * (`wantNull = false`: null count < rows — an all-null file
+      * skips). Files without a recorded count — commits predating the
+      * tier, or a column absent from the file (reads null-filled, but
+      * unrecorded) — stay must-scan. Pure manifest filter; completes
+      * the skipping matrix (zone ranges and Blooms are null-blind:
+      * a NULL neither intersects a range nor probes a filter). */
+    def pruneFilesNull(v: Int, c: String, wantNull: Boolean): Seq[FileStat] =
+      liveFiles(v).filter { f =>
+        f.nulls.get(c) match {
+          case Some(n) => if (wantNull) n > 0 else n < f.rows
+          case None => true // no stat ⇒ cannot prune, must scan
+        }
+      }
+
+    /** Null-predicate read through the null-count manifest: open only
+      * [[pruneFilesNull]]'s survivors (deletion vectors applied), then
+      * re-apply the row predicate — exact even with must-scan files in
+      * the mix. At 100 TB an `IS NULL` audit of a mostly-populated
+      * column opens only the files that ever saw a null, decided
+      * entirely from the log. */
+    def readNull(v: Int, c: String, wantNull: Boolean): DataFrame = {
+      val keep = pruneFilesNull(v, c, wantNull).map(_.path).toSet
+      val entries = liveState(v).filter(e => keep(e._1.path))
+      if (entries.isEmpty) readAsOf(v).filter(lit(false))
+      else readState(entries)
+        .filter(if (wantNull) col(c).isNull else col(c).isNotNull)
     }
 
     /** Schema evolution on the read side (Delta's mergeSchema
@@ -950,10 +1049,27 @@ object Snapshot {
     /** DESCRIBE HISTORY (the Delta semantic): one row per commit —
       * version, an operation kind inferred from the log record's
       * shape, files added/removed, manifest rows added, DV pointers,
-      * constraint adds, and the txn stamp. Pure log read. */
-    def describeHistory(): DataFrame = {
+      * constraint adds, and the txn stamp. Pure log read; the
+      * full-history form is O(versions) by nature (one output row per
+      * commit), use the range form for the common "recent history"
+      * probe. */
+    def describeHistory(): DataFrame =
+      historyFrame(commits)
+
+    /** Range-windowed DESCRIBE HISTORY: commits with version in
+      * [v0, v1] only — parses exactly those O(window) log files
+      * (readCommitsRange, the readDelta discipline), so "the last 10
+      * commits" of a 10,000-commit table costs 10 parses, not
+      * 10,000. */
+    def describeHistory(v0: Int, v1: Int): DataFrame = {
+      require(v0 >= 0 && v0 <= v1,
+        s"describeHistory($v0, $v1): need 0 <= v0 <= v1")
+      historyFrame(Snapshot.readCommitsRange(fs, logPath, v0 - 1, v1))
+    }
+
+    private def historyFrame(cs: Seq[Commit]): DataFrame = {
       import spark.implicits._
-      commits.map { c =>
+      cs.map { c =>
         val op =
           if (c.constraints.nonEmpty) "addConstraint"
           else if (c.dvs.nonEmpty && c.added.nonEmpty) "morMerge"
@@ -1012,7 +1128,7 @@ object Snapshot {
       val ck = Snapshot.checkpointAt(fs, logPath, v)
       require(ck.version >= 0, s"cloneShallow: no snapshot <= $v at $root")
       val target = Lake(spark, targetRoot, statsCols, bloomCols,
-        checkpointInterval, partitionCols, strStatsCols)
+        checkpointInterval, partitionCols, strStatsCols, nullStatsCols)
       require(target.latestVersion < 0,
         s"cloneShallow: target $targetRoot already has commits")
       // Absolute-path references: Hadoop Path resolution lets every
@@ -1375,11 +1491,15 @@ object Snapshot {
       // (0) schema gate BEFORE any data lands: the first data commit
       // RECORDS the table schema (a meta line in this commit's
       // record); every later one must match it exactly or be refused
-      // (additive changes go through evolveSchema).
-      val metaLines = tableSchema match {
+      // (additive changes go through evolveSchema). Recomputed on an
+      // OCC retry (var): a concurrent evolveSchema or racing
+      // first-data commit changes what this commit must validate
+      // against and whether it still needs its own meta line.
+      def computeMetaLines(): Seq[String] = tableSchema match {
         case Some(_) => validateWriteSchema(df.schema); Nil
         case None => Seq(Snapshot.metaLine(df.schema))
       }
+      var metaLines = computeMetaLines()
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = s"data/c$version-$uuid"
       val dataPath = new Path(rootPath, dataDir)
@@ -1431,6 +1551,8 @@ object Snapshot {
         strStatsCols.flatMap(c => Seq(
           min(col(c).cast("string")).as(s"__slo_$c"),
           max(col(c).cast("string")).as(s"__shi_$c"))) ++
+        nullStatsCols.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c")) ++
         bloomCols.map(c => graft.ext.Bloom.agg(BloomM, BloomK)(
           coalesce(graft.ext.Dedup.md5Hash60(col(c).cast("string")),
             lit(0L))).as(s"__bf_$c"))
@@ -1485,8 +1607,11 @@ object Snapshot {
                 case _ => None // all-null column ⇒ must-scan
               }
             }.mkString
+            val ncnts = nullStatsCols.map { c =>
+              s"\tnullcnt:$c=${r.getAs[Long](s"__nc_$c")}"
+            }.mkString
             s"add\t$rel\t${r.getAs[Long]("__rows")}$stats$blooms" +
-              s"${partSegs(rel)}$szones"
+              s"${partSegs(rel)}$szones$ncnts"
           case None => // all-null/empty file: no stats
             s"add\t$rel\t0${partSegs(rel)}"
         }
@@ -1506,14 +1631,22 @@ object Snapshot {
       // as [[publish]] does.
       if (removed.isEmpty && dvLines.isEmpty) {
         var validated = constraints
+        var schemaSeen = tableSchema.map(_.json)
         var v = version
         while (!tryPublish(record(v), v)) {
           // A pure append commutes with the winner's DATA changes, but
-          // not with a concurrent ADD CONSTRAINT (Delta fails an
-          // append on a concurrent metadata change): when the active
-          // constraint set grew between our validation and this retry,
-          // re-validate the already-written files against the fresh
-          // set before taking the next version slot.
+          // not with concurrent METADATA changes (Delta fails an
+          // append on a concurrent metadata change):
+          //  - ADD CONSTRAINT: when the active set grew between our
+          //    validation and this retry, re-validate the written
+          //    files against the fresh set before the next slot;
+          //  - evolveSchema / a racing first-data commit that recorded
+          //    a schema: re-run the write-schema gate (failing this
+          //    commit on an incompatible concurrent evolution, as
+          //    Delta's concurrent-metadata-change rule does) and
+          //    recompute metaLines, so a lost first-commit race never
+          //    re-emits a stale meta line whose later version would
+          //    silently win over the winner's schema.
           val active = constraints
           if (active != validated) {
             if (files.nonEmpty)
@@ -1521,6 +1654,13 @@ object Snapshot {
               catch { case e: Throwable =>
                 fs.delete(dataPath, true); throw e }
             validated = active
+          }
+          val schemaNow = tableSchema.map(_.json)
+          if (schemaNow != schemaSeen) {
+            try metaLines = computeMetaLines()
+            catch { case e: Throwable =>
+              fs.delete(dataPath, true); throw e }
+            schemaSeen = schemaNow
           }
           v = latestVersion + 1
         }
@@ -1549,11 +1689,23 @@ object Snapshot {
       * that keeps EVERY lake operation at O(interval) log-file parses
       * no matter how long the table lives (a week-long streaming sink
       * writes thousands of commits; without this, each subsequent read
-      * replays all of them). 0 disables. */
+      * replays all of them). 0 disables.
+      *
+      * BEST-EFFORT by contract: it runs AFTER the version is durably
+      * published, so a transient FS failure here must never surface as
+      * a commit failure — callers that retry on failure (NightlyEtl
+      * wraps `append` in retry()) would re-append and silently
+      * duplicate rows. A missed checkpoint only costs read
+      * amplification until the next interval lands; correctness is
+      * untouched (reads fall back to a longer commit suffix). */
     private def maybeCheckpoint(version: Int): Unit =
       if (checkpointInterval > 0 && version > 0 &&
           version % checkpointInterval == 0)
-        Snapshot.writeCheckpoint(fs, logPath, version)
+        try Snapshot.writeCheckpoint(fs, logPath, version)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"graft lake: checkpoint at v$version " +
+            s"failed (non-fatal, commit already published): $e")
+        }
 
     /** The conflict-signalling publish: false when the version slot was
       * taken by a racing writer ([[commit]]'s pure-append retry path).

@@ -708,19 +708,46 @@ object AnalyticsQueries {
 
     // Misra–Gries heavy hitters (ext.HeavyHitters): sketch-based token
     // frequency, ≤ k−1 counters per partition and on the driver
-    // regardless of corpus size. Estimates are partition-layout-
-    // dependent (like HLL), so no DuckDB oracle — HeavyHittersSpec
-    // gates the MG guarantees against exact counts, and vocab_topk is
-    // the exact-formulation baseline.
+    // regardless of corpus size. The sketch's RETAINED SET and raw
+    // estimates are partition-layout-dependent (like HLL) — but its
+    // GUARANTEES are not: every token with true count > n/k is
+    // provably retained, and estimates bracket truth as
+    // true − n/k ≤ est ≤ true (Misra & Gries 1982; merge per Agarwal
+    // et al. 2012). So the query emits the GUARANTEED set — the exact
+    // frequencies of tokens above the n/k threshold (pure relational
+    // algebra, DuckDB-replayable) — plus three TRUE-asserted guarantee
+    // cells the oracle pins as literals (the approx_distinct /
+    // hll_daily_union error-bound-boolean discipline): `retained`
+    // (the sketch kept it), `no_overcount` (est ≤ true), `slack_ok`
+    // ((true − est)·k ≤ n, cross-multiplied — no division). Any MG
+    // implementation bug that loses a guaranteed hitter or inflates a
+    // counter flips a cell and hash-fails. The exact branch GATES the
+    // sketch at test scale; at 100 TB only the sketch path ships
+    // (map-side fold to ≤ k−1 counters, sketches alone cross the
+    // exchange — the exact groupBy here shuffles one row per distinct
+    // token, which is the cost the sketch exists to avoid).
     "heavy_hitters" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
+      val k = 40
+      val toks = Tables.documents(s, d)
         .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
-        .as[String]
-        .select(HeavyHitters.misraGries(21)) // typed select: global sketch fold
+        .localCheckpoint(true)
+      val sketch = toks.as[String]
+        .select(HeavyHitters.misraGries(k)) // typed select: global fold
         .toDF("hh")
         .select(explode(col("hh")).as("h"))
         .select(col("h._1").as("token"), col("h._2").as("est_count"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+        .crossJoin(broadcast(n))
+        .filter(col("exact_count") * k > col("n"))
+        .join(broadcast(sketch), Seq("token"), "left")
+        .select(col("token"), col("exact_count"),
+          col("est_count").isNotNull.as("retained"),
+          coalesce(col("est_count") <= col("exact_count"), lit(false))
+            .as("no_overcount"),
+          coalesce((col("exact_count") - col("est_count")) * k <= col("n"),
+            lit(false)).as("slack_ok"))
     },
 
     // Re-aggregatable distinct-count sketches: per-(type, day) HLL
@@ -2146,6 +2173,12 @@ object AnalyticsQueries {
     // (min, max) agg broadcasts the midpoint back; ONE partial+final
     // hash agg to 4 rows; everything after is 4-row algebra.
     "diff_in_diff" -> { (s, d) =>
+      def longExact(c: Column): Column =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit("graft diff_in_diff: statistic exceeds int64: "),
+            c.cast("string"))))
+          .otherwise(c.cast("long"))
       val ev = Tables.events(s, d).select(Tables.tsUs.as("tus"),
         pmod(Dedup.md5Hash60(concat(lit("did:"), col("event_id"))),
           lit(2L)).as("arm"),
@@ -2155,10 +2188,11 @@ object AnalyticsQueries {
       val cells = ev.crossJoin(broadcast(mid))
         .select(col("arm"),
           when(col("tus") >= col("tmid"), 1L).otherwise(0L).as("post"),
-          col("y"), (col("y") * col("y")).as("qy"))
+          col("y"))
         .groupBy(col("arm"), col("post"))
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
-          sum(col("qy")).as("qq"))
+        .agg(count(lit(1)).as("n"),
+          longExact(sum(col("y").cast("decimal(38,0)"))).as("sy"),
+          longExact(sum(expr("CAST(y AS DECIMAL(38,0)) * y"))).as("qq"))
         .selectExpr("arm", "post", "n",
           "CAST((2 * 10000 * CAST(sy AS DECIMAL(38,0)) + n)" +
             " div (2 * n) AS BIGINT) AS m_x1e4",
@@ -2637,6 +2671,22 @@ object AnalyticsQueries {
         |       count(DISTINCT user_id) AS n_users,
         |       TRUE AS union_est_ok
         |FROM e GROUP BY 1""".stripMargin,
+
+    // heavy_hitters: the guaranteed set replays as exact relational
+    // token counts above the n/k threshold (k = 40, cross-multiplied);
+    // the three Misra–Gries guarantee cells are literal TRUE — a
+    // sketch that loses a guaranteed hitter, overcounts, or drifts
+    // past n/k flips one and hash-fails.
+    "heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n FROM toks),
+        |exact AS (SELECT token, count(*) AS exact_count FROM toks
+        |          GROUP BY token)
+        |SELECT token, exact_count, TRUE AS retained,
+        |       TRUE AS no_overcount, TRUE AS slack_ok
+        |FROM exact, n WHERE exact_count * 40 > n""".stripMargin,
 
     // HUGEINT (DuckDB) and DECIMAL(38,0) (Spark) are both exact for the
     // closed-form products; the nearest-double cast of the same integer

@@ -172,6 +172,39 @@ object ExtQueries {
     open(root)
   }
 
+  // Null-count-stats lake (round 16): orders with a deterministically
+  // nullable `note` column (k%3=1 → cents, k%3=0 → NULL, k%3=2 →
+  // NULL iff k%6=2), committed in three membership-pure appends so
+  // commit 0's files are all-non-null (IS NULL prunes them), commit
+  // 1's all-null (IS NOT NULL prunes them) and commit 2's mixed
+  // (must-scan for both — the conservative branch). Interval 2 puts a
+  // checkpoint at v2, so the nullcnt segments gate the
+  // render-checkpoint → parse round trip too.
+  private val nullLakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def nullLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    def open(dir: String) = graft.io.Snapshot.Lake(s, dir,
+      statsCols = Seq("o_orderkey"), checkpointInterval = 2,
+      nullStatsCols = Seq("note"))
+    val root = nullLakeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-nlake-")
+        .toString
+      val lake = open(dir)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val m3 = pmod(col("o_orderkey"), lit(3L))
+      val m6 = pmod(col("o_orderkey"), lit(6L))
+      def withNote(df: org.apache.spark.sql.DataFrame, note: Column) =
+        df.select(col("o_orderkey"), col("cents"), note.cast("long").as("note"))
+      lake.append(withNote(o.filter(m3 === 1), col("cents")))
+      lake.append(withNote(o.filter(m3 === 0), lit(null)))
+      lake.append(withNote(o.filter(m3 === 2),
+        when(m6 === 2, lit(null)).otherwise(col("cents"))))
+      dir
+    })
+    open(root)
+  }
+
   /** (reference, candidate) token frames for the eval-metric queries
     * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
     * a token slice (last 3 tokens dropped, min 1 kept). */
@@ -1561,6 +1594,39 @@ object ExtQueries {
           .select(lit(y).as("yr"), col("n_rows"), col("sum_cents"),
             lit(strict).as("pruned"))
       }.reduce(_ unionByName _)
+    },
+
+    // Null-count pruning (round 16) — Delta's per-file nullCount stat
+    // on the correctness gate: the fixture lake records nullcnt
+    // segments for `note` (one all-non-null commit, one all-null, one
+    // mixed), and both IS NULL and IS NOT NULL reads go through
+    // Lake.readNull — files are skipped from the log alone (an
+    // all-populated file cannot satisfy IS NULL; an all-null file
+    // cannot satisfy IS NOT NULL; the mixed file must-scans for
+    // both). The `pruned_*` cells pin that each side DID drop files
+    // strictly; the row cells replay relationally (a wrongly-pruned
+    // file = lost rows = hash fail — exactly the bug class zone/Bloom
+    // tiers can't catch, since NULL neither intersects a range nor
+    // probes a filter). 100 TB shape: an IS NULL audit of a
+    // mostly-populated column opens only the files that ever saw a
+    // null, decided entirely from the manifest.
+    "lake_null_prune" -> { (s, d) =>
+      val lake = nullLake(s, d)
+      val v = lake.latestVersion
+      val all = lake.liveFiles(v).size
+      val keptNull = lake.pruneFilesNull(v, "note", wantNull = true)
+      val keptNot = lake.pruneFilesNull(v, "note", wantNull = false)
+      val strictNull = keptNull.nonEmpty && keptNull.size < all
+      val strictNot = keptNot.nonEmpty && keptNot.size < all
+      val a = lake.readNull(v, "note", wantNull = true)
+        .agg(count(lit(1)).as("n_null_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("null_cents"))
+      val b = lake.readNull(v, "note", wantNull = false)
+        .agg(count(lit(1)).as("n_notnull_rows"),
+          coalesce(sum(col("note")), lit(0L)).as("notnull_note_sum"))
+      a.crossJoin(broadcast(b))
+        .withColumn("pruned_null", lit(strictNull))
+        .withColumn("pruned_notnull", lit(strictNot))
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -6805,6 +6871,34 @@ object ExtQueries {
         |WHERE o_orderkey % 100 <> 13 AND yr IN (1996, 1999)
         |GROUP BY yr""".stripMargin,
 
+    // lake_null_prune: membership = all orders; note's nullability
+    // replays relationally from the deterministic k%3/k%6 rule. The
+    // strict-prune booleans are true by construction (commit 0 is
+    // all-non-null, commit 1 all-null — each side always drops at
+    // least the other's files while keeping the mixed commit 2).
+    "lake_null_prune" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |               AS cents
+        |           FROM orders),
+        |n AS (SELECT k, cents,
+        |        CASE WHEN k % 3 = 1 THEN cents
+        |             WHEN k % 3 = 0 THEN NULL
+        |             WHEN k % 6 = 2 THEN NULL
+        |             ELSE cents END AS note
+        |      FROM o)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM n WHERE note IS NULL)
+        |    AS n_null_rows,
+        |  (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM n
+        |   WHERE note IS NULL) AS null_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM n WHERE note IS NOT NULL)
+        |    AS n_notnull_rows,
+        |  (SELECT CAST(coalesce(sum(note), 0) AS BIGINT) FROM n
+        |   WHERE note IS NOT NULL) AS notnull_note_sum,
+        |  true AS pruned_null,
+        |  true AS pruned_notnull""".stripMargin,
+
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a
     // skipped file that held the key) loses rows and hash-fails.
@@ -9049,10 +9143,10 @@ object ExtQueries {
          |SELECT l3.doc_id, l3.lab AS community, csize
          |FROM l3 JOIN sizes USING (lab)""".stripMargin
     }
-    // heavy_hitters (AnalyticsQueries) stays rows-only: Misra–Gries'
-    // RETAINED-TOKEN SET depends on counter admission order across
-    // partitions, so even the row set is layout-dependent; the other
-    // sketches oracle via exact columns + TRUE-asserted error-bound
-    // booleans (approx_distinct / approx_quantiles / hll_daily_union).
+    // heavy_hitters (AnalyticsQueries) oracles in guaranteed-set form
+    // since round 16: exact counts of tokens above the n/k threshold
+    // plus TRUE-asserted Misra–Gries guarantee cells — the same
+    // discipline as approx_distinct / approx_quantiles /
+    // hll_daily_union's error-bound booleans.
   )
 }

@@ -25,10 +25,14 @@ class RegistrySpec extends AnyFunSuite {
     * DESIGN; every other query must carry an oracle. Round 9 converted
     * approx_distinct / approx_quantiles / hll_daily_union to
     * error-bound-boolean form (exact columns + TRUE-asserted bound
-    * cells), leaving only Misra–Gries: its RETAINED-TOKEN SET depends
-    * on counter admission order across partitions, so even the row set
-    * — not just the estimates — is layout-dependent (SURVEY §8). */
-  private val RowsOnlyByDesign = Set("heavy_hitters")
+    * cells); round 16 converted the last holdout, heavy_hitters, to
+    * its GUARANTEED-SET form (the Misra–Gries retained set is
+    * admission-order-dependent, but the guarantees are not: the query
+    * now emits exact counts of tokens above the n/k threshold plus
+    * TRUE-asserted guarantee cells). The set is empty — kept so a
+    * future genuinely-unoracled sketch has a documented registration
+    * point instead of an undocumented gap. */
+  private val RowsOnlyByDesign = Set.empty[String]
 
   test("every §2 gate query exists in the registry with an oracle") {
     val qs = SparkEntry.queries.keySet

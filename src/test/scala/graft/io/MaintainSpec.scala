@@ -59,4 +59,25 @@ class MaintainSpec extends SparkSpec {
     assert(hist.toSeq === Seq((0, "append"), (1, "morDelete"),
       (2, "rewrite")))
   }
+
+  test("describeHistory(v0, v1) parses only the window's log files") {
+    val lake = freshLake()
+    (0 until 12).foreach { i =>
+      lake.append((i * 10L until i * 10L + 10L).toDF("k"))
+    }
+    Snapshot.logFilesParsed.set(0L)
+    val h = lake.describeHistory(10, 11).orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(10, 11))
+    assert(h.forall(_.getString(1) === "append"))
+    // The recent-history probe is O(window): 2 commit parses, never
+    // the 12-commit replay (and never the checkpoint — history is a
+    // per-commit read, not a folded-state read).
+    assert(Snapshot.logFilesParsed.get() <= 2L,
+      s"range history parsed ${Snapshot.logFilesParsed.get()} files")
+    // The full form still sees everything.
+    assert(lake.describeHistory().count() === 12)
+    // Bad windows fail loudly.
+    intercept[IllegalArgumentException] { lake.describeHistory(5, 4) }
+    intercept[IllegalArgumentException] { lake.describeHistory(-1, 4) }
+  }
 }

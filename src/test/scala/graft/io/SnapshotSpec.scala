@@ -799,4 +799,83 @@ class SnapshotSpec extends SparkSpec {
     // No k stats on an all-null file ⇒ pruneFiles must keep it.
     assert(lake.pruneFiles(0, "k", 5, 10).size === lake.liveFiles(0).size)
   }
+
+  test("null-count tier: IS NULL / IS NOT NULL skip from the manifest alone") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-spec-").toString,
+      statsCols = Nil, nullStatsCols = Seq("x"))
+    def df(rows: Seq[(Long, java.lang.Long)]) = rows.toDF("k", "x")
+    lake.append(df((0L until 50L).map(k => (k, java.lang.Long.valueOf(k)))))   // v0: no nulls
+    lake.append(df((50L until 80L).map(k => (k, null: java.lang.Long))))       // v1: all null
+    lake.append(df(Seq((80L, java.lang.Long.valueOf(80L)), (81L, null))))      // v2: mixed
+    val v = lake.latestVersion
+    val files = lake.liveFiles(v)
+    assert(files.forall(_.nulls.contains("x")))
+    // IS NULL skips every v0 file; IS NOT NULL skips every v1 file;
+    // the mixed file survives both (the conservative branch).
+    val kNull = lake.pruneFilesNull(v, "x", wantNull = true)
+    val kNot = lake.pruneFilesNull(v, "x", wantNull = false)
+    assert(kNull.forall(_.nulls("x") > 0))
+    assert(kNot.forall(f => f.nulls("x") < f.rows))
+    assert(kNull.size < files.size && kNot.size < files.size)
+    // Exact reads, and the skipped side's files never open.
+    val rNull = lake.readNull(v, "x", wantNull = true)
+    assert(rNull.count() === 31)
+    val noNullFiles = files.filter(_.nulls("x") === 0L).map(_.path)
+    val scanned = rNull.inputFiles.toSet
+    noNullFiles.foreach(p => assert(!scanned.exists(_.endsWith(p)),
+      s"null-free file $p opened by an IS NULL read"))
+    assert(lake.readNull(v, "x", wantNull = false).count() === 51)
+    // Unstatted column ⇒ must-scan, reads stay exact.
+    assert(lake.pruneFilesNull(v, "k", wantNull = true).size === files.size)
+    // The nullcnt segments survive a checkpoint round trip.
+    Snapshot.writeCheckpoint(
+      new org.apache.hadoop.fs.Path(lake.root, "_log")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(lake.root, "_log"), v)
+    assert(lake.pruneFilesNull(v, "x", wantNull = true).map(_.path).toSet
+      === kNull.map(_.path).toSet)
+  }
+
+  test("partition values needing escaping (and null) prune and read exactly") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-spec-").toString,
+      statsCols = Nil, partitionCols = Seq("p"))
+    lake.append(Seq((1L, "a=b:c"), (2L, "a=b:c"), (3L, "plain"),
+      (4L, null: String)).toDF("k", "p"))
+    // The manifest stores partitionBy's ESCAPED fragment, not the raw
+    // value — the raw-value probe must still match exactly.
+    val kept = lake.pruneFilesPartition(0, "p", "a=b:c")
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.parts("p") === Snapshot.escapedPartValue("a=b:c")))
+    assert(lake.readPartition(0, "p", "a=b:c").count() === 2)
+    assert(lake.readPartition(0, "p", "plain").count() === 1)
+    // Null partition: the Hive sentinel directory, IS NULL row filter.
+    val nulls = lake.readPartition(0, "p", null)
+    assert(nulls.count() === 1)
+    assert(nulls.select("k").head.getLong(0) === 4L)
+    // A probe for a value that only LOOKS like a fragment must miss:
+    // raw "a%3Db%3Ac" escapes differently from "a=b:c".
+    assert(lake.readPartition(0, "p", "a%3Db%3Ac").count() === 0)
+  }
+
+  test("string zones: UTF-8 byte order keeps supplementary-plane probes") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-spec-").toString,
+      statsCols = Nil, strStatsCols = Seq("s"))
+    val emoji = new String(Character.toChars(0x1F600)) // 4-byte UTF-8
+    val bmp = "\uE000" // 3-byte UTF-8, just above the surrogate range
+    lake.append(Seq(bmp, emoji).toDF("s"))
+    // Java UTF-16 compareTo orders the emoji's surrogates (0xD83D...)
+    // BELOW U+E000 and would prune the file on an exact-emoji probe;
+    // the stats were computed under UTF-8 binary order, where the
+    // emoji (0xF0...) sorts ABOVE U+E000's 0xEE... encoding.
+    assert(Snapshot.utf8Compare(bmp, emoji) < 0 &&
+      bmp.compareTo(emoji) > 0) // the orders genuinely disagree
+    assert(lake.pruneFilesStr(0, "s", emoji, emoji).size === 1)
+    assert(lake.readRangeStr(0, "s", emoji, emoji).count() === 1)
+  }
 }
