@@ -794,6 +794,105 @@ object StreamBench {
           f"${n / tM}%.0f rows/s  versions=${perCommit.size}")
     }
 
+    // Mode N (round 16): PACED LAKE-TO-LAKE INCREMENTAL ETL — the
+    // reference's nightly bronze→silver batch (timescale_to_deltalake
+    // .py's daily re-extract) re-expressed as a paced streaming
+    // resume: bronze commits feed through the V2 source ONE COMMIT
+    // PER TRIGGER (admission control) under Trigger.AvailableNow, a
+    // silver curation transform runs per micro-batch, and the
+    // txn-stamped sink lands each batch exactly once. The first drain
+    // is CRASHED deterministically — an injected failure AFTER batch
+    // 1's lake commit durably published but BEFORE the engine
+    // checkpointed it (the exact at-least-once window a real restart
+    // hits) — then resumed from the same checkpoint: the re-delivered
+    // batch must be recognized by the silver log's txn stamp and
+    // skipped. Gates: silver ≡ the batch-computed curation of bronze
+    // (exceptAll both ways) after the crash-resume AND after a
+    // nightly catch-up (4 more bronze commits, one AvailableNow
+    // resume that picks up exactly the increment); every silver txn
+    // batchId unique (nothing double-landed); both drains paced
+    // multi-batch. 100 TB shape: each trigger's cost rides ONE bronze
+    // commit's files — the nightly catch-up scans the increment,
+    // never the table, and a mid-drain crash costs one skipped probe.
+    {
+      val bronzeRoot = s"$work/n_bronze"
+      val bronze = graft.io.Snapshot.Lake(spark, bronzeRoot)
+      (0 until 4).foreach(i => bronze.append(
+        spark.range(i * 12500L, (i + 1) * 12500L)
+          .select(col("id").as("k"), (col("id") * 3).as("v"))))
+      val silver = graft.io.Snapshot.Lake(spark, s"$work/n_silver")
+      def curate(df: org.apache.spark.sql.DataFrame) =
+        df.filter(pmod(col("k"), lit(10L)) =!= 7)
+          .select(col("k"), col("v"), (col("v") * 2 + 1).as("score"))
+      def src() = spark.readStream
+        .format("graft.io.v2.SnapshotStreamSource")
+        .option("maxCommitsPerTrigger", 1)
+        .load(bronzeRoot)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val tN = time {
+        // Phase 1: drain with the injected post-commit crash.
+        val q1 = src().writeStream.outputMode("append")
+          .option("checkpointLocation", s"$work/n_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              silver.appendIdempotent(curate(batch), "nightly", id)
+              ()
+            }
+            if (id == 1 && crashed.compareAndSet(false, true))
+              throw new RuntimeException("mode N injected post-commit crash")
+          }
+          .start()
+        try q1.awaitTermination()
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+        }
+        // Phase 2: resume from the same checkpoint — batch 1
+        // re-delivers (at-least-once), the log skips it, the drain
+        // completes.
+        val q2 = graft.stream.SnapshotSink.attach(
+          curate(src()), silver, "nightly", s"$work/n_ckpt",
+          trigger = Some(Trigger.AvailableNow()))
+        q2.awaitTermination()
+      }
+      require(crashed.get, "mode N injected crash must have fired")
+      val expected1 = curate(bronze.read())
+      require(silver.read().exceptAll(expected1).isEmpty &&
+        expected1.exceptAll(silver.read()).isEmpty,
+        "mode N crash-resume silver must equal the batch-computed curation")
+      val ids1 = silver.commits.flatMap(_.txn)
+        .filter(_._1 == "nightly").map(_._2)
+      require(ids1.size >= 3 && ids1.distinct.size == ids1.size,
+        s"mode N batchIds must land exactly once despite the replay: $ids1")
+      // Nightly catch-up: new bronze commits, one paced resume.
+      (4 until 8).foreach(i => bronze.append(
+        spark.range(i * 12500L, (i + 1) * 12500L)
+          .select(col("id").as("k"), (col("id") * 3).as("v"))))
+      val txnsBefore = ids1.size
+      val tN2 = time {
+        val q3 = graft.stream.SnapshotSink.attach(
+          curate(src()), silver, "nightly", s"$work/n_ckpt",
+          trigger = Some(Trigger.AvailableNow()))
+        q3.awaitTermination()
+      }
+      val expected2 = curate(bronze.read())
+      require(silver.read().exceptAll(expected2).isEmpty &&
+        expected2.exceptAll(silver.read()).isEmpty,
+        "mode N catch-up silver must equal the batch-computed curation")
+      val ids2 = silver.commits.flatMap(_.txn)
+        .filter(_._1 == "nightly").map(_._2)
+      require(ids2.distinct.size == ids2.size,
+        s"mode N catch-up must not double-land: $ids2")
+      require(ids2.size - txnsBefore >= 4,
+        s"mode N catch-up must pace one commit per trigger: " +
+          s"${ids2.size - txnsBefore} new commits for 4 bronze commits")
+      val n = bronze.read().count()
+      results("lake_etl_resume@100k") = n / (tN + tN2)
+      System.err.println(
+        f"[stream-bench] lake_etl_resume@100k  $n rows  ${tN + tN2}%.1fs  " +
+          f"${n / (tN + tN2)}%.0f rows/s  txns=${ids2.size} (crash+resume+catchup)")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

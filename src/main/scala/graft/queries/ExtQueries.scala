@@ -484,6 +484,157 @@ object ExtQueries {
       (tf, enc)
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training chain shared
+    * by `unigram_train` and `unigram_encode` — the third production
+    * tokenizer beside BPE (merge replay) and WordPiece (greedy
+    * longest-match): Kudo 2018's EM-pruned unigram model, in a
+    * deterministic exact-integer simplification both engines replay
+    * bit-for-bit.
+    *
+    *  - Seed vocab: ALL single chars (the fallback alphabet, kept
+    *    through every prune) + the top-[[UniSeedK]] corpus-weighted
+    *    2..4-char substrings of the distinct-word table under the
+    *    (cnt DESC, piece) total order (wordpiece_encode's derivation).
+    *  - Scores: 1e6-scaled HALF-UP ln cells over exact integers
+    *    (char_entropy's discipline) with add-1 smoothing:
+    *    s(p) = lnCell(usage+1) − lnCell(total+|V|).
+    *  - E-step: exact-integer VITERBI segmentation of each distinct
+    *    word — a forward DP fold (B(i) = max over l ∈ 1..4 of
+    *    B(i−l) + s(piece), missing pieces at the −10^15 sentinel) and
+    *    a backward path fold that re-derives each step as the
+    *    SMALLEST l with B(e−l) + s = B(e) (the deterministic
+    *    tie-break; the oracle replays both folds as recursive CTEs —
+    *    shift-state forward, l-emitting backward).
+    *  - M-step + prune (2 unrolled rounds, domain_reweight's MWU
+    *    convention): usage-weighted recount, keep singles + the top
+    *    [[UniPrune]](r) multis by (usage DESC, piece), rescore.
+    *
+    * 100 TB shape: the corpus is touched exactly twice (tokenize→tf
+    * agg; tf⋈encoder join) — every EM round rides the DISTINCT word
+    * table with the piece scores as a broadcast map literal
+    * (model-sized collect, ≤ [[UniSeedK]]+alphabet entries), so
+    * training cost is independent of corpus size, exactly like
+    * bpe_train. Returns (per-doc word tf, final vocab frame
+    * (piece, piece_len, usage, logp_x1e6), per-word n_pieces under
+    * the final scores). */
+  private val UniSeedK = 256
+  private val UniPrune = Seq(170, 113)
+  private val UniSentinel = -1000000000000000L
+
+  private def lnCell1e6(c: Column): Column =
+    floor(log(c.cast("double")) * 1000000.0 + 0.5).cast("long")
+
+  /** Forward Viterbi DP as an aggregate fold: result array's element
+    * j+1 (1-indexed) = B(j), the best path score of the length-j
+    * prefix of `w` under score map `SM`. */
+  private def uniForward(SM: Column, w: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (best, i) => {
+        def cand(l: Int) =
+          when(i >= l,
+            coalesce(element_at(SM, w.substr(i - l + 1, lit(l))),
+              lit(UniSentinel)) + element_at(best, i - l + 1))
+            .otherwise(lit(UniSentinel))
+        concat(best, array(greatest(cand(1), cand(2), cand(3), cand(4))))
+      })
+
+  /** Backward path recovery: walk e from |w| to 0 taking the SMALLEST
+    * l whose piece reproduces B(e) — returns the piece array. */
+  private def uniBackward(SM: Column, w: Column, best: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(length(w).as("e"), array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val e = st.getField("e")
+        val ps = st.getField("ps")
+        def p(l: Int) = w.substr(e - l + 1, lit(l))
+        def ok(l: Int) = (e >= l) &&
+          (coalesce(element_at(SM, p(l)), lit(UniSentinel)) +
+            element_at(best, e - l + 1) === element_at(best, e + 1))
+        def step(l: Int) =
+          struct((e - l).as("e"), concat(ps, array(p(l))).as("ps"))
+        when(e <= 0, st)
+          .when(ok(1), step(1))
+          .when(ok(2), step(2))
+          .when(ok(3), step(3))
+          .otherwise(step(4))
+      },
+      st => st.getField("ps"))
+
+  private def unigramModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val words = Dedup.rebalance(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val wc = tf.groupBy(col("w")).agg(sum(col("tf")).as("wn"))
+      .localCheckpoint(true)
+    // Seed counting: corpus-weighted substrings, lengths 1..4 (the
+    // wordpiece derivation widened to include the alphabet).
+    val subs = wc.select(col("wn"), explode(flatten(
+        transform(sequence(lit(1), lit(4)), l =>
+          when(length(col("w")) >= l,
+            transform(sequence(lit(1), length(col("w")) - l + 1),
+              i => col("w").substr(i, l)))
+            .otherwise(array().cast("array<string>")))))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wn")).as("cnt"))
+      .localCheckpoint(true)
+    val singles = subs.filter(length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint(true)
+    val multis0 = subs.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(UniSeedK)
+      .select(col("piece"))
+    // (vocab with usage) -> (scored frame, broadcastable score map)
+    def mstep(usage: DataFrame): (DataFrame, Map[String, Long]) = {
+      val tot = usage.agg(sum(col("usage")).as("t"), count(lit(1)).as("v"))
+      val scored = usage.crossJoin(broadcast(tot))
+        .select(col("piece"), col("usage"),
+          (lnCell1e6(col("usage") + 1) - lnCell1e6(col("t") + col("v")))
+            .as("logp_x1e6"))
+        .localCheckpoint(true)
+      (scored, scored.select(col("piece"), col("logp_x1e6")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    // E-step: Viterbi-segment the distinct vocab, usage-weighted count.
+    def estep(scores: Map[String, Long]): DataFrame = {
+      val SM = typedlit(scores)
+      wc.withColumn("best", uniForward(SM, col("w")))
+        .select(col("wn"),
+          explode(uniBackward(SM, col("w"), col("best"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wn")).as("usage"))
+        .localCheckpoint(true)
+    }
+    def vocabAfter(usage: DataFrame, keep: Int): DataFrame = {
+      val multis = usage.filter(length(col("piece")) >= 2)
+        .orderBy(col("usage").desc, col("piece")).limit(keep)
+        .select(col("piece"))
+      singles.unionByName(multis)
+        .join(usage, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+    }
+    val seed = singles.unionByName(multis0)
+      .join(subs, Seq("piece"))
+      .select(col("piece"), col("cnt").as("usage"))
+    val (_, sc0) = mstep(seed)
+    val usage1 = estep(sc0)
+    val (_, sc1) = mstep(vocabAfter(usage1, UniPrune(0)))
+    val usage2 = estep(sc1)
+    val (scored2, sc2) = mstep(vocabAfter(usage2, UniPrune(1)))
+    val SM2 = typedlit(sc2)
+    val enc = wc
+      .withColumn("best", uniForward(SM2, col("w")))
+      .select(col("w"),
+        size(uniBackward(SM2, col("w"), col("best"))).cast("long")
+          .as("n_pieces"))
+    (tf,
+      scored2.select(col("piece"), length(col("piece")).cast("long")
+        .as("piece_len"), col("usage"), col("logp_x1e6")),
+      enc)
+  }
+
   /** The NB quality classifier's full train→score chain (the
     * quality_classifier construction), shared with `classifier_auc`:
     * one row per doc with (is_train, actual_keep, score) where score
@@ -849,6 +1000,72 @@ object ExtQueries {
           "CASE WHEN nref_2 + ncand_2 > 0 THEN " +
             "(2 * 1000000 * m_2 + (nref_2 + ncand_2)) div " +
             "(2 * (nref_2 + ncand_2)) ELSE 0L END AS rouge2_f_x1e6")
+    },
+
+    // chrF (round 16) — the character-n-gram F-score (Popović 2015)
+    // beside BLEU (token precision) and ROUGE (token F1), completing
+    // the eval-metric family: tokenization-free, so it credits
+    // morphological near-matches token metrics miss. Rides the
+    // rouge_n candidate frame (reference = the document, candidate =
+    // the 3-token-dropped near-dup slice), both sides
+    // whitespace-stripped (the chrF convention) via array_join of the
+    // shared token arrays. Orders n = 1..3 over the SAME tagged
+    // (doc, n, g) count exchange + single clipped join as rouge_n;
+    // per order the exact clipped m / cand-total / ref-total, HALF-UP
+    // 1e6 precision+recall cells; CHRP/CHRR = HALF-UP means over the
+    // 3 order cells (sacrebleu's average-then-F form) and
+    // chrF(β=2) = 5·P·R/(4P+R) on those cells — exact integers end
+    // to end, no libm. Zero-gram orders score 0 (the Popović
+    // convention for short segments). 100 TB shape: the char-gram
+    // explode is 3 linear passes over corpus chars fused into one
+    // tagged stream; everything after rides (doc, gram) keys.
+    "chrf_eval" -> { (s, d) =>
+      val (docs, cand) = refCandTokens(s, d)
+      def chtext(side: DataFrame) = side.select(col("doc_id"),
+        array_join(col("tk"), "").as("t"))
+      def grams(side: DataFrame): DataFrame =
+        (1 to 3).map(n => chtext(side).select(col("doc_id"),
+            lit(n.toLong).as("n"),
+            explode(when(length(col("t")) >= n,
+              transform(sequence(lit(1), length(col("t")) - n + 1),
+                i => col("t").substr(i, lit(n))))
+              .otherwise(array().cast("array<string>"))).as("g")))
+          .reduce(_ unionByName _)
+      val rc = grams(docs).groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cr")).localCheckpoint(true)
+      val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cc")).localCheckpoint(true)
+      val m = rc.join(cc, Seq("doc_id", "n", "g"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(least(col("cr"), col("cc"))).as("m"))
+      def tots(cnts: DataFrame, c: String, out: String) =
+        cnts.groupBy(col("doc_id"), col("n")).agg(sum(col(c)).as(out))
+      val perN = tots(rc, "cr", "r")
+        .join(tots(cc, "cc", "c"), Seq("doc_id", "n"), "full")
+        .join(m, Seq("doc_id", "n"), "left")
+        .select(col("doc_id"), col("n"),
+          coalesce(col("r"), lit(0L)).as("r"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          coalesce(col("m"), lit(0L)).as("m"))
+      val aggs = (1 to 3).flatMap(n => Seq(
+        sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"m_$n"),
+        sum(when(col("n") === n, col("c")).otherwise(0L)).as(s"c_$n"),
+        sum(when(col("n") === n, col("r")).otherwise(0L)).as(s"r_$n")))
+      perN.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .selectExpr(Seq("doc_id") ++
+          (1 to 3).flatMap(n => Seq(s"m_$n", s"c_$n", s"r_$n",
+            s"CASE WHEN c_$n > 0 THEN (2 * 1000000 * m_$n + c_$n) " +
+              s"div (2 * c_$n) ELSE 0L END AS p${n}_x1e6",
+            s"CASE WHEN r_$n > 0 THEN (2 * 1000000 * m_$n + r_$n) " +
+              s"div (2 * r_$n) ELSE 0L END AS rc${n}_x1e6")): _*)
+        .selectExpr("*",
+          "(2 * (p1_x1e6 + p2_x1e6 + p3_x1e6) + 3) div 6 AS chrp_x1e6",
+          "(2 * (rc1_x1e6 + rc2_x1e6 + rc3_x1e6) + 3) div 6 AS chrr_x1e6")
+        .selectExpr("*",
+          "CASE WHEN 4 * chrp_x1e6 + chrr_x1e6 > 0 THEN " +
+            "(2 * 5 * chrp_x1e6 * chrr_x1e6 + (4 * chrp_x1e6 + chrr_x1e6))" +
+            " div (2 * (4 * chrp_x1e6 + chrr_x1e6)) " +
+            "ELSE 0L END AS chrf_x1e6")
     },
 
     // EXACT set-similarity join (round 9) — every pair at 3-gram
@@ -3786,6 +4003,35 @@ object ExtQueries {
           "(200 * n_tokens + n_words) div (2 * n_words) AS tpw_x100")
     },
 
+    // UNIGRAM-LM TOKENIZER TRAINING (round 16) — the third production
+    // tokenizer beside BPE and WordPiece: Kudo 2018's unigram model
+    // with EM pruning, deterministic exact-integer form (see
+    // unigramModel's scaladoc for the full contract). Output: the
+    // final vocabulary — piece, length, Viterbi usage count, add-1
+    // 1e6-scaled log-probability cell. The oracle replays the seed
+    // derivation, both EM rounds' forward/backward Viterbi recursions
+    // (shift-state + smallest-l CTEs), the prunes and the ln cells.
+    "unigram_train" -> { (s, d) =>
+      val (_, vocab, _) = unigramModel(s, d)
+      vocab
+    },
+
+    // UNIGRAM-LM ENCODING (round 16) — apply the trained unigram model
+    // to every document: per-word Viterbi piece counts under the final
+    // scores, rolled up per doc exactly like bpe_encode /
+    // wordpiece_encode (n_words, n_tokens, HALF-UP tokens-per-100-
+    // words). The tokenizer-family comparison is now three-way on
+    // identical output shapes.
+    "unigram_encode" -> { (s, d) =>
+      val (tf, _, enc) = unigramModel(s, d)
+      tf.join(enc, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_words"),
+          sum(col("tf") * col("n_pieces")).as("n_tokens"))
+        .selectExpr("doc_id", "n_words", "n_tokens",
+          "(200 * n_tokens + n_words) div (2 * n_words) AS tpw_x100")
+    },
+
     // Tokenizer fertility per language (round 11) — the multilingual-
     // tokenizer-bias metric (fertility = subword tokens per word;
     // Ács 2019, XLM-R analyses): languages the tokenizer serves badly
@@ -4870,6 +5116,127 @@ object ExtQueries {
 
   private val ToksSql =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  // ---- unigram-LM oracle generator (round 16) -----------------------
+  // The DuckDB replay of unigramModel: seed substring counts, add-1
+  // ln-cell scores, and per EM round a SHIFT-STATE forward Viterbi
+  // recursion (the last four B values ride the recursive row, so each
+  // step needs only the previous iteration) plus an l-EMITTING
+  // backward recursion (smallest l with B(e−l) + s = B(e) — the same
+  // CASE order as the Spark fold's when-chain). Machine-generated from
+  // the same constants (256/170/113, sentinel −10^15) the Spark side
+  // uses.
+
+  private val UniSentSql = "-1000000000000000"
+
+  private def uniLn(x: String): String =
+    s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+
+  /** tot$r/sc$r over a (piece, usage) vocab CTE. */
+  private def uniScoreCtes(r: String, vocab: String): String =
+    s"""tot$r AS MATERIALIZED (SELECT CAST(sum(usage) AS BIGINT) AS t,
+       |            CAST(count(*) AS BIGINT) AS v FROM $vocab),
+       |sc$r AS MATERIALIZED (SELECT piece, ${uniLn("usage + 1")}
+       |           - (SELECT ${uniLn("t + v")} FROM tot$r) AS s
+       |         FROM $vocab)""".stripMargin
+
+  /** fwd$r/fw$r/back$r/pieces$r/usage$r under score CTE $sc.
+    *
+    * Score and B lookups inside the recursive terms are LEFT JOINs,
+    * never correlated scalar subqueries — DuckDB 1.0's recursive
+    * evaluation silently returns NULL for correlated subqueries on
+    * some first-iteration rows (observed: the l=1 score lookup at
+    * i=0, flipping B(1) to the sentinel), and the failure pattern
+    * shifts with unrelated CTE materialization. fw$r/pieces$r stay
+    * UNMATERIALIZED for the same reason: materializing a view layered
+    * over a recursive CTE perturbs that recursion's own evaluation. */
+  private def uniViterbiCtes(r: String, sc: String): String = {
+    def fcand(l: Int) =
+      if (l == 1) s"coalesce(s1.s, $UniSentSql) + f.b0"
+      else s"""CASE WHEN f.b${l - 1} IS NOT NULL THEN
+              |               coalesce(s$l.s, $UniSentSql) + f.b${l - 1}
+              |             ELSE $UniSentSql END""".stripMargin
+    def bok(l: Int) =
+      s"t0.e >= $l AND coalesce(s$l.s, $UniSentSql) + q$l.b = qe.b"
+    s"""fwd$r AS (
+       |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS b0, CAST(NULL AS BIGINT) AS b1,
+       |         CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3
+       |  FROM wc
+       |  UNION ALL
+       |  SELECT f.w, f.i + 1,
+       |    greatest(${fcand(1)},
+       |             ${fcand(2)},
+       |             ${fcand(3)},
+       |             ${fcand(4)}),
+       |    f.b0, f.b1, f.b2
+       |  FROM fwd$r f
+       |  LEFT JOIN $sc s1 ON s1.piece = substr(f.w, f.i + 1, 1)
+       |  LEFT JOIN $sc s2 ON s2.piece = substr(f.w, f.i, 2)
+       |  LEFT JOIN $sc s3 ON s3.piece = substr(f.w, f.i - 1, 3)
+       |  LEFT JOIN $sc s4 ON s4.piece = substr(f.w, f.i - 2, 4)
+       |  WHERE f.i < length(f.w)),
+       |fw$r AS (SELECT w, i AS j, b0 AS b FROM fwd$r),
+       |back$r AS (
+       |  SELECT w, CAST(length(w) AS INTEGER) AS e, 0 AS l FROM wc
+       |  UNION ALL
+       |  SELECT z.w, z.e - z.nl, z.nl FROM (
+       |    SELECT t0.w AS w, t0.e AS e,
+       |      CASE WHEN ${bok(1)} THEN 1
+       |           WHEN ${bok(2)} THEN 2
+       |           WHEN ${bok(3)} THEN 3
+       |           ELSE 4 END AS nl
+       |    FROM back$r t0
+       |    LEFT JOIN fw$r qe ON qe.w = t0.w AND qe.j = t0.e
+       |    LEFT JOIN fw$r q1 ON q1.w = t0.w AND q1.j = t0.e - 1
+       |    LEFT JOIN fw$r q2 ON q2.w = t0.w AND q2.j = t0.e - 2
+       |    LEFT JOIN fw$r q3 ON q3.w = t0.w AND q3.j = t0.e - 3
+       |    LEFT JOIN $sc s1 ON s1.piece = substr(t0.w, t0.e, 1)
+       |    LEFT JOIN $sc s2 ON s2.piece = substr(t0.w, t0.e - 1, 2)
+       |    LEFT JOIN $sc s3 ON s3.piece = substr(t0.w, t0.e - 2, 3)
+       |    WHERE t0.e > 0) z),
+       |pieces$r AS (SELECT w, substr(w, e + 1, l) AS piece
+       |             FROM back$r WHERE l > 0),
+       |usage$r AS MATERIALIZED (SELECT piece, CAST(sum(wn) AS BIGINT) AS usage
+       |            FROM pieces$r JOIN wc USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  /** Pruned vocab v$r: singles + top-$keep multis of usage$r. */
+  private def uniPruneCtes(r: String, keep: Int): String =
+    s"""v${r}m AS MATERIALIZED (SELECT piece FROM usage$r WHERE length(piece) >= 2
+       |          ORDER BY usage DESC, piece LIMIT $keep),
+       |v$r AS MATERIALIZED (SELECT s.piece, CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
+       |        FROM (SELECT piece FROM singles
+       |              UNION ALL SELECT piece FROM v${r}m) s
+       |        LEFT JOIN usage$r u USING (piece))""".stripMargin
+
+  /** Shared prefix: tf/wc, 1..4-substring seed counts, seed vocab +
+    * both EM rounds, ending with the final pruned vocab v2. */
+  private def uniTrainCtes: String =
+    s"""wx AS MATERIALIZED (SELECT doc_id,
+       |         unnest(list_transform($ToksSql, t -> lower(t))) AS w
+       |       FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |       FROM wx GROUP BY 1, 2),
+       |wc AS MATERIALIZED (SELECT w, CAST(sum(tf) AS BIGINT) AS wn FROM tf GROUP BY 1),
+       |wl AS MATERIALIZED (SELECT w, wn, unnest([1, 2, 3, 4]) AS l FROM wc),
+       |wi AS MATERIALIZED (SELECT w, wn, l,
+       |         unnest(generate_series(1, length(w) - l + 1)) AS i
+       |       FROM wl),
+       |subs AS MATERIALIZED (SELECT substr(w, i, l) AS piece, CAST(sum(wn) AS BIGINT) AS cnt
+       |         FROM wi GROUP BY 1),
+       |singles AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
+       |multis0 AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) >= 2
+       |            ORDER BY cnt DESC, piece LIMIT 256),
+       |seed0 AS MATERIALIZED (SELECT s.piece, c.cnt AS usage
+       |          FROM (SELECT piece FROM singles
+       |                UNION ALL SELECT piece FROM multis0) s
+       |          JOIN subs c USING (piece)),
+       |${uniScoreCtes("0", "seed0")},
+       |${uniViterbiCtes("1", "sc0")},
+       |${uniPruneCtes("1", 170)},
+       |${uniScoreCtes("1", "v1")},
+       |${uniViterbiCtes("2", "sc1")},
+       |${uniPruneCtes("2", 113)}""".stripMargin
 
   /** [[withNearDups]] in SQL: documents ∪ perturbed copy. */
   private val CorpusCte: String =
@@ -7208,6 +7575,69 @@ object ExtQueries {
         |    AS BIGINT) AS p4_x1e6
         |FROM agg""".stripMargin,
 
+    // chrf_eval: same whitespace-stripped char-gram derivation (orders
+    // 1..3), clipped counts, HALF_UP P/R cells, mean-then-F(β=2).
+    "chrf_eval" -> {
+      val ns = 1 to 3
+      val cells = ns.flatMap(n => Seq(s"m_$n", s"c_$n", s"r_$n",
+        s"""CAST(CASE WHEN c_$n > 0 THEN (2 * 1000000 * m_$n + c_$n)
+           |  // (2 * c_$n) ELSE 0 END AS BIGINT) AS p${n}_x1e6""".stripMargin,
+        s"""CAST(CASE WHEN r_$n > 0 THEN (2 * 1000000 * m_$n + r_$n)
+           |  // (2 * r_$n) ELSE 0 END AS BIGINT) AS rc${n}_x1e6""".stripMargin))
+        .mkString(",\n")
+      val sums = ns.flatMap(n => Seq(
+        s"CAST(coalesce(sum(CASE WHEN n = $n THEN m END), 0) AS BIGINT) AS m_$n",
+        s"CAST(coalesce(sum(CASE WHEN n = $n THEN c END), 0) AS BIGINT) AS c_$n",
+        s"CAST(coalesce(sum(CASE WHEN n = $n THEN r END), 0) AS BIGINT) AS r_$n"))
+        .mkString(",\n")
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |rt AS (SELECT doc_id, array_to_string(tk, '') AS t FROM t),
+         |ct AS (SELECT doc_id, array_to_string(
+         |         list_slice(tk, 1, greatest(len(tk) - 3, 1)), '') AS t
+         |       FROM t),
+         |rg AS (SELECT doc_id, n, unnest(CASE WHEN length(t) >= n
+         |         THEN list_transform(generate_series(1, length(t) - n + 1),
+         |                             i -> substr(t, i, n))
+         |         ELSE [] END) AS g
+         |       FROM (SELECT doc_id, t, unnest([1, 2, 3]) AS n FROM rt)),
+         |cg AS (SELECT doc_id, n, unnest(CASE WHEN length(t) >= n
+         |         THEN list_transform(generate_series(1, length(t) - n + 1),
+         |                             i -> substr(t, i, n))
+         |         ELSE [] END) AS g
+         |       FROM (SELECT doc_id, t, unnest([1, 2, 3]) AS n FROM ct)),
+         |rcn AS (SELECT doc_id, n, g, count(*) AS cr FROM rg GROUP BY 1, 2, 3),
+         |ccn AS (SELECT doc_id, n, g, count(*) AS cc FROM cg GROUP BY 1, 2, 3),
+         |mm AS (SELECT doc_id, n, sum(least(cr, cc)) AS m
+         |       FROM rcn JOIN ccn USING (doc_id, n, g) GROUP BY 1, 2),
+         |rs AS (SELECT doc_id, n, sum(cr) AS r FROM rcn GROUP BY 1, 2),
+         |cs AS (SELECT doc_id, n, sum(cc) AS c FROM ccn GROUP BY 1, 2),
+         |pn AS (SELECT coalesce(rs.doc_id, cs.doc_id) AS doc_id,
+         |         coalesce(rs.n, cs.n) AS n,
+         |         coalesce(rs.r, 0) AS r, coalesce(cs.c, 0) AS c,
+         |         coalesce(mm.m, 0) AS m
+         |       FROM rs FULL JOIN cs USING (doc_id, n)
+         |       LEFT JOIN mm USING (doc_id, n)),
+         |agg AS (SELECT doc_id,
+         |$sums
+         |        FROM pn GROUP BY 1),
+         |cell AS (SELECT doc_id,
+         |$cells
+         |         FROM agg),
+         |pr AS (SELECT *,
+         |         (2 * (p1_x1e6 + p2_x1e6 + p3_x1e6) + 3) // 6 AS chrp_x1e6,
+         |         (2 * (rc1_x1e6 + rc2_x1e6 + rc3_x1e6) + 3) // 6 AS chrr_x1e6
+         |       FROM cell)
+         |SELECT *,
+         |  CAST(CASE WHEN 4 * chrp_x1e6 + chrr_x1e6 > 0 THEN
+         |    (2 * 5 * chrp_x1e6 * chrr_x1e6 + (4 * chrp_x1e6 + chrr_x1e6))
+         |    // (2 * (4 * chrp_x1e6 + chrr_x1e6))
+         |  ELSE 0 END AS BIGINT) AS chrf_x1e6
+         |FROM pr""".stripMargin
+    },
+
     // rouge_n: the same clipped-multiset counting and HALF_UP F cells,
     // candidate built by the identical token slice.
     "rouge_n" ->
@@ -7926,6 +8356,35 @@ object ExtQueries {
          |enc AS (SELECT w, CAST(max(n) AS BIGINT) AS n_pieces
          |        FROM seg GROUP BY 1),
          |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |               CAST(sum(tf * n_pieces) AS BIGINT) AS n_tokens
+         |        FROM tf JOIN enc USING (w) GROUP BY 1)
+         |SELECT doc_id, n_words, n_tokens,
+         |       (200 * n_tokens + n_words) // (2 * n_words) AS tpw_x100
+         |FROM agg""".stripMargin,
+
+    // unigram_train: seed → 2 EM rounds (shift-state forward +
+    // smallest-l backward Viterbi recursions) → pruned final vocab
+    // with add-1 ln-cell scores.
+    "unigram_train" ->
+      s"""WITH RECURSIVE
+         |$uniTrainCtes,
+         |tot2 AS MATERIALIZED (SELECT CAST(sum(usage) AS BIGINT) AS t,
+         |            CAST(count(*) AS BIGINT) AS v FROM v2)
+         |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, usage,
+         |       ${uniLn("usage + 1")}
+         |       - (SELECT ${uniLn("t + v")} FROM tot2) AS logp_x1e6
+         |FROM v2""".stripMargin,
+
+    // unigram_encode: the same chain + a third Viterbi pass under the
+    // final scores; per-doc rollup identical to bpe/wordpiece encode.
+    "unigram_encode" ->
+      s"""WITH RECURSIVE
+         |$uniTrainCtes,
+         |${uniScoreCtes("2", "v2")},
+         |${uniViterbiCtes("3", "sc2")},
+         |enc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+         |        FROM pieces3 GROUP BY 1),
+         |agg AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
          |               CAST(sum(tf * n_pieces) AS BIGINT) AS n_tokens
          |        FROM tf JOIN enc USING (w) GROUP BY 1)
          |SELECT doc_id, n_words, n_tokens,

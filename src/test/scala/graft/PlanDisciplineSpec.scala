@@ -121,6 +121,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "graph_triangles" -> Seq("n_edges", "n_triangles"),
     "grouping_sets" -> Seq("n_name,n_nationkey,n_regionkey", "r_name,r_regionkey"),
     "hard_negatives" -> Seq("qq,query_id"),
+    // the ≤ k−1-counter MG sketch (k = 40) and the 1-row token total
+    "heavy_hitters" -> Seq("est_count,token", "n"),
     "heldout_perplexity" -> Seq("v"),
     "herfindahl_index" -> Seq("n_name,n_nationkey"),
     "holt_linear" -> Seq("day,forecast_x1e6,level_x1e6,trend_x1e6"),
@@ -143,6 +145,8 @@ class PlanDisciplineSpec extends SparkSpec {
     // source + clone DV probes (deletion-sized) and the clone's 1-row agg
     "lake_clone" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "clone_cents,n_clone"),
     "lake_partition_prune" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos"),
+    // the 1-row IS-NOT-NULL-side aggregate attached to the IS-NULL side
+    "lake_null_prune" -> Seq("n_notnull_rows,notnull_note_sum"),
     "lake_mor_delete" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,n_deletes,n_inserts", "delete_cents,n_deletes,n_inserts"),
     "lake_mor_merge" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,insert_cents,n_deletes,n_inserts"),
     "lake_restore" -> Seq("n_deletes,n_inserts,net_cents", "n_deletes,n_inserts,net_cents"),

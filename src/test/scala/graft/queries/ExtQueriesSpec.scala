@@ -760,4 +760,73 @@ class ExtQueriesSpec extends SparkSpec {
     // peeling did real work and the core is non-trivial
     assert(surv.nonEmpty && surv.size < ids.length)
   }
+
+  test("unigram tokenizer: independent driver-side Viterbi reproduces the encoder") {
+    // The published model (unigram_train's piece -> logp cells) must
+    // reproduce unigram_encode's per-doc token counts under a plain
+    // Scala re-implementation of the DP — same forward max, same
+    // smallest-l backward tie-break. Any divergence between the fold
+    // expressions and the intended algorithm (off-by-one, tie-break
+    // order, sentinel arithmetic) breaks this equality.
+    val rows = ExtQueries.queries("unigram_train")(spark, sf).collect()
+    val vocab = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(vocab.nonEmpty && vocab.keys.forall(p => p.length >= 1 && p.length <= 4))
+    assert(vocab.values.forall(_ < 0), "add-1 logp cells are negative")
+    assert(vocab.keys.count(_.length >= 2) <= 113, "final prune cap")
+    val Sent = -1000000000000000L
+    def nPieces(w: String): Long = {
+      val n = w.length
+      val B = Array.fill(n + 1)(Sent); B(0) = 0L
+      for (i <- 1 to n; l <- 1 to 4 if l <= i) {
+        val s = vocab.getOrElse(w.substring(i - l, i), Sent)
+        if (B(i - l) + s > B(i)) B(i) = B(i - l) + s
+      }
+      var e = n
+      var cnt = 0L
+      while (e > 0) {
+        val l = (1 to 4).find(l => l <= e &&
+          vocab.getOrElse(w.substring(e - l, e), Sent) + B(e - l) == B(e))
+          .getOrElse(4)
+        e -= l; cnt += 1
+      }
+      cnt
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+    val expect = docs.map { r =>
+      val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> ((toks.length.toLong, toks.map(nPieces).sum))
+    }.toMap
+    val got = ExtQueries.queries("unigram_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // every char that appears in a token is a retained single (the
+    // fallback alphabet survives both prunes)
+    val chars = expect.keySet.flatMap(_ => Set.empty[Char]) ++
+      docs.flatMap(_.getString(1).trim.split("\\s+")).flatMap(_.toCharArray)
+    chars.foreach(c => assert(vocab.contains(c.toString), s"single '$c' missing"))
+  }
+
+  test("chrf_eval: prefix candidate scores char precision exactly 1e6; F bounded by P and R") {
+    val out = ExtQueries.queries("chrf_eval")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      def L(c: String) = r.getLong(r.fieldIndex(c))
+      // The candidate char stream is an exact PREFIX of the reference
+      // stream (token slice, whitespace stripped), so every candidate
+      // n-gram matches clipped: m = c and precision = 1e6 per order.
+      for (n <- 1 to 3) {
+        assert(L(s"m_$n") === L(s"c_$n"))
+        assert(L(s"c_$n") <= L(s"r_$n"))
+        if (L(s"c_$n") > 0) assert(L(s"p${n}_x1e6") === 1000000L)
+        assert(L(s"rc${n}_x1e6") <= 1000000L)
+      }
+      // F(beta=2) sits between min and max of its P/R cells, in [0, 1e6].
+      val (p, rc, f) = (L("chrp_x1e6"), L("chrr_x1e6"), L("chrf_x1e6"))
+      assert(f >= 0L && f <= 1000000L)
+      assert(f <= math.max(p, rc) + 1 && f + 1 >= math.min(p, rc))
+      // beta = 2 weights recall: F is closer to R than to P
+      if (p != rc) assert(math.abs(f - rc) < math.abs(f - p))
+    }
+  }
 }
