@@ -90,6 +90,71 @@ object Snapshot {
     "meta\t" + java.util.Base64.getEncoder.encodeToString(
       schema.json.getBytes("UTF-8"))
 
+  // ---- column mapping (the Delta name-mapping semantic) -----------
+  //
+  // A field's PHYSICAL name — the column name in the parquet files
+  // and every manifest stat segment — lives in the field's metadata
+  // under [[PhysKey]]; absent means physical == logical (every table
+  // until its first rename/drop, so legacy logs parse unchanged).
+  // Rename/drop are then METADATA-ONLY commits: the logical name (or
+  // its presence) changes in the meta line while the physical name —
+  // and therefore every data file and stats segment — stays put.
+  // Activation stamps EVERY field with its explicit physical name, so
+  // "mapping active" is detectable from the schema alone; once
+  // active, [[Lake.evolveSchema]] gives NEW columns fresh physical
+  // names (`<name>__p<version>`) so re-adding a dropped/renamed-away
+  // logical name can never resurrect old files' values (their
+  // physical column no longer maps to anything).
+
+  /** Field-metadata key carrying the physical column name. */
+  val PhysKey = "graft.physical"
+
+  /** The field's physical (on-disk/manifest) name. */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** Logical → physical for one column; identity when the schema is
+    * unrecorded or the column is unmapped (grandfather clause). */
+  def physicalIn(schema: Option[StructType], c: String): String =
+    schema.flatMap(_.fields.find(_.name == c)).map(physicalName)
+      .getOrElse(c)
+
+  /** True once any field carries an explicit physical name. */
+  def mappingActive(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysKey))
+
+  /** The physical read schema: logical fields renamed to their
+    * physical names (metadata dropped — parquet readers don't want
+    * the mapping key). */
+  def physicalSchema(logical: StructType): StructType =
+    StructType(logical.fields.map(f => f.copy(name = physicalName(f),
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** Stamp every field with its explicit physical name — the
+    * mapping-activation step rename/drop run first (idempotent). */
+  def activateMapping(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(PhysKey)) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysKey, f.name).build())
+    })
+
+  /** The logical schema with field metadata stripped — what reads
+    * surface (the mapping key is log plumbing, not user schema). */
+  def cleanSchema(logical: StructType): StructType =
+    StructType(logical.fields.map(_.copy(
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** Rename physical columns back to logical — the read-side closing
+    * projection (identity column set when mapping is inactive). */
+  def toLogical(df: org.apache.spark.sql.DataFrame,
+      logical: StructType): org.apache.spark.sql.DataFrame =
+    df.select(logical.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.col(physicalName(f))
+        .as(f.name)): _*)
+
   private def parseMetaPayload(b64: String): StructType =
     DataType.fromJson(new String(
       java.util.Base64.getDecoder.decode(b64), "UTF-8"))
@@ -147,6 +212,8 @@ object Snapshot {
               // nullCount stats tier (IS NULL / IS NOT NULL skipping)
               val body = kv.stripPrefix("nullcnt:")
               val i = body.indexOf('=')
+              if (i < 0) sys.error(
+                s"corrupt log line in ${p.getName}: bad nullcnt segment $kv")
               ncnts += body.substring(0, i) -> body.substring(i + 1).toLong
             } else if (kv.startsWith("bloom:")) {
               val Array(c, payload) = kv.stripPrefix("bloom:")
@@ -550,9 +617,22 @@ object Snapshot {
       * readers go through [[liveState]] so MOR deletes apply). */
     def liveFiles(asOf: Int): Seq[FileStat] = liveState(asOf).map(_._1)
 
+    /** One checkpoint+suffix fold: state AND the schema recorded as
+      * of `v` — callers that need both (every mapped read) must not
+      * pay two folds. */
+    private def ckAt(v: Int): Snapshot.Checkpoint =
+      Snapshot.checkpointAt(fs, logPath, v)
+
     /** Time travel: the table exactly as snapshot `v` saw it —
-      * deletion vectors of that snapshot applied. */
-    def readAsOf(v: Int): DataFrame = readState(liveState(v))
+      * deletion vectors of that snapshot applied, columns under the
+      * LOGICAL names that snapshot's schema recorded (a later rename
+      * never rewrites history: old versions read under old names). */
+    def readAsOf(v: Int): DataFrame = {
+      if (v < 0) return spark.emptyDataFrame
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      readState(ck.state, logical = ck.schema)
+    }
 
     /** Timestamp-based time travel (Delta's `timestampAsOf`): the last
       * version whose publish timestamp is ≤ `tsMillis`. Resolution is
@@ -628,7 +708,15 @@ object Snapshot {
     def changes(v0: Int, v1: Int): DataFrame = {
       require(v0 <= v1, s"changes($v0, $v1): v0 must precede v1")
       val before = if (v0 < 0) Nil else liveState(v0)
-      val after = liveState(v1)
+      val ckAfter = ckAt(v1)
+      require(ckAfter.version >= 0, s"no snapshot <= $v1 at $root")
+      val after = ckAfter.state
+      // Under column mapping the diff runs in the LOGICAL space of
+      // the window end: both sides project to v1's logical columns
+      // (stable physical names make pre-rename rows compare equal),
+      // so a rename never manufactures change rows and a dropped
+      // column's stored values can't keep rows from cancelling.
+      val logicalAt = ckAfter.schema
       // The diff keys on (path, dv): a deletion-vector change touches
       // the file exactly like a rewrite does — its old visible rows
       // appear on the dropped side, its new visible rows on the added
@@ -642,20 +730,38 @@ object Snapshot {
       if (dropped.isEmpty && added.isEmpty) {
         // No file membership change in the window ⇒ empty feed, with
         // the table schema whenever one is resolvable.
-        val base = if (after.nonEmpty) readFiles(after.map(_._1))
-                   else if (before.nonEmpty) readFiles(before.map(_._1))
-                   else spark.emptyDataFrame
+        val base = logicalAt match {
+          case Some(l) =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              Snapshot.cleanSchema(l))
+          case None =>
+            if (after.nonEmpty) readFiles(after.map(_._1))
+            else if (before.nonEmpty) readFiles(before.map(_._1))
+            else spark.emptyDataFrame
+        }
         return base.filter(lit(false)).withColumn("_op", lit(""))
       }
-      // Both diff sides read under the UNION schema of every touched
-      // file (schema evolution inside the window: the narrow side
-      // null-fills), so the exceptAll row algebra always compares
-      // like against like.
-      val unified = readFiles((dropped ++ added).map(_._1))
-      val empty = unified.filter(lit(false))
+      // Both diff sides read under ONE shared schema so the exceptAll
+      // row algebra always compares like against like: the recorded
+      // logical schema at v1 when the table carries one (schema
+      // evolution inside the window: the narrow side null-fills under
+      // the explicit physical read schema), else the footer UNION of
+      // every touched file (legacy pre-meta logs).
+      val unified = logicalAt match {
+        case Some(_) => None
+        case None => Some(readFiles((dropped ++ added).map(_._1)).schema)
+      }
       def side(entries: Seq[(FileStat, Option[String])]): DataFrame =
-        if (entries.isEmpty) empty
-        else readState(entries, Some(unified.schema))
+        if (entries.isEmpty) logicalAt match {
+          case Some(l) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Snapshot.cleanSchema(l))
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            unified.get)
+        }
+        else readState(entries, unified, logicalAt)
       val oldRows = side(dropped)
       val newRows = side(added)
       newRows.exceptAll(oldRows).withColumn("_op", lit("insert"))
@@ -686,13 +792,20 @@ object Snapshot {
       * set a range predicate needs. With [[Compact.clusterBy]]-laid
       * files the survivor count approaches ceil(selectivity · files)
       * (CompactSpec's pruning experiment). */
-    def pruneFiles(v: Int, col: String, qLo: Long, qHi: Long): Seq[FileStat] =
-      liveFiles(v).filter { f =>
-        (f.lo.get(col), f.hi.get(col)) match {
+    def pruneFiles(v: Int, col: String, qLo: Long, qHi: Long): Seq[FileStat] = {
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      // Manifest stats are keyed by PHYSICAL name (stable across
+      // renames, so a rename invalidates no recorded segment); the
+      // caller's logical column translates here, in every prune tier.
+      val pc = Snapshot.physicalIn(ck.schema, col)
+      ck.state.map(_._1).filter { f =>
+        (f.lo.get(pc), f.hi.get(pc)) match {
           case (Some(l), Some(h)) => h >= qLo && l <= qHi
           case _ => true // no stats for col ⇒ cannot prune, must scan
         }
       }
+    }
 
     /** Range scan through the zone-map manifest: open only the files
       * [[pruneFiles]] keeps, then apply the row predicate — after a
@@ -702,11 +815,13 @@ object Snapshot {
       * without any footer reads on the other 99%. */
     def readRange(v: Int, column: String, qLo: Long, qHi: Long): DataFrame = {
       val keep = pruneFiles(v, column, qLo, qHi).map(_.path).toSet
-      val entries = liveState(v).filter(e => keep(e._1.path))
+      val ck = ckAt(v)
+      val entries = ck.state.filter(e => keep(e._1.path))
       // every file pruned: an empty frame WITH the table schema (plan
       // over the live set, zero rows scanned at runtime)
       if (entries.isEmpty) readAsOf(v).filter(lit(false))
-      else readState(entries).filter(col(column).between(qLo, qHi))
+      else readState(entries, logical = ck.schema)
+        .filter(col(column).between(qLo, qHi))
     }
 
     /** STRING zone-map pruning (Delta records min/max for string
@@ -718,15 +833,19 @@ object Snapshot {
       * UTF-16 order would, for supplementary-plane keys). Files
       * without a recorded range stay must-scan. */
     def pruneFilesStr(v: Int, c: String, qLo: String, qHi: String)
-        : Seq[FileStat] =
-      liveFiles(v).filter { f =>
-        (f.slo.get(c), f.shi.get(c)) match {
+        : Seq[FileStat] = {
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      val pc = Snapshot.physicalIn(ck.schema, c)
+      ck.state.map(_._1).filter { f =>
+        (f.slo.get(pc), f.shi.get(pc)) match {
           case (Some(l), Some(h)) =>
             Snapshot.utf8Compare(h, qLo) >= 0 &&
               Snapshot.utf8Compare(l, qHi) <= 0
           case _ => true
         }
       }
+    }
 
     /** Range scan through the string zone maps — [[readRange]]'s
       * lexicographic twin: open only [[pruneFilesStr]]'s survivors
@@ -736,9 +855,10 @@ object Snapshot {
     def readRangeStr(v: Int, c: String, qLo: String, qHi: String)
         : DataFrame = {
       val keep = pruneFilesStr(v, c, qLo, qHi).map(_.path).toSet
-      val entries = liveState(v).filter(e => keep(e._1.path))
+      val ck = ckAt(v)
+      val entries = ck.state.filter(e => keep(e._1.path))
       if (entries.isEmpty) readAsOf(v).filter(lit(false))
-      else readState(entries)
+      else readState(entries, logical = ck.schema)
         .filter(col(c).cast("string").between(qLo, qHi))
     }
 
@@ -752,8 +872,11 @@ object Snapshot {
       * this is the only manifest-level skip a point lookup gets. */
     def pruneFilesEq(v: Int, column: String, value: String): Seq[FileStat] = {
       val h = Snapshot.md5Hash60Jvm(value)
-      liveFiles(v).filter { f =>
-        f.bloom.get(column) match {
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      val pc = Snapshot.physicalIn(ck.schema, column)
+      ck.state.map(_._1).filter { f =>
+        f.bloom.get(pc) match {
           case Some((k, words)) => Snapshot.bloomMightContain(words, k, h)
           case None => true // no filter ⇒ cannot prune, must scan
         }
@@ -766,9 +889,10 @@ object Snapshot {
       * ~fpp × nFiles files instead of all of them. */
     def readEq(v: Int, column: String, value: String): DataFrame = {
       val keep = pruneFilesEq(v, column, value).map(_.path).toSet
-      val entries = liveState(v).filter(e => keep(e._1.path))
+      val ck = ckAt(v)
+      val entries = ck.state.filter(e => keep(e._1.path))
       if (entries.isEmpty) readAsOf(v).filter(lit(false))
-      else readState(entries)
+      else readState(entries, logical = ck.schema)
         .filter(col(column).cast("string") === value)
     }
 
@@ -788,7 +912,10 @@ object Snapshot {
       * ONLY its value's rows, unlike a zone range). */
     def pruneFilesPartition(v: Int, c: String, value: String): Seq[FileStat] = {
       val frag = Snapshot.escapedPartValue(value)
-      liveFiles(v).filter(f => f.parts.get(c).forall(_ == frag))
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      val pc = Snapshot.physicalIn(ck.schema, c)
+      ck.state.map(_._1).filter(f => f.parts.get(pc).forall(_ == frag))
     }
 
     /** Partition-pruned read: open only [[pruneFilesPartition]]'s
@@ -799,9 +926,10 @@ object Snapshot {
       * partition's files only, decided entirely from the log. */
     def readPartition(v: Int, c: String, value: String): DataFrame = {
       val keep = pruneFilesPartition(v, c, value).map(_.path).toSet
-      val entries = liveState(v).filter(e => keep(e._1.path))
+      val ck = ckAt(v)
+      val entries = ck.state.filter(e => keep(e._1.path))
       if (entries.isEmpty) readAsOf(v).filter(lit(false))
-      else readState(entries).filter(
+      else readState(entries, logical = ck.schema).filter(
         if (value == null) col(c).isNull
         else col(c).cast("string") === value)
     }
@@ -816,13 +944,17 @@ object Snapshot {
       * unrecorded) — stay must-scan. Pure manifest filter; completes
       * the skipping matrix (zone ranges and Blooms are null-blind:
       * a NULL neither intersects a range nor probes a filter). */
-    def pruneFilesNull(v: Int, c: String, wantNull: Boolean): Seq[FileStat] =
-      liveFiles(v).filter { f =>
-        f.nulls.get(c) match {
+    def pruneFilesNull(v: Int, c: String, wantNull: Boolean): Seq[FileStat] = {
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      val pc = Snapshot.physicalIn(ck.schema, c)
+      ck.state.map(_._1).filter { f =>
+        f.nulls.get(pc) match {
           case Some(n) => if (wantNull) n > 0 else n < f.rows
           case None => true // no stat ⇒ cannot prune, must scan
         }
       }
+    }
 
     /** Null-predicate read through the null-count manifest: open only
       * [[pruneFilesNull]]'s survivors (deletion vectors applied), then
@@ -832,9 +964,10 @@ object Snapshot {
       * entirely from the log. */
     def readNull(v: Int, c: String, wantNull: Boolean): DataFrame = {
       val keep = pruneFilesNull(v, c, wantNull).map(_.path).toSet
-      val entries = liveState(v).filter(e => keep(e._1.path))
+      val ck = ckAt(v)
+      val entries = ck.state.filter(e => keep(e._1.path))
       if (entries.isEmpty) readAsOf(v).filter(lit(false))
-      else readState(entries)
+      else readState(entries, logical = ck.schema)
         .filter(if (wantNull) col(c).isNull else col(c).isNotNull)
     }
 
@@ -871,17 +1004,28 @@ object Snapshot {
       * reads at scan speed plus one broadcast hash probe on exactly
       * the dv'd files; the plain files pay nothing. */
     private def readState(entries: Seq[(FileStat, Option[String])],
-        schema0: Option[org.apache.spark.sql.types.StructType] = None)
+        schema0: Option[org.apache.spark.sql.types.StructType] = None,
+        logical: Option[org.apache.spark.sql.types.StructType] = None)
         : DataFrame = {
       if (entries.isEmpty) return spark.emptyDataFrame
-      val schema = schema0.getOrElse(readFiles(entries.map(_._1)).schema)
+      // Scan space is PHYSICAL: when the table records a schema, its
+      // fields' physical names drive the parquet read (files a column
+      // predates null-fill under the explicit schema); the closing
+      // [[Snapshot.toLogical]] projection renames back. Legacy path
+      // (no recorded schema): footer-union, names as written.
+      val schema = schema0
+        .orElse(logical.map(Snapshot.physicalSchema))
+        .getOrElse(readFiles(entries.map(_._1)).schema)
       val outCols = schema.fields.map(f => col(f.name)).toSeq
       def readWith(fs: Seq[FileStat]) =
         spark.read.option("mergeSchema", "true").schema(schema)
           .parquet(fs.map(f => new Path(rootPath, f.path).toString): _*)
       val plain = entries.collect { case (f, None) => f }
       val dvd = entries.collect { case (f, Some(dv)) => (f, dv) }
-      if (dvd.isEmpty) return readWith(plain)
+      if (dvd.isEmpty) {
+        val raw = readWith(plain)
+        return logical.map(Snapshot.toLogical(raw, _)).getOrElse(raw)
+      }
       val dvRows = spark.read.parquet(dvd.map(_._2).distinct.map(p =>
           new Path(rootPath, p).toString): _*)
         .select(col("data_path").as("__dv_path"), col("pos").as("__dv_pos"))
@@ -892,8 +1036,10 @@ object Snapshot {
           col("__key") === col("__dv_path") && col("__pos") === col("__dv_pos"),
           "left_anti")
         .select(outCols: _*)
-      if (plain.isEmpty) visible
-      else readWith(plain).select(outCols: _*).unionByName(visible)
+      val raw =
+        if (plain.isEmpty) visible
+        else readWith(plain).select(outCols: _*).unionByName(visible)
+      logical.map(Snapshot.toLogical(raw, _)).getOrElse(raw)
     }
 
     /** VACUUM: delete data files no snapshot in the retention horizon
@@ -981,8 +1127,9 @@ object Snapshot {
       * identical types; anything else — a new column, a missing
       * column, a type change — is refused with a pointer to
       * [[evolveSchema]]. No-op when the log predates `meta` lines. */
-    private def validateWriteSchema(df: StructType): Unit =
-      tableSchema.foreach { ts =>
+    private def validateWriteSchema(ts0: Option[StructType],
+        df: StructType): Unit =
+      ts0.foreach { ts =>
         val want = schemaKey(ts)
         val got = schemaKey(df)
         if (want != got) {
@@ -1029,7 +1176,79 @@ object Snapshot {
       require(newKey.size > curKey.size,
         s"evolveSchema at $root: no new columns — nothing to evolve")
       val version = latestVersion + 1
-      publish(Seq(s"v\t$version", Snapshot.metaLine(newSchema)), version)
+      // Preserve surviving fields VERBATIM (their physical-name
+      // metadata included — an evolution must not detach the
+      // mapping); once mapping is active, NEW columns get fresh
+      // physical names (`<name>__p<version>`, unique because one
+      // schema commit owns each version) so re-adding a logical name
+      // that was ever dropped or renamed away can never resurrect old
+      // files' values under the new column.
+      val next = StructType(newSchema.fields.map { nf =>
+        cur.fields.find(_.name == nf.name).getOrElse {
+          if (Snapshot.mappingActive(cur))
+            nf.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(nf.metadata)
+                .putString(Snapshot.PhysKey, s"${nf.name}__p$version")
+                .build())
+          else nf
+        }
+      })
+      publish(Seq(s"v\t$version", Snapshot.metaLine(next)), version)
+      version
+    }
+
+    /** RENAME COLUMN (the Delta column-mapping semantic): a
+      * METADATA-ONLY commit — the logical name changes in the meta
+      * line while the column's PHYSICAL name (and with it every data
+      * file and manifest stat segment) stays put, so a rename costs
+      * O(1) log I/O at any table size and invalidates no pruning
+      * tier. Time travel still reads pre-rename snapshots under their
+      * own recorded names. First rename activates mapping (stamps
+      * every field's explicit physical name). Incremental window
+      * reads ([[readDelta]]) surface physical names by design — the
+      * Delta restriction that streaming a column-mapped table needs
+      * the consumer to re-resolve its schema. */
+    def renameColumn(oldName: String, newName: String): Int = {
+      val cur = tableSchema.getOrElse(sys.error(
+        s"renameColumn at $root: no recorded schema (empty table?)"))
+      require(oldName != newName,
+        s"renameColumn at $root: '$oldName' -> itself is a no-op")
+      require(cur.fieldNames.contains(oldName),
+        s"renameColumn at $root: no column '$oldName' " +
+          s"(table schema is ${cur.simpleString})")
+      require(!cur.fieldNames.contains(newName),
+        s"renameColumn at $root: column '$newName' already exists")
+      val mapped = Snapshot.activateMapping(cur)
+      val next = StructType(mapped.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val version = latestVersion + 1
+      publish(Seq(s"v\t$version", Snapshot.metaLine(next)), version)
+      version
+    }
+
+    /** DROP COLUMN (the Delta column-mapping semantic): a
+      * METADATA-ONLY commit removing the field from the logical
+      * schema — no data file is rewritten, reads simply stop
+      * projecting the physical column, and pre-drop snapshots still
+      * time-travel with it. Re-adding the same logical name later
+      * (via [[evolveSchema]]) binds a FRESH physical name, so the
+      * dropped values never resurrect. Partition columns are refused
+      * (appends must keep carrying them — the layout contract). */
+    def dropColumn(name: String): Int = {
+      val cur = tableSchema.getOrElse(sys.error(
+        s"dropColumn at $root: no recorded schema (empty table?)"))
+      require(cur.fieldNames.contains(name),
+        s"dropColumn at $root: no column '$name' " +
+          s"(table schema is ${cur.simpleString})")
+      require(cur.fields.length > 1,
+        s"dropColumn at $root: cannot drop the last column")
+      require(!partitionCols.contains(name),
+        s"dropColumn at $root: '$name' is a partition column")
+      val mapped = Snapshot.activateMapping(cur)
+      val next = StructType(mapped.fields.filterNot(_.name == name))
+      val version = latestVersion + 1
+      publish(Seq(s"v\t$version", Snapshot.metaLine(next)), version)
       version
     }
 
@@ -1064,6 +1283,12 @@ object Snapshot {
     def describeHistory(v0: Int, v1: Int): DataFrame = {
       require(v0 >= 0 && v0 <= v1,
         s"describeHistory($v0, $v1): need 0 <= v0 <= v1")
+      // Same loud-refusal contract as every other bad window: a v1
+      // beyond the head would otherwise return fewer rows than the
+      // window promises and read as "those commits were empty".
+      val head = latestVersion
+      require(v1 <= head,
+        s"describeHistory($v0, $v1): v1 exceeds latest version $head")
       historyFrame(Snapshot.readCommitsRange(fs, logPath, v0 - 1, v1))
     }
 
@@ -1178,13 +1403,21 @@ object Snapshot {
       * ONE scan of just the increment, only when constraints exist.
       * Throws (and the caller cleans the unpublished data) on the
       * first violating row. */
-    private def validateAgainstConstraints(dataPath: Path): Unit = {
+    private def validateAgainstConstraints(dataPath: Path,
+        logical: Option[StructType] = None): Seq[(String, String)] = {
       val active = constraints
-      if (active.isEmpty) return
+      if (active.isEmpty) return active
       val pred = active.map { case (_, sql) =>
         coalesce(expr(sql), lit(false)) }.reduce(_ && _)
-      val bad = spark.read.parquet(dataPath.toString)
-        .filter(!pred).limit(1).collect()
+      // Constraints are written against LOGICAL names; the files on
+      // disk carry physical ones — rename before evaluating.
+      val raw = spark.read.parquet(dataPath.toString)
+      val frame = logical match {
+        case Some(ts) if Snapshot.mappingActive(ts) =>
+          Snapshot.toLogical(raw, ts)
+        case _ => raw
+      }
+      val bad = frame.filter(!pred).limit(1).collect()
       if (bad.nonEmpty) {
         val row = bad.head
         val culprit = active.find { case (_, sql) =>
@@ -1196,6 +1429,7 @@ object Snapshot {
         sys.error(s"commit rejected at $root: constraint '$culprit' " +
           s"violated by row $row")
       }
+      active
     }
 
     // ---- write side -----------------------------------------------
@@ -1308,12 +1542,15 @@ object Snapshot {
       * without `keyCol` stats are conservatively touched. */
     private def touchedPaths(state: Seq[(FileStat, Option[String])],
         keys: DataFrame, keyCol: String): Set[String] = {
-      val statted = state.map(_._1).filter(f => f.lo.contains(keyCol))
-      val noStats = state.map(_._1).filterNot(f => f.lo.contains(keyCol))
+      // Manifest stats key by PHYSICAL name; the broadcast keys frame
+      // stays logical (its column is the caller's keyCol).
+      val pk = Snapshot.physicalIn(tableSchema, keyCol)
+      val statted = state.map(_._1).filter(f => f.lo.contains(pk))
+      val noStats = state.map(_._1).filterNot(f => f.lo.contains(pk))
       import spark.implicits._
       val touchedStatted =
         if (statted.isEmpty) Seq.empty[String]
-        else statted.map(f => (f.path, f.lo(keyCol), f.hi(keyCol)))
+        else statted.map(f => (f.path, f.lo(pk), f.hi(pk)))
           .toDF("__path", "__lo", "__hi")
           .join(broadcast(keys),
             col(keyCol).between(col("__lo"), col("__hi")), "left_semi")
@@ -1477,11 +1714,23 @@ object Snapshot {
     /** Touched-file scan with (rel path, row position) alongside the
       * data columns, current DVs applied — [[deleteKeysMor]]'s probe. */
     private def readWithPos(files: Seq[FileStat]): DataFrame = {
-      val schema = readFiles(files).schema
-      spark.read.option("mergeSchema", "true").schema(schema)
+      // MOR position scans join on the caller's LOGICAL key column —
+      // rename from physical (latest schema: MOR ops are head-only)
+      // while keeping the __key/__pos bookkeeping columns.
+      val logical = tableSchema
+      val schema = logical.map(Snapshot.physicalSchema)
+        .getOrElse(readFiles(files).schema)
+      val raw = spark.read.option("mergeSchema", "true").schema(schema)
         .parquet(files.map(f => new Path(rootPath, f.path).toString): _*)
         .withColumn("__key", relKey)
         .withColumn("__pos", col("_metadata.row_index"))
+      logical match {
+        case Some(ts) if Snapshot.mappingActive(ts) =>
+          raw.select(ts.fields.toSeq.map(f =>
+            col(Snapshot.physicalName(f)).as(f.name)) ++
+            Seq(col("__key"), col("__pos")): _*)
+        case _ => raw
+      }
     }
 
     private def commit(df: DataFrame, removed: Seq[String],
@@ -1495,11 +1744,41 @@ object Snapshot {
       // OCC retry (var): a concurrent evolveSchema or racing
       // first-data commit changes what this commit must validate
       // against and whether it still needs its own meta line.
-      def computeMetaLines(): Seq[String] = tableSchema match {
-        case Some(_) => validateWriteSchema(df.schema); Nil
-        case None => Seq(Snapshot.metaLine(df.schema))
+      // Returns BOTH the meta lines and the schema snapshot the gate
+      // actually ran against: the retry loop's staleness check must
+      // baseline on what was VALIDATED, not on a fresh read taken
+      // after the (long) data-write/stats window — a concurrent
+      // evolveSchema landing inside that window would otherwise make
+      // the retry's schemaNow != schemaSeen comparison vacuously pass
+      // and publish a commit never validated against the winner.
+      def computeMetaLines(): (Option[StructType], Seq[String]) = {
+        val snap = tableSchema
+        snap match {
+          case Some(_) =>
+            validateWriteSchema(snap, df.schema)
+            (snap, Nil)
+          case None => (None, Seq(Snapshot.metaLine(df.schema)))
+        }
       }
-      var metaLines = computeMetaLines()
+      var (schemaSeen, metaLines) = computeMetaLines()
+      // Column mapping: the commit frame arrives (and was validated)
+      // in LOGICAL space; data files and manifest segments live in
+      // PHYSICAL space. The translation anchors on the schema
+      // snapshot the gate ran against — physical names are stable
+      // across renames, so an OCC retry under a concurrent rename
+      // leaves already-written files correct (the retry's re-run
+      // write-schema gate is what catches incompatible winners).
+      def physOf(c: String): String = Snapshot.physicalIn(schemaSeen, c)
+      val writeDf = schemaSeen match {
+        case Some(ts) if Snapshot.mappingActive(ts) =>
+          df.select(df.columns.toSeq.map(c => col(c).as(physOf(c))): _*)
+        case _ => df
+      }
+      val physPartCols = partitionCols.map(physOf)
+      val physStatsCols = statsCols.map(physOf)
+      val physStrStatsCols = strStatsCols.map(physOf)
+      val physNullStatsCols = nullStatsCols.map(physOf)
+      val physBloomCols = bloomCols.map(physOf)
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = s"data/c$version-$uuid"
       val dataPath = new Path(rootPath, dataDir)
@@ -1517,12 +1796,12 @@ object Snapshot {
         require(partitionCols.forall(df.columns.contains),
           s"partition column(s) ${partitionCols.filterNot(df.columns.contains)
             .mkString(", ")} missing from the commit frame at $root")
-        partitionCols.foldLeft(df)((d, c) =>
+        physPartCols.foldLeft(writeDf)((d, c) =>
             d.withColumn(s"__p_$c", col(c)))
           .write.mode("errorifexists")
-          .partitionBy(partitionCols.map("__p_" + _): _*)
+          .partitionBy(physPartCols.map("__p_" + _): _*)
           .parquet(dataPath.toString)
-      } else df.write.mode("errorifexists").parquet(dataPath.toString)
+      } else writeDf.write.mode("errorifexists").parquet(dataPath.toString)
       val files = { // recursive: partitioned commits nest their files
         val it = fs.listFiles(dataPath, true)
         val buf = Seq.newBuilder[Path]
@@ -1539,21 +1818,26 @@ object Snapshot {
       // constraint, and spark.read.parquet on a part-less directory
       // throws "Unable to infer schema", which would wrongly abort the
       // commit.
+      // `validated` is the constraint set the pre-publish gate ran
+      // against — captured FROM the validation itself (not re-read at
+      // retry-loop entry) so an ADD CONSTRAINT racing the stats window
+      // still triggers re-validation on the first conflict retry.
+      var validated: Seq[(String, String)] = Nil
       if (files.nonEmpty)
-        try validateAgainstConstraints(dataPath)
+        try validated = validateAgainstConstraints(dataPath, schemaSeen)
         catch { case e: Throwable => fs.delete(dataPath, true); throw e }
       // One job over just the new files: per-file rows + zone stats +
       // Bloom bitsets (the bloom agg ships only BloomM/8-byte buffers
       // through the partial/final split — never values).
       val aggs = (count(lit(1)).as("__rows") +:
-        statsCols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
+        physStatsCols.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
           max(col(c)).as(s"__hi_$c")))) ++
-        strStatsCols.flatMap(c => Seq(
+        physStrStatsCols.flatMap(c => Seq(
           min(col(c).cast("string")).as(s"__slo_$c"),
           max(col(c).cast("string")).as(s"__shi_$c"))) ++
-        nullStatsCols.map(c =>
+        physNullStatsCols.map(c =>
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c")) ++
-        bloomCols.map(c => graft.ext.Bloom.agg(BloomM, BloomK)(
+        physBloomCols.map(c => graft.ext.Bloom.agg(BloomM, BloomK)(
           coalesce(graft.ext.Dedup.md5Hash60(col(c).cast("string")),
             lit(0L))).as(s"__bf_$c"))
       val statRows =
@@ -1586,20 +1870,20 @@ object Snapshot {
             // all-null column in this file ⇒ no stat line for it
             // (pruneFiles then treats the file as must-scan for that
             // column rather than parsing a bogus range).
-            val stats = statsCols.flatMap { c =>
+            val stats = physStatsCols.flatMap { c =>
               (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c")) match {
                 case (l: java.lang.Number, h: java.lang.Number) =>
                   Some(s"\t$c=${l.longValue()}:${h.longValue()}")
                 case _ => None
               }
             }.mkString
-            val blooms = bloomCols.flatMap { c =>
+            val blooms = physBloomCols.flatMap { c =>
               Option(r.getAs[scala.collection.Seq[Long]](s"__bf_$c"))
                 .map(w => Snapshot.bloomSegment(c, BloomK, w.toArray))
             }.mkString
             def b64(v: String) = java.util.Base64.getEncoder
               .encodeToString(v.getBytes("UTF-8"))
-            val szones = strStatsCols.flatMap { c =>
+            val szones = physStrStatsCols.flatMap { c =>
               (Option(r.getAs[String](s"__slo_$c")),
                 Option(r.getAs[String](s"__shi_$c"))) match {
                 case (Some(l), Some(h)) =>
@@ -1607,7 +1891,7 @@ object Snapshot {
                 case _ => None // all-null column ⇒ must-scan
               }
             }.mkString
-            val ncnts = nullStatsCols.map { c =>
+            val ncnts = physNullStatsCols.map { c =>
               s"\tnullcnt:$c=${r.getAs[Long](s"__nc_$c")}"
             }.mkString
             s"add\t$rel\t${r.getAs[Long]("__rows")}$stats$blooms" +
@@ -1630,8 +1914,6 @@ object Snapshot {
       // head — that must keep failing loudly (lost-update protection),
       // as [[publish]] does.
       if (removed.isEmpty && dvLines.isEmpty) {
-        var validated = constraints
-        var schemaSeen = tableSchema.map(_.json)
         var v = version
         while (!tryPublish(record(v), v)) {
           // A pure append commutes with the winner's DATA changes, but
@@ -1647,20 +1929,19 @@ object Snapshot {
           //    recompute metaLines, so a lost first-commit race never
           //    re-emits a stale meta line whose later version would
           //    silently win over the winner's schema.
-          val active = constraints
-          if (active != validated) {
+          if (constraints != validated) {
             if (files.nonEmpty)
-              try validateAgainstConstraints(dataPath)
+              try validated = validateAgainstConstraints(dataPath, schemaSeen)
               catch { case e: Throwable =>
                 fs.delete(dataPath, true); throw e }
-            validated = active
+            else validated = constraints
           }
-          val schemaNow = tableSchema.map(_.json)
-          if (schemaNow != schemaSeen) {
-            try metaLines = computeMetaLines()
-            catch { case e: Throwable =>
+          if (tableSchema.map(_.json) != schemaSeen.map(_.json)) {
+            try {
+              val (s, m) = computeMetaLines()
+              schemaSeen = s; metaLines = m
+            } catch { case e: Throwable =>
               fs.delete(dataPath, true); throw e }
-            schemaSeen = schemaNow
           }
           v = latestVersion + 1
         }

@@ -57,6 +57,26 @@ object AnalyticsQueries {
     * the MaxSemCluster / MaxBandBucket guard, mirrored in the oracle. */
   val MaxBasketItems = 32
 
+  /** Guarded DECIMAL(38,0)→int64 narrowing for exact sufficient
+    * statistics (trend_slope / autocorr / diff_in_diff): with ANSI off
+    * Spark narrows an oversized decimal to NULL silently while the
+    * DuckDB oracle's HUGEINT→BIGINT throws, so past the encoding
+    * contract's scale the engines would diverge silently —
+    * raise_error makes Spark fail loudly like the oracle. TWO bands
+    * are covered: fits-decimal-but-exceeds-int64 (the range compare)
+    * AND decimal(38,0) sum overflow itself, which under non-ANSI
+    * arithmetic surfaces as a NULL sum — every call site aggregates a
+    * non-null column over a nonempty group, so a NULL here can ONLY
+    * mean overflow, never missing input. */
+  private[queries] def longExact(q: String)(c: Column): Column =
+    when(c.isNull, raise_error(lit(
+      s"graft $q: sufficient statistic overflowed decimal(38,0)")))
+      .when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+        raise_error(concat(
+          lit(s"graft $q: sufficient statistic exceeds int64: "),
+          c.cast("string"))))
+      .otherwise(c.cast("long"))
+
   /** decimal-exact money sum (BenchQueries convention). */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -156,12 +176,7 @@ object AnalyticsQueries {
       // overflow yields NULL silently while DuckDB's HUGEINT→BIGINT
       // throws, so past the contract scale the engines would diverge
       // silently. raise_error makes Spark fail loudly like the oracle.
-      def longExact(c: Column): Column =
-        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
-          raise_error(concat(
-            lit("graft trend_slope: sufficient statistic exceeds int64: "),
-            c.cast("string"))))
-          .otherwise(c.cast("long"))
+      val longExact = AnalyticsQueries.longExact("trend_slope") _
       Trend.slope(Tables.events(s, d), Seq(col("user_id")),
         x = expr(s"(ts div 1000 - $OriginUs) div 60000000"),
         y = floor(col("value") * 100 + lit(0.5)).cast("long"))
@@ -184,12 +199,7 @@ object AnalyticsQueries {
     // stream never rewidens — at 100 TB this is the same
     // sort-within-user cost the window family already pays.
     "autocorr" -> { (s, d) =>
-      def longExact(c: Column): Column =
-        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
-          raise_error(concat(
-            lit("graft autocorr: sufficient statistic exceeds int64: "),
-            c.cast("string"))))
-          .otherwise(c.cast("long"))
+      val longExact = AnalyticsQueries.longExact("autocorr") _
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("tus"), col("event_id"))
       val pairs = Tables.events(s, d)
@@ -2173,12 +2183,7 @@ object AnalyticsQueries {
     // (min, max) agg broadcasts the midpoint back; ONE partial+final
     // hash agg to 4 rows; everything after is 4-row algebra.
     "diff_in_diff" -> { (s, d) =>
-      def longExact(c: Column): Column =
-        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
-          raise_error(concat(
-            lit("graft diff_in_diff: statistic exceeds int64: "),
-            c.cast("string"))))
-          .otherwise(c.cast("long"))
+      val longExact = AnalyticsQueries.longExact("diff_in_diff") _
       val ev = Tables.events(s, d).select(Tables.tsUs.as("tus"),
         pmod(Dedup.md5Hash60(concat(lit("did:"), col("event_id"))),
           lit(2L)).as("arm"),

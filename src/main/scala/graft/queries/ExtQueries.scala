@@ -205,6 +205,45 @@ object ExtQueries {
     open(root)
   }
 
+  // Column-mapping lake (round 17): the rename/drop lifecycle over
+  // deterministic orders subsets — v0 appends (k, cents, tag) for
+  // % 10 < 7 RANGE-LAID on k (4 files, so the zone tier stays
+  // strictly pruning after the rename), v1 renames cents →
+  // price_cents (metadata-only), v2 appends % 10 ∈ {7, 8} under the
+  // new logical name, v3 drops tag, v4 re-adds it (fresh physical
+  // name — the dropped values must NOT resurrect), v5 appends
+  // % 10 = 9 whose tags are therefore the ONLY live ones.
+  // Deterministic membership ⇒ the oracle replays relationally.
+  private val renameLakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def renameLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    def open(dir: String) = graft.io.Snapshot.Lake(s, dir,
+      statsCols = Seq("k"), checkpointInterval = 3)
+    val root = renameLakeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-rnlake-")
+        .toString
+      val lake = open(dir)
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        concat(lit("t"), pmod(col("o_orderkey"), lit(5L))).as("tag"))
+      val m10 = pmod(col("k"), lit(10L))
+      lake.append(o.filter(m10 < 7).repartitionByRange(4, col("k")))
+      lake.renameColumn("cents", "price_cents")
+      lake.append(o.filter(m10.isin(7L, 8L))
+        .withColumnRenamed("cents", "price_cents"))
+      lake.dropColumn("tag")
+      lake.evolveSchema(org.apache.spark.sql.types.StructType(
+        lake.tableSchema.get.fields :+
+          org.apache.spark.sql.types.StructField("tag",
+            org.apache.spark.sql.types.StringType)))
+      lake.append(o.filter(m10 === 9)
+        .withColumnRenamed("cents", "price_cents"))
+      dir
+    })
+    open(root)
+  }
+
   /** (reference, candidate) token frames for the eval-metric queries
     * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
     * a token slice (last 3 tokens dropped, min 1 kept). */
@@ -1017,20 +1056,27 @@ object ExtQueries {
     // chrF(β=2) = 5·P·R/(4P+R) on those cells — exact integers end
     // to end, no libm. Zero-gram orders score 0 (the Popović
     // convention for short segments). 100 TB shape: the char-gram
-    // explode is 3 linear passes over corpus chars fused into one
-    // tagged stream; everything after rides (doc, gram) keys.
+    // explode is ONE linear generator pass over corpus chars per side
+    // (n tagged in the struct); everything after rides (doc, gram)
+    // keys.
     "chrf_eval" -> { (s, d) =>
       val (docs, cand) = refCandTokens(s, d)
       def chtext(side: DataFrame) = side.select(col("doc_id"),
         array_join(col("tk"), "").as("t"))
+      // ONE generator pass per side: the three gram orders ride a
+      // single fused explode with n emitted as a struct field, so the
+      // full-corpus array_join concat happens once per row — a
+      // 3-branch union would recompute it per order (3 scans/side).
       def grams(side: DataFrame): DataFrame =
-        (1 to 3).map(n => chtext(side).select(col("doc_id"),
-            lit(n.toLong).as("n"),
-            explode(when(length(col("t")) >= n,
+        chtext(side).select(col("doc_id"),
+          explode(flatten(transform(sequence(lit(1), lit(3)), n =>
+            when(length(col("t")) >= n,
               transform(sequence(lit(1), length(col("t")) - n + 1),
-                i => col("t").substr(i, lit(n))))
-              .otherwise(array().cast("array<string>"))).as("g")))
-          .reduce(_ unionByName _)
+                i => struct(n.cast("long").as("n"),
+                  col("t").substr(i, n).as("g"))))
+              .otherwise(array()
+                .cast("array<struct<n:bigint,g:string>>"))))).as("ng"))
+          .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
       val rc = grams(docs).groupBy(col("doc_id"), col("n"), col("g"))
         .agg(count(lit(1)).as("cr")).localCheckpoint(true)
       val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("g"))
@@ -1844,6 +1890,40 @@ object ExtQueries {
       a.crossJoin(broadcast(b))
         .withColumn("pruned_null", lit(strictNull))
         .withColumn("pruned_notnull", lit(strictNot))
+    },
+
+    // Lake COLUMN MAPPING (round 17) — Delta's name-mapping semantic:
+    // rename and drop are METADATA-ONLY commits (the physical column
+    // name in data files and manifest segments never changes), so
+    // they cost O(1) log I/O at any table size. The cells prove the
+    // full lifecycle on [[renameLake]]: the head read serves every
+    // pre-rename row under the NEW logical name; time travel to v0
+    // reads under the OLD name; the zone-map tier still prunes (its
+    // keys are physical, rename-stable — the `pruned_after_rename`
+    // boolean is asserted literal TRUE by the oracle); and the
+    // drop + re-add leg proves non-resurrection: only the post-re-add
+    // append's tags are live (fresh physical name ⇒ old files
+    // null-fill), so n_tag_live / tag_k_sum replay as the % 10 = 9
+    // subset exactly. 100 TB shape: every cell is manifest work plus
+    // the reads the other lake_* oracles already pay; the mapping
+    // itself adds one projection node per scan.
+    "lake_rename" -> { (s, d) =>
+      val lake = renameLake(s, d)
+      val v = lake.latestVersion
+      val all = lake.liveFiles(v).size
+      val kept = lake.pruneFiles(v, "k", 1L, 1L).size
+      val strict = kept > 0 && kept < all
+      val a = lake.read().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("sum_price_cents"),
+        sum(when(col("tag").isNotNull, 1L).otherwise(0L)).as("n_tag_live"),
+        coalesce(sum(when(col("tag").isNotNull, col("k"))), lit(0L))
+          .as("tag_k_sum"))
+      val b = lake.readAsOf(0).agg(
+        count(lit(1)).as("n_v0_rows"),
+        sum(col("cents")).as("v0_cents"))
+      a.crossJoin(broadcast(b))
+        .withColumn("pruned_after_rename", lit(strict))
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -7265,6 +7345,31 @@ object ExtQueries {
         |   WHERE note IS NOT NULL) AS notnull_note_sum,
         |  true AS pruned_null,
         |  true AS pruned_notnull""".stripMargin,
+
+    // lake_rename: every cell replays relationally from the
+    // deterministic % 10 membership — head rows/cents = ALL orders
+    // (the rename is invisible to values), v0 = the % 10 < 7 subset
+    // under the old name, live tags = exactly the post-re-add
+    // % 10 = 9 append (resurrected old tags would inflate n_tag_live
+    // and hash-fail), and the strict-prune boolean is TRUE by
+    // construction (v0 is 4 range-laid files; the k=1 probe keeps 1).
+    "lake_rename" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |               AS cents
+        |           FROM orders)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS sum_price_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 10 = 9)
+        |    AS n_tag_live,
+        |  (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM o
+        |   WHERE k % 10 = 9) AS tag_k_sum,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 10 < 7)
+        |    AS n_v0_rows,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE k % 10 < 7)
+        |    AS v0_cents,
+        |  true AS pruned_after_rename""".stripMargin,
 
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a

@@ -147,6 +147,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "lake_partition_prune" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos"),
     // the 1-row IS-NOT-NULL-side aggregate attached to the IS-NULL side
     "lake_null_prune" -> Seq("n_notnull_rows,notnull_note_sum"),
+    // the 1-row v0 (pre-rename) aggregate attached to the head cells
+    "lake_rename" -> Seq("n_v0_rows,v0_cents"),
     "lake_mor_delete" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,n_deletes,n_inserts", "delete_cents,n_deletes,n_inserts"),
     "lake_mor_merge" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,insert_cents,n_deletes,n_inserts"),
     "lake_restore" -> Seq("n_deletes,n_inserts,net_cents", "n_deletes,n_inserts,net_cents"),

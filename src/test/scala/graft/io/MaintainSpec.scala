@@ -79,5 +79,8 @@ class MaintainSpec extends SparkSpec {
     // Bad windows fail loudly.
     intercept[IllegalArgumentException] { lake.describeHistory(5, 4) }
     intercept[IllegalArgumentException] { lake.describeHistory(-1, 4) }
+    // ... including a window past the head (versions are 0..11): a
+    // silent truncation would read as "commit 12 was empty".
+    intercept[IllegalArgumentException] { lake.describeHistory(10, 12) }
   }
 }

@@ -17,6 +17,10 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.Lake(spark,
       Files.createTempDirectory("snap-spec-").toString, statsCols)
 
+  private def fsOf(root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def kv(lo: Long, hi: Long) = {
     import spark.implicits._
     (lo until hi).map(k => (k, s"row$k")).toDF("k", "v")
@@ -550,6 +554,94 @@ class SnapshotSpec extends SparkSpec {
     assert(reopened.tableSchema.map(_.fieldNames.sorted.toSeq)
       === Some(Seq("k", "tag", "v")))
     intercept[RuntimeException](reopened.append(retyped))
+  }
+
+  test("column mapping: rename/drop are metadata-only; history, pruning and MOR compose") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append(kv(0, 100))   // v0: (k, v), records schema
+    lake.append(kv(100, 200)) // v1
+    def dataFiles() = {
+      val it = fsOf(lake.root).listFiles(
+        new org.apache.hadoop.fs.Path(lake.root, "data"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.result().filter(_.endsWith(".parquet")).sorted
+    }
+    val filesBefore = dataFiles()
+
+    // RENAME is metadata-only: no data file added, removed or touched.
+    val vr = lake.renameColumn("v", "label") // v2
+    assert(vr === 2)
+    assert(dataFiles() === filesBefore, "rename must not touch data files")
+    val h = lake.describeHistory(vr, vr).head()
+    assert(h.getAs[Int]("n_added") === 0 && h.getAs[Int]("n_removed") === 0)
+    // Reads surface the NEW logical name with the same values.
+    val r = lake.read()
+    assert(r.columns.sorted.toSeq === Seq("k", "label"))
+    assert(r.filter(col("k") === 7L).select("label").head().getString(0)
+      === "row7")
+    // Time travel BEFORE the rename reads under the OLD name.
+    assert(lake.readAsOf(1).columns.sorted.toSeq === Seq("k", "v"))
+    assert(lake.readAsOf(1).filter(col("k") === 7L)
+      .select("v").head().getString(0) === "row7")
+    // CDC across the rename window: no file membership changed, so
+    // the feed is EMPTY (a rename never manufactures change rows) —
+    // and it carries the post-rename logical columns.
+    val cdc = lake.changes(1, 2)
+    assert(cdc.count() === 0)
+    assert(cdc.columns.sorted.toSeq === Seq("_op", "k", "label"))
+
+    // Appends carry the new logical schema; the OLD name is refused.
+    lake.append(Seq((200L, "row200")).toDF("k", "label")) // v3
+    val eOld = intercept[RuntimeException](
+      lake.append(Seq((201L, "x")).toDF("k", "v")))
+    assert(eOld.getMessage.contains("schema mismatch"))
+    assert(lake.read().count() === 201)
+
+    // Zone-map pruning on the (stable-physical) stats column still
+    // prunes: the k=150 probe must not open v0's file.
+    val pruned = lake.pruneFiles(lake.latestVersion, "k", 150L, 150L)
+    assert(pruned.size < lake.liveFiles(lake.latestVersion).size,
+      "rename must not invalidate the zone-map tier")
+    assert(lake.readRange(lake.latestVersion, "k", 150L, 150L).count() === 1)
+
+    // MOR delete keyed by the RENAMED column composes.
+    lake.deleteKeysMor(Seq("row7").toDF("label"), "label") // v4
+    assert(lake.read().filter(col("label") === "row7").count() === 0)
+    assert(lake.read().count() === 200)
+
+    // DROP hides the column without rewriting anything.
+    val before = dataFiles()
+    val vd = lake.dropColumn("label") // v5
+    assert(dataFiles() === before, "drop must not rewrite data files")
+    assert(lake.read().columns.toSeq === Seq("k"))
+    // ... but pre-drop snapshots still time-travel WITH it.
+    assert(lake.readAsOf(vd - 1).columns.sorted.toSeq === Seq("k", "label"))
+
+    // Re-adding the dropped logical name binds a FRESH physical
+    // column: old files' stored values can never resurrect.
+    lake.evolveSchema(org.apache.spark.sql.types.StructType(
+      lake.tableSchema.get.fields :+
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.StringType))) // v6
+    assert(lake.read().filter(col("label").isNotNull).count() === 0,
+      "dropped values must not resurrect under the re-added name")
+    lake.append(Seq((999L, "fresh")).toDF("k", "label")) // v7
+    assert(lake.read().filter(col("label") === "fresh").count() === 1)
+    assert(lake.read().filter(col("label").isNotNull).count() === 1)
+
+    // Refusals: collision, unknown column, last column, no-op.
+    intercept[IllegalArgumentException](lake.renameColumn("k", "label"))
+    intercept[IllegalArgumentException](lake.renameColumn("ghost", "g2"))
+    intercept[IllegalArgumentException](lake.renameColumn("k", "k"))
+    lake.dropColumn("label") // v8 — back to (k) alone
+    intercept[IllegalArgumentException](lake.dropColumn("k"))
+
+    // A fresh handle replays the mapping from the log.
+    val reopened = Snapshot.Lake(spark, lake.root, Seq("k"))
+    assert(reopened.read().columns.toSeq === Seq("k"))
+    assert(reopened.readAsOf(1).columns.sorted.toSeq === Seq("k", "v"))
   }
 
   test("describeDetail: one manifest-level summary row, zero data I/O") {

@@ -802,8 +802,8 @@ class ExtQueriesSpec extends SparkSpec {
     assert(got === expect)
     // every char that appears in a token is a retained single (the
     // fallback alphabet survives both prunes)
-    val chars = expect.keySet.flatMap(_ => Set.empty[Char]) ++
-      docs.flatMap(_.getString(1).trim.split("\\s+")).flatMap(_.toCharArray)
+    val chars = docs.flatMap(_.getString(1).trim.split("\\s+"))
+      .flatMap(_.toCharArray).toSet
     chars.foreach(c => assert(vocab.contains(c.toString), s"single '$c' missing"))
   }
 

@@ -6,7 +6,11 @@ package graft.tools
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("scratch")
-    println("scratch: session up, nothing to do")
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val df = graft.SparkEntry.queries("lake_rename")(s, sf)
+      println(s"SCRATCH $sf schema=${df.schema.simpleString}")
+      df.collect().foreach(r => println(s"SCRATCH $sf row=$r"))
+    }
     s.stop()
   }
 }
