@@ -187,15 +187,51 @@ object Bench {
       .mkString("{", ",", "}")
     val failedNames = results.filter(_._4 != "ok").map(_._1)
     val total = results.filter(_._4 == "ok").map(_._2).sum
+    // Mechanical per-query regression tracking: diff this run's
+    // minima against the COMMITTED per-SF minima file and surface
+    // >20% carried-query regressions in one artifact field instead of
+    // hand-joining rounds. The file is PER SF (BENCH_MINIMA_sf0.1
+    // .json etc.) so a smoke run at another scale can never clobber
+    // the recorded baseline; it is rewritten after each run — commit
+    // it with each recorded round.
+    val minimaPath = java.nio.file.Paths.get(
+      s"BENCH_MINIMA_${new java.io.File(sfDir).getName}.json")
+    val prevMinima: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(minimaPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .filter(_.group(1) != "sf")
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val deltas = results.collect {
+      case (k, best, _, "ok") if prevMinima.contains(k) && prevMinima(k) > 0 =>
+        k -> ((best - prevMinima(k)) / prevMinima(k) * 100.0)
+    }
+    val regressed = deltas.filter(_._2 > 20.0).map(_._1).sorted
+    try {
+      val minima = results.filter(_._4 == "ok")
+        .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+        .mkString(",")
+      java.nio.file.Files.write(minimaPath,
+        (s"""{"sf":"$sfDir",$minima}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] minima write failed: $t") }
     val detail = {
       val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + r3(m) }
+        .mkString("{", ",", "}")
+      val dvp = deltas.map { case (k, d) => "\"" + k + "\":" + f"$d%.1f" }
         .mkString("{", ",", "}")
       val raw = samples.toSeq.map { case (k, timed) =>
         "\"" + k + "\":[" + timed.map { case (sec, st) =>
           s"""{"sec":${r3(sec)},"status":"${st.replace("\"", "'").take(120)}"}"""
         }.mkString(",") + "]"
       }.mkString("{", ",", "}")
-      s"""{"queries_min":$qs,"queries_median":$meds,"samples":$raw,""" +
+      s"""{"queries_min":$qs,"queries_median":$meds,""" +
+        s""""delta_vs_prev_pct":$dvp,""" +
+        s""""regressed_gt20pct":[${regressed.map("\"" + _ + "\"")
+          .mkString(",")}],"samples":$raw,""" +
         s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
         s""""pass_waits_sec":[${passWaits.mkString(",")}],""" +
         s""""loadavg_passes":[${passLoads.map("\"" + _ + "\"").mkString(",")}],""" +

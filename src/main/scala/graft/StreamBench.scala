@@ -893,6 +893,63 @@ object StreamBench {
           f"${n / (tN + tN2)}%.0f rows/s  txns=${ids2.size} (crash+resume+catchup)")
     }
 
+    // Mode O (round 17): RocksDB STATE STORE PROVIDER — proves the
+    // off-heap state claim (README scale design): the SAME
+    // watermarked 1-minute tumbling aggregation (Pipeline's F1 state
+    // shape) drains the 100k topic once under the default
+    // HDFS-backed (JVM-heap) provider and once under
+    // RocksDBStateStoreProvider (native/off-heap — the production
+    // choice when open-window state outgrows the executor heap).
+    // Gate: the two finalized-window result sets are EXACTLY equal
+    // (exceptAll both ways) — the provider is a storage swap, never a
+    // semantics change; both drain rates are recorded. 100 TB shape:
+    // per-task state lives in RocksDB SSTs on local disk, so state is
+    // disk-bounded rather than heap-bounded, and snapshots ride the
+    // same checkpoint contract (changelog checkpointing is a config
+    // away on real clusters).
+    {
+      val topic = s"$work/topic_100k"
+      val n = spark.read.text(topic).count()
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      def drain(tag: String, provider: Option[String]): (Double, DataFrame) = {
+        val prior = spark.conf.getOption(providerKey)
+        provider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+        val out = LakeSink(s"$work/o_$tag/agg", partitionCols = Nil)
+        val t = time {
+          val q = Pipeline.windowedAggregates(
+              Pipeline.prepare(JsonDirSource(topic).readStream(spark)))
+            .writeStream.outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$work/o_$tag/ckpt")
+            .foreachBatch { (b: DataFrame, _: Long) => out.append(b) }
+            .start()
+          q.awaitTermination()
+        }
+        prior match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+        (t, out.read(spark))
+      }
+      val (tHeap, heapRows) = drain("heap", None)
+      val (tRocks, rocksRows) = drain("rocksdb", Some(
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))
+      require(heapRows.count() > 0, "mode O drained no windows")
+      require(heapRows.exceptAll(rocksRows).isEmpty &&
+        rocksRows.exceptAll(heapRows).isEmpty,
+        "mode O: RocksDB-backed windows must equal the heap-backed run")
+      results("state_heap@100k") = n / tHeap
+      results("state_rocksdb@100k") = n / tRocks
+      System.err.println(
+        f"[stream-bench] state_heap@100k  $n rows  $tHeap%.1fs  " +
+          f"${n / tHeap}%.0f rows/s; state_rocksdb@100k  $tRocks%.1fs  " +
+          f"${n / tRocks}%.0f rows/s  (results equal)")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +

@@ -644,6 +644,74 @@ class SnapshotSpec extends SparkSpec {
     assert(reopened.readAsOf(1).columns.sorted.toSeq === Seq("k", "v"))
   }
 
+  test("column mapping: partition-column rename and clusterBy compact compose") {
+    import spark.implicits._
+    // Partitioned lake: rename the partition column, keep appending
+    // under the new logical name — the hive layout and the `part:`
+    // manifest tier ride the STABLE physical name throughout.
+    val root = Files.createTempDirectory("snap-cmap2-").toString
+    def open(partCol: String) = Snapshot.Lake(spark, root,
+      statsCols = Seq("k"), partitionCols = Seq(partCol))
+    val lake = open("bucket")
+    def rows(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, k % 3, s"row$k")).toDF("k", "bucket", "v")
+    lake.append(rows(0, 60))              // v0, partitioned on bucket
+    lake.renameColumn("bucket", "shard")  // v1, metadata-only
+    val renamed = open("shard")           // config carries the new name
+    renamed.append(rows(60, 120).withColumnRenamed("bucket", "shard")) // v2
+    // Partition pruning by the NEW logical name spans BOTH eras.
+    val v = renamed.latestVersion
+    val kept = renamed.pruneFilesPartition(v, "shard", "1")
+    assert(kept.nonEmpty && kept.size < renamed.liveFiles(v).size,
+      "partition tier must keep pruning across the rename")
+    val p1 = renamed.readPartition(v, "shard", "1")
+    assert(p1.count() === 40, "both eras' shard=1 rows must surface")
+    assert(p1.columns.sorted.toSeq === Seq("k", "shard", "v"))
+    // clusterBy compact AFTER a rename: reads logical, rewrites
+    // through commit's logical→physical translation, stays readable
+    // and keeps the values.
+    val lake2 = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-cmap3-").toString, Seq("k"))
+    lake2.append((0L until 200L).map(k => (k, s"p$k")).toDF("k", "payload"))
+    lake2.renameColumn("payload", "body")
+    Compact.clusterBy(lake2, "k", nFiles = 4)
+    assert(lake2.read().columns.sorted.toSeq === Seq("body", "k"))
+    assert(lake2.read().count() === 200)
+    assert(lake2.read().filter(col("k") === 5L)
+      .select("body").head().getString(0) === "p5")
+    // The rewrite's zone maps landed under the stable physical key:
+    // a narrow range opens a strict subset.
+    val keptZ = lake2.pruneFiles(lake2.latestVersion, "k", 0L, 10L)
+    assert(keptZ.size < lake2.liveFiles(lake2.latestVersion).size)
+  }
+
+  test("column mapping: RESTORE across a rename rolls the logical names back") {
+    import spark.implicits._
+    val lake = freshLake()
+    lake.append((0L until 50L).map(k => (k, s"row$k")).toDF("k", "v")) // v0
+    lake.renameColumn("v", "label") // v1
+    lake.append(Seq((50L, "row50")).toDF("k", "label")) // v2
+    assert(lake.read().columns.sorted.toSeq === Seq("k", "label"))
+    // RESTORE to the pre-rename snapshot: the Delta semantic rolls
+    // the TABLE SCHEMA back too — reads and appends return to the
+    // old logical name; the physical column (and v0's data files)
+    // never moved.
+    val rv = lake.restore(0) // v3
+    assert(lake.read().columns.sorted.toSeq === Seq("k", "v"))
+    assert(lake.read().count() === 50)
+    assert(lake.read().filter(col("k") === 7L)
+      .select("v").head().getString(0) === "row7")
+    // Post-restore appends are validated against the restored shape.
+    lake.append(Seq((51L, "row51")).toDF("k", "v")) // v4
+    val e = intercept[RuntimeException](
+      lake.append(Seq((52L, "x")).toDF("k", "label")))
+    assert(e.getMessage.contains("schema mismatch"))
+    // The renamed era still time-travels under ITS name.
+    assert(lake.readAsOf(2).columns.sorted.toSeq === Seq("k", "label"))
+    assert(lake.readAsOf(2).count() === 51)
+    assert(rv === 3 && lake.latestVersion === 4)
+  }
+
   test("describeDetail: one manifest-level summary row, zero data I/O") {
     import spark.implicits._
     val lake = freshLake()
