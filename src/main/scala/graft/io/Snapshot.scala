@@ -125,10 +125,16 @@ object Snapshot {
     schema.fields.exists(_.metadata.contains(PhysKey))
 
   /** The physical read schema: logical fields renamed to their
-    * physical names (metadata dropped — parquet readers don't want
-    * the mapping key). */
+    * physical names, metadata dropped (parquet readers don't want the
+    * mapping key) and nullability RELAXED — the meta line records the
+    * first frame's nullability, but files predating an evolved column
+    * null-fill it regardless of what that frame claimed, and a
+    * non-nullable read schema would let Spark constant-fold IS NULL
+    * over genuinely null backfill (the footer path was always
+    * nullable). */
   def physicalSchema(logical: StructType): StructType =
     StructType(logical.fields.map(f => f.copy(name = physicalName(f),
+      nullable = true,
       metadata = org.apache.spark.sql.types.Metadata.empty)))
 
   /** Stamp every field with its explicit physical name — the
@@ -141,10 +147,11 @@ object Snapshot {
           .withMetadata(f.metadata).putString(PhysKey, f.name).build())
     })
 
-  /** The logical schema with field metadata stripped — what reads
-    * surface (the mapping key is log plumbing, not user schema). */
+  /** The logical schema with field metadata stripped and nullability
+    * relaxed — what reads surface (the mapping key is log plumbing,
+    * not user schema; see [[physicalSchema]] on nullability). */
   def cleanSchema(logical: StructType): StructType =
-    StructType(logical.fields.map(_.copy(
+    StructType(logical.fields.map(_.copy(nullable = true,
       metadata = org.apache.spark.sql.types.Metadata.empty)))
 
   /** Rename physical columns back to logical — the read-side closing

@@ -68,7 +68,14 @@ import graft.io.Snapshot
   */
 class SnapshotStreamSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = SnapshotStreamSource.unionSchema(options.get("path"))
+    // Column mapping (round 17): when the log records a schema, the
+    // table's columns are its LOGICAL names (Delta's schema-tracking
+    // behavior for streams over mapped tables); the physical names in
+    // the files resolve per reader. Legacy pre-meta logs keep the
+    // footer-union path.
+    val path = options.get("path")
+    val base = SnapshotStreamSource.logicalSchemaAndMap(path)
+      .map(_._1).getOrElse(SnapshotStreamSource.unionSchema(path))
     if (options.getBoolean("readChangeFeed", false))
       StructType(base.fields.toSeq ++ SnapshotStreamSource.CdfColumns)
     else base
@@ -94,6 +101,18 @@ object SnapshotStreamSource {
     StructField("_commit_version", LongType))
 
   private def logPathOf(root: String) = new Path(root, "_log")
+
+  /** The recorded LOGICAL schema (mapping metadata stripped) and the
+    * logical→physical column map — None on legacy pre-meta logs
+    * (footer behavior unchanged, the grandfather clause). */
+  def logicalSchemaAndMap(root: String)
+      : Option[(StructType, Map[String, String])] = {
+    val logPath = logPathOf(root)
+    Snapshot.checkpointAt(logPath.getFileSystem(conf), logPath,
+        Int.MaxValue)
+      .schema.map(ts => (Snapshot.cleanSchema(ts),
+        ts.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap))
+  }
 
   /** `startingTimestamp` (Delta's stream option): the FIRST version
     * whose publish wall-clock is at or after `tsMillis` — binary
@@ -244,7 +263,9 @@ class SnapshotScanBuilder(
     versionAsOf = options.getInt("versionAsOf", -1),
     pruneFilters = pushed,
     maxCommitsPerTrigger = options.getInt("maxCommitsPerTrigger", 0),
-    readChangeFeed = options.getBoolean("readChangeFeed", false))
+    readChangeFeed = options.getBoolean("readChangeFeed", false),
+    mapping = SnapshotStreamSource.logicalSchemaAndMap(root)
+      .map(_._2).getOrElse(Map.empty))
 }
 
 object SnapshotScan {
@@ -262,9 +283,11 @@ object SnapshotScan {
   /** Does `stat`'s manifest entry admit filter `f`? Missing stats ⇒
     * must-scan (true). Zone maps answer ranges; Blooms answer
     * equality (via the same string-form md5 the write side hashed). */
-  private[v2] def admits(stat: Snapshot.FileStat, f: Filter): Boolean = {
-    def lo(c: String) = stat.lo.get(c)
-    def hi(c: String) = stat.hi.get(c)
+  private[v2] def admits(stat: Snapshot.FileStat, f: Filter,
+      mapping: Map[String, String] = Map.empty): Boolean = {
+    // manifest stats key by PHYSICAL name; filters arrive logical
+    def lo(c: String) = stat.lo.get(mapping.getOrElse(c, c))
+    def hi(c: String) = stat.hi.get(mapping.getOrElse(c, c))
     f match {
       case EqualTo(c, v: java.lang.Number) =>
         val x = v.longValue()
@@ -272,8 +295,9 @@ object SnapshotScan {
           case (Some(l), Some(h)) => l <= x && x <= h
           case _ => true
         }
-        zone && bloomAdmits(stat, c, v.toString)
-      case EqualTo(c, v: String) => bloomAdmits(stat, c, v)
+        zone && bloomAdmits(stat, mapping.getOrElse(c, c), v.toString)
+      case EqualTo(c, v: String) =>
+        bloomAdmits(stat, mapping.getOrElse(c, c), v)
       case GreaterThan(c, v: java.lang.Number) =>
         hi(c).forall(_ > v.longValue())
       case GreaterThanOrEqual(c, v: java.lang.Number) =>
@@ -300,7 +324,13 @@ class SnapshotScan(root: String, required: StructType,
     versionAsOf: Int = -1,
     pruneFilters: Array[Filter] = Array.empty,
     maxCommitsPerTrigger: Int = 0,
-    readChangeFeed: Boolean = false) extends Scan with Batch {
+    readChangeFeed: Boolean = false,
+    mapping: Map[String, String] = Map.empty) extends Scan with Batch {
+  // Readers project files by PHYSICAL column name; the scan's output
+  // schema stays logical (rows are positional, so only the
+  // projection names change).
+  private val physRequired = StructType(required.fields.map(f =>
+    f.copy(name = mapping.getOrElse(f.name, f.name))))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -335,17 +365,17 @@ class SnapshotScan(root: String, required: StructType,
         "or read via Snapshot.Lake.readAsOf, which applies them.")
     state
       .filter { case (f, _) =>
-        pruneFilters.forall(SnapshotScan.admits(f, _)) }
+        pruneFilters.forall(SnapshotScan.admits(f, _, mapping)) }
       .map { case (f, _) => LakeFilePartition(
         new Path(root, f.path).toString): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required)
+    new SnapshotReaderFactory(physRequired)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotMicroBatch(root, required, startingVersion, ignoreChanges,
-      maxCommitsPerTrigger, readChangeFeed)
+    new SnapshotMicroBatch(root, physRequired, startingVersion,
+      ignoreChanges, maxCommitsPerTrigger, readChangeFeed)
 }
 
 /** Offset = commit VERSION ("-1" = before the first commit). Versions

@@ -554,6 +554,16 @@ class SnapshotSpec extends SparkSpec {
     assert(reopened.tableSchema.map(_.fieldNames.sorted.toSeq)
       === Some(Seq("k", "tag", "v")))
     intercept[RuntimeException](reopened.append(retyped))
+    // PRIMITIVE evolved column: the frame that records it is
+    // non-nullable (Scala Double), but pre-evolution rows still
+    // null-fill — the read schema must relax nullability or IS NULL
+    // constant-folds to false over genuine backfill.
+    val scored = Seq((20L, "row20", "zinc", 9.5))
+      .toDF("k", "v", "tag", "score")
+    lake.evolveSchema(scored.schema)
+    lake.append(scored)
+    assert(lake.read().filter(col("k") < 20 && col("score").isNull)
+      .count() === 12, "pre-evolution rows must read NULL score")
   }
 
   test("column mapping: rename/drop are metadata-only; history, pruning and MOR compose") {

@@ -314,6 +314,38 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("column mapping: the connector serves LOGICAL names across a rename") {
+    val lake = freshLake()
+    lake.append(kv(0, 10))            // v0: (k, v)
+    lake.renameColumn("v", "label")   // v1: metadata-only
+    lake.append(Seq((10L, "row10")).toDF("k", "label")) // v2
+    // Batch read through the connector: logical columns, both eras'
+    // values (v0's files store the physical column name `v`).
+    val b = spark.read.format(Fmt).load(lake.root)
+    assert(b.columns.sorted.toSeq === Seq("k", "label"))
+    assert(b.count() === 11)
+    assert(b.filter(col("k") === 3L).select("label").head().getString(0)
+      === "row3")
+    // Column pruning + zone pushdown still work against the physical
+    // stats key: a k-range filter on the renamed table prunes files.
+    assert(b.filter(col("k") === 10L).select("label").head().getString(0)
+      === "row10")
+    // Streaming drain: micro-batches carry the logical schema.
+    val name = s"snapstream5${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt).load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-stream-m").toString).start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table(name)
+      assert(t.columns.sorted.toSeq === Seq("k", "label"))
+      assert(t.count() === 11)
+      assert(t.filter(col("label").isNull).count() === 0,
+        "pre-rename files must resolve through the physical name")
+    } finally q.stop()
+  }
+
   test("lake-to-lake hop: streaming source into SnapshotSink is exactly-once end to end") {
     val bronze = freshLake()
     bronze.append(kv(0, 40))
