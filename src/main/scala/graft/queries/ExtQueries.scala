@@ -2089,56 +2089,6 @@ object ExtQueries {
     // 100 TB shape: the scan ships 16 bytes per vector (not 256), the
     // shortlist is a TakeOrdered heap cut, and only 64 candidates ever
     // touch full-precision vectors.
-    // Matryoshka truncation recall (round 17) — the production
-    // question behind MRL embeddings (Kusupati 2022): how much ANN
-    // quality survives serving only a PREFIX of each vector's dims
-    // (a d/64 index-size and bandwidth cut)? Ground truth = exact
-    // top-10 by integer dot over the full 64 dims; candidates = the
-    // same ranking over the first 8 / 16 dims; recall@10 per (query,
-    // prefix) is the measured overlap — exact integers end to end
-    // (milli-quantized dots bounded ≪ 2^53, so the oracle's double
-    // list_dot_product is bit-exact), ties broken by vec_id. 100 TB
-    // shape: 5 query vectors broadcast; ONE corpus pass computes all
-    // three prefix dots map-side (LongDot codegen on sliced arrays,
-    // localCheckpointed for the three rank cuts); each cut is a
-    // TopKPerKey bounded heap (≤10 rows per query per partition reach
-    // the exchange — never a corpus sort); everything after rides
-    // ≤50-row frames.
-    "mrl_recall" -> { (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"),
-          VectorOps.quantize1000(col("embedding").cast("array<double>"))
-            .as("qq"))
-      val c = emb.select(col("vec_id"),
-        VectorOps.quantize1000(col("embedding").cast("array<double>"))
-          .as("cq"))
-      val dims = Seq(8, 16, 64)
-      val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(Seq(col("qid"), col("vec_id")) ++ dims.map(dd =>
-          VectorOps.idot(slice(col("cq"), 1, dd), slice(col("qq"), 1, dd))
-            .as(s"dot_$dd")): _*)
-        .localCheckpoint(true)
-      def top(dd: Int) = graft.plans.TopKPerKey.perKey(
-        scored.select(col("qid"), col("vec_id"), col(s"dot_$dd").as("dot")),
-        Seq(col("qid")), Seq(col("dot").desc, col("vec_id").asc), 10)
-        .select(col("qid"), col("vec_id"))
-      val full = top(64).localCheckpoint(true)
-      val hits = Seq(8, 16).map { dd =>
-        full.join(top(dd), Seq("qid", "vec_id"))
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_hits"))
-          .withColumn("dim", lit(dd.toLong))
-      }.reduce(_ unionByName _)
-      val base = q.select(col("qid"))
-        .crossJoin(broadcast(Seq(8L, 16L).toDF("dim")))
-      base.join(hits, Seq("qid", "dim"), "left")
-        .select(col("qid"), col("dim"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall_pct", col("n_hits") * 10)
-    },
-
     "ann_binary" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       def half(off: Int) = (0 until 32).map { j =>
@@ -8010,49 +7960,6 @@ object ExtQueries {
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos_sim
         |FROM embeddings, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
-
-    // mrl_recall: the same milli quantization, prefix dots as exact
-    // integer-valued double list_dot_products (bounded ≪ 2^53 — bit
-    // equal to the Spark side's LongDot), row_number ranking with the
-    // vec_id tie-break, overlap counted against the full-dim cut; the
-    // (qid × dim) base LEFT JOIN keeps zero-hit cells.
-    "mrl_recall" ->
-      """WITH qz AS (SELECT vec_id,
-        |              list_transform(embedding,
-        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
-        |                          AS BIGINT)) AS q
-        |            FROM embeddings),
-        |qs AS (SELECT vec_id AS qid, q AS qq FROM qz WHERE vec_id < 5),
-        |dots AS (SELECT qs.qid, c.vec_id,
-        |           list_dot_product(CAST(c.q[1:8] AS DOUBLE[]),
-        |                            CAST(qs.qq[1:8] AS DOUBLE[])) AS d8,
-        |           list_dot_product(CAST(c.q[1:16] AS DOUBLE[]),
-        |                            CAST(qs.qq[1:16] AS DOUBLE[])) AS d16,
-        |           list_dot_product(CAST(c.q AS DOUBLE[]),
-        |                            CAST(qs.qq AS DOUBLE[])) AS d64
-        |         FROM qz c, qs WHERE c.vec_id <> qs.qid),
-        |r8 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number()
-        |         OVER (PARTITION BY qid ORDER BY d8 DESC, vec_id) AS r
-        |       FROM dots) WHERE r <= 10),
-        |r16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number()
-        |          OVER (PARTITION BY qid ORDER BY d16 DESC, vec_id) AS r
-        |        FROM dots) WHERE r <= 10),
-        |r64 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number()
-        |          OVER (PARTITION BY qid ORDER BY d64 DESC, vec_id) AS r
-        |        FROM dots) WHERE r <= 10),
-        |base AS (SELECT qid, CAST(dim AS BIGINT) AS dim
-        |         FROM qs, (SELECT unnest([8, 16]) AS dim)),
-        |hits AS (SELECT f.qid, CAST(8 AS BIGINT) AS dim,
-        |           count(*) AS n
-        |         FROM r64 f JOIN r8 p USING (qid, vec_id) GROUP BY 1
-        |         UNION ALL
-        |         SELECT f.qid, CAST(16 AS BIGINT), count(*)
-        |         FROM r64 f JOIN r16 p USING (qid, vec_id) GROUP BY 1)
-        |SELECT b.qid, b.dim,
-        |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-        |       CAST(coalesce(h.n, 0) * 10 AS BIGINT) AS recall_pct
-        |FROM base b LEFT JOIN hits h ON h.qid = b.qid AND h.dim = b.dim"""
-        .stripMargin,
 
     // ann_binary: the same bit packing (32 machine-generated CASE
     // terms per half over the shared milli quantization), exact

@@ -161,9 +161,6 @@ class PlanDisciplineSpec extends SparkSpec {
     "min_cost_supplier" -> Seq("n_name,n_nationkey", "r_regionkey"),
     "mixture_sample" -> Seq("permille,stratum"),
     "multimodal_pipeline" -> Seq("n_aud_ok", "n_dedup_removed", "n_img_ok", "n_survivors,sum_survivor_ids", "n_vid_ok"),
-    // the 2-row literal prefix-dim frame (the 5-row query-vector side
-    // rides the non-equi broadcast nested-loop join, not a hint)
-    "mrl_recall" -> Seq("dim"),
     "mrr_prec_at_k" -> Seq("n_docs", "n_docs", "qid,qq", "qid,qq", "qid,term", "qid,term"),
     "mv_refresh" -> Seq("cutoff", "cutoff"),
     // the 1-row day-count aggregate of the ≤31-row daily frame
