@@ -695,6 +695,36 @@ class SnapshotSpec extends SparkSpec {
     assert(keptZ.size < lake2.liveFiles(lake2.latestVersion).size)
   }
 
+  test("column mapping: a deep rename chain folds through checkpoints at O(interval) parses") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-cmap4-").toString,
+      statsCols = Seq("k"), checkpointInterval = 10)
+    lake.append((0L until 30L).map(k => (k, s"row$k")).toDF("k", "v"))
+    // 25 chained renames: v -> v1 -> v2 -> ... (metadata-only commits
+    // crossing two checkpoint folds at v10 and v20) — the mapping
+    // must survive the checkpoint meta line, and the physical column
+    // stays the ORIGINAL `v` throughout.
+    (1 to 25).foreach(i =>
+      lake.renameColumn(if (i == 1) "v" else s"v${i - 1}", s"v$i"))
+    assert(lake.latestVersion === 25)
+    val reopened = Snapshot.Lake(spark, lake.root,
+      statsCols = Seq("k"), checkpointInterval = 10)
+    Snapshot.logFilesParsed.set(0L)
+    val r = reopened.read()
+    assert(r.columns.sorted.toSeq === Seq("k", "v25"))
+    assert(r.filter(col("k") === 7L).select("v25").head().getString(0)
+      === "row7")
+    assert(Snapshot.logFilesParsed.get() <= 12L,
+      s"mapped read parsed ${Snapshot.logFilesParsed.get()} log files; " +
+        "checkpoint + suffix must bound this, renames included")
+    // Appends under the 25th name still land (physical stays `v`).
+    reopened.append(Seq((30L, "row30")).toDF("k", "v25"))
+    assert(reopened.read().count() === 31)
+    // Time travel to mid-chain reads under THAT era's name.
+    assert(reopened.readAsOf(13).columns.sorted.toSeq === Seq("k", "v13"))
+  }
+
   test("column mapping: RESTORE across a rename rolls the logical names back") {
     import spark.implicits._
     val lake = freshLake()
