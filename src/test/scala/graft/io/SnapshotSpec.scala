@@ -620,6 +620,15 @@ class SnapshotSpec extends SparkSpec {
     lake.deleteKeysMor(Seq("row7").toDF("label"), "label") // v4
     assert(lake.read().filter(col("label") === "row7").count() === 0)
     assert(lake.read().count() === 200)
+    // CDC across a window containing the rename AND row changes:
+    // the feed projects both sides to the window-end LOGICAL schema,
+    // so exactly the real changes surface — the v3 insert and the v4
+    // MOR delete — under the new name, with zero rename noise.
+    val cdc2 = lake.changes(1, 4)
+    assert(cdc2.columns.sorted.toSeq === Seq("_op", "k", "label"))
+    val ops = cdc2.select(col("_op"), col("k"), col("label")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(ops === Set(("insert", 200L, "row200"), ("delete", 7L, "row7")))
 
     // DROP hides the column without rewriting anything.
     val before = dataFiles()
