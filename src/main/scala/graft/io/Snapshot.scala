@@ -644,10 +644,11 @@ object Snapshot {
     /** Timestamp-based time travel (Delta's `timestampAsOf`): the last
       * version whose publish timestamp is ≤ `tsMillis`. Resolution is
       * a BINARY SEARCH over the version listing — O(log versions)
-      * commit-file parses, no full replay — relying on publish
-      * timestamps being non-decreasing (single-writer wall clock; the
-      * Delta caveat about clock skew across writers applies
-      * unchanged). Commits from logs predating the `ts` line resolve
+      * commit-file parses, no full replay. Publish timestamps are
+      * STRICTLY INCREASING by construction (the in-commit-timestamps
+      * stamp in [[tryPublish]]: max(wall clock, prev ts + 1)), so the
+      * search is correct under clock skew across writers and
+      * same-millisecond bursts. Commits from logs predating the `ts` line resolve
       * as "infinitely old". Fails when `tsMillis` predates the first
       * commit, exactly like Delta. */
     def versionAtTimestamp(tsMillis: Long): Int = {
@@ -2007,10 +2008,22 @@ object Snapshot {
       fs.mkdirs(logPath)
       val tmp = new Path(logPath,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      // Every commit carries its publish wall-clock (the Delta
+      // Every commit carries its publish timestamp (the Delta
       // commit-timestamp semantic) — the single choke point stamps it
-      // so timestampAsOf resolution covers every commit shape.
-      val payload = (record :+ s"ts\t${System.currentTimeMillis()}")
+      // so timestampAsOf resolution covers every commit shape. The
+      // stamp is MONOTONE (Delta's in-commit-timestamps semantic):
+      // max(wall clock, previous commit's ts + 1), read back from the
+      // log itself (one commit parse), so timestampAsOf's binary
+      // search stays correct under clock skew across writers and
+      // same-millisecond commit bursts — a later version can never
+      // carry an earlier timestamp.
+      val prevTs =
+        if (version <= 0) Long.MinValue
+        else Snapshot.readCommitsRange(fs, logPath, version - 2,
+            version - 1)
+          .headOption.flatMap(_.ts).getOrElse(Long.MinValue)
+      val stamp = math.max(System.currentTimeMillis(), prevTs + 1)
+      val payload = (record :+ s"ts\t$stamp")
         .mkString("\n") + "\n"
       val out = fs.create(tmp, false)
       try out.write(payload.getBytes("UTF-8"))

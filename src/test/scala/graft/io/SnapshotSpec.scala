@@ -950,6 +950,13 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStreamSource.versionAtOrAfter(lake.root,
       System.currentTimeMillis() + 60000) === 4,
       "timestamp past the head starts after it (future commits only)")
+    // In-commit timestamps: a same-millisecond commit BURST still
+    // stamps strictly increasing (max(wall, prev + 1)), so the binary
+    // search's ordering precondition holds by construction.
+    (0 until 8).foreach(i => lake.append(kv(200L + i, 201L + i)))
+    val stamps = lake.commits.flatMap(_.ts)
+    assert(stamps === stamps.sorted && stamps.distinct.size === stamps.size,
+      s"commit timestamps must be strictly increasing: $stamps")
   }
 
   test("partition columns: hive layout, manifest partition tier prunes before zone maps, MOR/vacuum compose") {
