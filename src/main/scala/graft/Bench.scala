@@ -210,9 +210,20 @@ object Bench {
     }
     val regressed = deltas.filter(_._2 > 20.0).map(_._1).sorted
     try {
-      val minima = results.filter(_._4 == "ok")
-        .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
-        .mkString(",")
+      // The rewritten file carries this run's ok minima PLUS the
+      // previous baseline for queries that FAILED this run — a
+      // timed-out query must not lose its baseline (its next
+      // successful run still diffs against real history). Queries
+      // absent from the registry entirely drop out. Semantics are
+      // vs-PREVIOUS-run by design (the per-round delta the tracking
+      // exists for), not all-time best.
+      val curOk = results.filter(_._4 == "ok")
+        .map { case (k, v, _, _) => k -> v }.toMap
+      val failed = results.filter(_._4 != "ok").map(_._1).toSet
+      val merged = curOk ++
+        prevMinima.filter { case (k, _) => failed(k) }
+      val minima = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
       java.nio.file.Files.write(minimaPath,
         (s"""{"sf":"$sfDir",$minima}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

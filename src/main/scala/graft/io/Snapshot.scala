@@ -186,6 +186,29 @@ object Snapshot {
   def latestVersion(fs: FileSystem, logPath: Path): Int =
     listVersions(fs, logPath).lastOption.getOrElse(-1)
 
+  /** The `ts` stamp of one commit file as a fixed-size TAIL read —
+    * the ts line is always the file's last line (tryPublish appends
+    * it), so the in-commit-timestamp chain costs O(1) I/O per publish
+    * at any manifest size. None when the file is missing or predates
+    * ts lines (the last line then isn't `ts\t...` — fragments of a
+    * cut-off earlier line can never false-positive because only the
+    * FINAL complete line is inspected). */
+  private[io] def tailTs(fs: FileSystem, p: Path): Option[Long] =
+    try {
+      val len = fs.getFileStatus(p).getLen
+      val start = math.max(0L, len - 256)
+      val in = fs.open(p)
+      val tail =
+        try {
+          in.seek(start)
+          val buf = new Array[Byte]((len - start).toInt)
+          in.readFully(buf)
+          new String(buf, "UTF-8")
+        } finally in.close()
+      tail.linesIterator.toSeq.filter(_.nonEmpty).lastOption
+        .filter(_.startsWith("ts\t")).map(_.stripPrefix("ts\t").toLong)
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Parse ONE commit record (the shared line grammar). */
   private def parseCommit(fs: FileSystem, p: Path, v: Int): Commit = {
     logFilesParsed.incrementAndGet()
@@ -725,6 +748,9 @@ object Snapshot {
       // so a rename never manufactures change rows and a dropped
       // column's stored values can't keep rows from cancelling.
       val logicalAt = ckAfter.schema
+      def emptyLogical(l: StructType) = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Snapshot.cleanSchema(l))
       // The diff keys on (path, dv): a deletion-vector change touches
       // the file exactly like a rewrite does — its old visible rows
       // appear on the dropped side, its new visible rows on the added
@@ -739,10 +765,7 @@ object Snapshot {
         // No file membership change in the window ⇒ empty feed, with
         // the table schema whenever one is resolvable.
         val base = logicalAt match {
-          case Some(l) =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              Snapshot.cleanSchema(l))
+          case Some(l) => emptyLogical(l)
           case None =>
             if (after.nonEmpty) readFiles(after.map(_._1))
             else if (before.nonEmpty) readFiles(before.map(_._1))
@@ -762,9 +785,7 @@ object Snapshot {
       }
       def side(entries: Seq[(FileStat, Option[String])]): DataFrame =
         if (entries.isEmpty) logicalAt match {
-          case Some(l) => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            Snapshot.cleanSchema(l))
+          case Some(l) => emptyLogical(l)
           case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             unified.get)
@@ -1217,6 +1238,20 @@ object Snapshot {
       * reads ([[readDelta]]) surface physical names by design — the
       * Delta restriction that streaming a column-mapped table needs
       * the consumer to re-resolve its schema. */
+    /** Active constraints referencing column `c` (unresolved-attribute
+      * walk over each CHECK expression) — rename/drop must refuse
+      * these: the constraint SQL is written against LOGICAL names, so
+      * a rename would break its analysis on the next commit and a
+      * drop would brick every future data write (Delta refuses the
+      * same way; there is no constraint-rewrite machinery). */
+    private def constraintsReferencing(c: String): Seq[String] =
+      constraints.collect { case (name, sql)
+          if org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                => a.name
+            }.contains(c) => name }
+
     def renameColumn(oldName: String, newName: String): Int = {
       val cur = tableSchema.getOrElse(sys.error(
         s"renameColumn at $root: no recorded schema (empty table?)"))
@@ -1227,6 +1262,10 @@ object Snapshot {
           s"(table schema is ${cur.simpleString})")
       require(!cur.fieldNames.contains(newName),
         s"renameColumn at $root: column '$newName' already exists")
+      val refs = constraintsReferencing(oldName)
+      require(refs.isEmpty,
+        s"renameColumn at $root: '$oldName' is referenced by " +
+          s"constraint(s) ${refs.mkString(", ")}")
       val mapped = Snapshot.activateMapping(cur)
       val next = StructType(mapped.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -1253,6 +1292,10 @@ object Snapshot {
         s"dropColumn at $root: cannot drop the last column")
       require(!partitionCols.contains(name),
         s"dropColumn at $root: '$name' is a partition column")
+      val refs = constraintsReferencing(name)
+      require(refs.isEmpty,
+        s"dropColumn at $root: '$name' is referenced by " +
+          s"constraint(s) ${refs.mkString(", ")}")
       val mapped = Snapshot.activateMapping(cur)
       val next = StructType(mapped.fields.filterNot(_.name == name))
       val version = latestVersion + 1
@@ -1777,6 +1820,12 @@ object Snapshot {
       // leaves already-written files correct (the retry's re-run
       // write-schema gate is what catches incompatible winners).
       def physOf(c: String): String = Snapshot.physicalIn(schemaSeen, c)
+      // The physical names the data files are ABOUT to be written
+      // under — the OCC retry compares the winner's mapping against
+      // this and fails loudly on a divergence (name+type validation
+      // alone would pass a drop+re-add race whose fresh physical name
+      // makes our already-written column read back NULL).
+      val writtenPhys = df.columns.toSeq.map(physOf)
       val writeDf = schemaSeen match {
         case Some(ts) if Snapshot.mappingActive(ts) =>
           df.select(df.columns.toSeq.map(c => col(c).as(physOf(c))): _*)
@@ -1948,6 +1997,23 @@ object Snapshot {
             try {
               val (s, m) = computeMetaLines()
               schemaSeen = s; metaLines = m
+              // Name+type validation passed — but the data files are
+              // already on disk under [[writtenPhys]]. If the winner
+              // changed the MAPPING for any of our columns (rename
+              // swap, drop + re-add binding a fresh physical name),
+              // those files would read back null-filled or transposed
+              // under the new mapping; that must fail like any other
+              // concurrent metadata change, never publish.
+              val nowPhys = df.columns.toSeq.map(c =>
+                Snapshot.physicalIn(schemaSeen, c))
+              if (nowPhys != writtenPhys) sys.error(
+                s"commit conflict at $root: a concurrent writer " +
+                  "changed the column mapping (" +
+                  df.columns.toSeq.zip(writtenPhys).zip(nowPhys)
+                    .collect { case ((c, w), n) if w != n =>
+                      s"$c: $w -> $n" }.mkString(", ") +
+                  ") after this append's data files were written — " +
+                  "retry the append against the new schema")
             } catch { case e: Throwable =>
               fs.delete(dataPath, true); throw e }
           }
@@ -2012,16 +2078,20 @@ object Snapshot {
       // commit-timestamp semantic) — the single choke point stamps it
       // so timestampAsOf resolution covers every commit shape. The
       // stamp is MONOTONE (Delta's in-commit-timestamps semantic):
-      // max(wall clock, previous commit's ts + 1), read back from the
-      // log itself (one commit parse), so timestampAsOf's binary
-      // search stays correct under clock skew across writers and
-      // same-millisecond commit bursts — a later version can never
-      // carry an earlier timestamp.
+      // max(wall clock, previous commit's ts + 1), so timestampAsOf's
+      // binary search stays correct under clock skew across writers
+      // and same-millisecond commit bursts — a later version can
+      // never carry an earlier timestamp. The ts line is always the
+      // LAST line of a commit (appended below), so the previous stamp
+      // is a fixed-size TAIL read — O(1) regardless of how large the
+      // previous commit's manifest is (an overwrite re-lists every
+      // live file; parsing it just for one ts would make every
+      // subsequent publish pay O(manifest)).
       val prevTs =
         if (version <= 0) Long.MinValue
-        else Snapshot.readCommitsRange(fs, logPath, version - 2,
-            version - 1)
-          .headOption.flatMap(_.ts).getOrElse(Long.MinValue)
+        else Snapshot.tailTs(fs,
+          new Path(logPath, f"${version - 1}%08d.commit"))
+          .getOrElse(Long.MinValue)
       val stamp = math.max(System.currentTimeMillis(), prevTs + 1)
       val payload = (record :+ s"ts\t$stamp")
         .mkString("\n") + "\n"

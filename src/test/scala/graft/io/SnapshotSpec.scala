@@ -654,7 +654,17 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](lake.renameColumn("k", "label"))
     intercept[IllegalArgumentException](lake.renameColumn("ghost", "g2"))
     intercept[IllegalArgumentException](lake.renameColumn("k", "k"))
-    lake.dropColumn("label") // v8 — back to (k) alone
+    // A column referenced by an active CHECK constraint can be
+    // neither renamed nor dropped (the constraint SQL binds its
+    // LOGICAL name; a rename would break analysis on the next commit
+    // and a drop would brick every future write — Delta refuses the
+    // same way). Unreferenced columns stay free to move.
+    lake.addConstraint("k_nonneg", "k >= 0")
+    val eRc = intercept[IllegalArgumentException](
+      lake.renameColumn("k", "key"))
+    assert(eRc.getMessage.contains("k_nonneg"))
+    intercept[IllegalArgumentException](lake.dropColumn("k"))
+    lake.dropColumn("label") // unreferenced: still allowed
     intercept[IllegalArgumentException](lake.dropColumn("k"))
 
     // A fresh handle replays the mapping from the log.
