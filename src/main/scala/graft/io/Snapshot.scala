@@ -80,7 +80,8 @@ object Snapshot {
       dvs: Seq[(String, String)] = Nil,
       constraints: Seq[(String, String)] = Nil,
       meta: Option[StructType] = None,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      unconstraints: Seq[String] = Nil)
 
   /** Table-schema log line: `meta<TAB><base64(StructType.json)>` —
     * base64 so the JSON can never collide with the tab/newline
@@ -221,6 +222,7 @@ object Snapshot {
     val rms = Seq.newBuilder[String]
     val dvs = Seq.newBuilder[(String, String)]
     val cons = Seq.newBuilder[(String, String)]
+    val uncons = Seq.newBuilder[String]
     var txn = Option.empty[(String, Long)]
     var meta = Option.empty[StructType]
     var ts = Option.empty[Long]
@@ -286,12 +288,13 @@ object Snapshot {
         case Array("txn", w, b) => txn = Some((w, b.toLong))
         case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
         case Array("constraint", name, sql) => cons += ((name, sql))
+        case Array("unconstraint", name) => uncons += name
         case other => sys.error(s"corrupt log line in ${p.getName}: " +
           other.mkString("\t"))
       }
     }
     Commit(v, adds.result(), rms.result(), txn, dvs.result(),
-      cons.result(), meta, ts)
+      cons.result(), meta, ts, uncons.result())
   }
 
   /** The commits with version in (fromExclusive, toInclusive] — parses
@@ -418,8 +421,11 @@ object Snapshot {
       suffix: Seq[Commit]): Checkpoint = {
     val state = replayState(
       base.map(_.state).getOrElse(Nil), suffix)
-    val cons = base.map(_.constraints).getOrElse(Nil) ++
-      suffix.flatMap(_.constraints)
+    val cons = suffix.foldLeft(
+      base.map(_.constraints).getOrElse(Nil)) { (acc, c) =>
+      (acc ++ c.constraints).filterNot { case (n, _) =>
+        c.unconstraints.contains(n) }
+    }
     val txns = suffix.flatMap(_.txn)
       .foldLeft(base.map(_.txns).getOrElse(Map.empty[String, Long])) {
         case (m, (w, b)) => m.updated(w, math.max(b, m.getOrElse(w, -1L)))
@@ -1348,6 +1354,7 @@ object Snapshot {
       cs.map { c =>
         val op =
           if (c.constraints.nonEmpty) "addConstraint"
+          else if (c.unconstraints.nonEmpty) "dropConstraint"
           else if (c.dvs.nonEmpty && c.added.nonEmpty) "morMerge"
           else if (c.dvs.nonEmpty) "morDelete"
           else if (c.removed.nonEmpty && c.added.nonEmpty) "rewrite"
@@ -1447,6 +1454,21 @@ object Snapshot {
       }
       val version = lv + 1
       publish(Seq(s"v\t$version", s"constraint\t$name\t$sqlExpr"), version)
+      version
+    }
+
+    /** DROP CONSTRAINT (Delta's `ALTER TABLE DROP CONSTRAINT`): a
+      * metadata-only commit retiring the named CHECK — subsequent
+      * writes stop validating it (and a column it referenced becomes
+      * free to rename/drop, the recovery path
+      * [[constraintsReferencing]]'s refusals point at). Re-adding the
+      * same name later re-enforces from that version on. Folds
+      * through checkpoints like every state-shaped read. */
+    def dropConstraint(name: String): Int = {
+      require(constraints.exists(_._1 == name),
+        s"dropConstraint at $root: no active constraint '$name'")
+      val version = latestVersion + 1
+      publish(Seq(s"v\t$version", s"unconstraint\t$name"), version)
       version
     }
 

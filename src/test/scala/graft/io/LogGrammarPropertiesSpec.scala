@@ -128,6 +128,7 @@ class LogGrammarPropertiesSpec extends SparkSpec {
         "rm\tdata/c0-old/x.parquet",
         s"dv\t${f.path}\tdv/d7/part.parquet",
         "constraint\tk_pos\tk >= 0",
+        "unconstraint\tstale_check",
         "txn\twriter-a\t42",
         "ts\t1755300000000").mkString("\n")
       val out = fs.create(new Path(logPath, "00000007.commit"))
@@ -137,6 +138,7 @@ class LogGrammarPropertiesSpec extends SparkSpec {
       assert(c.removed === Seq("data/c0-old/x.parquet"))
       assert(c.dvs === Seq((f.path, "dv/d7/part.parquet")))
       assert(c.constraints === Seq(("k_pos", "k >= 0")))
+      assert(c.unconstraints === Seq("stale_check"))
       assert(c.txn === Some(("writer-a", 42L)))
       assert(c.ts === Some(1755300000000L))
       val m = c.meta.get

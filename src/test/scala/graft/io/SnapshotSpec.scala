@@ -744,6 +744,40 @@ class SnapshotSpec extends SparkSpec {
     assert(reopened.readAsOf(13).columns.sorted.toSeq === Seq("k", "v13"))
   }
 
+  test("dropConstraint: retired CHECKs stop validating, fold survives checkpoints, recovery composes") {
+    import spark.implicits._
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-uncon-").toString,
+      statsCols = Seq("k"), checkpointInterval = 3)
+    lake.append((0L until 10L).map(k => (k, s"row$k")).toDF("k", "v")) // v0
+    lake.addConstraint("k_cap", "k < 100") // v1
+    intercept[RuntimeException](
+      lake.append(Seq((500L, "big")).toDF("k", "v")))
+    // ... and the constrained column is pinned (the refusal the
+    // recovery path exists for).
+    intercept[IllegalArgumentException](lake.renameColumn("k", "key"))
+    val vd = lake.dropConstraint("k_cap") // v2
+    assert(vd === 2 && lake.constraints.isEmpty)
+    lake.append(Seq((500L, "big")).toDF("k", "v")) // v3 — lands now
+    assert(lake.read().count() === 11)
+    // The formerly pinned column is free again.
+    lake.renameColumn("k", "key") // v4
+    // Re-adding under the new name enforces from here on (validates
+    // the existing rows first — 500 passes the looser cap).
+    lake.addConstraint("key_cap", "key < 1000") // v5
+    intercept[RuntimeException](
+      lake.append(Seq((5000L, "huge")).toDF("key", "v")))
+    // The drop folds through the v3 checkpoint for a fresh handle.
+    val reopened = Snapshot.Lake(spark, lake.root,
+      statsCols = Seq("k"), checkpointInterval = 3)
+    assert(reopened.constraints.map(_._1) === Seq("key_cap"))
+    // History names the operation.
+    assert(lake.describeHistory(vd, vd).head().getString(1)
+      === "dropConstraint")
+    // Unknown names are refused.
+    intercept[IllegalArgumentException](lake.dropConstraint("ghost"))
+  }
+
   test("column mapping: RESTORE across a rename rolls the logical names back") {
     import spark.implicits._
     val lake = freshLake()
