@@ -176,7 +176,14 @@ object Bench {
     }
     val loadEnd = loadavg()
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale-pinned formatting: the f-interpolator uses the JVM default
+    // locale, so a comma-decimal locale would write the minima file as
+    // invalid JSON (1,234 instead of 1.234) and every later run's regex
+    // parse would silently return zero baselines — wiping regression
+    // history without a trace.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(v))
     // The printed line must stay WELL under the driver's 2,000-char tail
     // capture: rounds 4-6 all recorded parsed:null because the line
     // still carried a per-query map (112 entries ≈ 2.5 KB even at 3
@@ -200,10 +207,24 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(minimaPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        val parsed = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(txt)
           .filter(_.group(1) != "sf")
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        // A present-but-unparseable minima file must not silently read
+        // as "no history" — that wipes the regression baseline.
+        if (parsed.isEmpty)
+          System.err.println(s"[bench] WARNING minima file $minimaPath " +
+            "exists but parsed to zero entries — regression baselines " +
+            "lost; check the file for corruption")
+        parsed
+      } catch {
+        case _: java.nio.file.NoSuchFileException => Map.empty
+        case t: Throwable =>
+          System.err.println(s"[bench] WARNING minima file $minimaPath " +
+            s"unreadable ($t) — regression baselines unavailable this run")
+          Map.empty
+      }
     val deltas = results.collect {
       case (k, best, _, "ok") if prevMinima.contains(k) && prevMinima(k) > 0 =>
         k -> ((best - prevMinima(k)) / prevMinima(k) * 100.0)
@@ -232,7 +253,9 @@ object Bench {
     val detail = {
       val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + r3(m) }
         .mkString("{", ",", "}")
-      val dvp = deltas.map { case (k, d) => "\"" + k + "\":" + f"$d%.1f" }
+      val dvp = deltas.map { case (k, d) => "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.1f",
+            java.lang.Double.valueOf(d)) }
         .mkString("{", ",", "}")
       val raw = samples.toSeq.map { case (k, timed) =>
         "\"" + k + "\":[" + timed.map { case (sec, st) =>

@@ -1218,15 +1218,26 @@ object Snapshot {
       // schema commit owns each version) so re-adding a logical name
       // that was ever dropped or renamed away can never resurrect old
       // files' values under the new column.
+      val existingPhys = cur.fields.map(Snapshot.physicalName).toSet
       val next = StructType(newSchema.fields.map { nf =>
         cur.fields.find(_.name == nf.name).getOrElse {
-          if (Snapshot.mappingActive(cur))
+          if (Snapshot.mappingActive(cur)) {
+            // The generated physical name must be FREE: a pre-existing
+            // column whose physical name is literally `x__p<version>`
+            // would otherwise share one parquet column with the
+            // re-added `x` — two logical fields reading each other's
+            // values. Fail loudly like every other mapping refusal.
+            val phys = s"${nf.name}__p$version"
+            require(!existingPhys.contains(phys),
+              s"evolveSchema at $root: generated physical name '$phys' " +
+                s"for new column '${nf.name}' collides with an existing " +
+                "physical column")
             nf.copy(metadata =
               new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(nf.metadata)
-                .putString(Snapshot.PhysKey, s"${nf.name}__p$version")
+                .putString(Snapshot.PhysKey, phys)
                 .build())
-          else nf
+          } else nf
         }
       })
       publish(Seq(s"v\t$version", Snapshot.metaLine(next)), version)
@@ -1296,7 +1307,15 @@ object Snapshot {
           s"(table schema is ${cur.simpleString})")
       require(cur.fields.length > 1,
         s"dropColumn at $root: cannot drop the last column")
-      require(!partitionCols.contains(name),
+      // Refuse by logical OR physical name: after a partition-column
+      // rename, a stale handle's partitionCols still hold the OLD
+      // logical name — which is exactly the column's stable physical
+      // name — so the physical check keeps the layout contract safe
+      // under any handle era.
+      val physName = cur.fields.find(_.name == name)
+        .map(Snapshot.physicalName)
+      require(!partitionCols.contains(name) &&
+          !physName.exists(partitionCols.contains),
         s"dropColumn at $root: '$name' is a partition column")
       val refs = constraintsReferencing(name)
       require(refs.isEmpty,
@@ -1477,8 +1496,8 @@ object Snapshot {
       * Throws (and the caller cleans the unpublished data) on the
       * first violating row. */
     private def validateAgainstConstraints(dataPath: Path,
+        active: Seq[(String, String)],
         logical: Option[StructType] = None): Seq[(String, String)] = {
-      val active = constraints
       if (active.isEmpty) return active
       val pred = active.map { case (_, sql) =>
         coalesce(expr(sql), lit(false)) }.reduce(_ && _)
@@ -1824,8 +1843,19 @@ object Snapshot {
       // evolveSchema landing inside that window would otherwise make
       // the retry's schemaNow != schemaSeen comparison vacuously pass
       // and publish a commit never validated against the winner.
-      def computeMetaLines(): (Option[StructType], Seq[String]) = {
-        val snap = tableSchema
+      //
+      // ONE checkpoint fold per attempt serves schema AND constraints
+      // (they live in the same fold; paying checkpointAt twice — once
+      // for tableSchema, once for constraints — doubled the O(interval)
+      // log parse on every commit and every OCC retry iteration). A
+      // concurrent metadata commit landing after this fold necessarily
+      // occupies this commit's version slot, so the retry loop re-folds
+      // and re-checks — nothing can slip between fold and publish.
+      def headCk(): Snapshot.Checkpoint =
+        Snapshot.checkpointAt(fs, logPath, Int.MaxValue)
+      def computeMetaLines(ck: Snapshot.Checkpoint)
+          : (Option[StructType], Seq[String]) = {
+        val snap = ck.schema
         snap match {
           case Some(_) =>
             validateWriteSchema(snap, df.schema)
@@ -1833,7 +1863,8 @@ object Snapshot {
           case None => (None, Seq(Snapshot.metaLine(df.schema)))
         }
       }
-      var (schemaSeen, metaLines) = computeMetaLines()
+      val ck0 = headCk()
+      var (schemaSeen, metaLines) = computeMetaLines(ck0)
       // Column mapping: the commit frame arrives (and was validated)
       // in LOGICAL space; data files and manifest segments live in
       // PHYSICAL space. The translation anchors on the schema
@@ -1853,7 +1884,27 @@ object Snapshot {
           df.select(df.columns.toSeq.map(c => col(c).as(physOf(c))): _*)
         case _ => df
       }
-      val physPartCols = partitionCols.map(physOf)
+      // Effective partition columns under the schema being written:
+      // a handle constructed BEFORE a partition-column rename still
+      // names the old logical column, but the column's physical name
+      // is stable (first activation stamps physical = the pre-rename
+      // logical name), so a stale name translates through it instead
+      // of wedging every append on the misleading 'partition column
+      // missing from the commit frame' gate. A name neither logical
+      // nor physical (renamed twice under a stale handle) fails with
+      // the actionable reopen pointer.
+      val effPartCols = partitionCols.map { p =>
+        schemaSeen match {
+          case Some(ts) if !ts.fieldNames.contains(p) =>
+            ts.fields.find(f => Snapshot.physicalName(f) == p).map(_.name)
+              .getOrElse(sys.error(s"partition column '$p' at $root: " +
+                "not in the table schema and no column's physical name " +
+                "matches (renamed more than once?) — reopen the Lake " +
+                "with the current partition column names"))
+          case _ => p
+        }
+      }
+      val physPartCols = effPartCols.map(physOf)
       val physStatsCols = statsCols.map(physOf)
       val physStrStatsCols = strStatsCols.map(physOf)
       val physNullStatsCols = nullStatsCols.map(physOf)
@@ -1871,9 +1922,9 @@ object Snapshot {
       // reconstruction; the manifest records each file's partition
       // values (`part:` segments) as the pruning tier BEFORE zone maps
       // (the Delta partition-pruning tier).
-      if (partitionCols.nonEmpty) {
-        require(partitionCols.forall(df.columns.contains),
-          s"partition column(s) ${partitionCols.filterNot(df.columns.contains)
+      if (effPartCols.nonEmpty) {
+        require(effPartCols.forall(df.columns.contains),
+          s"partition column(s) ${effPartCols.filterNot(df.columns.contains)
             .mkString(", ")} missing from the commit frame at $root")
         physPartCols.foldLeft(writeDf)((d, c) =>
             d.withColumn(s"__p_$c", col(c)))
@@ -1903,7 +1954,8 @@ object Snapshot {
       // still triggers re-validation on the first conflict retry.
       var validated: Seq[(String, String)] = Nil
       if (files.nonEmpty)
-        try validated = validateAgainstConstraints(dataPath, schemaSeen)
+        try validated = validateAgainstConstraints(dataPath,
+          ck0.constraints, schemaSeen)
         catch { case e: Throwable => fs.delete(dataPath, true); throw e }
       // One job over just the new files: per-file rows + zone stats +
       // Bloom bitsets (the bloom agg ships only BloomM/8-byte buffers
@@ -2008,16 +2060,18 @@ object Snapshot {
           //    recompute metaLines, so a lost first-commit race never
           //    re-emits a stale meta line whose later version would
           //    silently win over the winner's schema.
-          if (constraints != validated) {
+          val ck = headCk() // one fold per retry: constraints + schema
+          if (ck.constraints != validated) {
             if (files.nonEmpty)
-              try validated = validateAgainstConstraints(dataPath, schemaSeen)
+              try validated = validateAgainstConstraints(dataPath,
+                ck.constraints, schemaSeen)
               catch { case e: Throwable =>
                 fs.delete(dataPath, true); throw e }
-            else validated = constraints
+            else validated = ck.constraints
           }
-          if (tableSchema.map(_.json) != schemaSeen.map(_.json)) {
+          if (ck.schema.map(_.json) != schemaSeen.map(_.json)) {
             try {
-              val (s, m) = computeMetaLines()
+              val (s, m) = computeMetaLines(ck)
               schemaSeen = s; metaLines = m
               // Name+type validation passed — but the data files are
               // already on disk under [[writtenPhys]]. If the winner

@@ -74,7 +74,8 @@ class SnapshotStreamSource extends TableProvider {
     // the files resolve per reader. Legacy pre-meta logs keep the
     // footer-union path.
     val path = options.get("path")
-    val base = SnapshotStreamSource.logicalSchemaAndMap(path)
+    val base = SnapshotStreamSource.logicalSchemaAndMap(path,
+        SnapshotStreamSource.resolveAsOf(options))
       .map(_._1).getOrElse(SnapshotStreamSource.unionSchema(path))
     if (options.getBoolean("readChangeFeed", false))
       StructType(base.fields.toSeq ++ SnapshotStreamSource.CdfColumns)
@@ -103,15 +104,26 @@ object SnapshotStreamSource {
   private def logPathOf(root: String) = new Path(root, "_log")
 
   /** The recorded LOGICAL schema (mapping metadata stripped) and the
-    * logical→physical column map — None on legacy pre-meta logs
-    * (footer behavior unchanged, the grandfather clause). */
-  def logicalSchemaAndMap(root: String)
+    * logical→physical column map, resolved AS OF `asOf` (default: log
+    * head) — None on legacy pre-meta logs (footer behavior unchanged,
+    * the grandfather clause). Time-travel reads (`versionAsOf`) MUST
+    * resolve at their own version: the head fold would serve an old
+    * snapshot under post-rename names with later-added columns
+    * null-filled, diverging from Lake.readAsOf, which serves the
+    * target version's own recorded schema. */
+  def logicalSchemaAndMap(root: String, asOf: Int = Int.MaxValue)
       : Option[(StructType, Map[String, String])] = {
     val logPath = logPathOf(root)
-    Snapshot.checkpointAt(logPath.getFileSystem(conf), logPath,
-        Int.MaxValue)
+    Snapshot.checkpointAt(logPath.getFileSystem(conf), logPath, asOf)
       .schema.map(ts => (Snapshot.cleanSchema(ts),
         ts.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap))
+  }
+
+  /** The fold version a scan's schema/mapping resolve at: the
+    * `versionAsOf` option when set, else the head. */
+  private[v2] def resolveAsOf(options: CaseInsensitiveStringMap): Int = {
+    val v = options.getInt("versionAsOf", -1)
+    if (v < 0) Int.MaxValue else v
   }
 
   /** `startingTimestamp` (Delta's stream option): the FIRST version
@@ -264,7 +276,11 @@ class SnapshotScanBuilder(
     pruneFilters = pushed,
     maxCommitsPerTrigger = options.getInt("maxCommitsPerTrigger", 0),
     readChangeFeed = options.getBoolean("readChangeFeed", false),
-    mapping = SnapshotStreamSource.logicalSchemaAndMap(root)
+    // ONE fold per scan build, resolved at the read version: a
+    // versionAsOf time travel maps under the target version's own
+    // recorded mapping (agreeing with Lake.readAsOf), not the head's.
+    mapping = SnapshotStreamSource.logicalSchemaAndMap(root,
+        SnapshotStreamSource.resolveAsOf(options))
       .map(_._2).getOrElse(Map.empty))
 }
 

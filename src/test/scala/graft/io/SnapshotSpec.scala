@@ -686,8 +686,16 @@ class SnapshotSpec extends SparkSpec {
       (lo until hi).map(k => (k, k % 3, s"row$k")).toDF("k", "bucket", "v")
     lake.append(rows(0, 60))              // v0, partitioned on bucket
     lake.renameColumn("bucket", "shard")  // v1, metadata-only
-    val renamed = open("shard")           // config carries the new name
-    renamed.append(rows(60, 120).withColumnRenamed("bucket", "shard")) // v2
+    // The STALE handle (partitionCols still says "bucket") keeps
+    // appending: the config name translates through the stable
+    // physical name at commit time, so a rename never wedges writers
+    // holding pre-rename handles. The frame itself must carry the new
+    // LOGICAL name (the write-schema gate's contract).
+    lake.append(rows(60, 120).withColumnRenamed("bucket", "shard")) // v2
+    val renamed = open("shard")           // reopened config: new name
+    // ... and the stale handle cannot drop the renamed partition
+    // column either (refusal matches by physical name).
+    intercept[IllegalArgumentException](lake.dropColumn("shard"))
     // Partition pruning by the NEW logical name spans BOTH eras.
     val v = renamed.latestVersion
     val kept = renamed.pruneFilesPartition(v, "shard", "1")

@@ -344,6 +344,19 @@ class SnapshotStreamSpec extends SparkSpec {
       assert(t.filter(col("label").isNull).count() === 0,
         "pre-rename files must resolve through the physical name")
     } finally q.stop()
+    // versionAsOf time travel resolves schema AND mapping AT the read
+    // version (agreeing with Lake.readAsOf): v0 serves its own
+    // recorded name `v` with values, never the post-rename `label`
+    // null-filled (the head-fold bug this case pins down).
+    val v0 = spark.read.format(Fmt).option("versionAsOf", "0")
+      .load(lake.root)
+    assert(v0.columns.sorted.toSeq === Seq("k", "v"))
+    assert(v0.filter(col("k") === 3L).select("v").head().getString(0)
+      === "row3")
+    assert(v0.count() === 10)
+    // ... and the head read (no option) still serves the new names.
+    assert(spark.read.format(Fmt).load(lake.root).columns.sorted.toSeq
+      === Seq("k", "label"))
   }
 
   test("lake-to-lake hop: streaming source into SnapshotSink is exactly-once end to end") {
