@@ -81,7 +81,61 @@ object Snapshot {
       constraints: Seq[(String, String)] = Nil,
       meta: Option[StructType] = None,
       ts: Option[Long] = None,
-      unconstraints: Seq[String] = Nil)
+      unconstraints: Seq[String] = Nil,
+      features: Seq[(String, String)] = Nil,
+      cdcFiles: Seq[String] = Nil)
+
+  // ---- protocol feature flags (the Delta protocol-action semantic) --
+  //
+  // `feature<TAB><kind><TAB><name>` log lines record the capabilities
+  // a table's manifest REQUIRES — kind `reader` (the manifest's
+  // interpretation changed: a reader lacking the capability would
+  // misread data, e.g. serve physical column names as logical ones)
+  // or `writer` (writers must uphold an invariant, e.g. monotone
+  // in-commit timestamps, constraint validation). Stamped by the
+  // commit that FIRST uses the capability, folded through checkpoints
+  // like constraints, and checked at every state-shaped read
+  // ([[Lake.ckAt]]) / every commit ([[Lake.commit]]): a consumer
+  // lacking a required capability refuses the table LOUDLY instead of
+  // degrading silently (a mapping-unaware reader of a mapped table
+  // would otherwise read physical parquet names as user schema).
+  // Legacy logs carry no feature lines and gate as requiring nothing
+  // — the grandfather clause every grammar extension here follows.
+
+  /** Reader capabilities this library implements. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("column-mapping", "deletion-vectors", "change-data-feed")
+
+  /** Writer capabilities this library implements. */
+  val SupportedWriterFeatures: Set[String] =
+    Set("column-mapping", "deletion-vectors", "in-commit-timestamps",
+      "check-constraints", "generated-columns", "change-data-feed")
+
+  /** The feature log line. `kind` is `reader` or `writer`. */
+  def featureLine(kind: String, name: String): String = {
+    require(kind == "reader" || kind == "writer",
+      s"feature kind must be reader|writer, got '$kind'")
+    s"feature\t$kind\t$name"
+  }
+
+  /** What each capability requires of whom (Delta's own split):
+    * column mapping changes manifest INTERPRETATION (both sides); DVs
+    * change row visibility (both sides); ICT and CHECK constraints
+    * are writer invariants (plain reads stay correct without them);
+    * CDF files are extra data a reader may consume (writer must
+    * produce them per mutating commit once enabled). */
+  val ColumnMappingFeatures: Seq[(String, String)] =
+    Seq("reader" -> "column-mapping", "writer" -> "column-mapping")
+  val DeletionVectorFeatures: Seq[(String, String)] =
+    Seq("reader" -> "deletion-vectors", "writer" -> "deletion-vectors")
+  val IctFeature: Seq[(String, String)] =
+    Seq("writer" -> "in-commit-timestamps")
+  val ConstraintFeature: Seq[(String, String)] =
+    Seq("writer" -> "check-constraints")
+  val CdfFeatures: Seq[(String, String)] =
+    Seq("reader" -> "change-data-feed", "writer" -> "change-data-feed")
+  val GeneratedFeature: Seq[(String, String)] =
+    Seq("writer" -> "generated-columns")
 
   /** Table-schema log line: `meta<TAB><base64(StructType.json)>` —
     * base64 so the JSON can never collide with the tab/newline
@@ -109,6 +163,97 @@ object Snapshot {
 
   /** Field-metadata key carrying the physical column name. */
   val PhysKey = "graft.physical"
+
+  // ---- generated columns (the Delta GENERATED ALWAYS AS semantic) --
+  //
+  // A generated column's SQL expression lives in its field metadata
+  // under [[GenKey]] (the mapping machinery's pattern — table-level
+  // facts ride the meta line, so any fresh handle replays them from
+  // the log alone). Writers DERIVE the column when the commit frame
+  // lacks it; a frame that provides it is validated value-for-value
+  // in the post-write validate-then-publish scan (a mismatched
+  // provided value must never become a version — Delta's contract).
+  // The payoff is the PREDICATE REWRITE: a range predicate on the
+  // base column also prunes partitions on any generated column whose
+  // expression is a recognized MONOTONE shape ([[monotoneBaseOf]]) —
+  // the reference's own year/month/day layout
+  // (timescale_to_deltalake.py:36) served from the manifest alone.
+
+  /** Field-metadata key carrying a generated column's expression. */
+  val GenKey = "graft.generated"
+
+  /** The generation expression recorded on a field, if any. */
+  def generationExpr(f: org.apache.spark.sql.types.StructField)
+      : Option[String] =
+    if (f.metadata.contains(GenKey)) Some(f.metadata.getString(GenKey))
+    else None
+
+  /** Every (generated column, expression) the schema records. */
+  def generatedIn(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.flatMap(f => generationExpr(f).map(f.name -> _))
+
+  /** Column names a generation expression references. */
+  def generationRefs(exprSql: String): Seq[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          => a.name
+      }
+
+  /** When `exprSql` is a recognized MONOTONE function of exactly one
+    * base column, that column's name — the predicate-rewrite gate:
+    * for monotone g = f(c), c ∈ [lo, hi] implies g ∈ [f(lo), f(hi)],
+    * so a base-column range prunes the generated partition tier.
+    * Recognized shapes (each verifiably non-decreasing):
+    * `year(c)`, `to_date(c)`, `cast(c as date)`,
+    * `date_trunc('unit', c)`, `c div N` (N > 0 literal),
+    * `floor(c / N)` (N > 0 literal). Anything else returns None and
+    * the rewrite simply does not engage (reads stay exact — the row
+    * predicate always re-applies). */
+  def monotoneBaseOf(exprSql: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    def posLit(e: Expression): Boolean = e match {
+      case Literal(v: Number, _) => v.doubleValue() > 0
+      // fractional SQL literals parse to Spark's own Decimal
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+        v.toDouble > 0
+      case _ => false
+    }
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    parsed match {
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        name match {
+          case "year" | "to_date" if f.arguments.size == 1 =>
+            attr(f.arguments.head)
+          case "date_trunc" if f.arguments.size == 2 =>
+            attr(f.arguments(1)).filter(_ =>
+              f.arguments.head.isInstanceOf[Literal])
+          case "div" if f.arguments.size == 2 && posLit(f.arguments(1)) =>
+            attr(f.arguments.head)
+          case "floor" if f.arguments.size == 1 =>
+            f.arguments.head match {
+              case org.apache.spark.sql.catalyst.expressions.Divide(
+                  num, den, _) if posLit(den) => attr(num)
+              case _ => None
+            }
+          case _ => None
+        }
+      case Cast(child, org.apache.spark.sql.types.DateType, _, _) =>
+        attr(child)
+      case org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          num, den, _) if posLit(den) => attr(num)
+      case _ => None
+    }
+  }
 
   /** The field's physical (on-disk/manifest) name. */
   def physicalName(f: org.apache.spark.sql.types.StructField): String =
@@ -223,6 +368,7 @@ object Snapshot {
     val dvs = Seq.newBuilder[(String, String)]
     val cons = Seq.newBuilder[(String, String)]
     val uncons = Seq.newBuilder[String]
+    val feats = Seq.newBuilder[(String, String)]
     var txn = Option.empty[(String, Long)]
     var meta = Option.empty[StructType]
     var ts = Option.empty[Long]
@@ -230,6 +376,13 @@ object Snapshot {
       line.split('\t') match {
         case Array("meta", b64) => meta = Some(parseMetaPayload(b64))
         case Array("ts", ms) => ts = Some(ms.toLong)
+        case Array("feature", kind, name) =>
+          // Unknown KINDS are corrupt (the grammar has two); unknown
+          // NAMES are not — they are exactly what the gate exists to
+          // refuse, at read/write time, with the capability spelled out.
+          if (kind != "reader" && kind != "writer") sys.error(
+            s"corrupt log line in ${p.getName}: feature kind '$kind'")
+          feats += ((kind, name))
         case Array("v", ver) =>
           require(ver.toInt == v, s"log ${p.getName} claims version $ver")
         case arr if arr.head == "add" =>
@@ -294,7 +447,7 @@ object Snapshot {
       }
     }
     Commit(v, adds.result(), rms.result(), txn, dvs.result(),
-      cons.result(), meta, ts, uncons.result())
+      cons.result(), meta, ts, uncons.result(), feats.result())
   }
 
   /** The commits with version in (fromExclusive, toInclusive] — parses
@@ -331,7 +484,13 @@ object Snapshot {
       state: Seq[(FileStat, Option[String])],
       constraints: Seq[(String, String)],
       txns: Map[String, Long],
-      schema: Option[StructType] = None)
+      schema: Option[StructType] = None,
+      features: Seq[(String, String)] = Nil) {
+    /** Feature names of one kind (`reader`/`writer`) this table
+      * requires as of this fold. */
+    def featuresOf(kind: String): Set[String] =
+      features.collect { case (k, n) if k == kind => n }.toSet
+  }
 
   /** Render a [[FileStat]] as a log `add` line (the inverse of the
     * parse; `statsFirst`/`bloomFirst` only fix a cosmetic column
@@ -365,6 +524,7 @@ object Snapshot {
     * folded history. */
   private def renderCheckpoint(ck: Checkpoint): Seq[String] =
     (s"v\t${ck.version}" +: ck.schema.map(metaLine).toSeq) ++
+      ck.features.map { case (k, n) => featureLine(k, n) } ++
       ck.state.map(e => addLine(e._1)) ++
       ck.state.collect { case (f, Some(dv)) => s"dv\t${f.path}\t$dv" } ++
       ck.constraints.map { case (n, sql) => s"constraint\t$n\t$sql" } ++
@@ -393,7 +553,7 @@ object Snapshot {
         val dvMap = c.dvs.toMap
         Some(Checkpoint(v,
           c.added.map(f => (f, dvMap.get(f.path))),
-          c.constraints, txns, c.meta))
+          c.constraints, txns, c.meta, c.features))
       }
     }
     val pointer = {
@@ -434,7 +594,12 @@ object Snapshot {
       .foldLeft(-1)(math.max)
     val schema = suffix.flatMap(_.meta).lastOption
       .orElse(base.flatMap(_.schema))
-    Checkpoint(v, state, cons, txns, schema)
+    // Feature stamps are MONOTONE (add-only, like Delta's protocol
+    // upgrades — there is no downgrade action): the fold is the
+    // distinct union in first-stamp order.
+    val feats = (base.map(_.features).getOrElse(Nil) ++
+      suffix.flatMap(_.features)).distinct
+    Checkpoint(v, state, cons, txns, schema, feats)
   }
 
   /** The folded table state as of `asOf`: last checkpoint ≤ asOf plus
@@ -619,12 +784,87 @@ object Snapshot {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       checkpointInterval: Int = 10, partitionCols: Seq[String] = Nil,
       strStatsCols: Seq[String] = Nil,
-      nullStatsCols: Seq[String] = Nil) {
+      nullStatsCols: Seq[String] = Nil,
+      readerFeatures: Set[String] = Snapshot.SupportedReaderFeatures,
+      writerFeatures: Set[String] = Snapshot.SupportedWriterFeatures,
+      generatedCols: Seq[(String, String)] = Nil) {
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_log")
     private def fs: FileSystem =
       rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // ---- protocol feature gates -------------------------------------
+    // `readerFeatures`/`writerFeatures` default to everything this
+    // library implements; the params exist so a capability can be
+    // MASKED (spec-testing the refusal) and to model an older client.
+
+    /** Refuse a table whose manifest requires reader capabilities this
+      * handle lacks — at the fold every state-shaped read pays anyway,
+      * so the gate costs nothing. */
+    private def gateRead(ck: Snapshot.Checkpoint): Snapshot.Checkpoint = {
+      val missing = ck.featuresOf("reader") -- readerFeatures
+      require(missing.isEmpty, s"table at $root requires reader " +
+        s"feature(s) ${missing.toSeq.sorted.mkString(", ")} this reader " +
+        "lacks — reading anyway would misinterpret the manifest " +
+        "(e.g. serve physical column names as user schema)")
+      ck
+    }
+
+    /** Refuse to commit to a table requiring writer capabilities this
+      * handle lacks — a non-upholding writer would corrupt invariants
+      * readers rely on (monotone timestamps, constraint validation,
+      * mapping-translated physical names). */
+    private def gateWrite(ck: Snapshot.Checkpoint): Snapshot.Checkpoint = {
+      val missing = ck.featuresOf("writer") -- writerFeatures
+      require(missing.isEmpty, s"table at $root requires writer " +
+        s"feature(s) ${missing.toSeq.sorted.mkString(", ")} this writer " +
+        "lacks — committing anyway would break invariants readers " +
+        "rely on")
+      ck
+    }
+
+    /** One gated head fold — schema, constraints and features together
+      * (the single-fold discipline: no operation pays checkpointAt
+      * more than once per attempt). */
+    private def headCk(): Snapshot.Checkpoint =
+      gateRead(Snapshot.checkpointAt(fs, logPath, Int.MaxValue))
+
+    /** Feature lines a commit must add to stamp `wanted` capabilities
+      * not yet in the folded set — empty once stamped (idempotent). */
+    private def stampLines(ck: Snapshot.Checkpoint,
+        wanted: Seq[(String, String)]): Seq[String] = {
+      val have = ck.features.toSet
+      wanted.filterNot(have).map { case (k, n) =>
+        Snapshot.featureLine(k, n) }
+    }
+
+    /** Stamp the constructor's generation expressions into the FIRST
+      * meta line's field metadata — the log-recorded form every fresh
+      * handle (and every later commit's derivation) replays. */
+    private def stampGenerated(st: StructType): StructType =
+      if (generatedCols.isEmpty) st
+      else {
+        generatedCols.foreach { case (g, e) =>
+          require(st.fieldNames.contains(g),
+            s"generated column '$g' at $root: not in the first commit " +
+              "frame after derivation — expression ($e) is unresolvable?")
+          val refs = Snapshot.generationRefs(e)
+          require(refs.nonEmpty && refs.forall(st.fieldNames.contains),
+            s"generated column '$g' at $root: expression ($e) must " +
+              "reference existing column(s), got " +
+              s"${refs.mkString(", ")}")
+        }
+        StructType(st.fields.map { f =>
+          generatedCols.find(_._1 == f.name) match {
+            case Some((_, e)) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(Snapshot.GenKey, e).build())
+            case None => f
+          }
+        })
+      }
 
     // ---- log read side --------------------------------------------
 
@@ -644,7 +884,7 @@ object Snapshot {
       * history length). */
     def liveState(asOf: Int): Seq[(FileStat, Option[String])] = {
       if (asOf < 0) return Nil
-      val ck = Snapshot.checkpointAt(fs, logPath, asOf)
+      val ck = ckAt(asOf)
       require(ck.version >= 0, s"no snapshot <= $asOf at $root")
       ck.state
     }
@@ -655,9 +895,10 @@ object Snapshot {
 
     /** One checkpoint+suffix fold: state AND the schema recorded as
       * of `v` — callers that need both (every mapped read) must not
-      * pay two folds. */
+      * pay two folds. Reader-feature-gated: every state-shaped read
+      * passes through here. */
     private def ckAt(v: Int): Snapshot.Checkpoint =
-      Snapshot.checkpointAt(fs, logPath, v)
+      gateRead(Snapshot.checkpointAt(fs, logPath, v))
 
     /** Time travel: the table exactly as snapshot `v` saw it —
       * deletion vectors of that snapshot applied, columns under the
@@ -1006,6 +1247,83 @@ object Snapshot {
         .filter(if (wantNull) col(c).isNull else col(c).isNotNull)
     }
 
+    /** Generated-column predicate REWRITE (the point of generated
+      * columns — Delta's partition-filter derivation): the live files
+      * of snapshot `v` that can hold a row with `baseCol` ∈
+      * [qLo, qHi], decided from the GENERATED partition values alone.
+      * For every generated column g = f(baseCol) whose expression is
+      * a recognized monotone shape ([[Snapshot.monotoneBaseOf]]), the
+      * base range maps to [f(qLo), f(qHi)] (two 1-row evaluations)
+      * and the manifest's `part:` tier prunes files whose recorded g
+      * is outside it — so a `ts >= X` query over a day-partitioned
+      * table opens that window's partitions only, zero data I/O on
+      * the rest. Null partitions skip (a null g means a null base,
+      * which no BETWEEN admits); files without a recorded value
+      * must-scan; unrecognized expressions simply don't prune (the
+      * row predicate always re-applies — pruning is an I/O win,
+      * never semantics). */
+    def pruneFilesGenerated(v: Int, baseCol: String, qLo: Any,
+        qHi: Any): Seq[FileStat] = {
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      pruneGeneratedIn(ck, baseCol, qLo, qHi)
+    }
+
+    private def pruneGeneratedIn(ck: Snapshot.Checkpoint,
+        baseCol: String, qLo: Any, qHi: Any): Seq[FileStat] = {
+      val gens = ck.schema.toSeq.flatMap(Snapshot.generatedIn)
+        .filter { case (_, e) =>
+          Snapshot.monotoneBaseOf(e).contains(baseCol) }
+      if (gens.isEmpty) return ck.state.map(_._1)
+      // Evaluate every generated expression at both endpoints — two
+      // 1-row local jobs, the whole rewrite's compute cost.
+      def evalAt(pt: Any): Seq[String] = spark.range(1)
+        .select(lit(pt).as(baseCol))
+        .select(gens.map { case (g, e) =>
+          expr(e).cast("string").as(g) }: _*)
+        .head().toSeq.map(x => if (x == null) null else x.toString)
+      val gLo = evalAt(qLo)
+      val gHi = evalAt(qHi)
+      def inRange(raw: String, lo: String, hi: String): Boolean =
+        (raw.toLongOption, lo.toLongOption, hi.toLongOption) match {
+          case (Some(x), Some(l), Some(h)) => x >= l && x <= h
+          case _ => raw >= lo && raw <= hi // ISO dates: lexicographic
+        }
+      ck.state.map(_._1).filter { f =>
+        gens.zipWithIndex.forall { case ((g, _), i) =>
+          f.parts.get(Snapshot.physicalIn(ck.schema, g)) match {
+            case Some(frag) if frag == Snapshot.NullPartitionName =>
+              false // null g ⇔ null base ⇔ BETWEEN can't match
+            case Some(frag) =>
+              if (gLo(i) == null || gHi(i) == null) true
+              else inRange(org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(frag),
+                gLo(i), gHi(i))
+            case None => true // unpartitioned-era file: must scan
+          }
+        }
+      }
+    }
+
+    /** Base-column range read through the generated-column rewrite:
+      * open only [[pruneFilesGenerated]]'s survivors (deletion
+      * vectors applied), then the exact row predicate. At 100 TB the
+      * reference's C3 layout (day derived from the event timestamp,
+      * `timescale_to_deltalake.py:36`) serves a time-window query by
+      * opening the window's partitions only — decided entirely from
+      * the log. */
+    def readRangeGenerated(v: Int, baseCol: String, qLo: Any,
+        qHi: Any): DataFrame = {
+      val ck = ckAt(v)
+      require(ck.version >= 0, s"no snapshot <= $v at $root")
+      val keep = pruneGeneratedIn(ck, baseCol, qLo, qHi)
+        .map(_.path).toSet
+      val entries = ck.state.filter(e => keep(e._1.path))
+      if (entries.isEmpty) readAsOf(v).filter(lit(false))
+      else readState(entries, logical = ck.schema)
+        .filter(col(baseCol).between(lit(qLo), lit(qHi)))
+    }
+
     /** Schema evolution on the read side (Delta's mergeSchema
       * semantic): a snapshot whose commits carry different schemas
       * reads as the UNION of their fields, older files null-filling
@@ -1194,7 +1512,7 @@ object Snapshot {
       * written before the evolution null-fill on read (the
       * [[readFiles]] mergeSchema semantic, unchanged). */
     def evolveSchema(newSchema: StructType): Int = {
-      val cur = tableSchema.getOrElse(sys.error(
+      val cur = gateWrite(headCk()).schema.getOrElse(sys.error(
         s"evolveSchema at $root: no recorded schema (empty table? the " +
           "first data commit records it)"))
       val curKey = schemaKey(cur)
@@ -1261,8 +1579,20 @@ object Snapshot {
       * a rename would break its analysis on the next commit and a
       * drop would brick every future data write (Delta refuses the
       * same way; there is no constraint-rewrite machinery). */
-    private def constraintsReferencing(c: String): Seq[String] =
-      constraints.collect { case (name, sql)
+    /** Generated columns whose expression references column `c` —
+      * rename/drop must refuse these like constraint references: the
+      * expression binds the LOGICAL name, so a rename breaks every
+      * later derivation and a drop bricks every future write (Delta
+      * refuses the same; dropping the GENERATED column itself is
+      * fine — its metadata leaves with it). */
+    private def generatedReferencing(c: String,
+        schema: Option[StructType]): Seq[String] =
+      schema.toSeq.flatMap(Snapshot.generatedIn).collect {
+        case (g, e) if Snapshot.generationRefs(e).contains(c) => g }
+
+    private def constraintsReferencing(c: String,
+        active: Seq[(String, String)]): Seq[String] =
+      active.collect { case (name, sql)
           if org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseExpression(sql).collect {
               case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -1270,7 +1600,8 @@ object Snapshot {
             }.contains(c) => name }
 
     def renameColumn(oldName: String, newName: String): Int = {
-      val cur = tableSchema.getOrElse(sys.error(
+      val ck = gateWrite(headCk()) // ONE fold: schema + constraints
+      val cur = ck.schema.getOrElse(sys.error(
         s"renameColumn at $root: no recorded schema (empty table?)"))
       require(oldName != newName,
         s"renameColumn at $root: '$oldName' -> itself is a no-op")
@@ -1279,15 +1610,23 @@ object Snapshot {
           s"(table schema is ${cur.simpleString})")
       require(!cur.fieldNames.contains(newName),
         s"renameColumn at $root: column '$newName' already exists")
-      val refs = constraintsReferencing(oldName)
+      val refs = constraintsReferencing(oldName, ck.constraints)
       require(refs.isEmpty,
         s"renameColumn at $root: '$oldName' is referenced by " +
           s"constraint(s) ${refs.mkString(", ")}")
+      val gRefs = generatedReferencing(oldName, ck.schema)
+      require(gRefs.isEmpty,
+        s"renameColumn at $root: '$oldName' is referenced by " +
+          s"generated column(s) ${gRefs.mkString(", ")}")
       val mapped = Snapshot.activateMapping(cur)
       val next = StructType(mapped.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
       val version = latestVersion + 1
-      publish(Seq(s"v\t$version", Snapshot.metaLine(next)), version)
+      // The ACTIVATION commit stamps the protocol requirement: from
+      // this version on, a mapping-unaware reader would serve physical
+      // parquet names as user schema — it must refuse instead.
+      publish(Seq(s"v\t$version", Snapshot.metaLine(next)) ++
+        stampLines(ck, Snapshot.ColumnMappingFeatures), version)
       version
     }
 
@@ -1300,7 +1639,8 @@ object Snapshot {
       * dropped values never resurrect. Partition columns are refused
       * (appends must keep carrying them — the layout contract). */
     def dropColumn(name: String): Int = {
-      val cur = tableSchema.getOrElse(sys.error(
+      val ck = gateWrite(headCk()) // ONE fold: schema + constraints
+      val cur = ck.schema.getOrElse(sys.error(
         s"dropColumn at $root: no recorded schema (empty table?)"))
       require(cur.fieldNames.contains(name),
         s"dropColumn at $root: no column '$name' " +
@@ -1317,14 +1657,20 @@ object Snapshot {
       require(!partitionCols.contains(name) &&
           !physName.exists(partitionCols.contains),
         s"dropColumn at $root: '$name' is a partition column")
-      val refs = constraintsReferencing(name)
+      val refs = constraintsReferencing(name, ck.constraints)
       require(refs.isEmpty,
         s"dropColumn at $root: '$name' is referenced by " +
           s"constraint(s) ${refs.mkString(", ")}")
+      val gRefs = generatedReferencing(name, ck.schema)
+        .filterNot(_ == name) // dropping the generated column itself
+      require(gRefs.isEmpty,
+        s"dropColumn at $root: '$name' is referenced by " +
+          s"generated column(s) ${gRefs.mkString(", ")}")
       val mapped = Snapshot.activateMapping(cur)
       val next = StructType(mapped.fields.filterNot(_.name == name))
       val version = latestVersion + 1
-      publish(Seq(s"v\t$version", Snapshot.metaLine(next)), version)
+      publish(Seq(s"v\t$version", Snapshot.metaLine(next)) ++
+        stampLines(ck, Snapshot.ColumnMappingFeatures), version)
       version
     }
 
@@ -1427,7 +1773,7 @@ object Snapshot {
       val lv = latestVersion
       require(lv >= 0, s"cloneShallow: nothing to clone at $root")
       val v = if (versionAsOf < 0) lv else versionAsOf
-      val ck = Snapshot.checkpointAt(fs, logPath, v)
+      val ck = ckAt(v) // reader-gated: a clone copies the manifest
       require(ck.version >= 0, s"cloneShallow: no snapshot <= $v at $root")
       val target = Lake(spark, targetRoot, statsCols, bloomCols,
         checkpointInterval, partitionCols, strStatsCols, nullStatsCols)
@@ -1441,6 +1787,10 @@ object Snapshot {
         else new Path(rootPath, p).toString
       val record = Seq("v\t0") ++
         ck.schema.map(Snapshot.metaLine).toSeq ++
+        // The clone inherits the source's protocol requirements: its
+        // manifest carries the same mapping/DV semantics, so a reader
+        // the source would refuse must be refused here too.
+        ck.features.map { case (k, n) => Snapshot.featureLine(k, n) } ++
         ck.state.map { case (f, _) =>
           Snapshot.addLine(f.copy(path = abs(f.path)), statsCols, bloomCols) } ++
         ck.state.collect { case (f, Some(dv)) =>
@@ -1462,7 +1812,8 @@ object Snapshot {
       * rows it exists to catch). Caveat shared with Delta: [[restore]]
       * can resurrect pre-constraint data without re-validation. */
     def addConstraint(name: String, sqlExpr: String): Int = {
-      require(!constraints.exists(_._1 == name),
+      val ck = gateWrite(headCk())
+      require(!ck.constraints.exists(_._1 == name),
         s"constraint '$name' already exists at $root")
       val lv = latestVersion
       if (lv >= 0) {
@@ -1472,7 +1823,11 @@ object Snapshot {
           s"violate ($sqlExpr) at $root")
       }
       val version = lv + 1
-      publish(Seq(s"v\t$version", s"constraint\t$name\t$sqlExpr"), version)
+      // Writer stamp: from here on, every writer must validate rows
+      // against active CHECKs before publishing (a non-validating
+      // writer would land rows readers assume impossible).
+      publish(Seq(s"v\t$version", s"constraint\t$name\t$sqlExpr") ++
+        stampLines(ck, Snapshot.ConstraintFeature), version)
       version
     }
 
@@ -1484,7 +1839,7 @@ object Snapshot {
       * same name later re-enforces from that version on. Folds
       * through checkpoints like every state-shaped read. */
     def dropConstraint(name: String): Int = {
-      require(constraints.exists(_._1 == name),
+      require(gateWrite(headCk()).constraints.exists(_._1 == name),
         s"dropConstraint at $root: no active constraint '$name'")
       val version = latestVersion + 1
       publish(Seq(s"v\t$version", s"unconstraint\t$name"), version)
@@ -1497,9 +1852,16 @@ object Snapshot {
       * first violating row. */
     private def validateAgainstConstraints(dataPath: Path,
         active: Seq[(String, String)],
-        logical: Option[StructType] = None): Seq[(String, String)] = {
-      if (active.isEmpty) return active
-      val pred = active.map { case (_, sql) =>
+        logical: Option[StructType] = None,
+        genChecks: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+      // Caller-provided generated-column values validate in the SAME
+      // post-write scan as CHECK constraints (one pass over just the
+      // increment): each provided column must <=>-equal its recorded
+      // expression row-for-row (null-safe: a null base derives null).
+      val checks = active ++ genChecks.map { case (g, e) =>
+        (s"generated:$g", s"$g <=> ($e)") }
+      if (checks.isEmpty) return active
+      val pred = checks.map { case (_, sql) =>
         coalesce(expr(sql), lit(false)) }.reduce(_ && _)
       // Constraints are written against LOGICAL names; the files on
       // disk carry physical ones — rename before evaluating.
@@ -1512,12 +1874,12 @@ object Snapshot {
       val bad = frame.filter(!pred).limit(1).collect()
       if (bad.nonEmpty) {
         val row = bad.head
-        val culprit = active.find { case (_, sql) =>
+        val culprit = checks.find { case (_, sql) =>
           // re-evaluate per constraint on the one fetched row
           spark.createDataFrame(
             java.util.List.of(row), bad.head.schema)
             .filter(!coalesce(expr(sql), lit(false))).count() > 0
-        }.map(_._1).getOrElse(active.head._1)
+        }.map(_._1).getOrElse(checks.head._1)
         sys.error(s"commit rejected at $root: constraint '$culprit' " +
           s"violated by row $row")
       }
@@ -1633,10 +1995,12 @@ object Snapshot {
       * manifest-sized touch probe COW and MOR deletes share; files
       * without `keyCol` stats are conservatively touched. */
     private def touchedPaths(state: Seq[(FileStat, Option[String])],
-        keys: DataFrame, keyCol: String): Set[String] = {
+        keys: DataFrame, keyCol: String,
+        schema: Option[StructType]): Set[String] = {
       // Manifest stats key by PHYSICAL name; the broadcast keys frame
-      // stays logical (its column is the caller's keyCol).
-      val pk = Snapshot.physicalIn(tableSchema, keyCol)
+      // stays logical (its column is the caller's keyCol). The schema
+      // arrives from the caller's ALREADY-PAID fold (never re-read).
+      val pk = Snapshot.physicalIn(schema, keyCol)
       val statted = state.map(_._1).filter(f => f.lo.contains(pk))
       val noStats = state.map(_._1).filterNot(f => f.lo.contains(pk))
       import spark.implicits._
@@ -1655,9 +2019,10 @@ object Snapshot {
       val lv = latestVersion
       if (lv < 0) return insert.map(append)
         .getOrElse(sys.error("deleteKeys on an empty lake"))
-      val state = liveState(lv)
+      val ck = gateWrite(ckAt(lv)) // ONE fold: state + schema + gates
+      val state = ck.state
       val keys = keys0.localCheckpoint(true)
-      val touched = touchedPaths(state, keys, keyCol)
+      val touched = touchedPaths(state, keys, keyCol, ck.schema)
       if (touched.isEmpty && insert.isEmpty) {
         // nothing matched, nothing to add — publish an explicit no-op
         // version (callers get a version per request, the audit trail
@@ -1672,8 +2037,12 @@ object Snapshot {
           // readState, not readFiles: a touched file's deletion vector
           // must apply BEFORE the rewrite or the COW pass would
           // resurrect its MOR-deleted rows (the rewrite then retires
-          // both the file and its DV pointer in one commit).
-          val surv = readState(state.filter(e => touched(e._1.path)))
+          // both the file and its DV pointer in one commit). LOGICAL
+          // read: on a mapped table the survivors must join on the
+          // caller's logical key and re-commit through the write
+          // translation, or a COW touch after a rename breaks.
+          val surv = readState(state.filter(e => touched(e._1.path)),
+              logical = ck.schema)
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           insert.map(surv.unionByName(_)).getOrElse(surv)
         }
@@ -1694,12 +2063,15 @@ object Snapshot {
     def deleteKeysMor(keys0: DataFrame, keyCol: String): Int = {
       val lv = latestVersion
       require(lv >= 0, "deleteKeysMor on an empty lake")
-      val state = liveState(lv)
+      val ck = gateWrite(ckAt(lv))
+      val state = ck.state
       val keys = keys0.select(col(keyCol)).distinct().localCheckpoint(true)
-      val touched = touchedPaths(state, keys, keyCol)
+      val touched = touchedPaths(state, keys, keyCol, ck.schema)
       val version = lv + 1
-      publish(s"v\t$version" +:
-        morDvLines(state, keys, keyCol, touched, version), version)
+      publish((s"v\t$version" +:
+        stampLines(ck, Snapshot.DeletionVectorFeatures)) ++
+        morDvLines(state, keys, keyCol, touched, version, ck.schema),
+        version)
       version
     }
 
@@ -1714,12 +2086,14 @@ object Snapshot {
     def upsertMor(df: DataFrame, keyCol: String): Int = {
       val lv = latestVersion
       if (lv < 0) return append(df)
-      val state = liveState(lv)
+      val ck = gateWrite(ckAt(lv))
+      val state = ck.state
       val keys = df.select(col(keyCol)).distinct().localCheckpoint(true)
-      val touched = touchedPaths(state, keys, keyCol)
+      val touched = touchedPaths(state, keys, keyCol, ck.schema)
       val version = lv + 1
       commit(df, removed = Nil,
-        dvLines = morDvLines(state, keys, keyCol, touched, version))
+        dvLines = morDvLines(state, keys, keyCol, touched, version,
+          ck.schema))
     }
 
     /** Exactly-once streaming CDC apply (the Delta "MERGE in
@@ -1738,14 +2112,17 @@ object Snapshot {
         batchId: Long): Option[Int] = {
       if (batchId <= lastTxn(writerId)) return None
       val lv = latestVersion
-      val state = if (lv < 0) Nil else liveState(lv)
+      val ck = if (lv < 0) None else Some(gateWrite(ckAt(lv)))
+      val state = ck.map(_.state).getOrElse(Nil)
+      val schema = ck.flatMap(_.schema)
       val ch = changes.localCheckpoint(true)
       val ups = ch.filter(col("_op") === "upsert").drop("_op")
       val keys = ch.select(col(keyCol)).distinct().localCheckpoint(true)
-      val touched = touchedPaths(state, keys, keyCol)
+      val touched = touchedPaths(state, keys, keyCol, schema)
       val version = lv + 1
       Some(commit(ups, removed = Nil, txn = Some((writerId, batchId)),
-        dvLines = morDvLines(state, keys, keyCol, touched, version)))
+        dvLines = morDvLines(state, keys, keyCol, touched, version,
+          schema)))
     }
 
     /** Write the position-delete file masking `keys`' rows in the
@@ -1755,7 +2132,7 @@ object Snapshot {
       * commit is then a no-op/pure-add version). */
     private def morDvLines(state: Seq[(FileStat, Option[String])],
         keys: DataFrame, keyCol: String, touched: Set[String],
-        version: Int): Seq[String] = {
+        version: Int, schema: Option[StructType]): Seq[String] = {
       if (touched.isEmpty) return Nil
       val tEntries = state.filter(e => touched(e._1.path))
       // DV parquets key rows by the REL form ([[relKey]]'s extraction
@@ -1769,7 +2146,7 @@ object Snapshot {
       // prior DV already deleted may re-hit here; the union with the
       // carried positions below dedups them (`distinct`), so the new
       // DV is the exact union either way.
-      val hits = readWithPos(tEntries.map(_._1))
+      val hits = readWithPos(tEntries.map(_._1), schema)
         .join(broadcast(keys), Seq(keyCol), "left_semi")
         .select(col("__key").as("data_path"), col("__pos").as("pos"))
       // Carry forward the touched files' existing positions: the new
@@ -1805,11 +2182,12 @@ object Snapshot {
 
     /** Touched-file scan with (rel path, row position) alongside the
       * data columns, current DVs applied — [[deleteKeysMor]]'s probe. */
-    private def readWithPos(files: Seq[FileStat]): DataFrame = {
+    private def readWithPos(files: Seq[FileStat],
+        logical: Option[StructType]): DataFrame = {
       // MOR position scans join on the caller's LOGICAL key column —
       // rename from physical (latest schema: MOR ops are head-only)
-      // while keeping the __key/__pos bookkeeping columns.
-      val logical = tableSchema
+      // while keeping the __key/__pos bookkeeping columns. The schema
+      // arrives from the caller's already-paid fold.
       val schema = logical.map(Snapshot.physicalSchema)
         .getOrElse(readFiles(files).schema)
       val raw = spark.read.option("mergeSchema", "true").schema(schema)
@@ -1825,7 +2203,7 @@ object Snapshot {
       }
     }
 
-    private def commit(df: DataFrame, removed: Seq[String],
+    private def commit(df0: DataFrame, removed: Seq[String],
         txn: Option[(String, Long)] = None,
         dvLines: Seq[String] = Nil): Int = {
       val version = latestVersion + 1
@@ -1851,8 +2229,23 @@ object Snapshot {
       // concurrent metadata commit landing after this fold necessarily
       // occupies this commit's version slot, so the retry loop re-folds
       // and re-checks — nothing can slip between fold and publish.
-      def headCk(): Snapshot.Checkpoint =
-        Snapshot.checkpointAt(fs, logPath, Int.MaxValue)
+      val ck0 = gateWrite(headCk())
+      // Generated columns (the Delta GENERATED ALWAYS AS semantic):
+      // the expressions come from the RECORDED schema when one exists
+      // (any fresh handle replays them from the log) and from the
+      // constructor config only for the very first commit. A frame
+      // LACKING a generated column gets it derived here — BEFORE the
+      // write-schema gate, which rightly demands the full column set;
+      // a frame PROVIDING one is validated value-for-value in the
+      // post-write scan below (a mismatched provided value must never
+      // become a version).
+      val genMap: Seq[(String, String)] =
+        ck0.schema.map(Snapshot.generatedIn).filter(_.nonEmpty)
+          .getOrElse(generatedCols)
+      val df = genMap.filterNot { case (g, _) => df0.columns.contains(g) }
+        .foldLeft(df0) { case (d, (g, e)) => d.withColumn(g, expr(e)) }
+      val providedGen = genMap.filter { case (g, _) =>
+        df0.columns.contains(g) }
       def computeMetaLines(ck: Snapshot.Checkpoint)
           : (Option[StructType], Seq[String]) = {
         val snap = ck.schema
@@ -1860,11 +2253,24 @@ object Snapshot {
           case Some(_) =>
             validateWriteSchema(snap, df.schema)
             (snap, Nil)
-          case None => (None, Seq(Snapshot.metaLine(df.schema)))
+          case None =>
+            (None, Seq(Snapshot.metaLine(stampGenerated(df.schema))))
         }
       }
-      val ck0 = headCk()
       var (schemaSeen, metaLines) = computeMetaLines(ck0)
+      // First DV use stamps the protocol requirement (reader: rows a
+      // dv line masks must not surface; writer: pointers must carry
+      // positions forward) — folded thereafter, so the stamp is
+      // one-time per table. Generation expressions likewise stamp a
+      // WRITER requirement: a non-deriving writer would land rows
+      // whose generated cells lie.
+      val featStamps =
+        (if (dvLines.nonEmpty)
+          stampLines(ck0, Snapshot.DeletionVectorFeatures)
+        else Nil) ++
+        (if (genMap.nonEmpty)
+          stampLines(ck0, Snapshot.GeneratedFeature)
+        else Nil)
       // Column mapping: the commit frame arrives (and was validated)
       // in LOGICAL space; data files and manifest segments live in
       // PHYSICAL space. The translation anchors on the schema
@@ -1955,7 +2361,7 @@ object Snapshot {
       var validated: Seq[(String, String)] = Nil
       if (files.nonEmpty)
         try validated = validateAgainstConstraints(dataPath,
-          ck0.constraints, schemaSeen)
+          ck0.constraints, schemaSeen, providedGen)
         catch { case e: Throwable => fs.delete(dataPath, true); throw e }
       // One job over just the new files: per-file rows + zone stats +
       // Bloom bitsets (the bloom agg ships only BloomM/8-byte buffers
@@ -2031,7 +2437,8 @@ object Snapshot {
             s"add\t$rel\t0${partSegs(rel)}"
         }
       }
-      def record(v: Int) = (s"v\t$v" +: (metaLines ++ addLines)) ++
+      def record(v: Int) = (s"v\t$v" +: (metaLines ++ featStamps ++
+        addLines)) ++
         removed.map(p => s"rm\t$p") ++ dvLines ++
         txn.map { case (w, b) => s"txn\t$w\t$b" }
       // Optimistic concurrency (the Delta conflict-resolution rule):
@@ -2060,11 +2467,15 @@ object Snapshot {
           //    recompute metaLines, so a lost first-commit race never
           //    re-emits a stale meta line whose later version would
           //    silently win over the winner's schema.
-          val ck = headCk() // one fold per retry: constraints + schema
+          // one fold per retry: constraints + schema + features (a
+          // concurrent writer may have stamped a capability this
+          // writer lacks — e.g. activated column mapping — which must
+          // fail the append like any concurrent metadata change)
+          val ck = gateWrite(headCk())
           if (ck.constraints != validated) {
             if (files.nonEmpty)
               try validated = validateAgainstConstraints(dataPath,
-                ck.constraints, schemaSeen)
+                ck.constraints, schemaSeen, providedGen)
               catch { case e: Throwable =>
                 fs.delete(dataPath, true); throw e }
             else validated = ck.constraints
@@ -2169,7 +2580,17 @@ object Snapshot {
           new Path(logPath, f"${version - 1}%08d.commit"))
           .getOrElse(Long.MinValue)
       val stamp = math.max(System.currentTimeMillis(), prevTs + 1)
-      val payload = (record :+ s"ts\t$stamp")
+      // Every table's FIRST commit stamps the ICT writer feature: all
+      // publishes carry a monotone ts line, and a writer that would
+      // not uphold the monotone chain must refuse the table rather
+      // than silently break timestampAsOf's binary search. (Legacy
+      // logs predate the stamp and gate as requiring nothing.)
+      val ictStamp =
+        if (version == 0 && !record.exists(_.startsWith("feature\t" +
+            "writer\tin-commit-timestamps")))
+          Snapshot.IctFeature.map { case (k, n) => featureLine(k, n) }
+        else Nil
+      val payload = ((record ++ ictStamp) :+ s"ts\t$stamp")
         .mkString("\n") + "\n"
       val out = fs.create(tmp, false)
       try out.write(payload.getBytes("UTF-8"))

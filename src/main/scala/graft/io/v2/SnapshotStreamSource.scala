@@ -103,6 +103,26 @@ object SnapshotStreamSource {
 
   private def logPathOf(root: String) = new Path(root, "_log")
 
+  /** Reader capabilities this connector implements — checked against
+    * the table's folded `feature` stamps at every fold: a table
+    * requiring a capability the connector lacks refuses LOUDLY at
+    * planning instead of silently misreading the manifest. (DV'd live
+    * states additionally refuse at batch planning — the Group-API
+    * readers decode whole files — but the connector UNDERSTANDS dv
+    * lines: it folds them, refuses informed, and its CDF path serves
+    * their change files.) */
+  val V2ReaderFeatures: Set[String] =
+    Set("column-mapping", "deletion-vectors", "change-data-feed")
+
+  private def gateFeatures(root: String,
+      ck: Snapshot.Checkpoint): Snapshot.Checkpoint = {
+    val missing = ck.featuresOf("reader") -- V2ReaderFeatures
+    require(missing.isEmpty, s"SnapshotStreamSource: table at $root " +
+      s"requires reader feature(s) ${missing.toSeq.sorted.mkString(", ")} " +
+      "this connector lacks")
+    ck
+  }
+
   /** The recorded LOGICAL schema (mapping metadata stripped) and the
     * logical→physical column map, resolved AS OF `asOf` (default: log
     * head) — None on legacy pre-meta logs (footer behavior unchanged,
@@ -114,7 +134,8 @@ object SnapshotStreamSource {
   def logicalSchemaAndMap(root: String, asOf: Int = Int.MaxValue)
       : Option[(StructType, Map[String, String])] = {
     val logPath = logPathOf(root)
-    Snapshot.checkpointAt(logPath.getFileSystem(conf), logPath, asOf)
+    gateFeatures(root,
+        Snapshot.checkpointAt(logPath.getFileSystem(conf), logPath, asOf))
       .schema.map(ts => (Snapshot.cleanSchema(ts),
         ts.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap))
   }
@@ -189,7 +210,8 @@ object SnapshotStreamSource {
   def stateAt(root: String, asOf: Int)
       : Seq[(Snapshot.FileStat, Option[String])] = {
     val logPath = logPathOf(root)
-    Snapshot.stateAt(logPath.getFileSystem(conf), logPath, asOf)
+    gateFeatures(root, Snapshot.checkpointAt(
+      logPath.getFileSystem(conf), logPath, asOf)).state
   }
 
   /** Union of the live files' footer schemas in first-appearance order

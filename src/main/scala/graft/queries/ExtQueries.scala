@@ -244,6 +244,41 @@ object ExtQueries {
     open(root)
   }
 
+  // Generated-columns lake (round 18): the reference's own C3 layout
+  // (year derived from the order date for partitioning —
+  // timescale_to_deltalake.py:36's year/month/day shape): `yr` is
+  // GENERATED ALWAYS AS year(odate) and is the partition column. v0
+  // and v1 append WITHOUT yr (the writer derives it), v2 appends WITH
+  // a correctly-provided yr (the post-write validation path);
+  // interval 2 puts a checkpoint at v2 so the GenKey metadata gates
+  // the meta-line round trip. Deterministic membership ⇒ relational
+  // replay; the monotone rewrite (odate range → yr range) is the
+  // query's subject.
+  private val genLakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def genLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    def open(dir: String) = graft.io.Snapshot.Lake(s, dir,
+      statsCols = Seq("k"), checkpointInterval = 2,
+      partitionCols = Seq("yr"),
+      generatedCols = Seq("yr" -> "year(odate)"))
+    val root = genLakeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-glake-")
+        .toString
+      val lake = open(dir)
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderdate").as("odate"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val m10 = pmod(col("k"), lit(10L))
+      lake.append(o.filter(m10 < 6))                         // v0 derived
+      lake.append(o.filter(m10.isin(6L, 7L, 8L)))            // v1 derived
+      lake.append(o.filter(m10 === 9)                        // v2 provided
+        .withColumn("yr", year(col("odate"))))
+      dir
+    })
+    open(root)
+  }
+
   /** (reference, candidate) token frames for the eval-metric queries
     * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
     * a token slice (last 3 tokens dropped, min 1 kept). */
@@ -1932,6 +1967,43 @@ object ExtQueries {
         sum(col("cents")).as("v0_cents"))
       a.crossJoin(broadcast(b))
         .withColumn("pruned_after_rename", lit(strict))
+    },
+
+    // GENERATED COLUMNS (round 18) — Delta's GENERATED ALWAYS AS on
+    // the correctness gate, over the reference's own C3 use case
+    // (year derived from the order date for partitioning): the
+    // fixture's yr column is derived by the WRITER (v0/v1 frames
+    // never carry it; v2 provides it and is value-validated), and the
+    // query exercises the feature's point — the PREDICATE REWRITE: an
+    // odate range maps through the recognized monotone shape
+    // (year(odate)) to a yr range, pruning the generated partition
+    // tier from the manifest alone. Cells: the windowed aggregate
+    // replays relationally (a wrongly-pruned partition = lost rows =
+    // hash fail); `pruned_generated` asserts the prune was STRICT
+    // with every survivor's yr inside the window; `n_year_parts`
+    // replays the manifest's recorded partition values against
+    // COUNT(DISTINCT year); `n_mismatch` pins every STORED derived
+    // value to the expression (oracle literal 0). 100 TB shape: the
+    // rewrite costs two 1-row expression evaluations + a manifest
+    // filter; the windowed read opens only the window's partitions.
+    "lake_generated" -> { (s, d) =>
+      val lake = genLake(s, d)
+      val v = lake.latestVersion
+      val all = lake.liveFiles(v)
+      val lo = java.sql.Date.valueOf("1994-06-01")
+      val hi = java.sql.Date.valueOf("1996-03-15")
+      val kept = lake.pruneFilesGenerated(v, "odate", lo, hi)
+      val strict = kept.nonEmpty && kept.size < all.size &&
+        kept.forall(_.parts.get("yr").forall(y =>
+          y.toLong >= 1994L && y.toLong <= 1996L))
+      val nParts = all.flatMap(_.parts.get("yr")).distinct.size.toLong
+      val mismatches = lake.read()
+        .filter(col("yr") =!= year(col("odate"))).count()
+      lake.readRangeGenerated(v, "odate", lo, hi)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("pruned_generated", lit(strict))
+        .withColumn("n_year_parts", lit(nParts))
+        .withColumn("n_mismatch", lit(mismatches))
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -7378,6 +7450,28 @@ object ExtQueries {
         |  (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE k % 10 < 7)
         |    AS v0_cents,
         |  true AS pruned_after_rename""".stripMargin,
+
+    // lake_generated: membership = all orders (three disjoint % 10
+    // appends); the windowed aggregate replays the odate BETWEEN
+    // directly; n_year_parts replays the manifest's recorded
+    // partition values (year(o_orderdate) distinct count); the prune
+    // and derived-value cells are construction-asserted literals (a
+    // wrong derivation or a wrongly-pruned partition breaks the row
+    // cells too — lost rows hash-fail).
+    "lake_generated" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderdate AS odate,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |               AS cents
+        |           FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       true AS pruned_generated,
+        |       (SELECT CAST(count(DISTINCT year(odate)) AS BIGINT)
+        |        FROM o) AS n_year_parts,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM o
+        |WHERE odate BETWEEN DATE '1994-06-01' AND DATE '1996-03-15'
+        |""".stripMargin,
 
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a

@@ -129,6 +129,8 @@ class LogGrammarPropertiesSpec extends SparkSpec {
         s"dv\t${f.path}\tdv/d7/part.parquet",
         "constraint\tk_pos\tk >= 0",
         "unconstraint\tstale_check",
+        Snapshot.featureLine("reader", "column-mapping"),
+        Snapshot.featureLine("writer", "in-commit-timestamps"),
         "txn\twriter-a\t42",
         "ts\t1755300000000").mkString("\n")
       val out = fs.create(new Path(logPath, "00000007.commit"))
@@ -139,6 +141,9 @@ class LogGrammarPropertiesSpec extends SparkSpec {
       assert(c.dvs === Seq((f.path, "dv/d7/part.parquet")))
       assert(c.constraints === Seq(("k_pos", "k >= 0")))
       assert(c.unconstraints === Seq("stale_check"))
+      assert(c.features === Seq(("reader", "column-mapping"),
+        ("writer", "in-commit-timestamps")),
+        "feature stamps must round-trip the line grammar")
       assert(c.txn === Some(("writer-a", 42L)))
       assert(c.ts === Some(1755300000000L))
       val m = c.meta.get
@@ -166,6 +171,11 @@ class LogGrammarPropertiesSpec extends SparkSpec {
     write(0, Seq("v\t0", "wat\tsomething"))
     val e2 = intercept[RuntimeException](Snapshot.readCommits(fs, logPath))
     assert(e2.getMessage.contains("corrupt log line"))
+    // feature line with an unknown KIND is corrupt (names are not —
+    // unknown names are the gate's business, at read/write time)
+    write(0, Seq("v\t0", "feature\tarbiter\tcolumn-mapping"))
+    val e2b = intercept[RuntimeException](Snapshot.readCommits(fs, logPath))
+    assert(e2b.getMessage.contains("feature kind"))
     // version line disagreeing with the file name is refused
     write(0, Seq("v\t3"))
     val e3 = intercept[IllegalArgumentException](

@@ -1146,4 +1146,162 @@ class SnapshotSpec extends SparkSpec {
     assert(lake.pruneFilesStr(0, "s", emoji, emoji).size === 1)
     assert(lake.readRangeStr(0, "s", emoji, emoji).count() === 1)
   }
+
+  test("generated columns: derived on write, validated when provided, base-range prunes generated partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-gen-").toString
+    val lake = Snapshot.Lake(spark, root, statsCols = Seq("ts"),
+      partitionCols = Seq("day"),
+      generatedCols = Seq("day" -> "ts div 1000"))
+    // v0: the frame has NO day column — the writer derives it.
+    lake.append((0L until 5000L).map(t => (t, s"e$t")).toDF("ts", "v"))
+    assert(lake.read().columns.sorted.toSeq === Seq("day", "ts", "v"))
+    assert(lake.read().filter(col("day") =!= expr("ts div 1000"))
+      .count() === 0, "derived values must equal the expression")
+    assert(lake.commits.head.features
+      .contains(("writer", "generated-columns")))
+    // The expression is LOG-recorded: a fresh handle with no
+    // generatedCols config still derives.
+    val fresh = Snapshot.Lake(spark, root, statsCols = Seq("ts"),
+      partitionCols = Seq("day"))
+    fresh.append((5000L until 6000L).map(t => (t, s"e$t")).toDF("ts", "v"))
+    assert(fresh.read().count() === 6000)
+    assert(fresh.read().filter(col("day") === 5L).count() === 1000)
+    // Provided values: correct ones pass (validated in the post-write
+    // scan), wrong ones refuse and never publish.
+    fresh.append(Seq((6000L, "x", 6L)).toDF("ts", "v", "day"))
+    val before = fresh.latestVersion
+    val eBad = intercept[RuntimeException](
+      fresh.append(Seq((7000L, "y", 9L)).toDF("ts", "v", "day")))
+    assert(eBad.getMessage.contains("generated:day"))
+    assert(fresh.latestVersion === before,
+      "a mismatched provided value must never become a version")
+    // The BASE column is pinned while a generation expr references it.
+    intercept[IllegalArgumentException](fresh.renameColumn("ts", "t2"))
+    intercept[IllegalArgumentException](fresh.dropColumn("ts"))
+    // PREDICATE REWRITE: ts ∈ [1500, 2500] maps to day ∈ [1, 2] —
+    // the generated partition tier prunes strictly, survivors carry
+    // only in-window day values, and the read is row-exact.
+    val v = fresh.latestVersion
+    val all = fresh.liveFiles(v).size
+    val kept = fresh.pruneFilesGenerated(v, "ts", 1500L, 2500L)
+    assert(kept.nonEmpty && kept.size < all,
+      s"rewrite must prune strictly: kept ${kept.size} of $all")
+    assert(kept.forall(_.parts.get("day").forall(d =>
+      d.toLong >= 1L && d.toLong <= 2L)))
+    val r = fresh.readRangeGenerated(v, "ts", 1500L, 2500L)
+    assert(r.count() === 1001)
+    assert(r.agg(min("ts"), max("ts")).head().toSeq ===
+      Seq(1500L, 2500L))
+    // Unrecognized (non-monotone) expressions never engage the
+    // rewrite: everything must-scans, semantics intact.
+    assert(Snapshot.monotoneBaseOf("pmod(ts, 7)") === None)
+    assert(Snapshot.monotoneBaseOf("ts div 1000") === Some("ts"))
+    assert(Snapshot.monotoneBaseOf("year(ts)") === Some("ts"))
+    assert(Snapshot.monotoneBaseOf("cast(ts as date)") === Some("ts"))
+    assert(Snapshot.monotoneBaseOf("to_date(ts)") === Some("ts"))
+    assert(Snapshot.monotoneBaseOf("floor(ts / 3600.0)") === Some("ts"))
+    assert(Snapshot.monotoneBaseOf("date_trunc('day', ts)") === Some("ts"))
+  }
+
+  test("protocol feature flags: first-use stamps, checkpoint fold, masked capabilities refuse loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-feat-").toString
+    val lake = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      checkpointInterval = 3)
+    lake.append((0L until 20L).map(k => (k, s"row$k")).toDF("k", "v")) // v0
+    // Every table's first commit stamps the ICT writer feature (all
+    // publishes carry the monotone ts chain).
+    assert(lake.commits.head.features
+      .contains(("writer", "in-commit-timestamps")))
+    // A writer lacking it refuses to COMMIT — but still reads (ICT is
+    // a writer invariant; plain reads are correct without it).
+    val noIct = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      writerFeatures =
+        Snapshot.SupportedWriterFeatures - "in-commit-timestamps")
+    val eW = intercept[IllegalArgumentException](
+      noIct.append(Seq((20L, "x")).toDF("k", "v")))
+    assert(eW.getMessage.contains("in-commit-timestamps"))
+    assert(noIct.read().count() === 20)
+
+    // The mapping ACTIVATION commit stamps column-mapping for both
+    // sides; a later rename does not re-stamp (folded already).
+    lake.renameColumn("v", "label") // v1
+    assert(lake.commits.find(_.version == 1).get.features.toSet ===
+      Set(("reader", "column-mapping"), ("writer", "column-mapping")))
+    lake.renameColumn("label", "tag") // v2
+    assert(lake.commits.find(_.version == 2).get.features.isEmpty,
+      "stamps are one-time per table, never repeated")
+    // A mapping-unaware reader refuses the HEAD loudly...
+    val noMap = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      readerFeatures =
+        Snapshot.SupportedReaderFeatures - "column-mapping")
+    val eR = intercept[IllegalArgumentException](noMap.read())
+    assert(eR.getMessage.contains("column-mapping"))
+    // ... but time travel BELOW the activation still serves (the gate
+    // is per-snapshot, exactly Delta's protocol-as-of-version): v0's
+    // fold carries no mapping stamp.
+    assert(noMap.readAsOf(0).count() === 20)
+
+    // Stamps fold through checkpoints: v3 lands the interval
+    // checkpoint; a fresh masked handle reading checkpoint + suffix
+    // must still refuse.
+    lake.append(Seq((20L, "row20")).toDF("k", "tag")) // v3 → checkpoint
+    val masked = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      checkpointInterval = 3,
+      readerFeatures =
+        Snapshot.SupportedReaderFeatures - "column-mapping")
+    assert(intercept[IllegalArgumentException](masked.read())
+      .getMessage.contains("column-mapping"))
+    assert(lake.read().count() === 21)
+
+    // First DV use stamps deletion-vectors (reader + writer).
+    lake.deleteKeysMor(Seq(3L).toDF("k"), "k") // v4
+    assert(lake.commits.find(_.version == 4).get.features.toSet ===
+      Set(("reader", "deletion-vectors"), ("writer", "deletion-vectors")))
+    val noDv = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      readerFeatures =
+        Snapshot.SupportedReaderFeatures - "deletion-vectors")
+    assert(intercept[IllegalArgumentException](noDv.read())
+      .getMessage.contains("deletion-vectors"))
+
+    // ADD CONSTRAINT stamps the check-constraints writer feature: a
+    // non-validating writer must refuse rather than land unchecked rows.
+    lake.addConstraint("k_nonneg", "k >= 0") // v5
+    assert(lake.commits.find(_.version == 5).get.features
+      .contains(("writer", "check-constraints")))
+    val noCheck = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      writerFeatures =
+        Snapshot.SupportedWriterFeatures - "check-constraints")
+    assert(intercept[IllegalArgumentException](
+      noCheck.append(Seq((21L, "row21")).toDF("k", "tag")))
+      .getMessage.contains("check-constraints"))
+
+    // A table stamped with a feature NO current reader implements —
+    // a future grammar revision — refuses even the default handle.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v6 = lake.latestVersion + 1
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "_log"), f"$v6%08d.commit")
+    val out = fs.create(p, false)
+    out.write((s"v\t$v6\n" + Snapshot.featureLine("reader",
+      "future-sorcery") + "\nts\t9999999999999\n").getBytes("UTF-8"))
+    out.close()
+    assert(intercept[IllegalArgumentException](lake.read())
+      .getMessage.contains("future-sorcery"))
+    // ... history below the stamp still time-travels.
+    assert(lake.readAsOf(5).count() === 20) // 21 appended − 1 MOR-deleted
+
+    // The shallow clone inherits the source's protocol requirements.
+    fs.delete(p, false) // retire the future stamp for the clone leg
+    val clone = lake.cloneShallow(
+      Files.createTempDirectory("snap-feat-clone-").toString)
+    val cloneMasked = Snapshot.Lake(spark, clone.root,
+      readerFeatures =
+        Snapshot.SupportedReaderFeatures - "column-mapping")
+    assert(intercept[IllegalArgumentException](cloneMasked.read())
+      .getMessage.contains("column-mapping"))
+    assert(clone.read().count() === 20)
+  }
 }
