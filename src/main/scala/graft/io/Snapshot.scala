@@ -369,6 +369,7 @@ object Snapshot {
     val cons = Seq.newBuilder[(String, String)]
     val uncons = Seq.newBuilder[String]
     val feats = Seq.newBuilder[(String, String)]
+    val cdcs = Seq.newBuilder[String]
     var txn = Option.empty[(String, Long)]
     var meta = Option.empty[StructType]
     var ts = Option.empty[Long]
@@ -438,6 +439,7 @@ object Snapshot {
             sst.map(s => s._1 -> s._3).toMap,
             ncnts.result())
         case arr if arr.head == "rm" => rms += arr(1)
+        case Array("cdc", path) => cdcs += path
         case Array("txn", w, b) => txn = Some((w, b.toLong))
         case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
         case Array("constraint", name, sql) => cons += ((name, sql))
@@ -447,7 +449,8 @@ object Snapshot {
       }
     }
     Commit(v, adds.result(), rms.result(), txn, dvs.result(),
-      cons.result(), meta, ts, uncons.result(), feats.result())
+      cons.result(), meta, ts, uncons.result(), feats.result(),
+      cdcs.result())
   }
 
   /** The commits with version in (fromExclusive, toInclusive] — parses
@@ -787,7 +790,8 @@ object Snapshot {
       nullStatsCols: Seq[String] = Nil,
       readerFeatures: Set[String] = Snapshot.SupportedReaderFeatures,
       writerFeatures: Set[String] = Snapshot.SupportedWriterFeatures,
-      generatedCols: Seq[(String, String)] = Nil) {
+      generatedCols: Seq[(String, String)] = Nil,
+      changeDataFeed: Boolean = false) {
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_log")
@@ -1422,6 +1426,13 @@ object Snapshot {
       // their part files must survive or the pointing snapshot's reads
       // break (a replaced/retired DV past the horizon is fodder).
       val referencedDvDirs = horizon.flatten.flatMap(_._2).toSet
+      // CHANGE-DATA files of horizon-window commits: the CDF stream
+      // replays commits, so a commit inside the retention horizon must
+      // keep its change files (Delta's CDF-retention coupling); cdc
+      // files of older commits are fodder like their data.
+      val referencedCdc = Snapshot.readCommitsRange(fs, logPath,
+        math.max(0, lv - keepSnapshots + 1) - 1, lv)
+        .flatMap(_.cdcFiles).toSet
       val dataRoot = new Path(rootPath, "data")
       if (!fs.exists(dataRoot)) return Nil
       val deleted = Seq.newBuilder[String]
@@ -1439,6 +1450,7 @@ object Snapshot {
             .stripPrefix("/")}"
           val keep = referenced.contains(rel) ||
             referencedDvDirs.contains(dirRel) ||
+            referencedCdc.contains(rel) ||
             f.getName.startsWith("_") // parquet _SUCCESS markers
           if (!keep) {
             if (!dryRun) fs.delete(f, false)
@@ -1905,7 +1917,8 @@ object Snapshot {
       val lv = latestVersion
       require(v >= 0 && v <= lv, s"restore($v): no such snapshot at $root")
       val target = liveState(v)
-      val cur = liveState(lv).map { case (f, dv) => f.path -> dv }.toMap
+      val curState = liveState(lv)
+      val cur = curState.map { case (f, dv) => f.path -> dv }.toMap
       // A file survives untouched only when its (path, DV pointer) pair
       // matches exactly; a file live under a DIFFERENT deletion vector
       // is re-admitted (rm + add + optional dv — replay order inside
@@ -1927,13 +1940,21 @@ object Snapshot {
       // RESTORE rolls the TABLE SCHEMA back too (the Delta semantic):
       // when snapshot v predates an evolution, re-emit its meta line so
       // post-restore appends are validated against the restored shape.
-      val metaRollback = Snapshot.checkpointAt(fs, logPath, v).schema
+      val restoredSchema = Snapshot.checkpointAt(fs, logPath, v).schema
+      val metaRollback = restoredSchema
         .filter(s => tableSchema.exists(_.json != s.json))
         .map(Snapshot.metaLine).toSeq
+      val dvL = readmit.collect { case (f, Some(dv)) =>
+        s"dv\t${f.path}\t$dv" }
+      // CDF: a restore is a rewrite-shaped commit — its change rows
+      // diff in the RESTORED schema (the window end), like changes().
+      val cdcL =
+        if (rms.isEmpty && readmit.isEmpty) Nil // no-op restore
+        else cdcLines(curState, readmit.map(_._1.path), rms, dvL,
+          restoredSchema.orElse(tableSchema), version)
       val record = (s"v\t$version" +: (metaRollback ++
         rms.map(p => s"rm\t$p"))) ++
-        readmit.map(e => addLine(e._1)) ++
-        readmit.collect { case (f, Some(dv)) => s"dv\t${f.path}\t$dv" }
+        readmit.map(e => addLine(e._1)) ++ dvL ++ cdcL
       publish(record, version)
       version
     }
@@ -2068,10 +2089,16 @@ object Snapshot {
       val keys = keys0.select(col(keyCol)).distinct().localCheckpoint(true)
       val touched = touchedPaths(state, keys, keyCol, ck.schema)
       val version = lv + 1
+      val morLines = morDvLines(state, keys, keyCol, touched, version,
+        ck.schema)
+      val cdcL =
+        if (morLines.isEmpty) Nil
+        else cdcLines(state, Nil, Nil, morLines, ck.schema, version)
       publish((s"v\t$version" +:
-        stampLines(ck, Snapshot.DeletionVectorFeatures)) ++
-        morDvLines(state, keys, keyCol, touched, version, ck.schema),
-        version)
+        (stampLines(ck, Snapshot.DeletionVectorFeatures) ++
+          (if (cdcL.nonEmpty) stampLines(ck, Snapshot.CdfFeatures)
+           else Nil))) ++
+        morLines ++ cdcL, version)
       version
     }
 
@@ -2179,6 +2206,80 @@ object Snapshot {
       * source-root prefix off a shallow clone's absolute references. */
     private def relKeyOf(p: String): String =
       "(data/c[0-9]+-[^/]+/.+)$".r.findFirstIn(p).getOrElse(p)
+
+    /** CHANGE-DATA files for a mutating commit (Delta's CDF write-side
+      * semantic): when [[changeDataFeed]] is on, a commit that removes
+      * files or moves deletion vectors also WRITES its row-level
+      * change set — the exact batch [[changes]] diff between the
+      * pre-state and this commit's post-state, `_change_type`-tagged —
+      * under `data/c<v>-<uuid>cdc/` and points at it with `cdc` log
+      * lines. The V2 streaming source then serves DV/rewrite commits
+      * from these files ALONE (file-local reads, no executor-side
+      * diff), row-identical to batch changes() by construction — the
+      * same algebra, computed once, at write time. Delta's own trade:
+      * CDF costs one increment-sized diff per mutating commit (an
+      * overwrite's diff is overwrite-sized, like Delta's); pure
+      * appends cost nothing (their adds ARE the feed). Files are
+      * written in PHYSICAL column space like data files, so mapped
+      * tables stream CDF under the same projection path. */
+    private def cdcLines(preState: Seq[(FileStat, Option[String])],
+        addedPaths: Seq[String], removed: Seq[String],
+        dvLines: Seq[String], schema: Option[StructType],
+        version: Int): Seq[String] = {
+      if (!changeDataFeed) return Nil
+      val dvPairs = dvLines.map { l =>
+        val a = l.split('\t'); (a(1), a(2)) }
+      val post = Snapshot.replayState(preState, Seq(Commit(version,
+        addedPaths.map(p => FileStat(p, 0L, Map.empty, Map.empty)),
+        removed, dvs = dvPairs)))
+      val preKeys = preState.map { case (f, dv) => (f.path, dv) }.toSet
+      val postKeys = post.map { case (f, dv) => (f.path, dv) }.toSet
+      val dropped = preState.filterNot { case (f, dv) =>
+        postKeys((f.path, dv)) }
+      val added = post.filterNot { case (f, dv) => preKeys((f.path, dv)) }
+      // The changes() diff algebra verbatim — shared schema, exceptAll
+      // cancellation of carried rows (see [[changes]] for the why).
+      val unified = schema match {
+        case Some(_) => None
+        case None => Some(readFiles((dropped ++ added).map(_._1)).schema)
+      }
+      def side(entries: Seq[(FileStat, Option[String])]): DataFrame =
+        if (entries.isEmpty) schema match {
+          case Some(l) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Snapshot.cleanSchema(l))
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            unified.get)
+        }
+        else readState(entries, unified, schema)
+      val oldRows = side(dropped)
+      val newRows = side(added)
+      val changesDf = newRows.exceptAll(oldRows)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(oldRows.exceptAll(newRows)
+          .withColumn("_change_type", lit("delete")))
+      val physDf = schema match {
+        case Some(ts) if Snapshot.mappingActive(ts) =>
+          changesDf.select(ts.fields.toSeq.map(f =>
+            col(f.name).as(Snapshot.physicalName(f))) :+
+            col("_change_type"): _*)
+        case _ => changesDf
+      }
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val cdcRel = s"data/c$version-${uuid}cdc"
+      physDf.write.mode("errorifexists")
+        .parquet(new Path(rootPath, cdcRel).toString)
+      val it = fs.listFiles(new Path(rootPath, cdcRel), false)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+            !p.getName.startsWith("."))
+          buf += s"$cdcRel/${p.getName}"
+      }
+      buf.result().sorted.map(p => s"cdc\t$p")
+    }
 
     /** Touched-file scan with (rel path, row position) alongside the
       * data columns, current DVs applied — [[deleteKeysMor]]'s probe. */
@@ -2437,9 +2538,21 @@ object Snapshot {
             s"add\t$rel\t0${partSegs(rel)}"
         }
       }
+      // CDF write side: mutating commits (rm/dv) persist their change
+      // rows pre-publish; a conflict-lost record leaves the cdc dir as
+      // vacuum fodder like any unpublished data dir. Only the
+      // non-retry publish branch can carry these lines, so `version`
+      // is final here.
+      val cdcL =
+        if (removed.isEmpty && dvLines.isEmpty) Nil // pure append:
+          // its adds ARE the feed, served natively — no cdc files
+        else cdcLines(ck0.state, addLines.map(_.split('\t')(1)),
+          removed, dvLines, schemaSeen, version)
+      val cdfStamps =
+        if (cdcL.nonEmpty) stampLines(ck0, Snapshot.CdfFeatures) else Nil
       def record(v: Int) = (s"v\t$v" +: (metaLines ++ featStamps ++
-        addLines)) ++
-        removed.map(p => s"rm\t$p") ++ dvLines ++
+        cdfStamps ++ addLines)) ++
+        removed.map(p => s"rm\t$p") ++ dvLines ++ cdcL ++
         txn.map { case (w, b) => s"txn\t$w\t$b" }
       // Optimistic concurrency (the Delta conflict-resolution rule):
       // a PURE APPEND commutes with whatever the racing writer did —

@@ -480,21 +480,41 @@ class SnapshotMicroBatch(root: String, required: StructType,
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     val window = SnapshotStreamSource.commitsRange(root, s, e)
-    window.find(c => (c.removed.nonEmpty || c.dvs.nonEmpty) &&
-        !ignoreChanges).foreach { c =>
-      throw new IllegalStateException(
-        s"SnapshotStreamSource: commit ${c.version} at $root removes " +
-          "files or attaches deletion vectors (overwrite/merge/delete/" +
-          "compact/MOR delete). Streaming a non-append table re-emits " +
-          "rewritten files' carried rows and cannot retract MOR-deleted " +
-          "ones; set ignoreChanges=true to accept that, or stream an " +
-          "append-only table (Delta's contract).")
-    }
-    window.flatMap(c => c.added.map(f => LakeFilePartition(
-      new Path(root, f.path).toString,
-      commitVersion = c.version.toLong,
-      changeType = if (readChangeFeed) "insert" else null)
-      : InputPartition)).toArray
+    window.flatMap { c =>
+      val mutating = c.removed.nonEmpty || c.dvs.nonEmpty
+      if (readChangeFeed && c.cdcFiles.nonEmpty) {
+        // Mutating commit with WRITER-SIDE change files (the lake's
+        // changeDataFeed option): serve them alone — they carry both
+        // sides' rows with the stored `_change_type`, row-identical
+        // to batch changes() by construction. The commit's add files
+        // are DATA, not changes (a rewrite's adds would re-emit
+        // carried rows); file-local reads, no executor-side diff.
+        c.cdcFiles.map(p => LakeFilePartition(
+          new Path(root, p).toString,
+          commitVersion = c.version.toLong): InputPartition)
+      } else if (readChangeFeed && mutating && !ignoreChanges) {
+        throw new IllegalStateException(
+          s"SnapshotStreamSource: commit ${c.version} at $root removes " +
+            "files or attaches deletion vectors but carries no change " +
+            "files — enable CDF on the writer (Lake(changeDataFeed = " +
+            "true)) so mutating commits persist their change rows, or " +
+            "serve this window with the batch Lake.changes(v0, v1).")
+      } else {
+        if (mutating && !ignoreChanges)
+          throw new IllegalStateException(
+            s"SnapshotStreamSource: commit ${c.version} at $root removes " +
+              "files or attaches deletion vectors (overwrite/merge/delete/" +
+              "compact/MOR delete). Streaming a non-append table re-emits " +
+              "rewritten files' carried rows and cannot retract MOR-deleted " +
+              "ones; set ignoreChanges=true to accept that, or stream an " +
+              "append-only table (Delta's contract).")
+        c.added.map(f => LakeFilePartition(
+          new Path(root, f.path).toString,
+          commitVersion = c.version.toLong,
+          changeType = if (readChangeFeed) "insert" else null)
+          : InputPartition)
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -528,11 +548,14 @@ class SnapshotParquetReader(file: String, required: StructType,
     extends PartitionReader[InternalRow] {
 
   /** Constant value for a change-feed metadata column, or None for a
-    * data column. */
+    * data column. A cdc-file partition passes changeType = null —
+    * its `_change_type` is STORED in the file (both sides' rows live
+    * there) and reads like any data column; `_commit_version` stays a
+    * planning-time constant either way. */
   private def cdfConst(name: String): Option[Any] = name match {
     case "_change_type" if changeType != null =>
       Some(UTF8String.fromString(changeType))
-    case "_commit_version" if changeType != null => Some(commitVersion)
+    case "_commit_version" if commitVersion >= 0 => Some(commitVersion)
     case _ => None
   }
   private val path = new Path(file)

@@ -279,6 +279,13 @@ object ExtQueries {
     open(root)
   }
 
+  /** Probe-only fixture accessors (SCALE.md tooling reaches the
+    * same per-JVM cached lakes the queries open; never in a query). */
+  def ordersLakeForProbe(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = ordersLake(s, d)
+  def renameLakeForProbe(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = renameLake(s, d)
+
   /** (reference, candidate) token frames for the eval-metric queries
     * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
     * a token slice (last 3 tokens dropped, min 1 kept). */

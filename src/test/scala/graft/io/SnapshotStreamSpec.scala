@@ -183,6 +183,84 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(causes(e).exists(_.contains("Lake.changes")), e.getMessage)
   }
 
+  test("streaming CDF: DV and rewrite commits flow through writer-side change files, row-equal to batch changes()") {
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-cdf2-").toString,
+      statsCols = Seq("k"), changeDataFeed = true)
+    lake.append(kv(0, 30))                             // v0 pure append
+    lake.deleteKeysMor(Seq(3L, 7L).toDF("k"), "k")     // v1 MOR delete
+    lake.overwrite(kv(100, 110))                       // v2 rewrite
+    lake.upsertMor(Seq((105L, "upd105")).toDF("k", "v"), "k") // v3 MOR merge
+    // Mutating commits persisted their change files + the CDF stamp.
+    assert(lake.commits.find(_.version == 1).get.cdcFiles.nonEmpty)
+    assert(lake.commits.find(_.version == 2).get.cdcFiles.nonEmpty)
+    assert(lake.commits.find(_.version == 3).get.cdcFiles.nonEmpty)
+    assert(lake.commits.find(_.version == 1).get.features
+      .contains(("reader", "change-data-feed")))
+    assert(lake.commits.find(_.version == 0).get.cdcFiles.isEmpty,
+      "pure appends write no change files — their adds ARE the feed")
+
+    // The stream serves the whole history — paced at one commit per
+    // trigger to prove admission control composes with CDF.
+    val name = s"snapcdf2${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true")
+      .option("maxCommitsPerTrigger", "1")
+      .load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-cdf2-ckpt").toString).start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+    // Row-exact equivalence with the batch feed on the same window.
+    val batch = lake.changesByVersion(-1, 3)
+      .select("k", "v", "_change_type", "_commit_version").collect()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+    assert(streamed.map(keyOf).sorted.toSeq === batch.map(keyOf).sorted.toSeq,
+      "streaming CDF must equal batch changes() row-for-row")
+    // Shape sanity: the MOR delete retracts, the overwrite emits both
+    // sides, the MOR merge emits its delete + insert pair.
+    val byVer = streamed.map(keyOf).groupBy(_._4)
+    assert(byVer(1L).toSeq === Seq((3L, "row3", "delete", 1L),
+      (7L, "row7", "delete", 1L)))
+    assert(byVer(2L).count(_._3 == "delete") === 28)
+    assert(byVer(2L).count(_._3 == "insert") === 10)
+    assert(byVer(3L).toSet === Set((105L, "row105", "delete", 3L),
+      (105L, "upd105", "insert", 3L)))
+
+    // A NON-CDF stream on the same table still refuses the mutating
+    // commits (carried rows can't retract outside the feed).
+    val name2 = s"snapcdf2b${System.nanoTime()}"
+    val q2 = spark.readStream.format(Fmt).load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-cdf2-ckpt2").toString).start()
+    val e2 = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(x => String.valueOf(x.getMessage))
+    assert(causes(e2).exists(_.contains("ignoreChanges")))
+
+    // Vacuum keeps the horizon's change files (the stream must stay
+    // replayable inside retention) while reclaiming older data.
+    lake.vacuum(keepSnapshots = 4)
+    val q3name = s"snapcdf2c${System.nanoTime()}"
+    val q3 = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(q3name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-cdf2-ckpt3").toString).start()
+    val replayed =
+      try { q3.processAllAvailable(); spark.table(q3name).count() }
+      finally q3.stop()
+    assert(replayed === streamed.count(_.getLong(3) >= 1L))
+  }
+
   test("append-only guard: a rewrite commit fails the stream; ignoreChanges accepts") {
     val lake = freshLake()
     lake.append(kv(0, 50))
