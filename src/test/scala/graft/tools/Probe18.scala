@@ -47,7 +47,7 @@ object Probe18 {
     val d = "/root/testdata/sf0.1"
     def run(): Unit = graft.SparkEntry.queries("lake_cdc_mv")(s, d).count()
     run() // builds the shared ordersLake fixture + JIT warm
-    val t = minOf(3)(run())
+    val t = minOf(5)(run())
     pr(f"lake_cdc_mv sf0.1 min-of-3 = $t%.3f s (r16 minima 1.54 s; r17 flagged 2.15 s) loadavg=${load()}")
     // decomposition: one changes(v-1, v) per version, plan+count
     val lake = {
@@ -60,6 +60,49 @@ object Probe18 {
       val tc = minOf(2)(lake.changes(v - 1, v).count())
       pr(f"  changes(${v - 1}, $v) min-of-2 = $tc%.3f s logFilesParsed=${graft.io.Snapshot.logFilesParsed.get()}")
     }
+    // A/B: the SAME fixture with every meta line stripped — the
+    // legacy (footer-union) changes() path vs the mapping-aware
+    // (recorded-schema + rename-projection) one. Attributes the r17
+    // flag: if no-meta is not faster, the mapping-aware path is not
+    // the regression.
+    val abRoot = java.nio.file.Files.createTempDirectory("p18-nometa-")
+    val src = java.nio.file.Paths.get(lake.root)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val dst = abRoot.resolve(rel.toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else if (!p.getFileName.toString.endsWith(".crc"))
+        java.nio.file.Files.copy(p, dst) // no .crc: we edit the logs
+    }
+    val logDir = abRoot.resolve("_log")
+    java.nio.file.Files.list(logDir).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".commit") || n.endsWith(".checkpoint")) {
+        val lines = java.nio.file.Files.readAllLines(p)
+        val out = new java.util.ArrayList[String]()
+        lines.forEach(l => if (!l.startsWith("meta\t")) out.add(l))
+        java.nio.file.Files.write(p, out)
+      }
+    }
+    val noMeta = graft.io.Snapshot.Lake(s, abRoot.toString,
+      statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"),
+      checkpointInterval = 4)
+    def runNoMeta(): Unit = (0 to 4).map { v =>
+      noMeta.changes(v - 1, v)
+        .groupBy(pmod(col("o_custkey"), lit(100L)).as("bucket"))
+        .agg(sum(when(col("_op") === "insert", 1L).otherwise(-1L)).as("dn"))
+    }.reduce(_ unionByName _).count()
+    runNoMeta() // warm
+    val tNoMeta = minOf(3)(runNoMeta())
+    def runMeta(): Unit = (0 to 4).map { v =>
+      lake.changes(v - 1, v)
+        .groupBy(pmod(col("o_custkey"), lit(100L)).as("bucket"))
+        .agg(sum(when(col("_op") === "insert", 1L).otherwise(-1L)).as("dn"))
+    }.reduce(_ unionByName _).count()
+    runMeta()
+    val tMeta = minOf(3)(runMeta())
+    pr(f"A/B 5-version diff fold: mapping-aware=$tMeta%.3f s  no-meta(footer path)=$tNoMeta%.3f s  loadavg=${load()}")
   }
 
   private def mapped(s: SparkSession): Unit = {
@@ -118,21 +161,32 @@ object Probe18 {
     }
     val nPairs = pairs.count()
     pr(f"minhashPairs on 1M docs: $tPairs%.1f s, $nPairs pairs")
+    // Full 33M-edge set: above the cutover, both calls take the
+    // Pregel branch — this measures CC at 8× the threshold.
     var groupsUF: DataFrame = null
     val tUF = time {
       groupsUF = Dedup.dedupGroups(pairs, col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
     }
-    pr(f"dedupGroups union-find regime: $tUF%.1f s, ${groupsUF.count()} labeled nodes")
-    var groupsPregel: DataFrame = null
-    val tPregel = time {
-      groupsPregel = Dedup.dedupGroups(pairs, col("doc_a"), col("doc_b"),
+    pr(f"dedupGroups default regime at ${nPairs} edges: $tUF%.1f s, ${groupsUF.count()} labeled nodes")
+    // The REGIME SWITCH itself, measured on a <=4M-edge subset of the
+    // SAME graph: default (union-find — under the cutover) vs forced
+    // Pregel, label-equal and timed.
+    val sub = pairs.filter(pmod(col("doc_a"), lit(9L)) === 0L)
+      .localCheckpoint(true)
+    val nSub = sub.count()
+    var ufSub: DataFrame = null
+    val tUfSub = time {
+      ufSub = Dedup.dedupGroups(sub, col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+    }
+    var pgSub: DataFrame = null
+    val tPgSub = time {
+      pgSub = Dedup.dedupGroups(sub, col("doc_a"), col("doc_b"),
         coordinatorMaxEdges = 0L).localCheckpoint(true)
     }
-    pr(f"dedupGroups Pregel regime:     $tPregel%.1f s, ${groupsPregel.count()} labeled nodes")
-    val diff = groupsUF.except(groupsPregel).count() +
-      groupsPregel.except(groupsUF).count()
-    pr(s"regime label equality: diff=$diff (must be 0)")
+    val diff = ufSub.except(pgSub).count() + pgSub.except(ufSub).count()
+    pr(f"regime switch at $nSub edges (cutover 4M): union-find=$tUfSub%.1f s  Pregel=$tPgSub%.1f s  label diff=$diff (must be 0)")
     // keep-best over the groups (the dedup_keep_best shape)
     val tKeep = time {
       val toks = size(split(col("text"), "\\s+")).cast("long")
