@@ -200,6 +200,37 @@ object Snapshot {
           => a.name
       }
 
+  /** When `exprSql` is `year(c)` / `month(c)` / `day(c)` /
+    * `dayofmonth(c)` over exactly one attribute, the (part, base)
+    * pair — the COMPOSITE rewrite's shape detector. `month`/`day`
+    * alone are NOT monotone in the base (every year repeats them), so
+    * they never engage the independent rewrite; but lexicographically
+    * UNDER a `year` generated column over the same base, the
+    * (year, month[, day]) tuple IS monotone — Delta derives the same
+    * OR-of-ANDs partition filter for its year/month/day layout. */
+  def datePartOf(exprSql: String): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    parsed match {
+      case f: UnresolvedFunction if f.arguments.size == 1 =>
+        val name = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        val part = name match {
+          case "year" => Some("year")
+          case "month" => Some("month")
+          case "day" | "dayofmonth" => Some("day")
+          case _ => None
+        }
+        part.flatMap(p => f.arguments.head match {
+          case a: UnresolvedAttribute => Some((p, a.name))
+          case _ => None
+        })
+      case _ => None
+    }
+  }
+
   /** When `exprSql` is a recognized MONOTONE function of exactly one
     * base column, that column's name — the predicate-rewrite gate:
     * for monotone g = f(c), c ∈ [lo, hi] implies g ∈ [f(lo), f(hi)],
@@ -1275,38 +1306,97 @@ object Snapshot {
 
     private def pruneGeneratedIn(ck: Snapshot.Checkpoint,
         baseCol: String, qLo: Any, qHi: Any): Seq[FileStat] = {
-      val gens = ck.schema.toSeq.flatMap(Snapshot.generatedIn)
-        .filter { case (_, e) =>
-          Snapshot.monotoneBaseOf(e).contains(baseCol) }
-      if (gens.isEmpty) return ck.state.map(_._1)
-      // Evaluate every generated expression at both endpoints — two
+      val allGens = ck.schema.toSeq.flatMap(Snapshot.generatedIn)
+      val mono = allGens.filter { case (_, e) =>
+        Snapshot.monotoneBaseOf(e).contains(baseCol) }
+      // Composite (year, month[, day]) family over this base: month/
+      // day alone are non-monotone, but lexicographically under the
+      // year they prune exactly (Delta's year/month/day derivation).
+      val parts: Map[String, String] = allGens.flatMap { case (g, e) =>
+        Snapshot.datePartOf(e).collect {
+          case (p, b) if b == baseCol => p -> g } }.toMap
+      val composite = parts.contains("year") &&
+        (parts.contains("month") || parts.contains("day"))
+      if (mono.isEmpty && !composite) return ck.state.map(_._1)
+      // Evaluate every relevant expression at both endpoints — two
       // 1-row local jobs, the whole rewrite's compute cost.
+      val evalGens = (mono ++ (if (composite)
+        parts.values.map(g => allGens.find(_._1 == g).get) else Nil))
+        .distinct
       def evalAt(pt: Any): Seq[String] = spark.range(1)
         .select(lit(pt).as(baseCol))
-        .select(gens.map { case (g, e) =>
+        .select(evalGens.map { case (g, e) =>
           expr(e).cast("string").as(g) }: _*)
         .head().toSeq.map(x => if (x == null) null else x.toString)
       val gLo = evalAt(qLo)
       val gHi = evalAt(qHi)
+      val idx = evalGens.map(_._1).zipWithIndex.toMap
       def inRange(raw: String, lo: String, hi: String): Boolean =
         (raw.toLongOption, lo.toLongOption, hi.toLongOption) match {
           case (Some(x), Some(l), Some(h)) => x >= l && x <= h
           case _ => raw >= lo && raw <= hi // ISO dates: lexicographic
         }
-      ck.state.map(_._1).filter { f =>
-        gens.zipWithIndex.forall { case ((g, _), i) =>
-          f.parts.get(Snapshot.physicalIn(ck.schema, g)) match {
-            case Some(frag) if frag == Snapshot.NullPartitionName =>
-              false // null g ⇔ null base ⇔ BETWEEN can't match
-            case Some(frag) =>
-              if (gLo(i) == null || gHi(i) == null) true
-              else inRange(org.apache.spark.sql.catalyst.catalog
-                .ExternalCatalogUtils.unescapePathName(frag),
-                gLo(i), gHi(i))
-            case None => true // unpartitioned-era file: must scan
+      // A file's recorded value for generated column g — None when
+      // unrecorded (must-scan tier); Some(None) when the null
+      // partition (null g ⇔ null base ⇔ BETWEEN can't match).
+      def fragOf(f: FileStat, g: String): Option[Option[String]] =
+        f.parts.get(Snapshot.physicalIn(ck.schema, g)).map { frag =>
+          if (frag == Snapshot.NullPartitionName) None
+          else Some(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(frag))
+        }
+      def monoAdmits(f: FileStat): Boolean =
+        mono.forall { case (g, _) =>
+          fragOf(f, g) match {
+            case Some(None) => false
+            case Some(Some(raw)) =>
+              val (lo, hi) = (gLo(idx(g)), gHi(idx(g)))
+              if (lo == null || hi == null) true else inRange(raw, lo, hi)
+            case None => true
           }
         }
+      // Lexicographic (year, month, day) window compare: a tier only
+      // participates when the file records it AND both bound values
+      // evaluated non-null; a missing inner tier admits (conservative
+      // prefix compare — exactly a BETWEEN on the recorded prefix).
+      def compositeAdmits(f: FileStat): Boolean = {
+        if (!composite) return true
+        def tier(p: String): Option[Option[Long]] =
+          parts.get(p).flatMap(g => fragOf(f, g).map(_.flatMap(
+            _.toLongOption)))
+        def bound(p: String, side: Seq[String]): Option[Long] =
+          parts.get(p).flatMap(g => Option(side(idx(g)))
+            .flatMap(_.toLongOption))
+        (tier("year"), bound("year", gLo), bound("year", gHi)) match {
+          case (Some(None), _, _) => false // null year ⇔ null base
+          case (Some(Some(vy)), Some(ly), Some(hy)) =>
+            def prefixGe: Boolean = // (vy, vm, vd) >= (ly, lm, ld)
+              vy > ly || (vy == ly &&
+                ((tier("month"), bound("month", gLo)) match {
+                  case (Some(Some(vm)), Some(lm)) =>
+                    vm > lm || (vm == lm &&
+                      ((tier("day"), bound("day", gLo)) match {
+                        case (Some(Some(vd)), Some(ld)) => vd >= ld
+                        case _ => true
+                      }))
+                  case _ => true
+                }))
+            def prefixLe: Boolean = // (vy, vm, vd) <= (hy, hm, hd)
+              vy < hy || (vy == hy &&
+                ((tier("month"), bound("month", gHi)) match {
+                  case (Some(Some(vm)), Some(hm)) =>
+                    vm < hm || (vm == hm &&
+                      ((tier("day"), bound("day", gHi)) match {
+                        case (Some(Some(vd)), Some(hd)) => vd <= hd
+                        case _ => true
+                      }))
+                  case _ => true
+                }))
+            prefixGe && prefixLe
+          case _ => true // unrecorded year or null bounds: must scan
+        }
       }
+      ck.state.map(_._1).filter(f => monoAdmits(f) && compositeAdmits(f))
     }
 
     /** Base-column range read through the generated-column rewrite:

@@ -1202,6 +1202,39 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.monotoneBaseOf("to_date(ts)") === Some("ts"))
     assert(Snapshot.monotoneBaseOf("floor(ts / 3600.0)") === Some("ts"))
     assert(Snapshot.monotoneBaseOf("date_trunc('day', ts)") === Some("ts"))
+
+    // COMPOSITE (year, month) rewrite — the reference's own layout
+    // (timescale_to_deltalake.py:36): month alone is non-monotone in
+    // the date, but lexicographically under the year the pair prunes
+    // exactly. Two years of daily dates partitioned (yr, mo): a
+    // cross-year window keeps only its boundary months' partitions.
+    val lake2 = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-gen2-").toString,
+      partitionCols = Seq("yr", "mo"),
+      generatedCols = Seq("yr" -> "year(d)", "mo" -> "month(d)"))
+    val days = (0 until 730).map(i => Tuple1(java.sql.Date.valueOf(
+      java.time.LocalDate.of(1994, 1, 1).plusDays(i.toLong)))).toDF("d")
+    lake2.append(days)
+    val lo2 = java.sql.Date.valueOf("1994-11-15")
+    val hi2 = java.sql.Date.valueOf("1995-02-10")
+    val kept2 = lake2.pruneFilesGenerated(0, "d", lo2, hi2)
+    val keptYm = kept2.map(f =>
+      (f.parts("yr").toLong, f.parts("mo").toLong)).toSet
+    assert(keptYm === Set((1994L, 11L), (1994L, 12L),
+      (1995L, 1L), (1995L, 2L)),
+      s"composite rewrite must keep exactly the window's months: $keptYm")
+    val r2 = lake2.readRangeGenerated(0, "d", lo2, hi2)
+    assert(r2.count() === 88) // 16 + 31 + 31 + 10 days inclusive
+    // month alone (no year generated) must NOT prune: non-monotone.
+    val lake3 = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-gen3-").toString,
+      partitionCols = Seq("mo"),
+      generatedCols = Seq("mo" -> "month(d)"))
+    lake3.append(days)
+    assert(lake3.pruneFilesGenerated(0, "d", lo2, hi2).size ===
+      lake3.liveFiles(0).size,
+      "month without year is non-monotone — everything must-scans")
+    assert(lake3.readRangeGenerated(0, "d", lo2, hi2).count() === 88)
   }
 
   test("protocol feature flags: first-use stamps, checkpoint fold, masked capabilities refuse loudly") {
