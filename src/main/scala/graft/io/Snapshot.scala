@@ -959,9 +959,14 @@ object Snapshot {
     def versionAtTimestamp(tsMillis: Long): Int = {
       val versions = Snapshot.listVersions(fs, logPath)
       require(versions.nonEmpty, s"no commits at $root")
+      // O(1) per probe: the ts line is always a commit's LAST line
+      // (tryPublish appends it), so each binary-search step is a
+      // fixed-size tail read — an overwrite commit's O(manifest)
+      // record costs the same 256 bytes as an append's. Legacy
+      // commits without a ts line resolve as "infinitely old".
       def tsOf(v: Int): Long =
-        Snapshot.readCommitsRange(fs, logPath, v - 1, v)
-          .headOption.flatMap(_.ts).getOrElse(Long.MinValue)
+        Snapshot.tailTs(fs, new Path(logPath, f"$v%08d.commit"))
+          .getOrElse(Long.MinValue)
       require(tsOf(versions.head) <= tsMillis,
         s"timestampAsOf($tsMillis) predates the first commit at $root")
       // binary search: greatest version with ts <= tsMillis

@@ -158,9 +158,12 @@ object SnapshotStreamSource {
     val logPath = logPathOf(root)
     val versions = Snapshot.listVersions(fs, logPath)
     if (versions.isEmpty) return 0
+    // O(1) per probe (the versionAtTimestamp discipline): the ts line
+    // is a commit's last line, so each step is a fixed-size tail read
+    // regardless of the commit's manifest size.
     def tsOf(v: Int): Long =
-      Snapshot.readCommitsRange(fs, logPath, v - 1, v)
-        .headOption.flatMap(_.ts).getOrElse(Long.MinValue)
+      Snapshot.tailTs(fs, new Path(logPath, f"$v%08d.commit"))
+        .getOrElse(Long.MinValue)
     if (tsOf(versions.last) < tsMillis) return versions.last + 1
     var lo = 0
     var hi = versions.size - 1
@@ -319,13 +322,30 @@ object SnapshotScan {
   }
 
   /** Does `stat`'s manifest entry admit filter `f`? Missing stats ⇒
-    * must-scan (true). Zone maps answer ranges; Blooms answer
+    * must-scan (true). The PARTITION tier answers first (a partition
+    * directory holds ONLY its value's rows, so equality and ranges
+    * are exact at the file level — Delta's first pruning tier, now on
+    * the connector path too); zone maps answer ranges; Blooms answer
     * equality (via the same string-form md5 the write side hashed). */
   private[v2] def admits(stat: Snapshot.FileStat, f: Filter,
       mapping: Map[String, String] = Map.empty): Boolean = {
     // manifest stats key by PHYSICAL name; filters arrive logical
-    def lo(c: String) = stat.lo.get(mapping.getOrElse(c, c))
-    def hi(c: String) = stat.hi.get(mapping.getOrElse(c, c))
+    def phys(c: String) = mapping.getOrElse(c, c)
+    def lo(c: String) = stat.lo.get(phys(c))
+    def hi(c: String) = stat.hi.get(phys(c))
+    // exact recorded partition value, compared in fragment space (the
+    // manifest stores partitionBy's escaped path fragment verbatim)
+    def partEq(c: String, raw: String): Boolean =
+      stat.parts.get(phys(c))
+        .forall(_ == Snapshot.escapedPartValue(raw))
+    // numeric partition value for range compares; None (no partition
+    // value, or non-numeric — incl. the null-partition sentinel,
+    // whose rows no comparison admits but the residual filter drops)
+    // means must-scan on this tier
+    def partLong(c: String): Option[Long] =
+      stat.parts.get(phys(c)).flatMap(frag =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(frag).toLongOption)
     f match {
       case EqualTo(c, v: java.lang.Number) =>
         val x = v.longValue()
@@ -333,17 +353,22 @@ object SnapshotScan {
           case (Some(l), Some(h)) => l <= x && x <= h
           case _ => true
         }
-        zone && bloomAdmits(stat, mapping.getOrElse(c, c), v.toString)
+        partEq(c, v.toString) && zone &&
+          bloomAdmits(stat, phys(c), v.toString)
       case EqualTo(c, v: String) =>
-        bloomAdmits(stat, mapping.getOrElse(c, c), v)
+        partEq(c, v) && bloomAdmits(stat, phys(c), v)
       case GreaterThan(c, v: java.lang.Number) =>
-        hi(c).forall(_ > v.longValue())
+        partLong(c).forall(_ > v.longValue()) &&
+          hi(c).forall(_ > v.longValue())
       case GreaterThanOrEqual(c, v: java.lang.Number) =>
-        hi(c).forall(_ >= v.longValue())
+        partLong(c).forall(_ >= v.longValue()) &&
+          hi(c).forall(_ >= v.longValue())
       case LessThan(c, v: java.lang.Number) =>
-        lo(c).forall(_ < v.longValue())
+        partLong(c).forall(_ < v.longValue()) &&
+          lo(c).forall(_ < v.longValue())
       case LessThanOrEqual(c, v: java.lang.Number) =>
-        lo(c).forall(_ <= v.longValue())
+        partLong(c).forall(_ <= v.longValue()) &&
+          lo(c).forall(_ <= v.longValue())
       case _ => true
     }
   }

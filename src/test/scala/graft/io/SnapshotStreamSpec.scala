@@ -369,6 +369,32 @@ class SnapshotStreamSpec extends SparkSpec {
       .filter(col("v") === "no-such-row").count() === 0)
   }
 
+  test("batch filter pushdown: the partition tier prunes FILES exactly at planning") {
+    val lake = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-ppush-").toString,
+      partitionCols = Seq("bucket"))
+    lake.append((0L until 400L).map(k => (k, k % 8, s"row$k"))
+      .toDF("k", "bucket", "v"))
+    val all = spark.read.format(Fmt).load(lake.root).rdd.getNumPartitions
+    assert(all >= 8, s"one file per hive partition expected, got $all")
+    // Equality on the partition column: exactly that value's files.
+    val one = spark.read.format(Fmt).load(lake.root)
+      .filter(col("bucket") === 3L)
+    assert(one.rdd.getNumPartitions * 8 <= all * 2,
+      s"partition tier must prune ~7/8: ${one.rdd.getNumPartitions} of $all")
+    assert(one.count() === 50)
+    // Range on the partition column prunes too (a partition dir is
+    // value-pure, so a comparison is exact at the file level).
+    val ranged = spark.read.format(Fmt).load(lake.root)
+      .filter(col("bucket") >= 6L)
+    assert(ranged.rdd.getNumPartitions < all,
+      s"range must prune: ${ranged.rdd.getNumPartitions} of $all")
+    assert(ranged.count() === 100)
+    // Semantics stay exact regardless of pruning (residual filter).
+    assert(spark.read.format(Fmt).load(lake.root)
+      .filter(col("bucket") === 99L).count() === 0)
+  }
+
   test("schema evolution: stream carries the union schema, old files null-fill") {
     val lake = freshLake()
     lake.append(kv(0, 5))
