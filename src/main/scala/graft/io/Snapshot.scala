@@ -1028,6 +1028,17 @@ object Snapshot {
       val before = if (v0 < 0) Nil else liveState(v0)
       val ckAfter = ckAt(v1)
       require(ckAfter.version >= 0, s"no snapshot <= $v1 at $root")
+      changesFromStates(before, ckAfter)
+    }
+
+    /** The [[changes]] diff given ALREADY-FOLDED endpoint states —
+      * [[changesByVersion]]'s per-version step pays ONE incremental
+      * fold per version (the previous checkpoint + that version's
+      * single commit file) instead of two full checkpoint+suffix
+      * folds per sub-window. */
+    private def changesFromStates(
+        before: Seq[(FileStat, Option[String])],
+        ckAfter: Snapshot.Checkpoint): DataFrame = {
       val after = ckAfter.state
       // Under column mapping the diff runs in the LOGICAL space of
       // the window end: both sides project to v1's logical columns
@@ -1092,15 +1103,27 @@ object Snapshot {
       * NET diff (updates collapsed) is [[changes]] itself. */
     def changesByVersion(v0: Int, v1: Int): DataFrame = {
       require(v0 <= v1, s"changesByVersion($v0, $v1): v0 must precede v1")
-      val frames = (math.max(v0 + 1, 0) to v1).map { v =>
-        changes(v - 1, v)
+      val lo = math.max(v0 + 1, 0)
+      if (lo > v1)
+        return changes(v0, v1).withColumnRenamed("_op", "_change_type")
+          .withColumn("_commit_version", lit(-1L))
+      // One fold for the window START, then ONE commit-file parse per
+      // version (incremental foldCheckpoint) — K+1 log reads for a
+      // K-version window instead of 2K full checkpoint+suffix folds,
+      // the shape a long-history CDF consumer needs.
+      var prev: Option[Snapshot.Checkpoint] =
+        if (v0 < 0) None else Some(ckAt(v0))
+      val frames = (lo to v1).map { v =>
+        val cur = gateRead(Snapshot.foldCheckpoint(prev,
+          Snapshot.readCommitsRange(fs, logPath, v - 1, v)))
+        require(cur.version >= 0, s"no snapshot <= $v at $root")
+        val f = changesFromStates(prev.map(_.state).getOrElse(Nil), cur)
           .withColumnRenamed("_op", "_change_type")
           .withColumn("_commit_version", lit(v.toLong))
+        prev = Some(cur)
+        f
       }
-      if (frames.isEmpty)
-        changes(v0, v1).withColumnRenamed("_op", "_change_type")
-          .withColumn("_commit_version", lit(-1L))
-      else frames.reduce(_ unionByName _)
+      frames.reduce(_ unionByName _)
     }
 
     /** Zone-map pruning over the live manifest: the files of snapshot

@@ -38,6 +38,7 @@ object Probe18 {
 
     if (what == "cdcmv" || what == "all") cdcmv(s)
     if (what == "mapped" || what == "all") mapped(s)
+    if (what == "cdf" || what == "all") cdf(s)
     if (what == "dedup10x" || what == "all") dedup10x(s)
     pr(s"loadavg at end: ${load()}")
     s.stop()
@@ -117,6 +118,48 @@ object Probe18 {
         lake.readRange(head, "k", 1L, 1000L).count()
       }
       pr(f"mapped@$label read=$tRead%.3f s cdcWindow=$tCdc%.3f s zonePrunedRange=$tPrune%.3f s")
+    }
+  }
+
+  /** The round-18 CDF surface 1×→10×: writer-side change-file cost on
+    * mutating commits (CDF on vs off — the write amplification the
+    * option buys its stream with) and the CDF stream drain. */
+  private def cdf(s: SparkSession): Unit = {
+    import graft.io.Snapshot
+    for ((label, d) <- Seq("sf0.01" -> "/root/testdata/sf0.01",
+        "sf0.1" -> "/root/testdata/sf0.1")) {
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents")).localCheckpoint(true)
+      def build(cdfOn: Boolean): (String, Double, Double) = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"p18-cdf-$cdfOn-").toString
+        val lake = Snapshot.Lake(s, root, statsCols = Seq("o_orderkey"),
+          changeDataFeed = cdfOn)
+        lake.append(o)
+        val tMor = time(lake.deleteKeysMor(
+          o.filter(pmod(col("o_orderkey"), lit(100L)) === 13)
+            .select("o_orderkey"), "o_orderkey"))
+        val tOw = time(lake.overwrite(
+          o.filter(pmod(col("o_orderkey"), lit(10L)) < 9)))
+        (root, tMor, tOw)
+      }
+      val (rootOn, mOn, wOn) = build(cdfOn = true)
+      val (_, mOff, wOff) = build(cdfOn = false)
+      pr(f"cdf@$label morDelete on=$mOn%.2f s off=$mOff%.2f s | overwrite on=$wOn%.2f s off=$wOff%.2f s")
+      // stream drain of the whole CDF history
+      val name = s"p18cdf${System.nanoTime()}"
+      val tDrain = time {
+        val q = s.readStream.format("graft.io.v2.SnapshotStreamSource")
+          .option("readChangeFeed", "true").load(rootOn)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name)
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("p18-cdf-ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      pr(f"cdf@$label stream drain = $tDrain%.2f s, ${s.table(name).count()} change rows")
     }
   }
 
