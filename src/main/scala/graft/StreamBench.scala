@@ -950,6 +950,62 @@ object StreamBench {
           f"${n / tRocks}%.0f rows/s  (results equal)")
     }
 
+    // Mode P (round 18): STREAMING CHANGE DATA FEED over a MUTATING
+    // lake — writer-side change files (Lake(changeDataFeed = true))
+    // served through the V2 CDF stream. The lake takes one 200k-row
+    // base append, then 8 mutating commits (alternating MOR deletes
+    // and MOR upserts on residue classes), each persisting its change
+    // rows at write time. Gate: the drained stream is EXACTLY equal
+    // (exceptAll both ways) to the batch changesByVersion feed over
+    // the same window — stream ≡ batch is the design's construction,
+    // and this asserts it end-to-end through the connector. rows/s =
+    // total change rows / drain wall. 100 TB shape: each micro-batch
+    // reads only its commit's change files (file-local, no diff at
+    // read time); the write side pays one increment-bounded diff per
+    // mutating commit (SCALE.md round-18 probe: FLAT 1×→10×).
+    {
+      import graft.io.Snapshot
+      val base = spark.range(200000L).select(col("id").as("k"),
+        pmod(col("id"), lit(16L)).as("machine"),
+        concat(lit("r"), col("id")).as("payload"))
+        .localCheckpoint(true)
+      val lake = Snapshot.Lake(spark, s"$work/p_lake",
+        statsCols = Seq("k"), changeDataFeed = true)
+      lake.append(base) // v0
+      (1 to 4).foreach { i =>
+        lake.deleteKeysMor(base.filter(
+          pmod(col("k"), lit(97L)) === i.toLong).select("k"), "k")
+        lake.upsertMor(base.filter(
+            pmod(col("k"), lit(101L)) === i.toLong)
+          .withColumn("payload", concat(lit("u"), col("payload"))), "k")
+      }
+      val head = lake.latestVersion
+      val name = s"sbp${System.nanoTime()}"
+      val tP = time {
+        val q = spark.readStream
+          .format("graft.io.v2.SnapshotStreamSource")
+          .option("readChangeFeed", "true").load(lake.root)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name)
+          .option("checkpointLocation", s"$work/p_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val streamed = spark.table(name)
+      val batch = lake.changesByVersion(-1, head)
+        .select(streamed.columns.map(col).toSeq: _*)
+      require(streamed.count() > 200000L, "mode P drained too few rows")
+      require(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "mode P: the CDF stream must equal batch changesByVersion")
+      val nP = streamed.count()
+      results("cdf_stream@200k") = nP / tP
+      System.err.println(
+        f"[stream-bench] cdf_stream@200k  $nP change rows  $tP%.1fs  " +
+          f"${nP / tP}%.0f rows/s  (stream == batch)")
+    }
+
     val modes = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","modes":$modes,""" +
