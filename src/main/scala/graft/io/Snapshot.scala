@@ -1533,6 +1533,37 @@ object Snapshot {
     def vacuumDryRun(keepSnapshots: Int = 1): Seq[String] =
       vacuumImpl(keepSnapshots, dryRun = true)
 
+    /** VACUUM with a TIME-based retention horizon (Delta's
+      * `VACUUM ... RETAIN n HOURS` form, on the in-commit-timestamp
+      * clock): keeps every file referenced by snapshots published
+      * within `retainMillis` of the HEAD commit's stamp — i.e. a
+      * reader doing `timestampAsOf(now − retain)` keeps resolving;
+      * anything older is fodder (the keepSnapshots form's trade,
+      * time-denominated). The horizon resolves through the O(log n)
+      * tail-read binary search; commits predating ts lines count as
+      * infinitely old, so a fully-legacy log keeps everything. */
+    def vacuumRetain(retainMillis: Long): Int =
+      vacuumImpl(retainKeepCount(retainMillis), dryRun = false).size
+
+    /** [[vacuumRetain]]'s dry run — the would-delete listing. */
+    def vacuumRetainDryRun(retainMillis: Long): Seq[String] =
+      vacuumImpl(retainKeepCount(retainMillis), dryRun = true)
+
+    private def retainKeepCount(retainMillis: Long): Int = {
+      require(retainMillis >= 0, "vacuumRetain: retainMillis must be >= 0")
+      val lv = latestVersion
+      require(lv >= 0, s"vacuumRetain: no commits at $root")
+      val headTs = Snapshot.tailTs(fs,
+        new Path(logPath, f"$lv%08d.commit"))
+      if (headTs.isEmpty) return lv + 1 // legacy log: keep everything
+      val cutoff = headTs.get - retainMillis
+      // the version current AT the cutoff instant must stay readable
+      val cur =
+        try versionAtTimestamp(cutoff)
+        catch { case _: IllegalArgumentException => 0 } // predates v0
+      lv - cur + 1
+    }
+
     private def vacuumImpl(keepSnapshots: Int, dryRun: Boolean): Seq[String] = {
       require(keepSnapshots >= 1, "must retain at least the latest snapshot")
       val lv = latestVersion

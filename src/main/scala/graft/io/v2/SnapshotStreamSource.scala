@@ -192,6 +192,37 @@ object SnapshotStreamSource {
     Snapshot.readCommits(logPath.getFileSystem(conf), logPath)
   }
 
+  /** CHANGE-FEED partitions for a commit window — shared by the
+    * streaming micro-batch planner and the batch CDF read (Delta's
+    * `spark.read.option("readChangeFeed", ...)` form): a mutating
+    * commit with writer-side change files is served from THEM alone
+    * (both sides' rows, stored `_change_type`); a pure append's adds
+    * are its inserts; a mutating commit without change files refuses
+    * with the enable-CDF pointer (unless `ignoreChanges` accepts the
+    * at-least-once adds-only view). */
+  private[v2] def cdfPartitions(root: String,
+      window: Seq[Snapshot.Commit],
+      ignoreChanges: Boolean): Array[InputPartition] =
+    window.flatMap { c =>
+      val mutating = c.removed.nonEmpty || c.dvs.nonEmpty
+      if (c.cdcFiles.nonEmpty)
+        c.cdcFiles.map(p => LakeFilePartition(
+          new Path(root, p).toString,
+          commitVersion = c.version.toLong): InputPartition)
+      else if (mutating && !ignoreChanges)
+        throw new IllegalStateException(
+          s"SnapshotStreamSource: commit ${c.version} at $root removes " +
+            "files or attaches deletion vectors but carries no change " +
+            "files — enable CDF on the writer (Lake(changeDataFeed = " +
+            "true)) so mutating commits persist their change rows, or " +
+            "serve this window with the batch Lake.changes(v0, v1).")
+      else
+        c.added.map(f => LakeFilePartition(
+          new Path(root, f.path).toString,
+          commitVersion = c.version.toLong,
+          changeType = "insert"): InputPartition)
+    }.toArray
+
   /** Commits in (fromExclusive, toInclusive] — parses only the window,
     * never the whole log (the micro-batch planning read). */
   def commitsRange(root: String, fromExclusive: Int,
@@ -301,6 +332,7 @@ class SnapshotScanBuilder(
     pruneFilters = pushed,
     maxCommitsPerTrigger = options.getInt("maxCommitsPerTrigger", 0),
     readChangeFeed = options.getBoolean("readChangeFeed", false),
+    endingVersion = options.getInt("endingVersion", -1),
     // ONE fold per scan build, resolved at the read version: a
     // versionAsOf time travel maps under the target version's own
     // recorded mapping (agreeing with Lake.readAsOf), not the head's.
@@ -388,6 +420,7 @@ class SnapshotScan(root: String, required: StructType,
     pruneFilters: Array[Filter] = Array.empty,
     maxCommitsPerTrigger: Int = 0,
     readChangeFeed: Boolean = false,
+    endingVersion: Int = -1,
     mapping: Map[String, String] = Map.empty) extends Scan with Batch {
   // Readers project files by PHYSICAL column name; the scan's output
   // schema stays logical (rows are positional, so only the
@@ -406,10 +439,29 @@ class SnapshotScan(root: String, required: StructType,
     * commit retires DVs: Compact.clusterBy / zOrderBy / overwrite),
     * or read through `Snapshot.Lake.readAsOf`, which applies them. */
   override def planInputPartitions(): Array[InputPartition] = {
-    if (readChangeFeed) throw new IllegalStateException(
-      "readChangeFeed is a STREAMING option on this source; batch " +
-        "change feeds are served row-exactly by Snapshot.Lake.changes" +
-        "(v0, v1), which also retracts MOR deletes.")
+    if (readChangeFeed) {
+      // BATCH change-feed read (Delta's `spark.read.option(
+      // "readChangeFeed", true).option("startingVersion"/
+      // "endingVersion", ...)` form): the per-commit window served
+      // from the same partitions the stream plans — cdc files for
+      // mutating commits, adds-as-inserts for pure appends. Row-equal
+      // to Lake.changesByVersion over the same window by the same
+      // construction the streaming path is.
+      require(versionAsOf < 0,
+        "readChangeFeed and versionAsOf are mutually exclusive — the " +
+          "change feed is a version WINDOW (startingVersion/" +
+          "endingVersion), not a snapshot")
+      val head = SnapshotStreamSource.latestVersion(root)
+      val end = if (endingVersion < 0) head else endingVersion
+      require(end <= head,
+        s"readChangeFeed: endingVersion=$end exceeds latest version $head")
+      require(startingVersion <= end,
+        s"readChangeFeed: startingVersion=$startingVersion exceeds " +
+          s"endingVersion=$end")
+      return SnapshotStreamSource.cdfPartitions(root,
+        SnapshotStreamSource.commitsRange(root, startingVersion - 1, end),
+        ignoreChanges)
+    }
     val state =
       if (versionAsOf < 0)
         SnapshotStreamSource.stateAt(root, Int.MaxValue)
@@ -505,40 +557,22 @@ class SnapshotMicroBatch(root: String, required: StructType,
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     val window = SnapshotStreamSource.commitsRange(root, s, e)
+    if (readChangeFeed)
+      return SnapshotStreamSource.cdfPartitions(root, window, ignoreChanges)
     window.flatMap { c =>
       val mutating = c.removed.nonEmpty || c.dvs.nonEmpty
-      if (readChangeFeed && c.cdcFiles.nonEmpty) {
-        // Mutating commit with WRITER-SIDE change files (the lake's
-        // changeDataFeed option): serve them alone — they carry both
-        // sides' rows with the stored `_change_type`, row-identical
-        // to batch changes() by construction. The commit's add files
-        // are DATA, not changes (a rewrite's adds would re-emit
-        // carried rows); file-local reads, no executor-side diff.
-        c.cdcFiles.map(p => LakeFilePartition(
-          new Path(root, p).toString,
-          commitVersion = c.version.toLong): InputPartition)
-      } else if (readChangeFeed && mutating && !ignoreChanges) {
+      if (mutating && !ignoreChanges)
         throw new IllegalStateException(
           s"SnapshotStreamSource: commit ${c.version} at $root removes " +
-            "files or attaches deletion vectors but carries no change " +
-            "files — enable CDF on the writer (Lake(changeDataFeed = " +
-            "true)) so mutating commits persist their change rows, or " +
-            "serve this window with the batch Lake.changes(v0, v1).")
-      } else {
-        if (mutating && !ignoreChanges)
-          throw new IllegalStateException(
-            s"SnapshotStreamSource: commit ${c.version} at $root removes " +
-              "files or attaches deletion vectors (overwrite/merge/delete/" +
-              "compact/MOR delete). Streaming a non-append table re-emits " +
-              "rewritten files' carried rows and cannot retract MOR-deleted " +
-              "ones; set ignoreChanges=true to accept that, or stream an " +
-              "append-only table (Delta's contract).")
-        c.added.map(f => LakeFilePartition(
-          new Path(root, f.path).toString,
-          commitVersion = c.version.toLong,
-          changeType = if (readChangeFeed) "insert" else null)
-          : InputPartition)
-      }
+            "files or attaches deletion vectors (overwrite/merge/delete/" +
+            "compact/MOR delete). Streaming a non-append table re-emits " +
+            "rewritten files' carried rows and cannot retract MOR-deleted " +
+            "ones; set ignoreChanges=true to accept that, or stream an " +
+            "append-only table (Delta's contract).")
+      c.added.map(f => LakeFilePartition(
+        new Path(root, f.path).toString,
+        commitVersion = c.version.toLong)
+        : InputPartition)
     }.toArray
   }
 

@@ -905,6 +905,33 @@ class SnapshotSpec extends SparkSpec {
     intercept[Exception](lake.readAsOf(0).count())
   }
 
+  test("vacuumRetain: time-based retention on the in-commit-timestamp clock") {
+    val lake = freshLake()
+    lake.append(kv(0, 100)) // v0
+    lake.overwrite(kv(0, 50)) // v1: v0's files past a 0-ms horizon
+    lake.append(kv(50, 60)) // v2
+    val tsV1 = lake.commits.find(_.version == 1).get.ts.get
+    val headTs = lake.commits.find(_.version == 2).get.ts.get
+    // A horizon reaching back past v0 keeps everything.
+    assert(lake.vacuumRetainDryRun(java.util.concurrent.TimeUnit
+      .DAYS.toMillis(7)).isEmpty)
+    // A horizon that lands exactly on v1's stamp keeps v1 and v2's
+    // files (timestampAsOf(head − retain) must keep resolving) and
+    // deletes only v0's overwritten ones.
+    val would = lake.vacuumRetainDryRun(headTs - tsV1)
+    assert(would.nonEmpty)
+    assert(lake.vacuumRetain(headTs - tsV1) === would.size)
+    intercept[Exception](lake.readAsOf(0).count())
+    assert(lake.readAsOfTimestamp(tsV1).count() === 50,
+      "the horizon-edge snapshot must stay readable")
+    assert(lake.read().count() === 60)
+    // retain 0 ≡ keep the head only (still nothing NEW to delete here:
+    // v2 is a pure append over v1's live files... both stay referenced
+    // by the head).
+    assert(lake.vacuumRetain(0L) === 0)
+    intercept[IllegalArgumentException](lake.vacuumRetain(-1L))
+  }
+
   test("cloneShallow: zero-copy clone reads the source snapshot, then diverges both ways") {
     import spark.implicits._
     val lake = freshLake()

@@ -171,16 +171,26 @@ class SnapshotStreamSpec extends SparkSpec {
       assert(t.filter(col("k") >= 10 && col("_commit_version") =!= 1L)
         .count() === 0)
     } finally q.stop()
-    // Batch reads refuse the option, pointing at the row-exact
-    // Lake.changes API (which also retracts MOR deletes).
-    val e = intercept[Exception] {
-      spark.read.format(Fmt).option("readChangeFeed", "true")
-        .load(lake.root).collect()
-    }
-    def causes(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
-        .map(x => String.valueOf(x.getMessage))
-    assert(causes(e).exists(_.contains("Lake.changes")), e.getMessage)
+    // BATCH change-feed read (Delta's readChangeFeed batch form):
+    // the same feed as a one-shot window — pure appends serve their
+    // adds as inserts with per-commit attribution.
+    val b = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .load(lake.root)
+    assert(b.count() === 30)
+    assert(b.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(b.filter(col("k") < 10 && col("_commit_version") =!= 0L)
+      .count() === 0)
+    // Version-window options narrow the feed; bad windows refuse.
+    assert(spark.read.format(Fmt).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(lake.root).count() === 20)
+    assert(spark.read.format(Fmt).option("readChangeFeed", "true")
+      .option("endingVersion", "0").load(lake.root).count() === 10)
+    intercept[Exception](spark.read.format(Fmt)
+      .option("readChangeFeed", "true").option("endingVersion", "9")
+      .load(lake.root).collect())
+    intercept[Exception](spark.read.format(Fmt)
+      .option("readChangeFeed", "true").option("versionAsOf", "1")
+      .load(lake.root).collect())
   }
 
   test("streaming CDF: DV and rewrite commits flow through writer-side change files, row-equal to batch changes()") {
@@ -229,6 +239,34 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(byVer(2L).count(_._3 == "insert") === 10)
     assert(byVer(3L).toSet === Set((105L, "row105", "delete", 3L),
       (105L, "upd105", "insert", 3L)))
+
+    // BATCH CDF over the same mutating history — served through the
+    // connector from the same change files, row-equal to the batch
+    // algebra; a sub-window narrows it exactly.
+    val bAll = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .load(lake.root)
+      .select("k", "v", "_change_type", "_commit_version").collect()
+    assert(bAll.map(keyOf).sorted.toSeq === batch.map(keyOf).sorted.toSeq,
+      "batch CDF through the connector must equal changesByVersion")
+    val bWin = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .load(lake.root)
+      .select("k", "v", "_change_type", "_commit_version").collect()
+    assert(bWin.map(keyOf).sorted.toSeq ===
+      Seq((3L, "row3", "delete", 1L), (7L, "row7", "delete", 1L)))
+    // A mutating NON-CDF lake refuses the batch feed with the
+    // enable-CDF pointer.
+    val plain = Snapshot.Lake(spark,
+      Files.createTempDirectory("snap-cdf2-plain-").toString)
+    plain.append(kv(0, 5))
+    plain.overwrite(kv(5, 9))
+    val ePlain = intercept[Exception] {
+      spark.read.format(Fmt).option("readChangeFeed", "true")
+        .load(plain.root).collect()
+    }
+    assert(Iterator.iterate(ePlain: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => String.valueOf(x.getMessage))
+      .exists(_.contains("changeDataFeed")), ePlain.getMessage)
 
     // A NON-CDF stream on the same table still refuses the mutating
     // commits (carried rows can't retract outside the feed).
