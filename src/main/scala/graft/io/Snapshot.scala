@@ -109,7 +109,8 @@ object Snapshot {
   /** Writer capabilities this library implements. */
   val SupportedWriterFeatures: Set[String] =
     Set("column-mapping", "deletion-vectors", "in-commit-timestamps",
-      "check-constraints", "generated-columns", "change-data-feed")
+      "check-constraints", "generated-columns", "change-data-feed",
+      "identity-columns")
 
   /** The feature log line. `kind` is `reader` or `writer`. */
   def featureLine(kind: String, name: String): String = {
@@ -136,6 +137,8 @@ object Snapshot {
     Seq("reader" -> "change-data-feed", "writer" -> "change-data-feed")
   val GeneratedFeature: Seq[(String, String)] =
     Seq("writer" -> "generated-columns")
+  val IdentityFeature: Seq[(String, String)] =
+    Seq("writer" -> "identity-columns")
 
   /** Table-schema log line: `meta<TAB><base64(StructType.json)>` —
     * base64 so the JSON can never collide with the tab/newline
@@ -181,6 +184,34 @@ object Snapshot {
 
   /** Field-metadata key carrying a generated column's expression. */
   val GenKey = "graft.generated"
+
+  // ---- identity columns (Delta's GENERATED ALWAYS AS IDENTITY) ----
+  //
+  // An identity column's (start, step) lives in its field metadata
+  // under [[IdKey]] ("start:step"). Writers ALWAYS assign the values
+  // (a frame providing the column is refused — Delta's ALWAYS form);
+  // the high-water mark is NOT a separate log action: identity
+  // columns are forced into the LONG zone-map tier, so the folded
+  // manifest's max(hi) IS the high water — O(manifest) to read,
+  // already paid by the commit's own fold, and monotone even across
+  // MOR deletes (a masked row's stats stay in the manifest, so its
+  // id is never reissued). Values are allocated per partition from
+  // monotonically_increasing_id's disjoint ranges: unique and above
+  // the high water by construction, with GAPS allowed — exactly
+  // Delta's identity contract (uniqueness + monotone batches, no
+  // contiguity promise).
+
+  /** Field-metadata key carrying an identity column's "start:step". */
+  val IdKey = "graft.identity"
+
+  /** Every (identity column, start, step) the schema records. */
+  def identityIn(schema: StructType): Seq[(String, Long, Long)] =
+    schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains(IdKey)) {
+        val Array(st, sp) = f.metadata.getString(IdKey).split(":", 2)
+        Some((f.name, st.toLong, sp.toLong))
+      } else None
+    }
 
   /** The generation expression recorded on a field, if any. */
   def generationExpr(f: org.apache.spark.sql.types.StructField)
@@ -822,7 +853,8 @@ object Snapshot {
       readerFeatures: Set[String] = Snapshot.SupportedReaderFeatures,
       writerFeatures: Set[String] = Snapshot.SupportedWriterFeatures,
       generatedCols: Seq[(String, String)] = Nil,
-      changeDataFeed: Boolean = false) {
+      changeDataFeed: Boolean = false,
+      identityCols: Seq[(String, Long, Long)] = Nil) {
 
     private val rootPath = new Path(root)
     private val logPath = new Path(rootPath, "_log")
@@ -874,11 +906,12 @@ object Snapshot {
         Snapshot.featureLine(k, n) }
     }
 
-    /** Stamp the constructor's generation expressions into the FIRST
-      * meta line's field metadata — the log-recorded form every fresh
-      * handle (and every later commit's derivation) replays. */
+    /** Stamp the constructor's generation expressions AND identity
+      * declarations into the FIRST meta line's field metadata — the
+      * log-recorded form every fresh handle (and every later commit's
+      * derivation) replays. */
     private def stampGenerated(st: StructType): StructType =
-      if (generatedCols.isEmpty) st
+      if (generatedCols.isEmpty && identityCols.isEmpty) st
       else {
         generatedCols.foreach { case (g, e) =>
           require(st.fieldNames.contains(g),
@@ -890,14 +923,23 @@ object Snapshot {
               "reference existing column(s), got " +
               s"${refs.mkString(", ")}")
         }
+        identityCols.foreach { case (c, _, step) =>
+          require(st.fieldNames.contains(c) &&
+              st(c).dataType == org.apache.spark.sql.types.LongType,
+            s"identity column '$c' at $root must be LONG")
+          require(step > 0,
+            s"identity column '$c' at $root: step must be positive")
+        }
         StructType(st.fields.map { f =>
-          generatedCols.find(_._1 == f.name) match {
-            case Some((_, e)) => f.copy(metadata =
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(f.metadata)
-                .putString(Snapshot.GenKey, e).build())
-            case None => f
-          }
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          var changed = false
+          generatedCols.find(_._1 == f.name).foreach { case (_, e) =>
+            b.putString(Snapshot.GenKey, e); changed = true }
+          identityCols.find(_._1 == f.name).foreach {
+            case (_, start, step) =>
+              b.putString(Snapshot.IdKey, s"$start:$step"); changed = true }
+          if (changed) f.copy(metadata = b.build()) else f
         })
       }
 
@@ -2492,8 +2534,37 @@ object Snapshot {
       val genMap: Seq[(String, String)] =
         ck0.schema.map(Snapshot.generatedIn).filter(_.nonEmpty)
           .getOrElse(generatedCols)
+      // Identity columns (Delta's ALWAYS form): the writer assigns —
+      // a frame providing the column is refused, not validated. The
+      // high water is the folded manifest's max(hi) for the column
+      // (the zone tier is forced on below); allocation rides
+      // monotonically_increasing_id's disjoint per-partition ranges:
+      // unique and above the high water by construction, gaps
+      // allowed (Delta promises uniqueness, not contiguity).
+      val idMap: Seq[(String, Long, Long)] =
+        ck0.schema.map(Snapshot.identityIn).filter(_.nonEmpty)
+          .getOrElse(identityCols)
+      // Rewrite-shaped commits (overwrite/COW/compact: removed files;
+      // MOR merge: dv lines) legitimately CARRY the column — their
+      // rows are existing table rows whose ids must persist. Only a
+      // PURE APPEND providing it violates the ALWAYS contract.
+      val rewriteShaped = removed.nonEmpty || dvLines.nonEmpty
+      idMap.foreach { case (c, _, _) =>
+        require(rewriteShaped || !df0.columns.contains(c),
+          s"identity column '$c' at $root is GENERATED ALWAYS — " +
+            "remove it from the append frame; the writer assigns it")
+      }
+      val df1 = idMap.filterNot { case (c, _, _) =>
+        df0.columns.contains(c) }
+        .foldLeft(df0) { case (d, (c, start, step)) =>
+          val pc = Snapshot.physicalIn(ck0.schema, c)
+          val hw = ck0.state.map(_._1).flatMap(_.hi.get(pc))
+            .foldLeft(start - step)(math.max)
+          d.withColumn(c, lit(hw) + lit(step) *
+            (monotonically_increasing_id() + 1L))
+        }
       val df = genMap.filterNot { case (g, _) => df0.columns.contains(g) }
-        .foldLeft(df0) { case (d, (g, e)) => d.withColumn(g, expr(e)) }
+        .foldLeft(df1) { case (d, (g, e)) => d.withColumn(g, expr(e)) }
       val providedGen = genMap.filter { case (g, _) =>
         df0.columns.contains(g) }
       def computeMetaLines(ck: Snapshot.Checkpoint)
@@ -2520,6 +2591,9 @@ object Snapshot {
         else Nil) ++
         (if (genMap.nonEmpty)
           stampLines(ck0, Snapshot.GeneratedFeature)
+        else Nil) ++
+        (if (idMap.nonEmpty)
+          stampLines(ck0, Snapshot.IdentityFeature)
         else Nil)
       // Column mapping: the commit frame arrives (and was validated)
       // in LOGICAL space; data files and manifest segments live in
@@ -2561,7 +2635,10 @@ object Snapshot {
         }
       }
       val physPartCols = effPartCols.map(physOf)
-      val physStatsCols = statsCols.map(physOf)
+      // Identity columns are FORCED into the zone-map tier: the
+      // manifest max IS their high-water mark (no separate log action).
+      val physStatsCols = (statsCols ++ idMap.map(_._1)).distinct
+        .map(physOf)
       val physStrStatsCols = strStatsCols.map(physOf)
       val physNullStatsCols = nullStatsCols.map(physOf)
       val physBloomCols = bloomCols.map(physOf)

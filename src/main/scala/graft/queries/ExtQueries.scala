@@ -279,6 +279,32 @@ object ExtQueries {
     open(root)
   }
 
+  // Identity-columns lake (round 18): Delta's GENERATED ALWAYS AS
+  // IDENTITY — `oid` (start 1000, step 10) is writer-assigned on two
+  // disjoint appends (% 2 split of orders); the manifest zone tier is
+  // the high-water mark, so commit 1's ids sit strictly above commit
+  // 0's. Values are allocation-order-dependent (Delta promises
+  // uniqueness + monotone batches, not contiguity), so the oracle
+  // pins the INVARIANTS as TRUE cells plus the replayable row count.
+  private val idLakeDirs = scala.collection.mutable.Map.empty[String, String]
+  private def identityLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    def open(dir: String) = graft.io.Snapshot.Lake(s, dir,
+      statsCols = Seq("k"), checkpointInterval = 4,
+      identityCols = Seq(("oid", 1000L, 10L)))
+    val root = idLakeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-idlake-")
+        .toString
+      val lake = open(dir)
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      lake.append(o.filter(pmod(col("k"), lit(2L)) === 0))  // v0
+      lake.append(o.filter(pmod(col("k"), lit(2L)) === 1))  // v1
+      dir
+    })
+    open(root)
+  }
+
   /** Probe-only fixture accessors (SCALE.md tooling reaches the
     * same per-JVM cached lakes the queries open; never in a query). */
   def ordersLakeForProbe(s: SparkSession, d: String)
@@ -2011,6 +2037,35 @@ object ExtQueries {
         .withColumn("pruned_generated", lit(strict))
         .withColumn("n_year_parts", lit(nParts))
         .withColumn("n_mismatch", lit(mismatches))
+    },
+
+    // IDENTITY COLUMNS (round 18) — Delta's GENERATED ALWAYS AS
+    // IDENTITY on the correctness gate: `oid` is writer-assigned over
+    // two appends with the manifest zone tier as the high-water mark.
+    // Assigned values are allocation-order-dependent (uniqueness +
+    // monotone batches are the contract, not contiguity — Delta's
+    // own), so the cells pin the INVARIANTS: row count (replayable),
+    // uniqueness, step alignment, the start floor, and cross-commit
+    // monotonicity read from the MANIFEST (v1 files' lo strictly
+    // above v0 files' hi — the high-water mechanism itself). 100 TB
+    // shape: assignment is map-side arithmetic over
+    // monotonically_increasing_id; the high water is one fold the
+    // commit already pays.
+    "lake_identity" -> { (s, d) =>
+      val lake = identityLake(s, d)
+      val cs = lake.commits
+      val v0Hi = cs.find(_.version == 0).get.added
+        .flatMap(_.hi.get("oid"))
+      val v1Lo = cs.find(_.version == 1).get.added
+        .flatMap(_.lo.get("oid"))
+      val mono = v0Hi.nonEmpty && v1Lo.nonEmpty && v1Lo.min > v0Hi.max
+      lake.read().agg(
+        count(lit(1)).as("n_rows"),
+        (countDistinct(col("oid")) === count(lit(1))).as("all_unique"),
+        (sum(when(pmod(col("oid") - 1000L, lit(10L)) =!= 0L, 1L)
+          .otherwise(0L)) === 0L).as("step_aligned"),
+        (min(col("oid")) >= 1000L).as("above_start"))
+        .withColumn("cross_commit_monotone", lit(mono))
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -7479,6 +7534,18 @@ object ExtQueries {
         |FROM o
         |WHERE odate BETWEEN DATE '1994-06-01' AND DATE '1996-03-15'
         |""".stripMargin,
+
+    // lake_identity: the row count replays relationally; the identity
+    // invariants (uniqueness, step alignment, start floor, manifest
+    // cross-commit monotonicity) are construction-asserted TRUE cells
+    // — assigned values are allocation-order-dependent by contract.
+    "lake_identity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       true AS all_unique,
+        |       true AS step_aligned,
+        |       true AS above_start,
+        |       true AS cross_commit_monotone
+        |FROM orders""".stripMargin,
 
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a

@@ -1264,6 +1264,55 @@ class SnapshotSpec extends SparkSpec {
     assert(lake3.readRangeGenerated(0, "d", lo2, hi2).count() === 88)
   }
 
+  test("identity columns: writer-assigned, manifest high-water, unique and monotone across commits") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-id-").toString
+    val lake = Snapshot.Lake(spark, root,
+      identityCols = Seq(("id", 1000L, 10L)))
+    lake.append(Seq("a", "b", "c").toDF("v")) // v0 — writer assigns
+    val ids0 = lake.read().select("id").as[Long].collect()
+    assert(lake.read().columns.sorted.toSeq === Seq("id", "v"))
+    assert(ids0.distinct.length === 3, "assigned ids must be unique")
+    assert(ids0.forall(i => i >= 1000L && (i - 1000L) % 10L == 0L),
+      "ids start at `start` and step-align")
+    assert(lake.commits.head.features
+      .contains(("writer", "identity-columns")))
+    // The declaration is LOG-recorded: a fresh config-less handle
+    // keeps assigning, ABOVE the manifest high water.
+    val fresh = Snapshot.Lake(spark, root)
+    fresh.append(Seq("d", "e").toDF("v")) // v1
+    val all = fresh.read().select("id").as[Long].collect()
+    assert(all.distinct.length === 5)
+    assert((all.toSet -- ids0.toSet).min > ids0.max,
+      "a later commit's ids sit strictly above the prior high water")
+    // ALWAYS: a pure append providing the column refuses...
+    val e = intercept[IllegalArgumentException](
+      fresh.append(Seq((9999L, "x")).toDF("id", "v")))
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // ... while rewrite-shaped commits legitimately carry it: an
+    // overwrite with the table's own rows keeps every id.
+    val before = fresh.read().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    fresh.overwrite(fresh.read())
+    val after = fresh.read().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after === before, "rewrites must persist assigned ids")
+    // MOR-deleted ids are never reissued (stats stay in the manifest).
+    val victim = all.max
+    fresh.deleteKeysMor(Seq(victim).toDF("id"), "id")
+    fresh.append(Seq("f").toDF("v"))
+    val post = fresh.read().select("id").as[Long].collect()
+    assert(!post.contains(victim) && post.max > victim,
+      "a masked id must not be reassigned")
+    // A writer lacking the capability refuses the table.
+    val noId = Snapshot.Lake(spark, root,
+      writerFeatures =
+        Snapshot.SupportedWriterFeatures - "identity-columns")
+    assert(intercept[IllegalArgumentException](
+      noId.append(Seq("z").toDF("v")))
+      .getMessage.contains("identity-columns"))
+  }
+
   test("protocol feature flags: first-use stamps, checkpoint fold, masked capabilities refuse loudly") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-feat-").toString
