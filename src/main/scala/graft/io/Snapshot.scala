@@ -1931,9 +1931,10 @@ object Snapshot {
           else "noop"
         (c.version, op, c.added.size, c.removed.size,
           c.added.map(_.rows).sum, c.dvs.size,
-          c.txn.map(_._1).orNull, c.txn.map(_._2).getOrElse(-1L))
+          c.txn.map(_._1).orNull, c.txn.map(_._2).getOrElse(-1L),
+          c.ts.getOrElse(-1L)) // the ICT publish stamp; -1 on legacy
       }.toDF("version", "operation", "n_added", "n_removed",
-        "rows_added", "n_dvs", "txn_writer", "txn_batch")
+        "rows_added", "n_dvs", "txn_writer", "txn_batch", "commit_ts")
     }
 
     /** DESCRIBE DETAIL (the Delta semantic): ONE summary row of the

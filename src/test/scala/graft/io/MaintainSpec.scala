@@ -58,6 +58,13 @@ class MaintainSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1)))
     assert(hist.toSeq === Seq((0, "append"), (1, "morDelete"),
       (2, "rewrite")))
+    // Every commit's ICT publish stamp rides the history row, strictly
+    // increasing (the monotone-ts invariant, surfaced like Delta's
+    // history `timestamp` column).
+    val stamps = lake.describeHistory().orderBy("version").collect()
+      .map(_.getAs[Long]("commit_ts"))
+    assert(stamps.forall(_ > 0) && stamps.sliding(2).forall(p =>
+      p.length < 2 || p(0) < p(1)))
   }
 
   test("describeHistory(v0, v1) parses only the window's log files") {
