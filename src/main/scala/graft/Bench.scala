@@ -66,15 +66,28 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_PROBES", "10").toInt.max(0)
     val quietSleepSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SLEEP_SEC", "60").toInt.max(1)
+    // ALL THREE fields gate (round 19): two consecutive driver
+    // artifacts carried 5/15-min residue with a quiet 1-min field and
+    // the minima tracker flagged 20 sub-3s entries of pure ambient
+    // noise — a just-finished load burst inflates the first passes
+    // even when the instantaneous run queue looks clean.
+    // 1-min-only form: the INTER-PASS gate keeps it — the bench's own
+    // 32 threads push the 5/15-min fields above 4 on a quiet machine,
+    // so a 3-field inter-pass gate would always burn its full budget.
     def oneMin(s: String): Option[Double] =
       s.split(",").headOption.flatMap(_.toDoubleOption)
+    def maxField(s: String): Option[Double] = {
+      val fs = s.split(",").flatMap(_.toDoubleOption)
+      if (fs.isEmpty) None else Some(fs.max)
+    }
     var quietWaitSec = 0
     var lv = loadavg()
     var probe = 0
-    while (probe < quietProbes && oneMin(lv).exists(_ > 4.0)) {
+    while (probe < quietProbes && maxField(lv).exists(_ > 4.0)) {
       probe += 1
-      System.err.println(s"[bench] loadavg $lv (1-min > 4) — waiting " +
-        s"${quietSleepSec}s for a quiet window (probe $probe/$quietProbes)")
+      System.err.println(s"[bench] loadavg $lv (max(1,5,15-min) > 4) — " +
+        s"waiting ${quietSleepSec}s for a quiet window " +
+        s"(probe $probe/$quietProbes)")
       Thread.sleep(quietSleepSec * 1000L)
       quietWaitSec += quietSleepSec
       lv = loadavg()

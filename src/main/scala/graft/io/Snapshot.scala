@@ -83,7 +83,8 @@ object Snapshot {
       ts: Option[Long] = None,
       unconstraints: Seq[String] = Nil,
       features: Seq[(String, String)] = Nil,
-      cdcFiles: Seq[String] = Nil)
+      cdcFiles: Seq[String] = Nil,
+      idHw: Map[String, Long] = Map.empty)
 
   // ---- protocol feature flags (the Delta protocol-action semantic) --
   //
@@ -189,13 +190,20 @@ object Snapshot {
   //
   // An identity column's (start, step) lives in its field metadata
   // under [[IdKey]] ("start:step"). Writers ALWAYS assign the values
-  // (a frame providing the column is refused — Delta's ALWAYS form);
-  // the high-water mark is NOT a separate log action: identity
-  // columns are forced into the LONG zone-map tier, so the folded
-  // manifest's max(hi) IS the high water — O(manifest) to read,
-  // already paid by the commit's own fold, and monotone even across
-  // MOR deletes (a masked row's stats stay in the manifest, so its
-  // id is never reissued). Values are allocated per partition from
+  // (a frame providing the column is refused — Delta's ALWAYS form).
+  // The high-water mark is a PERSISTED log action —
+  // `idhw<TAB><physCol><TAB><max assigned>` — folded through
+  // checkpoints as a monotone max over HISTORY (Delta persists its
+  // high watermark as table metadata for the same reason): the live
+  // manifest's max(hi) alone would REGRESS under a COW rewrite or
+  // restore(), reissuing ids. The effective watermark at a commit is
+  // max(persisted, live manifest max) — the manifest term (identity
+  // columns are forced into the LONG zone-map tier) grandfathers
+  // pre-idhw logs and rewrite-carried values; once an idhw line
+  // lands, monotonicity holds unconditionally. A concurrent writer
+  // advancing the watermark is an OCC CONFLICT for an in-flight
+  // append (its files already encode ids based on the old head).
+  // Values are allocated per partition from
   // monotonically_increasing_id's disjoint ranges: unique and above
   // the high water by construction, with GAPS allowed — exactly
   // Delta's identity contract (uniqueness + monotone batches, no
@@ -432,6 +440,7 @@ object Snapshot {
     val uncons = Seq.newBuilder[String]
     val feats = Seq.newBuilder[(String, String)]
     val cdcs = Seq.newBuilder[String]
+    var idhw = Map.empty[String, Long]
     var txn = Option.empty[(String, Long)]
     var meta = Option.empty[StructType]
     var ts = Option.empty[Long]
@@ -502,6 +511,9 @@ object Snapshot {
             ncnts.result())
         case arr if arr.head == "rm" => rms += arr(1)
         case Array("cdc", path) => cdcs += path
+        case Array("idhw", c, hw) => // identity high-water (monotone)
+          idhw = idhw.updated(c,
+            math.max(hw.toLong, idhw.getOrElse(c, Long.MinValue)))
         case Array("txn", w, b) => txn = Some((w, b.toLong))
         case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
         case Array("constraint", name, sql) => cons += ((name, sql))
@@ -512,7 +524,7 @@ object Snapshot {
     }
     Commit(v, adds.result(), rms.result(), txn, dvs.result(),
       cons.result(), meta, ts, uncons.result(), feats.result(),
-      cdcs.result())
+      cdcs.result(), idhw)
   }
 
   /** The commits with version in (fromExclusive, toInclusive] — parses
@@ -550,7 +562,8 @@ object Snapshot {
       constraints: Seq[(String, String)],
       txns: Map[String, Long],
       schema: Option[StructType] = None,
-      features: Seq[(String, String)] = Nil) {
+      features: Seq[(String, String)] = Nil,
+      idHw: Map[String, Long] = Map.empty) {
     /** Feature names of one kind (`reader`/`writer`) this table
       * requires as of this fold. */
     def featuresOf(kind: String): Set[String] =
@@ -593,7 +606,8 @@ object Snapshot {
       ck.state.map(e => addLine(e._1)) ++
       ck.state.collect { case (f, Some(dv)) => s"dv\t${f.path}\t$dv" } ++
       ck.constraints.map { case (n, sql) => s"constraint\t$n\t$sql" } ++
-      ck.txns.toSeq.sortBy(_._1).map { case (w, b) => s"txn\t$w\t$b" }
+      ck.txns.toSeq.sortBy(_._1).map { case (w, b) => s"txn\t$w\t$b" } ++
+      ck.idHw.toSeq.sortBy(_._1).map { case (c, h) => s"idhw\t$c\t$h" }
 
   /** The newest published checkpoint at or below `maxVersion` —
     * `_last_checkpoint` pointer first (one tiny read), directory-scan
@@ -618,7 +632,7 @@ object Snapshot {
         val dvMap = c.dvs.toMap
         Some(Checkpoint(v,
           c.added.map(f => (f, dvMap.get(f.path))),
-          c.constraints, txns, c.meta, c.features))
+          c.constraints, txns, c.meta, c.features, c.idHw))
       }
     }
     val pointer = {
@@ -664,7 +678,17 @@ object Snapshot {
     // distinct union in first-stamp order.
     val feats = (base.map(_.features).getOrElse(Nil) ++
       suffix.flatMap(_.features)).distinct
-    Checkpoint(v, state, cons, txns, schema, feats)
+    // Identity high-water: monotone max over HISTORY, never over live
+    // state — a COW rewrite or restore() can shrink the live
+    // manifest's max(hi), but an id once issued must never be
+    // reissued (Delta persists its high watermark as metadata for
+    // exactly this reason).
+    val idHw = suffix.flatMap(_.idHw)
+      .foldLeft(base.map(_.idHw).getOrElse(Map.empty[String, Long])) {
+        case (m, (c, h)) =>
+          m.updated(c, math.max(h, m.getOrElse(c, Long.MinValue)))
+      }
+    Checkpoint(v, state, cons, txns, schema, feats, idHw)
   }
 
   /** The folded table state as of `asOf`: last checkpoint ≤ asOf plus
@@ -916,7 +940,7 @@ object Snapshot {
         generatedCols.foreach { case (g, e) =>
           require(st.fieldNames.contains(g),
             s"generated column '$g' at $root: not in the first commit " +
-              "frame after derivation — expression ($e) is unresolvable?")
+              s"frame after derivation — expression ($e) is unresolvable?")
           val refs = Snapshot.generationRefs(e)
           require(refs.nonEmpty && refs.forall(st.fieldNames.contains),
             s"generated column '$g' at $root: expression ($e) must " +
@@ -2108,8 +2132,14 @@ object Snapshot {
     def restore(v: Int): Int = {
       val lv = latestVersion
       require(v >= 0 && v <= lv, s"restore($v): no such snapshot at $root")
+      // RESTORE is a mutating commit like any other: the writer gate
+      // runs first (a handle lacking required writer capabilities must
+      // not mutate the table through this door either), and the head
+      // fold it pays is reused below for current state + schema — one
+      // fold, not three.
+      val ckHead = gateWrite(headCk())
       val target = liveState(v)
-      val curState = liveState(lv)
+      val curState = ckHead.state
       val cur = curState.map { case (f, dv) => f.path -> dv }.toMap
       // A file survives untouched only when its (path, DV pointer) pair
       // matches exactly; a file live under a DIFFERENT deletion vector
@@ -2134,7 +2164,7 @@ object Snapshot {
       // post-restore appends are validated against the restored shape.
       val restoredSchema = Snapshot.checkpointAt(fs, logPath, v).schema
       val metaRollback = restoredSchema
-        .filter(s => tableSchema.exists(_.json != s.json))
+        .filter(s => ckHead.schema.exists(_.json != s.json))
         .map(Snapshot.metaLine).toSeq
       val dvL = readmit.collect { case (f, Some(dv)) =>
         s"dv\t${f.path}\t$dv" }
@@ -2143,8 +2173,18 @@ object Snapshot {
       val cdcL =
         if (rms.isEmpty && readmit.isEmpty) Nil // no-op restore
         else cdcLines(curState, readmit.map(_._1.path), rms, dvL,
-          restoredSchema.orElse(tableSchema), version)
-      val record = (s"v\t$version" +: (metaRollback ++
+          restoredSchema.orElse(ckHead.schema), version)
+      // The grammar lines this commit emits stamp their protocol
+      // requirements exactly as commit()/deleteKeysMor() do — a table
+      // whose FIRST mutating commit is a restore still records that
+      // its cdc/dv lines bind readers and writers.
+      val featStamps =
+        (if (dvL.nonEmpty)
+          stampLines(ckHead, Snapshot.DeletionVectorFeatures)
+        else Nil) ++
+        (if (cdcL.nonEmpty) stampLines(ckHead, Snapshot.CdfFeatures)
+        else Nil)
+      val record = (s"v\t$version" +: (metaRollback ++ featStamps ++
         rms.map(p => s"rm\t$p"))) ++
         readmit.map(e => addLine(e._1)) ++ dvL ++ cdcL
       publish(record, version)
@@ -2555,12 +2595,28 @@ object Snapshot {
           s"identity column '$c' at $root is GENERATED ALWAYS — " +
             "remove it from the append frame; the writer assigns it")
       }
+      // High-water per assigned column = max(persisted idhw action,
+      // live manifest max(hi)). The PERSISTED term is the contract
+      // (monotone over history — survives COW rewrites and restore()
+      // shrinking the live manifest, like Delta's high watermark);
+      // the manifest term grandfathers pre-idhw logs AND rows a
+      // rewrite-shaped commit carried in above today's watermark.
+      def idHwOf(ck: Snapshot.Checkpoint, pc: String, floor: Long): Long =
+        math.max(ck.idHw.getOrElse(pc, Long.MinValue),
+          ck.state.map(_._1).flatMap(_.hi.get(pc))
+            .foldLeft(floor)(math.max))
+      // pc -> the high-water each assignment BASED on — the OCC retry
+      // loop re-folds and conflicts when it moved (two concurrent
+      // appends basing on the same head would otherwise both publish
+      // overlapping ids; Delta treats a concurrent identity
+      // high-watermark update as a conflict).
+      var assignedHw = Map.empty[String, Long]
       val df1 = idMap.filterNot { case (c, _, _) =>
         df0.columns.contains(c) }
         .foldLeft(df0) { case (d, (c, start, step)) =>
           val pc = Snapshot.physicalIn(ck0.schema, c)
-          val hw = ck0.state.map(_._1).flatMap(_.hi.get(pc))
-            .foldLeft(start - step)(math.max)
+          val hw = idHwOf(ck0, pc, start - step)
+          assignedHw += pc -> hw
           d.withColumn(c, lit(hw) + lit(step) *
             (monotonically_increasing_id() + 1L))
         }
@@ -2777,8 +2833,23 @@ object Snapshot {
           removed, dvLines, schemaSeen, version)
       val cdfStamps =
         if (cdcL.nonEmpty) stampLines(ck0, Snapshot.CdfFeatures) else Nil
+      // Persist the new identity high-water as a log action: the max
+      // actually ASSIGNED (from the stats job's zone maxima — the
+      // allocation rides monotonically_increasing_id's sparse ranges,
+      // so hw + step*rows would undershoot). Only assignment commits
+      // emit the line; the fold is monotone max over history. No new
+      // protocol feature: any table carrying idhw lines already
+      // stamped `writer identity-columns` in this same commit path.
+      val idHwLines = assignedHw.keys.toSeq.sorted.flatMap { pc =>
+        val mx = statRows.iterator.flatMap(r =>
+          r.getAs[Any](s"__hi_$pc") match {
+            case n: java.lang.Number => Iterator.single(n.longValue())
+            case _ => Iterator.empty
+          }).foldLeft(Long.MinValue)(math.max)
+        if (mx == Long.MinValue) None else Some(s"idhw\t$pc\t$mx")
+      }
       def record(v: Int) = (s"v\t$v" +: (metaLines ++ featStamps ++
-        cdfStamps ++ addLines)) ++
+        cdfStamps ++ addLines ++ idHwLines)) ++
         removed.map(p => s"rm\t$p") ++ dvLines ++ cdcL ++
         txn.map { case (w, b) => s"txn\t$w\t$b" }
       // Optimistic concurrency (the Delta conflict-resolution rule):
@@ -2812,6 +2883,24 @@ object Snapshot {
           // writer lacks — e.g. activated column mapping — which must
           // fail the append like any concurrent metadata change)
           val ck = gateWrite(headCk())
+          // Concurrent identity high-water advance: the winner
+          // assigned ids (or carried higher ones in) after this
+          // append based its allocation on the old head — our
+          // already-written files may collide with the winner's.
+          // Fail like any concurrent metadata change (Delta's rule
+          // for a concurrent identity high-watermark update); the
+          // caller's retry re-derives fresh ids above the new head.
+          assignedHw.foreach { case (pc, base) =>
+            val now = idHwOf(ck, pc, Long.MinValue)
+            if (now > base) {
+              fs.delete(dataPath, true)
+              sys.error(s"commit conflict at $root: a concurrent " +
+                s"writer advanced the identity high-water of '$pc' " +
+                s"($base -> $now) after this append assigned its ids " +
+                "— retry the append (fresh ids will allocate above " +
+                "the new high-water)")
+            }
+          }
           if (ck.constraints != validated) {
             if (files.nonEmpty)
               try validated = validateAgainstConstraints(dataPath,

@@ -106,11 +106,10 @@ object SnapshotStreamSource {
   /** Reader capabilities this connector implements — checked against
     * the table's folded `feature` stamps at every fold: a table
     * requiring a capability the connector lacks refuses LOUDLY at
-    * planning instead of silently misreading the manifest. (DV'd live
-    * states additionally refuse at batch planning — the Group-API
-    * readers decode whole files — but the connector UNDERSTANDS dv
-    * lines: it folds them, refuses informed, and its CDF path serves
-    * their change files.) */
+    * planning instead of silently misreading the manifest. All three
+    * are genuinely SERVED: mapped tables read under logical names,
+    * DV'd states batch-read with masked positions applied per file
+    * (round 19), and the CDF path serves writer-side change files. */
   val V2ReaderFeatures: Set[String] =
     Set("column-mapping", "deletion-vectors", "change-data-feed")
 
@@ -222,6 +221,35 @@ object SnapshotStreamSource {
           commitVersion = c.version.toLong,
           changeType = "insert"): InputPartition)
     }.toArray
+
+  /** Masked row positions per DATA file for a batch plan's DV'd
+    * entries: the deletion-vector parquet files — (data_path, pos)
+    * rows, deletion-sized by construction — are read ONCE at planning
+    * through the same Group API the partition readers use (no
+    * SparkSession needed), grouped by the data file's rel path and
+    * sorted so the sequential readers skip with a single cursor. At
+    * 100 TB this is the Delta shape: the driver touches only the
+    * deletion-sized dv files; the table's data files are never opened
+    * at planning. */
+  private[v2] def dvPositions(root: String, dvPaths: Seq[String])
+      : Map[String, Array[Long]] = {
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    dvPaths.distinct.foreach { dp =>
+      val reader = ParquetReader.builder(new GroupReadSupport(),
+        new Path(root, dp)).withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          acc.getOrElseUpdate(g.getString("data_path", 0),
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            g.getLong("pos", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    acc.iterator.map { case (k, v) => k -> v.toArray.sorted }.toMap
+  }
 
   /** Commits in (fromExclusive, toInclusive] — parses only the window,
     * never the whole log (the micro-batch planning read). */
@@ -370,6 +398,22 @@ object SnapshotScan {
     def partEq(c: String, raw: String): Boolean =
       stat.parts.get(phys(c))
         .forall(_ == Snapshot.escapedPartValue(raw))
+    // NUMERIC partition equality: spelling-insensitive (a DecimalType
+    // partition stores '5.00' but probes as '5.0' — a string-exact
+    // compare would FALSE-PRUNE, losing rows). Equal spellings answer
+    // fast; otherwise compare as numbers, and a fragment that is not
+    // numerically comparable (null sentinel, exotic form) must-scans —
+    // the residual filter drops its rows, mirroring partLong.
+    def partEqNum(c: String, v: java.lang.Number): Boolean =
+      stat.parts.get(phys(c)).forall { frag =>
+        frag == Snapshot.escapedPartValue(v.toString) || {
+          val s = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(frag)
+          scala.util.Try(
+            BigDecimal(s).compare(BigDecimal(v.toString)) == 0)
+            .getOrElse(true)
+        }
+      }
     // numeric partition value for range compares; None (no partition
     // value, or non-numeric — incl. the null-partition sentinel,
     // whose rows no comparison admits but the residual filter drops)
@@ -385,8 +429,16 @@ object SnapshotScan {
           case (Some(l), Some(h)) => l <= x && x <= h
           case _ => true
         }
-        partEq(c, v.toString) && zone &&
-          bloomAdmits(stat, phys(c), v.toString)
+        // Bloom tier only for integral literals: the write side hashed
+        // cast-to-string values, and only integral toString forms are
+        // canonical (a Decimal '5.0' probing a LONG column's bloom
+        // built from '5' would false-prune). Non-integral ⇒ must-scan
+        // on this tier; zone + partition tiers still apply.
+        val integral = v.isInstanceOf[java.lang.Long] ||
+          v.isInstanceOf[java.lang.Integer] ||
+          v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte]
+        partEqNum(c, v) && zone &&
+          (!integral || bloomAdmits(stat, phys(c), v.toString))
       case EqualTo(c, v: String) =>
         partEq(c, v) && bloomAdmits(stat, phys(c), v)
       case GreaterThan(c, v: java.lang.Number) =>
@@ -432,12 +484,13 @@ class SnapshotScan(root: String, required: StructType,
 
   /** Batch read = the latest snapshot's live set, or — the Delta
     * `versionAsOf` reader option — snapshot N's when the option is
-    * set (time travel through the connector). Tables carrying live
-    * deletion vectors AT THE READ VERSION are refused: the Group-API
-    * file readers here decode whole files, so serving a DV'd state
-    * would resurrect its MOR-deleted rows — purge first (any rewrite
-    * commit retires DVs: Compact.clusterBy / zOrderBy / overwrite),
-    * or read through `Snapshot.Lake.readAsOf`, which applies them. */
+    * set (time travel through the connector). Files carrying deletion
+    * vectors AT THE READ VERSION serve DV-APPLIED (round 19, the
+    * Delta reader contract): planning reads the deletion-sized dv
+    * files and ships each file's sorted masked-position set in its
+    * partition; the sequential readers skip masked row indices with
+    * one cursor. Row-exact with `Snapshot.Lake.readAsOf`, which
+    * anti-joins the same (data_path, pos) rows. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (readChangeFeed) {
       // BATCH change-feed read (Delta's `spark.read.option(
@@ -472,17 +525,20 @@ class SnapshotScan(root: String, required: StructType,
           s"versionAsOf=$versionAsOf: no such snapshot at $root")
         SnapshotStreamSource.stateAt(root, versionAsOf)
       }
-    val dvd = state.collect { case (f, Some(_)) => f.path }
-    if (dvd.nonEmpty) throw new IllegalStateException(
-      s"SnapshotStreamSource batch read at $root: ${dvd.size} live " +
-        s"file(s) carry deletion vectors (e.g. ${dvd.head}); purge DVs " +
-        "with a rewrite commit (Compact.clusterBy/zOrderBy, overwrite) " +
-        "or read via Snapshot.Lake.readAsOf, which applies them.")
+    // One planning-time pass over the DV files (deletion-sized; the
+    // common all-plain state pays nothing), keyed by data rel path —
+    // the same key the Lake's anti-join form uses.
+    val dvByFile: Map[String, Array[Long]] =
+      if (state.forall(_._2.isEmpty)) Map.empty
+      else SnapshotStreamSource.dvPositions(root, state.flatMap(_._2))
     state
       .filter { case (f, _) =>
         pruneFilters.forall(SnapshotScan.admits(f, _, mapping)) }
-      .map { case (f, _) => LakeFilePartition(
-        new Path(root, f.path).toString): InputPartition }.toArray
+      .map { case (f, dv) => LakeFilePartition(
+        new Path(root, f.path).toString,
+        masked = if (dv.isEmpty) Array.empty[Long]
+          else dvByFile.getOrElse(f.path, Array.empty[Long]))
+        : InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -585,16 +641,20 @@ class SnapshotMicroBatch(root: String, required: StructType,
 
 /** `commitVersion`/`changeType` feed the change-feed metadata columns
   * — per-partition CONSTANTS decided at planning (a commit's files
-  * all share its version), so the feed costs nothing at read time. */
+  * all share its version), so the feed costs nothing at read time.
+  * `masked` is this file's deletion-vector position set (sorted row
+  * indices to skip) — deletion-sized, shipped with the task like
+  * Delta ships a file's DV descriptor in its scan task. */
 case class LakeFilePartition(file: String, commitVersion: Long = -1L,
-    changeType: String = null) extends InputPartition
+    changeType: String = null,
+    masked: Array[Long] = Array.empty) extends InputPartition
 
 class SnapshotReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeFilePartition]
     new SnapshotParquetReader(p.file, required, p.commitVersion,
-      p.changeType)
+      p.changeType, p.masked)
   }
 }
 
@@ -603,7 +663,8 @@ class SnapshotReaderFactory(required: StructType)
   * PARQUET_READ_SCHEMA; required columns the file predates (schema
   * evolution) null-fill. */
 class SnapshotParquetReader(file: String, required: StructType,
-    commitVersion: Long = -1L, changeType: String = null)
+    commitVersion: Long = -1L, changeType: String = null,
+    masked: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   /** Constant value for a change-feed metadata column, or None for a
@@ -635,10 +696,22 @@ class SnapshotParquetReader(file: String, required: StructType,
   }
 
   private var current: Group = _
+  // Deletion-vector skip: the reader is sequential, `masked` is
+  // sorted, so one cursor suffices — a masked index compares equal
+  // exactly once (rowIdx mirrors Spark's _metadata.row_index, which
+  // is what the write side recorded positions against).
+  private var rowIdx = -1L
+  private var mi = 0
 
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowIdx += 1
+      if (mi < masked.length && masked(mi) == rowIdx) mi += 1 // skip
+      else return true
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {

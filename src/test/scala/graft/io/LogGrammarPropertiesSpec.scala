@@ -132,6 +132,8 @@ class LogGrammarPropertiesSpec extends SparkSpec {
         Snapshot.featureLine("reader", "column-mapping"),
         Snapshot.featureLine("writer", "in-commit-timestamps"),
         "txn\twriter-a\t42",
+        "idhw\tid\t4090",
+        "idhw\tid\t1010", // duplicate column folds MONOTONE (max wins)
         "ts\t1755300000000").mkString("\n")
       val out = fs.create(new Path(logPath, "00000007.commit"))
       out.write(record.getBytes("UTF-8")); out.close()
@@ -145,6 +147,8 @@ class LogGrammarPropertiesSpec extends SparkSpec {
         ("writer", "in-commit-timestamps")),
         "feature stamps must round-trip the line grammar")
       assert(c.txn === Some(("writer-a", 42L)))
+      assert(c.idHw === Map("id" -> 4090L),
+        "idhw lines fold per-column monotone max within a commit")
       assert(c.ts === Some(1755300000000L))
       val m = c.meta.get
       assert(m.fieldNames.toSeq === Seq("k", "label"))

@@ -1313,6 +1313,71 @@ class SnapshotSpec extends SparkSpec {
       .getMessage.contains("identity-columns"))
   }
 
+  test("identity high-water is a persisted monotone log action: COW rewrites and restore never reissue ids") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-idhw-").toString
+    // checkpointInterval small so the fold crosses a checkpoint — the
+    // idhw action must survive the render→parse hop too.
+    val lake = Snapshot.Lake(spark, root,
+      identityCols = Seq(("id", 1L, 1L)), checkpointInterval = 2)
+    lake.append((1 to 50).map(i => s"r$i").toDF("v")) // v0 assigns
+    val ids0 = lake.read().select("id").as[Long].collect()
+    val ever0 = ids0.max
+    // The assigning commit PERSISTED its watermark as an idhw action
+    // (the zone max actually assigned, not hw + step*rows —
+    // monotonically_increasing_id ranges are sparse).
+    assert(lake.commits.head.idHw.get("id") === Some(ever0),
+      "assignment commits must persist the max assigned id")
+    // COW-delete the TOP half: the rewrite shrinks the live
+    // manifest's max(hi) below ids already issued…
+    lake.deleteKeys(ids0.filter(_ > ids0.sorted.apply(24)).toSeq
+      .toDF("id"), "id") // v1 rewrite
+    lake.append(Seq("x1", "x2").toDF("v")) // v2 assigns again
+    val afterCow = lake.read().select("id").as[Long].collect()
+    assert(afterCow.distinct.length === afterCow.length)
+    assert((afterCow.toSet -- ids0.toSet).min > ever0,
+      "ids deleted by a COW rewrite must never be reissued " +
+        "(the persisted watermark outlives the live manifest max)")
+    val ever1 = afterCow.max
+    // …and RESTORE rolls live state back below the watermark too.
+    lake.restore(0) // v3: manifest back to v0's files
+    lake.append(Seq("y1").toDF("v")) // v4 assigns
+    val afterRestore = lake.read().select("id").as[Long].collect()
+    assert((afterRestore.toSet -- ids0.toSet).min > ever1,
+      "restore() rolls state back but the watermark folds over " +
+        "HISTORY — post-restore ids sit above everything ever issued")
+    assert(afterRestore.distinct.length === afterRestore.length)
+  }
+
+  test("identity allocation race: concurrent appends never publish overlapping ids (OCC conflict + caller retry)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-idrace-").toString
+    Snapshot.Lake(spark, root, identityCols = Seq(("id", 0L, 1L)))
+      .append(Seq("seed").toDF("v")) // v0: record the declaration
+    // Two independent handles race appends; a loser whose allocation
+    // base moved conflicts LOUDLY and re-appends (re-deriving fresh
+    // ids above the new head) — in no interleaving may both publish
+    // ids from the same base.
+    def appendRetry(h: Snapshot.Lake, tag: String): Unit = {
+      var done = false
+      while (!done)
+        try { h.append((1 to 20).map(i => s"$tag$i").toDF("v")); done = true }
+        catch { case e: RuntimeException
+          if e.getMessage.contains("commit conflict") => () }
+    }
+    val h1 = Snapshot.Lake(spark, root)
+    val h2 = Snapshot.Lake(spark, root)
+    (1 to 2).foreach { round =>
+      val t1 = new Thread(() => appendRetry(h1, s"a$round-"))
+      val t2 = new Thread(() => appendRetry(h2, s"b$round-"))
+      t1.start(); t2.start(); t1.join(); t2.join()
+    }
+    val ids = h1.read().select("id").as[Long].collect()
+    assert(ids.length === 1 + 4 * 20)
+    assert(ids.distinct.length === ids.length,
+      "every published id must be unique across racing writers")
+  }
+
   test("protocol feature flags: first-use stamps, checkpoint fold, masked capabilities refuse loudly") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-feat-").toString

@@ -356,7 +356,7 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("versionAsOf: batch time travel through the connector; DV'd states refused") {
+  test("versionAsOf: batch time travel through the connector; DV'd states serve masked") {
     val lake = freshLake()
     lake.append(kv(0, 20)) // v0
     lake.overwrite(kv(100, 110)) // v1
@@ -372,12 +372,70 @@ class SnapshotStreamSpec extends SparkSpec {
     // Unknown versions refuse loudly.
     intercept[Exception](spark.read.format(Fmt)
       .option("versionAsOf", "9").load(lake.root).count())
-    // A DV'd read version is refused; an earlier clean one still serves.
+    // A DV'd read version serves DV-APPLIED (round 19): the masked
+    // row is gone, an earlier clean version is untouched.
     lake.deleteKeysMor(Seq(100L).toDF("k"), "k") // v3
-    intercept[Exception](
-      spark.read.format(Fmt).load(lake.root).count())
+    assert(spark.read.format(Fmt).load(lake.root)
+      .select("k").as[Long].collect().sorted.toSeq ===
+      lake.read().select("k").as[Long].collect().sorted.toSeq,
+      "connector batch read of a DV'd table must equal Lake.read()")
+    assert(!spark.read.format(Fmt).load(lake.root)
+      .select("k").as[Long].collect().contains(100L))
     assert(spark.read.format(Fmt).option("versionAsOf", "2")
       .load(lake.root).count() === 15)
+    // versionAsOf AT the DV'd version applies that version's vectors.
+    assert(spark.read.format(Fmt).option("versionAsOf", "3")
+      .load(lake.root).count() === 14)
+  }
+
+  test("DV-aware batch reads: carried positions, many files, per-version row-exactness, streaming guard unchanged") {
+    val lake = freshLake()
+    lake.append(kv(0, 400))   // v0
+    Compact.clusterBy(lake, "k", 4) // v1: 4 disjoint files
+    lake.deleteKeysMor((0L until 400L by 7).toDF("k"), "k")   // v2
+    lake.deleteKeysMor((0L until 400L by 11).toDF("k"), "k")  // v3:
+    // re-touched files REPLACE their pointer, carrying v2's
+    // positions forward — the connector must honor the union.
+    lake.append(kv(400, 450)) // v4: plain files mix with DV'd ones
+    def connectorAt(v: Int): Seq[Long] = {
+      val r = if (v < 0) spark.read.format(Fmt).load(lake.root)
+        else spark.read.format(Fmt).option("versionAsOf", v.toString)
+          .load(lake.root)
+      r.select("k").as[Long].collect().sorted.toSeq
+    }
+    def lakeAt(v: Int): Seq[Long] =
+      (if (v < 0) lake.read() else lake.readAsOf(v))
+        .select("k").as[Long].collect().sorted.toSeq
+    (2 to 4).foreach { v =>
+      assert(connectorAt(v) === lakeAt(v),
+        s"connector versionAsOf=$v must equal Lake.readAsOf($v)")
+    }
+    assert(connectorAt(-1) === lakeAt(-1))
+    val head = connectorAt(-1)
+    assert(head.contains(1L) && !head.contains(7L) && !head.contains(11L)
+      && !head.contains(77L) && head.contains(449L))
+    // Column pruning still composes: a projection of the non-key
+    // column on the masked state matches the Lake's row set.
+    assert(spark.read.format(Fmt).load(lake.root)
+      .select("v").as[String].collect().sorted.toSeq ===
+      lake.read().select("v").as[String].collect().sorted.toSeq)
+    // Pruning filters compose with masks (residual keeps semantics).
+    assert(spark.read.format(Fmt).load(lake.root)
+      .filter(col("k") >= 100L && col("k") < 200L)
+      .select("k").as[Long].collect().sorted.toSeq ===
+      (100L until 200L).filter(k => k % 7 != 0 && k % 11 != 0))
+    // The STREAMING append-only guard is unchanged: dv commits in the
+    // window still refuse without ignoreChanges.
+    val name = s"snapdv${System.nanoTime()}"
+    val q = spark.readStream.format(Fmt).load(lake.root)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snap-dv-ckpt").toString).start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    try assert(e.getMessage.contains("deletion vectors") ||
+      e.getMessage.contains("append-only") ||
+      e.getMessage.contains("ignoreChanges"))
+    finally q.stop()
   }
 
   test("batch filter pushdown: zone maps and Blooms prune FILES at planning") {
