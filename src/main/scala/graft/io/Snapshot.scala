@@ -212,6 +212,30 @@ object Snapshot {
   /** Field-metadata key carrying an identity column's "start:step". */
   val IdKey = "graft.identity"
 
+  // ---- recorded partition columns (Delta's metaData.partitionColumns)
+  //
+  // The table's partition layout is TABLE METADATA, not writer
+  // config: the first commit stamps each partition column's position
+  // in the partition order into its field metadata under [[PartKey]]
+  // (the mapping/generation pattern — table-level facts ride the meta
+  // line, folding/cloning/round-tripping for free). A fresh handle —
+  // or a SQL INSERT through the catalog — therefore KEEPS the layout
+  // without re-declaring it, and a handle declaring a DIFFERENT
+  // layout refuses (Delta's partition-spec-mismatch rule). Legacy
+  // logs without stamps keep the old behavior: partitioning is
+  // whatever the writing handle declares.
+
+  /** Field-metadata key: the column's 0-based partition-order index. */
+  val PartKey = "graft.partcol"
+
+  /** The recorded partition columns in partition order (empty when
+    * the schema predates the stamp or the table is unpartitioned). */
+  def partitionColsIn(schema: StructType): Seq[String] =
+    schema.fields.toSeq
+      .flatMap(f => if (f.metadata.contains(PartKey))
+        Some((f.metadata.getString(PartKey).toInt, f.name)) else None)
+      .sortBy(_._1).map(_._2)
+
   /** Every (identity column, start, step) the schema records. */
   def identityIn(schema: StructType): Seq[(String, Long, Long)] =
     schema.fields.toSeq.flatMap { f =>
@@ -768,6 +792,17 @@ object Snapshot {
   def replayLive(window: Seq[Commit]): Seq[FileStat] =
     replayState(window).map(_._1)
 
+  /** Is `fs` a local (POSIX) filesystem, where hard-link gives the
+    * atomic put-if-absent publish primitive? (LocalFileSystem wraps
+    * RawLocalFileSystem behind a checksum layer — unwrap both.) */
+  private[io] def isLocalFs(fs: FileSystem): Boolean = fs match {
+    case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+    case _: org.apache.hadoop.fs.LocalFileSystem => true
+    case f: org.apache.hadoop.fs.FilterFileSystem =>
+      isLocalFs(f.getRawFileSystem)
+    case _ => false
+  }
+
   /** Per-root publish locks — in-process multi-writer exclusion for
     * the exists+rename critical section ([[Lake.tryPublish]]). */
   private val publishLocks =
@@ -859,16 +894,20 @@ object Snapshot {
     * counts for IS NULL / IS NOT NULL skipping
     * ([[Lake.pruneFilesNull]]).
     *
-    * '''Supported-store contract''' (the Delta LogStore caveat):
-    * CROSS-PROCESS multi-writer safety requires a store whose rename
-    * REFUSES an existing destination (HDFS-like). On POSIX
-    * LocalFileSystem and most object stores, rename REPLACES the
-    * destination, so two writers in different JVMs can both "win" a
-    * version slot; in-process racers are covered by the per-root
-    * [[publishLock]], and [[Lake.tryPublish]] re-reads the published
-    * record after its rename to DETECT (not prevent) a cross-process
-    * clobber — treat detection as a conflict and retry/fail, but run
-    * multi-JVM writers only against a refusing-rename store. */
+    * '''Supported-store contract''' (the Delta LogStore semantic):
+    * a commit publishes PUT-IF-ABSENT. On local (POSIX) stores the
+    * fully-written tmp record is hard-linked to the versioned name —
+    * link(2) fails with EEXIST when the slot is taken, so two writers
+    * in DIFFERENT JVMS racing the same version serialize by
+    * construction (no lock, no detection window; readers can never
+    * see partial content because the payload was complete in tmp
+    * before the link). On HDFS-like stores the refusing rename is the
+    * same primitive. Only on a replacing-rename store WITHOUT atomic
+    * link/create (some object stores) does [[Lake.tryPublish]] fall
+    * back to rename + read-back clobber DETECTION under the per-root
+    * [[publishLock]] — there, run multi-JVM writers against a
+    * refusing-rename store or front the log with a coordination
+    * service, exactly Delta's S3 single-writer caveat. */
   final case class Lake(spark: SparkSession, root: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       checkpointInterval: Int = 10, partitionCols: Seq[String] = Nil,
@@ -930,13 +969,16 @@ object Snapshot {
         Snapshot.featureLine(k, n) }
     }
 
-    /** Stamp the constructor's generation expressions AND identity
-      * declarations into the FIRST meta line's field metadata — the
-      * log-recorded form every fresh handle (and every later commit's
-      * derivation) replays. */
+    /** Stamp the constructor's generation expressions, identity
+      * declarations AND partition layout into the FIRST meta line's
+      * field metadata — the log-recorded form every fresh handle (and
+      * every later commit's derivation) replays. */
     private def stampGenerated(st: StructType): StructType =
-      if (generatedCols.isEmpty && identityCols.isEmpty) st
+      if (generatedCols.isEmpty && identityCols.isEmpty &&
+          partitionCols.isEmpty) st
       else {
+        partitionCols.foreach(p => require(st.fieldNames.contains(p),
+          s"partition column '$p' at $root is not in the table schema"))
         generatedCols.foreach { case (g, e) =>
           require(st.fieldNames.contains(g),
             s"generated column '$g' at $root: not in the first commit " +
@@ -963,6 +1005,10 @@ object Snapshot {
           identityCols.find(_._1 == f.name).foreach {
             case (_, start, step) =>
               b.putString(Snapshot.IdKey, s"$start:$step"); changed = true }
+          val pi = partitionCols.indexOf(f.name)
+          if (pi >= 0) {
+            b.putString(Snapshot.PartKey, pi.toString); changed = true
+          }
           if (changed) f.copy(metadata = b.build()) else f
         })
       }
@@ -1010,6 +1056,20 @@ object Snapshot {
       val ck = ckAt(v)
       require(ck.version >= 0, s"no snapshot <= $v at $root")
       readState(ck.state, logical = ck.schema)
+    }
+
+    /** CREATE TABLE (the Delta shape): record `schema` as a
+      * metadata-only v0 commit — the table exists with a schema
+      * before any data lands, and every later data commit validates
+      * against it. Generated/identity declarations from the
+      * constructor stamp into the recorded schema exactly as a
+      * first-data commit would. Refuses an existing table. */
+    def createTable(schema: StructType): Int = {
+      require(latestVersion < 0,
+        s"createTable at $root: table already has commits")
+      gateWrite(Snapshot.checkpointAt(fs, logPath, Int.MaxValue))
+      publish(Seq("v\t0", Snapshot.metaLine(stampGenerated(schema))), 0)
+      0
     }
 
     /** Timestamp-based time travel (Delta's `timestampAsOf`): the last
@@ -2671,6 +2731,16 @@ object Snapshot {
           df.select(df.columns.toSeq.map(c => col(c).as(physOf(c))): _*)
         case _ => df
       }
+      // Partition layout: the constructor's declaration when given,
+      // else the RECORDED layout from the meta line — a fresh handle
+      // (or a SQL INSERT through the catalog) keeps the table's
+      // partitioning without re-declaring it, Delta's
+      // partitionColumns-as-metadata semantic. Legacy pre-stamp logs:
+      // whatever the handle declares, as before.
+      val recordedParts = schemaSeen.map(Snapshot.partitionColsIn)
+        .getOrElse(Nil)
+      val partSource =
+        if (partitionCols.nonEmpty) partitionCols else recordedParts
       // Effective partition columns under the schema being written:
       // a handle constructed BEFORE a partition-column rename still
       // names the old logical column, but the column's physical name
@@ -2680,7 +2750,7 @@ object Snapshot {
       // missing from the commit frame' gate. A name neither logical
       // nor physical (renamed twice under a stale handle) fails with
       // the actionable reopen pointer.
-      val effPartCols = partitionCols.map { p =>
+      val effPartCols = partSource.map { p =>
         schemaSeen match {
           case Some(ts) if !ts.fieldNames.contains(p) =>
             ts.fields.find(f => Snapshot.physicalName(f) == p).map(_.name)
@@ -2691,9 +2761,18 @@ object Snapshot {
           case _ => p
         }
       }
+      // A handle DECLARING a layout that disagrees with the recorded
+      // one refuses (Delta's partition-spec-mismatch rule) — compared
+      // after stale-name translation, so a rename alone never trips it.
+      if (partitionCols.nonEmpty && recordedParts.nonEmpty)
+        require(effPartCols == recordedParts,
+          s"partition-spec mismatch at $root: this handle declares " +
+            s"(${effPartCols.mkString(", ")}) but the table records " +
+            s"(${recordedParts.mkString(", ")})")
       val physPartCols = effPartCols.map(physOf)
       // Identity columns are FORCED into the zone-map tier: the
-      // manifest max IS their high-water mark (no separate log action).
+      // manifest max IS their high-water mark, backstopped by the
+      // persisted idhw action.
       val physStatsCols = (statsCols ++ idMap.map(_._1)).distinct
         .map(physOf)
       val physStrStatsCols = strStatsCols.map(physOf)
@@ -2930,6 +3009,21 @@ object Snapshot {
                       s"$c: $w -> $n" }.mkString(", ") +
                   ") after this append's data files were written — " +
                   "retry the append against the new schema")
+              // A lost first-commit race can also have RECORDED a
+              // different partition layout than the one this append's
+              // files were already written under — per-file part:
+              // segments keep reads correct either way, but a
+              // layout-divergent publish would erode the recorded
+              // contract (Delta's partition-spec mismatch); fail it.
+              val nowParts = schemaSeen.map(Snapshot.partitionColsIn)
+                .getOrElse(Nil)
+                .map(c => Snapshot.physicalIn(schemaSeen, c))
+              if (nowParts.nonEmpty && nowParts != physPartCols)
+                sys.error(s"commit conflict at $root: a concurrent " +
+                  "first commit recorded partition layout (" +
+                  nowParts.mkString(", ") + ") but this append's " +
+                  "files were written under (" +
+                  physPartCols.mkString(", ") + ") — retry the append")
             } catch { case e: Throwable =>
               fs.delete(dataPath, true); throw e }
           }
@@ -3025,16 +3119,36 @@ object Snapshot {
       try out.write(payload.getBytes("UTF-8"))
       finally out.close()
       val target = new Path(logPath, f"$version%08d.commit")
-      Snapshot.publishLock(root).synchronized {
+      // PUT-IF-ABSENT on POSIX stores: hard-link the complete tmp
+      // record to the versioned name. link(2) is atomic and fails
+      // with EEXIST when the slot is taken — two writers in different
+      // PROCESSES serialize by construction, no lock and no detection
+      // window, and a reader can never observe partial content (the
+      // payload was durable in tmp before the link existed). This is
+      // the Delta LogStore "atomic put-if-absent" primitive.
+      if (Snapshot.isLocalFs(fs)) {
+        val won =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        fs.delete(tmp, false)
+        won
+      } else Snapshot.publishLock(root).synchronized {
+        // Refusing-rename stores (HDFS-like): the rename itself is the
+        // put-if-absent. Replacing-rename stores without atomic link:
+        // clobber DETECTION via read-back (see the supported-store
+        // contract on [[Lake]]) — if another process's rename replaced
+        // ours between publish and read-back, the content differs and
+        // this writer must treat the slot as lost.
         if (fs.exists(target) || !fs.rename(tmp, target)) {
           fs.delete(tmp, false)
           false
         } else {
-          // Clobber DETECTION for replacing-rename stores (see the
-          // supported-store contract on [[Lake]]): re-read the
-          // published record — if another process's rename replaced
-          // ours between publish and read-back, the content differs
-          // and this writer must treat the slot as lost.
           val in = fs.open(target)
           val back =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString

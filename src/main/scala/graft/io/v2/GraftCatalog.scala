@@ -1,0 +1,293 @@
+package graft.io.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
+  SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.Snapshot
+
+/** The snapshot lake as a Spark SQL CATALOG — the way Delta ships its
+  * consumer surface: register once,
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.io.v2.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * and plain SQL text drives the lake end to end:
+  *
+  * {{{
+  *   CREATE TABLE graft.db.t (k BIGINT, v STRING)
+  *   INSERT INTO graft.db.t SELECT ...
+  *   INSERT OVERWRITE graft.db.t SELECT ...
+  *   SELECT * FROM graft.db.t VERSION AS OF 3
+  *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-08-16 12:00:00'
+  *   ALTER TABLE graft.db.t RENAME COLUMN v TO label
+  *   ALTER TABLE graft.db.t ADD COLUMNS (note STRING)
+  *   ALTER TABLE graft.db.t DROP COLUMN note
+  *   DESCRIBE TABLE graft.db.t
+  *   SHOW TABLES IN graft.db
+  * }}}
+  *
+  * A table is a directory under the warehouse holding a `_log` (the
+  * commit log [[Snapshot.Lake]] writes); namespaces are the directory
+  * levels between. Reads serve through the same DSv2 scan as the path
+  * connector (file pruning, DV masking, column mapping, CDF — one
+  * planner, two front doors); writes route through the Lake's
+  * transactional commit via Spark's V1 write fallback, so SQL inserts
+  * get OCC, schema enforcement, constraints and identity/generated
+  * derivation identical to the programmatic API. Time travel resolves
+  * `VERSION AS OF` to a pinned snapshot and `TIMESTAMP AS OF` through
+  * the O(log n) in-commit-timestamp binary search. At 100 TB the
+  * catalog adds nothing to the data path — it only resolves names to
+  * roots at planning time.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private def conf = new Configuration()
+  private def fs = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"spark.sql.catalog.$name.warehouse must point at the lake " +
+        "warehouse directory")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(levels: Seq[String]): Path =
+    levels.foldLeft(warehouse)((p, s) => new Path(p, s))
+  private def pathOf(ident: Identifier): Path =
+    dirOf(ident.namespace().toSeq :+ ident.name())
+  private def isTable(p: Path): Boolean = fs.exists(new Path(p, "_log"))
+  private def identString(ident: Identifier): String =
+    (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+      .mkString(".")
+
+  // ---- tables -----------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      namespace.toSeq)
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getName)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, -1)
+
+  /** SQL `VERSION AS OF` (Spark routes the literal here). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, version.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': graft versions are integers")))
+
+  /** SQL `TIMESTAMP AS OF` — Spark hands MICROSECONDS since epoch;
+    * resolution is the in-commit-timestamp binary search. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    load(ident, SnapshotStreamSource.versionAtOrBefore(p.toString,
+      timestamp / 1000L))
+  }
+
+  private def load(ident: Identifier, versionAsOf: Int): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(identString(ident), p.toString, versionAsOf)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    // PARTITIONED BY (col, ...): identity transforms become the
+    // table's RECORDED partition layout (stamped into the meta line by
+    // createTable), so every later INSERT — SQL or programmatic —
+    // keeps the hive layout and the manifest partition-pruning tier
+    // without re-declaring it.
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1)
+        t.references()(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"CREATE TABLE ... PARTITIONED BY ${t.describe()}: only " +
+          "plain-column (identity) partitioning is supported — derive " +
+          "bucketing/expressions with a generated column instead")
+    }
+    Snapshot.Lake(SparkSession.active, p.toString,
+      partitionCols = partCols).createTable(schema)
+    new GraftSqlTable(identString(ident), p.toString, -1)
+  }
+
+  /** ALTER TABLE: the metadata-only column lifecycle the lake already
+    * implements — RENAME COLUMN / ADD COLUMNS / DROP COLUMN route to
+    * renameColumn / evolveSchema / dropColumn (each one commit, no
+    * data rewrite). Anything else refuses loudly. */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val lake = Snapshot.Lake(SparkSession.active, p.toString)
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1,
+          "nested columns are not supported")
+        lake.renameColumn(c.fieldNames()(0), c.newName())
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1,
+          "nested columns are not supported")
+        lake.dropColumn(c.fieldNames()(0))
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1,
+          "nested columns are not supported")
+        lake.evolveSchema(StructType(lake.tableSchema.getOrElse(
+          sys.error(s"ALTER TABLE ${identString(ident)}: no recorded " +
+            "schema to evolve — commit data or CREATE TABLE first"))
+          .fields :+ StructField(c.fieldNames()(0), c.dataType(),
+            c.isNullable)))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${identString(ident)}: unsupported change " +
+          s"${other.getClass.getSimpleName} — supported: RENAME " +
+          "COLUMN, ADD COLUMNS, DROP COLUMN")
+    }
+    load(ident, -1)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!isTable(p)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = pathOf(oldIdent)
+    val to = pathOf(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to),
+      s"renameTable: rename $from -> $to failed")
+  }
+
+  // ---- namespaces (directories between warehouse and table) --------
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filterNot(isTable)
+      .map(p => Array(p.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      namespace.toSeq)
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable)
+      .map(p => namespace :+ p.getName).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir) || isTable(dir))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(dirOf(namespace.toSeq))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) false
+    else {
+      require(cascade || fs.listStatus(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty — " +
+          "use CASCADE")
+      fs.delete(dir, true)
+    }
+  }
+}
+
+/** One catalog-resolved lake table: reads through the SAME scan
+  * machinery as the path connector (a pinned `versionAsOf` rides the
+  * scan options, so time travel, pruning, DV masking and mapping all
+  * come for free); writes through Spark's V1 fallback into the Lake's
+  * transactional commit (OCC retry, schema enforcement, constraints,
+  * generated/identity derivation — SQL inserts and programmatic
+  * appends are the same code path). */
+class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    SnapshotStreamSource.logicalSchemaAndMap(root,
+        if (versionAsOf < 0) Int.MaxValue else versionAsOf)
+      .map(_._1)
+      .getOrElse(SnapshotStreamSource.unionSchema(root))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val merged = new util.HashMap[String, String](
+      options.asCaseSensitiveMap())
+    if (versionAsOf >= 0) merged.put("versionAsOf", versionAsOf.toString)
+    new SnapshotScanBuilder(root, schema(),
+      new CaseInsensitiveStringMap(merged))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              require(versionAsOf < 0,
+                s"cannot INSERT into a time-travel relation of $ident")
+              val lake = Snapshot.Lake(data.sparkSession, root)
+              if (overwrite || legacyOverwrite) lake.overwrite(data)
+              else lake.append(data)
+            }
+          }
+      }
+    }
+}

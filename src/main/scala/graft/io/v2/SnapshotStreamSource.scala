@@ -173,6 +173,29 @@ object SnapshotStreamSource {
     versions(lo)
   }
 
+  /** `timestampAsOf` resolution for the catalog's TIMESTAMP AS OF:
+    * the LAST version whose publish stamp is ≤ `tsMillis` —
+    * Lake.versionAtTimestamp's O(log n) tail-read binary search,
+    * session-free. */
+  def versionAtOrBefore(root: String, tsMillis: Long): Int = {
+    val logPath = logPathOf(root)
+    val fs = logPath.getFileSystem(conf)
+    val versions = Snapshot.listVersions(fs, logPath)
+    require(versions.nonEmpty, s"no commits at $root")
+    def tsOf(v: Int): Long =
+      Snapshot.tailTs(fs, new Path(logPath, f"$v%08d.commit"))
+        .getOrElse(Long.MinValue)
+    require(tsOf(versions.head) <= tsMillis,
+      s"timestampAsOf($tsMillis) predates the first commit at $root")
+    var lo = 0
+    var hi = versions.size - 1
+    while (lo < hi) { // greatest version with ts <= tsMillis
+      val mid = (lo + hi + 1) / 2
+      if (tsOf(versions(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    versions(lo)
+  }
+
   /** The scan's starting version from the option pair. */
   private[v2] def resolveStart(root: String,
       options: CaseInsensitiveStringMap): Int = {

@@ -305,6 +305,39 @@ object ExtQueries {
     open(root)
   }
 
+  // SQL-catalog warehouse (round 19): the lake driven entirely by SQL
+  // TEXT through [[graft.io.v2.GraftCatalog]] — CREATE TABLE, two
+  // INSERT INTO ... SELECT commits (disjoint % 3 orders slices), so
+  // VERSION AS OF 1 sees exactly the first slice. The catalog name
+  // embeds the sfDir hash: Spark caches one catalog instance per name,
+  // and each scale factor needs its own warehouse binding.
+  private val sqlCatDirs = scala.collection.mutable.Map.empty[String, String]
+  private def sqlCatalog(s: SparkSession, d: String): String =
+    lakeLock.synchronized {
+      val cat = s"graft_sql_${math.abs(d.hashCode)}"
+      if (!sqlCatDirs.contains(d)) {
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-sqlwh-").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.io.v2.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.orders_t (k BIGINT, cents BIGINT)")
+        Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+          .createOrReplaceTempView(s"src_$cat")
+        s.sql(s"INSERT INTO $cat.db.orders_t " +
+          s"SELECT k, cents FROM src_$cat WHERE k % 3 = 0") // v1
+        s.sql(s"INSERT INTO $cat.db.orders_t " +
+          s"SELECT k, cents FROM src_$cat WHERE k % 3 = 1") // v2
+        sqlCatDirs(d) = wh
+      }
+      cat
+    }
+  private def sqlCatalogRoot(d: String): String =
+    s"${sqlCatDirs(d)}/db/orders_t"
+
   /** Probe-only fixture accessors (SCALE.md tooling reaches the
     * same per-JVM cached lakes the queries open; never in a query). */
   def ordersLakeForProbe(s: SparkSession, d: String)
@@ -2066,6 +2099,33 @@ object ExtQueries {
           .otherwise(0L)) === 0L).as("step_aligned"),
         (min(col("oid")) >= 1000L).as("above_start"))
         .withColumn("cross_commit_monotone", lit(mono))
+    },
+
+    // SQL CATALOG (round 19) — the lake's last consumer-surface
+    // parity gap: plain SQL text drives CREATE TABLE / INSERT INTO /
+    // SELECT / VERSION AS OF / TIMESTAMP AS OF through a registered
+    // TableCatalog (spark.sql.catalog.<name> = GraftCatalog), the way
+    // Delta ships. Cells: head and VERSION-AS-OF-1 aggregates replay
+    // relationally (disjoint % 3 membership); `ts_equals_v1` pins
+    // TIMESTAMP AS OF at v1's in-commit stamp to the same snapshot.
+    // 100 TB shape: the catalog resolves names to roots at planning
+    // only — reads are the same pruned DSv2 scan, inserts the same
+    // transactional commit as the programmatic API.
+    "lake_sql_catalog" -> { (s, d) =>
+      val cat = sqlCatalog(s, d)
+      val head = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.db.orders_t")
+      val v1 = s.sql("SELECT CAST(count(*) AS BIGINT) AS n_v1_rows, " +
+        s"CAST(sum(cents) AS BIGINT) AS v1_cents " +
+        s"FROM $cat.db.orders_t VERSION AS OF 1")
+      val lake = graft.io.Snapshot.Lake(s, sqlCatalogRoot(d))
+      val ts1 = lake.commits.find(_.version == 1).get.ts.get
+      val tsRows = s.sql(s"SELECT count(*) FROM $cat.db.orders_t " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts1}L)").head().getLong(0)
+      val v1Rows = s.sql(s"SELECT count(*) FROM $cat.db.orders_t " +
+        "VERSION AS OF 1").head().getLong(0)
+      head.crossJoin(broadcast(v1))
+        .withColumn("ts_equals_v1", lit(tsRows == v1Rows))
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -7546,6 +7606,26 @@ object ExtQueries {
         |       true AS above_start,
         |       true AS cross_commit_monotone
         |FROM orders""".stripMargin,
+
+    // lake_sql_catalog: two disjoint % 3 INSERT slices replay
+    // relationally at head and at VERSION AS OF 1; the TIMESTAMP AS OF
+    // equivalence is a construction-asserted TRUE cell (the stamp is
+    // engine-internal — a wrong resolution flips the boolean).
+    "lake_sql_catalog" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |               AS cents
+        |           FROM orders)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 3 <= 1)
+        |    AS n_rows,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 <= 1)
+        |    AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 3 = 0)
+        |    AS n_v1_rows,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 0)
+        |    AS v1_cents,
+        |  true AS ts_equals_v1""".stripMargin,
 
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a

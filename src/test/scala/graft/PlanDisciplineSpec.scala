@@ -149,6 +149,8 @@ class PlanDisciplineSpec extends SparkSpec {
     "lake_null_prune" -> Seq("n_notnull_rows,notnull_note_sum"),
     // the 1-row v0 (pre-rename) aggregate attached to the head cells
     "lake_rename" -> Seq("n_v0_rows,v0_cents"),
+    // the 1-row VERSION AS OF 1 aggregate attached to the head cells
+    "lake_sql_catalog" -> Seq("n_v1_rows,v1_cents"),
     "lake_mor_delete" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,n_deletes,n_inserts", "delete_cents,n_deletes,n_inserts"),
     "lake_mor_merge" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,insert_cents,n_deletes,n_inserts"),
     "lake_restore" -> Seq("n_deletes,n_inserts,net_cents", "n_deletes,n_inserts,net_cents"),

@@ -1349,6 +1349,48 @@ class SnapshotSpec extends SparkSpec {
     assert(afterRestore.distinct.length === afterRestore.length)
   }
 
+  test("conditional publish: put-if-absent — racing writers at one version slot serialize by construction, no shared lock") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-pub-").toString
+    val lake = Snapshot.Lake(spark, root)
+    lake.append(Seq(1L).toDF("k")) // v0
+    // N threads race the SAME version slot through the publish seam.
+    // The local-store path hard-links the complete tmp record to the
+    // versioned name — atomic at the filesystem, no JVM lock taken —
+    // so exactly one writer wins and the slot holds exactly its
+    // record; every loser sees a clean conflict (the OCC retry rule's
+    // input). Distinct txn markers identify the winner post-hoc.
+    val n = 8
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        latch.await()
+        try {
+          lake.publish(Seq("v\t1", s"txn\twriter$i\t${i + 100}"), 1)
+          results.put(i, true)
+        } catch {
+          case e: RuntimeException
+            if e.getMessage.contains("commit conflict") =>
+            results.put(i, false)
+        }
+      })
+    }
+    threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val winners = results.asScala.collect { case (i, true) => i }.toSeq
+    assert(winners.size === 1,
+      s"exactly one racer must win the slot, got ${winners.size}")
+    assert(results.asScala.size === n, "every racer must resolve")
+    val w = winners.head
+    assert(lake.lastTxn(s"writer$w") === (w + 100).toLong,
+      "the slot must hold exactly the winner's record")
+    (0 until n).filter(_ != w).foreach(i =>
+      assert(lake.lastTxn(s"writer$i") === -1L,
+        "a loser's record must never partially land"))
+    assert(lake.latestVersion === 1)
+  }
+
   test("identity allocation race: concurrent appends never publish overlapping ids (OCC conflict + caller retry)") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-idrace-").toString

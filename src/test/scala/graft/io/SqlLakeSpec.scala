@@ -1,0 +1,154 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The lake's SQL-catalog surface ([[graft.io.v2.GraftCatalog]]):
+  * plain SQL text — CREATE/INSERT/SELECT/time travel/ALTER/DROP —
+  * drives the same transactional log as the programmatic API, and the
+  * two front doors observe each other's commits exactly. */
+class SqlLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): (String, String) = {
+    val wh = Files.createTempDirectory("graft-sqlspec-wh-").toString
+    val cat = s"gsql${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  test("SQL text end to end: create, insert, select, time travel, overwrite, drop") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)") // v0 meta
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).toSeq === Seq("t"))
+    assert(spark.sql(s"DESCRIBE TABLE $cat.db.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      .containsSlice(Seq(("k", "bigint"), ("v", "string"))))
+    // an empty created table SELECTs empty under the recorded schema
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").count() === 0)
+
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c')")           // v2
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.db.t").head().getLong(0)
+      === 6L)
+    // VERSION AS OF pins snapshots; the created (empty) v0 included.
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 0")
+      .head().getLong(0) === 0L)
+    assert(spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 1")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // TIMESTAMP AS OF resolves through the in-commit stamp.
+    val lake = Snapshot.Lake(spark, s"$wh/db/t")
+    val ts1 = lake.commits.find(_.version == 1).get.ts.get
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t " +
+      s"TIMESTAMP AS OF timestamp_millis(${ts1}L)").head().getLong(0)
+      === 2L)
+    // INSERT OVERWRITE replaces contents as one rewrite commit.
+    spark.sql(s"INSERT OVERWRITE $cat.db.t VALUES (9, 'z')") // v3
+    assert(spark.sql(s"SELECT k, v FROM $cat.db.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 2")
+      .head().getLong(0) === 3L, "overwrite must not rewrite history")
+    // schema enforcement reaches SQL inserts (extra column refuses)
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.db.t VALUES (1, 'a', 'extra')"))
+    // DROP TABLE removes it; the name stops resolving.
+    spark.sql(s"DROP TABLE $cat.db.t")
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.t").collect())
+  }
+
+  test("ALTER TABLE column lifecycle is metadata-only; both front doors see one log") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, cents BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (1, 100), (2, 200)") // v1
+    val lake = Snapshot.Lake(spark, s"$wh/db/m")
+    val filesBefore = lake.liveFiles(lake.latestVersion).map(_.path)
+
+    spark.sql(s"ALTER TABLE $cat.db.m RENAME COLUMN cents TO price") // v2
+    assert(spark.sql(s"SELECT sum(price) FROM $cat.db.m")
+      .head().getLong(0) === 300L)
+    assert(lake.liveFiles(lake.latestVersion).map(_.path) === filesBefore,
+      "a SQL rename must be metadata-only — zero files rewritten")
+    spark.sql(s"ALTER TABLE $cat.db.m ADD COLUMNS (note STRING)") // v3
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (3, 300, 'n3')")     // v4
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.m WHERE note IS NULL")
+      .head().getLong(0) === 2L, "pre-evolution rows null-fill")
+    spark.sql(s"ALTER TABLE $cat.db.m DROP COLUMN note") // v5
+    assert(!spark.sql(s"SELECT * FROM $cat.db.m").columns.contains("note"))
+
+    // Interop: the programmatic API sees SQL commits and vice versa.
+    val viaLake = Snapshot.Lake(spark, s"$wh/db/m")
+    assert(viaLake.read().select(sum("price")).head().getLong(0) === 600L)
+    viaLake.append(Seq((4L, 400L)).toDF("k", "price")) // v6
+    assert(spark.sql(s"SELECT sum(price) FROM $cat.db.m")
+      .head().getLong(0) === 1000L)
+    // Time travel BELOW the rename serves the old column name.
+    assert(spark.sql(s"SELECT * FROM $cat.db.m VERSION AS OF 1")
+      .columns.toSeq === Seq("k", "cents"))
+    // Unsupported ALTER refuses loudly.
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.m ALTER COLUMN k TYPE INT"))
+  }
+
+  test("CREATE TABLE PARTITIONED BY: the layout is table metadata — every front door keeps it") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, yr BIGINT) " +
+      "PARTITIONED BY (yr)")
+    spark.sql(s"INSERT INTO $cat.db.p " +
+      "SELECT id, 1990 + id % 4 FROM range(400)") // v1
+    val lake = Snapshot.Lake(spark, s"$wh/db/p")
+    val parts = lake.liveFiles(lake.latestVersion)
+      .flatMap(_.parts.get("yr")).distinct.sorted
+    assert(parts === Seq("1990", "1991", "1992", "1993"),
+      "SQL inserts must land hive-partitioned with manifest part: tiers")
+    // A fresh PROGRAMMATIC handle (no partitionCols declared) keeps
+    // the recorded layout.
+    lake.append(spark.range(400, 500)
+      .selectExpr("id AS k", "CAST(1994 AS BIGINT) AS yr")) // v2
+    assert(lake.liveFiles(lake.latestVersion)
+      .flatMap(_.parts.get("yr")).distinct.sorted.last === "1994")
+    // The partition tier prunes SQL point queries at planning.
+    val all = spark.sql(s"SELECT * FROM $cat.db.p").rdd.getNumPartitions
+    val one = spark.sql(s"SELECT * FROM $cat.db.p WHERE yr = 1994")
+      .rdd.getNumPartitions
+    assert(one < all, s"partition tier must prune: $one of $all")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p WHERE yr = 1994")
+      .head().getLong(0) === 100L)
+    // A handle DECLARING a different layout refuses (spec mismatch).
+    val bad = Snapshot.Lake(spark, s"$wh/db/p", partitionCols = Seq("k"))
+    assert(intercept[IllegalArgumentException](
+      bad.append(spark.range(1)
+        .selectExpr("id AS k", "CAST(2000 AS BIGINT) AS yr")))
+      .getMessage.contains("partition-spec mismatch"))
+    // A non-identity transform refuses loudly at CREATE.
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.p2 (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))"))
+  }
+
+  test("namespaces, rename table, existence edges") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ns1")
+    spark.sql(s"CREATE TABLE $cat.ns1.a (x BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns1.a VALUES (7)")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ns1"))
+    spark.sql(s"ALTER TABLE $cat.ns1.a RENAME TO ns1.b")
+    assert(spark.sql(s"SELECT x FROM $cat.ns1.b").head().getLong(0) === 7L)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.ns1.a").collect())
+    // CREATE over an existing table refuses; IF NOT EXISTS tolerates.
+    intercept[Exception](spark.sql(s"CREATE TABLE $cat.ns1.b (x BIGINT)"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.ns1.b (x BIGINT)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns1.b")
+      .head().getLong(0) === 1L, "IF NOT EXISTS must not clobber")
+  }
+}
