@@ -9,13 +9,56 @@ package graft.tools
   * every 8th commit a MOR delete so dv/cdc lines and feature stamps
   * are all in play).
   *
-  * Usage: Test/runMain graft.tools.Probe19
+  * A second mode (`dv`) probes the round-19 DV-aware V2 batch read
+  * 1×→10×: orders-sized lakes with ~1% MOR-deleted keys, connector
+  * read wall vs Lake.read(), row counts REQUIREd equal.
+  *
+  * Usage: Test/runMain graft.tools.Probe19 [parses|dv|all]
   */
 object Probe19 {
   private def pr(m: String): Unit = System.err.println(s"[p19] $m")
 
   def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("parses")
     val s = graft.GraftSession.local("graft-probe19")
+    if (what == "parses" || what == "all") parses19(s)
+    if (what == "dv" || what == "all") dvRead(s)
+    s.stop()
+  }
+
+  /** DV-aware connector batch read 1×→10× (round-19 punch #1). */
+  private def dvRead(s: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf2(body: => Unit): Double = Seq(time(body), time(body)).min
+    Seq("sf0.01" -> "/root/testdata/sf0.01",
+        "sf0.1" -> "/root/testdata/sf0.1").foreach { case (label, d) =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"p19dv-$label-").toString
+      val lake = graft.io.Snapshot.Lake(s, root, statsCols = Seq("k"))
+      val o = graft.Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"))
+      lake.append(o)
+      graft.io.Compact.clusterBy(lake, "k", 16)
+      lake.deleteKeysMor(o.filter(pmod(col("k"), lit(97L)) === 0)
+        .select("k"), "k") // ~1% masked across every file
+      val fmt = "graft.io.v2.SnapshotStreamSource"
+      val viaConnector = () => s.read.format(fmt).load(root).count()
+      val viaLake = () => lake.read().count()
+      val nC = s.read.format(fmt).load(root).count()
+      val nL = lake.read().count()
+      require(nC == nL, s"DV connector read diverged: $nC != $nL")
+      val tC = minOf2(viaConnector())
+      val tL = minOf2(viaLake())
+      pr(f"$label DV'd connector batch read: $nC%d rows, " +
+        f"connector $tC%.2f s vs Lake.read $tL%.2f s (counts equal)")
+    }
+  }
+
+  private def parses19(s: org.apache.spark.sql.SparkSession): Unit = {
     import s.implicits._
 
     def build(n: Int): graft.io.Snapshot.Lake = {
@@ -57,6 +100,5 @@ object Probe19 {
         s"head-read parses=$head, CDF(v${lv - 10}, v$lv) parses=$cdf, " +
         s"gated-fold parses=$fold, readAsOf(v${lv / 2}) parses=$tt")
     }
-    s.stop()
   }
 }
