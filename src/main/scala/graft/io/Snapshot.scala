@@ -84,7 +84,9 @@ object Snapshot {
       unconstraints: Seq[String] = Nil,
       features: Seq[(String, String)] = Nil,
       cdcFiles: Seq[String] = Nil,
-      idHw: Map[String, Long] = Map.empty)
+      idHw: Map[String, Long] = Map.empty,
+      props: Seq[(String, String)] = Nil,
+      unprops: Seq[String] = Nil)
 
   // ---- protocol feature flags (the Delta protocol-action semantic) --
   //
@@ -140,6 +142,27 @@ object Snapshot {
     Seq("writer" -> "generated-columns")
   val IdentityFeature: Seq[(String, String)] =
     Seq("writer" -> "identity-columns")
+
+  // ---- table properties (Delta's metaData.configuration) ----------
+  //
+  // Arbitrary (key, value) string pairs a table carries — the
+  // TBLPROPERTIES surface. `prop<TAB><b64 key><TAB><b64 value>` sets
+  // (last write wins, like Delta's configuration merge);
+  // `unprop<TAB><b64 key>` removes. Base64 both sides so arbitrary
+  // content can never collide with the tab/newline grammar; folded
+  // through checkpoints beside constraints.
+
+  /** The property-set log line. */
+  def propLine(k: String, v: String): String = {
+    def b64(s: String) = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    s"prop\t${b64(k)}\t${b64(v)}"
+  }
+
+  /** The property-unset log line. */
+  def unpropLine(k: String): String =
+    "unprop\t" + java.util.Base64.getEncoder
+      .encodeToString(k.getBytes("UTF-8"))
 
   /** Table-schema log line: `meta<TAB><base64(StructType.json)>` —
     * base64 so the JSON can never collide with the tab/newline
@@ -464,6 +487,8 @@ object Snapshot {
     val uncons = Seq.newBuilder[String]
     val feats = Seq.newBuilder[(String, String)]
     val cdcs = Seq.newBuilder[String]
+    val props = Seq.newBuilder[(String, String)]
+    val unprops = Seq.newBuilder[String]
     var idhw = Map.empty[String, Long]
     var txn = Option.empty[(String, Long)]
     var meta = Option.empty[StructType]
@@ -538,6 +563,13 @@ object Snapshot {
         case Array("idhw", c, hw) => // identity high-water (monotone)
           idhw = idhw.updated(c,
             math.max(hw.toLong, idhw.getOrElse(c, Long.MinValue)))
+        case Array("prop", k64, v64) =>
+          def un(b: String) = new String(
+            java.util.Base64.getDecoder.decode(b), "UTF-8")
+          props += ((un(k64), un(v64)))
+        case Array("unprop", k64) =>
+          unprops += new String(
+            java.util.Base64.getDecoder.decode(k64), "UTF-8")
         case Array("txn", w, b) => txn = Some((w, b.toLong))
         case Array("dv", dataPath, dvPath) => dvs += ((dataPath, dvPath))
         case Array("constraint", name, sql) => cons += ((name, sql))
@@ -548,7 +580,7 @@ object Snapshot {
     }
     Commit(v, adds.result(), rms.result(), txn, dvs.result(),
       cons.result(), meta, ts, uncons.result(), feats.result(),
-      cdcs.result(), idhw)
+      cdcs.result(), idhw, props.result(), unprops.result())
   }
 
   /** The commits with version in (fromExclusive, toInclusive] — parses
@@ -587,7 +619,8 @@ object Snapshot {
       txns: Map[String, Long],
       schema: Option[StructType] = None,
       features: Seq[(String, String)] = Nil,
-      idHw: Map[String, Long] = Map.empty) {
+      idHw: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty) {
     /** Feature names of one kind (`reader`/`writer`) this table
       * requires as of this fold. */
     def featuresOf(kind: String): Set[String] =
@@ -631,7 +664,8 @@ object Snapshot {
       ck.state.collect { case (f, Some(dv)) => s"dv\t${f.path}\t$dv" } ++
       ck.constraints.map { case (n, sql) => s"constraint\t$n\t$sql" } ++
       ck.txns.toSeq.sortBy(_._1).map { case (w, b) => s"txn\t$w\t$b" } ++
-      ck.idHw.toSeq.sortBy(_._1).map { case (c, h) => s"idhw\t$c\t$h" }
+      ck.idHw.toSeq.sortBy(_._1).map { case (c, h) => s"idhw\t$c\t$h" } ++
+      ck.props.toSeq.sortBy(_._1).map { case (k, v) => propLine(k, v) }
 
   /** The newest published checkpoint at or below `maxVersion` —
     * `_last_checkpoint` pointer first (one tiny read), directory-scan
@@ -656,7 +690,8 @@ object Snapshot {
         val dvMap = c.dvs.toMap
         Some(Checkpoint(v,
           c.added.map(f => (f, dvMap.get(f.path))),
-          c.constraints, txns, c.meta, c.features, c.idHw))
+          c.constraints, txns, c.meta, c.features, c.idHw,
+          c.props.toMap))
       }
     }
     val pointer = {
@@ -712,7 +747,13 @@ object Snapshot {
         case (m, (c, h)) =>
           m.updated(c, math.max(h, m.getOrElse(c, Long.MinValue)))
       }
-    Checkpoint(v, state, cons, txns, schema, feats, idHw)
+    // Table properties: last write wins per key, unset removes —
+    // Delta's configuration-merge semantic, replayed per commit.
+    val props = suffix.foldLeft(
+      base.map(_.props).getOrElse(Map.empty[String, String])) { (m, c) =>
+      (m ++ c.props) -- c.unprops
+    }
+    Checkpoint(v, state, cons, txns, schema, feats, idHw, props)
   }
 
   /** The folded table state as of `asOf`: last checkpoint ≤ asOf plus
@@ -1064,12 +1105,42 @@ object Snapshot {
       * against it. Generated/identity declarations from the
       * constructor stamp into the recorded schema exactly as a
       * first-data commit would. Refuses an existing table. */
-    def createTable(schema: StructType): Int = {
+    def createTable(schema: StructType,
+        properties: Map[String, String] = Map.empty): Int = {
       require(latestVersion < 0,
         s"createTable at $root: table already has commits")
       gateWrite(Snapshot.checkpointAt(fs, logPath, Int.MaxValue))
-      publish(Seq("v\t0", Snapshot.metaLine(stampGenerated(schema))), 0)
+      publish((s"v\t0" +: Snapshot.metaLine(stampGenerated(schema)) +:
+        properties.toSeq.sortBy(_._1)
+          .map { case (k, v) => Snapshot.propLine(k, v) }), 0)
       0
+    }
+
+    /** Table properties as of the head fold (Delta's
+      * metaData.configuration — the TBLPROPERTIES surface). */
+    def tableProperties: Map[String, String] =
+      Snapshot.checkpointAt(fs, logPath, Int.MaxValue).props
+
+    /** SET TBLPROPERTIES: a metadata-only commit recording `kvs`
+      * (last write per key wins — Delta's configuration merge). */
+    def setProperties(kvs: Map[String, String]): Int = {
+      require(kvs.nonEmpty, "setProperties: nothing to set")
+      gateWrite(headCk())
+      val version = latestVersion + 1
+      publish(s"v\t$version" +: kvs.toSeq.sortBy(_._1)
+        .map { case (k, v) => Snapshot.propLine(k, v) }, version)
+      version
+    }
+
+    /** UNSET TBLPROPERTIES: a metadata-only commit removing `keys`
+      * (absent keys are a no-op, like Delta's IF EXISTS form). */
+    def unsetProperties(keys: Seq[String]): Int = {
+      require(keys.nonEmpty, "unsetProperties: nothing to unset")
+      gateWrite(headCk())
+      val version = latestVersion + 1
+      publish(s"v\t$version" +: keys.distinct.sorted
+        .map(Snapshot.unpropLine), version)
+      version
     }
 
     /** Timestamp-based time travel (Delta's `timestampAsOf`): the last
@@ -2033,14 +2104,22 @@ object Snapshot {
       val state = if (lv < 0) Nil else liveState(lv)
       val ckptV = Snapshot.readCheckpointAtOrBelow(fs, logPath,
         Int.MaxValue).map(_.version).getOrElse(-1)
+      val ck = Snapshot.checkpointAt(fs, logPath, Int.MaxValue)
+      // partition layout: the RECORDED one when stamped (table
+      // metadata outranks this handle's config), else the config
+      val parts = ck.schema.map(Snapshot.partitionColsIn)
+        .filter(_.nonEmpty).getOrElse(partitionCols)
+      val props = ck.props.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(",")
       Seq((lv, state.size.toLong, state.map(_._1.rows).sum,
         state.count(_._2.isDefined).toLong,
-        partitionCols.mkString(","), statsCols.mkString(","),
-        bloomCols.mkString(","), constraints.size.toLong,
-        tableSchema.map(_.simpleString).getOrElse(""), ckptV))
+        parts.mkString(","), statsCols.mkString(","),
+        bloomCols.mkString(","), ck.constraints.size.toLong,
+        ck.schema.map(_.simpleString).getOrElse(""), ckptV, props))
         .toDF("version", "num_files", "manifest_rows", "num_dv_files",
           "partition_columns", "stats_columns", "bloom_columns",
-          "num_constraints", "schema", "checkpoint_version")
+          "num_constraints", "schema", "checkpoint_version",
+          "properties")
     }
 
     /** SHALLOW CLONE (the Delta CLONE semantic): create a new lake at

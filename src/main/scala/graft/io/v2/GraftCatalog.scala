@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
   SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
-  TableCatalog, TableChange}
+  TableCatalog, TableCatalogCapability, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
@@ -119,17 +119,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(identString(ident), p.toString, versionAsOf)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val p = pathOf(ident)
-    if (isTable(p)) throw new TableAlreadyExistsException(ident)
-    // PARTITIONED BY (col, ...): identity transforms become the
-    // table's RECORDED partition layout (stamped into the meta line by
-    // createTable), so every later INSERT — SQL or programmatic —
-    // keeps the hive layout and the manifest partition-pruning tier
-    // without re-declaring it.
-    val partCols = partitions.toSeq.map { t =>
+  /** PARTITIONED BY (col, ...): identity transforms become the
+    * table's RECORDED partition layout (stamped into the meta line by
+    * createTable), so every later INSERT — SQL or programmatic —
+    * keeps the hive layout and the manifest partition-pruning tier
+    * without re-declaring it. */
+  private def identityPartCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
       if (t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1)
         t.references()(0).fieldNames()(0)
@@ -138,8 +134,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "plain-column (identity) partitioning is supported — derive " +
           "bucketing/expressions with a generated column instead")
     }
+
+  /** DDL capabilities: the parser accepts GENERATED ALWAYS AS (expr)
+    * and GENERATED ALWAYS AS IDENTITY column clauses for this catalog
+    * — both map onto the lake's own generated/identity machinery. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      .asJava
+
+  /** CREATE TABLE with the full V2 column form — generation
+    * expressions and identity specs peel off into the Lake's
+    * declarations (recorded in the meta line like the programmatic
+    * constructor's); the plain shape delegates to the StructType
+    * form below. Only the ALWAYS identity form is implemented —
+    * GENERATED BY DEFAULT (allowExplicitInsert) refuses. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val generated = columns.toSeq.flatMap(c =>
+      Option(c.generationExpression).filter(_.nonEmpty)
+        .map(e => c.name -> e))
+    val identity = columns.toSeq.flatMap(c =>
+      Option(c.identityColumnSpec).map { s =>
+        require(!s.isAllowExplicitInsert, s"identity column " +
+          s"'${c.name}': GENERATED BY DEFAULT is not supported — " +
+          "this lake implements the ALWAYS form (the writer assigns)")
+        (c.name, s.getStart, s.getStep)
+      })
+    if (generated.isEmpty && identity.isEmpty)
+      return createTable(ident,
+        StructType(columns.map(c =>
+          StructField(c.name, c.dataType, c.nullable))),
+        partitions, properties)
+    val p = pathOf(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    val partCols = identityPartCols(partitions)
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external")
+    // plain name/type/nullable schema: the Lake stamps its OWN
+    // metadata form (graft.generated / graft.identity / graft.partcol)
+    val schema = StructType(columns.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
     Snapshot.Lake(SparkSession.active, p.toString,
-      partitionCols = partCols).createTable(schema)
+      partitionCols = partCols, generatedCols = generated,
+      identityCols = identity).createTable(schema, userProps)
+    new GraftSqlTable(identString(ident), p.toString, -1)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    val partCols = identityPartCols(partitions)
+    // Engine-managed keys Spark injects into every CREATE TABLE
+    // (provider/location/owner/external) stay out of the log; user
+    // TBLPROPERTIES (and comment) record as table configuration.
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external")
+    Snapshot.Lake(SparkSession.active, p.toString,
+      partitionCols = partCols).createTable(schema, userProps)
     new GraftSqlTable(identString(ident), p.toString, -1)
   }
 
@@ -152,7 +208,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val lake = Snapshot.Lake(SparkSession.active, p.toString)
+    // SET/UNSET TBLPROPERTIES batch into ONE metadata commit each
+    // (Spark hands all pairs of one statement together).
+    val sets = changes.collect { case c: TableChange.SetProperty =>
+      c.property -> c.value }
+    if (sets.nonEmpty) lake.setProperties(sets.toMap)
+    val unsets = changes.collect { case c: TableChange.RemoveProperty =>
+      c.property }
+    if (unsets.nonEmpty) lake.unsetProperties(unsets)
     changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        () // handled above
       case c: TableChange.RenameColumn =>
         require(c.fieldNames.length == 1,
           "nested columns are not supported")
@@ -253,11 +319,38 @@ class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
 
   override def name(): String = ident
 
-  override def schema(): StructType =
-    SnapshotStreamSource.logicalSchemaAndMap(root,
-        if (versionAsOf < 0) Int.MaxValue else versionAsOf)
-      .map(_._1)
-      .getOrElse(SnapshotStreamSource.unionSchema(root))
+  override def properties(): util.Map[String, String] =
+    SnapshotStreamSource.tableProperties(root).asJava
+
+  /** The logical schema with the lake's generated/identity
+    * declarations TRANSLATED to Spark's own field-metadata keys
+    * (GeneratedColumn / IdentityColumn in catalyst), so DESCRIBE and
+    * the DML analyzer see them the way native V2 identity/generated
+    * columns surface. Nullability relaxes to true like every lake
+    * read (pre-evolution files null-fill). */
+  override def schema(): StructType = {
+    val asOf = if (versionAsOf < 0) Int.MaxValue else versionAsOf
+    SnapshotStreamSource.recordedSchema(root, asOf).map { ts =>
+      StructType(ts.fields.map { f =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+        // Spark's metadata keys (catalyst GeneratedColumn /
+        // IdentityColumn — private[sql], so the literals are pinned
+        // here): GENERATION_EXPRESSION, identity.start/step/
+        // allowExplicitInsert.
+        if (f.metadata.contains(Snapshot.GenKey))
+          b.putString("GENERATION_EXPRESSION",
+            f.metadata.getString(Snapshot.GenKey))
+        if (f.metadata.contains(Snapshot.IdKey)) {
+          val Array(st, sp) =
+            f.metadata.getString(Snapshot.IdKey).split(":", 2)
+          b.putLong("identity.start", st.toLong)
+          b.putLong("identity.step", sp.toLong)
+          b.putBoolean("identity.allowExplicitInsert", false)
+        }
+        StructField(f.name, f.dataType, nullable = true, b.build())
+      })
+    }.getOrElse(SnapshotStreamSource.unionSchema(root))
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -284,8 +377,33 @@ class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
               require(versionAsOf < 0,
                 s"cannot INSERT into a time-travel relation of $ident")
               val lake = Snapshot.Lake(data.sparkSession, root)
-              if (overwrite || legacyOverwrite) lake.overwrite(data)
-              else lake.append(data)
+              // A column-list INSERT omitting a writer-assigned
+              // column (identity / generated) reaches here NULL-FILLED
+              // — the analyzer widens the narrow frame to the table
+              // schema. Drop the all-null writer-assigned columns so
+              // the lake assigns/derives them, exactly as a
+              // programmatic append that never carried them; columns
+              // carrying actual values stay and meet the same gates
+              // (ALWAYS refusal, provided-value validation). One
+              // insert-sized aggregate decides.
+              val assigned = SnapshotStreamSource.recordedSchema(root)
+                .map(_.fields.toSeq.filter(f =>
+                  f.metadata.contains(Snapshot.IdKey) ||
+                    f.metadata.contains(Snapshot.GenKey))
+                  .map(_.name).filter(data.columns.contains))
+                .getOrElse(Nil)
+              val df =
+                if (assigned.isEmpty) data
+                else {
+                  import org.apache.spark.sql.functions.{col, count}
+                  val aggs = assigned.map(c => count(col(c)).as(c))
+                  val r = data.agg(aggs.head, aggs.tail: _*).head()
+                  val omitted = assigned.filter(c =>
+                    r.getAs[Long](c) == 0L)
+                  data.drop(omitted: _*)
+                }
+              if (overwrite || legacyOverwrite) lake.overwrite(df)
+              else lake.append(df)
             }
           }
       }

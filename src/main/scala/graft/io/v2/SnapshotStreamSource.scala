@@ -173,6 +173,26 @@ object SnapshotStreamSource {
     versions(lo)
   }
 
+  /** The recorded schema with the lake's field metadata INTACT
+    * (generation expressions, identity specs, partition stamps) —
+    * the catalog table's translation source. Feature-gated like
+    * every schema read. */
+  def recordedSchema(root: String, asOf: Int = Int.MaxValue)
+      : Option[StructType] = {
+    val logPath = logPathOf(root)
+    gateFeatures(root,
+      Snapshot.checkpointAt(logPath.getFileSystem(conf), logPath, asOf))
+      .schema
+  }
+
+  /** Table properties at the head fold, session-free (the catalog's
+    * SHOW TBLPROPERTIES surface). */
+  def tableProperties(root: String): Map[String, String] = {
+    val logPath = logPathOf(root)
+    Snapshot.checkpointAt(logPath.getFileSystem(conf), logPath,
+      Int.MaxValue).props
+  }
+
   /** `timestampAsOf` resolution for the catalog's TIMESTAMP AS OF:
     * the LAST version whose publish stamp is ≤ `tsMillis` —
     * Lake.versionAtTimestamp's O(log n) tail-read binary search,

@@ -134,6 +134,10 @@ class LogGrammarPropertiesSpec extends SparkSpec {
         "txn\twriter-a\t42",
         "idhw\tid\t4090",
         "idhw\tid\t1010", // duplicate column folds MONOTONE (max wins)
+        // property values are arbitrary strings — tabs/newlines ride
+        // the base64 hop like meta does
+        Snapshot.propLine("owner.team", "data\teng\nline2"),
+        Snapshot.unpropLine("stale\tkey"),
         "ts\t1755300000000").mkString("\n")
       val out = fs.create(new Path(logPath, "00000007.commit"))
       out.write(record.getBytes("UTF-8")); out.close()
@@ -149,6 +153,9 @@ class LogGrammarPropertiesSpec extends SparkSpec {
       assert(c.txn === Some(("writer-a", 42L)))
       assert(c.idHw === Map("id" -> 4090L),
         "idhw lines fold per-column monotone max within a commit")
+      assert(c.props === Seq(("owner.team", "data\teng\nline2")),
+        "property values must survive the base64 hop verbatim")
+      assert(c.unprops === Seq("stale\tkey"))
       assert(c.ts === Some(1755300000000L))
       val m = c.meta.get
       assert(m.fieldNames.toSeq === Seq("k", "label"))

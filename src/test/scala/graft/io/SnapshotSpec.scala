@@ -830,6 +830,10 @@ class SnapshotSpec extends SparkSpec {
     assert(r.getAs[String]("schema").contains("k"))
     assert(r.getAs[Int]("checkpoint_version") === -1,
       "3 commits at interval 10: not yet checkpointed")
+    assert(r.getAs[String]("properties") === "")
+    lake.setProperties(Map("tier" -> "gold")) // v3
+    assert(lake.describeDetail().head().getAs[String]("properties")
+      === "tier=gold")
   }
 
   test("string zone maps: recorded per file, checkpoint round-trip, lexicographic pruning engages") {

@@ -135,6 +135,112 @@ class SqlLakeSpec extends SparkSpec {
         "PARTITIONED BY (days(ts))"))
   }
 
+  test("TBLPROPERTIES: recorded at CREATE, SET/UNSET are metadata-only commits, folded through checkpoints") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.c (k BIGINT) " +
+      "TBLPROPERTIES ('team' = 'iiot', 'tier' = 'gold')")
+    def props(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $cat.db.c").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team") === Some("iiot"))
+    assert(props().get("tier") === Some("gold"))
+    assert(!props().contains("provider"),
+      "engine-managed keys stay out of the table configuration")
+    spark.sql(s"ALTER TABLE $cat.db.c SET TBLPROPERTIES " +
+      "('tier' = 'platinum', 'retention' = '30d')")
+    spark.sql(s"ALTER TABLE $cat.db.c UNSET TBLPROPERTIES ('team')")
+    assert(props().get("tier") === Some("platinum"))
+    assert(props().get("retention") === Some("30d"))
+    assert(!props().contains("team"))
+    // Each statement is one metadata-only commit; the fold survives a
+    // checkpoint hop and the programmatic door reads the same map.
+    val lake = Snapshot.Lake(spark, s"$wh/db/c", checkpointInterval = 2)
+    assert(lake.tableProperties ===
+      Map("tier" -> "platinum", "retention" -> "30d"))
+    import spark.implicits._
+    lake.append(Seq(1L).toDF("k")) // v3
+    lake.append(Seq(2L).toDF("k")) // v4 (checkpoint at interval 2)
+    assert(Snapshot.Lake(spark, s"$wh/db/c").tableProperties ===
+      Map("tier" -> "platinum", "retention" -> "30d"),
+      "properties must fold through the checkpoint render→parse hop")
+    assert(lake.commits.find(_.version == 1).get.added.isEmpty,
+      "SET TBLPROPERTIES must be a metadata-only commit")
+  }
+
+  test("streaming and CDF SQL surfaces: readStream.table() drains catalog commits; a temp view serves the change feed") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.s (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.s VALUES (1, 'a'), (2, 'b')")
+    // Structured Streaming straight off the catalog table name — the
+    // same MICRO_BATCH_READ capability the path connector serves.
+    val name = s"sqlstream${System.nanoTime()}"
+    val q = spark.readStream.table(s"$cat.db.s")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", Files
+        .createTempDirectory("sql-stream-ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 2)
+      spark.sql(s"INSERT INTO $cat.db.s VALUES (3, 'c')")
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 3)
+    } finally q.stop()
+    // The change feed through PLAIN SQL: a temporary view over the
+    // connector with reader options — vanilla Spark syntax, no
+    // engine-specific parser extensions needed.
+    spark.sql(s"""CREATE TEMPORARY VIEW sqlcdf_$name
+      USING graft.io.v2.SnapshotStreamSource
+      OPTIONS (path '$wh/db/s', readChangeFeed 'true')""")
+    val feed = spark.sql(s"SELECT k, _change_type, _commit_version " +
+      s"FROM sqlcdf_$name ORDER BY _commit_version, k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(feed.toSeq === Seq((1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 2L)))
+  }
+
+  test("SQL DDL identity + generated columns: declarations wire into the lake's machinery") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"""CREATE TABLE $cat.db.i (
+      id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 10),
+      k BIGINT,
+      yr BIGINT GENERATED ALWAYS AS (k % 4 + 1990))""")
+    // The declarations landed in the lake's recorded schema.
+    val lake = Snapshot.Lake(spark, s"$wh/db/i")
+    assert(Snapshot.identityIn(lake.tableSchema.get) ===
+      Seq(("id", 1000L, 10L)))
+    assert(Snapshot.generatedIn(lake.tableSchema.get) ===
+      Seq(("yr", "k % 4 + 1990")))
+    // Programmatic appends assign the identity and derive the
+    // generated column from the DDL-recorded declarations.
+    import spark.implicits._
+    lake.append(Seq(1L, 2L, 7L).toDF("k"))
+    val rows = spark.sql(s"SELECT id, k, yr FROM $cat.db.i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 3)
+    assert(rows.map(_._1).distinct.length === 3)
+    assert(rows.forall { case (id, _, _) =>
+      id >= 1000L && (id - 1000L) % 10L == 0L })
+    assert(rows.forall { case (_, k, yr) => yr == k % 4 + 1990 })
+    // SQL INSERT with a column list omitting the writer-assigned
+    // columns: the schema's translated identity/generation metadata
+    // lets the analyzer pass the narrow frame through, and the lake
+    // assigns/derives like any programmatic append.
+    spark.sql(s"INSERT INTO $cat.db.i (k) VALUES (9)")
+    val after = spark.sql(s"SELECT id, k, yr FROM $cat.db.i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.length === 4)
+    assert(after.map(_._1).distinct.length === 4)
+    assert(after.find(_._2 == 9L).get._3 === 1991L)
+    // GENERATED BY DEFAULT refuses (the lake implements ALWAYS).
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.db.i2 (
+        id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        k BIGINT)"""))
+  }
+
   test("namespaces, rename table, existence edges") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ns1")
