@@ -230,6 +230,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case c: TableChange.AddColumn =>
         require(c.fieldNames.length == 1,
           "nested columns are not supported")
+        require(c.position() == null,
+          "ADD COLUMNS ... FIRST/AFTER is not supported — evolved " +
+            "columns append at the end (files predating them null-fill)")
         lake.evolveSchema(StructType(lake.tableSchema.getOrElse(
           sys.error(s"ALTER TABLE ${identString(ident)}: no recorded " +
             "schema to evolve — commit data or CREATE TABLE first"))
@@ -328,7 +331,12 @@ class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
     * the DML analyzer see them the way native V2 identity/generated
     * columns surface. Nullability relaxes to true like every lake
     * read (pre-evolution files null-fill). */
-  override def schema(): StructType = {
+  override def schema(): StructType = resolvedSchema
+
+  // one fold per Table INSTANCE (Spark calls schema() repeatedly
+  // while planning; an instance is one loadTable resolution, so
+  // caching can never serve a stale snapshot to a new query)
+  private lazy val resolvedSchema: StructType = {
     val asOf = if (versionAsOf < 0) Int.MaxValue else versionAsOf
     SnapshotStreamSource.recordedSchema(root, asOf).map { ts =>
       StructType(ts.fields.map { f =>

@@ -291,7 +291,12 @@ object SnapshotStreamSource {
         }
       } finally reader.close()
     }
-    acc.iterator.map { case (k, v) => k -> v.toArray.sorted }.toMap
+    // sorted + dedup'd: the write side already dedups carried
+    // positions, but the reader's single-cursor skip REQUIRES strict
+    // ascension — a duplicate would strand the cursor behind the
+    // stream and un-mask every later position.
+    acc.iterator.map { case (k, v) =>
+      k -> v.distinct.sorted.toArray }.toMap
   }
 
   /** Commits in (fromExclusive, toInclusive] — parses only the window,
@@ -751,6 +756,9 @@ class SnapshotParquetReader(file: String, required: StructType,
       current = reader.read()
       if (current == null) return false
       rowIdx += 1
+      // self-healing catch-up: a stale cursor (defensive — positions
+      // arrive strictly ascending) must never un-mask later rows
+      while (mi < masked.length && masked(mi) < rowIdx) mi += 1
       if (mi < masked.length && masked(mi) == rowIdx) mi += 1 // skip
       else return true
     }
