@@ -372,6 +372,113 @@ object Snapshot {
     }
   }
 
+  /** Generated-column predicate REWRITE over a folded state (the
+    * point of generated columns — Delta's partition-filter
+    * derivation), shared by [[Lake.pruneFilesGenerated]] and the V2
+    * connector's scan planning: the files of `ck.state` that can hold
+    * a row with `baseCol` ∈ [qLo, qHi], decided from the GENERATED
+    * partition values alone. Monotone single expressions map the base
+    * range through two 1-row evaluations; the composite
+    * (year, month[, day]) family prunes lexicographically. Null
+    * partitions skip (null g ⇔ null base, which no BETWEEN admits);
+    * unrecorded values must-scan; unrecognized expressions simply
+    * don't prune (the row predicate always re-applies — an I/O win,
+    * never semantics). */
+  def pruneGenerated(spark: SparkSession, ck: Checkpoint,
+      baseCol: String, qLo: Any, qHi: Any): Seq[FileStat] = {
+    val allGens = ck.schema.toSeq.flatMap(generatedIn)
+    val mono = allGens.filter { case (_, e) =>
+      monotoneBaseOf(e).contains(baseCol) }
+    // Composite (year, month[, day]) family over this base: month/
+    // day alone are non-monotone, but lexicographically under the
+    // year they prune exactly (Delta's year/month/day derivation).
+    val parts: Map[String, String] = allGens.flatMap { case (g, e) =>
+      datePartOf(e).collect {
+        case (p, b) if b == baseCol => p -> g } }.toMap
+    val composite = parts.contains("year") &&
+      (parts.contains("month") || parts.contains("day"))
+    if (mono.isEmpty && !composite) return ck.state.map(_._1)
+    // Evaluate every relevant expression at both endpoints — two
+    // 1-row local jobs, the whole rewrite's compute cost.
+    val evalGens = (mono ++ (if (composite)
+      parts.values.map(g => allGens.find(_._1 == g).get) else Nil))
+      .distinct
+    def evalAt(pt: Any): Seq[String] = spark.range(1)
+      .select(lit(pt).as(baseCol))
+      .select(evalGens.map { case (g, e) =>
+        expr(e).cast("string").as(g) }: _*)
+      .head().toSeq.map(x => if (x == null) null else x.toString)
+    val gLo = evalAt(qLo)
+    val gHi = evalAt(qHi)
+    val idx = evalGens.map(_._1).zipWithIndex.toMap
+    def inRange(raw: String, lo: String, hi: String): Boolean =
+      (raw.toLongOption, lo.toLongOption, hi.toLongOption) match {
+        case (Some(x), Some(l), Some(h)) => x >= l && x <= h
+        case _ => raw >= lo && raw <= hi // ISO dates: lexicographic
+      }
+    // A file's recorded value for generated column g — None when
+    // unrecorded (must-scan tier); Some(None) when the null
+    // partition (null g ⇔ null base ⇔ BETWEEN can't match).
+    def fragOf(f: FileStat, g: String): Option[Option[String]] =
+      f.parts.get(physicalIn(ck.schema, g)).map { frag =>
+        if (frag == NullPartitionName) None
+        else Some(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(frag))
+      }
+    def monoAdmits(f: FileStat): Boolean =
+      mono.forall { case (g, _) =>
+        fragOf(f, g) match {
+          case Some(None) => false
+          case Some(Some(raw)) =>
+            val (lo, hi) = (gLo(idx(g)), gHi(idx(g)))
+            if (lo == null || hi == null) true else inRange(raw, lo, hi)
+          case None => true
+        }
+      }
+    // Lexicographic (year, month, day) window compare: a tier only
+    // participates when the file records it AND both bound values
+    // evaluated non-null; a missing inner tier admits (conservative
+    // prefix compare — exactly a BETWEEN on the recorded prefix).
+    def compositeAdmits(f: FileStat): Boolean = {
+      if (!composite) return true
+      def tier(p: String): Option[Option[Long]] =
+        parts.get(p).flatMap(g => fragOf(f, g).map(_.flatMap(
+          _.toLongOption)))
+      def bound(p: String, side: Seq[String]): Option[Long] =
+        parts.get(p).flatMap(g => Option(side(idx(g)))
+          .flatMap(_.toLongOption))
+      (tier("year"), bound("year", gLo), bound("year", gHi)) match {
+        case (Some(None), _, _) => false // null year ⇔ null base
+        case (Some(Some(vy)), Some(ly), Some(hy)) =>
+          def prefixGe: Boolean = // (vy, vm, vd) >= (ly, lm, ld)
+            vy > ly || (vy == ly &&
+              ((tier("month"), bound("month", gLo)) match {
+                case (Some(Some(vm)), Some(lm)) =>
+                  vm > lm || (vm == lm &&
+                    ((tier("day"), bound("day", gLo)) match {
+                      case (Some(Some(vd)), Some(ld)) => vd >= ld
+                      case _ => true
+                    }))
+                case _ => true
+              }))
+          def prefixLe: Boolean = // (vy, vm, vd) <= (hy, hm, hd)
+            vy < hy || (vy == hy &&
+              ((tier("month"), bound("month", gHi)) match {
+                case (Some(Some(vm)), Some(hm)) =>
+                  vm < hm || (vm == hm &&
+                    ((tier("day"), bound("day", gHi)) match {
+                      case (Some(Some(vd)), Some(hd)) => vd <= hd
+                      case _ => true
+                    }))
+                case _ => true
+              }))
+          prefixGe && prefixLe
+        case _ => true // unrecorded year or null bounds: must scan
+      }
+    }
+    ck.state.map(_._1).filter(f => monoAdmits(f) && compositeAdmits(f))
+  }
+
   /** The field's physical (on-disk/manifest) name. */
   def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
@@ -1530,99 +1637,8 @@ object Snapshot {
     }
 
     private def pruneGeneratedIn(ck: Snapshot.Checkpoint,
-        baseCol: String, qLo: Any, qHi: Any): Seq[FileStat] = {
-      val allGens = ck.schema.toSeq.flatMap(Snapshot.generatedIn)
-      val mono = allGens.filter { case (_, e) =>
-        Snapshot.monotoneBaseOf(e).contains(baseCol) }
-      // Composite (year, month[, day]) family over this base: month/
-      // day alone are non-monotone, but lexicographically under the
-      // year they prune exactly (Delta's year/month/day derivation).
-      val parts: Map[String, String] = allGens.flatMap { case (g, e) =>
-        Snapshot.datePartOf(e).collect {
-          case (p, b) if b == baseCol => p -> g } }.toMap
-      val composite = parts.contains("year") &&
-        (parts.contains("month") || parts.contains("day"))
-      if (mono.isEmpty && !composite) return ck.state.map(_._1)
-      // Evaluate every relevant expression at both endpoints — two
-      // 1-row local jobs, the whole rewrite's compute cost.
-      val evalGens = (mono ++ (if (composite)
-        parts.values.map(g => allGens.find(_._1 == g).get) else Nil))
-        .distinct
-      def evalAt(pt: Any): Seq[String] = spark.range(1)
-        .select(lit(pt).as(baseCol))
-        .select(evalGens.map { case (g, e) =>
-          expr(e).cast("string").as(g) }: _*)
-        .head().toSeq.map(x => if (x == null) null else x.toString)
-      val gLo = evalAt(qLo)
-      val gHi = evalAt(qHi)
-      val idx = evalGens.map(_._1).zipWithIndex.toMap
-      def inRange(raw: String, lo: String, hi: String): Boolean =
-        (raw.toLongOption, lo.toLongOption, hi.toLongOption) match {
-          case (Some(x), Some(l), Some(h)) => x >= l && x <= h
-          case _ => raw >= lo && raw <= hi // ISO dates: lexicographic
-        }
-      // A file's recorded value for generated column g — None when
-      // unrecorded (must-scan tier); Some(None) when the null
-      // partition (null g ⇔ null base ⇔ BETWEEN can't match).
-      def fragOf(f: FileStat, g: String): Option[Option[String]] =
-        f.parts.get(Snapshot.physicalIn(ck.schema, g)).map { frag =>
-          if (frag == Snapshot.NullPartitionName) None
-          else Some(org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(frag))
-        }
-      def monoAdmits(f: FileStat): Boolean =
-        mono.forall { case (g, _) =>
-          fragOf(f, g) match {
-            case Some(None) => false
-            case Some(Some(raw)) =>
-              val (lo, hi) = (gLo(idx(g)), gHi(idx(g)))
-              if (lo == null || hi == null) true else inRange(raw, lo, hi)
-            case None => true
-          }
-        }
-      // Lexicographic (year, month, day) window compare: a tier only
-      // participates when the file records it AND both bound values
-      // evaluated non-null; a missing inner tier admits (conservative
-      // prefix compare — exactly a BETWEEN on the recorded prefix).
-      def compositeAdmits(f: FileStat): Boolean = {
-        if (!composite) return true
-        def tier(p: String): Option[Option[Long]] =
-          parts.get(p).flatMap(g => fragOf(f, g).map(_.flatMap(
-            _.toLongOption)))
-        def bound(p: String, side: Seq[String]): Option[Long] =
-          parts.get(p).flatMap(g => Option(side(idx(g)))
-            .flatMap(_.toLongOption))
-        (tier("year"), bound("year", gLo), bound("year", gHi)) match {
-          case (Some(None), _, _) => false // null year ⇔ null base
-          case (Some(Some(vy)), Some(ly), Some(hy)) =>
-            def prefixGe: Boolean = // (vy, vm, vd) >= (ly, lm, ld)
-              vy > ly || (vy == ly &&
-                ((tier("month"), bound("month", gLo)) match {
-                  case (Some(Some(vm)), Some(lm)) =>
-                    vm > lm || (vm == lm &&
-                      ((tier("day"), bound("day", gLo)) match {
-                        case (Some(Some(vd)), Some(ld)) => vd >= ld
-                        case _ => true
-                      }))
-                  case _ => true
-                }))
-            def prefixLe: Boolean = // (vy, vm, vd) <= (hy, hm, hd)
-              vy < hy || (vy == hy &&
-                ((tier("month"), bound("month", gHi)) match {
-                  case (Some(Some(vm)), Some(hm)) =>
-                    vm < hm || (vm == hm &&
-                      ((tier("day"), bound("day", gHi)) match {
-                        case (Some(Some(vd)), Some(hd)) => vd <= hd
-                        case _ => true
-                      }))
-                  case _ => true
-                }))
-            prefixGe && prefixLe
-          case _ => true // unrecorded year or null bounds: must scan
-        }
-      }
-      ck.state.map(_._1).filter(f => monoAdmits(f) && compositeAdmits(f))
-    }
+        baseCol: String, qLo: Any, qHi: Any): Seq[FileStat] =
+      Snapshot.pruneGenerated(spark, ck, baseCol, qLo, qHi)
 
     /** Base-column range read through the generated-column rewrite:
       * open only [[pruneFilesGenerated]]'s survivors (deletion
@@ -2759,8 +2775,18 @@ object Snapshot {
           d.withColumn(c, lit(hw) + lit(step) *
             (monotonically_increasing_id() + 1L))
         }
+      // Derivation casts to the DECLARED column type when the schema
+      // records one (a createTable-declared `yr BIGINT GENERATED
+      // ALWAYS AS (year(odate))` derives int — the cast closes the
+      // gap, Delta's own behavior); first-commit-recorded tables keep
+      // the expression's natural type, as before.
       val df = genMap.filterNot { case (g, _) => df0.columns.contains(g) }
-        .foldLeft(df1) { case (d, (g, e)) => d.withColumn(g, expr(e)) }
+        .foldLeft(df1) { case (d, (g, e)) =>
+          val declared = ck0.schema.flatMap(_.fields.find(_.name == g))
+            .map(_.dataType)
+          d.withColumn(g,
+            declared.map(t => expr(e).cast(t)).getOrElse(expr(e)))
+        }
       val providedGen = genMap.filter { case (g, _) =>
         df0.columns.contains(g) }
       def computeMetaLines(ck: Snapshot.Checkpoint)

@@ -23,8 +23,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
   ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType, IntegerType,
-  LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType,
+  FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -314,15 +314,20 @@ object SnapshotStreamSource {
     Snapshot.latestVersion(logPath.getFileSystem(conf), logPath)
   }
 
+  /** The gated checkpoint+suffix fold as of `asOf` — the ONE fold a
+    * batch scan plan pays (state + schema + generated declarations
+    * together). */
+  def ckAt(root: String, asOf: Int): Snapshot.Checkpoint = {
+    val logPath = logPathOf(root)
+    gateFeatures(root, Snapshot.checkpointAt(
+      logPath.getFileSystem(conf), logPath, asOf))
+  }
+
   /** Checkpoint-aware folded state as of `asOf` (Int.MaxValue =
     * latest) — O(checkpoint interval) log parses at any history
     * length. */
   def stateAt(root: String, asOf: Int)
-      : Seq[(Snapshot.FileStat, Option[String])] = {
-    val logPath = logPathOf(root)
-    gateFeatures(root, Snapshot.checkpointAt(
-      logPath.getFileSystem(conf), logPath, asOf)).state
-  }
+      : Seq[(Snapshot.FileStat, Option[String])] = ckAt(root, asOf).state
 
   /** Union of the live files' footer schemas in first-appearance order
     * (the mergeSchema semantic). One footer read per COMMIT directory,
@@ -355,6 +360,11 @@ object SnapshotStreamSource {
   private def toStructField(t: Type): StructField = {
     val dt = t.asPrimitiveType().getPrimitiveTypeName match {
       case PrimitiveTypeName.INT64 => LongType
+      case PrimitiveTypeName.INT32
+        if t.asPrimitiveType().getLogicalTypeAnnotation != null &&
+          t.asPrimitiveType().getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation
+              .DateLogicalTypeAnnotation] => DateType
       case PrimitiveTypeName.INT32 => IntegerType
       case PrimitiveTypeName.DOUBLE => DoubleType
       case PrimitiveTypeName.FLOAT => FloatType
@@ -418,15 +428,49 @@ class SnapshotScanBuilder(
 }
 
 object SnapshotScan {
+  /** Values the pruning tiers can reason about: numbers feed the
+    * zone/Bloom/partition tiers; date/timestamp literals feed the
+    * GENERATED-COLUMN rewrite (the zone tiers must-scan them). */
+  private def comparable(v: Any): Boolean =
+    v.isInstanceOf[java.lang.Number] || v.isInstanceOf[java.sql.Date] ||
+      v.isInstanceOf[java.sql.Timestamp] ||
+      v.isInstanceOf[java.time.LocalDate] ||
+      v.isInstanceOf[java.time.Instant]
+
   /** Filters the manifest can act on. */
   private[v2] def prunable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => v.isInstanceOf[java.lang.Number] ||
-      v.isInstanceOf[String]
-    case GreaterThan(_, v: java.lang.Number) => true
-    case GreaterThanOrEqual(_, v: java.lang.Number) => true
-    case LessThan(_, v: java.lang.Number) => true
-    case LessThanOrEqual(_, v: java.lang.Number) => true
+    case EqualTo(_, v) => comparable(v) || v.isInstanceOf[String]
+    case GreaterThan(_, v) => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v) => comparable(v)
+    case LessThanOrEqual(_, v) => comparable(v)
     case _ => false
+  }
+
+  /** CLOSED per-column windows in a pushed-filter conjunction — the
+    * generated-column rewrite's input. Any one bound per side is a
+    * valid window (rows must satisfy every conjunct), and a strict
+    * bound widens to closed (conservative: prunes less, never
+    * wrongly). One-sided windows are skipped — the rewrite needs both
+    * endpoints to evaluate. */
+  private[v2] def closedWindows(filters: Array[Filter])
+      : Seq[(String, (Any, Any))] = {
+    val los = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    val his = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    filters.foreach {
+      case GreaterThan(c, v) if comparable(v) =>
+        los.getOrElseUpdate(c, v)
+      case GreaterThanOrEqual(c, v) if comparable(v) =>
+        los.getOrElseUpdate(c, v)
+      case LessThan(c, v) if comparable(v) => his.getOrElseUpdate(c, v)
+      case LessThanOrEqual(c, v) if comparable(v) =>
+        his.getOrElseUpdate(c, v)
+      case EqualTo(c, v) if comparable(v) =>
+        los.getOrElseUpdate(c, v); his.getOrElseUpdate(c, v)
+      case _ => ()
+    }
+    los.keys.toSeq.filter(his.contains)
+      .map(c => c -> (los(c), his(c)))
   }
 
   /** Does `stat`'s manifest entry admit filter `f`? Missing stats ⇒
@@ -563,15 +607,36 @@ class SnapshotScan(root: String, required: StructType,
         SnapshotStreamSource.commitsRange(root, startingVersion - 1, end),
         ignoreChanges)
     }
-    val state =
+    val ck =
       if (versionAsOf < 0)
-        SnapshotStreamSource.stateAt(root, Int.MaxValue)
+        SnapshotStreamSource.ckAt(root, Int.MaxValue)
       else {
         require(SnapshotStreamSource.latestVersion(root) >= versionAsOf &&
           SnapshotStreamSource.commitsRange(root, versionAsOf - 1,
             versionAsOf).nonEmpty,
           s"versionAsOf=$versionAsOf: no such snapshot at $root")
-        SnapshotStreamSource.stateAt(root, versionAsOf)
+        SnapshotStreamSource.ckAt(root, versionAsOf)
+      }
+    val state = ck.state
+    // GENERATED-COLUMN partition rewrite through the connector (the
+    // Delta partition-filter derivation, round 19): a closed window
+    // on a base column maps through recorded monotone/composite
+    // generation expressions and prunes the generated `part:` tier —
+    // `WHERE odate BETWEEN x AND y` through SQL opens only that
+    // window's year partitions, same as Lake.readRangeGenerated. The
+    // two 1-row endpoint evaluations need a session (driver-side
+    // planning has one; absent ⇒ skip, pruning is never semantics).
+    val genKeep: Option[Set[String]] =
+      org.apache.spark.sql.SparkSession.getActiveSession.flatMap { sp =>
+        val windows = SnapshotScan.closedWindows(pruneFilters)
+          .map { case (c, w) =>
+            // filters arrive logical; pruneGenerated's baseCol is
+            // logical too — no translation needed
+            (c, w) }
+        if (windows.isEmpty || ck.schema.isEmpty) None
+        else Some(windows.map { case (c, (lo, hi)) =>
+          Snapshot.pruneGenerated(sp, ck, c, lo, hi)
+            .map(_.path).toSet }.reduce(_ intersect _))
       }
     // One planning-time pass over the DV files (deletion-sized; the
     // common all-plain state pays nothing), keyed by data rel path —
@@ -581,7 +646,8 @@ class SnapshotScan(root: String, required: StructType,
       else SnapshotStreamSource.dvPositions(root, state.flatMap(_._2))
     state
       .filter { case (f, _) =>
-        pruneFilters.forall(SnapshotScan.admits(f, _, mapping)) }
+        pruneFilters.forall(SnapshotScan.admits(f, _, mapping)) &&
+          genKeep.forall(_.contains(f.path)) }
       .map { case (f, dv) => LakeFilePartition(
         new Path(root, f.path).toString,
         masked = if (dv.isEmpty) Array.empty[Long]
@@ -777,6 +843,9 @@ class SnapshotParquetReader(file: String, required: StructType,
         case FloatType => current.getFloat(f.name, 0)
         case BooleanType => current.getBoolean(f.name, 0)
         case StringType => UTF8String.fromString(current.getString(f.name, 0))
+        // parquet DATE is INT32 days-since-epoch — exactly
+        // InternalRow's DateType encoding, a pass-through
+        case DateType => current.getInteger(f.name, 0)
         case other => sys.error(s"unsupported type $other for ${f.name}")
       }
     }
