@@ -148,21 +148,25 @@ object Bench {
       passTotals += (System.nanoTime() - p0) / 1e9
     }
     (1 to runs).foreach(runPass)
-    // Converged-pass guard (round 14): min-of-round-robin protects
-    // per-query minima, but an artifact whose pass totals disagree
-    // >1.3× reads as contended even when the minima are clean — the
-    // r12/r13 signature was pass_waits [.., 0, 0] with totals 1.35×
-    // apart, decaying external load invisible to the 1-min average at
-    // probe time. If no two passes agree within 1.3× of the best, run
-    // up to SPARK_GRAFT_BENCH_EXTRA_PASSES (default 2) additional
-    // full passes, each behind the same bounded quiet wait, until two
-    // do. Extra samples only improve minima; `converged` + the pass
+    // Converged-pass guard (round 14, tightened round 20): min-of-
+    // round-robin protects per-query minima, but an artifact whose
+    // pass totals disagree reads as contended even when the minima are
+    // clean — the r12/r13 signature was pass_waits [.., 0, 0] with
+    // totals 1.35× apart, decaying external load invisible to the
+    // 1-min average at probe time. Round 19 showed 1.3× is too loose:
+    // passes 428/344/490 "converged" (428 ≤ 344×1.3) yet every pass
+    // was ~40% ambient-inflated and the rewritten minima rode 14%
+    // above the committed quiet anchor. The gate is now two passes
+    // within 1.15× of the best; if none agree, run up to
+    // SPARK_GRAFT_BENCH_EXTRA_PASSES (default 2) additional full
+    // passes, each behind the same bounded quiet wait, until two do.
+    // Extra samples only improve minima; `converged` + the pass
     // arrays self-report the outcome either way.
     val extraBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2").toInt.max(0)
     def converged: Boolean = {
       val sorted = passTotals.sorted
-      sorted.size >= 2 && sorted(1) <= sorted(0) * 1.3
+      sorted.size >= 2 && sorted(1) <= sorted(0) * 1.15
     }
     var extraPasses = 0
     while (runs >= 2 && !converged && extraPasses < extraBudget) {
@@ -243,6 +247,26 @@ object Bench {
         k -> ((best - prevMinima(k)) / prevMinima(k) * 100.0)
     }
     val regressed = deltas.filter(_._2 > 20.0).map(_._1).sorted
+    // Ambient-inflation guard (round 20): the committed minima file IS
+    // the quiet anchor, so a run whose carried-query minima SUM reads
+    // >10% above it is contended end-to-end (per-query noise is
+    // strictly additive on this machine; a uniform suite-wide +10% has
+    // never been a code change — r19's driver artifact was +14% on
+    // pure-metadata queries a lake-only round cannot have touched).
+    // Such a run self-reports ambient_inflated and its minima write
+    // takes min(prev, cur) per query, so ambient noise can never RAISE
+    // the recorded baseline; genuine per-query regressions still
+    // surface through delta_vs_prev_pct / regressed_gt20pct, which
+    // diff the measured minima regardless.
+    val carriedOk = results.filter { case (k, _, _, st) =>
+      st == "ok" && prevMinima.get(k).exists(_ > 0) }
+    val prevSum = carriedOk.map { case (k, _, _, _) => prevMinima(k) }.sum
+    val curSum = carriedOk.map(_._2).sum
+    val ambientInflated = prevSum > 0 && curSum > prevSum * 1.10
+    if (ambientInflated)
+      System.err.println(f"[bench] WARNING ambient-inflated run: carried " +
+        f"minima sum $curSum%.1f s vs committed anchor $prevSum%.1f s " +
+        "(>1.10x) — minima write falls back to min(prev, cur) per query")
     try {
       // The rewritten file carries this run's ok minima PLUS the
       // previous baseline for queries that FAILED this run — a
@@ -250,9 +274,12 @@ object Bench {
       // successful run still diffs against real history). Queries
       // absent from the registry entirely drop out. Semantics are
       // vs-PREVIOUS-run by design (the per-round delta the tracking
-      // exists for), not all-time best.
+      // exists for), not all-time best — EXCEPT on an ambient-inflated
+      // run (see above), where cur floors at prev.
       val curOk = results.filter(_._4 == "ok")
-        .map { case (k, v, _, _) => k -> v }.toMap
+        .map { case (k, v, _, _) =>
+          k -> (if (ambientInflated)
+            math.min(v, prevMinima.getOrElse(k, v)) else v) }.toMap
       val failed = results.filter(_._4 != "ok").map(_._1).toSet
       val merged = curOk ++
         prevMinima.filter { case (k, _) => failed(k) }
@@ -283,6 +310,7 @@ object Bench {
         s""""pass_waits_sec":[${passWaits.mkString(",")}],""" +
         s""""loadavg_passes":[${passLoads.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""converged":$converged,"extra_passes":$extraPasses,""" +
+        s""""ambient_inflated":$ambientInflated,""" +
         s""""runs_per_query":$runs,"wall_sec":${r3(wallSec)},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     }
@@ -298,6 +326,7 @@ object Bench {
         s""""pass_totals":[${passTotals.map(r3).mkString(",")}],""" +
         s""""quiet_wait_sec":$quietWaitSec,""" +
         s""""converged":$converged,"extra_passes":$extraPasses,""" +
+        s""""ambient_inflated":$ambientInflated,""" +
         s""""pass_waits_sec":[${passWaits.mkString(",")}],""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     if (line.length > 1000)

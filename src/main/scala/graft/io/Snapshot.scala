@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -87,6 +87,19 @@ object Snapshot {
       idHw: Map[String, Long] = Map.empty,
       props: Seq[(String, String)] = Nil,
       unprops: Seq[String] = Nil)
+
+  /** One WHEN clause of [[Lake.merge]] (the SQL MERGE INTO grammar):
+    * `cond` is the clause's extra AND condition (None = unconditional),
+    * `set` the assignments — None means DELETE (matched clauses only);
+    * for NOT MATCHED clauses `set` is the INSERT value list (columns
+    * the clause omits insert NULL, or re-derive when generated).
+    * Column-reference convention (how SQL's two-sided expressions
+    * survive into single-frame evaluation): target columns by their
+    * plain names, source columns as `__src_<name>` — [[Lake.merge]]
+    * renames the source frame to match. First matching clause wins,
+    * clause order is the SQL order (Delta's semantics). */
+  final case class MergeClause(cond: Option[Column],
+      set: Option[Seq[(String, Column)]])
 
   // ---- protocol feature flags (the Delta protocol-action semantic) --
   //
@@ -207,6 +220,13 @@ object Snapshot {
   // (timescale_to_deltalake.py:36) served from the manifest alone.
 
   /** Field-metadata key carrying a generated column's expression. */
+  /** Table property enabling the change data feed (Delta's
+    * `delta.enableChangeDataFeed`): set via TBLPROPERTIES (SQL) or
+    * [[Lake.setProperties]], it turns CDF on for EVERY writer of the
+    * table — the constructor's `changeDataFeed` flag stays as the
+    * handle-scoped form. */
+  val CdfPropKey = "graft.changeDataFeed"
+
   val GenKey = "graft.generated"
 
   // ---- identity columns (Delta's GENERATED ALWAYS AS IDENTITY) ----
@@ -987,6 +1007,82 @@ object Snapshot {
     if (v == null) NullPartitionName
     else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(v)
+
+  /** `dt` with every NESTED nullability flag relaxed and nested field
+    * metadata stripped — the normalization under which two schemas
+    * are write-compatible (values bind by name+type; whether a writer
+    * marked an inner field non-nullable is not a type change). */
+  private[io] def nullNormalized(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f => f.copy(
+      dataType = nullNormalized(f.dataType), nullable = true,
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = nullNormalized(at.elementType),
+        containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(valueType = nullNormalized(mt.valueType),
+        valueContainsNull = true)
+    case x => x
+  }
+
+  /** Is `nxt` an ADDITIVE STRUCT WIDENING of `cur` — every existing
+    * (possibly nested) field survives with its exact type, and at
+    * least one level somewhere gains a field? Recurses through struct
+    * fields and array/map element types; anything else is a type
+    * change ([[Lake.evolveSchema]] refuses it). Field matching is by
+    * exact name — nested fields carry no physical-name tier
+    * (the column-mapping non-goal documented at evolveSchema). */
+  private[io] def structWidens(cur: DataType, nxt: DataType): Boolean =
+    (cur, nxt) match {
+      case (c: StructType, n: StructType) =>
+        c.fields.forall { cf =>
+          n.fields.find(_.name == cf.name).exists(nf =>
+            cf.dataType == nf.dataType ||
+              structWidens(cf.dataType, nf.dataType))
+        }
+      case (c: org.apache.spark.sql.types.ArrayType,
+            n: org.apache.spark.sql.types.ArrayType) =>
+        structWidens(c.elementType, n.elementType)
+      case (c: org.apache.spark.sql.types.MapType,
+            n: org.apache.spark.sql.types.MapType) =>
+        c.keyType == n.keyType && structWidens(c.valueType, n.valueType)
+      case _ => false
+    }
+
+  /** An equality conjunct `t = __src_s` (either side order) inside a
+    * merge ON condition — [[Lake.merge]]'s manifest touch-probe key.
+    * Only plain single-part attribute pairs qualify; anything else
+    * (expressions over the key, multi-part names) falls back to
+    * no-pruning, which is correct just slower. */
+  private[io] def equalityKeyOf(on: Column, targetCols: Set[String])
+      : Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
+      Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def name(e: Expression): Option[String] = e match {
+      case UnresolvedAttribute(parts) if parts.length == 1 =>
+        Some(parts.head)
+      case _ => None
+    }
+    val expr =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(on)
+    conjuncts(expr).flatMap {
+      case EqualTo(l, r) => (name(l), name(r)) match {
+        case (Some(a), Some(b))
+            if targetCols.contains(a) && b.startsWith("__src_") =>
+          Some((a, b))
+        case (Some(a), Some(b))
+            if targetCols.contains(b) && a.startsWith("__src_") =>
+          Some((b, a))
+        case _ => None
+      }
+      case _ => None
+    }.headOption
+  }
 
   /** Unsigned UTF-8 byte-order compare — the order Spark's min/max
     * computed the szone stats under (UTF8String's binary ordering).
@@ -1845,9 +1941,15 @@ object Snapshot {
 
     /** Name → dataType, nullability and field order ignored — the
       * write-compatibility key (appends bind columns by name;
-      * [[readState]] reads under an explicit schema either way). */
+      * [[readState]] reads under an explicit schema either way).
+      * NESTED nullability and field metadata normalize away too: a
+      * `named_struct` frame marks inner fields non-nullable while the
+      * recorded struct says nullable — the same value-compatible
+      * looseness the top-level contract always had (round 20, with
+      * nested additive evolution). */
     private def schemaKey(st: StructType): Map[String, DataType] =
-      st.fields.map(f => f.name -> f.dataType).toMap
+      st.fields.map(f =>
+        f.name -> Snapshot.nullNormalized(f.dataType)).toMap
 
     /** Write-side schema enforcement (the Delta contract): a
       * data-writing commit must carry EXACTLY the table's columns with
@@ -1881,10 +1983,18 @@ object Snapshot {
     /** Additive schema evolution (Delta's explicit-evolution shape):
       * publish a metadata-only commit carrying the widened schema.
       * Every existing column must survive with its exact type — drops
-      * and type changes are refused — and at least one column must be
-      * added. Later appends must then carry the widened schema; files
-      * written before the evolution null-fill on read (the
-      * [[readFiles]] mergeSchema semantic, unchanged). */
+      * and type changes are refused — and at least one column (or, as
+      * of round 20, one NESTED field: an additive STRUCT WIDENING of
+      * an existing column, one or more levels deep, incl. through
+      * array/map element types) must be added. Later appends must then
+      * carry the widened schema; files written before the evolution
+      * null-fill on read — for nested additions via parquet schema
+      * clipping (the explicit-read-schema path every state read
+      * already takes), exactly Delta's nested-add semantic. Nested
+      * RENAME/DROP stay refused: the column-mapping tier is top-level
+      * by design (physical names stamp per top-level field; a nested
+      * rename would need per-inner-field physical ids — Delta requires
+      * mapping mode 'name' for the same reason). */
     def evolveSchema(newSchema: StructType): Int = {
       val cur = gateWrite(headCk()).schema.getOrElse(sys.error(
         s"evolveSchema at $root: no recorded schema (empty table? the " +
@@ -1895,12 +2005,15 @@ object Snapshot {
       require(dropped.isEmpty,
         s"evolveSchema at $root: dropping column(s) ${dropped.mkString(", ")} " +
           "is not additive")
-      val retyped = curKey.keySet.filter(c => curKey(c) != newKey(c))
-        .toSeq.sorted
+      val changed = curKey.keySet.filter(c => curKey(c) != newKey(c))
+      val (widened, retyped0) = changed.partition(c =>
+        Snapshot.structWidens(curKey(c), newKey(c)))
+      val retyped = retyped0.toSeq.sorted
       require(retyped.isEmpty,
         s"evolveSchema at $root: type change on ${retyped.mkString(", ")} " +
-          "is refused (additive-only, the Delta discipline)")
-      require(newKey.size > curKey.size,
+          "is refused (additive-only, the Delta discipline — struct " +
+          "columns may only GAIN fields, never lose or retype them)")
+      require(newKey.size > curKey.size || widened.nonEmpty,
         s"evolveSchema at $root: no new columns — nothing to evolve")
       val version = latestVersion + 1
       // Preserve surviving fields VERBATIM (their physical-name
@@ -1912,7 +2025,13 @@ object Snapshot {
       // files' values under the new column.
       val existingPhys = cur.fields.map(Snapshot.physicalName).toSet
       val next = StructType(newSchema.fields.map { nf =>
-        cur.fields.find(_.name == nf.name).getOrElse {
+        cur.fields.find(_.name == nf.name).map { cf =>
+          // surviving fields keep their metadata (physical name,
+          // generated/identity declarations) VERBATIM; a struct
+          // widening takes the NEW (wider) type under the old metadata
+          if (cf.dataType == nf.dataType) cf
+          else cf.copy(dataType = nf.dataType)
+        }.getOrElse {
           if (Snapshot.mappingActive(cur)) {
             // The generated physical name must be FREE: a pre-existing
             // column whose physical name is literally `x__p<version>`
@@ -2317,10 +2436,23 @@ object Snapshot {
       // RESTORE rolls the TABLE SCHEMA back too (the Delta semantic):
       // when snapshot v predates an evolution, re-emit its meta line so
       // post-restore appends are validated against the restored shape.
-      val restoredSchema = Snapshot.checkpointAt(fs, logPath, v).schema
+      val ckTarget = Snapshot.checkpointAt(fs, logPath, v)
+      val restoredSchema = ckTarget.schema
       val metaRollback = restoredSchema
         .filter(s => ckHead.schema.exists(_.json != s.json))
         .map(Snapshot.metaLine).toSeq
+      // ... and TABLE PROPERTIES (Delta's RESTORE reinstates the
+      // earlier metaData.configuration): keys set/changed after v roll
+      // back to v's value, keys absent at v unset — the same diff
+      // treatment as metaRollback, emitted as ordinary prop/unprop
+      // lines in the restore commit.
+      val propRollback =
+        ckTarget.props.toSeq
+          .filter { case (k, pv) => !ckHead.props.get(k).contains(pv) }
+          .sortBy(_._1)
+          .map { case (k, pv) => Snapshot.propLine(k, pv) } ++
+        (ckHead.props.keySet -- ckTarget.props.keySet).toSeq.sorted
+          .map(Snapshot.unpropLine)
       val dvL = readmit.collect { case (f, Some(dv)) =>
         s"dv\t${f.path}\t$dv" }
       // CDF: a restore is a rewrite-shaped commit — its change rows
@@ -2328,7 +2460,7 @@ object Snapshot {
       val cdcL =
         if (rms.isEmpty && readmit.isEmpty) Nil // no-op restore
         else cdcLines(curState, readmit.map(_._1.path), rms, dvL,
-          restoredSchema.orElse(ckHead.schema), version)
+          restoredSchema.orElse(ckHead.schema), version, ckHead.props)
       // The grammar lines this commit emits stamp their protocol
       // requirements exactly as commit()/deleteKeysMor() do — a table
       // whose FIRST mutating commit is a restore still records that
@@ -2339,8 +2471,8 @@ object Snapshot {
         else Nil) ++
         (if (cdcL.nonEmpty) stampLines(ckHead, Snapshot.CdfFeatures)
         else Nil)
-      val record = (s"v\t$version" +: (metaRollback ++ featStamps ++
-        rms.map(p => s"rm\t$p"))) ++
+      val record = (s"v\t$version" +: (metaRollback ++ propRollback ++
+        featStamps ++ rms.map(p => s"rm\t$p"))) ++
         readmit.map(e => addLine(e._1)) ++ dvL ++ cdcL
       publish(record, version)
       version
@@ -2480,7 +2612,8 @@ object Snapshot {
         ck.schema)
       val cdcL =
         if (morLines.isEmpty) Nil
-        else cdcLines(state, Nil, Nil, morLines, ck.schema, version)
+        else cdcLines(state, Nil, Nil, morLines, ck.schema, version,
+          ck.props)
       publish((s"v\t$version" +:
         (stampLines(ck, Snapshot.DeletionVectorFeatures) ++
           (if (cdcL.nonEmpty) stampLines(ck, Snapshot.CdfFeatures)
@@ -2539,6 +2672,298 @@ object Snapshot {
           schema)))
     }
 
+    /** Merge-on-read DELETE by PREDICATE — SQL `DELETE FROM ... WHERE
+      * cond` ([[graft.io.v2.GraftSqlTable]] routes here): one scan of
+      * the candidate files with `cond` pushed into the parquet reader
+      * (row-group skipping), and only files that actually carry a
+      * matching LIVE row get a deletion vector — nothing rewrites, so
+      * the delete costs O(matches + scan-of-candidates) at any table
+      * size. `candidates` (when the caller pre-pruned on manifest
+      * stats — the SQL door does, via the connector's admits() tiers)
+      * must be a SUPERSET of the files holding matching rows; None
+      * scans all live files. Rows an existing DV already masks are
+      * excluded up front, so the CDF across the commit emits each row's
+      * delete exactly once. Zero matches publish an explicit no-op
+      * version (the audit trail records the attempt, like
+      * [[deleteKeysMor]]). */
+    def deleteWhere(cond: Column,
+        candidates: Option[Set[String]] = None): Int = {
+      val lv = latestVersion
+      require(lv >= 0, s"deleteWhere on an empty lake at $root")
+      val ck = gateWrite(ckAt(lv))
+      val cands = candidates
+        .map(c => ck.state.filter(e => c(e._1.path)))
+        .getOrElse(ck.state)
+      val version = lv + 1
+      def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
+      if (cands.isEmpty) return noop()
+      val hits = dropMasked(
+          readWithPos(cands.map(_._1), ck.schema).filter(cond), cands)
+        .select(col("__key").as("data_path"), col("__pos").as("pos"))
+        .localCheckpoint(true)
+      val hitRel = hits.select("data_path").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (hitRel.isEmpty) return noop()
+      val tEntries = cands.filter(e => hitRel(relKeyOf(e._1.path)))
+      val morLines = morDvLinesFromHits(tEntries, hits, version)
+      val cdcL =
+        if (morLines.isEmpty) Nil
+        else cdcLines(ck.state, Nil, Nil, morLines, ck.schema, version,
+          ck.props)
+      publish((s"v\t$version" +:
+        (stampLines(ck, Snapshot.DeletionVectorFeatures) ++
+          (if (cdcL.nonEmpty) stampLines(ck, Snapshot.CdfFeatures)
+           else Nil))) ++
+        morLines ++ cdcL, version)
+      version
+    }
+
+    /** Merge-on-read UPDATE by predicate — SQL `UPDATE ... SET ...
+      * WHERE cond`: matching live rows are DV-masked and their updated
+      * copies append as new files, ONE atomic commit ([[upsertMor]]'s
+      * shape with the new rows READ from the table instead of supplied)
+      * — O(matches + scan-of-candidates) at any size, no rewrite. SQL
+      * semantics: every SET right-hand side evaluates against the
+      * PRE-update row (one select, not sequential withColumn). Identity
+      * columns refuse assignment (GENERATED ALWAYS — the masked row's
+      * id rides into its updated copy unchanged); generated columns
+      * refuse too and are instead DROPPED from the copies so
+      * [[commit]] re-derives them — their dependees may have just
+      * changed (Delta's generated-column update semantic). CDF emits
+      * each update as its delete + insert pair. */
+    def updateWhere(cond: Column, set: Seq[(String, Column)],
+        candidates: Option[Set[String]] = None): Int = {
+      require(set.nonEmpty, "updateWhere: nothing to set")
+      val lv = latestVersion
+      require(lv >= 0, s"updateWhere on an empty lake at $root")
+      val ck = gateWrite(ckAt(lv))
+      val idCols = ck.schema.map(Snapshot.identityIn)
+        .getOrElse(identityCols).map(_._1).toSet
+      val genCols = ck.schema.map(Snapshot.generatedIn)
+        .getOrElse(generatedCols).map(_._1).toSet
+      set.foreach { case (c, _) =>
+        require(!idCols(c), s"updateWhere at $root: '$c' is GENERATED " +
+          "ALWAYS AS IDENTITY — ids never reassign; drop it from SET")
+        require(!genCols(c), s"updateWhere at $root: '$c' is a " +
+          "generated column — it re-derives from its expression; " +
+          "update the source columns instead")
+      }
+      val cands = candidates
+        .map(c => ck.state.filter(e => c(e._1.path)))
+        .getOrElse(ck.state)
+      val version = lv + 1
+      def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
+      if (cands.isEmpty) return noop()
+      val matched = dropMasked(
+          readWithPos(cands.map(_._1), ck.schema).filter(cond), cands)
+        .localCheckpoint(true)
+      val hits = matched
+        .select(col("__key").as("data_path"), col("__pos").as("pos"))
+      val hitRel = hits.select("data_path").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (hitRel.isEmpty) return noop()
+      val tEntries = cands.filter(e => hitRel(relKeyOf(e._1.path)))
+      val setMap = set.toMap
+      val dataCols = matched.columns.toSeq
+        .filterNot(Set("__key", "__pos"))
+      val updated = matched
+        .select(dataCols.map(c => setMap.getOrElse(c, col(c)).as(c)): _*)
+        .drop(genCols.toSeq: _*)
+      commit(updated, removed = Nil,
+        dvLines = morDvLinesFromHits(tEntries, hits, version))
+    }
+
+    /** Merge-on-read MERGE with the full SQL clause algebra — `MERGE
+      * INTO t USING s ON cond WHEN [NOT] MATCHED [AND c] THEN
+      * UPDATE/DELETE/INSERT` ([[graft.io.v2.GraftSqlTable]]'s SQL door
+      * routes here; [[upsertMor]] stays the fast path for the plain
+      * key-upsert shape). Column references follow
+      * [[Snapshot.MergeClause]]'s convention: target columns plain,
+      * source columns `__src_<name>` (the source frame is renamed on
+      * entry, so same-named columns never collide).
+      *
+      * Semantics (Delta's): first matching clause per row wins, in SQL
+      * order; a target row matched by MORE than one source row refuses
+      * (cardinality violation) whenever matched clauses exist; SET on
+      * an identity column refuses (ids ride into updated copies
+      * unchanged); generated columns re-derive in [[commit]] (their
+      * dependees may have changed); INSERT clauses into identity
+      * tables refuse — the union frame would carry ids for updated
+      * rows but need assignment for inserted ones, two contracts one
+      * commit cannot mix.
+      *
+      * 100 TB shape: when `on` carries an equality conjunct
+      * `t.k = __src_k`, only zone-intersecting files are scanned
+      * ([[touchedPaths]] — the same increment-sized touch probe as
+      * [[upsertMor]]); matched pairs come from ONE broadcast join of
+      * the touched-file scan against the (increment-sized) source, and
+      * the NOT MATCHED anti-join runs against the same touched rows —
+      * exact, because any target row satisfying the full ON condition
+      * lives in a zone-intersecting file. Matching rows DV-mask, new
+      * rows append, one atomic commit; nothing rewrites. */
+    def merge(source0: DataFrame, on: Column,
+        matched: Seq[Snapshot.MergeClause],
+        notMatched: Seq[Snapshot.MergeClause]): Int = {
+      require(matched.nonEmpty || notMatched.nonEmpty,
+        "merge: at least one WHEN clause is required")
+      // A matched UPDATE with an EMPTY set is legal (SQL `SET k = k`
+      // reduces to it): the row masks and re-appends identically —
+      // CDF's exceptAll cancellation then emits nothing for it.
+      notMatched.foreach(c => require(c.set.exists(_.nonEmpty),
+        "merge: a NOT MATCHED clause must be an INSERT with values"))
+      val lv = latestVersion
+      require(lv >= 0,
+        s"merge on an empty lake at $root — createTable or append first")
+      val ck = gateWrite(ckAt(lv))
+      val idCols = ck.schema.map(Snapshot.identityIn)
+        .getOrElse(identityCols).map(_._1)
+      require(idCols.isEmpty || notMatched.isEmpty,
+        s"merge at $root: WHEN NOT MATCHED INSERT into a table with " +
+          s"identity column(s) ${idCols.mkString(", ")} is not " +
+          "supported — updated rows must CARRY their ids while " +
+          "inserted rows need assignment; split the insert into a " +
+          "plain append")
+      val genCols = ck.schema.map(Snapshot.generatedIn)
+        .getOrElse(generatedCols).map(_._1).toSet
+      matched.foreach(_.set.toSeq.flatten.foreach { case (c, _) =>
+        require(!idCols.contains(c), s"merge at $root: '$c' is " +
+          "GENERATED ALWAYS AS IDENTITY — ids never reassign")
+      })
+      val src = source0.columns.foldLeft(source0)((d, c) =>
+        d.withColumnRenamed(c, s"__src_$c")).localCheckpoint(true)
+      // Equality-conjunct key for the manifest touch probe: any one
+      // `target = __src_x` pair bounds the files that can hold a match
+      // (zone maps are supersets) — without one, every live file is a
+      // candidate, exactly Delta's no-pushdown merge.
+      val tableColSet: Set[String] = ck.schema.map(_.fieldNames.toSet)
+        .getOrElse(Set.empty)
+      val eqKey = Snapshot.equalityKeyOf(on, tableColSet)
+      val touched = eqKey match {
+        case Some((tk, sk)) =>
+          val keys = src.select(col(sk).as(tk)).distinct()
+          val tp = touchedPaths(ck.state, keys, tk, ck.schema)
+          ck.state.filter(e => tp(e._1.path))
+        case None => ck.state
+      }
+      val version = lv + 1
+      def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
+      val tgtOpt =
+        if (touched.isEmpty) None
+        else Some(dropMasked(
+          readWithPos(touched.map(_._1), ck.schema), touched))
+      // Matched pairs with the winning clause index (first wins; -1 =
+      // matched but no clause condition held → the row stays put).
+      val actIdx = matched.zipWithIndex
+        .foldRight(lit(-1): Column) { case ((cl, i), els) =>
+          when(cl.cond.getOrElse(lit(true)), lit(i)).otherwise(els) }
+      val actedOpt = tgtOpt.filter(_ => matched.nonEmpty).map { tgt =>
+        val pairs = tgt.join(broadcast(src), on, "inner")
+        val acted = pairs.withColumn("__act", actIdx)
+          .filter(col("__act") >= 0).localCheckpoint(true)
+        val dup = acted.groupBy(col("__key"), col("__pos")).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0L, s"merge at $root: multiple source rows " +
+          "matched (and would update/delete) the same target row — " +
+          "the SQL MERGE cardinality violation; de-duplicate the " +
+          "source on the ON key")
+        acted
+      }
+      val hits = actedOpt.map(_.select(col("__key").as("data_path"),
+        col("__pos").as("pos")))
+      val hitRel = hits.map(_.select("data_path").distinct()
+        .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+      val tEntries = touched.filter(e => hitRel(relKeyOf(e._1.path)))
+      // Updated copies: per table column, the winning UPDATE clause's
+      // assignment (pre-update row semantics — everything evaluates
+      // against the joined pair, never a prior SET), cast to the
+      // declared type like any SQL assignment.
+      val tableCols: Seq[String] = ck.schema.map(_.fieldNames.toSeq)
+        .getOrElse(tgtOpt.map(_.columns.toSeq
+          .filterNot(c => c.startsWith("__src_") ||
+            c == "__key" || c == "__pos")).getOrElse(Nil))
+      def declaredCast(c: String, e: Column): Column =
+        ck.schema.flatMap(_.fields.find(_.name == c))
+          .map(f => e.cast(f.dataType)).getOrElse(e)
+      val updIdxs = matched.zipWithIndex.collect {
+        case (cl, i) if cl.set.isDefined => i }
+      val updRowsOpt = actedOpt.filter(_ => updIdxs.nonEmpty).map { a =>
+        def v(c: String): Column = declaredCast(c,
+          matched.zipWithIndex
+            .collect { case (cl, i) if cl.set.isDefined =>
+              (cl.set.get.toMap.get(c), i) }
+            .foldRight(col(c): Column) { case ((vOpt, i), els) =>
+              vOpt.map(x => when(col("__act") === i, x).otherwise(els))
+                .getOrElse(els) })
+        a.filter(col("__act").isin(updIdxs.map(Int.box): _*))
+          .select(tableCols.map(c => v(c).as(c)): _*)
+      }
+      // NOT MATCHED inserts: source rows with no live match anywhere
+      // (anti-join against the touched-file rows — exact, see above);
+      // first insert clause whose condition holds wins, omitted
+      // columns insert NULL of the declared type.
+      val insRowsOpt =
+        if (notMatched.isEmpty) None
+        else {
+          val nm = tgtOpt match {
+            case Some(t) => src.join(t, on, "left_anti")
+            case None => src
+          }
+          val insIdx = notMatched.zipWithIndex
+            .foldRight(lit(-1): Column) { case ((cl, i), els) =>
+              when(cl.cond.getOrElse(lit(true)), lit(i)).otherwise(els) }
+          val actedIns = nm.withColumn("__act", insIdx)
+            .filter(col("__act") >= 0)
+          def v(c: String): Column = declaredCast(c,
+            notMatched.zipWithIndex
+              .foldRight(lit(null): Column) { case ((cl, i), els) =>
+                cl.set.get.toMap.get(c)
+                  .map(x => when(col("__act") === i, x).otherwise(els))
+                  .getOrElse(els) })
+          Some(actedIns.select(tableCols.map(c => v(c).as(c)): _*))
+        }
+      // Generated columns re-derive in commit() (dropped from every
+      // frame — an updated row's dependees may have changed, and the
+      // insert path must agree with it column-for-column).
+      val frames = (updRowsOpt.toSeq ++ insRowsOpt.toSeq)
+        .map(_.drop(genCols.toSeq: _*))
+      if (frames.isEmpty && hitRel.isEmpty) return noop()
+      if (frames.isEmpty) {
+        // delete-only merge: pure-mask publish, deleteWhere's shape
+        val morLines = morDvLinesFromHits(tEntries, hits.get, version)
+        val cdcL =
+          if (morLines.isEmpty) Nil
+          else cdcLines(ck.state, Nil, Nil, morLines, ck.schema, version,
+            ck.props)
+        publish((s"v\t$version" +:
+          (stampLines(ck, Snapshot.DeletionVectorFeatures) ++
+            (if (cdcL.nonEmpty) stampLines(ck, Snapshot.CdfFeatures)
+             else Nil))) ++
+          morLines ++ cdcL, version)
+        version
+      } else commit(frames.reduce(_.unionByName(_)), removed = Nil,
+        dvLines =
+          if (hitRel.isEmpty) Nil
+          else morDvLinesFromHits(tEntries, hits.get, version))
+    }
+
+    /** DV-live filter for [[readWithPos]] frames: drop rows an
+      * existing deletion vector of `entries` already masks — the
+      * predicate-shaped DML ops must neither resurrect a masked row as
+      * an updated copy nor re-announce its delete in CDF. Broadcast
+      * anti-join, deletion-sized, exactly [[readState]]'s DV shape. */
+    private def dropMasked(df: DataFrame,
+        entries: Seq[(FileStat, Option[String])]): DataFrame = {
+      val dvPaths = entries.flatMap(_._2).distinct
+      if (dvPaths.isEmpty) df
+      else df.join(broadcast(
+          spark.read.parquet(dvPaths.map(p =>
+              new Path(rootPath, p).toString): _*)
+            .select(col("data_path").as("__dv_path"),
+              col("pos").as("__dv_pos"))),
+        col("__key") === col("__dv_path") &&
+          col("__pos") === col("__dv_pos"), "left_anti")
+    }
+
     /** Write the position-delete file masking `keys`' rows in the
       * touched files and render the `dv` pointer lines — the shared
       * write half of [[deleteKeysMor]], [[upsertMor]] and
@@ -2549,6 +2974,27 @@ object Snapshot {
         version: Int, schema: Option[StructType]): Seq[String] = {
       if (touched.isEmpty) return Nil
       val tEntries = state.filter(e => touched(e._1.path))
+      // Matching row positions — scans ONLY the touched files. Rows a
+      // prior DV already deleted may re-hit here; the union with the
+      // carried positions inside [[morDvLinesFromHits]] dedups them
+      // (`distinct`), so the new DV is the exact union either way.
+      val hits = readWithPos(tEntries.map(_._1), schema)
+        .join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col("__key").as("data_path"), col("__pos").as("pos"))
+      morDvLinesFromHits(tEntries, hits, version)
+    }
+
+    /** The write half of a MOR mask given the matched (rel path, pos)
+      * hits DIRECTLY — shared between the key-shaped ops above
+      * ([[deleteKeysMor]]/[[upsertMor]]/[[applyCdcMor]], which derive
+      * hits from a key semi-join) and the predicate-shaped SQL DML door
+      * ([[deleteWhere]]/[[updateWhere]]/[[merge]], which derive them
+      * from an arbitrary condition). Every hit path must belong to
+      * `tEntries` (the caller filters); empty when nothing matched. */
+    private def morDvLinesFromHits(
+        tEntries: Seq[(FileStat, Option[String])],
+        hits: DataFrame, version: Int): Seq[String] = {
+      if (tEntries.isEmpty) return Nil
       // DV parquets key rows by the REL form ([[relKey]]'s extraction
       // from `_metadata.file_path`); the dv POINTER lines below must
       // key by the file's MANIFEST path instead (absolute for
@@ -2556,13 +3002,6 @@ object Snapshot {
       // attaches them.
       val relToManifest = tEntries
         .map(e => relKeyOf(e._1.path) -> e._1.path).toMap
-      // Matching row positions — scans ONLY the touched files. Rows a
-      // prior DV already deleted may re-hit here; the union with the
-      // carried positions below dedups them (`distinct`), so the new
-      // DV is the exact union either way.
-      val hits = readWithPos(tEntries.map(_._1), schema)
-        .join(broadcast(keys), Seq(keyCol), "left_semi")
-        .select(col("__key").as("data_path"), col("__pos").as("pos"))
       // Carry forward the touched files' existing positions: the new
       // dv line REPLACES the old pointer, so the new file is the union.
       val oldDvPaths = tEntries.flatMap(_._2).distinct
@@ -2609,11 +3048,17 @@ object Snapshot {
       * appends cost nothing (their adds ARE the feed). Files are
       * written in PHYSICAL column space like data files, so mapped
       * tables stream CDF under the same projection path. */
+    /** CDF on = the handle flag OR the table property (Delta's
+      * `delta.enableChangeDataFeed` semantic — SQL TBLPROPERTIES turns
+      * the feed on for every writer, not one handle). */
+    private def cdfActive(props: Map[String, String]): Boolean =
+      changeDataFeed || props.get(Snapshot.CdfPropKey).contains("true")
+
     private def cdcLines(preState: Seq[(FileStat, Option[String])],
         addedPaths: Seq[String], removed: Seq[String],
         dvLines: Seq[String], schema: Option[StructType],
-        version: Int): Seq[String] = {
-      if (!changeDataFeed) return Nil
+        version: Int, props: Map[String, String]): Seq[String] = {
+      if (!cdfActive(props)) return Nil
       val dvPairs = dvLines.map { l =>
         val a = l.split('\t'); (a(1), a(2)) }
       val post = Snapshot.replayState(preState, Seq(Commit(version,
@@ -3014,7 +3459,7 @@ object Snapshot {
         if (removed.isEmpty && dvLines.isEmpty) Nil // pure append:
           // its adds ARE the feed, served natively — no cdc files
         else cdcLines(ck0.state, addLines.map(_.split('\t')(1)),
-          removed, dvLines, schemaSeen, version)
+          removed, dvLines, schemaSeen, version, ck0.props)
       val cdfStamps =
         if (cdcL.nonEmpty) stampLines(ck0, Snapshot.CdfFeatures) else Nil
       // Persist the new identity high-water as a log action: the max
@@ -3231,36 +3676,48 @@ object Snapshot {
       // window, and a reader can never observe partial content (the
       // payload was durable in tmp before the link existed). This is
       // the Delta LogStore "atomic put-if-absent" primitive.
+      // Refusing-rename stores (HDFS-like): the rename itself is the
+      // put-if-absent. Replacing-rename stores without atomic link:
+      // clobber DETECTION via read-back (see the supported-store
+      // contract on [[Lake]]) — if another process's rename replaced
+      // ours between publish and read-back, the content differs and
+      // this writer must treat the slot as lost. Always consumes tmp.
+      def renamePublish(): Boolean =
+        Snapshot.publishLock(root).synchronized {
+          if (fs.exists(target) || !fs.rename(tmp, target)) {
+            fs.delete(tmp, false)
+            false
+          } else {
+            val in = fs.open(target)
+            val back =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            back == payload
+          }
+        }
       if (Snapshot.isLocalFs(fs)) {
-        val won =
+        // Some local mounts (FAT/exFAT, certain FUSE stores) refuse
+        // link(2) with IOException/UnsupportedOperationException
+        // rather than EEXIST; those fall back to the lock+rename+
+        // read-back path instead of failing every commit outright —
+        // and the fallback (not an escaping exception) owns the tmp
+        // file, so a refusing mount never leaks it.
+        val won: Option[Boolean] =
           try {
             java.nio.file.Files.createLink(
               java.nio.file.Paths.get(target.toUri.getPath),
               java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
+            Some(true)
           } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException => Some(false)
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              None // no hard-link support — use the rename path
           }
-        fs.delete(tmp, false)
-        won
-      } else Snapshot.publishLock(root).synchronized {
-        // Refusing-rename stores (HDFS-like): the rename itself is the
-        // put-if-absent. Replacing-rename stores without atomic link:
-        // clobber DETECTION via read-back (see the supported-store
-        // contract on [[Lake]]) — if another process's rename replaced
-        // ours between publish and read-back, the content differs and
-        // this writer must treat the slot as lost.
-        if (fs.exists(target) || !fs.rename(tmp, target)) {
-          fs.delete(tmp, false)
-          false
-        } else {
-          val in = fs.open(target)
-          val back =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          back == payload
+        won match {
+          case Some(w) => fs.delete(tmp, false); w
+          case None => renamePublish()
         }
-      }
+      } else renamePublish()
     }
   }
 }

@@ -61,7 +61,17 @@ import graft.io.Snapshot
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: Path = _
-  private def conf = new Configuration()
+  // The ACTIVE session's hadoop conf (spark.hadoop.* + per-session
+  // overrides), not a fresh empty Configuration — invisible on local
+  // FS, load-bearing the day the warehouse is an object store whose
+  // credentials/endpoint arrive via spark.hadoop.* (round-19 verdict
+  // watch item 3). Falls back to an empty conf only when no session is
+  // active (never in normal catalog resolution — Spark initializes
+  // catalogs from a live session).
+  private[io] def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(org.apache.spark.sql.graftbridge.PlanBridge.sessionHadoopConf)
+      .getOrElse(new Configuration())
   private def fs = warehouse.getFileSystem(conf)
 
   override def initialize(name: String,
@@ -221,23 +231,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         () // handled above
       case c: TableChange.RenameColumn =>
         require(c.fieldNames.length == 1,
-          "nested columns are not supported")
+          "nested RENAME is not supported — the column-mapping tier " +
+            "stamps physical names per TOP-LEVEL field only (a nested " +
+            "rename needs per-inner-field ids, Delta's mapping mode " +
+            "'name'); rewrite the whole struct column instead")
         lake.renameColumn(c.fieldNames()(0), c.newName())
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1,
-          "nested columns are not supported")
+          "nested DROP is not supported — same top-level mapping " +
+            "non-goal as nested RENAME; rewrite the whole struct column")
         lake.dropColumn(c.fieldNames()(0))
       case c: TableChange.AddColumn =>
-        require(c.fieldNames.length == 1,
-          "nested columns are not supported")
         require(c.position() == null,
           "ADD COLUMNS ... FIRST/AFTER is not supported — evolved " +
             "columns append at the end (files predating them null-fill)")
-        lake.evolveSchema(StructType(lake.tableSchema.getOrElse(
+        val cur = lake.tableSchema.getOrElse(
           sys.error(s"ALTER TABLE ${identString(ident)}: no recorded " +
             "schema to evolve — commit data or CREATE TABLE first"))
-          .fields :+ StructField(c.fieldNames()(0), c.dataType(),
-            c.isNullable)))
+        c.fieldNames.toSeq match {
+          case Seq(name) =>
+            lake.evolveSchema(StructType(cur.fields :+
+              StructField(name, c.dataType(), c.isNullable)))
+          case Seq(parent, child) =>
+            // one level of nesting: ADD COLUMNS (parent.child TYPE)
+            // widens the existing struct column — a metadata-only
+            // evolveSchema commit; files predating it null-fill the
+            // new field via parquet schema clipping.
+            val pf = cur.fields.find(_.name == parent).getOrElse(
+              sys.error(s"ALTER TABLE ${identString(ident)}: no " +
+                s"column '$parent' to add '$child' into"))
+            val widened = pf.dataType match {
+              case st: StructType =>
+                require(!st.fieldNames.contains(child),
+                  s"ALTER TABLE ${identString(ident)}: field " +
+                    s"'$parent.$child' already exists")
+                StructType(st.fields :+
+                  StructField(child, c.dataType(), c.isNullable))
+              case other => sys.error(
+                s"ALTER TABLE ${identString(ident)}: '$parent' is " +
+                  s"${other.simpleString}, not a struct — nested ADD " +
+                  "needs a struct parent")
+            }
+            lake.evolveSchema(StructType(cur.fields.map(f =>
+              if (f.name == parent) f.copy(dataType = widened) else f)))
+          case parts => throw new UnsupportedOperationException(
+            s"ALTER TABLE ${identString(ident)}: ADD COLUMNS " +
+              s"${parts.mkString(".")} — only one level of nesting " +
+              "is supported")
+        }
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${identString(ident)}: unsupported change " +
           s"${other.getClass.getSimpleName} — supported: RENAME " +
@@ -318,9 +359,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * generated/identity derivation — SQL inserts and programmatic
   * appends are the same code path). */
 class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = ident
+  /** The lake root / pinned version, for [[GraftDmlRule]]'s rewrite. */
+  private[v2] def tableRoot: String = root
+  private[v2] def pinnedVersion: Int = versionAsOf
+
+  /** Filter-shaped SQL DELETE without the extensions installed —
+    * Spark's own `DeleteFromTableExec` door. Both doors call the same
+    * [[Snapshot.Lake.deleteWhere]]; with [[graft.plans.GraftExtensions]]
+    * active, [[GraftDmlRule]] intercepts first and also covers
+    * conditions V1 filters can't express. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    versionAsOf < 0 && filters.forall(GraftDml.filterToColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf < 0,
+      s"cannot DELETE FROM a time-travel relation of $ident")
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.toSeq.flatMap(GraftDml.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshot.Lake(SparkSession.active, root)
+      .deleteWhere(cond, GraftDml.candidates(root, filters.toSeq))
+  }
 
   override def properties(): util.Map[String, String] =
     SnapshotStreamSource.tableProperties(root).asJava
@@ -393,7 +458,22 @@ class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
               // programmatic append that never carried them; columns
               // carrying actual values stay and meet the same gates
               // (ALWAYS refusal, provided-value validation). One
-              // insert-sized aggregate decides.
+              // insert-sized aggregate over a PINNED input decides
+              // (localCheckpoint: the count and the write must see the
+              // same rows — re-executing a non-deterministic source
+              // for the aggregate could diverge from the written pass).
+              //
+              // PINNED CONTRACT (SqlLakeSpec "explicit NULL"): an
+              // INSERT providing explicit NULL for every row of a
+              // writer-assigned column is INDISTINGUISHABLE from an
+              // omitted column after the analyzer's null-fill, so it
+              // is treated as omitted — the writer assigns/derives.
+              // (Delta refuses the explicit form; refusing here would
+              // refuse the legitimate omitted form too, which the
+              // analyzer presents identically.) A column carrying a
+              // MIX of values and NULLs stays provided: identity
+              // ALWAYS refuses it, generated value-validation rejects
+              // the NULL rows — both loud.
               val assigned = SnapshotStreamSource.recordedSchema(root)
                 .map(_.fields.toSeq.filter(f =>
                   f.metadata.contains(Snapshot.IdKey) ||
@@ -404,11 +484,12 @@ class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
                 if (assigned.isEmpty) data
                 else {
                   import org.apache.spark.sql.functions.{col, count}
+                  val pinned = data.localCheckpoint(true)
                   val aggs = assigned.map(c => count(col(c)).as(c))
-                  val r = data.agg(aggs.head, aggs.tail: _*).head()
+                  val r = pinned.agg(aggs.head, aggs.tail: _*).head()
                   val omitted = assigned.filter(c =>
                     r.getAs[Long](c) == 0L)
-                  data.drop(omitted: _*)
+                  pinned.drop(omitted: _*)
                 }
               if (overwrite || legacyOverwrite) lake.overwrite(df)
               else lake.append(df)

@@ -493,19 +493,27 @@ object SnapshotScan {
     // NUMERIC partition equality: spelling-insensitive (a DecimalType
     // partition stores '5.00' but probes as '5.0' — a string-exact
     // compare would FALSE-PRUNE, losing rows). Equal spellings answer
-    // fast; otherwise compare as numbers, and a fragment that is not
-    // numerically comparable (null sentinel, exotic form) must-scans —
-    // the residual filter drops its rows, mirroring partLong.
-    def partEqNum(c: String, v: java.lang.Number): Boolean =
+    // fast; the NULL-partition sentinel prunes outright (no equality
+    // admits a null — the string-exact form always pruned it, and
+    // must-scan here would admit every numeric probe into the null
+    // partition); otherwise compare as numbers, parsing the probe side
+    // ONCE per filter, and a fragment that is not numerically
+    // comparable (exotic form) must-scans — the residual filter drops
+    // its rows, mirroring partLong.
+    def partEqNum(c: String, v: java.lang.Number): Boolean = {
+      lazy val probe = scala.util.Try(BigDecimal(v.toString)).toOption
       stat.parts.get(phys(c)).forall { frag =>
-        frag == Snapshot.escapedPartValue(v.toString) || {
-          val s = org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(frag)
-          scala.util.Try(
-            BigDecimal(s).compare(BigDecimal(v.toString)) == 0)
-            .getOrElse(true)
-        }
+        frag == Snapshot.escapedPartValue(v.toString) ||
+          (frag != Snapshot.NullPartitionName && {
+            val s = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(frag)
+            (scala.util.Try(BigDecimal(s)).toOption, probe) match {
+              case (Some(a), Some(b)) => a.compare(b) == 0
+              case _ => true
+            }
+          })
       }
+    }
     // numeric partition value for range compares; None (no partition
     // value, or non-numeric — incl. the null-partition sentinel,
     // whose rows no comparison admits but the residual filter drops)
@@ -794,9 +802,11 @@ class SnapshotParquetReader(file: String, required: StructType,
   }
   private val path = new Path(file)
   private val fileSchema = SnapshotStreamSource.footerSchema(path)
-  private val present: Map[String, PrimitiveType] =
-    fileSchema.getFields.asScala
-      .map(t => t.getName -> t.asPrimitiveType()).toMap
+  // Type, not PrimitiveType: STRUCT columns arrive as parquet GROUPS
+  // (round 20, nested schema tier) — the projection ships the file's
+  // own group type whole and [[get]] converts recursively.
+  private val present: Map[String, Type] =
+    fileSchema.getFields.asScala.map(t => t.getName -> t).toMap
   private val projected = required.fields.filter(f => present.contains(f.name))
 
   private val reader: ParquetReader[Group] = {
@@ -831,23 +841,39 @@ class SnapshotParquetReader(file: String, required: StructType,
     false // unreachable
   }
 
+  /** One field of group `g` as its InternalRow encoding. STRUCTS
+    * recurse: inner fields the FILE's group type lacks (written before
+    * a nested additive evolution) null-fill, mirroring parquet schema
+    * clipping on the DataFrame read path. */
+  private def convert(g: org.apache.parquet.example.data.Group,
+      name: String, dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case st: StructType =>
+        val sub = g.getGroup(name, 0)
+        val gt = sub.getType
+        InternalRow.fromSeq(st.fields.toIndexedSeq.map { sf =>
+          if (!gt.containsField(sf.name) ||
+              sub.getFieldRepetitionCount(sf.name) == 0) null
+          else convert(sub, sf.name, sf.dataType)
+        })
+      case LongType => g.getLong(name, 0)
+      case IntegerType => g.getInteger(name, 0)
+      case DoubleType => g.getDouble(name, 0)
+      case FloatType => g.getFloat(name, 0)
+      case BooleanType => g.getBoolean(name, 0)
+      case StringType => UTF8String.fromString(g.getString(name, 0))
+      // parquet DATE is INT32 days-since-epoch — exactly
+      // InternalRow's DateType encoding, a pass-through
+      case DateType => g.getInteger(name, 0)
+      case other => sys.error(s"unsupported type $other for $name")
+    }
+
   override def get(): InternalRow = {
     val values: Array[Any] = required.fields.map { f =>
       if (cdfConst(f.name).isDefined) cdfConst(f.name).get
       else if (!present.contains(f.name) ||
           current.getFieldRepetitionCount(f.name) == 0) null
-      else f.dataType match {
-        case LongType => current.getLong(f.name, 0)
-        case IntegerType => current.getInteger(f.name, 0)
-        case DoubleType => current.getDouble(f.name, 0)
-        case FloatType => current.getFloat(f.name, 0)
-        case BooleanType => current.getBoolean(f.name, 0)
-        case StringType => UTF8String.fromString(current.getString(f.name, 0))
-        // parquet DATE is INT32 days-since-epoch — exactly
-        // InternalRow's DateType encoding, a pass-through
-        case DateType => current.getInteger(f.name, 0)
-        case other => sys.error(s"unsupported type $other for ${f.name}")
-      }
+      else convert(current, f.name, f.dataType)
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }

@@ -91,5 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteTop1PerKey)
     // whole-operator extension (tier c): grouped top-k physical operator
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // SQL row-level DML (DELETE FROM / UPDATE / MERGE INTO) over lake
+    // catalog tables → the Lake's merge-on-read machinery (Delta's
+    // DeltaAnalysis architecture; see graft.io.v2.GraftDmlRule)
+    e.injectPostHocResolutionRule(_ => graft.io.v2.GraftDmlRule)
   }
 }

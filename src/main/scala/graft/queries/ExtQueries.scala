@@ -309,12 +309,16 @@ object ExtQueries {
   // TEXT through [[graft.io.v2.GraftCatalog]] — CREATE TABLE, two
   // INSERT INTO ... SELECT commits (disjoint % 3 orders slices), so
   // VERSION AS OF 1 sees exactly the first slice. The catalog name
-  // embeds the sfDir hash: Spark caches one catalog instance per name,
-  // and each scale factor needs its own warehouse binding.
+  // embeds a COLLISION-FREE encoding of the sfDir (hex of its UTF-8
+  // bytes — abs(hashCode) collides, and abs(Int.MinValue) is even
+  // negative): Spark caches one catalog instance per name, and two
+  // scale factors sharing a name would bind the second to the first's
+  // warehouse and silently serve its data.
   private val sqlCatDirs = scala.collection.mutable.Map.empty[String, String]
   private def sqlCatalog(s: SparkSession, d: String): String =
     lakeLock.synchronized {
-      val cat = s"graft_sql_${math.abs(d.hashCode)}"
+      val cat = "graft_sql_" + d.getBytes("UTF-8")
+        .map(b => f"${b & 0xff}%02x").mkString
       if (!sqlCatDirs.contains(d)) {
         val wh = java.nio.file.Files
           .createTempDirectory("graft-sqlwh-").toString
@@ -337,6 +341,54 @@ object ExtQueries {
     }
   private def sqlCatalogRoot(d: String): String =
     s"${sqlCatDirs(d)}/db/orders_t"
+
+  // SQL row-level DML warehouse (round 20): the full DELETE FROM /
+  // UPDATE / MERGE INTO lifecycle driven by SQL TEXT through the
+  // catalog + GraftDmlRule (the reference's own lifecycle — retention
+  // delete init-db.sql:43-44, nightly upsert timescale_to_deltalake
+  // .py:37 — as a SQL consumer expresses it). Disjoint % 10 bands per
+  // statement keep every effect independently auditable: band 3
+  // deleted, band 4 updated (+7), band 5 merge-deleted, band 6
+  // merge-updated (×2), band 7 mirrored to negative keys by the
+  // merge's NOT MATCHED INSERT. All three mutations are merge-on-read
+  // (DV masks, zero rewrites) — asserted from the commit log.
+  private val dmlCatDirs = scala.collection.mutable.Map.empty[String, String]
+  private def dmlCatalog(s: SparkSession, d: String): String =
+    lakeLock.synchronized {
+      val cat = "graft_dml_" + d.getBytes("UTF-8")
+        .map(b => f"${b & 0xff}%02x").mkString
+      if (!dmlCatDirs.contains(d)) {
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-dmlwh-").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.io.v2.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.dml_t (k BIGINT, cents BIGINT)")
+        Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+          .createOrReplaceTempView(s"dml_src_$cat")
+        s.sql(s"INSERT INTO $cat.db.dml_t " +
+          s"SELECT k, cents FROM dml_src_$cat")                    // v1
+        s.sql(s"DELETE FROM $cat.db.dml_t WHERE k % 10 = 3")       // v2
+        s.sql(s"UPDATE $cat.db.dml_t SET cents = cents + 7 " +
+          "WHERE k % 10 = 4")                                      // v3
+        s.sql(s"""MERGE INTO $cat.db.dml_t t
+          USING (SELECT k, cents * 2 AS nc FROM dml_src_$cat
+                 WHERE k % 10 IN (5, 6)
+                 UNION ALL
+                 SELECT -k AS k, CAST(11 AS BIGINT) AS nc
+                 FROM dml_src_$cat WHERE k % 10 = 7) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.k % 10 = 5 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET cents = s.nc
+          WHEN NOT MATCHED THEN INSERT (k, cents)
+            VALUES (s.k, s.nc)""")                                 // v4
+        dmlCatDirs(d) = wh
+      }
+      cat
+    }
 
   /** Probe-only fixture accessors (SCALE.md tooling reaches the
     * same per-JVM cached lakes the queries open; never in a query). */
@@ -2126,6 +2178,37 @@ object ExtQueries {
         "VERSION AS OF 1").head().getLong(0)
       head.crossJoin(broadcast(v1))
         .withColumn("ts_equals_v1", lit(tsRows == v1Rows))
+    },
+
+    // SQL row-level DML (round 20): DELETE FROM / UPDATE / MERGE INTO
+    // through the catalog (GraftDmlRule → Lake.deleteWhere/updateWhere/
+    // merge — merge-on-read DV masks, zero rewrites). The final state
+    // replays relationally; the MOR shape is asserted from the commit
+    // log itself (a rewrite-shaped delete would flip the TRUE cells).
+    "lake_sql_dml" -> { (s, d) =>
+      val cat = dmlCatalog(s, d)
+      val lake = graft.io.Snapshot.Lake(s, s"${dmlCatDirs(d)}/db/dml_t")
+      val c2 = lake.commits.find(_.version == 2).get // DELETE
+      val c3 = lake.commits.find(_.version == 3).get // UPDATE
+      val c4 = lake.commits.find(_.version == 4).get // MERGE
+      val morDelete = c2.dvs.nonEmpty && c2.removed.isEmpty &&
+        c2.added.isEmpty
+      val morUpdate = c3.dvs.nonEmpty && c3.removed.isEmpty &&
+        c3.added.nonEmpty
+      val morMerge = c4.dvs.nonEmpty && c4.removed.isEmpty &&
+        c4.added.nonEmpty
+      s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_inserted,
+          CAST(sum(CASE WHEN k > 0 AND k % 10 = 4 THEN cents ELSE 0 END)
+            AS BIGINT) AS cents_after_update,
+          CAST(sum(CASE WHEN k > 0 AND k % 10 IN (3, 5) THEN 1 ELSE 0
+            END) AS BIGINT) AS n_deleted_bands
+        FROM $cat.db.dml_t""")
+        .withColumn("delete_was_mor", lit(morDelete))
+        .withColumn("update_was_mor", lit(morUpdate))
+        .withColumn("merge_was_mor", lit(morMerge))
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -7626,6 +7709,42 @@ object ExtQueries {
         |  (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 0)
         |    AS v1_cents,
         |  true AS ts_equals_v1""".stripMargin,
+
+    // lake_sql_dml: the four-statement SQL DML lifecycle replays
+    // relationally — band 3 deleted, band 4 updated (+7), band 5
+    // merge-deleted, band 6 merge-updated (×2, from the PRE-update
+    // value: bands 4 and 6 are disjoint so v3's cents = o's cents
+    // there), band 7 mirrored to negative keys by NOT MATCHED INSERT.
+    // The *_was_mor cells are construction-asserted TRUE (read from
+    // the commit log: dv lines present, zero rm lines — a
+    // copy-on-write delete would flip them).
+    "lake_sql_dml" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |               AS cents
+        |           FROM orders),
+        |v2 AS (SELECT * FROM o WHERE k % 10 <> 3),
+        |v3 AS (SELECT k, CASE WHEN k % 10 = 4 THEN cents + 7
+        |                      ELSE cents END AS cents FROM v2),
+        |v4 AS (SELECT k, CASE WHEN k % 10 = 6 THEN cents * 2
+        |                      ELSE cents END AS cents
+        |       FROM v3 WHERE k % 10 <> 5
+        |       UNION ALL
+        |       SELECT -k AS k, CAST(11 AS BIGINT) AS cents
+        |       FROM o WHERE k % 10 = 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_inserted,
+        |       CAST(sum(CASE WHEN k > 0 AND k % 10 = 4 THEN cents
+        |                     ELSE 0 END) AS BIGINT)
+        |         AS cents_after_update,
+        |       CAST(sum(CASE WHEN k > 0 AND k % 10 IN (3, 5) THEN 1
+        |                     ELSE 0 END) AS BIGINT) AS n_deleted_bands,
+        |       true AS delete_was_mor,
+        |       true AS update_was_mor,
+        |       true AS merge_was_mor
+        |FROM v4""".stripMargin,
 
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a

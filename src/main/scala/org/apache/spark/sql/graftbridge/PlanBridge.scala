@@ -14,6 +14,15 @@ object PlanBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The session's Hadoop configuration — `sessionState.newHadoopConf()`
+    * (base `spark.hadoop.*` plus per-session SQL-conf overrides), which
+    * is `private[sql]`. Catalog/connector code needs THIS conf to reach
+    * a warehouse FileSystem the way Spark's own file sources do. */
+  def sessionHadoopConf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
+
   /** Truncate a DataFrame's logical plan at a persisted-RDD boundary
     * WITHOUT the InternalRow→Row→InternalRow round-trip of
     * `df.rdd` + `createDataFrame`: the physical plan's UnsafeRows are

@@ -419,6 +419,85 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](lake.restore(3))
   }
 
+  test("nested additive evolution: struct columns gain fields metadata-only; old files null-fill; rename/drop of inner fields refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val root = Files.createTempDirectory("snap-nested-").toString
+    def open() = Snapshot.Lake(spark, root, statsCols = Seq("k"),
+      checkpointInterval = 2)
+    val lake = open()
+    lake.append(Seq((1L, ("a1", 10L)), (2L, ("a2", 20L)))
+      .toDF("k", "props")
+      .selectExpr("k", "named_struct('a', props._1, 'n', props._2) AS props")) // v0
+    val cur = lake.tableSchema.get
+    // widen props with a new nested field `b` — ONE metadata commit
+    val widened = StructType(cur.fields.map { f =>
+      if (f.name == "props") f.copy(dataType = StructType(
+        f.dataType.asInstanceOf[StructType].fields :+
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.StringType)))
+      else f
+    })
+    val filesBefore = lake.liveFiles(lake.latestVersion).map(_.path)
+    val v1 = lake.evolveSchema(widened) // v1
+    assert(lake.liveFiles(v1).map(_.path) === filesBefore,
+      "nested evolution must be metadata-only")
+    // post-evolution appends carry the widened struct; the OLD shape
+    // now refuses (the write gate is exact)
+    lake.append(Seq((3L, ("a3", 30L, "b3"))).toDF("k", "props")
+      .selectExpr("k", "named_struct('a', props._1, 'n', props._2, " +
+        "'b', props._3) AS props")) // v2 (crosses the interval-2 checkpoint)
+    intercept[Exception](lake.append(
+      Seq((4L, ("a4", 40L))).toDF("k", "props")
+        .selectExpr("k",
+          "named_struct('a', props._1, 'n', props._2) AS props")))
+    // old files NULL-FILL the new nested field (parquet schema
+    // clipping under the explicit read schema), new files carry it —
+    // through a REOPENED handle, so the widened meta line survived the
+    // checkpoint render→parse round-trip
+    val re = open()
+    val rows = re.read().selectExpr("k", "props.a", "props.n", "props.b")
+      .as[(Long, String, Long, Option[String])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_._4).toSeq === Seq(None, None, Some("b3")))
+    assert(rows.map(_._2).toSeq === Seq("a1", "a2", "a3"),
+      "pre-evolution nested values must survive the widening")
+    // time travel reads pre-evolution snapshots under their own shape
+    assert(!re.readAsOf(0).selectExpr("props.*").columns.contains("b"))
+    // non-additive nested changes refuse: dropping or retyping an
+    // inner field is a type change
+    intercept[IllegalArgumentException](re.evolveSchema(StructType(
+      widened.fields.map(f => if (f.name == "props")
+        f.copy(dataType = StructType(f.dataType
+          .asInstanceOf[StructType].fields.filter(_.name != "a")))
+      else f))))
+    // top-level rename of the whole struct column still works (the
+    // mapping tier is top-level); zone pruning on k unaffected
+    re.renameColumn("props", "attrs")
+    assert(open().read().selectExpr("attrs.b").count() === 3)
+  }
+
+  test("restore reinstates table properties (Delta's metaData.configuration rollback)") {
+    val lake = freshLake()
+    lake.append(kv(0, 10)) // v0
+    lake.setProperties(Map("tier" -> "bronze", "keep" -> "x")) // v1
+    lake.setProperties(Map("tier" -> "gold")) // v2: changed after v1
+    lake.setProperties(Map("owner" -> "etl")) // v3: added after v1
+    lake.unsetProperties(Seq("keep")) // v4: removed after v1
+    assert(lake.tableProperties ===
+      Map("tier" -> "gold", "owner" -> "etl"))
+    val rv = lake.restore(1) // v5
+    assert(lake.tableProperties ===
+      Map("tier" -> "bronze", "keep" -> "x"),
+      "restore(v) must reinstate v's properties: changed keys roll " +
+        "back, later-added keys unset, later-removed keys return")
+    // History still reads the intermediate configurations, and a
+    // property-only restore survives the checkpoint fold.
+    assert(rv === 5)
+    lake.append(kv(10, 20)) // v6 (interval-4 lakes checkpoint here)
+    assert(lake.tableProperties("tier") === "bronze")
+  }
+
   test("Bloom manifest: point lookups skip hash-scattered files zone maps can't") {
     import spark.implicits._
     val lake = Snapshot.Lake(spark,

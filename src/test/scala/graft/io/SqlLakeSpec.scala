@@ -294,4 +294,155 @@ class SqlLakeSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns1.b")
       .head().getLong(0) === 1L, "IF NOT EXISTS must not clobber")
   }
+
+  test("SQL row-level DML: DELETE masks via DVs (no rewrite), UPDATE re-derives, MERGE emits CDF update pairs") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.changeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $cat.db.d SELECT id, concat('row', id) " +
+      "FROM range(100)") // v1
+    val lake = Snapshot.Lake(spark, s"$wh/db/d")
+    val filesBefore = lake.liveFiles(lake.latestVersion).map(_.path)
+
+    // DELETE FROM: merge-on-read — DV mask, zero files rewritten
+    spark.sql(s"DELETE FROM $cat.db.d WHERE k % 10 = 7") // v2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .head().getLong(0) === 90L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d WHERE k % 10 = 7")
+      .head().getLong(0) === 0L)
+    assert(lake.liveFiles(lake.latestVersion).map(_.path) === filesBefore,
+      "SQL DELETE must mask via deletion vectors — nothing rewrites")
+    // history intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+
+    // UPDATE: SET evaluates against the pre-update row
+    spark.sql(s"UPDATE $cat.db.d SET v = concat('upd', k) WHERE k < 5") // v3
+    assert(spark.sql(s"SELECT v FROM $cat.db.d WHERE k = 3")
+      .head().getString(0) === "upd3")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .head().getLong(0) === 90L, "UPDATE must not change row count")
+
+    // MERGE INTO: update + delete + insert clauses in one statement,
+    // CDF across it emits the update as its delete+insert pair
+    spark.range(0, 3).selectExpr("id * 2 AS k",
+      "concat('m', id * 2) AS nv").createOrReplaceTempView("mrg_src")
+    val vPre = lake.latestVersion
+    spark.sql(s"""MERGE INTO $cat.db.d t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED AND s.k = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1000, s.nv)""")
+    val r = spark.sql(s"SELECT k, v FROM $cat.db.d WHERE k IN (0, 2, 4)")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(!r.contains(0L), "MATCHED DELETE clause")
+    assert(r(2L) === "m2" && r(4L) === "m4", "MATCHED UPDATE from source")
+    val cdc = lake.changes(vPre, vPre + 1)
+    assert(cdc.filter(col("_op") === "delete").count() === 3) // del 0 + upd 2,4
+    assert(cdc.filter(col("_op") === "insert").count() === 2) // upd 2,4
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .head().getLong(0) === 89L)
+
+    // DML on time travel refuses
+    intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.db.d VERSION AS OF 1 WHERE k = 1"))
+    // WHEN NOT MATCHED BY SOURCE refuses loudly
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.d t USING mrg_src s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
+  test("SupportsDelete door: filter-shaped DELETE works table-direct (no extensions required)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.sd (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.sd SELECT id, 'x' FROM range(50)")
+    // drive the V2 SupportsDelete interface directly — the door Spark
+    // uses when GraftExtensions is not installed
+    val tbl = new graft.io.v2.GraftCatalog() {
+      initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("warehouse", wh)))
+    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "sd")).asInstanceOf[graft.io.v2.GraftSqlTable]
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    val fs: Array[Filter] = Array(GreaterThanOrEqual("k", 40L))
+    assert(tbl.canDeleteWhere(fs))
+    tbl.deleteWhere(fs)
+    assert(spark.sql(s"SELECT count(*), max(k) FROM $cat.db.sd")
+      .head().toSeq === Seq(40L, 39L))
+  }
+
+  test("ALTER TABLE ADD COLUMNS (parent.child): one level of nesting widens the struct metadata-only") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.nst " +
+      "(k BIGINT, props STRUCT<a: STRING>)")
+    spark.sql(s"INSERT INTO $cat.db.nst SELECT id, " +
+      "named_struct('a', concat('x', id)) FROM range(3)") // v1
+    val lake = Snapshot.Lake(spark, s"$wh/db/nst")
+    val filesBefore = lake.liveFiles(lake.latestVersion).map(_.path)
+    spark.sql(s"ALTER TABLE $cat.db.nst ADD COLUMNS (props.b BIGINT)") // v2
+    assert(lake.liveFiles(lake.latestVersion).map(_.path) === filesBefore,
+      "nested ADD must be metadata-only")
+    spark.sql(s"INSERT INTO $cat.db.nst SELECT 9, " +
+      "named_struct('a', 'y', 'b', CAST(42 AS BIGINT))") // v3
+    val r = spark.sql(s"SELECT k, props.a, props.b FROM $cat.db.nst " +
+      "ORDER BY k").collect()
+    assert(r.length === 4)
+    assert(r.take(3).forall(_.isNullAt(2)),
+      "pre-evolution rows null-fill the new nested field")
+    assert(r.last.getLong(2) === 42L)
+    // refusals: nested rename/drop (top-level mapping non-goal),
+    // non-struct parent, duplicate field
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.nst RENAME COLUMN props.a TO z"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.nst DROP COLUMN props.a"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.nst ADD COLUMNS (k.sub BIGINT)"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.nst ADD COLUMNS (props.b STRING)"))
+  }
+
+  test("catalog FileSystem conf comes from the session (spark.hadoop.* reaches the warehouse)") {
+    val wh = Files.createTempDirectory("graft-sqlspec-conf-").toString
+    val gc = new graft.io.v2.GraftCatalog()
+    gc.initialize("probe",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("warehouse", wh)))
+    val key = "graft.sqlspec.probe"
+    spark.conf.set(key, "observed")
+    try assert(gc.conf.get(key) === "observed",
+      "sessionState.newHadoopConf() carries per-session settings — a " +
+        "fresh empty Configuration would lose spark.hadoop.* endpoints " +
+        "the day the warehouse is an object store")
+    finally spark.conf.unset(key)
+    assert(gc.conf.get(key) === null, "and it re-reads per call")
+  }
+
+  test("explicit NULL into writer-assigned columns: all-NULL assigns (pinned contract), mixed refuses") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"""CREATE TABLE $cat.db.n (
+      id BIGINT GENERATED ALWAYS AS IDENTITY,
+      k BIGINT)""")
+    // The analyzer null-fills a column-list INSERT identically to an
+    // explicit NULL, so the two forms are indistinguishable at the
+    // connector: BOTH assign. This is the documented contract (Delta
+    // refuses the explicit form; refusing here would refuse the
+    // legitimate omitted form too).
+    spark.sql(s"INSERT INTO $cat.db.n VALUES (NULL, 1), (NULL, 2)")
+    val ids = spark.sql(s"SELECT id FROM $cat.db.n").collect()
+      .map(_.getLong(0))
+    assert(ids.length === 2 && ids.distinct.length === 2,
+      "explicit NULLs into a GENERATED ALWAYS identity column are " +
+        "writer-assigned, never stored as NULL")
+    // A MIX of values and NULLs is a PROVIDED column — the identity
+    // ALWAYS gate refuses it loudly instead of silently reassigning.
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.db.n VALUES (NULL, 3), (42, 4)"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.n")
+      .head().getLong(0) === 2L, "the refused insert must not land")
+  }
 }
