@@ -173,7 +173,7 @@ object Bench {
       extraPasses += 1
       System.err.println(
         f"[bench] pass totals ${passTotals.map(t => f"$t%.1f").mkString("/")} " +
-          s"not converged (no two within 1.3x of best) — extra pass " +
+          s"not converged (no two within 1.15x of best) — extra pass " +
           s"$extraPasses/$extraBudget")
       runPass(runs + extraPasses)
     }
