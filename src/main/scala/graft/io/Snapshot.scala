@@ -1049,6 +1049,58 @@ object Snapshot {
       case _ => false
     }
 
+  /** `dt` with every nullability flag — its own and all nested —
+    * forced TRUE, field metadata kept. Applied to ADDED columns and
+    * nested fields at evolution time: files written BEFORE the
+    * evolution null-fill them on read, so recording a caller's NOT
+    * NULL flag would declare a nullability the stored data cannot
+    * honor (a reader trusting it skips null checks and unboxes the
+    * null-fill as 0/garbage). Delta refuses NOT NULL in ADD COLUMN
+    * for the same reason; the lake relaxes instead — nullability was
+    * never part of the write-compat key ([[Lake.evolveSchema]]). */
+  private[io] def deepNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f => f.copy(
+      dataType = deepNullable(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = deepNullable(at.elementType),
+        containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(valueType = deepNullable(mt.valueType),
+        valueContainsNull = true)
+    case x => x
+  }
+
+  /** The RECORDED type for an accepted struct widening: fields `cur`
+    * already has keep its exact type, nullability and metadata
+    * VERBATIM (a caller re-spelling inner nullability flags — e.g. a
+    * `named_struct` frame's non-nullable marks — must not tighten the
+    * recorded contract); fields only `nxt` has enter [[deepNullable]]d
+    * (old files null-fill them — see there). Field order follows
+    * `nxt`, the shape later appends will carry. Call only on a pair
+    * [[structWidens]] accepted. */
+  private[io] def mergeWidened(cur: DataType, nxt: DataType): DataType =
+    (cur, nxt) match {
+      case (c: StructType, n: StructType) =>
+        StructType(n.fields.map { nf =>
+          c.fields.find(_.name == nf.name) match {
+            case Some(cf) =>
+              if (cf.dataType == nf.dataType) cf
+              else cf.copy(dataType =
+                mergeWidened(cf.dataType, nf.dataType))
+            case None =>
+              nf.copy(dataType = deepNullable(nf.dataType),
+                nullable = true)
+          }
+        })
+      case (c: org.apache.spark.sql.types.ArrayType,
+            n: org.apache.spark.sql.types.ArrayType) =>
+        c.copy(elementType = mergeWidened(c.elementType, n.elementType))
+      case (c: org.apache.spark.sql.types.MapType,
+            n: org.apache.spark.sql.types.MapType) =>
+        c.copy(valueType = mergeWidened(c.valueType, n.valueType))
+      case _ => nxt
+    }
+
   /** An equality conjunct `t = __src_s` (either side order) inside a
     * merge ON condition — [[Lake.merge]]'s manifest touch-probe key.
     * Only plain single-part attribute pairs qualify; anything else
@@ -2028,9 +2080,12 @@ object Snapshot {
         cur.fields.find(_.name == nf.name).map { cf =>
           // surviving fields keep their metadata (physical name,
           // generated/identity declarations) VERBATIM; a struct
-          // widening takes the NEW (wider) type under the old metadata
+          // widening takes the MERGED type under the old metadata —
+          // existing nested fields verbatim, added ones deep-nullable
+          // (old files null-fill them; see mergeWidened/deepNullable)
           if (cf.dataType == nf.dataType) cf
-          else cf.copy(dataType = nf.dataType)
+          else cf.copy(dataType =
+            Snapshot.mergeWidened(cf.dataType, nf.dataType))
         }.getOrElse {
           if (Snapshot.mappingActive(cur)) {
             // The generated physical name must be FREE: a pre-existing
@@ -2043,12 +2098,20 @@ object Snapshot {
               s"evolveSchema at $root: generated physical name '$phys' " +
                 s"for new column '${nf.name}' collides with an existing " +
                 "physical column")
-            nf.copy(metadata =
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(nf.metadata)
-                .putString(Snapshot.PhysKey, phys)
-                .build())
-          } else nf
+            // NEW columns record deep-nullable regardless of the
+            // caller's flag: old files null-fill them on read, so a
+            // recorded NOT NULL would lie to readers (see deepNullable)
+            nf.copy(
+              dataType = Snapshot.deepNullable(nf.dataType),
+              nullable = true,
+              metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(nf.metadata)
+                  .putString(Snapshot.PhysKey, phys)
+                  .build())
+          } else nf.copy(
+            dataType = Snapshot.deepNullable(nf.dataType),
+            nullable = true)
         }
       })
       publish(Seq(s"v\t$version", Snapshot.metaLine(next)), version)
@@ -2640,7 +2703,8 @@ object Snapshot {
       val version = lv + 1
       commit(df, removed = Nil,
         dvLines = morDvLines(state, keys, keyCol, touched, version,
-          ck.schema))
+          ck.schema),
+        baseVersion = lv)
     }
 
     /** Exactly-once streaming CDC apply (the Delta "MERGE in
@@ -2669,7 +2733,8 @@ object Snapshot {
       val version = lv + 1
       Some(commit(ups, removed = Nil, txn = Some((writerId, batchId)),
         dvLines = morDvLines(state, keys, keyCol, touched, version,
-          schema)))
+          schema),
+        baseVersion = lv))
     }
 
     /** Merge-on-read DELETE by PREDICATE — SQL `DELETE FROM ... WHERE
@@ -2678,22 +2743,24 @@ object Snapshot {
       * (row-group skipping), and only files that actually carry a
       * matching LIVE row get a deletion vector — nothing rewrites, so
       * the delete costs O(matches + scan-of-candidates) at any table
-      * size. `candidates` (when the caller pre-pruned on manifest
-      * stats — the SQL door does, via the connector's admits() tiers)
-      * must be a SUPERSET of the files holding matching rows; None
-      * scans all live files. Rows an existing DV already masks are
+      * size. `prune` carries the condition's attr-vs-literal conjuncts
+      * as V1 filters (the SQL door extracts them); candidate files are
+      * resolved HERE against this op's own checkpoint fold through the
+      * connector's admits() tiers (partition/zone/Bloom/szone) — a set
+      * computed in a separate earlier fold could go stale against a
+      * concurrent append and silently miss its rows. Missing stats ⇒
+      * must-scan; empty `prune` scans all live files. Rows an existing
+      * DV already masks are
       * excluded up front, so the CDF across the commit emits each row's
       * delete exactly once. Zero matches publish an explicit no-op
       * version (the audit trail records the attempt, like
       * [[deleteKeysMor]]). */
     def deleteWhere(cond: Column,
-        candidates: Option[Set[String]] = None): Int = {
+        prune: Seq[org.apache.spark.sql.sources.Filter] = Nil): Int = {
       val lv = latestVersion
       require(lv >= 0, s"deleteWhere on an empty lake at $root")
       val ck = gateWrite(ckAt(lv))
-      val cands = candidates
-        .map(c => ck.state.filter(e => c(e._1.path)))
-        .getOrElse(ck.state)
+      val cands = pruneCandidates(ck, prune)
       val version = lv + 1
       def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
       if (cands.isEmpty) return noop()
@@ -2732,7 +2799,7 @@ object Snapshot {
       * changed (Delta's generated-column update semantic). CDF emits
       * each update as its delete + insert pair. */
     def updateWhere(cond: Column, set: Seq[(String, Column)],
-        candidates: Option[Set[String]] = None): Int = {
+        prune: Seq[org.apache.spark.sql.sources.Filter] = Nil): Int = {
       require(set.nonEmpty, "updateWhere: nothing to set")
       val lv = latestVersion
       require(lv >= 0, s"updateWhere on an empty lake at $root")
@@ -2741,16 +2808,22 @@ object Snapshot {
         .getOrElse(identityCols).map(_._1).toSet
       val genCols = ck.schema.map(Snapshot.generatedIn)
         .getOrElse(generatedCols).map(_._1).toSet
+      val knownCols: Set[String] = ck.schema.map(_.fieldNames.toSet)
+        .getOrElse(Set.empty)
       set.foreach { case (c, _) =>
         require(!idCols(c), s"updateWhere at $root: '$c' is GENERATED " +
           "ALWAYS AS IDENTITY — ids never reassign; drop it from SET")
         require(!genCols(c), s"updateWhere at $root: '$c' is a " +
           "generated column — it re-derives from its expression; " +
           "update the source columns instead")
+        // an unknown SET key would be silently ignored below (the
+        // select keys on the frame's columns) — an expensive commit
+        // that changed nothing; fail the typo loudly instead
+        require(knownCols.isEmpty || knownCols(c),
+          s"updateWhere at $root: SET target '$c' is not a column of " +
+            s"the table (${knownCols.toSeq.sorted.mkString(", ")})")
       }
-      val cands = candidates
-        .map(c => ck.state.filter(e => c(e._1.path)))
-        .getOrElse(ck.state)
+      val cands = pruneCandidates(ck, prune)
       val version = lv + 1
       def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
       if (cands.isEmpty) return noop()
@@ -2770,7 +2843,8 @@ object Snapshot {
         .select(dataCols.map(c => setMap.getOrElse(c, col(c)).as(c)): _*)
         .drop(genCols.toSeq: _*)
       commit(updated, removed = Nil,
-        dvLines = morDvLinesFromHits(tEntries, hits, version))
+        dvLines = morDvLinesFromHits(tEntries, hits, version),
+        baseVersion = lv)
     }
 
     /** Merge-on-read MERGE with the full SQL clause algebra — `MERGE
@@ -2785,9 +2859,14 @@ object Snapshot {
       * Semantics (Delta's): first matching clause per row wins, in SQL
       * order; a target row matched by MORE than one source row refuses
       * (cardinality violation) whenever matched clauses exist; SET on
-      * an identity column refuses (ids ride into updated copies
-      * unchanged); generated columns re-derive in [[commit]] (their
-      * dependees may have changed); INSERT clauses into identity
+      * an identity or generated column refuses ([[updateWhere]]'s
+      * contract: ids ride into updated copies unchanged, generated
+      * columns re-derive in [[commit]] because their dependees may
+      * have changed); an INSERT clause's assignment to a generated
+      * column is DROPPED and re-derived (the aligned-NULL form SQL
+      * presents for an omitted column — a provided non-null value is
+      * not validated here, unlike a plain append's, because alignment
+      * makes the two indistinguishable); INSERT clauses into identity
       * tables refuse — the union frame would carry ids for updated
       * rows but need assignment for inserted ones, two contracts one
       * commit cannot mix.
@@ -2825,9 +2904,25 @@ object Snapshot {
           "plain append")
       val genCols = ck.schema.map(Snapshot.generatedIn)
         .getOrElse(generatedCols).map(_._1).toSet
+      val knownCols: Set[String] = ck.schema.map(_.fieldNames.toSet)
+        .getOrElse(Set.empty)
       matched.foreach(_.set.toSeq.flatten.foreach { case (c, _) =>
         require(!idCols.contains(c), s"merge at $root: '$c' is " +
           "GENERATED ALWAYS AS IDENTITY — ids never reassign")
+        // mirror updateWhere: an explicit SET on a generated column
+        // would be silently discarded by the re-derivation drop below
+        // — refuse it loudly instead (update the source columns)
+        require(!genCols(c), s"merge at $root: '$c' is a generated " +
+          "column — it re-derives from its expression; update the " +
+          "source columns instead")
+      })
+      // an assignment key no table column owns would be silently
+      // ignored by the per-column fold below — fail the typo loudly
+      (matched ++ notMatched).foreach(_.set.toSeq.flatten.foreach {
+        case (c, _) =>
+          require(knownCols.isEmpty || knownCols(c),
+            s"merge at $root: assignment target '$c' is not a column " +
+              s"of the table (${knownCols.toSeq.sorted.mkString(", ")})")
       })
       val src = source0.columns.foldLeft(source0)((d, c) =>
         d.withColumnRenamed(c, s"__src_$c")).localCheckpoint(true)
@@ -2943,7 +3038,45 @@ object Snapshot {
       } else commit(frames.reduce(_.unionByName(_)), removed = Nil,
         dvLines =
           if (hitRel.isEmpty) Nil
-          else morDvLinesFromHits(tEntries, hits.get, version))
+          else morDvLinesFromHits(tEntries, hits.get, version),
+        baseVersion = lv)
+    }
+
+    /** Manifest-tier candidate files for a predicate-shaped DML op:
+      * the live files whose stats tiers (partition, zone, Bloom,
+      * string-zone — [[graft.io.v2.SnapshotScan.admits]], the same
+      * tiers the connector scan prunes with) admit EVERY prunable
+      * filter of the condition's conjunction. Evaluated against the
+      * op's OWN checkpoint fold, so there is no window for a
+      * concurrent append to slip a matching file between a candidate
+      * probe and the scan. Missing stats ⇒ must-scan (a superset is
+      * always safe); nothing prunable ⇒ all live files. */
+    private def pruneCandidates(ck: Snapshot.Checkpoint,
+        prune: Seq[org.apache.spark.sql.sources.Filter])
+        : Seq[(FileStat, Option[String])] = {
+      val pr = prune.filter(graft.io.v2.SnapshotScan.prunable)
+      if (pr.isEmpty) ck.state
+      else {
+        val mapping = ck.schema
+          .map(_.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap)
+          .getOrElse(Map.empty[String, String])
+        ck.state.filter { case (f, _) =>
+          pr.forall(graft.io.v2.SnapshotScan.admits(f, _, mapping)) }
+      }
+    }
+
+    /** Publish an explicit no-op version — the audit-trail record for
+      * a DML statement that can have no effect (SQL `UPDATE ... SET
+      * k = k`, whose aligned assignments all reduce to
+      * self-assignments: no value can change, so nothing scans, masks
+      * or rewrites — the same record the predicate ops publish on zero
+      * matches). */
+    def noopVersion(): Int = {
+      val lv = latestVersion
+      require(lv >= 0, s"noopVersion on an empty lake at $root")
+      val v = lv + 1
+      publish(Seq(s"v\t$v"), v)
+      v
     }
 
     /** DV-live filter for [[readWithPos]] frames: drop rows an
@@ -3138,8 +3271,19 @@ object Snapshot {
 
     private def commit(df0: DataFrame, removed: Seq[String],
         txn: Option[(String, Long)] = None,
-        dvLines: Seq[String] = Nil): Int = {
-      val version = latestVersion + 1
+        dvLines: Seq[String] = Nil,
+        baseVersion: Int = Int.MinValue): Int = {
+      // `baseVersion` pins the version slot to the snapshot the CALLER
+      // computed against (its own latestVersion read): a rewrite-shaped
+      // commit whose dv/rm lines were derived from that snapshot must
+      // publish at exactly base+1, so a concurrent commit landing
+      // between the caller's fold and this publish surfaces as the
+      // put-if-absent conflict (lost-update protection) instead of
+      // silently landing a stale mask in a fresh slot. Unpinned
+      // (sentinel) = this commit's own head read, the pure-append case.
+      val version =
+        if (baseVersion != Int.MinValue) baseVersion + 1
+        else latestVersion + 1
       // (0) schema gate BEFORE any data lands: the first data commit
       // RECORDS the table schema (a meta line in this commit's
       // record); every later one must match it exactly or be refused
@@ -3491,7 +3635,15 @@ object Snapshot {
       // files was computed against a snapshot that no longer is the
       // head — that must keep failing loudly (lost-update protection),
       // as [[publish]] does.
-      if (removed.isEmpty && dvLines.isEmpty) {
+      // A PINNED commit (baseVersion set) is state-dependent by
+      // construction even when its dvLines came out empty — an
+      // upsert/merge that matched nothing still decided its appends
+      // (NOT MATCHED anti-join, key-mask probe) against the pinned
+      // snapshot, so a concurrent commit must surface as a loud
+      // conflict (Delta's ConcurrentAppendException for merges), never
+      // a silent retry-as-append.
+      if (removed.isEmpty && dvLines.isEmpty &&
+          baseVersion == Int.MinValue) {
         var v = version
         while (!tryPublish(record(v), v)) {
           // A pure append commutes with the winner's DATA changes, but
@@ -3684,8 +3836,23 @@ object Snapshot {
       // this writer must treat the slot as lost. Always consumes tmp.
       def renamePublish(): Boolean =
         Snapshot.publishLock(root).synchronized {
-          if (fs.exists(target) || !fs.rename(tmp, target)) {
+          if (fs.exists(target)) {
             fs.delete(tmp, false)
+            false
+          } else if (!fs.rename(tmp, target)) {
+            // rename refused with NO winner in the slot: that is a
+            // store-level I/O failure (permissions, quota, dying
+            // mount), not a commit conflict — reporting it as one
+            // would send the operator chasing a phantom concurrent
+            // writer. Re-probe existence first: on HDFS-like stores a
+            // racing writer landing between the check above and the
+            // rename also surfaces as a refused rename.
+            val lost = fs.exists(target)
+            fs.delete(tmp, false)
+            if (!lost) throw new java.io.IOException(
+              s"publish at $root: rename $tmp -> $target failed with " +
+                "no concurrent winner in the slot — store-level I/O " +
+                "failure, not a commit conflict")
             false
           } else {
             val in = fs.open(target)

@@ -67,9 +67,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // credentials/endpoint arrive via spark.hadoop.* (round-19 verdict
   // watch item 3). Falls back to an empty conf only when no session is
   // active (never in normal catalog resolution — Spark initializes
-  // catalogs from a live session).
+  // catalogs from a live session). getDefaultSession covers calls
+  // from threads that never set a thread-local active session
+  // (listener callbacks, custom pools driving table resolution).
   private[io] def conf: Configuration =
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(org.apache.spark.sql.graftbridge.PlanBridge.sessionHadoopConf)
       .getOrElse(new Configuration())
   private def fs = warehouse.getFileSystem(conf)
@@ -245,6 +248,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(c.position() == null,
           "ADD COLUMNS ... FIRST/AFTER is not supported — evolved " +
             "columns append at the end (files predating them null-fill)")
+        require(c.isNullable,
+          "ADD COLUMNS ... NOT NULL is not supported — files written " +
+            "before the evolution null-fill the new column, so it " +
+            "cannot honor NOT NULL (Delta refuses the same)")
         val cur = lake.tableSchema.getOrElse(
           sys.error(s"ALTER TABLE ${identString(ident)}: no recorded " +
             "schema to evolve — commit data or CREATE TABLE first"))
@@ -384,7 +391,7 @@ class GraftSqlTable(ident: String, root: String, versionAsOf: Int)
     val cond = filters.toSeq.flatMap(GraftDml.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     Snapshot.Lake(SparkSession.active, root)
-      .deleteWhere(cond, GraftDml.candidates(root, filters.toSeq))
+      .deleteWhere(cond, filters.toSeq)
   }
 
   override def properties(): util.Map[String, String] =

@@ -438,7 +438,7 @@ object SnapshotScan {
       v.isInstanceOf[java.time.Instant]
 
   /** Filters the manifest can act on. */
-  private[v2] def prunable(f: Filter): Boolean = f match {
+  private[io] def prunable(f: Filter): Boolean = f match {
     case EqualTo(_, v) => comparable(v) || v.isInstanceOf[String]
     case GreaterThan(_, v) => comparable(v)
     case GreaterThanOrEqual(_, v) => comparable(v)
@@ -479,7 +479,7 @@ object SnapshotScan {
     * are exact at the file level — Delta's first pruning tier, now on
     * the connector path too); zone maps answer ranges; Blooms answer
     * equality (via the same string-form md5 the write side hashed). */
-  private[v2] def admits(stat: Snapshot.FileStat, f: Filter,
+  private[io] def admits(stat: Snapshot.FileStat, f: Filter,
       mapping: Map[String, String] = Map.empty): Boolean = {
     // manifest stats key by PHYSICAL name; filters arrive logical
     def phys(c: String) = mapping.getOrElse(c, c)

@@ -69,25 +69,6 @@ object GraftDml {
     case _ => None
   }
 
-  /** Manifest-tier candidate pruning for a DML scan: live files whose
-    * stats tiers ([[SnapshotScan.admits]] — partition, zone, Bloom,
-    * string-zone) admit EVERY prunable filter of the conjunction.
-    * Resolved at RUN time (a rule-time set could go stale against a
-    * concurrent append and silently miss its rows). None when nothing
-    * is prunable — the Lake then scans all live files with the
-    * predicate pushed into the parquet reader. */
-  def candidates(root: String,
-      filters: Seq[sf.Filter]): Option[Set[String]] = {
-    val prunable = filters.filter(SnapshotScan.prunable)
-    if (prunable.isEmpty) return None
-    val mapping = SnapshotStreamSource.logicalSchemaAndMap(root,
-      Int.MaxValue).map(_._2).getOrElse(Map.empty)
-    Some(SnapshotStreamSource.ckAt(root, Int.MaxValue).state
-      .filter { case (f, _) =>
-        prunable.forall(SnapshotScan.admits(f, _, mapping)) }
-      .map(_._1.path).toSet)
-  }
-
   /** Conjuncts of a catalyst predicate. */
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -189,12 +170,14 @@ object GraftDml {
 
 /** `DELETE FROM <graft table> WHERE cond` — runs
   * [[Snapshot.Lake.deleteWhere]]: matching rows DV-mask, nothing
-  * rewrites, manifest candidates re-pruned at execution. */
+  * rewrites; the condition's prunable conjuncts ride along as V1
+  * filters and the Lake resolves candidate files against its own
+  * snapshot (one fold — no window for a concurrent append to slip a
+  * matching file between probe and scan). */
 case class GraftDeleteCommand(ident: String, root: String, cond: Column,
     prune: Seq[sf.Filter]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    Snapshot.Lake(spark, root)
-      .deleteWhere(cond, GraftDml.candidates(root, prune))
+    Snapshot.Lake(spark, root).deleteWhere(cond, prune)
     Seq.empty
   }
   override def simpleString(maxFields: Int): String =
@@ -203,17 +186,32 @@ case class GraftDeleteCommand(ident: String, root: String, cond: Column,
 
 /** `UPDATE <graft table> SET ... WHERE cond` —
   * [[Snapshot.Lake.updateWhere]]: matched rows DV-mask, updated
-  * copies append, one commit. */
+  * copies append, one commit; prunable conjuncts resolved Lake-side
+  * like [[GraftDeleteCommand]]. */
 case class GraftUpdateCommand(ident: String, root: String, cond: Column,
     set: Seq[(String, Column)], prune: Seq[sf.Filter])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    Snapshot.Lake(spark, root)
-      .updateWhere(cond, set, GraftDml.candidates(root, prune))
+    Snapshot.Lake(spark, root).updateWhere(cond, set, prune)
     Seq.empty
   }
   override def simpleString(maxFields: Int): String =
     s"GraftUpdateCommand $ident"
+}
+
+/** A DML statement whose aligned assignments reduced to pure
+  * self-assignments (`UPDATE t SET k = k`): no value can change, so
+  * nothing scans, masks or rewrites — only the audit-trail no-op
+  * version publishes ([[Snapshot.Lake.noopVersion]], the same record
+  * the predicate ops leave on zero matches). */
+case class GraftNoopDmlCommand(ident: String, root: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    Snapshot.Lake(spark, root).noopVersion()
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftNoopDmlCommand $ident"
 }
 
 /** `MERGE INTO <graft table> USING src ON cond WHEN ...` —
@@ -275,11 +273,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             "UPDATE")
           val condExpr = cond.getOrElse(Literal.TrueLiteral)
           if (set.isEmpty)
-            // alignment left only self-assignments — a no-op UPDATE;
-            // run it as a zero-SET delete-nothing (publishes nothing).
-            GraftUpdateCommand(t.name(), t.tableRoot,
-              GraftDml.toColumn(condExpr, tgt, Map.empty, "UPDATE"),
-              Seq("__noop" -> lit(null)), Nil)
+            // alignment left only self-assignments — no value can
+            // change, so publish only the audit-trail no-op version
+            // (never scan/mask/rewrite the matched rows)
+            GraftNoopDmlCommand(t.name(), t.tableRoot)
           else GraftUpdateCommand(t.name(), t.tableRoot,
             GraftDml.toColumn(condExpr, tgt, Map.empty, "UPDATE"), set,
             GraftDml.pruneFiltersOf(condExpr, tgt))

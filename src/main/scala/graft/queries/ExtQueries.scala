@@ -314,30 +314,47 @@ object ExtQueries {
   // negative): Spark caches one catalog instance per name, and two
   // scale factors sharing a name would bind the second to the first's
   // warehouse and silently serve its data.
-  private val sqlCatDirs = scala.collection.mutable.Map.empty[String, String]
-  private def sqlCatalog(s: SparkSession, d: String): String =
+  // Shared scaffolding for the SQL-driven warehouse fixtures: register
+  // a GraftCatalog under `<prefix><hex(sfDir)>` bound to a fresh temp
+  // warehouse, expose the %-cents orders projection as a temp view
+  // (`<prefix>src_<cat>`), and run `init` ONCE per (prefix, sfDir) in
+  // this JVM. The name embeds a COLLISION-FREE hex encoding of the
+  // sfDir — Spark caches one catalog instance per name, and two scale
+  // factors sharing a name would bind the second to the first's
+  // warehouse and silently serve its data (abs(hashCode) collides,
+  // and abs(Int.MinValue) is even negative).
+  private def sqlWarehouseFor(prefix: String,
+      dirs: scala.collection.mutable.Map[String, String],
+      s: SparkSession, d: String)(init: (String, String) => Unit)
+      : String =
     lakeLock.synchronized {
-      val cat = "graft_sql_" + d.getBytes("UTF-8")
+      val cat = prefix + d.getBytes("UTF-8")
         .map(b => f"${b & 0xff}%02x").mkString
-      if (!sqlCatDirs.contains(d)) {
+      if (!dirs.contains(d)) {
         val wh = java.nio.file.Files
-          .createTempDirectory("graft-sqlwh-").toString
+          .createTempDirectory(s"graft-$prefix-wh-").toString
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.io.v2.GraftCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.orders_t (k BIGINT, cents BIGINT)")
         Tables.orders(s, d).select(col("o_orderkey").as("k"),
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
             .as("cents"))
-          .createOrReplaceTempView(s"src_$cat")
-        s.sql(s"INSERT INTO $cat.db.orders_t " +
-          s"SELECT k, cents FROM src_$cat WHERE k % 3 = 0") // v1
-        s.sql(s"INSERT INTO $cat.db.orders_t " +
-          s"SELECT k, cents FROM src_$cat WHERE k % 3 = 1") // v2
-        sqlCatDirs(d) = wh
+          .createOrReplaceTempView(s"${prefix}src_$cat")
+        init(cat, s"${prefix}src_$cat")
+        dirs(d) = wh
       }
       cat
+    }
+
+  private val sqlCatDirs = scala.collection.mutable.Map.empty[String, String]
+  private def sqlCatalog(s: SparkSession, d: String): String =
+    sqlWarehouseFor("graft_sql_", sqlCatDirs, s, d) { (cat, src) =>
+      s.sql(s"CREATE TABLE $cat.db.orders_t (k BIGINT, cents BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.orders_t " +
+        s"SELECT k, cents FROM $src WHERE k % 3 = 0") // v1
+      s.sql(s"INSERT INTO $cat.db.orders_t " +
+        s"SELECT k, cents FROM $src WHERE k % 3 = 1") // v2
     }
   private def sqlCatalogRoot(d: String): String =
     s"${sqlCatDirs(d)}/db/orders_t"
@@ -354,40 +371,24 @@ object ExtQueries {
   // (DV masks, zero rewrites) — asserted from the commit log.
   private val dmlCatDirs = scala.collection.mutable.Map.empty[String, String]
   private def dmlCatalog(s: SparkSession, d: String): String =
-    lakeLock.synchronized {
-      val cat = "graft_dml_" + d.getBytes("UTF-8")
-        .map(b => f"${b & 0xff}%02x").mkString
-      if (!dmlCatDirs.contains(d)) {
-        val wh = java.nio.file.Files
-          .createTempDirectory("graft-dmlwh-").toString
-        s.conf.set(s"spark.sql.catalog.$cat",
-          classOf[graft.io.v2.GraftCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.dml_t (k BIGINT, cents BIGINT)")
-        Tables.orders(s, d).select(col("o_orderkey").as("k"),
-          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
-            .as("cents"))
-          .createOrReplaceTempView(s"dml_src_$cat")
-        s.sql(s"INSERT INTO $cat.db.dml_t " +
-          s"SELECT k, cents FROM dml_src_$cat")                    // v1
-        s.sql(s"DELETE FROM $cat.db.dml_t WHERE k % 10 = 3")       // v2
-        s.sql(s"UPDATE $cat.db.dml_t SET cents = cents + 7 " +
-          "WHERE k % 10 = 4")                                      // v3
-        s.sql(s"""MERGE INTO $cat.db.dml_t t
-          USING (SELECT k, cents * 2 AS nc FROM dml_src_$cat
-                 WHERE k % 10 IN (5, 6)
-                 UNION ALL
-                 SELECT -k AS k, CAST(11 AS BIGINT) AS nc
-                 FROM dml_src_$cat WHERE k % 10 = 7) s
-          ON t.k = s.k
-          WHEN MATCHED AND s.k % 10 = 5 THEN DELETE
-          WHEN MATCHED THEN UPDATE SET cents = s.nc
-          WHEN NOT MATCHED THEN INSERT (k, cents)
-            VALUES (s.k, s.nc)""")                                 // v4
-        dmlCatDirs(d) = wh
-      }
-      cat
+    sqlWarehouseFor("graft_dml_", dmlCatDirs, s, d) { (cat, src) =>
+      s.sql(s"CREATE TABLE $cat.db.dml_t (k BIGINT, cents BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.dml_t " +
+        s"SELECT k, cents FROM $src")                            // v1
+      s.sql(s"DELETE FROM $cat.db.dml_t WHERE k % 10 = 3")       // v2
+      s.sql(s"UPDATE $cat.db.dml_t SET cents = cents + 7 " +
+        "WHERE k % 10 = 4")                                      // v3
+      s.sql(s"""MERGE INTO $cat.db.dml_t t
+        USING (SELECT k, cents * 2 AS nc FROM $src
+               WHERE k % 10 IN (5, 6)
+               UNION ALL
+               SELECT -k AS k, CAST(11 AS BIGINT) AS nc
+               FROM $src WHERE k % 10 = 7) s
+        ON t.k = s.k
+        WHEN MATCHED AND s.k % 10 = 5 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET cents = s.nc
+        WHEN NOT MATCHED THEN INSERT (k, cents)
+          VALUES (s.k, s.nc)""")                                 // v4
     }
 
   /** Probe-only fixture accessors (SCALE.md tooling reaches the

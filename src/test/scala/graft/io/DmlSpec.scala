@@ -45,10 +45,10 @@ class DmlSpec extends SparkSpec {
     assert(lake.changes(2, 3).count() === 0,
       "already-masked rows must not re-emit CDF deletes")
     assert(lake.read().count() === 185)
-    // candidate pre-pruning is an optimization only: a superset set
-    // yields the same result
-    val cands = lake.liveFiles(3).map(_.path).toSet
-    val v4 = lake.deleteWhere(col("k") === 199L, Some(cands))
+    // candidate pruning is an optimization only: the zone tier admits
+    // a superset of the matching files and the result is identical
+    val v4 = lake.deleteWhere(col("k") === 199L,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 199L)))
     assert(lake.readAsOf(v4).count() === 184)
   }
 
@@ -96,6 +96,19 @@ class DmlSpec extends SparkSpec {
       lake.updateWhere(col("k") === 1L, Seq("id" -> lit(999L))))
     intercept[IllegalArgumentException](
       lake.updateWhere(col("k") === 1L, Seq("dbl" -> lit(999L))))
+    // a SET key no column owns fails loudly (a typo would otherwise
+    // mask + re-append every matched row bit-identical)
+    intercept[IllegalArgumentException](
+      lake.updateWhere(col("k") === 1L, Seq("kk" -> lit(0L))))
+    // merge mirrors updateWhere: explicit SET on a generated column
+    // refuses (it would be silently re-derived over otherwise)
+    val me = intercept[IllegalArgumentException](
+      lake.merge(Seq((1L, 9L)).toDF("k", "x"),
+        col("k") === col("__src_k"),
+        matched = Seq(Snapshot.MergeClause(None,
+          Some(Seq("dbl" -> col("__src_x"))))),
+        notMatched = Nil))
+    assert(me.getMessage.contains("generated"))
     val idsBefore = lake.read().select("k", "id").as[(Long, Long)]
       .collect().toMap
     lake.updateWhere(col("k") === 2L, Seq("k" -> lit(20L))) // v1

@@ -343,6 +343,18 @@ class SqlLakeSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
       .head().getLong(0) === 89L)
 
+    // UPDATE whose assignments all reduce to self-assignments (SET
+    // k = k): no value can change — only the audit-trail no-op
+    // version publishes; nothing scans, masks or appends
+    val preNoop = lake.latestVersion
+    val filesPreNoop = lake.liveState(preNoop)
+    spark.sql(s"UPDATE $cat.db.d SET k = k WHERE k < 100")
+    assert(lake.latestVersion === preNoop + 1,
+      "self-assignment UPDATE still records its audit version")
+    assert(lake.liveState(preNoop + 1) === filesPreNoop,
+      "self-assignment UPDATE must not mask or append anything")
+    assert(lake.changes(preNoop, preNoop + 1).count() === 0)
+
     // DML on time travel refuses
     intercept[Exception](spark.sql(
       s"DELETE FROM $cat.db.d VERSION AS OF 1 WHERE k = 1"))
@@ -403,6 +415,18 @@ class SqlLakeSpec extends SparkSpec {
       s"ALTER TABLE $cat.db.nst ADD COLUMNS (k.sub BIGINT)"))
     intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.db.nst ADD COLUMNS (props.b STRING)"))
+    // NOT NULL adds refuse: old files null-fill the new column, so a
+    // recorded NOT NULL would lie to readers (Delta refuses the same)
+    val nn = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.nst ADD COLUMNS (c BIGINT NOT NULL)"))
+    assert(nn.getMessage.contains("NOT NULL"))
+    // ... and the recorded schema of every ADDED field is nullable
+    // even one level down (the nested add above): readers must never
+    // trust a non-null flag over null-filled storage
+    val props = lake.tableSchema.get.fields.find(_.name == "props").get
+    assert(props.dataType.asInstanceOf[org.apache.spark.sql.types
+      .StructType].fields.find(_.name == "b").get.nullable,
+      "added nested fields record nullable")
   }
 
   test("catalog FileSystem conf comes from the session (spark.hadoop.* reaches the warehouse)") {
