@@ -391,6 +391,44 @@ object ExtQueries {
           VALUES (s.k, s.nc)""")                                 // v4
     }
 
+  // Nested-schema lake (round 20): the additive STRUCT WIDENING tier
+  // under a relational oracle. v0 appends the even-key slice with
+  // `props = struct(a: priority)`; v1 widens props with `b BIGINT` in
+  // ONE metadata-only commit (asserted from the commit log — zero
+  // add/rm/dv lines); v2 appends the odd-key slice carrying
+  // `b = cents`. Old files must null-fill props.b on read, on BOTH
+  // read paths (DataFrame parquet clipping AND the connector's
+  // recursive Group conversion — compared row-for-row in the query).
+  private val nestedDirs = scala.collection.mutable.Map.empty[String, String]
+  private def nestedLake(s: SparkSession, d: String)
+      : graft.io.Snapshot.Lake = lakeLock.synchronized {
+    val root = nestedDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-nested-")
+        .toString
+      val lake = graft.io.Snapshot.Lake(s, dir, statsCols = Seq("k"),
+        checkpointInterval = 4)
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"),
+        col("o_orderpriority").as("prio"))
+      lake.append(o.filter(pmod(col("k"), lit(2L)) === 0)
+        .select(col("k"), struct(col("prio").as("a")).as("props"))) // v0
+      import org.apache.spark.sql.types.{LongType, StringType,
+        StructField, StructType}
+      lake.evolveSchema(StructType(Seq(                             // v1
+        StructField("k", LongType),
+        StructField("props", StructType(Seq(
+          StructField("a", StringType),
+          StructField("b", LongType)))))))
+      lake.append(o.filter(pmod(col("k"), lit(2L)) === 1)
+        .select(col("k"), struct(col("prio").as("a"),
+          col("cents").as("b")).as("props")))                       // v2
+      dir
+    })
+    graft.io.Snapshot.Lake(s, root, statsCols = Seq("k"),
+      checkpointInterval = 4)
+  }
+
   /** Probe-only fixture accessors (SCALE.md tooling reaches the
     * same per-JVM cached lakes the queries open; never in a query). */
   def ordersLakeForProbe(s: SparkSession, d: String)
@@ -2210,6 +2248,36 @@ object ExtQueries {
         .withColumn("delete_was_mor", lit(morDelete))
         .withColumn("update_was_mor", lit(morUpdate))
         .withColumn("merge_was_mor", lit(morMerge))
+    },
+
+    // Nested additive evolution (round 20): the struct-widening tier
+    // end-to-end — a metadata-only evolve commit (zero add/rm/dv lines,
+    // read from the log), pre-evolution files null-filling the new
+    // nested field, and the TWO read paths (DataFrame parquet clipping
+    // vs the connector's recursive Group conversion) agreeing
+    // row-for-row. The final aggregate replays relationally: even keys
+    // predate the evolution (b NULL), odd keys carry b = cents.
+    "lake_nested_evolve" -> { (s, d) =>
+      val lake = nestedLake(s, d)
+      val c1 = lake.commits.find(_.version == 1).get
+      val metaOnly = c1.added.isEmpty && c1.removed.isEmpty &&
+        c1.dvs.isEmpty
+      val viaLake = lake.read()
+        .select(col("k"), col("props.a").as("a"), col("props.b").as("b"))
+      val viaConn = s.read.format("graft.io.v2.SnapshotStreamSource")
+        .load(lake.root)
+        .select(col("k"), col("props.a").as("a"), col("props.b").as("b"))
+      val connEqual = viaConn.exceptAll(viaLake).isEmpty &&
+        viaLake.exceptAll(viaConn).isEmpty
+      viaLake.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        count(col("b")).cast("long").as("n_b"),
+        coalesce(sum(col("b")), lit(0L)).cast("long").as("sum_b"),
+        sum(when(col("b").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_null_b"),
+        count(col("a")).cast("long").as("n_a"))
+        .withColumn("evolve_metadata_only", lit(metaOnly))
+        .withColumn("connector_equals_lake", lit(connEqual))
     },
 
     // Keep-BEST dedup (round 5) — production near-dup removal keeps the
@@ -7746,6 +7814,29 @@ object ExtQueries {
         |       true AS update_was_mor,
         |       true AS merge_was_mor
         |FROM v4""".stripMargin,
+
+    // lake_nested_evolve: even keys predate the widening (props.b
+    // NULL-fills), odd keys carry b = cents; the evolve_metadata_only /
+    // connector_equals_lake cells are construction-asserted TRUE (the
+    // first from the commit log — a rewriting evolution would flip it;
+    // the second from a bidirectional exceptAll between the two read
+    // paths — a connector struct-conversion bug would flip it).
+    "lake_nested_evolve" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |               AS cents
+        |           FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_b,
+        |       CAST(sum(CASE WHEN k % 2 = 1 THEN cents ELSE 0 END)
+        |         AS BIGINT) AS sum_b,
+        |       CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null_b,
+        |       CAST(count(*) AS BIGINT) AS n_a,
+        |       true AS evolve_metadata_only,
+        |       true AS connector_equals_lake
+        |FROM o""".stripMargin,
 
     // lake_bloom_point: each probe replays v7's membership relationally
     // restricted to the probed custkey — a Bloom false negative (a
