@@ -2762,7 +2762,7 @@ object Snapshot {
       val ck = gateWrite(ckAt(lv))
       val cands = pruneCandidates(ck, prune)
       val version = lv + 1
-      def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
+      def noop(): Int = noopAt(version)
       if (cands.isEmpty) return noop()
       val hits = dropMasked(
           readWithPos(cands.map(_._1), ck.schema).filter(cond), cands)
@@ -2825,7 +2825,7 @@ object Snapshot {
       }
       val cands = pruneCandidates(ck, prune)
       val version = lv + 1
-      def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
+      def noop(): Int = noopAt(version)
       if (cands.isEmpty) return noop()
       val matched = dropMasked(
           readWithPos(cands.map(_._1), ck.schema).filter(cond), cands)
@@ -2941,7 +2941,7 @@ object Snapshot {
         case None => ck.state
       }
       val version = lv + 1
-      def noop(): Int = { publish(Seq(s"v\t$version"), version); version }
+      def noop(): Int = noopAt(version)
       val tgtOpt =
         if (touched.isEmpty) None
         else Some(dropMasked(
@@ -3074,9 +3074,16 @@ object Snapshot {
     def noopVersion(): Int = {
       val lv = latestVersion
       require(lv >= 0, s"noopVersion on an empty lake at $root")
-      val v = lv + 1
-      publish(Seq(s"v\t$v"), v)
-      v
+      noopAt(lv + 1)
+    }
+
+    /** The bare audit-trail no-op record at a pinned slot — the ONE
+      * place its shape lives ([[deleteWhere]]/[[updateWhere]]/
+      * [[merge]] publish it on zero matches, [[noopVersion]] for the
+      * self-assignment UPDATE). */
+    private def noopAt(version: Int): Int = {
+      publish(Seq(s"v\t$version"), version)
+      version
     }
 
     /** DV-live filter for [[readWithPos]] frames: drop rows an

@@ -272,12 +272,17 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           val set = GraftDml.setPairs(assignments, tgt, Map.empty,
             "UPDATE")
           val condExpr = cond.getOrElse(Literal.TrueLiteral)
-          if (set.isEmpty)
+          if (set.isEmpty) {
             // alignment left only self-assignments — no value can
             // change, so publish only the audit-trail no-op version
-            // (never scan/mask/rewrite the matched rows)
+            // (never scan/mask/rewrite the matched rows). The WHERE
+            // clause still VALIDATES like every other DML path (the
+            // discarded toColumn refuses subqueries/metadata columns
+            // — a statement the engine documents as unsupported must
+            // not start succeeding just because its SET is a no-op).
+            GraftDml.toColumn(condExpr, tgt, Map.empty, "UPDATE")
             GraftNoopDmlCommand(t.name(), t.tableRoot)
-          else GraftUpdateCommand(t.name(), t.tableRoot,
+          } else GraftUpdateCommand(t.name(), t.tableRoot,
             GraftDml.toColumn(condExpr, tgt, Map.empty, "UPDATE"), set,
             GraftDml.pruneFiltersOf(condExpr, tgt))
         case None => u

@@ -475,6 +475,27 @@ class SnapshotSpec extends SparkSpec {
     // mapping tier is top-level); zone pruning on k unaffected
     re.renameColumn("props", "attrs")
     assert(open().read().selectExpr("attrs.b").count() === 3)
+    // ADDED fields record deep-nullable even when the caller spells
+    // them NOT NULL: old files null-fill, so a recorded non-null flag
+    // would lie to readers (deepNullable/mergeWidened — exercised
+    // DIRECTLY here with nullable = false, which the SQL door never
+    // sends)
+    val h = open()
+    val cur2 = h.tableSchema.get
+    h.evolveSchema(StructType(cur2.fields.map { f =>
+      if (f.name == "attrs") f.copy(dataType = StructType(
+        f.dataType.asInstanceOf[StructType].fields :+
+          org.apache.spark.sql.types.StructField("c",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      else f
+    } :+ org.apache.spark.sql.types.StructField("top",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+    val rec = open().tableSchema.get
+    assert(rec.fields.find(_.name == "top").get.nullable,
+      "added top-level columns record nullable")
+    assert(rec.fields.find(_.name == "attrs").get.dataType
+      .asInstanceOf[StructType].fields.find(_.name == "c").get.nullable,
+      "added nested fields record nullable")
   }
 
   test("restore reinstates table properties (Delta's metaData.configuration rollback)") {
