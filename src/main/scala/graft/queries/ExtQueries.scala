@@ -436,31 +436,20 @@ object ExtQueries {
   def renameLakeForProbe(s: SparkSession, d: String)
       : graft.io.Snapshot.Lake = renameLake(s, d)
 
-  /** (reference, candidate) token frames for the eval-metric queries
-    * (rouge_n / bleu_corpus): candidate = the near-dup perturbation as
-    * a token slice (last 3 tokens dropped, min 1 kept). */
-  private def refCandTokens(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      TextOps.tokens(col("text")).as("tk"))
-      .localCheckpoint(true)
-    val cand = docs.select(col("doc_id"),
-      expr("slice(tk, 1, CAST(greatest(size(tk) - 3, 1) AS INT))")
-        .as("tk"))
-    (docs, cand)
-  }
-
-  /** `tk`-relative n-gram array SQL, size-guarded (Spark's
-    * sequence(1, 0) DESCENDS — short docs must yield array()). */
-  private def ngramSql(n: Int): String =
-    if (n == 1) "tk"
-    else {
-      val parts = (0 until n)
-        .map(j => s"element_at(tk, CAST(i + $j AS INT))").mkString(", ")
-      s"CASE WHEN size(tk) >= $n THEN " +
-        s"transform(sequence(1, size(tk) - ${n - 1}), " +
-        s"i -> concat_ws(' ', $parts)) ELSE array() END"
-    }
+  /** One (doc_id, tk, ck) row per document for the eval-metric queries
+    * (rouge_n / bleu_corpus / chrf_eval): tk = reference tokens, ck =
+    * candidate = the near-dup perturbation as a token slice (last 3
+    * tokens dropped, min 1 kept). Reference and candidate live on the
+    * SAME row, so the metric queries compute their clipped n-gram
+    * overlaps map-side (ClippedOverlap kernel) with no gram exchange
+    * and no checkpoint — the round-20 rewrite of the exploded
+    * (doc, n, g) count/join form (guide §2.4). rebalance spreads the
+    * per-row kernel work when the scan under-partitions. */
+  private def refCandTokens(s: SparkSession, d: String): DataFrame =
+    Dedup.rebalance(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("ck",
+        expr("slice(tk, 1, CAST(greatest(size(tk) - 3, 1) AS INT))"))
 
   /** documents ∪ a perturbed copy (last 3 tokens dropped,
     * doc_id + [[NearDupOffset]]) — gives the near-dup detectors true
@@ -881,16 +870,22 @@ object ExtQueries {
             .as("is_train"),
           TextOps.tokens(lower(col("text"))).as("toks"))
         .localCheckpoint(true)
-      val tf = aug
-        .select(col("doc_id"), col("actual_keep"), col("is_train"),
-          explode(col("toks")).as("term"))
-        .groupBy(col("doc_id"), col("actual_keep"), col("is_train"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val vocab = tf.filter(col("is_train"))
+      // Round-20 shape: no per-(doc, term) tf materialization. The old
+      // form aggregated token rows into a checkpointed (doc, keep,
+      // train, term, tf) frame — nearly token-instance cardinality (a
+      // corpus-sized eager cache) and an extra exchange — only to
+      // re-aggregate it twice. Both consumers now ride the cached
+      // token arrays directly: vocab counts train token instances in
+      // ONE term-keyed partial+final agg (Σ tf over docs ≡ counting
+      // instances), and the doc score broadcast-joins the 300-term
+      // weight table BEFORE its doc-keyed agg, so only matched token
+      // rows ever shuffle. Same exact integers; oracle unchanged.
+      val words = aug.select(col("doc_id"), col("actual_keep"),
+        col("is_train"), explode(col("toks")).as("term"))
+      val vocab = words.filter(col("is_train"))
         .groupBy(col("term"))
-        .agg(sum(col("tf")).as("cc"),
-          sum(when(col("actual_keep"), col("tf")).otherwise(0L)).as("pos_c"))
+        .agg(count(lit(1)).as("cc"),
+          sum(when(col("actual_keep"), 1L).otherwise(0L)).as("pos_c"))
         .orderBy(col("cc").desc, col("term")).limit(K)
         .withColumn("neg_c", col("cc") - col("pos_c"))
         .localCheckpoint(true)
@@ -906,9 +901,10 @@ object ExtQueries {
            floor(log((col("neg_c") + 1).cast("double") /
               (col("neg_tot") + col("v")).cast("double")) * 1e6 + 0.5).cast("long"))
             .as("w_x1e6"))
-      val docScore = tf.join(broadcast(w), Seq("term"))
+      val docScore = words.select(col("doc_id"), col("term"))
+        .join(broadcast(w), Seq("term"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("tf") * col("w_x1e6")).as("sum_w"))
+        .agg(sum(col("w_x1e6")).as("sum_w"))
       aug.select(col("doc_id"), col("actual_keep"), col("is_train"))
         .join(docScore, Seq("doc_id"), "left")
         .crossJoin(broadcast(classes))
@@ -1141,27 +1137,20 @@ object ExtQueries {
     // downstream. Same tagged-gram plan as rouge_n, four orders in
     // ONE (doc, n, g) exchange per side. */
     "bleu_corpus" -> { (s, d) =>
-      val (docs, cand) = refCandTokens(s, d)
-      def grams(side: DataFrame): DataFrame =
-        (1 to 4).map(n => side.select(col("doc_id"),
-          lit(n.toLong).as("n"), explode(expr(ngramSql(n))).as("g")))
-          .reduce(_ unionByName _)
-      val rc = grams(docs).groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cr")).localCheckpoint(true)
-      val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cc")).localCheckpoint(true)
-      val m = rc.join(cc, Seq("doc_id", "n", "g"))
-        .groupBy(col("n")).agg(sum(least(col("cr"), col("cc"))).as("m"))
-      val tot = cc.groupBy(col("n")).agg(sum(col("cc")).as("tot"))
-      val rlen = rc.filter(col("n") === 1)
-        .agg(sum(col("cr")).as("r_len"))
-      val perN = tot.join(m, Seq("n"), "left")
-        .withColumn("m", coalesce(col("m"), lit(0L)))
+      // Round-20 kernel form: ref and cand share a row, so all four
+      // orders' clipped counts derive map-side (ClippedOverlap) and
+      // the whole query is ONE partial+final aggregate — the exploded
+      // form paid two (doc, n, g) count exchanges + the clipped join
+      // for statistics every row can compute locally. Values are the
+      // same exact integers; the unchanged DuckDB oracle re-proves it.
+      val ov = refCandTokens(s, d)
+        .select(graft.ext.expr.ClippedOverlap.of(col("tk"), col("ck"), 4)
+          .as("ov"))
       val aggs = (1 to 4).flatMap(n => Seq(
-        sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"m_$n"),
-        sum(when(col("n") === n, col("tot")).otherwise(0L)).as(s"tot_$n")))
-      perN.agg(aggs.head, aggs.tail: _*)
-        .crossJoin(broadcast(rlen))
+        sum(element_at(col("ov"), 3 * (n - 1) + 1)).as(s"m_$n"),
+        sum(element_at(col("ov"), 3 * (n - 1) + 3)).as(s"tot_$n"))) :+
+        sum(element_at(col("ov"), 2)).as("r_len")
+      ov.agg(aggs.head, aggs.tail: _*)
         .selectExpr(Seq("r_len", "tot_1 AS c_len",
           "CASE WHEN r_len > 0 THEN " +
             "(2 * 1000000 * tot_1 + r_len) div (2 * r_len) " +
@@ -1186,43 +1175,23 @@ object ExtQueries {
     // (doc, gram)-keyed count aggs + one equi-join on that key per n
     // — the doc_repetition exchange pattern; per-doc outputs. */
     "rouge_n" -> { (s, d) =>
-      val (docs, cand) = refCandTokens(s, d)
-      // ONE tagged gram stream per side — unigrams and bigrams share
-      // the (doc, n, g) count exchange and the single clipped join;
-      // the per-n columns then pivot out with conditional sums on the
-      // doc-keyed frame (2 exchanges + 1 join total, not 4 + 2).
-      def grams(side: DataFrame): DataFrame =
-        side.select(col("doc_id"), lit(1L).as("n"),
-            explode(expr(ngramSql(1))).as("g"))
-          .unionByName(side.select(col("doc_id"), lit(2L).as("n"),
-            explode(expr(ngramSql(2))).as("g")))
-      val rc = grams(docs).groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cr")).localCheckpoint(true)
-      val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cc")).localCheckpoint(true)
-      val m = rc.join(cc, Seq("doc_id", "n", "g"))
-        .groupBy(col("doc_id"), col("n"))
-        .agg(sum(least(col("cr"), col("cc"))).as("m"))
-      def side(cnts: DataFrame, c: String, out: String): DataFrame =
-        cnts.groupBy(col("doc_id"), col("n"))
-          .agg(sum(col(c)).as(out))
-      side(rc, "cr", "nr")
-        .join(side(cc, "cc", "nc"), Seq("doc_id", "n"), "full")
-        .join(m, Seq("doc_id", "n"), "left")
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("n") === 1, coalesce(col("nr"), lit(0L)))
-            .otherwise(0L)).as("nref_1"),
-          sum(when(col("n") === 1, coalesce(col("nc"), lit(0L)))
-            .otherwise(0L)).as("ncand_1"),
-          sum(when(col("n") === 1, coalesce(col("m"), lit(0L)))
-            .otherwise(0L)).as("m_1"),
-          sum(when(col("n") === 2, coalesce(col("nr"), lit(0L)))
-            .otherwise(0L)).as("nref_2"),
-          sum(when(col("n") === 2, coalesce(col("nc"), lit(0L)))
-            .otherwise(0L)).as("ncand_2"),
-          sum(when(col("n") === 2, coalesce(col("m"), lit(0L)))
-            .otherwise(0L)).as("m_2"))
+      // Round-20 kernel form: the candidate is a token slice of the
+      // reference ON THE SAME ROW, so both orders' clipped counts
+      // derive map-side (ClippedOverlap) and the query plans ZERO
+      // exchanges — the exploded form paid two (doc, n, g) count
+      // exchanges + a clipped join + a doc-keyed pivot for per-row
+      // statistics. The empty-token filter reproduces the exploded
+      // form's row set exactly (explode dropped gram-less docs); all
+      // counts are the same exact integers under the unchanged oracle.
+      refCandTokens(s, d).filter(size(col("tk")) >= 1)
+        .select(col("doc_id"),
+          graft.ext.expr.ClippedOverlap.of(col("tk"), col("ck"), 2)
+            .as("ov"))
+        .selectExpr("doc_id",
+          "element_at(ov, 2) AS nref_1", "element_at(ov, 3) AS ncand_1",
+          "element_at(ov, 1) AS m_1",
+          "element_at(ov, 5) AS nref_2", "element_at(ov, 6) AS ncand_2",
+          "element_at(ov, 4) AS m_2")
         .selectExpr("doc_id", "nref_1", "ncand_1", "m_1",
           "CASE WHEN nref_1 + ncand_1 > 0 THEN " +
             "(2 * 1000000 * m_1 + (nref_1 + ncand_1)) div " +
@@ -1252,52 +1221,29 @@ object ExtQueries {
     // per side (fusing them was measured 2× worse — see grams());
     // everything after rides (doc, gram) keys.
     "chrf_eval" -> { (s, d) =>
-      val (docs, cand) = refCandTokens(s, d)
-      def chtext(side: DataFrame) = side.select(col("doc_id"),
-        array_join(col("tk"), "").as("t"))
-      // Three per-order explodes off the checkpointed token frame,
-      // unioned. Two "optimizations" were MEASURED and rejected
-      // (min-of-2 noop probes, sf0.1): (a) one fused
-      // explode-of-(n,g)-structs = 15.1 s vs 7.6 s here — per-row
-      // flatten of ~3L tagged structs materializes the whole gram
-      // array while the per-order explode streams through codegen;
-      // (b) localCheckpoint of the joined char stream = 7.4 s —
-      // within noise, because array_join recomputes off CACHED token
-      // blocks (refCandTokens checkpoints docs) and is noise next to
-      // the explode + (doc, n, g) count exchange, while at 100 TB it
-      // would materialize the entire char corpus per side. The
-      // recompute-per-order shape is the right one at scale.
-      def grams(side: DataFrame): DataFrame = {
-        val t = chtext(side)
-        (1 to 3).map(n => t.select(col("doc_id"),
-            lit(n.toLong).as("n"),
-            explode(when(length(col("t")) >= n,
-              transform(sequence(lit(1), length(col("t")) - n + 1),
-                i => col("t").substr(i, lit(n))))
-              .otherwise(array().cast("array<string>"))).as("g")))
-          .reduce(_ unionByName _)
-      }
-      val rc = grams(docs).groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cr")).localCheckpoint(true)
-      val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cc")).localCheckpoint(true)
-      val m = rc.join(cc, Seq("doc_id", "n", "g"))
-        .groupBy(col("doc_id"), col("n"))
-        .agg(sum(least(col("cr"), col("cc"))).as("m"))
-      def tots(cnts: DataFrame, c: String, out: String) =
-        cnts.groupBy(col("doc_id"), col("n")).agg(sum(col(c)).as(out))
-      val perN = tots(rc, "cr", "r")
-        .join(tots(cc, "cc", "c"), Seq("doc_id", "n"), "full")
-        .join(m, Seq("doc_id", "n"), "left")
-        .select(col("doc_id"), col("n"),
-          coalesce(col("r"), lit(0L)).as("r"),
-          coalesce(col("c"), lit(0L)).as("c"),
-          coalesce(col("m"), lit(0L)).as("m"))
-      val aggs = (1 to 3).flatMap(n => Seq(
-        sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"m_$n"),
-        sum(when(col("n") === n, col("c")).otherwise(0L)).as(s"c_$n"),
-        sum(when(col("n") === n, col("r")).otherwise(0L)).as(s"r_$n")))
-      perN.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      // Round-20 kernel form. History: the exploded (doc, n, g)
+      // count/join shape measured 7.6 s at sf0.1, and two relational
+      // "optimizations" were tried and REJECTED (fused
+      // explode-of-structs 15.1 s; checkpointed char stream 7.4 s).
+      // The kernel sidesteps the trade entirely: ref and cand are the
+      // SAME ROW's token array (cand a slice of it), so all three
+      // orders' clipped char-gram counts derive map-side
+      // (ClippedOverlap, code-point windows ≡ substr semantics) and
+      // the query plans ZERO gram exchanges — the char corpus never
+      // shuffles at any scale. The empty-token filter reproduces the
+      // exploded form's row set (explode dropped gram-less docs);
+      // every count is the same exact integer under the unchanged
+      // DuckDB oracle.
+      refCandTokens(s, d).filter(size(col("tk")) >= 1)
+        .select(col("doc_id"),
+          graft.ext.expr.ClippedOverlap.of(
+            array_join(col("tk"), ""), array_join(col("ck"), ""), 3)
+            .as("ov"))
+        .selectExpr(Seq("doc_id") ++
+          (1 to 3).flatMap(n => Seq(
+            s"element_at(ov, ${3 * (n - 1) + 1}) AS m_$n",
+            s"element_at(ov, ${3 * (n - 1) + 3}) AS c_$n",
+            s"element_at(ov, ${3 * (n - 1) + 2}) AS r_$n")): _*)
         .selectExpr(Seq("doc_id") ++
           (1 to 3).flatMap(n => Seq(s"m_$n", s"c_$n", s"r_$n",
             s"CASE WHEN c_$n > 0 THEN (2 * 1000000 * m_$n + c_$n) " +
@@ -2908,13 +2854,17 @@ object ExtQueries {
             .as("text"))
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .unionByName(plantD)
-      // (doc, term) incidence — distinct, since MaxSim is max-per-qt
-      val inc = docs.select(col("doc_id"),
-          explode(TextOps.tokens(lower(col("text")))).as("term"))
-        .distinct()
-        .localCheckpoint(true)
+      // (doc, term) token stream — NOT distinct'd (round 20): MaxSim's
+      // per-(doc, qterm) max is idempotent over duplicate tokens, so
+      // the old corpus-token-scale distinct exchange + eager cache
+      // bought nothing the partial max aggregate doesn't already do
+      // map-side. Tokenization recomputes once per consumer off the
+      // scan (map-side, cheap); the only token-scale exchange left is
+      // the partial-agged per-(qid, doc, qterm) max.
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
       // score the DISTINCT vocabulary against the 12 query tokens
-      val vocab = inc.select(col("term")).distinct()
+      val vocab = toks.select(col("term")).distinct()
         .withColumn("tv", tokVec(col("term")))
       val qterms = qids
         .select(col("qid"), explode(qt).as("qterm"))
@@ -2923,7 +2873,7 @@ object ExtQueries {
         .select(col("qid"), col("qterm"), col("term"),
           VectorOps.idot(col("tv"), col("qv")).as("dot"))
       // max over the doc's tokens per query token, then sum over qts
-      val perQt = inc.join(dots, "term")
+      val perQt = toks.join(dots, "term")
         .groupBy(col("qid"), col("doc_id"), col("qterm"))
         .agg(max(col("dot")).as("best"))
       val scored = perQt.groupBy(col("qid").as("query_id"), col("doc_id"))

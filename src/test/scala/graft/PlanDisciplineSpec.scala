@@ -86,7 +86,6 @@ class PlanDisciplineSpec extends SparkSpec {
     "assoc_rules" -> Seq("n_baskets"),
     "benford_audit" -> Seq("digit,p9", "n"),
     "bigram_logprob" -> Seq("v"),
-    "bleu_corpus" -> Seq("r_len"),
     "bloom_contam" -> Seq("bloom", "hit,sh"),
     // train (lo, hi) ×2, the ≤10-row rate table, the 1-row base rate
     "brier_score" -> Seq("base_rate_x1e6", "bin,rate_x1e6", "hi,lo", "hi,lo"),

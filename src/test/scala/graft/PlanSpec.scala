@@ -780,15 +780,22 @@ class PlanSpec extends SparkSpec {
       s"window must sit above the compressing aggregate:\n$p")
   }
 
-  test("rouge_n: both gram orders share one tagged count exchange per side") {
-    val p = plan("rouge_n")
-    def n(tok: String) = p.sliding(tok.length).count(_ == tok)
-    // The checkpointed (doc, n, g) count frames hide their own stages;
-    // what remains is the clipped join + per-n pivots on doc-keyed
-    // frames — no gram-keyed exchange may reappear, and nothing may
-    // broadcast a corpus-sized side.
-    assert(n("Exchange hashpartitioning") <= 6,
-      s"expected the bounded doc-keyed exchanges only, got:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  test("eval metrics plan no gram exchange: clipped overlap is map-side") {
+    // Round-20 kernel form: ref and cand live on one row, so the
+    // clipped n-gram statistics derive per row (ClippedOverlap) —
+    // no gram explode, no gram-keyed count exchange, no clipped join.
+    // rouge_n/chrf_eval are per-doc map-side outputs; bleu_corpus adds
+    // only its one global partial+final aggregate.
+    for (q <- Seq("rouge_n", "chrf_eval", "bleu_corpus")) {
+      val p = plan(q)
+      def n(tok: String) = p.sliding(tok.length).count(_ == tok)
+      assert(n("Exchange hashpartitioning") == 0,
+        s"$q: expected zero hash exchanges, got:\n$p")
+      assert(!p.contains("Generate explode"),
+        s"$q: gram explode reappeared:\n$p")
+      assert(p.contains("clipped_overlap"),
+        s"$q: kernel missing from plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+    }
   }
 }
