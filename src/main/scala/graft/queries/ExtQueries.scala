@@ -627,18 +627,27 @@ object ExtQueries {
           VectorOps.quantize1000(col("v").cast("array<double>")).as("q"))
         .localCheckpoint(true)
       // --- lexical path: tf-idf of the query's terms, top-10 ---
-      val tf = Dedup.rebalance(docs)
+      // Round-20 shape: the scored rows only ever involve the ≤ 100
+      // query terms, so the broadcast probe moves BEFORE the (doc,
+      // term) exchange (guide §2.3) — no corpus-scale tf checkpoint.
+      // df per query term and n_docs (docs with ≥ 1 token — explode's
+      // row support) re-derive exactly; Σ tf·w ≡ summing w per matched
+      // token instance, exact integers.
+      val toksL = Dedup.rebalance(docs)
         .select(col("doc_id"),
           explode(TextOps.tokens(lower(col("text")))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val totals = tf.groupBy(col("doc_id")).agg(lit(1).as("one"))
-        .agg(count(lit(1)).as("n_docs"))
       val qterms = qbase.select(col("qid"),
           explode(split(lower(qt), " ")).as("term"))
-      val lexScored = tf.join(broadcast(qterms), "term")
-        .join(dfreq, "term")
+      val qtf = toksL.join(broadcast(qterms), "term")
+        .groupBy(col("qid"), col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = docs
+        .filter(size(TextOps.tokens(lower(col("text")))) >= 1)
+        .agg(count(lit(1)).as("n_docs"))
+      val lexScored = qtf
+        .join(broadcast(dfreq), "term")
         .crossJoin(broadcast(totals))
         .groupBy(col("qid").as("query_id"), col("doc_id"))
         .agg(sum(col("tf") *
@@ -2738,16 +2747,24 @@ object ExtQueries {
       val cvecs = chunks.join(pvecs, "doc_id")
         .select(ckey, transform(col("q"), x => x + col("chunk_idx")).as("q"))
       // --- stage 3a: lexical tf-idf over chunk text ---
-      val tf = chunks
+      // Round-20 shape: the scored rows only involve the query's ≤ 100
+      // terms, so the broadcast probe moves BEFORE the (chunk, term)
+      // exchange (guide §2.3) — no chunk-corpus-scale tf checkpoint.
+      // df per query term re-derives exactly off the probed rows
+      // (query vocabulary is qid-unique by construction), and Σ tf·w ≡
+      // summing w per matched token instance.
+      val ctoks = chunks
         .select(ckey, explode(TextOps.tokens(col("chunk_text"))).as("term"))
-        .groupBy(col("ckey"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val totals = chunks.agg(count(lit(1)).as("n_chunks"))
       val qterms = qbase.select(col("qid"),
         explode(split(qt, " ")).as("term"))
-      val lexScored = tf.join(broadcast(qterms), "term")
-        .join(dfreq, "term")
+      val qtf = ctoks.join(broadcast(qterms), "term")
+        .groupBy(col("qid"), col("ckey"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = chunks.agg(count(lit(1)).as("n_chunks"))
+      val lexScored = qtf
+        .join(broadcast(dfreq), "term")
         .crossJoin(broadcast(totals))
         .groupBy(col("qid").as("query_id"), col("ckey"))
         .agg(sum(col("tf") *
@@ -2949,20 +2966,27 @@ object ExtQueries {
             concat(lit("rq"), col("qid"), lit("t1")), 12)).as("text"))
       val docs = docsBase.unionByName(plants).unionByName(partials)
         .unionByName(decoys)
-      val tf = docs.select(col("doc_id"),
-          explode(TextOps.tokens(lower(col("text")))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val s1 = tf.join(broadcast(qterms), "term")
+      // Round-20 shape: no corpus-scale (doc, term) tf checkpoint.
+      // Stage 1 only reads query-term-matched token rows (broadcast
+      // probe before the exchange, guide §2.3 — Σ tf ≡ counting
+      // matched instances); the rerank vocabulary only needs the ≤ 60
+      // candidate docs' terms, re-derived by a broadcast id probe on
+      // the token stream instead of a semi-join against cached
+      // corpus-wide tf.
+      val toks = Dedup.rebalance(docs).select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val s1 = toks.join(broadcast(qterms), "term")
         .groupBy(col("qid").as("query_id"), col("doc_id"))
-        .agg(sum(col("tf")).as("score1"))
+        .agg(count(lit(1)).as("score1"))
       val wq = Window.partitionBy(col("query_id"))
       val cand = graft.plans.TopKPerKey.perKey(s1, Seq(col("query_id")),
           Seq(col("score1").desc, col("doc_id")), kCand)
         .withColumn("rank1", row_number().over(
           wq.orderBy(col("score1").desc, col("doc_id"))))
         .localCheckpoint(true)
-      val candInc = tf.join(cand.select(col("doc_id")).distinct(), "doc_id")
+      // ≤ kCand × nQ candidate ids by the TopK cut — bounded, broadcast
+      val candInc = toks
+        .join(broadcast(cand.select(col("doc_id")).distinct()), "doc_id")
         .select(col("doc_id"), col("term")).distinct()
         .localCheckpoint(true)
       val vocab = candInc.select(col("term")).distinct()
@@ -3059,26 +3083,31 @@ object ExtQueries {
             .as("text"))
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .unionByName(bridge).unionByName(hidden)
-      val tf = docs.select(col("doc_id"),
-          explode(TextOps.tokens(lower(col("text")))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+      // Round-20 shape: no corpus-scale (doc, term) tf checkpoint. Both
+      // retrieval passes and the feedback-mass agg only ever read
+      // query-term-matched or feedback-doc-bounded token rows, so the
+      // broadcast filters move BEFORE any exchange (guide §2.3) and the
+      // token stream re-derives map-side per consumer — Σ tf over
+      // matched (doc, term) ≡ counting matched instances, exact.
+      val toks = Dedup.rebalance(docs).select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
       val wq = Window.partitionBy(col("query_id"))
       def retrieve(terms: DataFrame): DataFrame =
         graft.plans.TopKPerKey.perKey(
-          tf.join(broadcast(terms), "term")
+          toks.join(broadcast(terms), "term")
             .groupBy(col("qid").as("query_id"), col("doc_id"))
-            .agg(sum(col("tf")).as("score")),
+            .agg(count(lit(1)).as("score")),
           Seq(col("query_id")), Seq(col("score").desc, col("doc_id")), k)
           .withColumn("rank", row_number().over(
             wq.orderBy(col("score").desc, col("doc_id"))))
       val cand1 = retrieve(qterms).localCheckpoint(true)
+      // ≤ 3 feedback docs per query by the rank cut — bounded, broadcast
       val fb = cand1.filter(col("rank") <= 3)
         .select(col("query_id").as("qid"), col("doc_id"))
-      val eterms = tf.join(fb, "doc_id")
+      val eterms = toks.join(broadcast(fb), "doc_id")
         .join(broadcast(qterms.select(col("term")).distinct()),
           Seq("term"), "left_anti")
-        .groupBy(col("qid"), col("term")).agg(sum(col("tf")).as("mass"))
+        .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("mass"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("mass").desc, col("term"))))
         .filter(col("rn") <= 2)
@@ -3118,21 +3147,30 @@ object ExtQueries {
     // rollup — the inverted-index-free form that rides any scan (at
     // alert-rule scale you'd flip to InvertedIndex postings).
     "percolate" -> { (s, d) =>
+      // Round-20 shape: the stored-query definitions derive from 10
+      // known doc ids (the filter pushes into the scan), and the match
+      // test only needs the (doc, term) incidence of the ~30 stored
+      // terms — so the broadcast probe moves BEFORE any exchange
+      // (guide §2.3) and the old corpus-token-scale distinct + eager
+      // cache disappears. The distinct runs on the probe-filtered
+      // stream (stored-term rows only), so per-(query, doc) hits count
+      // each term once exactly as before.
       val docs = Tables.documents(s, d)
-      val terms = docs.select(col("doc_id"),
-          explode(TextOps.tokens(lower(col("text")))).as("term"))
+      def toks(df: DataFrame) = df.select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val qdefs = toks(docs
+          .filter(pmod(col("doc_id"), lit(37L)) === 0 && col("doc_id") < 370L))
         .distinct()
-        .localCheckpoint(true)
-      val qdefs = terms
-        .filter(pmod(col("doc_id"), lit(37L)) === 0 && col("doc_id") < 370L)
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy("term")))
         .filter(col("rn") <= 3)
         .select((col("doc_id") / 37L).cast("long").as("query_id"),
           col("term"))
+        .localCheckpoint(true)
       val qsizes = qdefs.groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_terms"))
-      terms.join(broadcast(qdefs), "term")
+      toks(Dedup.rebalance(docs)).join(broadcast(qdefs), "term")
+        .select(col("query_id"), col("doc_id"), col("term")).distinct()
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("hit"))
         .join(broadcast(qsizes), "query_id")

@@ -125,7 +125,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "heldout_perplexity" -> Seq("v"),
     "herfindahl_index" -> Seq("n_name,n_nationkey"),
     "holt_linear" -> Seq("day,forecast_x1e6,level_x1e6,trend_x1e6"),
-    "hybrid_rrf" -> Seq("n_docs", "n_docs", "qid,qq", "qid,qq", "qid,term", "qid,term"),
+    "hybrid_rrf" -> Seq("df,term", "df,term", "n_docs", "n_docs", "qid,qq", "qid,qq"),
     "image_neardup" -> Seq("n_expected", "n_pairs", "n_planted"),
     "ivf_trained_topk" -> Seq("bucket", "cid,cv", "qq", "qv"),
     "k_anonymity" -> Seq("nation,segment", "nation,segment", "nation,segment", "region,segment"),
@@ -162,7 +162,7 @@ class PlanDisciplineSpec extends SparkSpec {
     "min_cost_supplier" -> Seq("n_name,n_nationkey", "r_regionkey"),
     "mixture_sample" -> Seq("permille,stratum"),
     "multimodal_pipeline" -> Seq("n_aud_ok", "n_dedup_removed", "n_img_ok", "n_survivors,sum_survivor_ids", "n_vid_ok"),
-    "mrr_prec_at_k" -> Seq("n_docs", "n_docs", "qid,qq", "qid,qq", "qid,term", "qid,term"),
+    "mrr_prec_at_k" -> Seq("df,term", "df,term", "n_docs", "n_docs", "qid,qq", "qid,qq"),
     "mv_refresh" -> Seq("cutoff", "cutoff"),
     // the 1-row day-count aggregate of the ≤31-row daily frame
     "page_hinkley" -> Seq("n_days"),
@@ -177,15 +177,17 @@ class PlanDisciplineSpec extends SparkSpec {
     "product_profit" -> Seq("n_name,n_nationkey"),
     "psi_drift" -> Seq("tmid", "tmid"),
     "quality_classifier" -> Seq("n_neg,n_pos", "neg_tot,pos_tot,v", "term,w_x1e6"),
-    "query_expansion" -> Seq("term"),
-    "rag_pipeline" -> Seq("dense_ndcg_x1e6,fused_ndcg_x1e6,lex_ndcg_x1e6,query_id", "n_chunks", "qid,qq", "qid,term"),
+    // fb = the ≤ 3-per-query feedback-doc ids (rank cut); df,term = the
+    // ≤ |query terms| per-term df frame — both bounded by construction
+    "query_expansion" -> Seq("doc_id,qid", "term"),
+    "rag_pipeline" -> Seq("dense_ndcg_x1e6,fused_ndcg_x1e6,lex_ndcg_x1e6,query_id", "df,term", "n_chunks", "qid,qq"),
     "rag_rerank" -> Seq("query_id,rerank_ndcg_x1e6,stage1_ndcg_x1e6"),
     "retention_filter" -> Seq("cutoff"),
     // 1-row N (×3) + bounded bucket offsets (×3); the 1-row max-day
     // hint sits behind lf's localCheckpoint and never reaches the walk
     "rfm_segments" -> Seq("gbkt,goff", "gbkt,goff", "gbkt,goff",
       "nu", "nu", "nu"),
-    "retrieval_ndcg" -> Seq("n_docs", "n_docs", "qid,qq", "qid,qq", "qid,term", "qid,term"),
+    "retrieval_ndcg" -> Seq("df,term", "df,term", "n_docs", "n_docs", "qid,qq", "qid,qq"),
     "returned_customers" -> Seq("n_name,n_nationkey"),
     "revenue_by_nation" -> Seq("n_name,n_nationkey,n_regionkey", "r_regionkey"),
     "rollup_agg" -> Seq("n_name,n_nationkey,n_regionkey", "r_name,r_regionkey"),
