@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.io.{LakeSink, ParquetSource}
 
-class NightlyEtlSpec extends SparkSpec {
+class NightlyEtlSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def tmp() = Files.createTempDirectory("graft-etl").toString

@@ -19,7 +19,7 @@ import graft.SparkSpec
   *  3. pointer loss degrades to the directory-scan fallback, never to
   *     a wrong answer.
   */
-class CheckpointSpec extends SparkSpec {
+class CheckpointSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def kv(lo: Long, hi: Long) =

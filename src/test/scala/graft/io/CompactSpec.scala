@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-class CompactSpec extends SparkSpec {
+class CompactSpec extends SparkSpec with graft.LowStatePartitions {
 
   test("binPack collapses a many-small-files table, preserving the data") {
     val dir = Files.createTempDirectory("compact").toString + "/t"

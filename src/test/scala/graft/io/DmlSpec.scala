@@ -12,7 +12,7 @@ import graft.SparkSpec
   * (reference lifecycle: init-db.sql:43-44's retention delete,
   * timescale_to_deltalake.py:37's nightly upsert). All three are
   * merge-on-read: matching rows DV-mask, nothing rewrites. */
-class DmlSpec extends SparkSpec {
+class DmlSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def freshLake() = Snapshot.Lake(spark,

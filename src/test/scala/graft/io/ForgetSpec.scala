@@ -9,7 +9,7 @@ import graft.SparkSpec
 
 /** Forget.forgetKeys: targeted erasure rewrites ONLY the partitions
   * holding the keys; everything else keeps its exact files. */
-class ForgetSpec extends SparkSpec {
+class ForgetSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def buildLake(): (String, Long) = {

@@ -9,7 +9,7 @@ import graft.SparkSpec
 /** The maintenance policy's contract: debts trigger exactly one
   * rewrite commit (purging DV debt, collapsing small files), healthy
   * tables are untouched, and the decision itself never scans data. */
-class MaintainSpec extends SparkSpec {
+class MaintainSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def freshLake() = Snapshot.Lake(spark,

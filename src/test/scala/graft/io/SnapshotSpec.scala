@@ -11,7 +11,7 @@ import graft.SparkSpec
   * version conflicts lose cleanly), and the zone-map manifest +
   * clusterBy compact turn range predicates into file pruning.
   */
-class SnapshotSpec extends SparkSpec {
+class SnapshotSpec extends SparkSpec with graft.LowStatePartitions {
 
   private def freshLake(statsCols: Seq[String] = Seq("k")) =
     Snapshot.Lake(spark,

@@ -11,7 +11,7 @@ import graft.SparkSpec
   * the append-only guard rejects rewrite commits unless ignoreChanges,
   * batch reads see the latest snapshot, pruning + schema evolution
   * behave like the Lake read path. */
-class SnapshotStreamSpec extends SparkSpec {
+class SnapshotStreamSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private val Fmt = "graft.io.v2.SnapshotStreamSource"

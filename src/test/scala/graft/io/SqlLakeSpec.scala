@@ -10,7 +10,7 @@ import graft.SparkSpec
   * plain SQL text — CREATE/INSERT/SELECT/time travel/ALTER/DROP —
   * drives the same transactional log as the programmatic API, and the
   * two front doors observe each other's commits exactly. */
-class SqlLakeSpec extends SparkSpec {
+class SqlLakeSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def freshCatalog(): (String, String) = {

@@ -9,7 +9,7 @@ import graft.SparkSpec
 
 /** The DataSourceV2 sensor-topic connector: parallel file partitions,
   * column pruning, reader-side filter pushdown, malformed-line drop. */
-class V2SourceSpec extends SparkSpec {
+class V2SourceSpec extends SparkSpec with graft.LowStatePartitions {
 
   private val Fmt = "graft.io.v2.SensorJsonSource"
 

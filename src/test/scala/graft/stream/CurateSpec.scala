@@ -10,7 +10,7 @@ import graft.SparkSpec
 /** A document message on the ingest stream. */
 case class DocMsg(event_time: Timestamp, doc_id: Long, text: String)
 
-class CurateSpec extends SparkSpec {
+class CurateSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def t(sec: Int) = Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")

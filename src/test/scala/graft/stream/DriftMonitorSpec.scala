@@ -8,7 +8,7 @@ import graft.SparkSpec
 case class ValueEvent(event_time: java.sql.Timestamp, event_type: String,
   value: Double)
 
-class DriftMonitorSpec extends SparkSpec {
+class DriftMonitorSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def ev(t: String, typ: String, v: Double) =

@@ -11,7 +11,7 @@ import graft.ext.CorpusPipeline
   * over the day-N−1 survivors — to exactly the batch capstone's packed
   * id set, for MORE THAN ONE batch split (boundaries must not matter).
   */
-class IncCurateSpec extends SparkSpec {
+class IncCurateSpec extends SparkSpec with graft.LowStatePartitions {
 
   test("multi-batch change-stream fold equals the batch capstone's packed ids") {
     val docs = Tables.documents(spark, sf)

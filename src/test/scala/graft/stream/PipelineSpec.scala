@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.model.SensorReading
 
-class PipelineSpec extends SparkSpec {
+class PipelineSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def reading(t: String, m: String = "CNC-001", s: String = "temperature",

@@ -11,7 +11,7 @@ import graft.io.Snapshot
   * lands as one txn-stamped commit, a re-delivered batch is a no-op,
   * and the CDC feed over the sink's commits reads back exactly the
   * per-batch increments. */
-class SnapshotSinkSpec extends SparkSpec {
+class SnapshotSinkSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   test("micro-batches commit once; replayed batch is skipped; CDC reads the increments") {

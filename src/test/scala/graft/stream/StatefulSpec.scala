@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSpec
 import graft.stream.Stateful.{AnomalyAlert, Keyed}
 
-class StatefulSpec extends SparkSpec {
+class StatefulSpec extends SparkSpec with graft.LowStatePartitions {
   import spark.implicits._
 
   private def r(t: Long, v: Double, m: String = "CNC-001") =
