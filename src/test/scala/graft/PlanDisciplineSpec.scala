@@ -136,10 +136,11 @@ class PlanDisciplineSpec extends SparkSpec {
     "lake_bloom_point" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos"),
     // deletion-sized DV frames (readState's MOR anti-join), one per
     // partition-pruned year read — bounded by the delete volume
-    // deletion-sized DV probes across the v6/v7 diff sides (readState's
-    // MOR anti-join, one per DV'd state read in the history walk)
+    // deletion-sized DV probes across the per-version diff sides
+    // (readState's MOR anti-join, one per DV'd state read in the
+    // history walk) — the round-21 single-aggregate CDC diff reads
+    // each touched DV'd state ONCE, so 6 probes became 3
     "lake_cdf_history" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos",
-      "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos",
       "__dv_path,__dv_pos"),
     // source + clone DV probes (deletion-sized) and the clone's 1-row agg
     "lake_clone" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "clone_cents,n_clone"),
@@ -150,8 +151,10 @@ class PlanDisciplineSpec extends SparkSpec {
     "lake_rename" -> Seq("n_v0_rows,v0_cents"),
     // the 1-row VERSION AS OF 1 aggregate attached to the head cells
     "lake_sql_catalog" -> Seq("n_v1_rows,v1_cents"),
-    "lake_mor_delete" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,n_deletes,n_inserts", "delete_cents,n_deletes,n_inserts"),
-    "lake_mor_merge" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,insert_cents,n_deletes,n_inserts"),
+    // one DV probe fewer after the round-21 single-aggregate CDC diff
+    // (the feed's touched files are read once, not per exceptAll side)
+    "lake_mor_delete" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,n_deletes,n_inserts", "delete_cents,n_deletes,n_inserts"),
+    "lake_mor_merge" -> Seq("__dv_path,__dv_pos", "__dv_path,__dv_pos", "__dv_path,__dv_pos", "delete_cents,insert_cents,n_deletes,n_inserts"),
     "lake_restore" -> Seq("n_deletes,n_inserts,net_cents", "n_deletes,n_inserts,net_cents"),
     "lake_time_travel" -> Seq("delta_cents,delta_rows", "delta_cents,delta_rows", "delta_cents,delta_rows"),
     "link_rank" -> Seq("n", "n", "n", "n", "n", "n"),
