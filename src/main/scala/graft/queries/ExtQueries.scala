@@ -642,7 +642,12 @@ object ExtQueries {
         .groupBy(col("qid"), col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
-      val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df invariantly as distinct docs per term (ADVICE r20): equals
+      // the row count while query vocabularies are qid-unique, and
+      // stays a document frequency if a future construction shares a
+      // term across qids. qtf is probe-bounded; cost is nil.
+      val dfreq = qtf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
       val totals = docs
         .filter(size(TextOps.tokens(lower(col("text")))) >= 1)
         .agg(count(lit(1)).as("n_docs"))
@@ -811,57 +816,99 @@ object ExtQueries {
         .as("piece"))
       .groupBy(col("piece")).agg(sum(col("wn")).as("cnt"))
       .localCheckpoint(true)
-    val singles = subs.filter(length(col("piece")) === 1)
-      .select(col("piece")).localCheckpoint(true)
-    val multis0 = subs.filter(length(col("piece")) >= 2)
-      .orderBy(col("cnt").desc, col("piece")).limit(UniSeedK)
-      .select(col("piece"))
-    // (vocab with usage) -> (scored frame, broadcastable score map)
-    def mstep(usage: DataFrame): (DataFrame, Map[String, Long]) = {
-      val tot = usage.agg(sum(col("usage")).as("t"), count(lit(1)).as("v"))
-      val scored = usage.crossJoin(broadcast(tot))
-        .select(col("piece"), col("usage"),
-          (lnCell1e6(col("usage") + 1) - lnCell1e6(col("t") + col("v")))
-            .as("logp_x1e6"))
-        .localCheckpoint(true)
-      (scored, scored.select(col("piece"), col("logp_x1e6")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // Round 21 (guide §1.2/§5): everything below the two corpus-scale
+    // frames (tf, wc) and the distributed E-steps is MODEL-sized —
+    // the vocab never exceeds |alphabet| + UniSeedK entries, and every
+    // piece an E-step emits is IN the score map (the backward walk
+    // takes the smallest l reproducing B(e), and the all-singles
+    // alphabet kept through every prune guarantees a non-sentinel
+    // char path, so a piece outside SM can never reproduce B(e)).
+    // The M-step/prune/score algebra therefore runs on the DRIVER
+    // over collected model-sized rows — the same class of collect the
+    // chain already did (mstep collected every score map) — instead
+    // of 3 crossJoin+checkpoint+collect round trips and 2 prune
+    // joins; each E-step collects its (piece, usage) rollup directly.
+    // Exact-integer semantics preserved: lnCell1e6 is floor(
+    // StrictMath.log(x)·1e6 + 0.5) in both engines (Spark's LOG/FLOOR
+    // are StrictMath.log/Math.floor), and the (usage DESC, piece)
+    // prune order compares pieces as UTF-8 BYTES, Spark's string
+    // order. Oracle-gated at both SFs; plan: 2 corpus aggregates
+    // (tf, wc) + 1 subs aggregate + 2 wc-sized E-step aggregates —
+    // nothing model-sized ever shuffles.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
     }
-    // E-step: Viterbi-segment the distinct vocab, usage-weighted count.
-    def estep(scores: Map[String, Long]): DataFrame = {
+    val pieceOrd: Ordering[(String, Long)] = new Ordering[(String, Long)] {
+      def compare(a: (String, Long), b: (String, Long)): Int =
+        if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+        else if (a._1 == b._1) 0
+        else if (utf8Lt(a._1, b._1)) -1 else 1
+    }
+    def lnCellD(c: Long): Long =
+      math.floor(StrictMath.log(c.toDouble) * 1000000.0 + 0.5).toLong
+    def nChars(p: String): Int = p.codePointCount(0, p.length)
+    // alphabet (all corpus single chars) + top-K multi seeds, with
+    // their corpus-weighted counts — both model-sized collects
+    val singles: Seq[(String, Long)] = subs
+      .filter(length(col("piece")) === 1)
+      .select(col("piece"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val singleSet = singles.map(_._1).toSet
+    val multis0: Seq[(String, Long)] = subs
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(UniSeedK)
+      .select(col("piece"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def mstep(usage: Seq[(String, Long)]): Map[String, Long] = {
+      val t = usage.map(_._2).sum
+      val v = usage.size.toLong
+      usage.map { case (p, c) =>
+        p -> (lnCellD(c + 1) - lnCellD(t + v)) }.toMap
+    }
+    // E-step: Viterbi-segment the distinct vocab, usage-weighted
+    // count, collected as the model-sized (piece, usage) rollup.
+    def estep(scores: Map[String, Long]): Seq[(String, Long)] = {
       val SM = typedlit(scores)
       wc.withColumn("best", uniForward(SM, col("w")))
         .select(col("wn"),
           explode(uniBackward(SM, col("w"), col("best"))).as("piece"))
         .groupBy(col("piece")).agg(sum(col("wn")).as("usage"))
-        .localCheckpoint(true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     }
-    def vocabAfter(usage: DataFrame, keep: Int): DataFrame = {
-      val multis = usage.filter(length(col("piece")) >= 2)
-        .orderBy(col("usage").desc, col("piece")).limit(keep)
-        .select(col("piece"))
-      singles.unionByName(multis)
-        .join(usage, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+    def vocabAfter(usage: Seq[(String, Long)], keep: Int)
+        : Seq[(String, Long)] = {
+      val um = usage.toMap
+      val multis = usage.filter { case (p, _) => nChars(p) >= 2 }
+        .sorted(pieceOrd).take(keep)
+      singles.map { case (p, _) => p -> um.getOrElse(p, 0L) } ++ multis
     }
-    val seed = singles.unionByName(multis0)
-      .join(subs, Seq("piece"))
-      .select(col("piece"), col("cnt").as("usage"))
-    val (_, sc0) = mstep(seed)
+    val seed = singles ++ multis0
+    val sc0 = mstep(seed)
     val usage1 = estep(sc0)
-    val (_, sc1) = mstep(vocabAfter(usage1, UniPrune(0)))
+    val vocab1 = vocabAfter(usage1, UniPrune(0))
+    val sc1 = mstep(vocab1)
     val usage2 = estep(sc1)
-    val (scored2, sc2) = mstep(vocabAfter(usage2, UniPrune(1)))
+    val vocab2 = vocabAfter(usage2, UniPrune(1))
+    val sc2 = mstep(vocab2)
     val SM2 = typedlit(sc2)
     val enc = wc
       .withColumn("best", uniForward(SM2, col("w")))
       .select(col("w"),
         size(uniBackward(SM2, col("w"), col("best"))).cast("long")
           .as("n_pieces"))
-    (tf,
-      scored2.select(col("piece"), length(col("piece")).cast("long")
-        .as("piece_len"), col("usage"), col("logp_x1e6")),
-      enc)
+    val vocabRows = vocab2.map { case (p, u) =>
+      (p, nChars(p).toLong, u, sc2(p)) }
+    val vocabDf = s.createDataFrame(vocabRows)
+      .toDF("piece", "piece_len", "usage", "logp_x1e6")
+    (tf, vocabDf, enc)
   }
 
   /** The NB quality classifier's full train→score chain (the
@@ -2761,7 +2808,11 @@ object ExtQueries {
         .groupBy(col("qid"), col("ckey"), col("term"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
-      val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df as distinct chunks per term — see hybridRankings' dfreq
+      // note (ADVICE r20): row count ≡ chunk frequency only while
+      // query vocabularies are qid-unique.
+      val dfreq = qtf.groupBy(col("term"))
+        .agg(countDistinct(col("ckey")).as("df"))
       val totals = chunks.agg(count(lit(1)).as("n_chunks"))
       val lexScored = qtf
         .join(broadcast(dfreq), "term")
@@ -4193,13 +4244,22 @@ object ExtQueries {
           concat_ws(" ", slice(col("bt"), 9, 30)).as("text")))
         .unionByName(b.select((col("pid") + 9000000000L).as("doc_id"),
           concat_ws(" ", slice(col("bt"), 17, 30)).as("text")))
+        // plant-count-sized fixture, consumed by BOTH the seed chain
+        // and the signature chain — materialize the two stratum
+        // windows + pair join once (round 21)
+        .localCheckpoint(true)
       val full = docs.unionByName(plants)
       // eval membership: ORIGINAL docs in shards {0,1} (plants are
       // train by definition — they model the training corpus)
       val isEval = col("doc") < 7000000000L && shardOf(col("doc")) < 2
-      val rows = Dedup.shingleRows(Dedup.rebalance(full), col("doc_id"),
-          col("text"), 3)
-        .select(col("doc"), Dedup.md5Hash60(col("s")).as("sh"))
+      // ShingleMd5 kernel (round 21): same rows as shingleRows +
+      // md5Hash60 — one JVM call per doc instead of a per-window
+      // string build + md5-hex + conv chain (bit-identical by the
+      // kernel's contract).
+      val rows = Dedup.rebalance(full)
+        .select(col("doc_id").as("doc"), explode(
+          graft.ext.expr.ShingleMd5.shingleMd5(
+            TextOps.tokens(col("text")), 3)).as("sh"))
       val evalSh = rows.filter(isEval).select(col("sh")).distinct()
       val trainSh = rows.filter(!isEval).distinct()
       val seeds = trainSh
@@ -4211,6 +4271,20 @@ object ExtQueries {
         .localCheckpoint(true)
       val trainDocs = full.filter(!(col("doc_id") < 7000000000L &&
         shardOf(col("doc_id")) < 2))
+      // Round 21 NOTE: a frontier-probed BFS (edges via broadcast
+      // seed/hop-1 band probes instead of the full minhashPairs
+      // materialization — Dedup.frontierNeighbors) was built, oracled
+      // green at both SFs, and MEASURED SLOWER same-session (probe
+      // chain 4.81 s vs 4.10 s for the pair materialization at
+      // sf0.1): on this corpus the seed set is ~ALL train docs
+      // (generator-level sentence reuse trips the 20% line corpus-
+      // wide), so the "bounded frontier" premise does not hold and
+      // the probe pays two extra materializations for nothing. Kept
+      // the old shape; the measured fix is below — the PLANT fixture
+      // (two stratum windows + a join) was re-derived by both the
+      // seed chain and the signature chain, so it checkpoints once
+      // (plant-count-sized, ~27% of corpus rows here, increment-like
+      // at any scale).
       val pairs = Dedup.minhashPairs(trainDocs, col("doc_id"), col("text"), 0.5)
         .localCheckpoint(true)
       val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
