@@ -37,10 +37,19 @@ object Contamination {
     * probes always measure the SAME eval/train split and hash). */
   def shingleShardRows(docs: DataFrame, id: Column, text: Column,
       nShards: Int = 20, n: Int = 3): DataFrame =
-    Dedup.shingleRows(Dedup.rebalance(docs), id, text, n)
+    // Round 21 (guide §1.2 step 2): the ShingleMd5 kernel — one JVM
+    // call per doc streaming token bytes through a cached
+    // MessageDigest — replaces the per-window string build +
+    // md5-hex + conv chain. Bit-identical values by the kernel's
+    // contract (ShingleMd5.scala:13), same row multiset as
+    // Dedup.shingleRows (every w-window in order; < n tokens ⇒ no
+    // rows either way).
+    Dedup.rebalance(docs)
+      .select(id.as("doc"), TextOps.tokens(text).as("toks"))
       .select(col("doc"),
         Sampling.shard(col("doc"), nShards).as("shard"),
-        Dedup.md5Hash60(col("s")).as("sh"))
+        explode(graft.ext.expr.ShingleMd5.shingleMd5(col("toks"), n))
+          .as("sh"))
 
   def check(docs: DataFrame, id: Column, text: Column,
       nShards: Int = 20, evalKeep: Int = 2, n: Int = 3): DataFrame = {

@@ -82,26 +82,23 @@ object Dedup {
           .substr((k % 4) * HexPerHash + 1, lit(HexPerHash)))), 16, 10)
         .cast("long"))
 
-  /** Bulk MinHash signatures: map-side shingle rows (posexplode +
-    * element_at), then ONE custom-Expression pass computing all 32 hash
-    * values per shingle ([[graft.ext.expr.MinhashDigests]] — cached
-    * MessageDigest, no hex round trip; same values as the md5/substr/
-    * conv formulation the oracle replicates), then per-doc LONG minima
-    * in one partial+final HashAggregate (long buffers hash-aggregate;
-    * hex-string minima silently fell back to a SortAggregate that
-    * sorted every shingle row — SCALE.md). Shuffle volume: one
-    * 32-long row per doc (map-side combined), nothing else. */
-  def minhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val hv = shingleRows(rebalance(docs), id, text, 3)
-      .select(col("doc"), graft.ext.expr.MinhashDigests.hashes(col("s")).as("hv"))
-    val mins = (0 until NumHashes).map { k =>
-      min(element_at(col("hv"), k + 1)).as(s"h$k")
-    }
-    hv.groupBy(col("doc"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc"),
-        array((0 until NumHashes).map(k => col(s"h$k")): _*).as("sig"))
-  }
+  /** Bulk MinHash signatures: ONE [[graft.ext.expr.MinhashSigTokens]]
+    * kernel call per doc — window bytes stream through a cached
+    * MessageDigest with the per-component min folded inside the digest
+    * loop (round 21; same hash family as the md5/substr/conv
+    * formulation the oracle replicates, DedupSpec-pinned). Replaces
+    * the round-20 explode(shingleRows) → per-shingle
+    * [[graft.ext.expr.MinhashDigests]] → 32-way min HashAggregate:
+    * no per-shingle row materialization, no shingle strings, no
+    * aggregate machinery, and the signature rides the scan with ZERO
+    * exchange (the old shape shuffled one partial row per doc).
+    * Docs with < 3 tokens have no windows (kernel yields null) and
+    * drop, exactly as the explode path emitted no row for them. */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame =
+    rebalance(docs)
+      .select(id.as("doc"),
+        graft.ext.expr.MinhashSigTokens.of(TextOps.tokens(text), 3).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** One row per word n-gram shingle: (doc, s). posexplode carries the
     * doc's token array alongside each position so the n-gram is
@@ -172,6 +169,22 @@ object Dedup {
     * the caller owns materialization (checkpoint/persisted table) —
     * an unmaterialized lazy frame would re-derive from text on every
     * one of the three reads below. */
+  /** Bucket-capped LSH band rows (doc, band, bh) over a signature
+    * table — the shared candidate-generation input: every band row
+    * whose (band, bh) bucket holds ≤ [[MaxBandBucket]] docs (the
+    * degenerate-bucket defense both the self-join and the frontier
+    * probe apply identically; the oracle replays the same cap). One
+    * (band, bh)-keyed partial agg + a co-partitioned join back. */
+  private[graft] def okBandRows(sigs: DataFrame): DataFrame = {
+    val bandedAll = sigs
+      .select(col("doc"), posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+    val okBuckets = bandedAll.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= MaxBandBucket)
+      .select(col("band"), col("bh"))
+    bandedAll.join(okBuckets, Seq("band", "bh"))
+  }
+
   def pairsFromSignatures(sigs: DataFrame, threshold: Double): DataFrame = {
     val base = sigs
     // Candidate generation shuffles only (doc, band, band-hash) — the
@@ -180,13 +193,7 @@ object Dedup {
     // partner). Distinct-ing the bare id pairs first also means the
     // Jaccard estimate runs once per unique pair, not once per
     // colliding band.
-    val bandedAll = base
-      .select(col("doc"), posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
-    val okBuckets = bandedAll.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= MaxBandBucket)
-      .select(col("band"), col("bh"))
-    val banded = bandedAll.join(okBuckets, Seq("band", "bh"))
+    val banded = okBandRows(base)
     val cand = banded.select(col("doc").as("doc_a"), col("band"), col("bh"))
       .join(banded.select(col("doc").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -512,7 +519,7 @@ object Dedup {
       .join(ds.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
         col("len").as("nb")), Seq("doc_b"))
       .withColumn("ni",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        graft.ext.expr.SortedSetOps.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("nu", col("na") + col("nb") - col("ni"))
       .filter(col("ni") * thrDen >= col("nu") * thrNum)
       .select(col("doc_a"), col("doc_b"), col("ni"), col("nu"))
@@ -553,7 +560,8 @@ object Dedup {
         col("len").as("na")), Seq("doc_a"))
       .join(ds.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
         col("len").as("nb")), Seq("doc_b"))
-      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("ni",
+        graft.ext.expr.SortedSetOps.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("nu", col("na") + col("nb") - col("ni"))
       .filter(col("ni") * thrDen >= col("nu") * thrNum)
       .select(col("doc_a"), col("doc_b"),
@@ -592,7 +600,8 @@ object Dedup {
         col("len").as("na")), Seq("doc_a"))
       .join(ds.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
         col("len").as("nb")), Seq("doc_b"))
-      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("ni",
+        graft.ext.expr.SortedSetOps.intersectCount(col("sh_a"), col("sh_b")))
       .filter(col("ni") * thrDen >= least(col("na"), col("nb")) * thrNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") / least(col("na"), col("nb")), 4)
@@ -637,7 +646,10 @@ object Dedup {
   private[graft] def hashedShingleSets(docs: DataFrame, id: Column,
                                        text: Column, n: Int): DataFrame =
     docs
-      .select(id.as("doc"), array_distinct(
+      // round 21: sortDistinct (ascending distinct) instead of
+      // array_distinct — same element set; the order buys the verify
+      // stage its two-pointer intersect kernel (SortedSetOps).
+      .select(id.as("doc"), graft.ext.expr.SortedSetOps.sortDistinct(
         graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
         .as("sh"))
       .filter(size(col("sh")) > 0)

@@ -141,7 +141,14 @@ object ClippedOverlap {
       val n = a.numElements()
       val out = new Array[String](n)
       var i = 0
-      while (i < n) { out(i) = a.getUTF8String(i).toString; i += 1 }
+      while (i < n) {
+        // null elements normalize to "" — the declared input type
+        // admits containsNull=true even though current call sites
+        // (TextOps.tokens/slice) never produce one (ADVICE r20).
+        val u = a.getUTF8String(i)
+        out(i) = if (u == null) "" else u.toString
+        i += 1
+      }
       out
     }
     new GenericArrayData(fold(strs(ref), strs(cand), maxN, join = true))

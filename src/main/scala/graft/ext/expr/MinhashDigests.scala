@@ -170,3 +170,76 @@ object Md5Prefix64 {
   def of(s: Column): Column =
     ColumnBridge.column(Md5Prefix64(ColumnBridge.expression(s)))
 }
+
+/** The whole 32-long MinHash signature straight from a TOKEN array —
+  * the bulk-path fusion of [[ShingleMd5]]'s window-byte streaming and
+  * [[MinhashSignature]]'s min-fold (round 21, guide §1.2 step 2 +
+  * §2.4): one JVM call per DOC replaces explode(shingleRows) →
+  * per-shingle [[MinhashDigests]] → 32-way min HashAggregate — no
+  * per-shingle row materialization, no shingle-string build, no
+  * aggregate, and the per-doc exchange disappears (the signature rides
+  * the scan). Hash family identical: for every w-window the digested
+  * bytes are exactly `"{i}:" + tok₁ + ' ' + … + tokw` — the bytes
+  * `MinhashDigests` hashes for the joined shingle string — and hash
+  * k = i·4+j is bytes [4j, 4j+4) of digest i big-endian. Duplicate
+  * windows are min-idempotent, so window multiset ≡ distinct-shingle
+  * semantics. Null when the array has < w tokens (no windows), matching
+  * the explode path's emit-no-row; callers filter the nulls.
+  * CodegenFallback for the same measured reason as [[MinhashDigests]]:
+  * per-row dispatch is noise against 8·windows md5 computations. */
+case class MinhashSigTokens(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1, s"window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig_tokens"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < w) return null
+    val bytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) { bytes(t) = toks.getUTF8String(t).getBytes; t += 1 }
+    val mins = Array.fill(MinhashDigests.NumHashes)(Long.MaxValue)
+    val md = MinhashDigests.digests.get()
+    val space = Array[Byte](' ')
+    var p = 0
+    while (p <= n - w) {
+      var i = 0
+      while (i < MinhashDigests.NumDigests) {
+        md.reset()
+        md.update(MinhashDigests.prefixes(i))
+        var k = p
+        while (k < p + w) {
+          if (k > p) md.update(space)
+          md.update(bytes(k))
+          k += 1
+        }
+        val d = md.digest()
+        var j = 0
+        while (j < 4) {
+          val v = ((d(4 * j) & 0xffL) << 24) | ((d(4 * j + 1) & 0xffL) << 16) |
+            ((d(4 * j + 2) & 0xffL) << 8) | (d(4 * j + 3) & 0xffL)
+          val h = i * 4 + j
+          if (v < mins(h)) mins(h) = v
+          j += 1
+        }
+        i += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigTokens =
+    copy(child = newChild)
+}
+
+object MinhashSigTokens {
+  /** Column factory: full signature from a token array (null when the
+    * array holds fewer than `w` tokens). */
+  def of(toks: Column, w: Int): Column =
+    ColumnBridge.column(MinhashSigTokens(ColumnBridge.expression(toks), w))
+}
