@@ -33,8 +33,13 @@ object GraftSession {
       // big_orders, no repeatable regression. Both knobs are
       // scale-safe production settings (the hash map is bounded per
       // task by the threshold, not by table size); the threshold is
-      // env-tunable for clusters with tighter task memory.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // env-tunable for clusters with tighter task memory, and the
+      // static-planner preference itself is env-gated too (round 21,
+      // ADVICE r20): a deployment whose catalyst size estimates
+      // mis-predict a build side can revert to sort-merge without a
+      // rebuild via SPARK_GRAFT_PREFER_SMJ=true.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 /** Round-20 optimization probes (test scope — never ships): substage
   * wall times of the dedup/exact-join machinery at sf0.1, so the
   * optimization round cuts where the time actually is.
-  * Usage: Test/runMain graft.tools.Probe20 [dedup|inc|lake]
+  * Usage: Test/runMain graft.tools.Probe20 [dedup|conf]
   */
 object Probe20 {
   private def pr(m: String): Unit = System.err.println(s"[p20] $m")
@@ -61,10 +61,12 @@ object Probe20 {
         "dedup_threshold_sweep", "lake_cdf_history",
         "dedup_threshold_sweep", "lake_cdf_history")
       def minOf2(body: => Unit): Double = {
-        def t1: Double = {
+        def run(): Double = {
           val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
         }
-        math.min(t1, t1)
+        val a = run()
+        val b = run()
+        math.min(a, b)
       }
       def clear(): Unit = {
         s.catalog.clearCache()
