@@ -92,13 +92,19 @@ object Dedup {
     * no per-shingle row materialization, no shingle strings, no
     * aggregate machinery, and the signature rides the scan with ZERO
     * exchange (the old shape shuffled one partial row per doc).
-    * Docs with < 3 tokens have no windows (kernel yields null) and
-    * drop, exactly as the explode path emitted no row for them. */
+    * Docs with < 3 tokens have no windows and drop, exactly as the
+    * explode path emitted no row for them — filtered on the TOKEN
+    * COUNT (n ≥ 3 ⇔ windows ≥ 1 ⇔ kernel non-null), never on the
+    * kernel output: a filter on the computed sig made Catalyst
+    * evaluate the kernel twice, once below the pushed-down null check
+    * and once in the projection (guide §4.4 duplication; measured 2×
+    * the stage, Scratch A/B 0.73 s → 0.36 s at sf0.1). */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame =
     rebalance(docs)
-      .select(id.as("doc"),
-        graft.ext.expr.MinhashSigTokens.of(TextOps.tokens(text), 3).as("sig"))
-      .filter(col("sig").isNotNull)
+      .select(id.as("doc"), TextOps.tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc"),
+        graft.ext.expr.MinhashSigTokens.of(col("toks"), 3).as("sig"))
 
   /** One row per word n-gram shingle: (doc, s). posexplode carries the
     * doc's token array alongside each position so the n-gram is
@@ -648,11 +654,16 @@ object Dedup {
     docs
       // round 21: sortDistinct (ascending distinct) instead of
       // array_distinct — same element set; the order buys the verify
-      // stage its two-pointer intersect kernel (SortedSetOps).
-      .select(id.as("doc"), graft.ext.expr.SortedSetOps.sortDistinct(
-        graft.ext.expr.ShingleMd5.shingleMd5(TextOps.tokens(text), n))
-        .as("sh"))
-      .filter(size(col("sh")) > 0)
+      // stage its two-pointer intersect kernel (SortedSetOps). The
+      // empty-set drop filters on the TOKEN count (n_toks ≥ n ⇔
+      // windows ≥ 1 ⇔ sh non-empty), BEFORE the kernel: a filter on
+      // the computed column re-evaluates the kernel below the
+      // pushed-down predicate (guide §4.4; measured 2× on the minhash
+      // twin of this shape).
+      .select(id.as("doc"), TextOps.tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc"), graft.ext.expr.SortedSetOps.sortDistinct(
+        graft.ext.expr.ShingleMd5.shingleMd5(col("toks"), n)).as("sh"))
       .withColumn("len", size(col("sh")).cast("long"))
       .localCheckpoint(true)
 
