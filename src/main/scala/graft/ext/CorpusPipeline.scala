@@ -122,18 +122,26 @@ object CorpusPipeline {
     val s1 = aug.filter(QualityFilter.keep(col("text")))
 
     // 2. URL dedup: canonicalize the synthesized spelling, keep the
-    // lowest doc_id per canonical URL (one shuffle on the URL key).
-    val s2 = s1.withColumn("__canon", pageCanon)
-      .withColumn("__keep",
-        min(col("doc_id")).over(Window.partitionBy(col("__canon"))))
-      .filter(col("doc_id") === col("__keep")).drop("__canon", "__keep")
+    // lowest doc_id per canonical URL — as a min_by AGGREGATE, not a
+    // window (round 21, guide §2.3): the window shuffled and SORTED
+    // every full text row per partition; min_by partial-aggregates
+    // map-side, so co-located duplicates (the plant families derive
+    // from the same input blocks) collapse before the exchange.
+    // Identical keeper rows (doc_id unique ⇒ no ties; Scratch A/B
+    // pinned element-equality at sf0.1, the DuckDB oracle re-proves
+    // the survivor set at every SF).
+    val s2 = s1.groupBy(pageCanon.as("__canon"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("source")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.text"), col("r.source"))
 
-    // 3. exact-text dedup on the normalized text (one shuffle on the
-    // text key). Checkpointed: feeds the LSH machinery AND the
-    // survivor anti-join.
-    val s3 = s2.withColumn("__keep",
-        min(col("doc_id")).over(Window.partitionBy(lower(trim(col("text"))))))
-      .filter(col("doc_id") === col("__keep")).drop("__keep")
+    // 3. exact-text dedup on the normalized text (same min_by shape,
+    // one shuffle on the text key). Checkpointed: feeds the LSH
+    // machinery AND the survivor anti-join.
+    val s3 = s2.groupBy(lower(trim(col("text"))).as("__t"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("source")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.text"), col("r.source"))
       .localCheckpoint(true)
 
     // 4. near dedup: LSH pairs → CC → drop non-canonical members.

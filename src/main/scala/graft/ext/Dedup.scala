@@ -105,6 +105,12 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc"),
         graft.ext.expr.MinhashSigTokens.of(col("toks"), 3).as("sig"))
+      // NO repartition(doc) here: restoring the old aggregate's
+      // doc-hash output partitioning for the signature-attach joins
+      // was tried and measured SLOWER same-session (pairs A/B 1.97 vs
+      // 1.64 s, min-of-3) — AQE turns the attach joins' small side
+      // into runtime broadcasts, so the partitioning buys nothing and
+      // the exchange is pure cost.
 
   /** One row per word n-gram shingle: (doc, s). posexplode carries the
     * doc's token array alongside each position so the n-gram is

@@ -1,6 +1,7 @@
-package graft.tools
+package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 object Scratch {
@@ -11,40 +12,43 @@ object Scratch {
       df.write.mode("overwrite").format("noop").save()
     def time(label: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime(); body
-      System.err.println(f"[scr] $label%-40s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      System.err.println(f"[scr] $label%-44s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
-    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // 1. plan: does the kernel appear twice (filter + project)?
-    val sigs = graft.ext.Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
-    val plan = sigs.queryExecution.executedPlan.toString
-    val n = "minhash_sig_tokens".r.findAllIn(plan).length
-    System.err.println(s"[scr] kernel occurrences in plan: $n")
-    System.err.println(plan.split("\n").take(12).mkString("\n"))
-    // 2. same-session A/B: old explode+agg vs new kernel
-    import graft.ext.{Dedup, TextOps}
-    def oldSigs(dd: DataFrame): DataFrame = {
-      val hv = Dedup.shingleRows(Dedup.rebalance(dd), col("doc_id"), col("text"), 3)
-        .select(col("doc"), graft.ext.expr.MinhashDigests.hashes(col("s")).as("hv"))
-      val mins = (0 until Dedup.NumHashes).map { k =>
-        min(element_at(col("hv"), k + 1)).as(s"h$k") }
-      hv.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
-        .select(col("doc"), array((0 until Dedup.NumHashes).map(k => col(s"h$k")): _*).as("sig"))
-    }
-    def newPrefilter(dd: DataFrame): DataFrame = Dedup.rebalance(dd)
-      .select(col("doc_id").as("doc"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc"), graft.ext.expr.MinhashSigTokens.of(col("toks"), 3).as("sig"))
-    (1 to 2).foreach { pass =>
-      val tag = if (pass == 1) "warm" else "timed"
-      time(s"[$tag] old explode+agg sigs") { noop(oldSigs(docs)) }
-      time(s"[$tag] new kernel sigs (isNotNull)") { noop(sigs) }
-      time(s"[$tag] new kernel sigs (size prefilter)") { noop(newPrefilter(docs)) }
+    def clear(): Unit = {
       s.catalog.clearCache()
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val p2 = newPrefilter(docs).queryExecution.executedPlan.toString
-    System.err.println(s"[scr] prefilter kernel occurrences: " +
-      "minhash_sig_tokens".r.findAllIn(p2).length)
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source")).localCheckpoint(true)
+    val aug = CorpusPipeline.augment(docs)
+    val s1 = aug.filter(QualityFilter.keep(col("text")))
+    val canon = CorpusPipeline.pageCanon
+    // A: current window form (s2 then s3)
+    def winForm: DataFrame = {
+      val s2 = s1.withColumn("__canon", canon)
+        .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("__canon"))))
+        .filter(col("doc_id") === col("__keep")).drop("__canon", "__keep")
+      s2.withColumn("__keep",
+          min(col("doc_id")).over(Window.partitionBy(lower(trim(col("text"))))))
+        .filter(col("doc_id") === col("__keep")).drop("__keep")
+    }
+    // B: min_by aggregate form
+    def aggForm: DataFrame = {
+      val s2 = s1.groupBy(canon.as("__c"))
+        .agg(min_by(struct(col("doc_id"), col("text"), col("source")), col("doc_id")).as("r"))
+        .select(col("r.doc_id"), col("r.text"), col("r.source"))
+      s2.groupBy(lower(trim(col("text"))).as("__t"))
+        .agg(min_by(struct(col("doc_id"), col("text"), col("source")), col("doc_id")).as("r"))
+        .select(col("r.doc_id"), col("r.text"), col("r.source"))
+    }
+    (1 to 3).foreach { pass =>
+      time(s"[p$pass] s2+s3 window form") { noop(winForm) }
+      time(s"[p$pass] s2+s3 min_by form") { noop(aggForm) }
+    }
+    // equality check
+    val a = winForm.orderBy("doc_id").collect()
+    val b = aggForm.orderBy("doc_id").collect()
+    System.err.println(s"[scr] equal=${a.sameElements(b)} n=${a.length}")
     s.stop()
   }
 }
