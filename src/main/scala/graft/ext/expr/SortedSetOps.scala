@@ -62,6 +62,16 @@ case class LongSortDistinct(child: Expression) extends UnaryExpression {
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  /** Declared non-deterministic although the count is a pure function
+    * (retries/speculation recompute the same value): without this the
+    * optimizer inlines the computed `ni` into the verify FILTER, which
+    * then pushes into the attach join's condition — the kernel ran up
+    * to 3× per candidate pair (plan: sorted_intersect_count twice in
+    * the join condition + once in the project; guide §4.4). With it,
+    * the filter stays above the projection and every pair pays ONE
+    * merge. */
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
