@@ -79,14 +79,21 @@ class PlanSpec extends SparkSpec {
     assert(fixed.rdd.getNumPartitions == target)
   }
 
-  test("minhash signature aggregate stays a HashAggregate (long buffers, no sort)") {
+  test("minhash signature plan: one kernel eval, no aggregate, no sort") {
+    // Round 21: the fused MinhashSigTokens kernel replaced the
+    // explode + 32-way min aggregate outright, so the round-8
+    // SortAggregate regression this test used to guard is
+    // structurally impossible. New invariants: the kernel appears
+    // EXACTLY once (a filter on its output would re-evaluate it below
+    // the pushed-down predicate — guide §4.4, measured 2×), and the
+    // plan carries no aggregate and no sort at all.
     import org.apache.spark.sql.functions.col
     val docs = queries.ExtQueries.withNearDups(Tables.documents(spark, sf))
     val p = graft.ext.Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .queryExecution.executedPlan.toString
-    assert(p.contains("HashAggregate"), p)
-    assert(!p.contains("SortAggregate"),
-      "string-buffer minima silently degrade to SortAggregate — regression")
+    assert("minhash_sig_tokens".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Aggregate"), p)
+    assert(!p.contains("Sort "), p)
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
