@@ -4272,8 +4272,8 @@ object ExtQueries {
       val trainDocs = full.filter(!(col("doc_id") < 7000000000L &&
         shardOf(col("doc_id")) < 2))
       // Round 21 NOTE: a frontier-probed BFS (edges via broadcast
-      // seed/hop-1 band probes instead of the full minhashPairs
-      // materialization — Dedup.frontierNeighbors) was built, oracled
+      // seed/hop-1 band probes against Dedup.okBandRows instead of
+      // the full minhashPairs materialization) was built, oracled
       // green at both SFs, and MEASURED SLOWER same-session (probe
       // chain 4.81 s vs 4.10 s for the pair materialization at
       // sf0.1): on this corpus the seed set is ~ALL train docs
